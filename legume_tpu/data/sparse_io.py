@@ -1,0 +1,486 @@
+"""Sparse count-matrix storage engine (data-beans equivalent).
+
+On-disk layout matches the reference exactly (`data-beans/README.md:5-20`):
+
+    (root)
+        nrow, ncol, nnz                     [1] uint64
+        by_column/{data f32, indices u64, indptr u64}   # CSC
+        by_row/{data f32, indices u64, indptr u64}      # CSR
+        row_names, column_names             string arrays
+
+Both CSC and CSR copies are stored so either axis streams fast —
+the same dual-copy trade the reference makes (`sparse_io/traits.rs:46`).
+
+Backends:
+- ``ZarrBackend``: zarr v3 directory via tensorstore (zstd level 5,
+  mirroring `sparse_backend/zarr.rs:41`). The default.
+- ``H5Backend``: HDF5 via h5py (feature-parity with the reference's
+  `hdf5-metno` backend, `sparse_backend/hdf5.rs`).
+- ``MemoryBackend``: scipy CSC in RAM (test fixtures, small runs).
+
+Matrix orientation follows the reference: rows = features/genes (D),
+columns = cells (N). `read_columns_csc(cols)` returns a scipy
+`csc_matrix` of shape [D, len(cols)].
+"""
+
+from __future__ import annotations
+
+import abc
+import json
+import os
+from pathlib import Path
+from typing import Iterable, Sequence
+
+import numpy as np
+import scipy.sparse as sp
+
+_CHUNK = 1 << 20  # elements per chunk, mirroring MTX_STREAM_BLOCK (zarr.rs:48)
+_ZSTD_LEVEL = 5  # COMPRESSION_LEVEL (zarr.rs:41)
+
+
+# ----------------------------------------------------------------------------
+# tensorstore helpers
+# ----------------------------------------------------------------------------
+
+
+def _ts():
+    import tensorstore as ts
+
+    return ts
+
+
+def _zarr3_spec(path: str, key: str, *, shape=None, dtype=None, create=False, chunk=_CHUNK):
+    spec = {
+        "driver": "zarr3",
+        "kvstore": {"driver": "file", "path": os.path.join(path, key.lstrip("/"))},
+    }
+    if create:
+        spec["metadata"] = {
+            "shape": list(shape),
+            "data_type": dtype,
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": [min(chunk, max(int(shape[0]), 1))]},
+            },
+            "codecs": [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "zstd", "configuration": {"level": _ZSTD_LEVEL}},
+            ],
+        }
+        spec["create"] = True
+        spec["delete_existing"] = True
+    return spec
+
+
+def _zarr3_write(path: str, key: str, arr: np.ndarray, dtype: str):
+    ts = _ts()
+    store = ts.open(_zarr3_spec(path, key, shape=arr.shape, dtype=dtype, create=True)).result()
+    store[...].write(arr).result()
+
+
+def _zarr3_open(path: str, key: str):
+    ts = _ts()
+    return ts.open(_zarr3_spec(path, key)).result()
+
+
+def _names_path(path: str, key: str) -> Path:
+    return Path(path) / f"{key}.names.txt"
+
+
+def _write_names(path: str, key: str, names: Sequence[str]):
+    """String arrays: tensorstore zarr3 has no vlen-string codec, so names
+    live as a plain one-per-line text object inside the store directory
+    (readable by any tool; the reference's data is a string array at the
+    same key, `zarr.rs:799-801`)."""
+    _names_path(path, key).write_text("\n".join(str(n) for n in names) + "\n")
+
+
+def _read_names(path: str, key: str) -> list[str] | None:
+    p = _names_path(path, key)
+    if not p.exists():
+        return None
+    return p.read_text().rstrip("\n").split("\n")
+
+
+# ----------------------------------------------------------------------------
+# Backend interface
+# ----------------------------------------------------------------------------
+
+
+class SparseBackend(abc.ABC):
+    """The `SparseIo` trait equivalent (`sparse_io/traits.rs:46-866`),
+    reduced to the access patterns the TPU engine actually streams:
+    column (cell) slabs as CSC, row (gene) slabs as CSR, names, shape."""
+
+    @property
+    @abc.abstractmethod
+    def num_rows(self) -> int: ...
+
+    @property
+    @abc.abstractmethod
+    def num_columns(self) -> int: ...
+
+    @property
+    @abc.abstractmethod
+    def num_nonzeros(self) -> int: ...
+
+    @abc.abstractmethod
+    def read_columns_csc(self, columns: Sequence[int] | np.ndarray) -> sp.csc_matrix:
+        """[D, len(columns)] CSC slab."""
+
+    @abc.abstractmethod
+    def read_rows_csr(self, rows: Sequence[int] | np.ndarray) -> sp.csr_matrix:
+        """[len(rows), N] CSR slab."""
+
+    @abc.abstractmethod
+    def row_names(self) -> list[str]: ...
+
+    @abc.abstractmethod
+    def column_names(self) -> list[str]: ...
+
+    @abc.abstractmethod
+    def register_row_names(self, names: Sequence[str]): ...
+
+    @abc.abstractmethod
+    def register_column_names(self, names: Sequence[str]): ...
+
+    # ---- shared conveniences -------------------------------------------
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.num_rows, self.num_columns)
+
+    def read_columns_dense(self, columns) -> np.ndarray:
+        return np.asarray(self.read_columns_csc(columns).todense())
+
+    def read_column_range_csc(self, lb: int, ub: int) -> sp.csc_matrix:
+        return self.read_columns_csc(np.arange(lb, ub))
+
+    def column_block_sizes(self, block_size: int) -> list[tuple[int, int]]:
+        """Half-open [lb, ub) column jobs, mirroring
+        `generate_minibatch_intervals` (matrix-util utils)."""
+        n = self.num_columns
+        return [(lb, min(lb + block_size, n)) for lb in range(0, n, block_size)]
+
+
+def _to_csc(
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, shape: tuple[int, int]
+) -> sp.csc_matrix:
+    m = sp.coo_matrix((vals, (rows, cols)), shape=shape).tocsc()
+    m.sum_duplicates()
+    return m
+
+
+class MemoryBackend(SparseBackend):
+    """In-memory backend over scipy CSC+CSR (tests, sims, small data)."""
+
+    def __init__(self, csc: sp.csc_matrix, row_names=None, column_names=None):
+        self._csc = csc.tocsc()
+        self._csr = csc.tocsr()
+        d, n = csc.shape
+        self._row_names = list(row_names) if row_names else [f"r{i}" for i in range(d)]
+        self._col_names = list(column_names) if column_names else [f"c{j}" for j in range(n)]
+
+    @property
+    def num_rows(self):
+        return self._csc.shape[0]
+
+    @property
+    def num_columns(self):
+        return self._csc.shape[1]
+
+    @property
+    def num_nonzeros(self):
+        return int(self._csc.nnz)
+
+    def read_columns_csc(self, columns):
+        return self._csc[:, np.asarray(columns, dtype=np.int64)]
+
+    def read_rows_csr(self, rows):
+        return self._csr[np.asarray(rows, dtype=np.int64), :]
+
+    def row_names(self):
+        return self._row_names
+
+    def column_names(self):
+        return self._col_names
+
+    def register_row_names(self, names):
+        assert len(names) == self.num_rows
+        self._row_names = list(names)
+
+    def register_column_names(self, names):
+        assert len(names) == self.num_columns
+        self._col_names = list(names)
+
+
+class _CompressedFileBackend(SparseBackend):
+    """Shared logic for on-disk dual-CSC/CSR backends: indptr vectors are
+    cached in memory on open (traits.rs:845-848); data/indices stream."""
+
+    def __init__(self, path: str):
+        self.path = str(path)
+        self._col_indptr: np.ndarray | None = None
+        self._row_indptr: np.ndarray | None = None
+        self._shape: tuple[int, int, int] | None = None
+
+    # -- subclass primitives ---------------------------------------------
+
+    @abc.abstractmethod
+    def _read_array(self, key: str, lb: int = 0, ub: int | None = None) -> np.ndarray: ...
+
+    @abc.abstractmethod
+    def _write_array(self, key: str, arr: np.ndarray, dtype: str): ...
+
+    @abc.abstractmethod
+    def _read_name_list(self, key: str) -> list[str] | None: ...
+
+    @abc.abstractmethod
+    def _write_name_list(self, key: str, names: Sequence[str]): ...
+
+    # -- writing ----------------------------------------------------------
+
+    def record_csc(self, csc: sp.csc_matrix):
+        csc = csc.tocsc()
+        csc.sum_duplicates()
+        csr = csc.tocsr()
+        d, n = csc.shape
+        self._write_array("nrow", np.asarray([d], dtype=np.uint64), "uint64")
+        self._write_array("ncol", np.asarray([n], dtype=np.uint64), "uint64")
+        self._write_array("nnz", np.asarray([csc.nnz], dtype=np.uint64), "uint64")
+        self._write_array("by_column/data", csc.data.astype(np.float32), "float32")
+        self._write_array("by_column/indices", csc.indices.astype(np.uint64), "uint64")
+        self._write_array("by_column/indptr", csc.indptr.astype(np.uint64), "uint64")
+        self._write_array("by_row/data", csr.data.astype(np.float32), "float32")
+        self._write_array("by_row/indices", csr.indices.astype(np.uint64), "uint64")
+        self._write_array("by_row/indptr", csr.indptr.astype(np.uint64), "uint64")
+        self._shape = (d, n, int(csc.nnz))
+        self._col_indptr = csc.indptr.astype(np.int64)
+        self._row_indptr = csr.indptr.astype(np.int64)
+
+    # -- reading ----------------------------------------------------------
+
+    def _load_shape(self):
+        if self._shape is None:
+            d = int(self._read_array("nrow")[0])
+            n = int(self._read_array("ncol")[0])
+            z = int(self._read_array("nnz")[0])
+            self._shape = (d, n, z)
+        return self._shape
+
+    @property
+    def num_rows(self):
+        return self._load_shape()[0]
+
+    @property
+    def num_columns(self):
+        return self._load_shape()[1]
+
+    @property
+    def num_nonzeros(self):
+        return self._load_shape()[2]
+
+    def _column_indptr(self) -> np.ndarray:
+        if self._col_indptr is None:
+            self._col_indptr = self._read_array("by_column/indptr").astype(np.int64)
+        return self._col_indptr
+
+    def _row_indptr_vec(self) -> np.ndarray:
+        if self._row_indptr is None:
+            self._row_indptr = self._read_array("by_row/indptr").astype(np.int64)
+        return self._row_indptr
+
+    def _read_compressed_slabs(
+        self, axis_keys: tuple[str, str], indptr: np.ndarray, idx: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Gather (data, indices, out_indptr) for the requested slots,
+        coalescing adjacent slots into one ranged read per contiguous run."""
+        data_key, idx_key = axis_keys
+        starts = indptr[idx]
+        ends = indptr[idx + 1]
+        counts = ends - starts
+        out_indptr = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(counts, out=out_indptr[1:])
+        total = int(out_indptr[-1])
+        data = np.empty(total, dtype=np.float32)
+        indices = np.empty(total, dtype=np.int64)
+        if total == 0:
+            return data, indices, out_indptr
+        # coalesce contiguous runs: sorted streaming reads dominate, so
+        # most requests collapse into a handful of big ranged reads
+        i = 0
+        k = len(idx)
+        while i < k:
+            j = i
+            while j + 1 < k and starts[j + 1] == ends[j]:
+                j += 1
+            lb, ub = int(starts[i]), int(ends[j])
+            if ub > lb:
+                o_lb = int(out_indptr[i])
+                o_ub = o_lb + (ub - lb)
+                data[o_lb:o_ub] = self._read_array(data_key, lb, ub)
+                indices[o_lb:o_ub] = self._read_array(idx_key, lb, ub).astype(np.int64)
+            i = j + 1
+        return data, indices, out_indptr
+
+    def read_columns_csc(self, columns):
+        idx = np.asarray(columns, dtype=np.int64)
+        d = self.num_rows
+        data, indices, indptr = self._read_compressed_slabs(
+            ("by_column/data", "by_column/indices"), self._column_indptr(), idx
+        )
+        return sp.csc_matrix((data, indices, indptr), shape=(d, len(idx)))
+
+    def read_rows_csr(self, rows):
+        idx = np.asarray(rows, dtype=np.int64)
+        n = self.num_columns
+        data, indices, indptr = self._read_compressed_slabs(
+            ("by_row/data", "by_row/indices"), self._row_indptr_vec(), idx
+        )
+        return sp.csr_matrix((data, indices, indptr), shape=(len(idx), n))
+
+    def row_names(self):
+        names = self._read_name_list("row_names")
+        return names if names is not None else [f"r{i}" for i in range(self.num_rows)]
+
+    def column_names(self):
+        names = self._read_name_list("column_names")
+        return names if names is not None else [f"c{j}" for j in range(self.num_columns)]
+
+    def register_row_names(self, names):
+        assert len(names) == self.num_rows, "row name length mismatch"
+        self._write_name_list("row_names", names)
+
+    def register_column_names(self, names):
+        assert len(names) == self.num_columns, "column name length mismatch"
+        self._write_name_list("column_names", names)
+
+
+class ZarrBackend(_CompressedFileBackend):
+    """Zarr v3 directory store via tensorstore (default backend,
+    `sparse_backend/zarr.rs:66`)."""
+
+    def _read_array(self, key, lb=0, ub=None):
+        store = _zarr3_open(self.path, key)
+        if ub is None:
+            return np.asarray(store[...].read().result())
+        return np.asarray(store[lb:ub].read().result())
+
+    def _write_array(self, key, arr, dtype):
+        _zarr3_write(self.path, key, np.ascontiguousarray(arr), dtype)
+
+    def _read_name_list(self, key):
+        return _read_names(self.path, key)
+
+    def _write_name_list(self, key, names):
+        _write_names(self.path, key, names)
+
+
+class H5Backend(_CompressedFileBackend):
+    """HDF5 backend via h5py (`sparse_backend/hdf5.rs` parity)."""
+
+    def _file(self, mode="r"):
+        import h5py
+
+        return h5py.File(self.path, mode)
+
+    def _read_array(self, key, lb=0, ub=None):
+        with self._file("r") as f:
+            ds = f[key]
+            return np.asarray(ds[...] if ub is None else ds[lb:ub])
+
+    def _write_array(self, key, arr, dtype):
+        import h5py  # noqa: F401
+
+        with self._file("a") as f:
+            if key in f:
+                del f[key]
+            f.create_dataset(
+                key,
+                data=arr,
+                compression="gzip",
+                compression_opts=4,
+                chunks=(min(_CHUNK, max(len(arr), 1)),),
+            )
+
+    def _read_name_list(self, key):
+        with self._file("r") as f:
+            if key not in f:
+                return None
+            return [s.decode() if isinstance(s, bytes) else str(s) for s in f[key][...]]
+
+    def _write_name_list(self, key, names):
+        import h5py
+
+        with self._file("a") as f:
+            if key in f:
+                del f[key]
+            f.create_dataset(key, data=np.asarray(names, dtype=h5py.string_dtype()))
+
+
+# ----------------------------------------------------------------------------
+# Factory (sparse_io/factory.rs:27,63 equivalent)
+# ----------------------------------------------------------------------------
+
+
+def _backend_kind(path: str) -> str:
+    p = str(path)
+    if p.endswith((".h5", ".hdf5")):
+        return "h5"
+    return "zarr"
+
+
+def create_sparse_from_triplets(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    shape: tuple[int, int],
+    path: str | os.PathLike,
+    row_names: Sequence[str] | None = None,
+    column_names: Sequence[str] | None = None,
+) -> SparseBackend:
+    """Build a backend from COO triplets
+    (`create_sparse_from_triplets_owned`, factory.rs:63)."""
+    csc = _to_csc(
+        np.asarray(rows, dtype=np.int64),
+        np.asarray(cols, dtype=np.int64),
+        np.asarray(vals, dtype=np.float32),
+        shape,
+    )
+    return create_sparse_from_csc(csc, path, row_names, column_names)
+
+
+def create_sparse_from_csc(
+    csc: sp.spmatrix,
+    path: str | os.PathLike,
+    row_names: Sequence[str] | None = None,
+    column_names: Sequence[str] | None = None,
+) -> SparseBackend:
+    path = str(path)
+    kind = _backend_kind(path)
+    backend: _CompressedFileBackend
+    if kind == "h5":
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        if Path(path).exists():
+            Path(path).unlink()
+        backend = H5Backend(path)
+    else:
+        Path(path).mkdir(parents=True, exist_ok=True)
+        backend = ZarrBackend(path)
+    backend.record_csc(csc.tocsc())
+    if row_names is not None:
+        backend.register_row_names(row_names)
+    if column_names is not None:
+        backend.register_column_names(column_names)
+    return backend
+
+
+def open_sparse_matrix(path: str | os.PathLike) -> SparseBackend:
+    """Open an existing backend by sniffing the path
+    (`open_sparse_matrix`, factory.rs:27)."""
+    path = str(path)
+    if not Path(path).exists():
+        raise FileNotFoundError(path)
+    if _backend_kind(path) == "h5":
+        return H5Backend(path)
+    return ZarrBackend(path)

@@ -1,0 +1,159 @@
+"""SparseIoVec: a vertical stack of backends presented as one
+(features x all-cells) matrix (`data-beans/src/sparse_io_vector/mod.rs:93`).
+
+Carries the registries the collapse/matching layer needs:
+- global column -> (backend, local column) locations (mod.rs:33),
+- batch membership per cell (batch.rs:46),
+- group membership for pseudobulk collapse (groups.rs:39),
+- row (feature) alignment across backends (Disjoint/Union canonicalizers,
+  mod.rs:41-58).
+
+kNN matching is NOT a per-batch HNSW here: the TPU engine matches cells
+with exact on-device chunked top-k over the projected coordinates
+(`legume_tpu.ops.knn`), which is deterministic by construction
+(SURVEY.md section 7 hard-part 2).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import scipy.sparse as sp
+
+from .sparse_io import SparseBackend
+
+
+class SparseIoVec:
+    def __init__(self):
+        self._backends: list[SparseBackend] = []
+        self._offsets: list[int] = [0]
+        self._row_names: list[str] | None = None
+        self._batch_membership: np.ndarray | None = None
+        self._batch_names: list[str] | None = None
+        self._groups: np.ndarray | None = None
+        self._num_groups: int = 0
+
+    # ---- stacking -------------------------------------------------------
+
+    def push(self, backend: SparseBackend):
+        """Append a backend; feature rows must align with what's already
+        stacked (the Disjoint mode of mod.rs:256-330 — Union alignment is
+        handled by `data_loading.read_data_on_shared_rows`)."""
+        names = backend.row_names()
+        if self._row_names is None:
+            self._row_names = names
+        elif names != self._row_names:
+            raise ValueError(
+                "backend feature rows disagree with the stack; align/reorder first"
+            )
+        self._backends.append(backend)
+        self._offsets.append(self._offsets[-1] + backend.num_columns)
+
+    @property
+    def num_rows(self) -> int:
+        return self._backends[0].num_rows if self._backends else 0
+
+    @property
+    def num_columns(self) -> int:
+        return self._offsets[-1]
+
+    @property
+    def shape(self):
+        return (self.num_rows, self.num_columns)
+
+    def row_names(self) -> list[str]:
+        return list(self._row_names or [])
+
+    def column_names(self) -> list[str]:
+        out: list[str] = []
+        for i, b in enumerate(self._backends):
+            out.extend(f"{n}@{i}" if self._seen_dup else n for n in b.column_names())
+        return out
+
+    @property
+    def _seen_dup(self) -> bool:
+        return len(self._backends) > 1
+
+    def backend_location(self, j: int) -> tuple[int, int]:
+        """Global column -> (backend index, local column) (mod.rs:33)."""
+        b = int(np.searchsorted(self._offsets, j, side="right")) - 1
+        return b, j - self._offsets[b]
+
+    # ---- reads ----------------------------------------------------------
+
+    def read_columns_csc(self, columns: Sequence[int] | np.ndarray) -> sp.csc_matrix:
+        cols = np.asarray(columns, dtype=np.int64)
+        if len(self._backends) == 1:
+            return self._backends[0].read_columns_csc(cols)
+        which = np.searchsorted(self._offsets, cols, side="right") - 1
+        pieces = []
+        order = []
+        for b_idx in range(len(self._backends)):
+            m = which == b_idx
+            if not m.any():
+                continue
+            local = cols[m] - self._offsets[b_idx]
+            pieces.append(self._backends[b_idx].read_columns_csc(local))
+            order.append(np.nonzero(m)[0])
+        stacked = sp.hstack(pieces, format="csc")
+        perm = np.concatenate(order)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        return stacked[:, inv]
+
+    def read_columns_dense(self, columns) -> np.ndarray:
+        return np.asarray(self.read_columns_csc(columns).todense())
+
+    # ---- batch registry (batch.rs:46) -----------------------------------
+
+    def register_batches(self, membership: Sequence[str] | np.ndarray):
+        memb = np.asarray(membership)
+        if len(memb) != self.num_columns:
+            raise ValueError("batch membership length != total cells")
+        names, codes = np.unique(memb, return_inverse=True)
+        self._batch_names = [str(x) for x in names]
+        self._batch_membership = codes.astype(np.int32)
+
+    @property
+    def num_batches(self) -> int:
+        return len(self._batch_names) if self._batch_names else 1
+
+    def batch_membership(self) -> np.ndarray:
+        if self._batch_membership is None:
+            return np.zeros(self.num_columns, dtype=np.int32)
+        return self._batch_membership
+
+    def batch_names(self) -> list[str]:
+        return list(self._batch_names or ["0"])
+
+    # ---- group (pseudobulk) registry (groups.rs:39) ----------------------
+
+    def assign_groups(self, groups: np.ndarray, num_groups: int | None = None):
+        groups = np.asarray(groups, dtype=np.int32)
+        if len(groups) != self.num_columns:
+            raise ValueError("group assignment length != total cells")
+        self._groups = groups
+        self._num_groups = int(num_groups if num_groups is not None else groups.max() + 1)
+
+    @property
+    def num_groups(self) -> int:
+        return self._num_groups
+
+    def groups(self) -> np.ndarray:
+        if self._groups is None:
+            raise ValueError("no group assignment registered")
+        return self._groups
+
+    def cells_per_group(self) -> list[np.ndarray]:
+        g = self.groups()
+        order = np.argsort(g, kind="stable")
+        sorted_g = g[order]
+        bounds = np.searchsorted(sorted_g, np.arange(self._num_groups + 1))
+        return [order[bounds[s] : bounds[s + 1]] for s in range(self._num_groups)]
+
+    # ---- column block jobs ----------------------------------------------
+
+    def column_blocks(self, block_size: int) -> list[tuple[int, int]]:
+        n = self.num_columns
+        return [(lb, min(lb + block_size, n)) for lb in range(0, n, block_size)]

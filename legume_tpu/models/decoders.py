@@ -1,0 +1,173 @@
+"""Decoder modules (candle-util `decoder/` equivalent).
+
+Contract parity with `DecoderModuleT::forward_with_llik(z, x) ->
+(recon, llik)` (`traits/model.rs:51-117`). All topic decoders share a
+softmax dictionary: trainable logits `W [K, D]`, `log beta_kd =
+log_softmax_D(W)` (`nn/linear.rs:169-183`).
+
+TPU note on `forward_log`: the reference computes
+`logsumexp_k(log z + log beta)` by materializing an [N, K, D]
+broadcast (`nn/linear.rs:237-261`). Here it is ONE MXU matmul in
+linear space — `log(exp(log_z) @ exp(log_beta) + tiny)` — which is
+numerically safe because the trainer's topic smoothing floors
+`z >= alpha/K` and each beta column is a softmax over D (so products
+sit far above the f32 denormal range). This is the `batched_dot`
+gemm-rewrite insight (candle-util/src/batched_dot.rs:1-25) applied at
+the decoder; XLA fuses the log into the matmul consumer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from . import losses
+
+_LOG_EPS = 1e-30
+
+
+class _SoftmaxDictionary(nn.Module):
+    """Trainable [K, D] logits -> row-softmax dictionary."""
+
+    n_features: int
+    n_topics: int
+
+    @nn.compact
+    def log_beta_kd(self) -> jax.Array:
+        w = self.param(
+            "dictionary",
+            nn.initializers.normal(stddev=1.0),
+            (self.n_topics, self.n_features),
+        )
+        return jax.nn.log_softmax(w, axis=-1)
+
+    def __call__(self):
+        return self.log_beta_kd()
+
+
+def _forward_log(log_z_nk: jax.Array, log_beta_kd: jax.Array) -> jax.Array:
+    """log(sum_k z_nk beta_kd) via one matmul (see module docstring)."""
+    recon = jnp.exp(log_z_nk) @ jnp.exp(log_beta_kd)
+    return jnp.log(recon + _LOG_EPS)
+
+
+class MultinomTopicDecoder(nn.Module):
+    """Multinomial topic decoder with optional NB-Fisher per-gene
+    weights (`decoder/topic.rs:13-118`)."""
+
+    n_features: int
+    n_topics: int
+
+    def setup(self):
+        self.dictionary = _SoftmaxDictionary(self.n_features, self.n_topics)
+
+    def __call__(
+        self,
+        log_z_nk: jax.Array,
+        x_nd: jax.Array,
+        feature_weights: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        log_recon = _forward_log(log_z_nk, self.dictionary())
+        wx = x_nd if feature_weights is None else x_nd * feature_weights
+        llik = jnp.sum(wx * log_recon, axis=-1)  # topic.rs:87-104
+        return jnp.exp(log_recon), llik
+
+    def get_dictionary(self) -> jax.Array:
+        """log beta as [D, K] (`weight_dk`, nn/linear.rs:179-183)."""
+        return self.dictionary().T
+
+
+class NbTopicDecoder(nn.Module):
+    """NB topic decoder: mu = libsize * softmax-dict proportions, per-gene
+    learned dispersion (`decoder/topic.rs:124-236`)."""
+
+    n_features: int
+    n_topics: int
+
+    def setup(self):
+        self.dictionary = _SoftmaxDictionary(self.n_features, self.n_topics)
+
+    @nn.compact
+    def __call__(
+        self,
+        log_z_nk: jax.Array,
+        x_nd: jax.Array,
+        feature_weights: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        log_phi = self.param(
+            "log_phi", nn.initializers.constant(0.693), (1, self.n_features)
+        )  # ln(2), topic.rs:145
+        log_recon = _forward_log(log_z_nk, self.dictionary())
+        recon = jnp.exp(log_recon)
+        lib = jnp.sum(x_nd, axis=-1, keepdims=True)  # topic.rs:195-196
+        mu = recon * lib
+        llik = losses.nb_log_likelihood(x_nd, mu, log_phi)
+        return recon, llik
+
+    def get_dictionary(self) -> jax.Array:
+        return self.dictionary().T
+
+
+class PoissonTopicDecoder(nn.Module):
+    """Poisson decoder: rate = libsize * proportions
+    (`decoder/poisson.rs` family; loss.rs:107-118)."""
+
+    n_features: int
+    n_topics: int
+
+    def setup(self):
+        self.dictionary = _SoftmaxDictionary(self.n_features, self.n_topics)
+
+    def __call__(self, log_z_nk, x_nd, feature_weights=None):
+        log_recon = _forward_log(log_z_nk, self.dictionary())
+        recon = jnp.exp(log_recon)
+        lib = jnp.sum(x_nd, axis=-1, keepdims=True)
+        rate = recon * lib + 1e-8
+        llik = losses.poisson_log_likelihood(x_nd, rate)
+        return recon, llik
+
+    def get_dictionary(self) -> jax.Array:
+        return self.dictionary().T
+
+
+class NbMixtureTopicDecoder(nn.Module):
+    """NB topic decoder with a learned ambient component: proportions
+    mix the topic reconstruction with a free per-gene ambient profile
+    (`decoder/topic.rs` NB-mixture family / `masked_etm.rs` ambient)."""
+
+    n_features: int
+    n_topics: int
+
+    def setup(self):
+        self.dictionary = _SoftmaxDictionary(self.n_features, self.n_topics)
+
+    @nn.compact
+    def __call__(self, log_z_nk, x_nd, feature_weights=None):
+        log_phi = self.param(
+            "log_phi", nn.initializers.constant(0.693), (1, self.n_features)
+        )
+        ambient_logit = self.param(
+            "ambient", nn.initializers.zeros, (1, self.n_features)
+        )
+        mix_logit = self.param("mix", nn.initializers.constant(-2.0), (1, 1))
+        log_recon = _forward_log(log_z_nk, self.dictionary())
+        pi = jax.nn.sigmoid(mix_logit)
+        amb = jax.nn.softmax(ambient_logit, axis=-1)
+        recon = (1.0 - pi) * jnp.exp(log_recon) + pi * amb
+        lib = jnp.sum(x_nd, axis=-1, keepdims=True)
+        llik = losses.nb_log_likelihood(x_nd, recon * lib, log_phi)
+        return recon, llik
+
+    def get_dictionary(self) -> jax.Array:
+        return self.dictionary().T
+
+
+DECODERS = {
+    "multinomial": MultinomTopicDecoder,
+    "nb": NbTopicDecoder,
+    "poisson": PoissonTopicDecoder,
+    "nb-mixture": NbMixtureTopicDecoder,
+}

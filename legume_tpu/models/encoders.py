@@ -1,0 +1,110 @@
+"""Encoder modules (candle-util `encoder/` equivalent).
+
+Contract parity with `EncoderModuleT::forward_t(x, x0, train) ->
+(log_z, kl)` (`traits/model.rs:9-27`). Flax linen modules; the
+reparameterization key rides the `"reparam"` RNG collection and batch
+norm running stats ride the `"batch_stats"` mutable collection.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.transforms import anscombe_residual
+from . import losses
+
+CLAMP = 8.0  # encoder/softmax.rs:61-62
+
+
+class _GaussianTrunk(nn.Module):
+    """Shared MLP trunk: Anscombe residual -> ReLU stack (every layer
+    ReLU-activated, `nn/layers.rs:177-202`) -> BatchNorm (eps 1e-4,
+    torch-momentum 0.1 == flax 0.9, `batch_norm.rs:29-37`) -> clamped
+    Gaussian heads (`encoder/softmax.rs:55-78`)."""
+
+    n_latent: int
+    layers: Sequence[int]
+
+    def setup(self):
+        self.fc = [nn.Dense(dim, name=f"fc{i}") for i, dim in enumerate(self.layers)]
+        self.bn_z = nn.BatchNorm(momentum=0.9, epsilon=1e-4, name="bn_z")
+        self.z_mean = nn.Dense(self.n_latent, name="z_mean")
+        self.z_lnvar = nn.Dense(self.n_latent, name="z_lnvar")
+
+    def __call__(self, x_nd, x0_nd, feature_mean, *, train: bool):
+        h = anscombe_residual(x_nd, x0_nd, feature_mean)
+        for layer in self.fc:
+            h = nn.relu(layer(h))
+        h = self.bn_z(h, use_running_average=not train)
+        mean = jnp.clip(self.z_mean(h), -CLAMP, CLAMP)
+        lnvar = jnp.clip(self.z_lnvar(h), -CLAMP, CLAMP)
+        return mean, lnvar
+
+
+class LogSoftmaxEncoder(nn.Module):
+    """Dense softmax-simplex encoder (`encoder/softmax.rs:9-127`):
+    Gaussian trunk -> reparameterize -> log_softmax simplex + KL."""
+
+    n_topics: int
+    layers: Sequence[int]
+
+    def setup(self):
+        self.trunk = _GaussianTrunk(self.n_topics, self.layers)
+
+    def __call__(
+        self,
+        x_nd: jax.Array,
+        x0_nd: Optional[jax.Array] = None,
+        feature_mean: Optional[jax.Array] = None,
+        *,
+        train: bool,
+    ) -> tuple[jax.Array, jax.Array]:
+        z_mean, z_lnvar = self.trunk(x_nd, x0_nd, feature_mean, train=train)
+        if train:
+            z = losses.gaussian_reparameterize(
+                self.make_rng("reparam"), z_mean, z_lnvar, True
+            )
+        else:
+            z = z_mean
+        log_prob = jax.nn.log_softmax(z, axis=-1)
+        return log_prob, losses.gaussian_kl(z_mean, z_lnvar)
+
+    def latent_gaussian_params(self, x_nd, x0_nd=None, feature_mean=None, *, train: bool = False):
+        """`(mu, lnvar)` heads — the `predict`/probe entry point
+        (encoder/softmax.rs:55-78)."""
+        return self.trunk(x_nd, x0_nd, feature_mean, train=train)
+
+
+class GaussianEncoder(nn.Module):
+    """Plain Gaussian-latent encoder (`encoder/gaussian.rs`): same
+    trunk, latent returned without the simplex map (scVI-style `vae`)."""
+
+    n_latent: int
+    layers: Sequence[int]
+
+    def setup(self):
+        self.trunk = _GaussianTrunk(self.n_latent, self.layers)
+
+    def __call__(
+        self,
+        x_nd: jax.Array,
+        x0_nd: Optional[jax.Array] = None,
+        feature_mean: Optional[jax.Array] = None,
+        *,
+        train: bool,
+    ) -> tuple[jax.Array, jax.Array]:
+        z_mean, z_lnvar = self.trunk(x_nd, x0_nd, feature_mean, train=train)
+        if train:
+            z = losses.gaussian_reparameterize(
+                self.make_rng("reparam"), z_mean, z_lnvar, True
+            )
+        else:
+            z = z_mean
+        return z, losses.gaussian_kl(z_mean, z_lnvar)
+
+    def latent_gaussian_params(self, x_nd, x0_nd=None, feature_mean=None, *, train: bool = False):
+        return self.trunk(x_nd, x0_nd, feature_mean, train=train)

@@ -1,0 +1,127 @@
+"""Streaming Johnson-Lindenstrauss projection of all cells
+(data-beans-alg `random_projection.rs` equivalent).
+
+Pipeline parity (random_projection.rs:169-199, 341-412):
+
+1. per block: `x <- log1p(x)`, L2-normalize each cell column, then
+   `proj[:, j] = basis_kd . x_j` — here one gather + sorted
+   segment-sum on device per block (`legume_tpu.ops.sparse.project_block`),
+   with the log1p/normalization folded in (projection is linear in the
+   values, so the column norm divides the projected vector).
+2. optional batch centering: within each batch, center every projection
+   dim (random_projection.rs:378-396).
+3. per-cell standardization (`scale_columns_inplace` on the K x N
+   matrix = z-score each cell's K-vector), clamp to [-4, 4], and
+   re-standardize if clamping fired (random_projection.rs:398-407).
+
+Binary sort (random_projection.rs:535-564): rSVD of proj -> z-score the
+N x kk right-vectors per dim -> sign bits -> group codes in [0, 2^kk).
+
+The basis is a seeded standard normal [D, K]; the same pinned
+`DEFAULT_PROJECTION_SEED` default applies (random_projection.rs:41).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.visitors import visit_columns_by_block
+from ..utils.prng import DEFAULT_PROJECTION_SEED, key_from_seed
+from . import sparse as sparse_ops
+from .rsvd import rsvd
+
+
+@partial(jax.jit, static_argnames=("ncols",))
+def _project_block_normed(
+    basis_dk: jax.Array, row_ids, col_ids, vals, *, ncols: int
+) -> jax.Array:
+    """log1p + per-cell L2 normalization + projection, one fused pass."""
+    lv = jnp.log1p(vals)
+    sq = jax.ops.segment_sum(lv * lv, col_ids, num_segments=ncols + 1, indices_are_sorted=True)
+    norm = jnp.maximum(jnp.sqrt(sq[:ncols]), 1e-8)  # matches 1e-8 floor (dmatrix_util.rs:775)
+    contrib = basis_dk[row_ids] * lv[:, None]
+    proj = jax.ops.segment_sum(contrib, col_ids, num_segments=ncols + 1, indices_are_sorted=True)
+    return proj[:ncols] / norm[:, None]
+
+
+@jax.jit
+def _standardize_cells(proj_nk: jax.Array) -> jax.Array:
+    """Per-cell z-score over the K dims, clamp, re-z-score
+    (random_projection.rs:398-407; scale_columns_inplace semantics
+    dmatrix_util.rs:792-820)."""
+
+    def zscore(p):
+        mu = jnp.mean(p, axis=1, keepdims=True)
+        sig = jnp.sqrt(jnp.clip(jnp.mean(p * p, axis=1, keepdims=True) - mu * mu, 0.0, None))
+        return jnp.where(sig > 0, (p - mu) / jnp.where(sig > 0, sig, 1.0), p - mu)
+
+    z = zscore(proj_nk)
+    needs_clamp = jnp.logical_or(z.max() > 4.0, z.min() < -4.0)
+    return jax.lax.cond(
+        needs_clamp, lambda p: zscore(jnp.clip(p, -4.0, 4.0)), lambda p: p, z
+    )
+
+
+def project_columns(
+    data,
+    target_dim: int,
+    *,
+    block_size: int = 8192,
+    batch_membership: np.ndarray | None = None,
+    row_weights: np.ndarray | None = None,
+    seed: int = DEFAULT_PROJECTION_SEED,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Returns `(basis_dk [D, K], proj_kn [K, N])` like the reference's
+    `RandColProjOut` (random_projection.rs:24-27)."""
+    d = data.num_rows
+    n = data.num_columns
+    key = key_from_seed(seed)
+    basis_dk = jax.random.normal(key, (d, target_dim), dtype=jnp.float32)
+    if row_weights is not None:
+        w = jnp.asarray(np.asarray(row_weights, dtype=np.float32))[:, None]
+        basis_dk = basis_dk * w  # zero weight removes the feature (rs:437-444)
+
+    pieces = []
+    for blk in visit_columns_by_block(data, block_size=block_size):
+        proj_bk = _project_block_normed(
+            basis_dk,
+            jnp.asarray(blk.row_ids),
+            jnp.asarray(blk.col_ids),
+            jnp.asarray(blk.vals),
+            ncols=blk.ncols,
+        )
+        pieces.append(np.asarray(proj_bk))
+    proj_nk = np.concatenate(pieces, axis=0) if pieces else np.zeros((0, target_dim), np.float32)
+
+    if batch_membership is not None and len(batch_membership) == n:
+        codes = np.asarray(batch_membership)
+        for b in np.unique(codes):
+            m = codes == b
+            proj_nk[m] -= proj_nk[m].mean(axis=0, keepdims=True)
+
+    proj_nk = np.asarray(_standardize_cells(jnp.asarray(proj_nk)))
+    return np.asarray(basis_dk), proj_nk.T.copy()
+
+
+def binary_sort_columns(
+    proj_kn: np.ndarray, kk: int, *, seed: int = DEFAULT_PROJECTION_SEED
+) -> np.ndarray:
+    """Group codes in [0, 2^kk) from rSVD sign bits
+    (random_projection.rs:535-564)."""
+    kk = min(kk, proj_kn.shape[0], proj_kn.shape[1])
+    _, _, vt = rsvd(jnp.asarray(proj_kn), kk, key=key_from_seed(seed, 17))
+    q_nk = np.asarray(vt).T  # [N, kk] right singular vectors
+    q_nk = (q_nk - q_nk.mean(axis=0)) / np.maximum(q_nk.std(axis=0), 1e-12)
+    bits = (q_nk > 0).astype(np.int64)
+    codes = (bits << np.arange(kk)[None, :]).sum(axis=1)
+    return codes
+
+
+def compact_group_codes(codes: np.ndarray) -> tuple[np.ndarray, int]:
+    """Relabel arbitrary codes to dense [0, S) group ids."""
+    uniq, groups = np.unique(codes, return_inverse=True)
+    return groups.astype(np.int32), len(uniq)

