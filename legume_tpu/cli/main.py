@@ -42,7 +42,71 @@ def run_senna(argv):
     ap = argparse.ArgumentParser(prog="senna", description="embedding suite")
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_topic_parser(sub)
+
+    p = sub.add_parser("predict", help="held-out latent inference")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--model", required=True, help="output prefix of a senna topic run")
+    p.add_argument("--out", required=True)
+    p.add_argument("--block-size", type=int, default=4096)
+
+    p = sub.add_parser("clustering", help="kmeans/leiden on a latent parquet")
+    p.add_argument("--latent", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--method", choices=["kmeans", "leiden"], default="leiden")
+    p.add_argument("--n-clusters", type=int, default=10)
+    p.add_argument("--knn", type=int, default=15)
+    p.add_argument("--resolution", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("svd", help="streaming Nystrom rSVD embedding")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch-files", nargs="+", default=None)
+    p.add_argument("--n-factors", type=int, default=20)
+    p.add_argument("--block-size", type=int, default=8192)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "predict":
+        from ..senna.predict import PredictArgs, predict_model
+
+        predict_model(
+            PredictArgs(
+                data_files=args.data_files,
+                model=args.model,
+                out=args.out,
+                block_size=args.block_size,
+            )
+        )
+        return
+    if args.cmd == "clustering":
+        from ..senna.clustering import ClusteringArgs, run_clustering
+
+        run_clustering(
+            ClusteringArgs(
+                latent=args.latent,
+                out=args.out,
+                method=args.method,
+                n_clusters=args.n_clusters,
+                knn=args.knn,
+                resolution=args.resolution,
+                seed=args.seed,
+            )
+        )
+        return
+    if args.cmd == "svd":
+        from ..senna.svd import SvdArgs, fit_svd
+
+        fit_svd(
+            SvdArgs(
+                data_files=args.data_files,
+                out=args.out,
+                batch_files=args.batch_files,
+                n_factors=args.n_factors,
+                block_size=args.block_size,
+            )
+        )
+        return
 
     if args.cmd == "topic":
         from ..senna.topic import TopicArgs, fit_topic_model
@@ -139,10 +203,123 @@ def run_beans(argv):
         print(f"rows: {be.num_rows}\ncols: {be.num_columns}\nnnz: {be.num_nonzeros}")
 
 
+def run_cocoa(argv):
+    ap = argparse.ArgumentParser(prog="cocoa", description="counterfactual confounder-adjusted DE")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("diff", help="counterfactual differential expression")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--indv", required=True, help="cell -> individual labels, one per line")
+    p.add_argument("--exposure", required=True, help="individual TAB exposure table")
+    p.add_argument("--topic", default=None, help="cell topic proportions parquet")
+    p.add_argument("--n-pb-samples", type=int, default=10)
+    p.add_argument("--knn", type=int, default=10)
+    p.add_argument("--iter-opt", type=int, default=100)
+    p.add_argument("--permutations", type=int, default=0)
+    p.add_argument("--no-collider-fix", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..cocoa.diff import CocoaDiffArgs, run_cocoa_diff
+
+    run_cocoa_diff(
+        CocoaDiffArgs(
+            data_files=args.data_files,
+            out=args.out,
+            indv_file=args.indv,
+            exposure_file=args.exposure,
+            topic_file=args.topic,
+            n_pb_samples=args.n_pb_samples,
+            knn=args.knn,
+            n_opt_iter=args.iter_opt,
+            n_permutations=args.permutations,
+            collider_fix=not args.no_collider_fix,
+        )
+    )
+
+
+def run_pinto(argv):
+    ap = argparse.ArgumentParser(prog="pinto", description="spatial transcriptomics")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("lc", help="spatial link-community segmentation")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-communities", "-k", type=int, default=10)
+    p.add_argument("--knn", type=int, default=10)
+    p.add_argument("--sweeps", type=int, default=30)
+    args = ap.parse_args(argv)
+
+    from ..pinto.lc import PintoLcArgs, run_lc
+
+    run_lc(
+        PintoLcArgs(
+            data_files=args.data_files,
+            coord_file=args.coords,
+            out=args.out,
+            n_communities=args.n_communities,
+            knn=args.knn,
+            n_sweeps=args.sweeps,
+        )
+    )
+
+
+def run_fagioli(argv):
+    ap = argparse.ArgumentParser(prog="fagioli", description="genetics fine-mapping")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("map-sumstat", help="SuSiE-RSS fine-mapping from z-scores")
+    p.add_argument("--zscores", required=True, help="TSV: variant z")
+    p.add_argument("--geno", required=True, help="reference genotype .npy [n, p]")
+    p.add_argument("--out", required=True)
+    p.add_argument("-L", type=int, default=5)
+    p.add_argument("--steps", type=int, default=1500)
+    p = sub.add_parser("sim-sumstat", help="simulate GWAS summary stats")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n", type=int, default=500)
+    p.add_argument("--p", type=int, default=200)
+    p.add_argument("--n-causal", type=int, default=3)
+    p.add_argument("--h2", type=float, default=0.3)
+    p.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import pandas as pd
+
+    if args.cmd == "sim-sumstat":
+        from ..fagioli.sumstat import simulate_sumstat
+
+        sim = simulate_sumstat(
+            n=args.n, p=args.p, n_causal=args.n_causal, h2=args.h2, seed=args.seed
+        )
+        np.save(args.out + ".geno.npy", sim.genotypes)
+        pd.DataFrame(
+            {"variant": [f"v{i}" for i in range(args.p)], "z": sim.z,
+             "beta_true": sim.beta, "causal": sim.causal}
+        ).to_csv(args.out + ".sumstat.tsv", sep="\t", index=False)
+        print(f"wrote {args.out}.sumstat.tsv and {args.out}.geno.npy")
+    else:
+        from ..fagioli.sumstat import map_sumstat
+        from ..models.sgvb import SgvbConfig
+
+        df = pd.read_csv(args.zscores, sep="\t")
+        geno = np.load(args.geno)
+        out = map_sumstat(
+            df["z"].to_numpy(), geno, L=args.L,
+            config=SgvbConfig(num_steps=args.steps),
+        )
+        pd.DataFrame(
+            {"variant": df.iloc[:, 0], "pip": out["pip"],
+             "effect": out["theta_mean"][:, 0]}
+        ).to_parquet(args.out + ".finemap.parquet")
+        print(f"wrote {args.out}.finemap.parquet")
+
+
 BINARIES = {
     "senna": run_senna,
     "data-beans-sim": run_sim,
     "data-beans": run_beans,
+    "cocoa": run_cocoa,
+    "pinto": run_pinto,
+    "fagioli": run_fagioli,
 }
 
 

@@ -1,0 +1,338 @@
+"""Black-box stochastic-gradient variational Bayes for regression and
+fine-mapping (candle-util `sgvb/` equivalent; SURVEY.md section 2.4).
+
+Contract parity (`sgvb/traits.rs:5-80`):
+- likelihoods evaluate log p(y | eta) on S sampled linear predictors
+  (no gradient through the likelihood's internals needed — JAX
+  differentiates the whole ELBO anyway, matching the local
+  reparameterization estimator);
+- variational families expose elementwise moments (mean, var) so the
+  linear predictor is sampled in eta-space:
+      eta ~ N(X E[theta], X^2 Var[theta])   (local reparameterization)
+- priors provide analytical KL from the Gaussian/structured q.
+
+Families:
+- `GaussianVar` — mean-field Gaussian (variational_gaussian.rs)
+- `SpikeSlabVar` — independent Bernoulli gates (variational_spike_slab.rs)
+- `SusieVar` — sum of single effects with optional null absorber
+  (variational_susie.rs; Wang et al. 2020)
+
+Likelihoods: Gaussian / weighted Gaussian / Poisson / NB / RSS
+(summary statistics; Zhu & Stephens 2017 via the eigenspace projection
+of `sgvb/likelihood/rss.rs`: ytilde = Dreg^-1 V' z, Xtilde = Dreg V').
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+# ----------------------------------------------------------------------------
+# variational families (pure param pytrees + functions)
+# ----------------------------------------------------------------------------
+
+
+def smoothed_sigmoid(logits, epsilon=1e-3):
+    """eps + (1-2eps) sigmoid(x) (variational_susie.rs:7-15)."""
+    return epsilon + (1.0 - 2.0 * epsilon) * jax.nn.sigmoid(logits)
+
+
+class GaussianVarParams(NamedTuple):
+    mean: jax.Array  # [p, k]
+    ln_std: jax.Array  # [p, k]
+
+
+def gaussian_var_init(key, p, k, scale=0.01):
+    return GaussianVarParams(
+        mean=scale * jax.random.normal(key, (p, k)),
+        ln_std=jnp.full((p, k), -2.0),
+    )
+
+
+def gaussian_var_moments(q: GaussianVarParams):
+    var = jnp.exp(2.0 * q.ln_std)
+    return q.mean, var
+
+
+def gaussian_var_kl(q: GaussianVarParams, prior_var: float = 1.0):
+    """KL(N(mu, s^2) || N(0, v0)) summed."""
+    var = jnp.exp(2.0 * q.ln_std)
+    return 0.5 * jnp.sum(
+        (var + q.mean**2) / prior_var - 1.0 + jnp.log(prior_var) - 2.0 * q.ln_std
+    )
+
+
+class SpikeSlabVarParams(NamedTuple):
+    gate_logits: jax.Array  # [p, k]
+    beta_mean: jax.Array  # [p, k]
+    beta_ln_std: jax.Array  # [p, k]
+
+
+def spike_slab_init(key, p, k):
+    return SpikeSlabVarParams(
+        gate_logits=jnp.zeros((p, k)),
+        beta_mean=0.01 * jax.random.normal(key, (p, k)),
+        beta_ln_std=jnp.full((p, k), -2.0),
+    )
+
+
+def spike_slab_moments(q: SpikeSlabVarParams):
+    a = smoothed_sigmoid(q.gate_logits)
+    var_b = jnp.exp(2.0 * q.beta_ln_std)
+    mean = a * q.beta_mean
+    var = a * (var_b + q.beta_mean**2) - mean**2
+    return mean, jnp.maximum(var, 1e-12)
+
+
+def spike_slab_kl(q: SpikeSlabVarParams, prior_pi: float = 0.1, prior_var: float = 1.0):
+    a = smoothed_sigmoid(q.gate_logits)
+    var_b = jnp.exp(2.0 * q.beta_ln_std)
+    kl_gate = jnp.sum(
+        a * (jnp.log(a) - jnp.log(prior_pi))
+        + (1 - a) * (jnp.log1p(-a) - jnp.log(1 - prior_pi))
+    )
+    kl_slab = jnp.sum(
+        a
+        * 0.5
+        * (
+            (var_b + q.beta_mean**2) / prior_var
+            - 1.0
+            + jnp.log(prior_var)
+            - 2.0 * q.beta_ln_std
+        )
+    )
+    return kl_gate + kl_slab
+
+
+class SusieVarParams(NamedTuple):
+    logits: jax.Array  # [L, p (+1 null), k]
+    beta_mean: jax.Array  # [L, p, k]
+    beta_ln_std: jax.Array  # [L, p, k]
+
+
+def susie_init(key, L, p, k, *, with_null: bool = True):
+    p_logits = p + int(with_null)
+    return SusieVarParams(
+        logits=jnp.zeros((L, p_logits, k)),
+        beta_mean=0.01 * jax.random.normal(key, (L, p, k)),
+        beta_ln_std=jnp.full((L, p, k), -2.0),
+    )
+
+
+def susie_alpha(q: SusieVarParams, p: int):
+    """Selection probabilities over the REAL positions [L, p, k]
+    (null mass excluded; variational_susie.rs new_with_null)."""
+    full = jax.nn.softmax(q.logits, axis=1)
+    return full[:, :p, :]
+
+
+def susie_moments(q: SusieVarParams):
+    p = q.beta_mean.shape[1]
+    a = susie_alpha(q, p)  # [L, p, k]
+    var_b = jnp.exp(2.0 * q.beta_ln_std)
+    mean_l = a * q.beta_mean  # [L, p, k]
+    var_l = a * (var_b + q.beta_mean**2) - mean_l**2
+    return mean_l.sum(0), jnp.maximum(var_l, 1e-12).sum(0)
+
+
+def susie_pip(q: SusieVarParams):
+    """Posterior inclusion probability 1 - prod_l (1 - alpha_l)
+    (susie_util.rs pip_from_alpha)."""
+    p = q.beta_mean.shape[1]
+    a = susie_alpha(q, p)
+    return 1.0 - jnp.prod(1.0 - a, axis=0)
+
+
+def susie_kl(q: SusieVarParams, prior_var: float = 1.0):
+    """Categorical-vs-uniform KL per component + alpha-weighted Gaussian
+    KL (susie_util.rs kl_categorical_uniform)."""
+    L, p_logits, k = q.logits.shape
+    p = q.beta_mean.shape[1]
+    full = jax.nn.softmax(q.logits, axis=1)
+    log_full = jax.nn.log_softmax(q.logits, axis=1)
+    kl_cat = jnp.sum(full * (log_full + jnp.log(p_logits)))
+    a = full[:, :p, :]
+    var_b = jnp.exp(2.0 * q.beta_ln_std)
+    kl_gauss = jnp.sum(
+        a
+        * 0.5
+        * (
+            (var_b + q.beta_mean**2) / prior_var
+            - 1.0
+            + jnp.log(prior_var)
+            - 2.0 * q.beta_ln_std
+        )
+    )
+    return kl_cat + kl_gauss
+
+
+# family registry: (init, moments, kl)
+FAMILIES = {
+    "gaussian": (gaussian_var_init, gaussian_var_moments, gaussian_var_kl),
+    "spike-slab": (spike_slab_init, spike_slab_moments, spike_slab_kl),
+    "susie": (None, susie_moments, susie_kl),  # init needs L
+}
+
+
+# ----------------------------------------------------------------------------
+# likelihoods (sgvb/likelihood/)
+# ----------------------------------------------------------------------------
+
+
+def gaussian_llik(y, eta, obs_var=1.0):
+    """log N(y | eta, v) summed over observations; [S, n, k] -> [S]."""
+    return -0.5 * jnp.sum((y[None] - eta) ** 2 / obs_var, axis=(1, 2))
+
+
+def weighted_gaussian_llik(y, eta, weights):
+    return -0.5 * jnp.sum(weights[None] * (y[None] - eta) ** 2, axis=(1, 2))
+
+
+def poisson_llik(y, eta):
+    """y ~ Poisson(exp(eta)) (sgvb/likelihood/poisson.rs)."""
+    lam = jnp.exp(jnp.clip(eta, -20.0, 20.0))
+    return jnp.sum(y[None] * eta - lam, axis=(1, 2))
+
+
+def nb_llik(y, eta, log_phi=0.0):
+    from .losses import nb_log_likelihood_elem
+
+    mu = jnp.exp(jnp.clip(eta, -20.0, 20.0))
+    return jnp.sum(
+        nb_log_likelihood_elem(y[None], mu, jnp.asarray(log_phi)), axis=(1, 2)
+    )
+
+
+@dataclass
+class RssDesign:
+    """Eigenspace RSS design (likelihood/rss.rs): fit a fixed-variance
+    Gaussian regression of `y_tilde` on `x_tilde`."""
+
+    x_tilde: np.ndarray  # [K, p] = Dreg V'
+    y_tilde: np.ndarray  # [K, T] = Dreg^-1 V' z
+
+    @classmethod
+    def from_genotypes(cls, x_geno: np.ndarray, z: np.ndarray, *, rank: int | None = None, lam: float = 0.1):
+        """SVD of X/sqrt(n) -> R = V D^2 V'; Dreg = sqrt(D^2 + lam)."""
+        n, p = x_geno.shape
+        xs = (x_geno - x_geno.mean(0)) / np.maximum(x_geno.std(0), 1e-8)
+        u, d, vt = np.linalg.svd(xs / np.sqrt(n), full_matrices=False)
+        if rank is not None:
+            d, vt = d[:rank], vt[:rank]
+        d_reg = np.sqrt(d * d + lam)
+        x_tilde = d_reg[:, None] * vt  # [K, p]
+        z = np.atleast_2d(np.asarray(z, np.float64).T).T  # [p, T]
+        y_tilde = (vt @ z) / d_reg[:, None]  # [K, T]
+        return cls(x_tilde=x_tilde.astype(np.float32), y_tilde=y_tilde.astype(np.float32))
+
+
+# ----------------------------------------------------------------------------
+# SGVB regression trainer (regression_linear.rs + sgvb_util.rs)
+# ----------------------------------------------------------------------------
+
+
+@dataclass
+class SgvbConfig:
+    num_steps: int = 1000
+    num_samples: int = 8  # MC samples per step
+    learning_rate: float = 0.01
+    kl_weight: float = 1.0
+    prior_var: float = 1.0
+    seed: int = 0
+
+
+def fit_regression(
+    x: np.ndarray,  # [n, p] design
+    y: np.ndarray,  # [n, k] responses
+    *,
+    family: str = "susie",
+    L: int = 5,
+    llik: Callable = gaussian_llik,
+    config: SgvbConfig | None = None,
+    with_null: bool = True,
+):
+    """Fit q(theta) by maximizing the local-reparameterized ELBO:
+
+        eta_s = X mu_theta + sqrt(X^2 var_theta) * eps_s
+        ELBO  = E_s[llik(y, eta_s)] - kl_weight * KL(q || prior)
+    """
+    cfg = config or SgvbConfig()
+    key = jax.random.key(cfg.seed)
+    p = x.shape[1]
+    k = y.shape[1] if y.ndim > 1 else 1
+    y = y.reshape(-1, k)
+
+    k_init, key = jax.random.split(key)
+    if family == "susie":
+        q = susie_init(k_init, L, p, k, with_null=with_null)
+        moments, kl_fn = susie_moments, susie_kl
+    elif family == "spike-slab":
+        q = spike_slab_init(k_init, p, k)
+        moments, kl_fn = spike_slab_moments, spike_slab_kl
+    else:
+        q = gaussian_var_init(k_init, p, k)
+        moments, kl_fn = gaussian_var_moments, gaussian_var_kl
+
+    x_j = jnp.asarray(x, jnp.float32)
+    x_sq = x_j * x_j
+    y_j = jnp.asarray(y, jnp.float32)
+
+    optimizer = optax.adam(cfg.learning_rate)
+    opt_state = optimizer.init(q)
+
+    def elbo_loss(q, key):
+        mean, var = moments(q)
+        eta_mean = x_j @ mean  # [n, k]
+        eta_var = x_sq @ var
+        eps = jax.random.normal(key, (cfg.num_samples, *eta_mean.shape))
+        eta = eta_mean[None] + jnp.sqrt(jnp.maximum(eta_var, 1e-12))[None] * eps
+        ll = jnp.mean(llik(y_j, eta))
+        return -(ll - cfg.kl_weight * kl_fn(q, prior_var=cfg.prior_var))
+
+    @jax.jit
+    def step(q, opt_state, key):
+        loss, grads = jax.value_and_grad(elbo_loss)(q, key)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(q, updates), opt_state, loss
+
+    losses = []
+    for i in range(cfg.num_steps):
+        key, k_s = jax.random.split(key)
+        q, opt_state, loss = step(q, opt_state, k_s)
+        if i % 50 == 0:
+            losses.append(float(loss))
+
+    result = {"q": q, "losses": losses}
+    mean, var = moments(q)
+    result["theta_mean"] = np.asarray(mean)
+    result["theta_var"] = np.asarray(var)
+    if family == "susie":
+        result["pip"] = np.asarray(susie_pip(q))
+        result["alpha"] = np.asarray(susie_alpha(q, p))
+    elif family == "spike-slab":
+        result["pip"] = np.asarray(smoothed_sigmoid(q.gate_logits))
+    return result
+
+
+def fit_susie_rss(
+    design: RssDesign,
+    *,
+    L: int = 5,
+    config: SgvbConfig | None = None,
+) -> dict:
+    """SuSiE fine-mapping on GWAS summary stats
+    (`fagioli map-sumstat` core; fit_sumstat_sgvb.rs)."""
+    return fit_regression(
+        design.x_tilde,
+        design.y_tilde,
+        family="susie",
+        L=L,
+        llik=gaussian_llik,
+        config=config,
+    )

