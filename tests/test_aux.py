@@ -1,0 +1,141 @@
+"""Auxiliary subsystem tests: QC, UMAP, enrichment, gene stats."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from legume_tpu.data.qc import compute_cell_qc
+from legume_tpu.data.sparse_io import MemoryBackend
+from legume_tpu.ops.enrichment import (
+    annotate_by_markers,
+    bh_fdr,
+    enrichment_score,
+    gsea_permutation_pvalue,
+)
+from legume_tpu.ops.gene_stats import (
+    DispersionTrend,
+    nb_fisher_weights,
+    select_hvg_streaming,
+    streaming_gene_stats,
+)
+from legume_tpu.ops.umap import umap
+
+
+def test_cell_qc_stats():
+    rng = np.random.default_rng(0)
+    d, n = 30, 100
+    y = rng.poisson(2.0, size=(d, n)).astype(np.float32)
+    names = [f"g{i}" for i in range(d - 2)] + ["MT-CO1", "MT-ND1"]
+    be = MemoryBackend(sp.csc_matrix(y), row_names=names)
+    qc = compute_cell_qc(be, block_size=32)
+    np.testing.assert_allclose(qc.total, y.sum(0), rtol=1e-5)
+    np.testing.assert_allclose(qc.n_genes, (y > 0).sum(0), rtol=1e-5)
+    want_mito = y[-2:].sum(0) / np.maximum(y.sum(0), 1)
+    np.testing.assert_allclose(qc.mito_frac, want_mito, rtol=1e-4)
+    keep = qc.keep_mask(min_total=1, nmads=5)
+    assert keep.mean() > 0.8  # poisson data has few outliers
+    assert "median_total" in qc.report()
+
+
+def test_hvg_selects_variable_genes():
+    rng = np.random.default_rng(1)
+    d, n = 50, 400
+    # baseline: mildly overdispersed genes at varied means, so the NB
+    # dispersion trend has genuine support (the real-data regime)
+    base_mu = rng.gamma(4.0, 1.0, size=(d, 1))
+    lam = base_mu * rng.gamma(5.0, 0.2, size=(d, n))  # phi ~ 0.2
+    hv = [3, 17, 40]
+    # highly variable genes: strongly bimodal rates (excess dispersion)
+    lam[hv] = base_mu[hv] * np.where(rng.random((len(hv), n)) < 0.5, 0.05, 4.0)
+    y = rng.poisson(lam).astype(np.float32)
+    be = MemoryBackend(sp.csc_matrix(y))
+    stats = streaming_gene_stats(be, block_size=128)
+    np.testing.assert_allclose(stats.mean, y.mean(1), rtol=1e-4)
+    sel = select_hvg_streaming(be, 3, block_size=128)
+    assert set(sel.tolist()) == set(hv), sel
+
+
+def test_fisher_weights_downweight_housekeeping():
+    rng = np.random.default_rng(2)
+    d, n = 40, 300
+    lam = np.full((d, n), 1.0)
+    lam[:5] = 50.0  # high-mean overdispersed housekeeping
+    y = rng.poisson(lam * rng.gamma(2, 0.5, size=(d, n))).astype(np.float32)
+    be = MemoryBackend(sp.csc_matrix(y))
+    w = nb_fisher_weights(be)
+    assert w.shape == (d,)
+    assert np.all((w > 0) & (w <= 1))
+    assert w[:5].mean() < w[5:].mean()  # housekeeping downweighted
+
+
+def test_dispersion_trend_poisson_limit():
+    # pure Poisson data -> phi_hat <= 0 mostly -> trend ~ 0 dispersion
+    rng = np.random.default_rng(3)
+    mu = rng.gamma(3, 1, 200)
+    var = mu.copy()  # Poisson: var = mean
+    t = DispersionTrend.fit(mu, var)
+    assert np.all(t.phi_at(mu) < 1e-3) or t.num_fit < 2
+
+
+def test_umap_separates_clusters():
+    rng = np.random.default_rng(4)
+    a = rng.normal(0, 0.3, size=(100, 5))
+    b = rng.normal(4, 0.3, size=(100, 5))
+    x = np.concatenate([a, b]).astype(np.float32)
+    emb = umap(x, n_neighbors=10, n_epochs=60, seed=0)
+    assert emb.shape == (200, 2)
+    assert np.all(np.isfinite(emb))
+    ca, cb = emb[:100].mean(0), emb[100:].mean(0)
+    within = np.linalg.norm(emb[:100] - ca, axis=1).mean()
+    between = np.linalg.norm(ca - cb)
+    assert between > 2.0 * within, (between, within)
+
+
+def test_enrichment_score_sign():
+    rng = np.random.default_rng(5)
+    scores = rng.normal(size=200)
+    mask = np.zeros(200)
+    top = np.argsort(-scores)[:20]
+    mask[top] = 1.0  # set = top-scoring genes -> strongly positive ES
+    es = enrichment_score(scores, mask)
+    assert es > 0.5
+    es_rand = enrichment_score(scores, rng.permutation(mask))
+    assert abs(es_rand) < abs(es)
+
+
+def test_gsea_permutation_pvalue():
+    rng = np.random.default_rng(6)
+    scores = rng.normal(size=150)
+    mask = np.zeros(150)
+    mask[np.argsort(-scores)[:15]] = 1.0
+    es, nes, p = gsea_permutation_pvalue(scores, mask, n_permutations=200, seed=0)
+    assert p < 0.05
+    mask_r = np.zeros(150)
+    mask_r[rng.choice(150, 15, replace=False)] = 1.0
+    _, _, p_r = gsea_permutation_pvalue(scores, mask_r, n_permutations=200, seed=0)
+    assert p_r > 0.05
+
+
+def test_bh_fdr_monotone():
+    p = np.asarray([0.001, 0.01, 0.02, 0.5, 0.9])
+    q = bh_fdr(p)
+    assert np.all(q >= p - 1e-12)
+    assert q[0] < 0.01 and q[-1] > 0.8
+
+
+def test_annotate_by_markers():
+    genes = ["CD3D", "CD3E", "MS4A1", "CD79A", "LYZ", "CD14"]
+    profiles = np.asarray(
+        [
+            [5.0, 4.0, 0.1, 0.1, 0.2, 0.1],  # T cells
+            [0.1, 0.2, 6.0, 5.0, 0.1, 0.1],  # B cells
+            [0.2, 0.1, 0.1, 0.2, 7.0, 6.0],  # monocytes
+        ]
+    )
+    markers = {
+        "T cell": ["CD3D", "CD3E"],
+        "B cell": ["MS4A1", "CD79A"],
+        "Monocyte": ["LYZ", "CD14"],
+    }
+    labels, scores = annotate_by_markers(profiles, genes, markers)
+    assert labels == ["T cell", "B cell", "Monocyte"]
