@@ -17,6 +17,13 @@ import time
 import numpy as np
 
 
+def _t(label, t0):
+    import sys
+
+    print(f"[bench] {label}: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    return time.time()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -30,19 +37,25 @@ def main():
     from legume_tpu.ops import random_projection as rp
 
     # BASELINE config 1: 10k cells x 2k genes sim
+    t0 = time.time()
     n_cells, n_genes, k = 10_000, 2_000, 10
     sim = simulate_topic(rows=n_genes, cols=n_cells, factors=k, batches=1, seed=7)
     be = MemoryBackend(sim.counts)
+    t0 = _t("sim", t0)
 
     # --- collapse path (streaming projection + pseudobulk) --------------
-    t0 = time.time()
+    t_start = time.time()
     basis, proj = rp.project_columns(be, 50, block_size=8192)
+    t0 = _t("projection", t0)
     codes = rp.binary_sort_columns(proj, 10)
+    t0 = _t("binary_sort", t0)
     groups, s = rp.compact_group_codes(codes)
     stat = clp.collect_basic_stats(be, groups, s)
+    t0 = _t("collect_stats", t0)
     out = clp.optimize(stat, num_iter=30)
     jax.block_until_ready(out.mu_observed.a)
-    t_collapse = time.time() - t0
+    t0 = _t("optimize", t0)
+    t_collapse = time.time() - t_start
 
     # --- training hot loop ----------------------------------------------
     key = jax.random.key(0)
@@ -57,11 +70,13 @@ def main():
 
     # warm-up (compile)
     trainer.train([level], jax.random.key(1))
+    t0 = _t("train_warmup_compile", t0)
     # timed epochs
     cfg.epochs = bench_epochs
     t0 = time.time()
     _, _, scores = trainer.train([level], jax.random.key(2))
     t_train = time.time() - t0
+    _t(f"train_{bench_epochs}ep", t0)
 
     pb_per_epoch = level.n
     pb_epochs_per_s = bench_epochs * pb_per_epoch / t_train

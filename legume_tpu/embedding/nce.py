@@ -1,0 +1,232 @@
+"""Count-NCE joint (cell, feature) embedding engine
+(graph-embedding-util `fit/` + `loss/feat.rs` equivalent — the engine
+behind `senna bge`, `faba gem`, `pinto cage`; SURVEY.md section 2.4).
+
+Model parity (fit/mod.rs:36-55): bilinear score
+    s(c, f) = e_feat[f] . e_cell[c] + b_feat[f] + b_cell[c]
+trained in two phases: (1) pseudobulk axes + feature side, (2) feature
+side frozen, per-cell embedding only (separable per cell).
+
+TPU-first redesign of the objective: the reference samples
+count-weighted positive edges and within-batch marginal^alpha
+negatives per step (`loss/feat.rs:434-572`, NEG-style logistic). Here
+the SAME objective is computed in EXPECTATION, exactly:
+
+    L = - sum_pg [ c_pg log sigma(s_pg) + k q_g m_p log sigma(-s_pg) ] / sum c
+
+where c_pg are the counts, m_p the row count masses, and q_g the
+negative-sampling marginal (count marginal^alpha, normalized). The
+stochastic edge sampler is the Monte-Carlo estimator of exactly this
+expectation; evaluating it densely turns the hot loop into two
+[P, D] x [D, H] MXU matmuls + fused elementwise logsigma — no gather
+traffic, no sampling variance, bit-deterministic. Phase 2 streams
+cells in minibatches with the same dense form.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.losses import log_sigmoid
+
+log = logging.getLogger(__name__)
+
+
+class FeatSide(NamedTuple):
+    e_feat: jax.Array  # [D, H]
+    b_feat: jax.Array  # [D]
+
+
+class AxisSide(NamedTuple):
+    e: jax.Array  # [P, H]
+    b: jax.Array  # [P]
+
+
+@dataclass
+class NceConfig:
+    embedding_dim: int = 16
+    epochs: int = 1000
+    learning_rate: float = 0.01
+    weight_decay: float = 0.0
+    n_negatives: float = 5.0  # expected negatives per positive count unit
+    neg_alpha: float = 0.75  # marginal^alpha negative distribution
+    cell_batch: int = 2048
+    phase2_epochs: int = 100
+    seed: int = 0
+    ridge: float = 0.0  # feature-embedding L2, sum(1).mean() form (loss/mod.rs)
+
+
+def _neg_marginal(counts_pd: np.ndarray, alpha: float) -> np.ndarray:
+    q = counts_pd.sum(axis=0) ** alpha
+    return (q / max(q.sum(), 1e-30)).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("k_neg", "ridge"))
+def _expected_nce_loss(
+    feat: FeatSide,
+    axis: AxisSide,
+    counts_pd: jax.Array,  # [P, D]
+    q_d: jax.Array,  # [D] negative marginal
+    m_p: jax.Array,  # [P] row masses
+    *,
+    k_neg: float,
+    ridge: float,
+):
+    scores = axis.e @ feat.e_feat.T + feat.b_feat[None, :] + axis.b[:, None]
+    pos = counts_pd * log_sigmoid(scores)
+    neg = (k_neg * m_p[:, None] * q_d[None, :]) * log_sigmoid(-scores)
+    total = jnp.maximum(counts_pd.sum(), 1.0)
+    loss = -(pos.sum() + neg.sum()) / total
+    if ridge > 0:
+        loss = loss + ridge * jnp.mean(jnp.sum(feat.e_feat**2, axis=1))
+    return loss
+
+
+@dataclass
+class BgeResult:
+    e_feat: np.ndarray  # [D, H]
+    b_feat: np.ndarray  # [D]
+    pb_embeddings: list  # per level [P_l, H]
+    e_cell: np.ndarray  # [N, H]
+    b_cell: np.ndarray  # [N]
+    phase1_losses: list = field(default_factory=list)
+    phase2_losses: list = field(default_factory=list)
+
+
+def fit_bge(
+    pb_counts: Sequence[np.ndarray],  # per level [P_l, D] pseudobulk counts
+    data=None,  # backend/vec for phase-2 per-cell fit (optional)
+    *,
+    config: NceConfig | None = None,
+) -> BgeResult:
+    """Two-phase composite fit (fit/mod.rs:55; training.rs:1-50)."""
+    cfg = config or NceConfig()
+    h = cfg.embedding_dim
+    d = pb_counts[0].shape[1]
+    key = jax.random.key(cfg.seed)
+
+    k_f, *k_axes = jax.random.split(key, 1 + len(pb_counts))
+    feat = FeatSide(
+        e_feat=0.1 * jax.random.normal(k_f, (d, h)),
+        b_feat=jnp.zeros(d),
+    )
+    axes = [
+        AxisSide(e=0.1 * jax.random.normal(k, (pc.shape[0], h)), b=jnp.zeros(pc.shape[0]))
+        for k, pc in zip(k_axes, pb_counts)
+    ]
+    counts_j = [jnp.asarray(pc, jnp.float32) for pc in pb_counts]
+    q_j = [jnp.asarray(_neg_marginal(pc, cfg.neg_alpha)) for pc in pb_counts]
+    m_j = [c.sum(axis=1) for c in counts_j]
+
+    # ---- phase 1: one AdamW step per epoch per axis, shared feat side
+    params = {"feat": feat, "axes": axes}
+    optimizer = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    opt_state = optimizer.init(params)
+
+    def phase1_loss(params):
+        total = 0.0
+        for i in range(len(counts_j)):
+            total = total + _expected_nce_loss(
+                params["feat"],
+                params["axes"][i],
+                counts_j[i],
+                q_j[i],
+                m_j[i],
+                k_neg=cfg.n_negatives,
+                ridge=cfg.ridge,
+            )
+        return total / len(counts_j)
+
+    @jax.jit
+    def phase1_step(params, opt_state):
+        loss, grads = jax.value_and_grad(phase1_loss)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    p1_losses = []
+    for epoch in range(cfg.epochs):
+        params, opt_state, loss = phase1_step(params, opt_state)
+        if epoch % 50 == 0:
+            p1_losses.append(float(loss))
+    feat = params["feat"]
+    axes = params["axes"]
+
+    # ---- phase 2: freeze features, fit per-cell embeddings ------------
+    p2_losses = []
+    if data is not None:
+        n = data.num_columns
+        e_cell = np.zeros((n, h), np.float32)
+        b_cell = np.zeros(n, np.float32)
+        q_global = jnp.asarray(
+            _neg_marginal(np.concatenate(pb_counts, axis=0), cfg.neg_alpha)
+        )
+        feat_frozen = jax.tree.map(jax.lax.stop_gradient, feat)
+
+        cell_opt = optax.adam(cfg.learning_rate * 2)
+
+        @jax.jit
+        def phase2_fit_block(key, counts_bd):
+            """Fit a block of cells against the frozen feature side —
+            separable per cell (fit/mod.rs phase-2 note)."""
+            b = counts_bd.shape[0]
+            axis0 = AxisSide(
+                e=0.01 * jax.random.normal(key, (b, h)), b=jnp.zeros(b)
+            )
+            m_b = counts_bd.sum(axis=1)
+            state = cell_opt.init(axis0)
+
+            def loss_fn(axis):
+                return _expected_nce_loss(
+                    feat_frozen, axis, counts_bd, q_global, m_b,
+                    k_neg=cfg.n_negatives, ridge=0.0,
+                )
+
+            def step(carry, _):
+                axis, state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(axis)
+                updates, state = cell_opt.update(grads, state)
+                return (optax.apply_updates(axis, updates), state), loss
+
+            (axis, _), losses = jax.lax.scan(
+                step, (axis0, state), None, length=cfg.phase2_epochs
+            )
+            return axis, losses[-1]
+
+        from ..data.visitors import visit_columns_by_block
+        from ..ops.sparse import densify_block
+
+        key2 = jax.random.key(cfg.seed + 1)
+        for blk in visit_columns_by_block(data, block_size=cfg.cell_batch):
+            key2, kb = jax.random.split(key2)
+            x = densify_block(
+                jnp.asarray(blk.row_ids),
+                jnp.asarray(blk.col_ids),
+                jnp.asarray(blk.vals),
+                ncols=blk.ncols,
+                num_genes=d,
+            )
+            axis, loss = phase2_fit_block(kb, x)
+            e_cell[blk.lb : blk.lb + blk.ncols] = np.asarray(axis.e)
+            b_cell[blk.lb : blk.lb + blk.ncols] = np.asarray(axis.b)
+            p2_losses.append(float(loss))
+    else:
+        e_cell = np.zeros((0, h), np.float32)
+        b_cell = np.zeros(0, np.float32)
+
+    return BgeResult(
+        e_feat=np.asarray(feat.e_feat),
+        b_feat=np.asarray(feat.b_feat),
+        pb_embeddings=[np.asarray(a.e) for a in axes],
+        e_cell=e_cell,
+        b_cell=b_cell,
+        phase1_losses=p1_losses,
+        phase2_losses=p2_losses,
+    )

@@ -1,0 +1,209 @@
+"""BAM access layer for faba (`rust-htslib` replacement;
+SURVEY.md section 2.6 "TPU-build equivalent: C++ extension (htslib)").
+
+The native reader (`native/bamreader.cpp`) implements BGZF + BAM
+directly against zlib and streams records as columnar chunks over a C
+ABI (ctypes). `write_bam` is a pure-Python BGZF/BAM writer used for
+test fixtures and simulators — no htslib anywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+import zlib
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_SO_PATH = _NATIVE_DIR / "libbamreader.so"
+
+
+def _build_native() -> Path:
+    src = _NATIVE_DIR / "bamreader.cpp"
+    if _SO_PATH.exists() and _SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return _SO_PATH
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        str(src), "-o", str(_SO_PATH), "-lz",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO_PATH
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(str(_build_native()))
+        lib.bam_open.restype = ctypes.c_void_p
+        lib.bam_open.argtypes = [ctypes.c_char_p]
+        lib.bam_num_refs.argtypes = [ctypes.c_void_p]
+        lib.bam_ref_name.restype = ctypes.c_char_p
+        lib.bam_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.bam_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.bam_next_chunk.restype = ctypes.c_long
+        lib.bam_next_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            *(np.ctypeslib.ndpointer(dt, flags="C_CONTIGUOUS") for dt in
+              (np.int32, np.int32, np.int32, np.uint16, np.uint8, np.int64, np.int64)),
+        ]
+        lib.bam_num_barcodes.restype = ctypes.c_long
+        lib.bam_num_barcodes.argtypes = [ctypes.c_void_p]
+        lib.bam_barcode.restype = ctypes.c_char_p
+        lib.bam_barcode.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        lib.bam_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+@dataclass
+class BamRecords:
+    """Columnar read table: one row per alignment record."""
+
+    ref_id: np.ndarray  # int32
+    pos: np.ndarray  # int32 0-based start
+    end_pos: np.ndarray  # int32 reference end (CIGAR span)
+    flag: np.ndarray  # uint16
+    mapq: np.ndarray  # uint8
+    cb_id: np.ndarray  # int64 interned cell barcode (-1 = none)
+    umi_id: np.ndarray  # int64 interned UMI (-1 = none)
+    ref_names: list[str]
+    barcodes: list[str]
+
+
+def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
+    """Stream the whole BAM into columnar arrays."""
+    lib = _load()
+    h = lib.bam_open(str(path).encode())
+    if not h:
+        raise IOError(f"cannot open BAM: {path}")
+    try:
+        refs = [lib.bam_ref_name(h, i).decode() for i in range(lib.bam_num_refs(h))]
+        cols = {k: [] for k in ("ref_id", "pos", "end_pos", "flag", "mapq", "cb", "umi")}
+        while True:
+            rid = np.empty(chunk, np.int32)
+            pos = np.empty(chunk, np.int32)
+            end = np.empty(chunk, np.int32)
+            flag = np.empty(chunk, np.uint16)
+            mapq = np.empty(chunk, np.uint8)
+            cb = np.empty(chunk, np.int64)
+            umi = np.empty(chunk, np.int64)
+            n = lib.bam_next_chunk(h, chunk, rid, pos, end, flag, mapq, cb, umi)
+            if n < 0:
+                raise IOError(f"BAM parse error in {path}")
+            if n == 0:
+                break
+            cols["ref_id"].append(rid[:n].copy())
+            cols["pos"].append(pos[:n].copy())
+            cols["end_pos"].append(end[:n].copy())
+            cols["flag"].append(flag[:n].copy())
+            cols["mapq"].append(mapq[:n].copy())
+            cols["cb"].append(cb[:n].copy())
+            cols["umi"].append(umi[:n].copy())
+        barcodes = [lib.bam_barcode(h, i).decode() for i in range(lib.bam_num_barcodes(h))]
+    finally:
+        lib.bam_close(h)
+
+    cat = lambda k: (
+        np.concatenate(cols[k]) if cols[k] else np.zeros(0, np.int32)
+    )
+    return BamRecords(
+        ref_id=cat("ref_id"),
+        pos=cat("pos"),
+        end_pos=cat("end_pos"),
+        flag=cat("flag").astype(np.uint16),
+        mapq=cat("mapq").astype(np.uint8),
+        cb_id=cat("cb").astype(np.int64),
+        umi_id=cat("umi").astype(np.int64),
+        ref_names=refs,
+        barcodes=barcodes,
+    )
+
+
+# ----------------------------------------------------------------------------
+# pure-Python BGZF/BAM writer (fixtures + simulators)
+# ----------------------------------------------------------------------------
+
+
+def _bgzf_block(payload: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cdata = co.compress(payload) + co.flush()
+    # BSIZE = total block size - 1 = (header 18 + cdata + crc 4 + isize 4) - 1
+    bsize = len(cdata) + 25
+    header = (
+        b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+        + struct.pack("<H", 6)
+        + b"BC"
+        + struct.pack("<HH", 2, bsize)
+    )
+    return header + cdata + struct.pack("<II", zlib.crc32(payload), len(payload))
+
+
+_SEQ_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+_CIGAR_OP = {op: i for i, op in enumerate("MIDNSHP=X")}
+
+
+def write_bam(
+    path: str,
+    refs: list[tuple[str, int]],
+    reads: list[dict],
+):
+    """Write an aligned BAM. Each read dict: {name, ref_id, pos, seq,
+    cigar (e.g. '50M'), cb, ub, mapq?, flag?}."""
+    import re
+
+    out = bytearray()
+    header_text = "".join(f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in refs).encode()
+    body = b"BAM\x01" + struct.pack("<i", len(header_text)) + header_text
+    body += struct.pack("<i", len(refs))
+    for n, l in refs:
+        nm = n.encode() + b"\x00"
+        body += struct.pack("<i", len(nm)) + nm + struct.pack("<i", l)
+
+    for r in reads:
+        name = r["name"].encode() + b"\x00"
+        cigar_ops = re.findall(r"(\d+)([MIDNSHP=X])", r["cigar"])
+        cigar = b"".join(
+            struct.pack("<I", (int(ln) << 4) | _CIGAR_OP[op]) for ln, op in cigar_ops
+        )
+        seq = r["seq"]
+        seq_packed = bytearray()
+        for i in range(0, len(seq), 2):
+            hi = _SEQ_CODE.get(seq[i], 15) << 4
+            lo = _SEQ_CODE.get(seq[i + 1], 15) if i + 1 < len(seq) else 0
+            seq_packed.append(hi | lo)
+        qual = bytes([30] * len(seq))
+        tags = b""
+        if "cb" in r:
+            tags += b"CBZ" + r["cb"].encode() + b"\x00"
+        if "ub" in r:
+            tags += b"UBZ" + r["ub"].encode() + b"\x00"
+        rec = struct.pack(
+            "<iiBBHHHiiii",
+            r["ref_id"],
+            r["pos"],
+            len(name),
+            r.get("mapq", 60),
+            4680,  # bin (unused by our reader)
+            len(cigar_ops),
+            r.get("flag", 0),
+            len(seq),
+            -1,
+            -1,
+            0,
+        )
+        rec += name + cigar + bytes(seq_packed) + qual + tags
+        body += struct.pack("<i", len(rec)) + rec
+
+    # split body into <=64KB BGZF blocks
+    with open(path, "wb") as f:
+        for i in range(0, len(body), 60000):
+            f.write(_bgzf_block(bytes(body[i : i + 60000])))
+        f.write(_bgzf_block(b""))  # EOF marker

