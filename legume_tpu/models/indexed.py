@@ -1,0 +1,320 @@
+"""Indexed top-K topic models — the masked-ETM path
+(candle-util `data/indexed/` + `encoder/indexed.rs` +
+`decoder/masked_etm.rs` + `vae/masked_topic.rs:647` equivalents).
+
+The reference's answer to "per-cell work must be O(K), never O(D)"
+(SURVEY.md section 5 long-context analog): each cell carries a packed
+top-K gene window `[N, K]` of (gene id, value); training scores a
+sampled softmax over the minibatch's gene-id UNION with the Jean et
+al. (2015) importance correction `-log q_g` (selection frequency), so
+the full [*, D] dictionary is never materialized
+(`nn/linear.rs:205-244` biased_weight_ks_conditional,
+`data/indexed/union_scatter.rs`).
+
+TPU mapping: fixed K pads perfectly; the union is `jnp.unique` with a
+static size bound (U <= min(D, B*K)); gathers become one-hot-free
+`take`s and the union softmax is a [B, U] matmul. Masked-gene
+imputation (BERT-style, no ELBO) trains by NB-scoring the held-out
+window positions (`masked_topic.rs` train_masked).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.transforms import anscombe_lite
+from . import losses
+
+
+# ----------------------------------------------------------------------------
+# packed top-K windows (data/indexed/mod.rs)
+# ----------------------------------------------------------------------------
+
+
+@dataclass
+class IndexedData:
+    ids: np.ndarray  # [N, K] int32 gene ids (pad = D)
+    vals: np.ndarray  # [N, K] float32 counts (pad = 0)
+    log_q: np.ndarray  # [D + 1] log selection frequency (pad slot tiny)
+    n_genes: int
+
+
+def build_topk_windows(
+    data, k: int, *, gene_weights: np.ndarray | None = None, block_size: int = 4096
+) -> IndexedData:
+    """Per-cell weighted top-K gene windows + selection-frequency log q
+    (data/indexed/stats.rs)."""
+    import jax.numpy as jnp
+
+    from ..data.visitors import visit_columns_by_block
+    from ..ops.sparse import densify_block
+
+    d = data.num_rows
+    n = data.num_columns
+    w = (
+        jnp.asarray(np.asarray(gene_weights, np.float32))
+        if gene_weights is not None
+        else None
+    )
+
+    ids = np.full((n, k), d, np.int32)
+    vals = np.zeros((n, k), np.float32)
+    counts = np.zeros(d + 1, np.float64)
+
+    @partial(jax.jit, static_argnames=("kk", "dd"))
+    def topk_block(x_bd, *, kk, dd):
+        score = x_bd if w is None else x_bd * w[None, :]
+        top_v, top_i = jax.lax.top_k(score, kk)
+        got = jnp.take_along_axis(x_bd, top_i, axis=1)
+        valid = top_v > 0
+        return (
+            jnp.where(valid, top_i, dd).astype(jnp.int32),
+            jnp.where(valid, got, 0.0),
+        )
+
+    for blk in visit_columns_by_block(data, block_size=block_size):
+        x = densify_block(
+            jnp.asarray(blk.row_ids),
+            jnp.asarray(blk.col_ids),
+            jnp.asarray(blk.vals),
+            ncols=blk.ncols,
+            num_genes=d,
+        )
+        bi, bv = topk_block(x, kk=k, dd=d)
+        ids[blk.lb : blk.lb + blk.ncols] = np.asarray(bi)
+        vals[blk.lb : blk.lb + blk.ncols] = np.asarray(bv)
+
+    np.add.at(counts, ids.reshape(-1), 1.0)
+    freq = counts / max(counts[:d].sum(), 1.0)
+    log_q = np.log(np.maximum(freq, 1e-12)).astype(np.float32)
+    return IndexedData(ids=ids, vals=vals, log_q=log_q, n_genes=d)
+
+
+# ----------------------------------------------------------------------------
+# modules
+# ----------------------------------------------------------------------------
+
+
+class IndexedEmbeddingEncoder(nn.Module):
+    """Pools rho[ids] * normalized values -> latent head
+    (`encoder/indexed.rs`). `rho` is passed in (shared with the
+    decoder, the ETM tie)."""
+
+    n_topics: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, rho_dh, ids, vals, *, train: bool):
+        # anscombe-stabilized values, per-window normalized
+        a = anscombe_lite(vals)
+        a = a / jnp.maximum(jnp.sum(a, axis=-1, keepdims=True), 1e-6)
+        emb = rho_dh[ids]  # [B, K, H] (pad row = zeros appended by caller)
+        pooled = jnp.einsum("bk,bkh->bh", a, emb)
+        h = nn.relu(nn.Dense(self.hidden)(pooled))
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-4)(h)
+        z_mean = jnp.clip(nn.Dense(self.n_topics)(h), -8.0, 8.0)
+        z_lnvar = jnp.clip(nn.Dense(self.n_topics)(h), -8.0, 8.0)
+        return z_mean, z_lnvar
+
+
+class MaskedTopicModel(nn.Module):
+    """Shared-rho ETM with masked-gene imputation
+    (masked_topic.rs + embedded_topic.rs: beta = softmax(alpha rho^T))."""
+
+    n_genes: int
+    n_topics: int
+    embed_dim: int = 64
+    hidden: int = 128
+    latent: str = "simplex"  # simplex | gaussian | sbp
+
+    def setup(self):
+        self.rho = self.param(
+            "rho", nn.initializers.normal(0.1), (self.n_genes + 1, self.embed_dim)
+        )  # +1 zero-ish pad row
+        self.alpha = self.param(
+            "alpha", nn.initializers.normal(0.1), (self.n_topics, self.embed_dim)
+        )
+        self.log_phi = self.param(
+            "log_phi", nn.initializers.constant(0.693), (self.n_genes + 1,)
+        )
+        self.encoder = IndexedEmbeddingEncoder(self.n_topics, self.hidden)
+
+    def encode(self, ids, vals, *, train: bool):
+        z_mean, z_lnvar = self.encoder(self.rho, ids, vals, train=train)
+        if self.latent == "gaussian":
+            return z_mean, z_lnvar
+        return z_mean, z_lnvar
+
+    def latent_log_simplex(self, z):
+        if self.latent == "sbp":
+            return losses.stick_breaking_log_simplex(z)
+        return jax.nn.log_softmax(z, axis=-1)
+
+    def union_log_softmax(self, union_ids, log_q_u, valid_u):
+        """Importance-corrected conditional log-softmax over the union
+        (nn/linear.rs:226-244): log_softmax(alpha rho_u^T - log q_u)."""
+        w_ku = self.alpha @ self.rho[union_ids].T  # [T, U]
+        w_ku = w_ku - log_q_u[None, :]
+        w_ku = jnp.where(valid_u[None, :], w_ku, -1e30)
+        return jax.nn.log_softmax(w_ku, axis=-1)
+
+    def __call__(self, ids, vals, union_ids, log_q_u, valid_u, mask, *, train: bool, rngs_key=None):
+        """Masked imputation objective (train_masked, masked_topic.rs:647):
+        encode from the UNMASKED window positions, score the MASKED
+        positions under the union softmax reconstruction. Returns
+        (per-cell loss, log_theta)."""
+        keep_vals = jnp.where(mask, 0.0, vals)
+        z_mean, z_lnvar = self.encode(ids, keep_vals, train=train)
+        if train and rngs_key is not None:
+            z = losses.gaussian_reparameterize(rngs_key, z_mean, z_lnvar, True)
+        else:
+            z = z_mean
+        log_theta = self.latent_log_simplex(z)
+
+        log_beta_u = self.union_log_softmax(union_ids, log_q_u, valid_u)  # [T, U]
+        # reconstruction over the union: log p_u = log(theta @ beta_u)
+        recon_u = jnp.exp(log_theta) @ jnp.exp(log_beta_u)  # [B, U]
+        log_recon_u = jnp.log(recon_u + 1e-30)
+
+        # map each window slot to its union position
+        slot_u = jnp.searchsorted(union_ids, ids)  # [B, K]
+        slot_u = jnp.clip(slot_u, 0, union_ids.shape[0] - 1)
+        hit = union_ids[slot_u] == ids
+        log_p_slot = jnp.take_along_axis(
+            log_recon_u, slot_u.reshape(ids.shape[0], -1), axis=1
+        )
+
+        # NB scoring of masked positions: mu = libsize * p_slot
+        lib = jnp.sum(vals, axis=-1, keepdims=True)
+        mu = jnp.exp(log_p_slot) * lib
+        phi = self.log_phi[ids]
+        ll_elem = losses.nb_log_likelihood_elem(vals, mu, phi)
+        scored = mask & hit
+        llik = jnp.sum(jnp.where(scored, ll_elem, 0.0), axis=-1)
+        n_scored = jnp.maximum(jnp.sum(scored, axis=-1), 1)
+        loss = -(llik / n_scored)
+        return loss, log_theta
+
+
+# ----------------------------------------------------------------------------
+# trainer (vae/masked_topic.rs train_masked)
+# ----------------------------------------------------------------------------
+
+
+@dataclass
+class MaskedTrainConfig:
+    epochs: int = 100
+    minibatch: int = 256
+    learning_rate: float = 1e-3
+    mask_frac: float = 0.15
+    union_size: int = 4096  # static union bound U
+    seed: int = 0
+
+
+def train_masked(
+    model: MaskedTopicModel,
+    data: IndexedData,
+    config: MaskedTrainConfig | None = None,
+):
+    cfg = config or MaskedTrainConfig()
+    n, k = data.ids.shape
+    d = data.n_genes
+    u_cap = min(cfg.union_size, d + 1)
+
+    key = jax.random.key(cfg.seed)
+    k_init, key = jax.random.split(key)
+    ids0 = jnp.asarray(data.ids[: cfg.minibatch])
+    vals0 = jnp.asarray(data.vals[: cfg.minibatch])
+    union0 = jnp.arange(u_cap, dtype=jnp.int32)
+    variables = model.init(
+        {"params": k_init, "reparam": k_init},
+        ids0, vals0, union0, jnp.zeros(u_cap), jnp.ones(u_cap, bool),
+        jnp.zeros_like(vals0, bool), train=True, rngs_key=k_init,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    log_q = jnp.asarray(data.log_q)
+
+    optimizer = optax.adamw(cfg.learning_rate, weight_decay=0.01)
+    opt_state = optimizer.init(params)
+
+    num_mb = max(n // cfg.minibatch, 1)
+    ids_j = jnp.asarray(data.ids)
+    vals_j = jnp.asarray(data.vals)
+
+    def minibatch_loss(params, batch_stats, kb, ids_b, vals_b):
+        k_mask, k_rep = jax.random.split(kb)
+        mask = (jax.random.uniform(k_mask, vals_b.shape) < cfg.mask_frac) & (vals_b > 0)
+        union = jnp.unique(ids_b.reshape(-1), size=u_cap, fill_value=d)
+        valid_u = union < d
+        (loss, _), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            ids_b, vals_b, union, log_q[union], valid_u, mask,
+            train=True, rngs_key=k_rep,
+            mutable=["batch_stats"],
+        )
+        return jnp.mean(loss), mut["batch_stats"]
+
+    grad_fn = jax.value_and_grad(minibatch_loss, has_aux=True)
+
+    @jax.jit
+    def epoch(params, batch_stats, opt_state, key):
+        kperm, kscan = jax.random.split(key)
+        perm = jax.random.permutation(kperm, n)[: num_mb * cfg.minibatch]
+        idsp = ids_j[perm].reshape(num_mb, cfg.minibatch, k)
+        valsp = vals_j[perm].reshape(num_mb, cfg.minibatch, k)
+        keys = jax.random.split(kscan, num_mb)
+
+        def step(carry, batch):
+            params, batch_stats, opt_state = carry
+            ids_b, vals_b, kb = batch
+            (loss, new_bs), grads = grad_fn(params, batch_stats, kb, ids_b, vals_b)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state), loss
+
+        (params, batch_stats, opt_state), losses_mb = jax.lax.scan(
+            step, (params, batch_stats, opt_state), (idsp, valsp, keys)
+        )
+        return params, batch_stats, opt_state, losses_mb.mean()
+
+    trace = []
+    for _ in range(cfg.epochs):
+        key, ke = jax.random.split(key)
+        params, batch_stats, opt_state, loss = epoch(params, batch_stats, opt_state, ke)
+        trace.append(float(loss))
+
+    return {"params": params, "batch_stats": batch_stats}, trace
+
+
+def encode_all(
+    model: MaskedTopicModel, variables: dict, data: IndexedData, *, batch: int = 4096
+) -> np.ndarray:
+    """Eval-mode log-topic proportions for every cell."""
+    n = data.ids.shape[0]
+    out = None
+
+    @jax.jit
+    def enc(ids_b, vals_b):
+        z_mean, _ = model.apply(
+            variables, ids_b, vals_b, train=False, method=MaskedTopicModel.encode
+        )
+        return model.apply(
+            variables, z_mean, method=MaskedTopicModel.latent_log_simplex
+        )
+
+    for lb in range(0, n, batch):
+        ub = min(lb + batch, n)
+        z = enc(jnp.asarray(data.ids[lb:ub]), jnp.asarray(data.vals[lb:ub]))
+        if out is None:
+            out = np.zeros((n, z.shape[1]), np.float32)
+        out[lb:ub] = np.asarray(z)
+    return out
