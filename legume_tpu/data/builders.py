@@ -1,0 +1,190 @@
+"""Backend builders/exporters (data-beans CLI handlers equivalent;
+`data-beans/src/main.rs:205+`, `handlers/builders/`).
+
+- from_h5ad: CELLxGENE-style AnnData .h5ad (h5py; CSR/CSC X groups)
+- from_10x_h5: CellRanger filtered_feature_bc_matrix.h5
+- from_mtx: MatrixMarket triple (mtx + features + barcodes)
+- to_mtx: MEX export (scanpy-readable)
+- to_h5ad: minimal AnnData export
+- subset / merge helpers
+
+AnnData convention: X is [obs=cells, var=genes]; the backend stores
+[genes, cells] (reference orientation), so X transposes on the way in.
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+from pathlib import Path
+
+import numpy as np
+import scipy.sparse as sp
+
+from .sparse_io import SparseBackend, create_sparse_from_csc, open_sparse_matrix
+
+log = logging.getLogger(__name__)
+
+
+def _h5_strings(ds) -> list[str]:
+    out = []
+    for v in np.asarray(ds):
+        out.append(v.decode() if isinstance(v, bytes) else str(v))
+    return out
+
+
+def _read_h5ad_x(f):
+    """X as scipy sparse [obs, var]."""
+    x = f["X"]
+    import h5py
+
+    if isinstance(x, h5py.Dataset):  # dense
+        return sp.csr_matrix(np.asarray(x))
+    enc = x.attrs.get("encoding-type", b"")
+    enc = enc.decode() if isinstance(enc, bytes) else str(enc)
+    shape = tuple(int(v) for v in x.attrs["shape"])
+    data = np.asarray(x["data"])
+    indices = np.asarray(x["indices"])
+    indptr = np.asarray(x["indptr"])
+    if "csc" in enc:
+        return sp.csc_matrix((data, indices, indptr), shape=shape)
+    return sp.csr_matrix((data, indices, indptr), shape=shape)
+
+
+def _read_index(f, key):
+    grp = f[key]
+    idx_key = grp.attrs.get("_index", b"_index")
+    idx_key = idx_key.decode() if isinstance(idx_key, bytes) else str(idx_key)
+    if idx_key in grp:
+        node = grp[idx_key]
+        import h5py
+
+        if isinstance(node, h5py.Group):  # categorical
+            cats = _h5_strings(node["categories"])
+            codes = np.asarray(node["codes"])
+            return [cats[c] for c in codes]
+        return _h5_strings(node)
+    raise KeyError(f"no index in {key}")
+
+
+def from_h5ad(h5ad_path: str, output: str) -> SparseBackend:
+    """Build a backend from .h5ad (`data-beans from-h5ad`)."""
+    import h5py
+
+    with h5py.File(h5ad_path, "r") as f:
+        x = _read_h5ad_x(f)  # [cells, genes]
+        cells = _read_index(f, "obs")
+        genes = _read_index(f, "var")
+    csc = x.T.tocsc()  # -> [genes, cells]
+    log.info("from-h5ad: %d genes x %d cells, nnz=%d", csc.shape[0], csc.shape[1], csc.nnz)
+    return create_sparse_from_csc(csc, output, genes, cells)
+
+
+def from_10x_h5(h5_path: str, output: str, *, genome: str | None = None) -> SparseBackend:
+    """CellRanger .h5 (matrix group: data/indices/indptr/shape CSC
+    [genes, cells]) (`data-beans from-10x-matrix`)."""
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        grp = f["matrix"] if "matrix" in f else f[genome or list(f.keys())[0]]
+        shape = tuple(np.asarray(grp["shape"]))
+        csc = sp.csc_matrix(
+            (np.asarray(grp["data"]), np.asarray(grp["indices"]), np.asarray(grp["indptr"])),
+            shape=shape,
+        )
+        feats = grp["features/name"] if "features" in grp else grp["gene_names"]
+        genes = _h5_strings(feats)
+        cells = _h5_strings(grp["barcodes"])
+    return create_sparse_from_csc(csc, output, genes, cells)
+
+
+def from_mtx(
+    mtx: str, output: str, *, rows_file: str | None = None, cols_file: str | None = None
+) -> SparseBackend:
+    import scipy.io as sio
+
+    m = sio.mmread(mtx).tocsc()
+    row_names = _read_name_file(rows_file) if rows_file else None
+    col_names = _read_name_file(cols_file) if cols_file else None
+    return create_sparse_from_csc(m, output, row_names, col_names)
+
+
+def _read_name_file(path: str) -> list[str]:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        return [line.split("\t")[0].split()[0] for line in f if line.strip()]
+
+
+def to_mtx(backend_path: str, out_prefix: str):
+    """MEX export: matrix.mtx.gz + features.tsv.gz + barcodes.tsv.gz
+    (`data-beans to-mtx`)."""
+    import scipy.io as sio
+
+    be = open_sparse_matrix(backend_path)
+    csc = be.read_columns_csc(np.arange(be.num_columns))
+    Path(out_prefix).parent.mkdir(parents=True, exist_ok=True)
+    with gzip.open(f"{out_prefix}.matrix.mtx.gz", "wb") as f:
+        sio.mmwrite(f, csc)
+    with gzip.open(f"{out_prefix}.features.tsv.gz", "wt") as f:
+        for g in be.row_names():
+            f.write(f"{g}\t{g}\tGene Expression\n")
+    with gzip.open(f"{out_prefix}.barcodes.tsv.gz", "wt") as f:
+        f.write("\n".join(be.column_names()) + "\n")
+
+
+def to_h5ad(backend_path: str, out_path: str):
+    """Minimal scanpy-readable AnnData export (`data-beans to-h5ad`)."""
+    import h5py
+
+    be = open_sparse_matrix(backend_path)
+    csr = be.read_columns_csc(np.arange(be.num_columns)).T.tocsr()  # [cells, genes]
+    with h5py.File(out_path, "w") as f:
+        x = f.create_group("X")
+        x.attrs["encoding-type"] = "csr_matrix"
+        x.attrs["encoding-version"] = "0.1.0"
+        x.attrs["shape"] = np.asarray(csr.shape, np.int64)
+        x.create_dataset("data", data=csr.data.astype(np.float32))
+        x.create_dataset("indices", data=csr.indices.astype(np.int32))
+        x.create_dataset("indptr", data=csr.indptr.astype(np.int32))
+        for key, names in (("obs", be.column_names()), ("var", be.row_names())):
+            g = f.create_group(key)
+            g.attrs["_index"] = "_index"
+            g.attrs["encoding-type"] = "dataframe"
+            g.attrs["encoding-version"] = "0.2.0"
+            g.attrs["column-order"] = np.asarray([], dtype="S1")
+            g.create_dataset("_index", data=np.asarray(names, dtype=h5py.string_dtype()))
+
+
+def subset_backend(
+    backend_path: str,
+    output: str,
+    *,
+    columns: np.ndarray | None = None,
+    rows: np.ndarray | None = None,
+) -> SparseBackend:
+    """Subset cells/genes into a fresh backend (`data-beans subset`)."""
+    be = open_sparse_matrix(backend_path)
+    cols = np.arange(be.num_columns) if columns is None else np.asarray(columns)
+    csc = be.read_columns_csc(cols)
+    col_names = [be.column_names()[int(j)] for j in cols]
+    row_names = be.row_names()
+    if rows is not None:
+        rows = np.asarray(rows)
+        csc = csc[rows, :]
+        row_names = [row_names[int(i)] for i in rows]
+    return create_sparse_from_csc(csc.tocsc(), output, row_names, col_names)
+
+
+def merge_backends(paths: list[str], output: str) -> SparseBackend:
+    """Horizontally merge backends sharing the same feature rows
+    (`data-beans merge-backend`)."""
+    bes = [open_sparse_matrix(p) for p in paths]
+    rows0 = bes[0].row_names()
+    pieces, names = [], []
+    for i, be in enumerate(bes):
+        if be.row_names() != rows0:
+            raise ValueError(f"backend {paths[i]} rows disagree; align first")
+        pieces.append(be.read_columns_csc(np.arange(be.num_columns)))
+        names.extend(f"{n}@{i}" if len(bes) > 1 else n for n in be.column_names())
+    merged = sp.hstack(pieces, format="csc")
+    return create_sparse_from_csc(merged, output, rows0, names)
