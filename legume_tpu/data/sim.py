@@ -87,6 +87,102 @@ def simulate_topic(
     )
 
 
+@dataclass
+class MultimodalSim:
+    counts: list  # per modality [G_m, N] csc
+    theta: np.ndarray  # shared [N, K]
+    betas: list  # per modality [G_m, K]
+
+
+def simulate_multimodal(
+    rows_per_modality=(1000, 400),
+    cols: int = 800,
+    factors: int = 6,
+    pve_topic: float = 0.7,
+    beta_scale: float = 1.0,
+    depth: float = 1000.0,
+    seed: int = 11,
+) -> MultimodalSim:
+    """M coupled count matrices sharing latent topics with
+    modality-specific dictionaries (`data-beans-sim multimodal`)."""
+    rng = np.random.default_rng(seed)
+    k = factors
+    k_star = rng.integers(0, k, size=cols)
+    theta = np.full((cols, k), (1.0 - pve_topic) / k)
+    theta[np.arange(cols), k_star] += pve_topic
+
+    counts, betas = [], []
+    for g in rows_per_modality:
+        u = rng.standard_normal((g, k))
+        v = rng.standard_normal((g, 1))
+        log_beta = (
+            beta_scale * (np.sqrt(pve_topic) * u + np.sqrt(1 - pve_topic) * v)
+            - beta_scale**2 / 2
+        )
+        beta = np.exp(log_beta)
+        lam = (depth / g) * (beta @ theta.T)
+        counts.append(sp.csc_matrix(rng.poisson(lam).astype(np.float32)))
+        betas.append(beta)
+    return MultimodalSim(counts=counts, theta=theta, betas=betas)
+
+
+@dataclass
+class MultiomeSim:
+    rna: sp.csc_matrix  # [G, N]
+    atac: sp.csc_matrix  # [P, N]
+    theta: np.ndarray
+    peak_to_gene: np.ndarray  # [G] driving peak index
+
+
+def simulate_multiome(
+    genes: int = 300,
+    peaks: int = 600,
+    cols: int = 600,
+    factors: int = 5,
+    depth: float = 1500.0,
+    seed: int = 13,
+) -> MultiomeSim:
+    """Paired ATAC + RNA with peak-gene ground truth
+    (`data-beans-sim multiome`)."""
+    rng = np.random.default_rng(seed)
+    mm = simulate_multimodal(
+        rows_per_modality=(peaks,), cols=cols, factors=factors, depth=depth, seed=seed
+    )
+    atac = mm.counts[0]
+    theta = mm.theta
+    beta_p = mm.betas[0]  # [P, K]
+    # each gene driven by one peak's activity
+    p2g = rng.integers(0, peaks, genes)
+    beta_g = beta_p[p2g] * np.exp(0.2 * rng.standard_normal((genes, factors)))
+    lam = (depth / genes) * (beta_g @ theta.T)
+    rna = sp.csc_matrix(rng.poisson(lam).astype(np.float32))
+    return MultiomeSim(rna=rna, atac=atac, theta=theta, peak_to_gene=p2g)
+
+
+def simulate_bulk(
+    sc_counts: sp.spmatrix,  # [G, N] real/simulated single cells
+    cell_labels: np.ndarray,  # [N] type of each cell
+    n_samples: int = 20,
+    reads_per_sample: float = 100_000,
+    alpha: float = 1.0,
+    seed: int = 17,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bulk pseudo-samples by Dirichlet-mixing single cells
+    (`data-beans-sim bulk`); returns (bulk [S, G], fractions [S, C])."""
+    rng = np.random.default_rng(seed)
+    labels = np.asarray(cell_labels)
+    types = np.unique(labels)
+    g = sc_counts.shape[0]
+    csc = sp.csc_matrix(sc_counts)
+    profiles = np.stack(
+        [np.asarray(csc[:, labels == t].sum(1)).ravel() for t in types]
+    )  # [C, G]
+    profiles = profiles / np.maximum(profiles.sum(1, keepdims=True), 1)
+    fracs = rng.dirichlet(np.full(len(types), alpha), size=n_samples)
+    lam = fracs @ profiles * reads_per_sample
+    return rng.poisson(lam).astype(np.float32), fracs
+
+
 def write_topic_sim(sim: TopicSim, output: str):
     """Write the backend + ground-truth parquet sidecars the way the
     reference does (`data-beans-sim/README.md` outputs table)."""

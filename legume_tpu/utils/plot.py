@@ -1,0 +1,114 @@
+"""Visualization (plot-utils + senna/pinto/faba plot equivalents;
+SURVEY.md layer L5).
+
+The reference rasterizes its own SVG scene graph (resvg/tiny-skia);
+here matplotlib's Agg/SVG/PDF backends produce the same artifact
+kinds: embedding scatters colored by cluster/topic, admixture
+structure bars, hex-binned spatial maps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 2-6-2 qualitative palette in the spirit of plot-utils' palettes
+PALETTE = [
+    "#4E79A7", "#F28E2B", "#E15759", "#76B7B2", "#59A14F",
+    "#EDC948", "#B07AA1", "#FF9DA7", "#9C755F", "#BAB0AC",
+    "#1B9E77", "#D95F02", "#7570B3", "#E7298A", "#66A61E",
+]
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def scatter_by_label(
+    coords: np.ndarray,  # [N, 2]
+    labels: np.ndarray,
+    out: str,
+    *,
+    title: str = "",
+    point_size: float = 3.0,
+):
+    """Embedding scatter colored by discrete labels (senna plot)."""
+    plt = _mpl()
+    labels = np.asarray(labels)
+    uniq = np.unique(labels)
+    fig, ax = plt.subplots(figsize=(6, 5), dpi=150)
+    for i, lab in enumerate(uniq):
+        m = labels == lab
+        ax.scatter(
+            coords[m, 0], coords[m, 1], s=point_size,
+            color=PALETTE[i % len(PALETTE)], label=str(lab), linewidths=0,
+        )
+    ax.set_title(title)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    if len(uniq) <= 15:
+        ax.legend(markerscale=4, fontsize=7, frameon=False)
+    fig.tight_layout()
+    fig.savefig(out)
+    plt.close(fig)
+
+
+def structure_bars(
+    proportions: np.ndarray,  # [N, K] simplex rows
+    out: str,
+    *,
+    order_by: np.ndarray | None = None,
+    title: str = "",
+):
+    """Admixture-style stacked bars (plot-utils structure plots)."""
+    plt = _mpl()
+    p = np.asarray(proportions)
+    order = (
+        np.argsort(order_by)
+        if order_by is not None
+        else np.lexsort((p.argmax(1), -p.max(1)))[::-1]
+    )
+    p = p[order]
+    fig, ax = plt.subplots(figsize=(8, 3), dpi=150)
+    bottom = np.zeros(len(p))
+    x = np.arange(len(p))
+    for k in range(p.shape[1]):
+        ax.bar(
+            x, p[:, k], bottom=bottom, width=1.0,
+            color=PALETTE[k % len(PALETTE)], linewidth=0,
+        )
+        bottom += p[:, k]
+    ax.set_xlim(0, len(p))
+    ax.set_ylim(0, 1)
+    ax.set_title(title)
+    ax.set_xticks([])
+    fig.tight_layout()
+    fig.savefig(out)
+    plt.close(fig)
+
+
+def spatial_hex(
+    coords: np.ndarray,  # [N, 2] spatial coordinates
+    values: np.ndarray,
+    out: str,
+    *,
+    title: str = "",
+    gridsize: int = 60,
+):
+    """Hex-binned spatial map (pinto plot hex scatter)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 5), dpi=150)
+    hb = ax.hexbin(
+        coords[:, 0], coords[:, 1], C=np.asarray(values),
+        gridsize=gridsize, cmap="viridis", linewidths=0,
+    )
+    fig.colorbar(hb, ax=ax, shrink=0.8)
+    ax.set_title(title)
+    ax.set_aspect("equal")
+    fig.tight_layout()
+    fig.savefig(out)
+    plt.close(fig)
