@@ -65,7 +65,82 @@ def run_senna(argv):
     p.add_argument("--n-factors", type=int, default=20)
     p.add_argument("--block-size", type=int, default=8192)
 
+    p = sub.add_parser("layout", help="2D UMAP layout of a latent parquet")
+    p.add_argument("--latent", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-neighbors", type=int, default=15)
+    p.add_argument("--epochs", type=int, default=200)
+
+    p = sub.add_parser("pseudotime", help="principal-graph pseudotime")
+    p.add_argument("--latent", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-nodes", type=int, default=50)
+    p.add_argument("--root-cell", type=int, default=None)
+
+    p = sub.add_parser("plot", help="scatter a layout colored by clusters")
+    p.add_argument("--layout", required=True, help="layout/latent parquet")
+    p.add_argument("--clusters", default=None, help="clusters parquet")
+    p.add_argument("--out", required=True, help="output image (.png/.svg/.pdf)")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "layout":
+        import pandas as pd
+
+        from ..ops.umap import umap
+
+        df = pd.read_parquet(args.latent)
+        z = df.iloc[:, 1:].to_numpy(np.float32) if False else df.iloc[:, 1:].to_numpy()
+        import numpy as _np
+
+        z = z.astype("float32")
+        if _np.all(z <= 0):
+            z = _np.exp(z)
+        emb = umap(z, n_neighbors=args.n_neighbors, n_epochs=args.epochs)
+        pd.DataFrame(
+            {"cell": df.iloc[:, 0], "x": emb[:, 0], "y": emb[:, 1]}
+        ).to_parquet(f"{args.out}.layout.parquet")
+        print(f"wrote {args.out}.layout.parquet")
+        return
+    if args.cmd == "pseudotime":
+        import pandas as pd
+
+        from ..ops.principal_graph import pseudotime as fit_pt
+
+        df = pd.read_parquet(args.latent)
+        z = df.iloc[:, 1:].to_numpy("float32")
+        import numpy as _np
+
+        if _np.all(z <= 0):
+            z = _np.exp(z)
+        pg = fit_pt(z, n_nodes=args.n_nodes, root_cell=args.root_cell)
+        pd.DataFrame(
+            {
+                "cell": df.iloc[:, 0],
+                "pseudotime": pg.pseudotime,
+                "branch": pg.branch,
+                "node": pg.cell_to_node,
+            }
+        ).to_parquet(f"{args.out}.pseudotime.parquet")
+        print(f"wrote {args.out}.pseudotime.parquet")
+        return
+    if args.cmd == "plot":
+        import pandas as pd
+
+        from ..utils.plot import scatter_by_label
+
+        lay = pd.read_parquet(args.layout)
+        coords = lay.iloc[:, 1:3].to_numpy("float32")
+        if args.clusters:
+            cl = pd.read_parquet(args.clusters)
+            labels = cl.iloc[:, 1].to_numpy()
+        else:
+            import numpy as _np
+
+            labels = _np.zeros(len(coords), int)
+        scatter_by_label(coords, labels, args.out)
+        print(f"wrote {args.out}")
+        return
 
     if args.cmd == "predict":
         from ..senna.predict import PredictArgs, predict_model
@@ -179,6 +254,27 @@ def run_beans(argv):
     p.add_argument("--rows", default=None, help="row (gene) names file")
     p.add_argument("--cols", default=None, help="column (cell) names file")
     p.add_argument("--output", required=True)
+    p = sub.add_parser("from-h5ad", help="build from AnnData .h5ad")
+    p.add_argument("--h5ad", required=True)
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("from-10x-matrix", help="build from CellRanger .h5")
+    p.add_argument("--h5", required=True)
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("to-mtx", help="export MEX (mtx + features + barcodes)")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("to-h5ad", help="export AnnData .h5ad")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("merge-backend", help="merge backends column-wise")
+    p.add_argument("backends", nargs="+")
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("qc", help="cell QC stats + keep mask")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-total", type=float, default=0)
+    p.add_argument("--min-genes", type=int, default=0)
+    p.add_argument("--max-mito-frac", type=float, default=1.0)
     p = sub.add_parser("info", help="backend shape and nnz")
     p.add_argument("backend")
     args = ap.parse_args(argv)
@@ -186,21 +282,82 @@ def run_beans(argv):
     from ..data import open_sparse_matrix
 
     if args.cmd == "from-mtx":
-        import scipy.io as sio
+        from ..data.builders import from_mtx
 
-        from ..data.sparse_io import create_sparse_from_csc
-
-        m = sio.mmread(args.mtx).tocsc()
-        row_names = col_names = None
-        if args.rows:
-            row_names = [line.split()[0] for line in open(args.rows)]
-        if args.cols:
-            col_names = [line.split()[0] for line in open(args.cols)]
-        create_sparse_from_csc(m, args.output, row_names, col_names)
+        from_mtx(args.mtx, args.output, rows_file=args.rows, cols_file=args.cols)
         print(f"wrote backend: {args.output}")
+    elif args.cmd == "from-h5ad":
+        from ..data.builders import from_h5ad
+
+        from_h5ad(args.h5ad, args.output)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "from-10x-matrix":
+        from ..data.builders import from_10x_h5
+
+        from_10x_h5(args.h5, args.output)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "to-mtx":
+        from ..data.builders import to_mtx
+
+        to_mtx(args.backend, args.output)
+        print(f"wrote {args.output}.matrix.mtx.gz")
+    elif args.cmd == "to-h5ad":
+        from ..data.builders import to_h5ad
+
+        to_h5ad(args.backend, args.output)
+        print(f"wrote {args.output}")
+    elif args.cmd == "merge-backend":
+        from ..data.builders import merge_backends
+
+        merge_backends(args.backends, args.output)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "qc":
+        import pandas as pd
+
+        from ..data.qc import compute_cell_qc
+
+        be = open_sparse_matrix(args.backend)
+        qc = compute_cell_qc(be)
+        keep = qc.keep_mask(
+            min_total=args.min_total,
+            min_genes=args.min_genes,
+            max_mito_frac=args.max_mito_frac,
+        )
+        pd.DataFrame(
+            {
+                "cell": be.column_names(),
+                "total": qc.total,
+                "n_genes": qc.n_genes,
+                "mito_frac": qc.mito_frac,
+                "keep": keep,
+            }
+        ).to_parquet(f"{args.output}.qc.parquet")
+        print(f"wrote {args.output}.qc.parquet ({keep.sum()}/{len(keep)} kept)")
     elif args.cmd == "info":
         be = open_sparse_matrix(args.backend)
         print(f"rows: {be.num_rows}\ncols: {be.num_columns}\nnnz: {be.num_nonzeros}")
+
+
+def run_faba(argv):
+    ap = argparse.ArgumentParser(prog="faba", description="BAM feature extraction")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("genes", help="per-cell gene counts from BAM")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--gff", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-mapq", type=int, default=20)
+    p.add_argument("--no-dedup", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "genes":
+        from ..data.sparse_io import create_sparse_from_csc
+        from ..faba.genes import count_genes
+
+        counts, genes, barcodes = count_genes(
+            args.bam, args.gff, min_mapq=args.min_mapq, dedup_umi=not args.no_dedup
+        )
+        create_sparse_from_csc(counts, args.output, genes, barcodes)
+        print(f"wrote backend: {args.output} ({counts.shape[0]} genes x {counts.shape[1]} cells)")
 
 
 def run_cocoa(argv):
@@ -320,6 +477,7 @@ BINARIES = {
     "cocoa": run_cocoa,
     "pinto": run_pinto,
     "fagioli": run_fagioli,
+    "faba": run_faba,
 }
 
 

@@ -1,0 +1,85 @@
+"""`senna impute` + `senna probe` equivalents.
+
+- impute: kNN-over-latent count imputation (`senna/src/main.rs` Apply
+  group): each cell's imputed profile is the distance-weighted average
+  of its latent-space neighbors' observed counts.
+- probe: drift/novelty verdict for held-out data against a trained
+  model — compares the held-out latent distribution and reconstruction
+  error band against the training reference.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import sparse as sparse_ops
+from ..ops.knn import knn_search
+
+log = logging.getLogger(__name__)
+
+
+def impute_counts(
+    data,
+    latent: np.ndarray,  # [N, K]
+    *,
+    knn: int = 15,
+    cell_block: int = 2048,
+) -> np.ndarray:
+    """[N, D] imputed profiles: softmax(-distance)-weighted neighbor
+    averages of observed counts, self excluded."""
+    n, d = data.num_columns, data.num_rows
+    dist, idx = knn_search(latent, latent, knn, exclude_self_offset=0)
+    w = np.exp(-(dist - dist.min(1, keepdims=True)))
+    w = w / np.maximum(w.sum(1, keepdims=True), 1e-30)
+
+    out = np.zeros((n, d), np.float32)
+    from ..data.visitors import csc_to_coo_block
+
+    for lb in range(0, n, cell_block):
+        ub = min(lb + cell_block, n)
+        c = ub - lb
+        nb_cols = idx[lb:ub].reshape(-1)
+        blk = csc_to_coo_block(data.read_columns_csc(nb_cols))
+        dense = np.asarray(
+            sparse_ops.densify_block(
+                jnp.asarray(blk.row_ids),
+                jnp.asarray(blk.col_ids),
+                jnp.asarray(blk.vals),
+                ncols=c * knn,
+                num_genes=d,
+            )
+        ).reshape(c, knn, d)
+        out[lb:ub] = np.einsum("ck,ckd->cd", w[lb:ub], dense)
+    return out
+
+
+@dataclass
+class ProbeVerdict:
+    drift_score: float  # mean shift of latent centroid (z-units)
+    novelty_frac: float  # fraction of cells beyond the training envelope
+    verdict: str  # ok | drift | novel
+
+
+def probe_latent(
+    train_latent: np.ndarray, heldout_latent: np.ndarray, *, novelty_q: float = 0.99
+) -> ProbeVerdict:
+    """Drift/novelty verdict (`senna probe`)."""
+    mu = train_latent.mean(0)
+    sd = np.maximum(train_latent.std(0), 1e-8)
+    drift = float(np.abs((heldout_latent.mean(0) - mu) / sd).mean())
+
+    d_train = np.linalg.norm((train_latent - mu) / sd, axis=1)
+    thr = np.quantile(d_train, novelty_q)
+    d_new = np.linalg.norm((heldout_latent - mu) / sd, axis=1)
+    novelty = float((d_new > thr).mean())
+
+    verdict = "ok"
+    if drift > 1.0:
+        verdict = "drift"
+    if novelty > 0.25:
+        verdict = "novel"
+    return ProbeVerdict(drift_score=drift, novelty_frac=novelty, verdict=verdict)
