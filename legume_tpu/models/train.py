@@ -40,6 +40,11 @@ class TrainConfig:
     grad_clip: float = 10.0
     weight_decay: float = 0.01  # candle AdamW default
     seed: int = 0
+    # epochs folded into ONE device dispatch (outer lax.scan). The
+    # reference dispatches per minibatch (vae/topic.rs:120-143); over a
+    # tunneled TPU even per-EPOCH dispatch costs ~85 ms round-trip, so
+    # batching epochs amortizes launch latency to near zero.
+    epochs_per_call: int = 10
 
 
 @dataclass
@@ -208,22 +213,15 @@ class MixedTrainer:
 
         grad_fn = jax.value_and_grad(minibatch_loss, has_aux=True)
 
-        @partial(jax.jit, donate_argnums=(0, 2))
-        def epoch(params, batch_stats, opt_state, key, x, null, y, w):
+        @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 2))
+        def epoch(params, batch_stats, opt_state, key, x, null, y, w, *, n_epochs=1):
             p_pad = x.shape[0]
             mb = self.config.minibatch_size
             num_mb = p_pad // mb
-            kperm, kscan = jax.random.split(key)
-            perm = jax.random.permutation(kperm, p_pad)
-            xs = x[perm].reshape(num_mb, mb, -1)
-            ys = y[perm].reshape(num_mb, mb, -1)
-            ws = w[perm].reshape(num_mb, mb)
-            ns = null[perm].reshape(num_mb, mb, -1) if null is not None else None
-            mb_keys = jax.random.split(kscan, num_mb)
 
             def step(carry, batch):
                 params, batch_stats, opt_state = carry
-                if ns is None:
+                if null is None:
                     xb, yb, wb, kb = batch
                     nb = None
                 else:
@@ -235,11 +233,33 @@ class MixedTrainer:
                 params = optax.apply_updates(params, updates)
                 return (params, new_bs, opt_state), (llik, kl, cnt)
 
-            batches = (xs, ys, ws, mb_keys) if ns is None else (xs, ns, ys, ws, mb_keys)
+            def one_epoch(carry, ek):
+                params, batch_stats, opt_state = carry
+                kperm, kscan = jax.random.split(ek)
+                perm = jax.random.permutation(kperm, p_pad)
+                xs = x[perm].reshape(num_mb, mb, -1)
+                ys = y[perm].reshape(num_mb, mb, -1)
+                ws = w[perm].reshape(num_mb, mb)
+                mb_keys = jax.random.split(kscan, num_mb)
+                if null is None:
+                    batches = (xs, ys, ws, mb_keys)
+                else:
+                    ns = null[perm].reshape(num_mb, mb, -1)
+                    batches = (xs, ns, ys, ws, mb_keys)
+                (params, batch_stats, opt_state), (lliks, kls, cnts) = jax.lax.scan(
+                    step, (params, batch_stats, opt_state), batches
+                )
+                return (params, batch_stats, opt_state), (
+                    lliks.sum(),
+                    kls.sum(),
+                    cnts.sum(),
+                )
+
+            ekeys = jax.random.split(key, n_epochs)
             (params, batch_stats, opt_state), (lliks, kls, cnts) = jax.lax.scan(
-                step, (params, batch_stats, opt_state), batches
+                one_epoch, (params, batch_stats, opt_state), ekeys
             )
-            return params, batch_stats, opt_state, lliks.sum(), kls.sum(), cnts.sum()
+            return params, batch_stats, opt_state, lliks, kls, cnts
 
         self._epoch_fns[level] = epoch
         return epoch
@@ -259,20 +279,27 @@ class MixedTrainer:
         scores = TrainScores()
         n_tot = sum(lvl.n for lvl in level_data)
 
-        for _epoch in range(cfg.epochs):
-            llik_tot, kl_tot, count_tot = 0.0, 0.0, 0.0
+        done = 0
+        while done < cfg.epochs:
+            chunk = min(cfg.epochs_per_call, cfg.epochs - done)
+            # per-level per-epoch sums, accumulated across levels
+            llik_e = np.zeros(chunk)
+            kl_e = np.zeros(chunk)
+            cnt_e = np.zeros(chunk)
             for level, (x, null, y, w, _num_mb) in enumerate(padded):
                 key, k_ep = jax.random.split(key)
                 epoch_fn = self._epoch_fn(level)
-                params, batch_stats, opt_state, llik, kl, cnt = epoch_fn(
-                    params, batch_stats, opt_state, k_ep, x, null, y, w
+                params, batch_stats, opt_state, lliks, kls, cnts = epoch_fn(
+                    params, batch_stats, opt_state, k_ep, x, null, y, w,
+                    n_epochs=chunk,
                 )
-                llik_tot += float(llik)
-                kl_tot += float(kl)
-                count_tot += float(cnt)
+                llik_e += np.asarray(lliks)
+                kl_e += np.asarray(kls)
+                cnt_e += np.asarray(cnts)
             # per-count llik / per-sample kl traces (vae/topic.rs:146-148)
-            scores.llik.append(llik_tot / max(count_tot, 1.0))
-            scores.kl.append(kl_tot / max(n_tot, 1))
+            scores.llik.extend((llik_e / np.maximum(cnt_e, 1.0)).tolist())
+            scores.kl.extend((kl_e / max(n_tot, 1)).tolist())
+            done += chunk
 
         return {"params": params, "batch_stats": batch_stats}, opt_state, scores
 
