@@ -484,6 +484,9 @@ BINARIES = {
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     logging.basicConfig(level=logging.INFO, format="[%(levelname)s %(name)s] %(message)s")
+    from ..utils.stop import install_sigint_handler
+
+    install_sigint_handler()
     if not argv or argv[0] not in BINARIES:
         print(f"usage: legume <binary> ...; binaries: {', '.join(sorted(BINARIES))}")
         return 1

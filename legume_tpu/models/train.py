@@ -279,8 +279,14 @@ class MixedTrainer:
         scores = TrainScores()
         n_tot = sum(lvl.n for lvl in level_data)
 
+        from ..utils.stop import stop_requested
+
         done = 0
         while done < cfg.epochs:
+            if stop_requested():
+                # graceful SIGINT: stop at a chunk boundary and let the
+                # caller finalize partial outputs (vae/topic.rs:140-163)
+                break
             chunk = min(cfg.epochs_per_call, cfg.epochs - done)
             # per-level per-epoch sums, accumulated across levels
             llik_e = np.zeros(chunk)

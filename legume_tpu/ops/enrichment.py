@@ -80,6 +80,57 @@ def bh_fdr(pvalues: np.ndarray) -> np.ndarray:
     return out
 
 
+def treebh(
+    pvalues: dict[str, float],
+    ontology,
+    *,
+    alpha: float = 0.05,
+) -> dict[str, float]:
+    """TreeBH hierarchical FDR over an ontology DAG
+    (enrichment `treebh.rs`; Bogomolov et al. 2021).
+
+    Tests proceed root-to-leaf: a term is tested only if all its
+    parents were rejected; the per-level BH budget is alpha scaled by
+    the fraction of rejected parents. Returns adjusted q-values (1.0
+    for never-tested terms)."""
+    # group terms by depth (longest path to a root)
+    depth: dict[str, int] = {}
+
+    def get_depth(t):
+        if t in depth:
+            return depth[t]
+        parents = ontology.parents.get(t, ())
+        d = 0 if not parents else 1 + max(get_depth(p) for p in parents)
+        depth[t] = d
+        return d
+
+    for t in pvalues:
+        get_depth(t)
+    max_d = max(depth.values(), default=0)
+
+    q_out = {t: 1.0 for t in pvalues}
+    rejected: set = set()
+    alpha_level = alpha
+    for d in range(max_d + 1):
+        terms = [t for t in pvalues if depth[t] == d]
+        # eligible: roots, or at least one rejected parent
+        elig = [
+            t
+            for t in terms
+            if d == 0
+            or any(p in rejected for p in ontology.parents.get(t, ()))
+        ]
+        if not elig:
+            continue
+        p = np.asarray([pvalues[t] for t in elig])
+        q = bh_fdr(p)
+        for t, qv in zip(elig, q):
+            q_out[t] = float(qv)
+            if qv <= alpha_level:
+                rejected.add(t)
+    return q_out
+
+
 def annotate_by_markers(
     mean_profiles: np.ndarray,  # [K, D] cluster/topic mean expression
     gene_names: list[str],
