@@ -44,6 +44,10 @@ class CocoaDiffArgs:
     n_permutations: int = 0
     proj_dim: int = 30
     collider_fix: bool = True
+    # hold counts in memory across the permutation replays (the role of
+    # the reference's MatchCache.y0_mat caching + --preload-data);
+    # gated by nnz so 1M-cell runs keep streaming
+    preload_max_nnz: int = 200_000_000
     seed: int = DEFAULT_PROJECTION_SEED
 
 
@@ -68,6 +72,25 @@ def run_cocoa_diff(args: CocoaDiffArgs) -> dict:
     vec = load_data_vec(args.data_files)
     n = vec.num_columns
     d = vec.num_rows
+
+    # preload: the matched-read pattern is scattered single-column
+    # gathers repeated once per permutation — memory-resident CSC wins
+    if args.n_permutations > 0:
+        import numpy as _np
+
+        total_nnz = sum(
+            b.num_nonzeros for b in vec._backends
+        ) if vec._backends else 0
+        if total_nnz <= args.preload_max_nnz:
+            from ..data.sparse_io import MemoryBackend
+
+            csc = vec.read_columns_csc(_np.arange(n))
+            mem = MemoryBackend(csc, vec.row_names(), vec.column_names())
+            from ..data import SparseIoVec as _Vec
+
+            newvec = _Vec()
+            newvec.push(mem)
+            vec = newvec
 
     with open(args.indv_file) as f:
         indv_labels = np.asarray([line.strip() for line in f if line.strip()])

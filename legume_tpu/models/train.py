@@ -135,9 +135,15 @@ class MixedTrainer:
         *,
         feature_weights: Sequence[Optional[np.ndarray]] | None = None,
         loss_hook: Optional[Callable[[jax.Array, int, dict], jax.Array]] = None,
+        decoder_weights: Sequence[float] | None = None,
     ):
+        """`decoders[level]` may be a single decoder or a LIST of
+        decoders scored on the same z with `decoder_weights`-weighted
+        likelihood sums (train_mixed_multi_decoder, vae/topic.rs:180 —
+        multi-modality: one cell observed under RNA + ATAC etc.)."""
         self.encoder = encoder
         self.decoders = list(decoders)
+        self.decoder_weights = list(decoder_weights) if decoder_weights else None
         self.config = config
         self.feature_weights = (
             list(feature_weights) if feature_weights is not None else [None] * len(decoders)
@@ -163,10 +169,16 @@ class MixedTrainer:
         params = {"encoder": enc_vars["params"]}
         batch_stats = {"encoder": enc_vars.get("batch_stats", {})}
         for i, (dec, lvl) in enumerate(zip(self.decoders, level_data)):
-            log_z = jnp.zeros((2, dec.n_topics))
             y0 = jnp.asarray(lvl.target[:2])
-            dvars = dec.init(k_dec[i], log_z, y0)
-            params[f"decoder_{i}"] = dvars["params"]
+            if isinstance(dec, (list, tuple)):
+                params[f"decoder_{i}"] = [
+                    d.init(k_dec[i], jnp.zeros((2, d.n_topics)), y0)["params"]
+                    for d in dec
+                ]
+            else:
+                log_z = jnp.zeros((2, dec.n_topics))
+                dvars = dec.init(k_dec[i], log_z, y0)
+                params[f"decoder_{i}"] = dvars["params"]
         opt_state = self.optimizer.init(params)
         return params, batch_stats, opt_state
 
@@ -197,7 +209,19 @@ class MixedTrainer:
             from .losses import smooth_topics
 
             log_z = smooth_topics(log_z, smoothing)
-            _, llik = dec.apply({"params": params[f"decoder_{level}"]}, log_z, yb, fw_j)
+            if isinstance(dec, (list, tuple)):
+                # weighted multi-decoder llik sum (vae/topic.rs:244-249)
+                weights = self.decoder_weights or [1.0] * len(dec)
+                llik = 0.0
+                for di, (d, dw) in enumerate(zip(dec, weights)):
+                    _, ll = d.apply(
+                        {"params": params[f"decoder_{level}"][di]}, log_z, yb, fw_j
+                    )
+                    llik = llik + dw * ll
+            else:
+                _, llik = dec.apply(
+                    {"params": params[f"decoder_{level}"]}, log_z, yb, fw_j
+                )
             # mean over REAL rows only (vae/topic.rs:129)
             denom = jnp.maximum(jnp.sum(wb), 1.0)
             loss = jnp.sum((kl - llik) * wb) / denom

@@ -128,3 +128,22 @@ def test_gaussian_encoder_latent(toy_counts):
     z, kl = enc.apply(v, jnp.asarray(toy_counts[:8]), None, train=False)
     assert z.shape == (8, 5)
     assert np.all(np.isfinite(np.asarray(z)))
+
+
+def test_train_multi_decoder_weighted(toy_counts):
+    """Multi-modality: two decoders on one z, weighted llik sum
+    (train_mixed_multi_decoder parity)."""
+    enc = LogSoftmaxEncoder(n_topics=3, layers=(16,))
+    decs = [
+        [
+            MultinomTopicDecoder(n_features=40, n_topics=3),
+            PoissonTopicDecoder(n_features=40, n_topics=3),
+        ]
+    ]
+    cfg = TrainConfig(epochs=5, minibatch_size=32, seed=2)
+    trainer = MixedTrainer(enc, decs, cfg, decoder_weights=[1.0, 0.5])
+    variables, _, scores = trainer.train(
+        [LevelData(input=toy_counts, input_null=None)]
+    )
+    assert len(scores.llik) == 5
+    assert np.all(np.isfinite(scores.llik))
