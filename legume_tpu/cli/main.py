@@ -82,7 +82,43 @@ def run_senna(argv):
     p.add_argument("--clusters", default=None, help="clusters parquet")
     p.add_argument("--out", required=True, help="output image (.png/.svg/.pdf)")
 
+    p = sub.add_parser(
+        "annotate-by-enrichment", help="marker-panel cluster annotation"
+    )
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--clusters", required=True, help="clusters parquet")
+    p.add_argument("--markers", required=True, help="GMT marker sets")
+    p.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "annotate-by-enrichment":
+        import numpy as _np
+        import pandas as pd
+
+        from ..data.knowledge import read_gmt
+        from ..ops.enrichment import annotate_by_markers
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        cl = pd.read_parquet(args.clusters)
+        labels = cl.iloc[:, 1].to_numpy()
+        uniq = _np.unique(labels)
+        # mean log1p profile per cluster
+        profiles = _np.zeros((len(uniq), vec.num_rows))
+        for i, c in enumerate(uniq):
+            cells = _np.nonzero(labels == c)[0]
+            profiles[i] = _np.log1p(
+                _np.asarray(vec.read_columns_csc(cells).mean(axis=1)).ravel()
+            )
+        names, scores = annotate_by_markers(
+            profiles, vec.row_names(), read_gmt(args.markers)
+        )
+        pd.DataFrame(
+            {"cluster": uniq, "annotation": names, "score": scores.max(1)}
+        ).to_parquet(f"{args.out}.annotation.parquet")
+        print(f"wrote {args.out}.annotation.parquet")
+        return
 
     if args.cmd == "layout":
         import pandas as pd

@@ -144,6 +144,10 @@ class MixedTrainer:
         self.encoder = encoder
         self.decoders = list(decoders)
         self.decoder_weights = list(decoder_weights) if decoder_weights else None
+        # per-decoder [start, end) column slices of the target when a
+        # level's decoders each own a modality block of the concatenated
+        # feature axis (joint-topic, senna topic/train_joint.rs)
+        self.target_slices: Optional[Sequence[tuple[int, int]]] = None
         self.config = config
         self.feature_weights = (
             list(feature_weights) if feature_weights is not None else [None] * len(decoders)
@@ -172,8 +176,14 @@ class MixedTrainer:
             y0 = jnp.asarray(lvl.target[:2])
             if isinstance(dec, (list, tuple)):
                 params[f"decoder_{i}"] = [
-                    d.init(k_dec[i], jnp.zeros((2, d.n_topics)), y0)["params"]
-                    for d in dec
+                    d.init(
+                        k_dec[i],
+                        jnp.zeros((2, d.n_topics)),
+                        y0[:, self.target_slices[di][0] : self.target_slices[di][1]]
+                        if self.target_slices is not None
+                        else y0,
+                    )["params"]
+                    for di, d in enumerate(dec)
                 ]
             else:
                 log_z = jnp.zeros((2, dec.n_topics))
@@ -210,12 +220,18 @@ class MixedTrainer:
 
             log_z = smooth_topics(log_z, smoothing)
             if isinstance(dec, (list, tuple)):
-                # weighted multi-decoder llik sum (vae/topic.rs:244-249)
+                # weighted multi-decoder llik sum (vae/topic.rs:244-249),
+                # each decoder optionally scoring its modality slice
                 weights = self.decoder_weights or [1.0] * len(dec)
                 llik = 0.0
                 for di, (d, dw) in enumerate(zip(dec, weights)):
+                    y_d = (
+                        yb[:, self.target_slices[di][0] : self.target_slices[di][1]]
+                        if self.target_slices is not None
+                        else yb
+                    )
                     _, ll = d.apply(
-                        {"params": params[f"decoder_{level}"][di]}, log_z, yb, fw_j
+                        {"params": params[f"decoder_{level}"][di]}, log_z, y_d, fw_j
                     )
                     llik = llik + dw * ll
             else:

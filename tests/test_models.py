@@ -147,3 +147,25 @@ def test_train_multi_decoder_weighted(toy_counts):
     )
     assert len(scores.llik) == 5
     assert np.all(np.isfinite(scores.llik))
+
+
+def test_joint_topic_multimodal():
+    """joint-topic: two modalities share cells and one topic posterior
+    (train_joint.rs parity via target slices)."""
+    from legume_tpu.data.sim import simulate_multimodal
+    from legume_tpu.data.sparse_io import MemoryBackend
+    from legume_tpu.senna.joint import JointTopicArgs, fit_joint_topic
+
+    mm = simulate_multimodal(rows_per_modality=(60, 30), cols=300, factors=3, seed=4)
+    mods = [MemoryBackend(c) for c in mm.counts]
+    out = fit_joint_topic(
+        mods,
+        JointTopicArgs(
+            n_topics=3, encoder_layers=(32,), epochs=40, minibatch_size=32,
+            proj_dim=12, sort_dim=5, iter_opt=10, decoder="multinomial",
+        ),
+    )
+    theta = out["pb_latent"]
+    np.testing.assert_allclose(theta.sum(1), 1.0, rtol=1e-3)
+    assert np.all(np.isfinite(out["scores"].llik))
+    assert out["slices"] == [(0, 60), (60, 90)]
