@@ -296,6 +296,11 @@ def run_beans(argv):
     p = sub.add_parser("from-10x-matrix", help="build from CellRanger .h5")
     p.add_argument("--h5", required=True)
     p.add_argument("--output", required=True)
+    p = sub.add_parser("from-fragments", help="ATAC fragments -> tile/peak counts")
+    p.add_argument("--fragments", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--tile-size", type=int, default=5000)
+    p.add_argument("--peaks", default=None, help="BED of peaks (else tiles)")
     p = sub.add_parser("to-mtx", help="export MEX (mtx + features + barcodes)")
     p.add_argument("backend")
     p.add_argument("--output", required=True)
@@ -331,6 +336,14 @@ def run_beans(argv):
         from ..data.builders import from_10x_h5
 
         from_10x_h5(args.h5, args.output)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "from-fragments":
+        from ..data.builders import from_fragments
+
+        from_fragments(
+            args.fragments, args.output,
+            tile_size=args.tile_size, peaks_bed=args.peaks,
+        )
         print(f"wrote backend: {args.output}")
     elif args.cmd == "to-mtx":
         from ..data.builders import to_mtx

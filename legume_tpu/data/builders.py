@@ -115,6 +115,93 @@ def _read_name_file(path: str) -> list[str]:
         return [line.split("\t")[0].split()[0] for line in f if line.strip()]
 
 
+def from_fragments(
+    fragments_path: str,
+    output: str,
+    *,
+    tile_size: int = 5000,
+    peaks_bed: str | None = None,
+    min_count: int = 1,
+) -> SparseBackend:
+    """ATAC fragments file -> per-cell tile (or peak) counts
+    (`data-beans from-fragments`; coitrees interval overlap role).
+
+    Fragments TSV(.gz): chrom, start, end, barcode[, count]. With
+    `peaks_bed`, counts land in peak intervals (sorted-array overlap);
+    otherwise fixed-size genome tiles.
+    """
+    opener = gzip.open if str(fragments_path).endswith(".gz") else open
+
+    # pass 1: collect barcodes + chrom extents (or peaks)
+    peaks: dict[str, np.ndarray] | None = None
+    peak_names: list[str] = []
+    if peaks_bed:
+        by_chrom: dict[str, list] = {}
+        with (gzip.open if peaks_bed.endswith(".gz") else open)(peaks_bed, "rt") as f:
+            for line in f:
+                p = line.split()
+                if len(p) >= 3:
+                    by_chrom.setdefault(p[0], []).append((int(p[1]), int(p[2])))
+        peaks = {}
+        for c in sorted(by_chrom):
+            iv = np.asarray(sorted(by_chrom[c]))
+            base = len(peak_names)
+            peaks[c] = np.column_stack(
+                [iv[:, 0], iv[:, 1], base + np.arange(len(iv))]
+            )
+            peak_names.extend(f"{c}:{s}-{e}" for s, e in iv)
+
+    barcodes: dict[str, int] = {}
+    tiles: dict[tuple, int] = {}
+    rows, cols, vals = [], [], []
+    tile_names: list[str] = []
+    with opener(fragments_path, "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            p = line.split()
+            if len(p) < 4:
+                continue
+            chrom, start, end, bc = p[0], int(p[1]), int(p[2]), p[3]
+            cnt = int(p[4]) if len(p) > 4 else 1
+            cb = barcodes.setdefault(bc, len(barcodes))
+            mid = (start + end) // 2
+            if peaks is not None:
+                iv = peaks.get(chrom)
+                if iv is None:
+                    continue
+                j = np.searchsorted(iv[:, 0], mid, side="right") - 1
+                if j < 0 or mid >= iv[j, 1]:
+                    continue
+                rid = int(iv[j, 2])
+            else:
+                key = (chrom, mid // tile_size)
+                if key not in tiles:
+                    tiles[key] = len(tiles)
+                    tile_names.append(
+                        f"{chrom}:{key[1] * tile_size}-{(key[1] + 1) * tile_size}"
+                    )
+                rid = tiles[key]
+            rows.append(rid)
+            cols.append(cb)
+            vals.append(cnt)
+
+    names = peak_names if peaks is not None else tile_names
+    csc = sp.coo_matrix(
+        (np.asarray(vals, np.float32), (np.asarray(rows), np.asarray(cols))),
+        shape=(len(names), len(barcodes)),
+    ).tocsc()
+    if min_count > 1:
+        csc.data[csc.data < min_count] = 0
+        csc.eliminate_zeros()
+    log.info(
+        "from-fragments: %d %s x %d cells, nnz=%d",
+        len(names), "peaks" if peaks is not None else "tiles",
+        len(barcodes), csc.nnz,
+    )
+    return create_sparse_from_csc(csc, output, names, list(barcodes))
+
+
 def to_mtx(backend_path: str, out_prefix: str):
     """MEX export: matrix.mtx.gz + features.tsv.gz + barcodes.tsv.gz
     (`data-beans to-mtx`)."""

@@ -209,6 +209,15 @@ def nb_llik(y, eta, log_phi=0.0):
     )
 
 
+def vmf_llik(y, eta, kappa=10.0):
+    """von Mises-Fisher likelihood on unit-normalized responses
+    (sgvb/likelihood/vmf.rs): log p ~ kappa * <y_unit, eta_unit>,
+    constants dropped (kappa fixed)."""
+    y_unit = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-8)
+    eta_unit = eta / jnp.maximum(jnp.linalg.norm(eta, axis=-1, keepdims=True), 1e-8)
+    return kappa * jnp.sum(y_unit[None] * eta_unit, axis=(1, 2))
+
+
 @dataclass
 class RssDesign:
     """Eigenspace RSS design (likelihood/rss.rs): fit a fixed-variance

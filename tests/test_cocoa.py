@@ -111,3 +111,17 @@ def test_collider_fix_removes_group_shift():
 def test_z_to_pvalue():
     np.testing.assert_allclose(z_to_pvalue(np.asarray([0.0])), 1.0)
     np.testing.assert_allclose(z_to_pvalue(np.asarray([1.96])), 0.05, atol=5e-3)
+
+
+def test_collider_sim_has_collider_structure():
+    from legume_tpu.cocoa.sim import simulate_collider
+
+    sim = simulate_collider(n_genes=60, n_indv=12, cells_per_indv=40, seed=2)
+    assert sim.counts.shape == (60, 480)
+    assert sim.cell_type.max() < 3
+    # exposure shifts cell-type composition (the X -> A edge)
+    comp = np.zeros((2, 3))
+    for xval in (0, 1):
+        cells = sim.exposure[sim.cell_indv] == xval
+        comp[xval] = np.bincount(sim.cell_type[cells], minlength=3) / max(cells.sum(), 1)
+    assert np.abs(comp[1] - comp[0]).max() > 0.05
