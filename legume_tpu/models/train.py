@@ -307,13 +307,22 @@ class MixedTrainer:
     # -- driver ----------------------------------------------------------
 
     def train(
-        self, level_data: Sequence[LevelData], key: jax.Array | None = None
+        self,
+        level_data: Sequence[LevelData],
+        key: jax.Array | None = None,
+        *,
+        init_params: dict | None = None,
     ) -> tuple[dict, dict, TrainScores]:
         cfg = self.config
         if key is None:
             key = jax.random.key(cfg.seed)
         k_init, key = jax.random.split(key)
         params, batch_stats, opt_state = self.init(level_data, k_init)
+        if init_params is not None:
+            # warm start: overlay matching entries (shape-checked by
+            # tree structure), fresh optimizer state
+            params = jax.tree.map(lambda w: jnp.asarray(w), {**params, **init_params})
+            opt_state = self.optimizer.init(params)
 
         padded = [_pad_level(lvl, cfg.minibatch_size) for lvl in level_data]
         scores = TrainScores()

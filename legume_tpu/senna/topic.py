@@ -70,6 +70,7 @@ class TopicArgs:
     iter_opt: int = 30
     ignore_batch: bool = False
     block_size: int = 8192
+    init_from: Optional[str] = None  # warm start from a prior run's prefix
     seed: int = DEFAULT_PROJECTION_SEED
 
 
@@ -238,7 +239,26 @@ def fit_topic_model(args: TopicArgs) -> dict:
         seed=args.seed & 0x7FFFFFFF,
     )
     trainer = MixedTrainer(encoder, decoders, cfg)
-    variables, _, scores = trainer.train(level_data, key)
+
+    if args.init_from:
+        # warm start: strict architecture check before loading
+        # (topic/warm_start.rs:18-40)
+        meta, warm_vars, warm_genes = load_model(args.init_from)
+        if (
+            meta["n_topics"] != args.n_latent_topics
+            or meta["n_features"] != d
+            or list(meta["encoder_layers"]) != list(args.encoder_layers)
+        ):
+            raise ValueError(
+                "init-from architecture mismatch: "
+                f"{meta} vs K={args.n_latent_topics}, D={d}, layers={args.encoder_layers}"
+            )
+        variables, _, scores = trainer.train(
+            level_data, key, init_params=warm_vars["params"]
+        )
+        log.info("warm start from %s applied", args.init_from)
+    else:
+        variables, _, scores = trainer.train(level_data, key)
 
     # ---- outputs -------------------------------------------------------
     finest = levels.collapsed[0]

@@ -191,3 +191,31 @@ def test_densify_block_roundtrip():
         )
     )
     np.testing.assert_allclose(dense, np.asarray(m.todense()).T, rtol=1e-5)
+
+
+def test_feature_coarsening_roundtrip():
+    from legume_tpu.ops.feature_coarsening import compute_feature_coarsening
+
+    rng = np.random.default_rng(0)
+    d, s = 200, 30
+    # feature blocks with distinct profiles
+    base = rng.gamma(2, 1, size=(10, s))
+    profile = base[np.arange(d) % 10] * rng.uniform(0.8, 1.2, (d, s))
+    fc = compute_feature_coarsening(profile, 32, seed=1)
+    assert fc.num_coarse <= 64
+    assert fc.fine_to_coarse.shape == (d,)
+
+    data_nd = rng.poisson(2.0, size=(7, d)).astype(np.float32)
+    agg = fc.aggregate_columns_nd(data_nd)
+    assert agg.shape == (7, fc.num_coarse)
+    np.testing.assert_allclose(agg.sum(1), data_nd.sum(1), rtol=1e-5)
+
+    ds = rng.random((d, 5)).astype(np.float32)
+    agg_rows = fc.aggregate_rows_ds(ds)
+    np.testing.assert_allclose(agg_rows.sum(0), ds.sum(0), rtol=1e-5)
+
+    log_dict = np.log(rng.dirichlet(np.ones(fc.num_coarse), size=3).T + 1e-12)
+    expanded = fc.expand_log_dict_dk(log_dict)
+    assert expanded.shape == (d, 3)
+    # expanded dictionary still normalizes over fine features
+    np.testing.assert_allclose(np.exp(expanded).sum(0), 1.0, rtol=1e-4)

@@ -83,3 +83,29 @@ def test_topic_end_to_end(sim_backend):
     assert meta["n_topics"] == 3
     assert len(genes) == 120
     assert "encoder" in variables["params"]
+
+
+def test_topic_warm_start(sim_backend):
+    """--init-from resumes from a saved model with strict architecture
+    checks (topic/warm_start.rs:18-40)."""
+    sim, path, tmp = sim_backend
+    out1 = str(tmp / "warm_base")
+    args = TopicArgs(
+        data_files=[path], out=out1, n_latent_topics=3,
+        encoder_layers=(32, 16), epochs=5, minibatch_size=64,
+        decoder="multinomial", proj_dim=16, sort_dim=6, num_levels=1,
+        iter_opt=5, block_size=256,
+    )
+    fit_topic_model(args)
+
+    # warm start resumes fine
+    import dataclasses
+
+    args2 = dataclasses.replace(args, out=str(tmp / "warm_next"), init_from=out1, epochs=3)
+    res = fit_topic_model(args2)
+    assert np.all(np.isfinite(res["scores"].llik))
+
+    # architecture mismatch is rejected
+    args3 = dataclasses.replace(args2, n_latent_topics=4, out=str(tmp / "warm_bad"))
+    with pytest.raises(ValueError, match="mismatch"):
+        fit_topic_model(args3)
