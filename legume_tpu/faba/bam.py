@@ -54,6 +54,12 @@ def _load():
             *(np.ctypeslib.ndpointer(dt, flags="C_CONTIGUOUS") for dt in
               (np.int32, np.int32, np.int32, np.uint16, np.uint8, np.int64, np.int64)),
         ]
+        lib.bam_take_mismatches.restype = ctypes.c_long
+        lib.bam_take_mismatches.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            *(np.ctypeslib.ndpointer(dt, flags="C_CONTIGUOUS") for dt in
+              (np.int32, np.int32, np.uint8, np.uint8, np.int64, np.int64)),
+        ]
         lib.bam_num_barcodes.restype = ctypes.c_long
         lib.bam_num_barcodes.argtypes = [ctypes.c_void_p]
         lib.bam_barcode.restype = ctypes.c_char_p
@@ -76,6 +82,13 @@ class BamRecords:
     umi_id: np.ndarray  # int64 interned UMI (-1 = none)
     ref_names: list[str]
     barcodes: list[str]
+    # reference mismatches from MD tags (dartseq/editing paths)
+    mm_ref_id: np.ndarray | None = None
+    mm_pos: np.ndarray | None = None
+    mm_ref_base: np.ndarray | None = None  # ASCII codes
+    mm_read_base: np.ndarray | None = None
+    mm_cb_id: np.ndarray | None = None
+    mm_umi_id: np.ndarray | None = None
 
 
 def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
@@ -107,12 +120,32 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
             cols["mapq"].append(mapq[:n].copy())
             cols["cb"].append(cb[:n].copy())
             cols["umi"].append(umi[:n].copy())
+        mms = {k: [] for k in ("rid", "pos", "rb", "ab", "cb", "umi")}
+        while True:
+            rid = np.empty(chunk, np.int32)
+            pos = np.empty(chunk, np.int32)
+            rb = np.empty(chunk, np.uint8)
+            ab = np.empty(chunk, np.uint8)
+            cb = np.empty(chunk, np.int64)
+            umi = np.empty(chunk, np.int64)
+            nm = lib.bam_take_mismatches(h, chunk, rid, pos, rb, ab, cb, umi)
+            if nm == 0:
+                break
+            mms["rid"].append(rid[:nm].copy())
+            mms["pos"].append(pos[:nm].copy())
+            mms["rb"].append(rb[:nm].copy())
+            mms["ab"].append(ab[:nm].copy())
+            mms["cb"].append(cb[:nm].copy())
+            mms["umi"].append(umi[:nm].copy())
         barcodes = [lib.bam_barcode(h, i).decode() for i in range(lib.bam_num_barcodes(h))]
     finally:
         lib.bam_close(h)
 
     cat = lambda k: (
         np.concatenate(cols[k]) if cols[k] else np.zeros(0, np.int32)
+    )
+    catm = lambda k, dt: (
+        np.concatenate(mms[k]).astype(dt) if mms[k] else np.zeros(0, dt)
     )
     return BamRecords(
         ref_id=cat("ref_id"),
@@ -124,6 +157,12 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
         umi_id=cat("umi").astype(np.int64),
         ref_names=refs,
         barcodes=barcodes,
+        mm_ref_id=catm("rid", np.int32),
+        mm_pos=catm("pos", np.int32),
+        mm_ref_base=catm("rb", np.uint8),
+        mm_read_base=catm("ab", np.uint8),
+        mm_cb_id=catm("cb", np.int64),
+        mm_umi_id=catm("umi", np.int64),
     )
 
 
@@ -185,6 +224,8 @@ def write_bam(
             tags += b"CBZ" + r["cb"].encode() + b"\x00"
         if "ub" in r:
             tags += b"UBZ" + r["ub"].encode() + b"\x00"
+        if "md" in r:
+            tags += b"MDZ" + r["md"].encode() + b"\x00"
         rec = struct.pack(
             "<iiBBHHHiiii",
             r["ref_id"],

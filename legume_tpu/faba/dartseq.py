@@ -1,0 +1,157 @@
+"""`faba dartseq` — m6A site discovery from DART-seq C->T conversions
+(`faba/src/m6a/run.rs:608` pipeline; SURVEY.md section 3.5).
+
+WT (APOBEC1-YTH) vs control (APOBEC1-only) contrast:
+1. per-site alt (C->T on +, G->A on -) and ref coverage from the
+   native BAM mismatch stream ((cell, UMI) dedup, `DnaBaseFreqMap`
+   parity);
+2. site tests: single-sample beta-binomial in WT + one-sided Fisher
+   against control (NOT BH — reads are shared across sites,
+   SURVEY.md section 3.5 note);
+3. per-cell quantification at called sites -> sparse backend with the
+   faba `gene/modality` row-name convention.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+from .bam import read_bam
+from .site_tests import contrast_sites
+
+log = logging.getLogger(__name__)
+
+C, T, G, A = (ord(x) for x in "CTGA")
+
+
+@dataclass
+class SiteTable:
+    ref_id: np.ndarray
+    pos: np.ndarray
+    alt: np.ndarray  # converted reads (deduped)
+    cov: np.ndarray  # total reads covering (deduped)
+
+
+def _dedup(keys: list[np.ndarray]) -> np.ndarray:
+    """Indices of unique rows across parallel key arrays."""
+    stack = np.stack(keys)
+    _, first = np.unique(stack, axis=1, return_index=True)
+    return first
+
+
+def conversion_counts(
+    recs, *, ref_base: int = C, alt_base: int = T, min_mapq: int = 20
+) -> tuple[SiteTable, dict]:
+    """Per-site converted/coverage counts with (cell, UMI, site) dedup."""
+    mm_keep = (recs.mm_ref_base == ref_base) & (recs.mm_read_base == alt_base)
+    rid = recs.mm_ref_id[mm_keep]
+    pos = recs.mm_pos[mm_keep]
+    cb = recs.mm_cb_id[mm_keep]
+    umi = recs.mm_umi_id[mm_keep]
+    if len(rid):
+        first = _dedup([rid, pos, cb, umi])
+        rid, pos, cb, umi = rid[first], pos[first], cb[first], umi[first]
+
+    # site registry from observed conversions
+    site_keys, site_inv = np.unique(np.stack([rid, pos]), axis=1, return_inverse=True)
+    n_sites = site_keys.shape[1]
+    alt = np.bincount(site_inv, minlength=n_sites).astype(np.float64)
+
+    # coverage: deduped reads overlapping each site
+    keep = (recs.mapq >= min_mapq) & ((recs.flag & 0x904) == 0)
+    r_rid = recs.ref_id[keep]
+    r_pos = recs.pos[keep]
+    r_end = recs.end_pos[keep]
+    r_cb = recs.cb_id[keep]
+    r_umi = recs.umi_id[keep]
+    if len(r_rid):
+        first = _dedup([r_rid, r_pos, r_cb, r_umi])
+        r_rid, r_pos, r_end = r_rid[first], r_pos[first], r_end[first]
+    cov = np.zeros(n_sites, np.float64)
+    for s in range(n_sites):
+        srid, spos = site_keys[0, s], site_keys[1, s]
+        cov[s] = np.sum((r_rid == srid) & (r_pos <= spos) & (spos < r_end))
+
+    table = SiteTable(ref_id=site_keys[0], pos=site_keys[1], alt=alt, cov=cov)
+    per_cell = {"rid": rid, "pos": pos, "cb": cb}
+    return table, per_cell
+
+
+@dataclass
+class DartseqResult:
+    sites: "np.ndarray"  # [S, 2] (ref_id, pos) of called sites
+    stats: dict
+    cell_counts: sp.csc_matrix  # [S, n_cells] per-cell conversions at called sites
+    site_names: list
+    barcodes: list
+
+
+def run_dartseq(
+    wt_bam: str,
+    control_bam: str,
+    *,
+    eps: float = 0.01,
+    rho: float = 0.05,
+    max_p: float = 0.05,
+    min_alt: int = 3,
+) -> DartseqResult:
+    wt = read_bam(wt_bam)
+    ctrl = read_bam(control_bam)
+    wt_tab, wt_cells = conversion_counts(wt)
+    ct_tab, _ = conversion_counts(ctrl)
+
+    # align control counts onto WT sites
+    ct_map = {
+        (int(r), int(p)): i
+        for i, (r, p) in enumerate(zip(ct_tab.ref_id, ct_tab.pos))
+    }
+    alt_c = np.zeros(len(wt_tab.pos))
+    cov_c = np.zeros(len(wt_tab.pos))
+    for i, (r, p) in enumerate(zip(wt_tab.ref_id, wt_tab.pos)):
+        j = ct_map.get((int(r), int(p)))
+        if j is not None:
+            alt_c[i] = ct_tab.alt[j]
+            cov_c[i] = ct_tab.cov[j]
+
+    stats = contrast_sites(
+        wt_tab.alt, np.maximum(wt_tab.cov - wt_tab.alt, 0),
+        alt_c, np.maximum(cov_c - alt_c, 0), eps=eps, rho=rho,
+    )
+    called = (
+        (stats["pvalue_betabinom"] < max_p)
+        & (stats["pvalue_fisher"] < max_p)
+        & (wt_tab.alt >= min_alt)
+    )
+    log.info("dartseq: %d candidate sites -> %d called", len(called), called.sum())
+
+    # per-cell quantification at called sites
+    called_idx = np.nonzero(called)[0]
+    site_lut = {
+        (int(wt_tab.ref_id[s]), int(wt_tab.pos[s])): i for i, s in enumerate(called_idx)
+    }
+    rows, cols = [], []
+    for r, p, cb in zip(wt_cells["rid"], wt_cells["pos"], wt_cells["cb"]):
+        s = site_lut.get((int(r), int(p)))
+        if s is not None and cb >= 0:
+            rows.append(s)
+            cols.append(cb)
+    counts = sp.coo_matrix(
+        (np.ones(len(rows), np.float32), (rows, cols)),
+        shape=(len(called_idx), len(wt.barcodes)),
+    ).tocsc()
+
+    site_names = [
+        f"{wt.ref_names[wt_tab.ref_id[s]]}:{wt_tab.pos[s]}/m6a/CT"
+        for s in called_idx
+    ]  # gene/modality/channel convention (faba feature_name.rs)
+    return DartseqResult(
+        sites=np.stack([wt_tab.ref_id[called_idx], wt_tab.pos[called_idx]], 1),
+        stats={k: v[called_idx] for k, v in stats.items()},
+        cell_counts=counts,
+        site_names=site_names,
+        barcodes=wt.barcodes,
+    )

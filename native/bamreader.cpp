@@ -114,6 +114,16 @@ struct Interner {
     }
 };
 
+// One reference-mismatch observation (from MD tag + SEQ).
+struct Mismatch {
+    int32_t ref_id;
+    int32_t pos;       // 0-based reference position
+    char ref_base;
+    char read_base;
+    int64_t cb_id;
+    int64_t umi_id;
+};
+
 struct BamFile {
     BgzfReader bg;
     std::vector<std::string> ref_names;
@@ -121,6 +131,7 @@ struct BamFile {
     Interner cb;   // cell barcodes
     Interner umi;  // UMIs
     std::vector<uint8_t> rec;  // scratch record buffer
+    std::vector<Mismatch> mismatches;  // drained by bam_take_mismatches
 
     bool open(const char* path) {
         if (!bg.open(path)) return false;
@@ -184,6 +195,61 @@ bool find_z_tag(const uint8_t* p, const uint8_t* end, const char key[2], std::st
     return false;
 }
 
+constexpr char SEQ_CHARS[] = "=ACMGRSVTWYHKDBN";
+
+// Walk CIGAR + MD to emit reference mismatches (SAM optional-field
+// spec: MD is the reference-base trace over aligned/deleted bases).
+// `seq4` is the 4-bit packed SEQ. Only M/=/X ops consume both axes;
+// insertions/clips consume the read, deletions consume MD's ^-runs.
+void extract_mismatches(BamFile* b, int32_t rid, int32_t pos, const uint8_t* cigar,
+                        int n_cigar, const uint8_t* seq4, const std::string& md,
+                        int64_t cb_id, int64_t umi_id) {
+    // read offset of each aligned (reference-consuming) base, in order
+    std::vector<int32_t> aligned_read_off;
+    int32_t roff = 0;
+    for (int c = 0; c < n_cigar; c++) {
+        uint32_t op;
+        std::memcpy(&op, cigar + 4 * c, 4);
+        uint32_t len = op >> 4;
+        switch (op & 0xf) {
+            case 0: case 7: case 8:  // M = X
+                for (uint32_t i = 0; i < len; i++) aligned_read_off.push_back(roff + i);
+                roff += len;
+                break;
+            case 1: case 4: roff += len; break;  // I S consume read only
+            default: break;                      // D N H P
+        }
+    }
+    // MD walk: numbers = matches, letters = mismatches, ^ACGT = deletion
+    size_t i = 0;
+    size_t ai = 0;  // index into aligned_read_off
+    int32_t ref_cursor = 0;  // aligned-base counter (ref positions via pos+ai? no: deletions advance ref but not aligned)
+    // Track the reference coordinate separately: aligned base ai sits at
+    // reference position = pos + (aligned bases consumed) + (deleted bases so far)
+    int32_t deleted = 0;
+    while (i < md.size()) {
+        if (std::isdigit((unsigned char)md[i])) {
+            int32_t n = 0;
+            while (i < md.size() && std::isdigit((unsigned char)md[i]))
+                n = n * 10 + (md[i++] - '0');
+            ai += n;
+        } else if (md[i] == '^') {
+            i++;
+            while (i < md.size() && std::isalpha((unsigned char)md[i])) { i++; deleted++; }
+        } else {
+            char ref_base = md[i++];
+            if (ai < aligned_read_off.size()) {
+                int32_t ro = aligned_read_off[ai];
+                uint8_t code = (ro % 2 == 0) ? (seq4[ro / 2] >> 4) : (seq4[ro / 2] & 0xf);
+                char read_base = SEQ_CHARS[code];
+                b->mismatches.push_back(Mismatch{
+                    rid, pos + (int32_t)ai + deleted, ref_base, read_base, cb_id, umi_id});
+            }
+            ai++;
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -236,12 +302,15 @@ long bam_next_chunk(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* e
                 default: break;
             }
         }
+        const uint8_t* seq4 = cigar + 4 * n_cigar;
         const uint8_t* tags = cigar + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
         const uint8_t* end = b->rec.data() + block_size;
-        std::string cbv, umiv;
+        std::string cbv, umiv, mdv;
         int64_t cbi = -1, umii = -1;
         if (find_z_tag(tags, end, "CB", &cbv)) cbi = b->cb.intern(cbv);
         if (find_z_tag(tags, end, "UB", &umiv)) umii = b->umi.intern(umiv);
+        if (find_z_tag(tags, end, "MD", &mdv) && !mdv.empty())
+            extract_mismatches(b, rid, rpos, cigar, n_cigar, seq4, mdv, cbi, umii);
         ref_id[n] = rid;
         pos[n] = rpos;
         end_pos[n] = rpos + span;
@@ -251,6 +320,26 @@ long bam_next_chunk(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* e
         umi_id[n] = umii;
         n++;
     }
+    return n;
+}
+
+// Drain up to `cap` accumulated mismatches into parallel arrays;
+// returns the count. ref/read bases as ASCII codes.
+long bam_take_mismatches(void* h, long cap, int32_t* ref_id, int32_t* pos,
+                         uint8_t* ref_base, uint8_t* read_base,
+                         int64_t* cb_id, int64_t* umi_id) {
+    auto* b = (BamFile*)h;
+    long n = (long)std::min<size_t>(cap, b->mismatches.size());
+    for (long i = 0; i < n; i++) {
+        const Mismatch& m = b->mismatches[i];
+        ref_id[i] = m.ref_id;
+        pos[i] = m.pos;
+        ref_base[i] = (uint8_t)m.ref_base;
+        read_base[i] = (uint8_t)m.read_base;
+        cb_id[i] = m.cb_id;
+        umi_id[i] = m.umi_id;
+    }
+    b->mismatches.erase(b->mismatches.begin(), b->mismatches.begin() + n);
     return n;
 }
 

@@ -1,0 +1,69 @@
+"""faba dartseq: C->T site calling end-to-end on synthetic BAMs
+(m6a pipeline parity, SURVEY.md section 3.5)."""
+
+import numpy as np
+import pytest
+
+from legume_tpu.faba.bam import read_bam, write_bam
+from legume_tpu.faba.dartseq import run_dartseq
+
+
+def _reads_for_site(name_prefix, pos, n_conv, n_ref, cells, rng, read_len=40, site_off=10):
+    """Reads covering a site at `pos + site_off` with/without C->T."""
+    reads = []
+    for i in range(n_conv + n_ref):
+        conv = i < n_conv
+        # MD: site_off matches, then mismatch C (ref) read T, then rest
+        md = f"{site_off}C{read_len - site_off - 1}" if conv else f"{read_len}"
+        seq = list("A" * read_len)
+        seq[site_off] = "T" if conv else "C"
+        reads.append(
+            dict(
+                name=f"{name_prefix}{i}", ref_id=0, pos=pos, seq="".join(seq),
+                cigar=f"{read_len}M", cb=cells[i % len(cells)], ub=f"u{name_prefix}{i}",
+                md=md,
+            )
+        )
+    return reads
+
+
+@pytest.fixture(scope="module")
+def dartseq_bams(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dart")
+    rng = np.random.default_rng(0)
+    cells = ["cellA", "cellB", "cellC"]
+
+    # WT: strong conversion at site 110 (pos 100 + 10), noise at 510
+    wt = []
+    wt += _reads_for_site("s1_", 100, n_conv=12, n_ref=8, cells=cells, rng=rng)
+    wt += _reads_for_site("s2_", 500, n_conv=1, n_ref=25, cells=cells, rng=rng)
+    # control: background only at both sites
+    ct = []
+    ct += _reads_for_site("c1_", 100, n_conv=1, n_ref=20, cells=cells, rng=rng)
+    ct += _reads_for_site("c2_", 500, n_conv=1, n_ref=24, cells=cells, rng=rng)
+
+    wt_path, ct_path = str(tmp / "wt.bam"), str(tmp / "ct.bam")
+    write_bam(wt_path, [("chr1", 10000)], wt)
+    write_bam(ct_path, [("chr1", 10000)], ct)
+    return wt_path, ct_path
+
+
+def test_mismatch_extraction(dartseq_bams):
+    wt_path, _ = dartseq_bams
+    recs = read_bam(wt_path)
+    assert recs.mm_pos is not None and len(recs.mm_pos) == 13  # 12 + 1 noise
+    assert np.all(recs.mm_ref_base == ord("C"))
+    assert np.all(recs.mm_read_base == ord("T"))
+    assert set(recs.mm_pos.tolist()) == {110, 510}
+
+
+def test_dartseq_calls_true_site(dartseq_bams):
+    wt_path, ct_path = dartseq_bams
+    res = run_dartseq(wt_path, ct_path, max_p=0.05, min_alt=3)
+    # only the strong site survives
+    assert res.sites.shape[0] == 1
+    assert res.sites[0, 1] == 110
+    assert res.site_names[0].startswith("chr1:110/m6a")
+    # per-cell counts sum to the 12 deduped conversions
+    assert res.cell_counts.sum() == 12
+    assert res.cell_counts.shape[1] == 3
