@@ -24,6 +24,45 @@ import scipy.sparse as sp
 from .sparse_io import SparseBackend
 
 
+def read_data_on_shared_rows(backends, *, mode: str = "union") -> "SparseIoVec":
+    """Stack backends whose feature rows differ, aligning on the union
+    (or intersection) of row names
+    (`auxiliary-data/src/data_loading.rs:95` equivalent). Backends are
+    wrapped in row-remapping views; missing features read as zeros."""
+    from .sparse_io import MemoryBackend
+
+    all_names = [b.row_names() for b in backends]
+    if mode == "union":
+        shared: list[str] = []
+        seen = set()
+        for names in all_names:
+            for nm in names:
+                if nm not in seen:
+                    seen.add(nm)
+                    shared.append(nm)
+    else:
+        inter = set(all_names[0])
+        for names in all_names[1:]:
+            inter &= set(names)
+        shared = [nm for nm in all_names[0] if nm in inter]
+
+    pos = {nm: i for i, nm in enumerate(shared)}
+    vec = SparseIoVec()
+    import scipy.sparse as _sp
+
+    for b, names in zip(backends, all_names):
+        csc = b.read_columns_csc(np.arange(b.num_columns)).tocoo()
+        keep = np.asarray([names[i] in pos for i in range(len(names))])
+        row_map = np.asarray([pos.get(nm, -1) for nm in names], dtype=np.int64)
+        ok = keep[csc.row]
+        remapped = _sp.coo_matrix(
+            (csc.data[ok], (row_map[csc.row[ok]], csc.col[ok])),
+            shape=(len(shared), b.num_columns),
+        ).tocsc()
+        vec.push(MemoryBackend(remapped, shared, b.column_names()))
+    return vec
+
+
 class SparseIoVec:
     def __init__(self):
         self._backends: list[SparseBackend] = []
