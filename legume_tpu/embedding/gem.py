@@ -1,0 +1,117 @@
+"""gem — geodesic embedding + motion: joint spliced/unspliced NCE with
+a velocity shift (`faba/src/gem/` + graph-embedding-util beta-sharing
+equivalents; `gem/mod.rs:1-13`).
+
+Model: spliced counts score against feature embeddings beta; unspliced
+counts score against beta + delta (the velocity offset — a per-gene
+displacement in embedding space, `factored_feat_rows` beta-sharing).
+Both tracks share the cell/pb side. Fitted with the same exact
+expected-NCE objective as bge; per-gene velocity magnitude =
+||delta_g||, and per-cell RNA velocity = the expected displacement of
+the cell under its unspliced loadings:
+
+    v_cell = sum_g w_g(cell) * delta_g,   w ~ unspliced share
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.losses import log_sigmoid
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class GemResult:
+    e_feat: np.ndarray  # [D, H] beta
+    delta: np.ndarray  # [D, H] velocity offsets
+    b_feat_s: np.ndarray
+    b_feat_u: np.ndarray
+    pb_e: np.ndarray  # [P, H]
+    pb_b: np.ndarray
+    losses: list = field(default_factory=list)
+
+    def cell_velocity(self, unspliced_nd: np.ndarray) -> np.ndarray:
+        w = unspliced_nd / np.maximum(unspliced_nd.sum(1, keepdims=True), 1e-9)
+        return w @ self.delta
+
+
+def fit_gem(
+    spliced_pd: np.ndarray,  # [P, D] pseudobulk spliced counts
+    unspliced_pd: np.ndarray,  # [P, D] pseudobulk unspliced counts
+    *,
+    embedding_dim: int = 16,
+    epochs: int = 800,
+    learning_rate: float = 0.02,
+    n_negatives: float = 5.0,
+    neg_alpha: float = 0.75,
+    delta_l2: float = 0.01,
+    seed: int = 0,
+) -> GemResult:
+    p, d = spliced_pd.shape
+    key = jax.random.key(seed)
+    k1, k2 = jax.random.split(key)
+
+    params = {
+        "beta": 0.1 * jax.random.normal(k1, (d, embedding_dim)),
+        "delta": jnp.zeros((d, embedding_dim)),
+        "b_s": jnp.zeros(d),
+        "b_u": jnp.zeros(d),
+        "pb_e": 0.1 * jax.random.normal(k2, (p, embedding_dim)),
+        "pb_b": jnp.zeros(p),
+    }
+
+    def neg_q(c):
+        q = c.sum(0) ** neg_alpha
+        return jnp.asarray((q / max(q.sum(), 1e-30)).astype(np.float32))
+
+    s_j = jnp.asarray(spliced_pd, jnp.float32)
+    u_j = jnp.asarray(unspliced_pd, jnp.float32)
+    q_s, q_u = neg_q(spliced_pd), neg_q(unspliced_pd)
+    m_s, m_u = s_j.sum(1), u_j.sum(1)
+
+    def track_loss(counts, q, m, feat, bias, pb_e, pb_b):
+        scores = pb_e @ feat.T + bias[None, :] + pb_b[:, None]
+        pos = counts * log_sigmoid(scores)
+        neg = (n_negatives * m[:, None] * q[None, :]) * log_sigmoid(-scores)
+        return -(pos.sum() + neg.sum()) / jnp.maximum(counts.sum(), 1.0)
+
+    def loss_fn(pr):
+        ls = track_loss(s_j, q_s, m_s, pr["beta"], pr["b_s"], pr["pb_e"], pr["pb_b"])
+        lu = track_loss(
+            u_j, q_u, m_u, pr["beta"] + pr["delta"], pr["b_u"], pr["pb_e"], pr["pb_b"]
+        )
+        reg = delta_l2 * jnp.mean(jnp.sum(pr["delta"] ** 2, axis=1))
+        return ls + lu + reg
+
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(epochs):
+        params, opt_state, loss = step(params, opt_state)
+        if i % 50 == 0:
+            losses.append(float(loss))
+
+    return GemResult(
+        e_feat=np.asarray(params["beta"]),
+        delta=np.asarray(params["delta"]),
+        b_feat_s=np.asarray(params["b_s"]),
+        b_feat_u=np.asarray(params["b_u"]),
+        pb_e=np.asarray(params["pb_e"]),
+        pb_b=np.asarray(params["pb_b"]),
+        losses=losses,
+    )

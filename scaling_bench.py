@@ -1,0 +1,93 @@
+"""Scaling measurement: the full senna-topic pipeline at larger N
+(not the driver headline — run manually; results recorded in
+docs/BENCH_NOTES.md). Prints one JSON line with stage timings and
+end-to-end cells/s."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(n_cells=100_000, n_genes=2_000, epochs=100):
+    import jax
+
+    from legume_tpu.data.sim import simulate_topic
+    from legume_tpu.data.sparse_io import MemoryBackend
+    from legume_tpu.models.decoders import NbTopicDecoder
+    from legume_tpu.models.encoders import LogSoftmaxEncoder
+    from legume_tpu.models.train import LevelData, MixedTrainer, TrainConfig
+    from legume_tpu.ops import collapse as clp
+    from legume_tpu.ops import random_projection as rp
+    from legume_tpu.senna.topic import evaluate_latent_by_encoder
+    from legume_tpu.data import SparseIoVec
+
+    stages = {}
+    t0 = time.time()
+    sim = simulate_topic(rows=n_genes, cols=n_cells, factors=10, batches=1, seed=7)
+    be = MemoryBackend(sim.counts)
+    stages["sim_s"] = round(time.time() - t0, 1)
+
+    t_all = time.time()
+    t0 = time.time()
+    basis, proj = rp.project_columns(be, 50, block_size=16384)
+    stages["projection_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    bits = (proj[:10] > 0).astype(np.int64)
+    codes = (bits * (1 << np.arange(10))[:, None]).sum(axis=0)
+    groups, s = rp.compact_group_codes(codes)
+    stat = clp.collect_basic_stats(be, groups, s, block_size=16384)
+    out = clp.optimize(stat, num_iter=30)
+    jax.block_until_ready(out.mu_observed.a)
+    stages["collapse_s"] = round(time.time() - t0, 1)
+    stages["n_pseudobulks"] = int(s)
+
+    t0 = time.time()
+    key = jax.random.key(0)
+    mixed = np.asarray(out.mu_observed.sample(key)).T.astype(np.float32)
+    enc = LogSoftmaxEncoder(n_topics=10, layers=(128, 1024, 128))
+    dec = NbTopicDecoder(n_features=n_genes, n_topics=10)
+    cfg = TrainConfig(
+        epochs=epochs, minibatch_size=100, learning_rate=0.01,
+        epochs_per_call=min(epochs, 50),
+    )
+    trainer = MixedTrainer(enc, [dec], cfg)
+    variables, _, scores = trainer.train(
+        [LevelData(input=mixed, input_null=None)], jax.random.key(1)
+    )
+    stages["train_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    vec = SparseIoVec()
+    vec.push(be)
+    z = evaluate_latent_by_encoder(
+        vec, trainer, variables, out, groups, block_size=8192
+    )
+    stages["cell_eval_s"] = round(time.time() - t0, 1)
+    total = time.time() - t_all
+
+    print(
+        json.dumps(
+            {
+                "metric": f"senna-topic end-to-end at {n_cells} cells",
+                "cells": n_cells,
+                "genes": n_genes,
+                "epochs": epochs,
+                "total_s": round(total, 1),
+                "cells_per_s_e2e": round(n_cells / total, 1),
+                "final_llik": float(scores.llik[-1]),
+                "latent_finite": bool(np.isfinite(z).all()),
+                "stages": stages,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    main(n_cells=n)

@@ -1,0 +1,35 @@
+"""gem velocity model: genes whose unspliced counts lead a program
+shift must carry velocity offsets pointing toward the target program."""
+
+import numpy as np
+import pytest
+
+from legume_tpu.embedding.gem import fit_gem
+
+
+def test_gem_velocity_recovers_shift():
+    rng = np.random.default_rng(0)
+    p, d = 60, 100
+    # two programs; spliced expression splits pb's between them
+    prog = np.arange(p) % 2
+    beta_true = np.full((2, d), 0.2)
+    beta_true[0, :50] = 3.0
+    beta_true[1, 50:] = 3.0
+    spliced = rng.poisson(beta_true[prog] * 20).astype(np.float32)
+    # unspliced: program-0 pseudobulks are TRANSITIONING to program 1 —
+    # their unspliced counts already look like program 1 for genes 50+
+    un_true = beta_true[prog].copy()
+    un_true[prog == 0, 50:] = 2.0  # leading indicator
+    unspliced = rng.poisson(un_true * 8).astype(np.float32)
+
+    res = fit_gem(spliced, unspliced, embedding_dim=8, epochs=600, seed=1)
+    assert res.losses[-1] < res.losses[0]
+    assert np.all(np.isfinite(res.delta))
+    # genes 50+ (future program) should carry larger velocity offsets
+    mag = np.linalg.norm(res.delta, axis=1)
+    assert mag[50:].mean() > 1.3 * mag[:50].mean(), (mag[:50].mean(), mag[50:].mean())
+
+    # per-cell velocity from unspliced loadings is finite and nonzero
+    v = res.cell_velocity(unspliced)
+    assert v.shape == (p, 8)
+    assert np.linalg.norm(v, axis=1).mean() > 0
