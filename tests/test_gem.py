@@ -33,3 +33,25 @@ def test_gem_velocity_recovers_shift():
     v = res.cell_velocity(unspliced)
     assert v.shape == (p, 8)
     assert np.linalg.norm(v, axis=1).mean() > 0
+
+
+def test_resolve_embedding_spaces():
+    """Procrustes resolution: a rotated/scaled copy of a run must map
+    back onto the reference (resolve-embedding-space)."""
+    from legume_tpu.embedding.resolve import resolve_embedding_spaces
+
+    rng = np.random.default_rng(2)
+    d, h = 50, 6
+    names = [f"g{i}" for i in range(d)]
+    e_ref = rng.normal(size=(d, h))
+    # a rotated + scaled + shifted copy with an extra private feature
+    q, _ = np.linalg.qr(rng.normal(size=(h, h)))
+    e_rot = 2.5 * (e_ref @ q) + 1.0
+    cells = rng.normal(size=(30, h)) @ q * 2.5 + 1.0
+    runs = [
+        {"feat_names": names, "e_feat": e_ref},
+        {"feat_names": names, "e_feat": e_rot, "e_cell": cells},
+    ]
+    out = resolve_embedding_spaces(runs)
+    np.testing.assert_allclose(out[1]["e_feat"], e_ref, atol=0.05)
+    assert out[1]["e_cell"].shape == (30, h)
