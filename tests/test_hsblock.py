@@ -39,3 +39,26 @@ def test_hsblock_no_split_on_random_graph():
     res = hsblock_clustering(sp.csr_matrix(a), max_depth=3, min_size=20, seed=0)
     # an Erdos-Renyi graph should not shatter into many communities
     assert res.membership.max() + 1 <= 3
+
+
+def test_bhc_merges_same_program_profiles():
+    from legume_tpu.ops.bhc import bhc_cluster
+
+    rng = np.random.default_rng(0)
+    d = 40
+    progs = np.full((3, d), 1.0)
+    progs[0, :13] = 20.0
+    progs[1, 13:26] = 20.0
+    progs[2, 26:] = 20.0
+    # 4 profiles per program
+    profiles = np.concatenate(
+        [rng.poisson(progs[t] * 10, size=(4, d)) for t in range(3)]
+    ).astype(np.float64)
+    res = bhc_cluster(profiles, alpha=0.5)
+    truth = np.repeat(np.arange(3), 4)
+    # same-program profiles merge together
+    acc = 0
+    for c in np.unique(res.labels):
+        acc += np.bincount(truth[res.labels == c]).max()
+    assert acc / 12 > 0.9, (res.labels, truth)
+    assert 2 <= res.n_clusters <= 5
