@@ -29,6 +29,7 @@ class PeakGeneLinks:
     peak: list
     pip: np.ndarray
     effect: np.ndarray
+    knockoff_selected: np.ndarray | None = None  # optional FDR filter mask
 
 
 def peak_to_gene(
@@ -40,6 +41,7 @@ def peak_to_gene(
     L: int = 3,
     lam: float = 0.1,
     num_steps: int = 600,
+    knockoff_fdr: float | None = None,
     seed: int = 0,
 ) -> PeakGeneLinks:
     """Fine-map each gene's expression on its cis peaks."""
@@ -71,9 +73,34 @@ def peak_to_gene(
         pips.append(out["pip"][:, 0])
         effects.append(out["theta_mean"][:, 0])
 
+    pip_all = np.concatenate(pips) if pips else np.zeros(0)
+    eff_all = np.concatenate(effects) if effects else np.zeros(0)
+
+    selected = None
+    if knockoff_fdr is not None and len(eff_all):
+        # GhostKnockoff-style FDR filter (p2g/knockoff.rs role): refit
+        # each gene on [real | knockoff] peaks; W = |beta| - |beta~|
+        from ..ops.knockoff import knockoff_filter, second_order_knockoffs
+
+        xs_k = second_order_knockoffs(xs, seed=seed + 1)
+        w_all = np.zeros(len(eff_all))
+        off = 0
+        for gene, pk in cis_peaks.items():
+            pk = np.asarray(pk)
+            if len(pk) == 0:
+                continue
+            aug = np.concatenate([xs[:, pk], xs_k[:, pk]], axis=1)
+            z_aug = (aug * ys[:, [gene]]).sum(0) / np.sqrt(n)
+            # marginal |z| contrast is the GhostKnockoff statistic
+            w = np.abs(z_aug[: len(pk)]) - np.abs(z_aug[len(pk) :])
+            w_all[off : off + len(pk)] = w
+            off += len(pk)
+        _, selected = knockoff_filter(w_all, fdr=knockoff_fdr)
+
     return PeakGeneLinks(
         gene=genes,
         peak=peaks,
-        pip=np.concatenate(pips) if pips else np.zeros(0),
-        effect=np.concatenate(effects) if effects else np.zeros(0),
+        pip=pip_all,
+        effect=eff_all,
+        knockoff_selected=selected,
     )

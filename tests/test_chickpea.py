@@ -39,3 +39,22 @@ def test_peak_to_gene_recovers_true_peaks(multiome_sim):
         if pk[np.argmax(pip)] == true_peak[gi]:
             hits += 1
     assert hits >= rna.shape[1] - 2, hits  # at least 6/8 genes resolved
+
+
+def test_peak_to_gene_knockoff_filter(multiome_sim):
+    rna, atac, cis, true_peak = multiome_sim
+    links = peak_to_gene(
+        rna, atac, cis, rank=30, L=2, num_steps=300, knockoff_fdr=0.2, seed=2
+    )
+    assert links.knockoff_selected is not None
+    assert links.knockoff_selected.shape == links.pip.shape
+    # the filter keeps a sparse subset enriched for true peaks
+    sel = links.knockoff_selected
+    if sel.any():
+        true_frac_sel = np.mean(
+            [links.peak[i] == true_peak[links.gene[i]] for i in np.nonzero(sel)[0]]
+        )
+        true_frac_all = np.mean(
+            [links.peak[i] == true_peak[links.gene[i]] for i in range(len(sel))]
+        )
+        assert true_frac_sel >= true_frac_all
