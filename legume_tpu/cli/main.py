@@ -82,6 +82,25 @@ def run_senna(argv):
     p.add_argument("--clusters", default=None, help="clusters parquet")
     p.add_argument("--out", required=True, help="output image (.png/.svg/.pdf)")
 
+    p = sub.add_parser("masked-topic", help="indexed top-K masked ETM")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("-k", "--n-latent-topics", type=int, default=10)
+    p.add_argument("--window", type=int, default=128, help="top-K genes per cell")
+    p.add_argument("--embed-dim", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--minibatch-size", type=int, default=256)
+    p.add_argument("--mask-frac", type=float, default=0.15)
+    p.add_argument("--latent", choices=["simplex", "sbp"], default="simplex")
+
+    p = sub.add_parser("bge", help="count-NCE joint embedding")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--embed-dim", "-d", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--sort-dim", type=int, default=8)
+    p.add_argument("--proj-dim", type=int, default=50)
+
     p = sub.add_parser(
         "annotate-by-enrichment", help="marker-panel cluster annotation"
     )
@@ -92,6 +111,90 @@ def run_senna(argv):
 
     args = ap.parse_args(argv)
 
+    if args.cmd == "masked-topic":
+        import pandas as pd
+
+        from ..models.indexed import (
+            MaskedTopicModel,
+            MaskedTrainConfig,
+            build_topk_windows,
+            encode_all,
+            train_masked,
+        )
+        from ..senna.topic import load_data_vec
+        from ..utils.manifest import RunManifest
+
+        vec = load_data_vec(args.data_files)
+        data = build_topk_windows(vec, args.window)
+        model = MaskedTopicModel(
+            n_genes=vec.num_rows,
+            n_topics=args.n_latent_topics,
+            embed_dim=args.embed_dim,
+            latent=args.latent,
+        )
+        variables, trace = train_masked(
+            model, data,
+            MaskedTrainConfig(
+                epochs=args.epochs,
+                minibatch=args.minibatch_size,
+                mask_frac=args.mask_frac,
+            ),
+        )
+        log_theta = encode_all(model, variables, data)
+        import numpy as _np
+
+        pd.DataFrame(
+            log_theta, index=vec.column_names(),
+            columns=[f"topic{k}" for k in range(args.n_latent_topics)],
+        ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
+        pd.DataFrame({"epoch": _np.arange(len(trace)), "loss": trace}).to_parquet(
+            f"{args.out}.loss.parquet"
+        )
+        RunManifest(
+            command="masked-topic",
+            inputs={"data_files": list(args.data_files)},
+            outputs={"latent": f"{args.out}.latent.parquet"},
+        ).save(args.out)
+        print(f"wrote {args.out}.latent.parquet")
+        return
+    if args.cmd == "bge":
+        import numpy as _np
+        import pandas as pd
+
+        from ..embedding.nce import NceConfig, fit_bge
+        from ..ops import collapse as _clp
+        from ..ops import random_projection as _rp
+        from ..senna.topic import load_data_vec
+        from ..utils.manifest import RunManifest
+
+        vec = load_data_vec(args.data_files)
+        _, proj = _rp.project_columns(vec, args.proj_dim)
+        codes = _rp.binary_sort_columns(proj, args.sort_dim)
+        groups, s = _rp.compact_group_codes(codes)
+        stat = _clp.collect_basic_stats(vec, groups, s)
+        pb = stat.observed_sum_ds.T  # [P, D]
+        res = fit_bge(
+            [pb], data=vec,
+            config=NceConfig(embedding_dim=args.embed_dim, epochs=args.epochs),
+        )
+        pd.DataFrame(
+            res.e_feat, index=vec.row_names(),
+            columns=[f"h{i}" for i in range(args.embed_dim)],
+        ).reset_index(names="gene").to_parquet(f"{args.out}.feature_embedding.parquet")
+        pd.DataFrame(
+            res.e_cell, index=vec.column_names(),
+            columns=[f"h{i}" for i in range(args.embed_dim)],
+        ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
+        RunManifest(
+            command="bge",
+            inputs={"data_files": list(args.data_files)},
+            outputs={
+                "latent": f"{args.out}.latent.parquet",
+                "feature_embedding": f"{args.out}.feature_embedding.parquet",
+            },
+        ).save(args.out, "gem.json")
+        print(f"wrote {args.out}.latent.parquet")
+        return
     if args.cmd == "annotate-by-enrichment":
         import numpy as _np
         import pandas as pd
