@@ -81,6 +81,29 @@ def conversion_counts(
     return table, per_cell
 
 
+def coverage_at_sites(
+    recs, site_rid: np.ndarray, site_pos: np.ndarray, *, min_mapq: int = 20
+) -> np.ndarray:
+    """Deduped read coverage at arbitrary sites (control-side coverage
+    must come from the reads, not from the control's own conversion
+    table — a clean control has conversions nowhere)."""
+    keep = (recs.mapq >= min_mapq) & ((recs.flag & 0x904) == 0)
+    r_rid = recs.ref_id[keep]
+    r_pos = recs.pos[keep]
+    r_end = recs.end_pos[keep]
+    r_cb = recs.cb_id[keep]
+    r_umi = recs.umi_id[keep]
+    if len(r_rid):
+        first = _dedup([r_rid, r_pos, r_cb, r_umi])
+        r_rid, r_pos, r_end = r_rid[first], r_pos[first], r_end[first]
+    cov = np.zeros(len(site_pos), np.float64)
+    for s in range(len(site_pos)):
+        cov[s] = np.sum(
+            (r_rid == site_rid[s]) & (r_pos <= site_pos[s]) & (site_pos[s] < r_end)
+        )
+    return cov
+
+
 @dataclass
 class DartseqResult:
     sites: "np.ndarray"  # [S, 2] (ref_id, pos) of called sites
@@ -98,24 +121,31 @@ def run_dartseq(
     rho: float = 0.05,
     max_p: float = 0.05,
     min_alt: int = 3,
+    ref_base: int = C,
+    alt_base: int = T,
+    modality: str = "m6a",
 ) -> DartseqResult:
+    """C->T by default (dartseq m6A); `faba atoi` calls this with
+    A->G (`ref_base=A, alt_base=G, modality="atoi"`) — the editing
+    machinery (`faba/src/editing/`) shares the same contrast."""
     wt = read_bam(wt_bam)
     ctrl = read_bam(control_bam)
-    wt_tab, wt_cells = conversion_counts(wt)
-    ct_tab, _ = conversion_counts(ctrl)
+    wt_tab, wt_cells = conversion_counts(wt, ref_base=ref_base, alt_base=alt_base)
+    ct_tab, _ = conversion_counts(ctrl, ref_base=ref_base, alt_base=alt_base)
 
-    # align control counts onto WT sites
+    # align control counts onto WT sites: conversions from the control
+    # table, coverage from the control READS (sites clean in control
+    # still have coverage there)
     ct_map = {
         (int(r), int(p)): i
         for i, (r, p) in enumerate(zip(ct_tab.ref_id, ct_tab.pos))
     }
     alt_c = np.zeros(len(wt_tab.pos))
-    cov_c = np.zeros(len(wt_tab.pos))
     for i, (r, p) in enumerate(zip(wt_tab.ref_id, wt_tab.pos)):
         j = ct_map.get((int(r), int(p)))
         if j is not None:
             alt_c[i] = ct_tab.alt[j]
-            cov_c[i] = ct_tab.cov[j]
+    cov_c = coverage_at_sites(ctrl, wt_tab.ref_id, wt_tab.pos)
 
     stats = contrast_sites(
         wt_tab.alt, np.maximum(wt_tab.cov - wt_tab.alt, 0),
@@ -144,8 +174,9 @@ def run_dartseq(
         shape=(len(called_idx), len(wt.barcodes)),
     ).tocsc()
 
+    channel = chr(ref_base) + chr(alt_base)
     site_names = [
-        f"{wt.ref_names[wt_tab.ref_id[s]]}:{wt_tab.pos[s]}/m6a/CT"
+        f"{wt.ref_names[wt_tab.ref_id[s]]}:{wt_tab.pos[s]}/{modality}/{channel}"
         for s in called_idx
     ]  # gene/modality/channel convention (faba feature_name.rs)
     return DartseqResult(
@@ -154,4 +185,14 @@ def run_dartseq(
         cell_counts=counts,
         site_names=site_names,
         barcodes=wt.barcodes,
+    )
+
+
+def run_atoi(wt_bam: str, control_bam: str, **kwargs) -> DartseqResult:
+    """`faba atoi` — A-to-I (read as A->G) editing sites
+    (`faba/src/editing/`, 6.8k LoC in the reference; shares the WT/
+    control contrast machinery with dartseq)."""
+    kwargs.setdefault("eps", 0.005)
+    return run_dartseq(
+        wt_bam, control_bam, ref_base=A, alt_base=G, modality="atoi", **kwargs
     )

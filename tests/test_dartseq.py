@@ -67,3 +67,29 @@ def test_dartseq_calls_true_site(dartseq_bams):
     # per-cell counts sum to the 12 deduped conversions
     assert res.cell_counts.sum() == 12
     assert res.cell_counts.shape[1] == 3
+
+
+def test_atoi_reuses_contrast(tmp_path):
+    """A->G editing calls ride the same machinery (faba atoi)."""
+    from legume_tpu.faba.dartseq import run_atoi
+
+    cells = ["c1", "c2"]
+    rng = np.random.default_rng(1)
+    wt, ct = [], []
+    for i in range(14):
+        conv = i < 10
+        md = "10A29" if conv else "40"
+        seq = list("C" * 40)
+        seq[10] = "G" if conv else "A"
+        wt.append(dict(name=f"w{i}", ref_id=0, pos=200, seq="".join(seq),
+                       cigar="40M", cb=cells[i % 2], ub=f"uw{i}", md=md))
+    for i in range(14):
+        seq = "C" * 40
+        ct.append(dict(name=f"k{i}", ref_id=0, pos=200, seq=seq,
+                       cigar="40M", cb=cells[i % 2], ub=f"uk{i}", md="40"))
+    wt_path, ct_path = str(tmp_path / "wt.bam"), str(tmp_path / "ct.bam")
+    write_bam(wt_path, [("chr1", 5000)], wt)
+    write_bam(ct_path, [("chr1", 5000)], ct)
+    res = run_atoi(wt_path, ct_path, max_p=0.05, min_alt=3)
+    assert res.sites.shape[0] == 1
+    assert res.site_names[0] == "chr1:210/atoi/AG"
