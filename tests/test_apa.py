@@ -1,0 +1,81 @@
+"""faba apa: two PAS peaks with cell-type-specific usage must be
+called and quantified."""
+
+import numpy as np
+import pytest
+
+from legume_tpu.faba.apa import call_pas_peaks, run_apa
+from legume_tpu.faba.bam import write_bam
+
+
+def test_call_pas_peaks_clusters():
+    ends = np.concatenate([500 + np.arange(8), 900 + np.arange(6), [1500]])
+    peaks = call_pas_peaks(ends, peak_window=30, min_reads=5)
+    assert len(peaks) == 2
+    assert abs(peaks[0][0] - 503) <= 2
+    assert abs(peaks[1][0] - 902) <= 2
+
+
+def test_run_apa_two_sites(tmp_path):
+    # gene on + strand 100-1200; proximal PAS ~ 600, distal ~ 1100
+    reads = []
+    i = 0
+    # cellP uses the proximal site, cellD the distal
+    for cell, end_target, n in [("cellP", 600, 10), ("cellD", 1100, 10), ("cellP", 1100, 2)]:
+        for _ in range(n):
+            start = end_target - 50 - (i % 4)
+            reads.append(
+                dict(
+                    name=f"r{i}", ref_id=0, pos=start, seq="A" * (1100 - start if False else 50),
+                    cigar=f"{50 + (i % 4)}M", cb=cell, ub=f"u{i}",
+                )
+            )
+            i += 1
+    path = str(tmp_path / "apa.bam")
+    write_bam(path, [("chr1", 5000)], reads)
+    gff = tmp_path / "g.gff"
+    gff.write_text("chr1\tsrc\tgene\t101\t1200\t.\t+\t.\tID=gene:GX;Name=GeneX\n")
+
+    res = run_apa(path, str(gff), min_reads=4, peak_window=40)
+    assert len(res.site_names) == 2
+    assert all(n.startswith("GeneX/apa/pas") for n in res.site_names)
+    m = np.asarray(res.counts.todense())
+    ci = {c: j for j, c in enumerate(res.barcodes)}
+    # proximal site dominated by cellP, distal by cellD
+    assert m[0, ci["cellP"]] >= 8
+    assert m[1, ci["cellD"]] >= 8
+    assert "GeneX" in res.distal_index
+    assert 0.2 < res.distal_index["GeneX"] < 0.8
+
+def test_snp_genotyper(tmp_path):
+    """faba snp: het and hom-alt sites called with sensible genotypes."""
+    from legume_tpu.faba.snp import call_snps
+
+    reads = []
+    i = 0
+    # het site at 110 (ref A, alt G ~ 50% of 20 reads)
+    # hom site at 310 (ref C, alt T ~ all of 16 reads)
+    # noise site at 510 (1 alt of 20)
+    specs = [
+        (100, "A", "G", 10, 10),
+        (300, "C", "T", 15, 1),
+        (500, "A", "T", 1, 19),
+    ]
+    for start, ref, alt, n_alt, n_ref in specs:
+        for j in range(n_alt + n_ref):
+            has_alt = j < n_alt
+            md = f"10{ref}29" if has_alt else "40"
+            seq = list("C" * 40)
+            seq[10] = alt if has_alt else ref
+            reads.append(
+                dict(name=f"r{i}", ref_id=0, pos=start, seq="".join(seq),
+                     cigar="40M", cb="cell1", ub=f"u{i}", md=md)
+            )
+            i += 1
+    path = str(tmp_path / "snp.bam")
+    write_bam(path, [("chr1", 5000)], reads)
+    calls = call_snps(path, min_depth=8, min_alt=2, min_qual=3.0)
+    by_pos = {int(p): g for p, g in zip(calls.pos, calls.genotype)}
+    assert by_pos.get(110) == "0/1", by_pos
+    assert by_pos.get(310) == "1/1", by_pos
+    assert 510 not in by_pos  # noise filtered
