@@ -89,3 +89,27 @@ def test_pair_dsvd_shapes(spatial_backend):
     assert shared_basis.shape == (6, 40)
     assert diff_basis.shape == (6, 40)
     assert np.all(np.isfinite(factors))
+
+
+def test_cage_embeds_spatial_domains(spatial_backend):
+    from legume_tpu.pinto.cage import fit_cage
+
+    be, coords, dom = spatial_backend
+    res = fit_cage(
+        be, coords, embedding_dim=6, knn=6, proj_dim=10, epochs=300, seed=3
+    )
+    assert res.embedding.shape == (300, 6)
+    e = res.embedding / np.maximum(
+        np.linalg.norm(res.embedding, axis=1, keepdims=True), 1e-9
+    )
+    # a graph embedding promises LOCAL structure: connected pairs are
+    # far more similar than random pairs
+    rng2 = np.random.default_rng(0)
+    edge_sim = (e[res.edges[:, 0]] * e[res.edges[:, 1]]).sum(1).mean()
+    ri = rng2.integers(0, 300, 2000)
+    rj = rng2.integers(0, 300, 2000)
+    rand_sim = (e[ri] * e[rj]).sum(1)[ri != rj].mean()
+    assert edge_sim > rand_sim + 0.3, (edge_sim, rand_sim)
+    # and the activity gate kept a same-program edge majority
+    same_edge = dom[res.edges[:, 0]] == dom[res.edges[:, 1]]
+    assert same_edge.mean() > 0.9
