@@ -76,3 +76,22 @@ def test_link_community_recovers_domains(spatial_sim):
     assert acc > 0.9, acc
     # objective improves across sweeps
     assert res.scores_trace[-1] > res.scores_trace[0]
+
+
+def test_lc_etm_segments_domains(spatial_sim):
+    from legume_tpu.pinto.lc_etm import fit_lc_etm
+
+    be, coords, domain = spatial_sim
+    res = fit_lc_etm(
+        be, coords, n_communities=4, knn=6, window=32, embed_dim=16,
+        epochs=30, minibatch=128,
+    )
+    assert res.propensity.shape == (800, 4)
+    np.testing.assert_allclose(res.propensity.sum(1), 1.0, rtol=1e-3)
+    assert res.loss_trace[-1] < res.loss_trace[0]
+    top = res.propensity.argmax(1)
+    acc = 0
+    for c in np.unique(top):
+        cells = top == c
+        acc += np.bincount(domain[cells]).max()
+    assert acc / len(domain) > 0.85, acc / len(domain)
