@@ -65,14 +65,45 @@ def main():
     enc = LogSoftmaxEncoder(n_topics=k, layers=(128, 1024, 128))
     dec = NbTopicDecoder(n_features=n_genes, n_topics=k)
     bench_epochs = 60
-    cfg = TrainConfig(
-        epochs=bench_epochs,
-        minibatch_size=100,
-        learning_rate=0.01,
-        epochs_per_call=bench_epochs,  # whole run = ONE dispatch
-    )
-    trainer = MixedTrainer(enc, [dec], cfg)
-    trainer.train([level], jax.random.key(1))  # warm-up (compile)
+
+    # The axon remote-compile service hangs nondeterministically on the
+    # large whole-run program (observed ~50% of runs; see
+    # docs/BENCH_NOTES.md). Guard the compile with SIGALRM and fall
+    # back to the smaller 10-epochs-per-dispatch program, which has
+    # compiled reliably every run.
+    import signal
+
+    class _CompileTimeout(Exception):
+        pass
+
+    def _alarm(sig, frame):
+        raise _CompileTimeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+
+    def build_and_warm(epc):
+        cfg = TrainConfig(
+            epochs=bench_epochs,
+            minibatch_size=100,
+            learning_rate=0.01,
+            epochs_per_call=epc,
+        )
+        tr = MixedTrainer(enc, [dec], cfg)
+        tr.train([level], jax.random.key(1))  # warm-up (compile)
+        return tr
+
+    trainer = None
+    for epc, deadline in ((bench_epochs, int(_left() * 0.5) or 240), (10, 10**6)):
+        try:
+            signal.alarm(max(deadline, 120))
+            trainer = build_and_warm(epc)
+            signal.alarm(0)
+            break
+        except _CompileTimeout:
+            print(
+                f"[bench] warmup compile (epochs_per_call={epc}) timed out; falling back",
+                file=sys.stderr, flush=True,
+            )
     t0 = _t("train_warmup_compile", t0)
     t_train0 = time.time()
     _, _, scores = trainer.train([level], jax.random.key(2))
