@@ -55,3 +55,28 @@ def test_resolve_embedding_spaces():
     out = resolve_embedding_spaces(runs)
     np.testing.assert_allclose(out[1]["e_feat"], e_ref, atol=0.05)
     assert out[1]["e_cell"].shape == (30, h)
+
+
+def test_annotate_by_projection():
+    """Frozen-embedding type annotation: cells near their type's marker
+    centroid get the right label; random cells stay unassigned."""
+    from legume_tpu.embedding.type_annotation import annotate_by_projection
+
+    rng = np.random.default_rng(3)
+    d, h, n_per = 60, 8, 40
+    feat = rng.normal(size=(d, h))
+    genes = [f"g{i}" for i in range(d)]
+    markers = {"typeA": [f"g{i}" for i in range(5)],
+               "typeB": [f"g{i}" for i in range(30, 35)]}
+    sigA = feat[:5].mean(0)
+    sigB = feat[30:35].mean(0)
+    cells = np.concatenate([
+        sigA[None] * 3 + rng.normal(0, 0.3, (n_per, h)),
+        sigB[None] * 3 + rng.normal(0, 0.3, (n_per, h)),
+        rng.normal(0, 1.0, (n_per, h)) * 0.1,  # unrelated
+    ])
+    res = annotate_by_projection(cells, feat, genes, markers, min_z=2.0, seed=1)
+    labels = np.asarray(res.labels)
+    assert (labels[:n_per] == "typeA").mean() > 0.9
+    assert (labels[n_per:2*n_per] == "typeB").mean() > 0.9
+    assert (labels[2*n_per:] == "Unassigned").mean() > 0.5
