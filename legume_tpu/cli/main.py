@@ -82,6 +82,18 @@ def run_senna(argv):
     p.add_argument("--clusters", default=None, help="clusters parquet")
     p.add_argument("--out", required=True, help="output image (.png/.svg/.pdf)")
 
+    p = sub.add_parser("deconvolve", help="bulk deconvolution against a reference")
+    p.add_argument("--bulk", required=True, help="TSV/parquet: samples x genes counts")
+    p.add_argument("--reference", required=True, help="parquet: genes x components rates")
+    p.add_argument("--out", required=True)
+    p.add_argument("--sweeps", type=int, default=300)
+    p.add_argument("--burn-in", type=int, default=100)
+
+    p = sub.add_parser("probe", help="drift/novelty verdict for held-out latents")
+    p.add_argument("--train-latent", required=True)
+    p.add_argument("--heldout-latent", required=True)
+    p.add_argument("--out", required=True)
+
     p = sub.add_parser("masked-topic", help="indexed top-K masked ETM")
     p.add_argument("--data-files", nargs="+", required=True)
     p.add_argument("--out", required=True)
@@ -111,6 +123,49 @@ def run_senna(argv):
 
     args = ap.parse_args(argv)
 
+    if args.cmd == "deconvolve":
+        import numpy as _np
+        import pandas as pd
+
+        from ..senna.deconvolve import DeconvConfig, deconvolve
+
+        bulk_df = (
+            pd.read_parquet(args.bulk)
+            if args.bulk.endswith(".parquet")
+            else pd.read_csv(args.bulk, sep="\t", index_col=0)
+        )
+        ref_df = pd.read_parquet(args.reference)
+        ref = ref_df.set_index(ref_df.columns[0]) if ref_df.iloc[:, 0].dtype == object else ref_df
+        shared = [g for g in ref.index if g in bulk_df.columns]
+        y = bulk_df[shared].to_numpy(_np.float32)
+        mu = ref.loc[shared].to_numpy(_np.float32)
+        res = deconvolve(
+            y, mu, config=DeconvConfig(n_sweeps=args.sweeps, burn_in=args.burn_in)
+        )
+        pd.DataFrame(
+            res.fractions, index=bulk_df.index, columns=list(ref.columns)
+        ).reset_index(names="sample").to_parquet(f"{args.out}.fractions.parquet")
+        print(f"wrote {args.out}.fractions.parquet (worst Rhat {res.rhat.max():.2f})")
+        return
+    if args.cmd == "probe":
+        import pandas as pd
+
+        from ..senna.impute import probe_latent
+
+        tr = pd.read_parquet(args.train_latent).iloc[:, 1:].to_numpy("float32")
+        ho = pd.read_parquet(args.heldout_latent).iloc[:, 1:].to_numpy("float32")
+        v = probe_latent(tr, ho)
+        import json as _json
+
+        doc = {
+            "verdict": v.verdict,
+            "drift_score": v.drift_score,
+            "novelty_frac": v.novelty_frac,
+        }
+        with open(f"{args.out}.probe.json", "w") as f:
+            _json.dump(doc, f, indent=2)
+        print(_json.dumps(doc))
+        return
     if args.cmd == "masked-topic":
         import pandas as pd
 
