@@ -71,6 +71,7 @@ class TopicArgs:
     ignore_batch: bool = False
     block_size: int = 8192
     init_from: Optional[str] = None  # warm start from a prior run's prefix
+    from_run: Optional[str] = None  # inherit inputs from a {prefix}.senna.json
     seed: int = DEFAULT_PROJECTION_SEED
 
 
@@ -213,6 +214,16 @@ def sample_collapsed_data(
 def fit_topic_model(args: TopicArgs) -> dict:
     """End-to-end `senna topic` (cmd.rs:273)."""
     import pandas as pd
+
+    if args.from_run:
+        # --from inheritance: prefill inputs from a prior run's manifest
+        # (run_manifest.rs:848 inherit_from)
+        prev = RunManifest.load(
+            args.from_run if args.from_run.endswith(".json") else args.from_run + ".senna.json"
+        )
+        if not args.data_files:
+            args.data_files = prev.inputs.get("data_files", [])
+        log.info("inherited inputs from %s", args.from_run)
 
     vec = load_data_vec(args.data_files, args.batch_files)
     d = vec.num_rows

@@ -109,3 +109,24 @@ def test_topic_warm_start(sim_backend):
     args3 = dataclasses.replace(args2, n_latent_topics=4, out=str(tmp / "warm_bad"))
     with pytest.raises(ValueError, match="mismatch"):
         fit_topic_model(args3)
+
+
+def test_topic_from_manifest_inheritance(sim_backend):
+    """--from prefills data_files from a prior run's manifest
+    (run_manifest.rs:848)."""
+    import dataclasses
+
+    sim, path, tmp = sim_backend
+    base = str(tmp / "mfrom_base")
+    args = TopicArgs(
+        data_files=[path], out=base, n_latent_topics=3,
+        encoder_layers=(16,), epochs=2, minibatch_size=64,
+        decoder="multinomial", proj_dim=8, sort_dim=4, num_levels=1,
+        iter_opt=3, block_size=256,
+    )
+    fit_topic_model(args)
+    args2 = dataclasses.replace(
+        args, data_files=(), out=str(tmp / "mfrom_next"), from_run=base, epochs=2
+    )
+    res = fit_topic_model(args2)
+    assert np.all(np.isfinite(res["scores"].llik))
