@@ -1,0 +1,81 @@
+"""`faba all` — chained feature extraction pipeline
+(`faba/src/pipeline/` equivalent: snp -> genes -> editing -> apa ->
+m6a, SURVEY.md section 2.5; each stage writes a standard backend and
+one `{out}.gem.json`-style manifest records the chain).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from ..data.sparse_io import create_sparse_from_csc
+from ..utils.manifest import RunManifest
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class FabaAllResult:
+    outputs: dict = field(default_factory=dict)
+
+
+def run_all(
+    bam: str,
+    gff: str,
+    out: str,
+    *,
+    control_bam: str | None = None,
+    min_mapq: int = 20,
+) -> FabaAllResult:
+    from .apa import run_apa
+    from .dartseq import run_atoi, run_dartseq
+    from .genes import count_genes
+    from .snp import call_snps
+
+    outputs = {}
+
+    counts, genes, barcodes = count_genes(bam, gff, min_mapq=min_mapq)
+    create_sparse_from_csc(counts, f"{out}.genes.zarr", genes, barcodes)
+    outputs["genes"] = f"{out}.genes.zarr"
+
+    apa = run_apa(bam, gff, min_mapq=min_mapq)
+    if apa.counts.shape[0]:
+        create_sparse_from_csc(
+            apa.counts, f"{out}.apa.zarr", apa.site_names, apa.barcodes
+        )
+        outputs["apa"] = f"{out}.apa.zarr"
+
+    snps = call_snps(bam)
+    if len(snps.pos):
+        import pandas as pd
+
+        pd.DataFrame(
+            {
+                "chrom": [snps.ref_names[r] for r in snps.ref_id],
+                "pos": snps.pos,
+                "ref": snps.ref_base,
+                "alt": snps.alt_base,
+                "genotype": snps.genotype,
+                "depth": snps.depth,
+                "qual": snps.qual,
+            }
+        ).to_parquet(f"{out}.snp.parquet")
+        outputs["snp"] = f"{out}.snp.parquet"
+
+    if control_bam:
+        for name, runner in (("m6a", run_dartseq), ("atoi", run_atoi)):
+            res = runner(bam, control_bam)
+            if res.cell_counts.shape[0]:
+                create_sparse_from_csc(
+                    res.cell_counts, f"{out}.{name}.zarr", res.site_names, res.barcodes
+                )
+                outputs[name] = f"{out}.{name}.zarr"
+
+    RunManifest(
+        command="faba-all",
+        inputs={"bam": bam, "gff": gff, "control_bam": control_bam},
+        outputs=outputs,
+    ).save(out, "gem.json")
+    log.info("faba all: wrote %s", sorted(outputs))
+    return FabaAllResult(outputs=outputs)

@@ -93,3 +93,24 @@ def test_atoi_reuses_contrast(tmp_path):
     res = run_atoi(wt_path, ct_path, max_p=0.05, min_alt=3)
     assert res.sites.shape[0] == 1
     assert res.site_names[0] == "chr1:210/atoi/AG"
+
+
+def test_faba_all_pipeline(dartseq_bams, tmp_path):
+    """`faba all` chains genes + apa + snp (+ m6a with a control)."""
+    from pathlib import Path
+
+    from legume_tpu.faba.pipeline import run_all
+
+    wt_path, _ = dartseq_bams
+    gff = tmp_path / "g.gff"
+    gff.write_text(
+        "chr1\tsrc\tgene\t50\t400\t.\t+\t.\tID=gene:GA;Name=GeneA\n"
+        "chr1\tsrc\tgene\t450\t800\t.\t+\t.\tID=gene:GB;Name=GeneB\n"
+    )
+    res = run_all(wt_path, str(gff), str(tmp_path / "all"))
+    assert "genes" in res.outputs
+    assert Path(str(tmp_path / "all") + ".gem.json").exists()
+    from legume_tpu.data import open_sparse_matrix
+
+    be = open_sparse_matrix(res.outputs["genes"])
+    assert be.num_rows == 2
