@@ -72,6 +72,10 @@ class TopicArgs:
     block_size: int = 8192
     init_from: Optional[str] = None  # warm start from a prior run's prefix
     from_run: Optional[str] = None  # inherit inputs from a {prefix}.senna.json
+    # feature coarsening: cap decoder dims per level (cmd.rs:344-373
+    # level ladder; 0 = off, full-D decoders). Coarser levels get
+    # proportionally smaller targets down to >= 50 meta-features.
+    max_coarse_features: int = 0
     seed: int = DEFAULT_PROJECTION_SEED
 
 
@@ -237,9 +241,38 @@ def fit_topic_model(args: TopicArgs) -> dict:
         sample_collapsed_data(out, k) for out, k in zip(levels.collapsed, level_keys)
     ]
 
+    # optional per-level feature coarsening of the DECODER targets
+    # (cmd.rs:344-373: finest level gets max_coarse_features, coarser
+    # levels linearly down to >= 50; the encoder keeps full D)
+    coarsenings = [None] * len(level_data)
+    if args.max_coarse_features and args.max_coarse_features < d:
+        from ..ops.feature_coarsening import compute_feature_coarsening
+
+        n_levels = len(level_data)
+        finest_profile = np.asarray(levels.collapsed[0].mu_observed.mean())
+        for i in range(n_levels):
+            frac = i / (n_levels - 1) if n_levels > 1 else 0.0
+            target = int(
+                round(
+                    args.max_coarse_features
+                    - frac * (args.max_coarse_features - max(args.max_coarse_features // n_levels, 50))
+                )
+            )
+            fc = compute_feature_coarsening(finest_profile, target, seed=args.seed & 0x7FFFFFFF)
+            coarsenings[i] = fc
+            level_data[i].output = fc.aggregate_columns_nd(level_data[i].target).astype(
+                np.float32
+            )
+
     encoder = LogSoftmaxEncoder(n_topics=args.n_latent_topics, layers=tuple(args.encoder_layers))
     dec_cls = DECODERS[args.decoder]
-    decoders = [dec_cls(n_features=d, n_topics=args.n_latent_topics) for _ in level_data]
+    decoders = [
+        dec_cls(
+            n_features=(coarsenings[i].num_coarse if coarsenings[i] is not None else d),
+            n_topics=args.n_latent_topics,
+        )
+        for i in range(len(level_data))
+    ]
 
     cfg = TrainConfig(
         epochs=args.epochs,
@@ -297,11 +330,15 @@ def fit_topic_model(args: TopicArgs) -> dict:
         np.exp(pb_log_z), columns=[f"topic{k}" for k in range(args.n_latent_topics)]
     ).to_parquet(f"{args.out}.pb_latent.parquet")
 
-    # dictionary (finest decoder): log beta [D, K]
+    # dictionary (finest decoder): log beta [D, K]; a coarsened decoder
+    # expands back to full D with the -ln(group size) correction
+    # (feature_coarsening.rs expand_log_dict_dk)
     dec_params = variables["params"]["decoder_0"]
     log_beta = np.asarray(
         decoders[0].apply({"params": dec_params}, method="get_dictionary")
     )
+    if coarsenings[0] is not None:
+        log_beta = coarsenings[0].expand_log_dict_dk(log_beta)
     pd.DataFrame(
         log_beta, index=gene_names, columns=[f"topic{k}" for k in range(args.n_latent_topics)]
     ).reset_index(names="gene").to_parquet(f"{args.out}.dictionary.parquet")

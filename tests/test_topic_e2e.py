@@ -130,3 +130,24 @@ def test_topic_from_manifest_inheritance(sim_backend):
     )
     res = fit_topic_model(args2)
     assert np.all(np.isfinite(res["scores"].llik))
+
+
+def test_topic_with_feature_coarsening(sim_backend):
+    """max_coarse_features trains coarsened decoders per level; the
+    output dictionary expands back to full D (cmd.rs:344-373)."""
+    sim, path, tmp = sim_backend
+    out = str(tmp / "coarse_fit")
+    args = TopicArgs(
+        data_files=[path], out=out, n_latent_topics=3,
+        encoder_layers=(32,), epochs=10, minibatch_size=64,
+        decoder="multinomial", proj_dim=12, sort_dim=6, num_levels=2,
+        iter_opt=5, block_size=256, max_coarse_features=40,
+    )
+    res = fit_topic_model(args)
+    import pandas as pd
+
+    dic = pd.read_parquet(out + ".dictionary.parquet")
+    assert len(dic) == 120  # expanded to full D
+    beta = np.exp(dic.iloc[:, 1:].to_numpy())
+    np.testing.assert_allclose(beta.sum(0), 1.0, rtol=1e-3)
+    assert np.all(np.isfinite(res["scores"].llik))
