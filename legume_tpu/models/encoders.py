@@ -79,6 +79,66 @@ class LogSoftmaxEncoder(nn.Module):
         return self.trunk(x_nd, x0_nd, feature_mean, train=train)
 
 
+class _IafLayer(nn.Module):
+    """One inverse-autoregressive-flow step (Kingma et al. 2016):
+    masked autoregressive (m, s) nets; z' = sigma * z + (1 - sigma) * m
+    with log-det = sum log sigma. The autoregressive constraint comes
+    from a lower-triangular mask on a single dense layer (adequate at
+    topic-latent widths)."""
+
+    n_latent: int
+    hidden: int = 32
+
+    @nn.compact
+    def __call__(self, z, h):
+        k = self.n_latent
+        mask = jnp.tril(jnp.ones((k, k)), -1)
+        w_in = self.param("w_ar", nn.initializers.normal(0.05), (k, k))
+        ar = z @ (w_in * mask)  # strictly autoregressive in z
+        ctx = nn.Dense(k, name="ctx")(h)
+        m = nn.Dense(k, name="m")(nn.tanh(ar + ctx))
+        s = nn.Dense(k, name="s")(nn.tanh(ar + ctx))
+        sigma = jax.nn.sigmoid(s + 2.0)  # bias toward identity at init
+        z_new = sigma * z + (1.0 - sigma) * m
+        log_det = jnp.sum(jnp.log(sigma + 1e-8), axis=-1)
+        return z_new, log_det
+
+
+class IafSoftmaxEncoder(nn.Module):
+    """LogSoftmaxEncoder with an IAF posterior (`encoder/softmax_iaf.rs`):
+    richer-than-Gaussian q(z|x); KL estimated as log q(z) - log p(z)
+    with the flow's log-det correction."""
+
+    n_topics: int
+    layers: Sequence[int]
+    n_flows: int = 2
+
+    def setup(self):
+        self.trunk = _GaussianTrunk(self.n_topics, self.layers)
+        self.flows = [
+            _IafLayer(self.n_topics, name=f"iaf{i}") for i in range(self.n_flows)
+        ]
+        self.h_proj = nn.Dense(self.layers[-1], name="h_proj")
+
+    def __call__(self, x_nd, x0_nd=None, feature_mean=None, *, train: bool):
+        z_mean, z_lnvar = self.trunk(x_nd, x0_nd, feature_mean, train=train)
+        if train:
+            eps = jax.random.normal(self.make_rng("reparam"), z_mean.shape)
+        else:
+            eps = jnp.zeros_like(z_mean)
+        z = z_mean + jnp.exp(0.5 * z_lnvar) * eps
+        # log q0(z): base Gaussian density of the draw
+        log_q = -0.5 * jnp.sum(eps**2 + z_lnvar + jnp.log(2 * jnp.pi), axis=-1)
+        h = self.h_proj(z_mean)  # flow context from the trunk
+        for flow in self.flows:
+            z, log_det = flow(z, h)
+            log_q = log_q - log_det
+        # KL(q || N(0, I)) Monte-Carlo estimate
+        log_p = -0.5 * jnp.sum(z**2 + jnp.log(2 * jnp.pi), axis=-1)
+        kl = log_q - log_p
+        return jax.nn.log_softmax(z, axis=-1), kl
+
+
 class GaussianEncoder(nn.Module):
     """Plain Gaussian-latent encoder (`encoder/gaussian.rs`): same
     trunk, latent returned without the simplex map (scVI-style `vae`)."""

@@ -169,3 +169,19 @@ def test_joint_topic_multimodal():
     np.testing.assert_allclose(theta.sum(1), 1.0, rtol=1e-3)
     assert np.all(np.isfinite(out["scores"].llik))
     assert out["slices"] == [(0, 60), (60, 90)]
+
+
+def test_iaf_encoder_trains(toy_counts):
+    """IAF posterior encoder: trains under the same contract and
+    produces a valid simplex latent (softmax_iaf.rs)."""
+    from legume_tpu.models.encoders import IafSoftmaxEncoder
+
+    enc = IafSoftmaxEncoder(n_topics=3, layers=(16,), n_flows=2)
+    dec = MultinomTopicDecoder(n_features=40, n_topics=3)
+    cfg = TrainConfig(epochs=15, minibatch_size=64, learning_rate=5e-3, seed=4)
+    trainer = MixedTrainer(enc, [dec], cfg)
+    variables, _, scores = trainer.train([LevelData(input=toy_counts, input_null=None)])
+    assert np.all(np.isfinite(scores.llik))
+    assert np.mean(scores.llik[-3:]) > np.mean(scores.llik[:3])
+    log_z = trainer.encode(variables, toy_counts)
+    np.testing.assert_allclose(np.exp(log_z).sum(-1), 1.0, rtol=1e-3)
