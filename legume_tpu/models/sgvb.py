@@ -172,12 +172,110 @@ def susie_kl(q: SusieVarParams, prior_var: float = 1.0):
     return kl_cat + kl_gauss
 
 
+class BiSusieVarParams(NamedTuple):
+    """BiSuSiE (variational_bisusie.rs): selection SHARED across the k
+    output traits (one causal configuration drives both), per-trait
+    effect sizes."""
+
+    logits: jax.Array  # [L, p (+1 null), 1] shared selection
+    beta_mean: jax.Array  # [L, p, k]
+    beta_ln_std: jax.Array  # [L, p, k]
+
+
+def bisusie_init(key, L, p, k, *, with_null: bool = True):
+    p_logits = p + int(with_null)
+    return BiSusieVarParams(
+        logits=jnp.zeros((L, p_logits, 1)),
+        beta_mean=0.01 * jax.random.normal(key, (L, p, k)),
+        beta_ln_std=jnp.full((L, p, k), -2.0),
+    )
+
+
+def bisusie_moments(q: BiSusieVarParams):
+    p = q.beta_mean.shape[1]
+    a = jax.nn.softmax(q.logits, axis=1)[:, :p, :]  # [L, p, 1] broadcast
+    var_b = jnp.exp(2.0 * q.beta_ln_std)
+    mean_l = a * q.beta_mean
+    var_l = a * (var_b + q.beta_mean**2) - mean_l**2
+    return mean_l.sum(0), jnp.maximum(var_l, 1e-12).sum(0)
+
+
+def bisusie_kl(q: BiSusieVarParams, prior_var: float = 1.0):
+    L, p_logits, _ = q.logits.shape
+    p = q.beta_mean.shape[1]
+    full = jax.nn.softmax(q.logits, axis=1)
+    log_full = jax.nn.log_softmax(q.logits, axis=1)
+    kl_cat = jnp.sum(full * (log_full + jnp.log(p_logits)))
+    a = full[:, :p, :]
+    var_b = jnp.exp(2.0 * q.beta_ln_std)
+    kl_gauss = jnp.sum(
+        a
+        * 0.5
+        * (
+            (var_b + q.beta_mean**2) / prior_var
+            - 1.0
+            + jnp.log(prior_var)
+            - 2.0 * q.beta_ln_std
+        )
+    )
+    return kl_cat + kl_gauss
+
+
+def bisusie_pip(q: BiSusieVarParams):
+    p = q.beta_mean.shape[1]
+    a = jax.nn.softmax(q.logits, axis=1)[:, :p, 0]
+    return 1.0 - jnp.prod(1.0 - a, axis=0)
+
+
 # family registry: (init, moments, kl)
 FAMILIES = {
     "gaussian": (gaussian_var_init, gaussian_var_moments, gaussian_var_kl),
     "spike-slab": (spike_slab_init, spike_slab_moments, spike_slab_kl),
     "susie": (None, susie_moments, susie_kl),  # init needs L
+    "bisusie": (None, bisusie_moments, bisusie_kl),
 }
+
+
+def cavi_susie(
+    x: np.ndarray,  # [n, p] standardized design
+    y: np.ndarray,  # [n]
+    *,
+    L: int = 5,
+    prior_var: float = 0.2,
+    obs_var: float | None = None,
+    n_iter: int = 50,
+) -> dict:
+    """Exact SuSiE coordinate ascent (cavi_susie.rs; Wang et al. 2020):
+    iterative Bayesian single-effect regressions on residuals.
+    Returns alpha [L, p], posterior means, pip [p]."""
+    n, p = x.shape
+    y = np.asarray(y, np.float64).ravel()
+    x = np.asarray(x, np.float64)
+    xtx = (x * x).sum(0)  # [p]
+    s2 = float(np.var(y)) if obs_var is None else obs_var
+
+    alpha = np.full((L, p), 1.0 / p)
+    mu = np.zeros((L, p))
+    fitted = np.zeros(n)
+    for _ in range(n_iter):
+        for l in range(L):
+            fitted -= x @ (alpha[l] * mu[l])
+            r = y - fitted
+            bhat = (x.T @ r) / np.maximum(xtx, 1e-12)
+            shat2 = s2 / np.maximum(xtx, 1e-12)
+            post_var = 1.0 / (1.0 / prior_var + 1.0 / shat2)
+            post_mean = post_var * bhat / shat2
+            # log Bayes factor per variable
+            lbf = 0.5 * np.log(shat2 / (shat2 + prior_var)) + 0.5 * bhat**2 / shat2 * (
+                prior_var / (prior_var + shat2)
+            )
+            lbf -= lbf.max()
+            w = np.exp(lbf)
+            alpha[l] = w / w.sum()
+            mu[l] = post_mean
+            fitted += x @ (alpha[l] * mu[l])
+    pip = 1.0 - np.prod(1.0 - alpha, axis=0)
+    return {"alpha": alpha, "mu": mu, "pip": pip, "beta": (alpha * mu).sum(0)}
 
 
 # ----------------------------------------------------------------------------
@@ -281,6 +379,9 @@ def fit_regression(
     if family == "susie":
         q = susie_init(k_init, L, p, k, with_null=with_null)
         moments, kl_fn = susie_moments, susie_kl
+    elif family == "bisusie":
+        q = bisusie_init(k_init, L, p, k, with_null=with_null)
+        moments, kl_fn = bisusie_moments, bisusie_kl
     elif family == "spike-slab":
         q = spike_slab_init(k_init, p, k)
         moments, kl_fn = spike_slab_moments, spike_slab_kl
@@ -324,6 +425,8 @@ def fit_regression(
     if family == "susie":
         result["pip"] = np.asarray(susie_pip(q))
         result["alpha"] = np.asarray(susie_alpha(q, p))
+    elif family == "bisusie":
+        result["pip"] = np.asarray(bisusie_pip(q))[:, None]
     elif family == "spike-slab":
         result["pip"] = np.asarray(smoothed_sigmoid(q.gate_logits))
     return result

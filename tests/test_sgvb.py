@@ -144,3 +144,43 @@ def test_diagnostics_sane():
     for t in range(1, 2000):
         ar[t] = 0.95 * ar[t - 1] + rng.standard_normal() * 0.1
     assert ess(ar) < 500
+
+
+def test_cavi_susie_exact():
+    """Exact CAVI SuSiE: crisp PIP on the causal variable."""
+    from legume_tpu.models.sgvb import cavi_susie
+
+    rng = np.random.default_rng(7)
+    n, p = 500, 60
+    x = rng.standard_normal((n, p))
+    x = (x - x.mean(0)) / x.std(0)
+    beta = np.zeros(p)
+    beta[[7, 33]] = [1.0, -0.8]
+    y = x @ beta + rng.standard_normal(n) * 0.5
+    out = cavi_susie(x, y, L=3, prior_var=0.5, obs_var=0.25)
+    assert out["pip"][7] > 0.9 and out["pip"][33] > 0.9
+    assert np.median(np.delete(out["pip"], [7, 33])) < 0.05
+    np.testing.assert_allclose(out["beta"][[7, 33]], [1.0, -0.8], atol=0.15)
+
+
+def test_bisusie_shares_selection():
+    """BiSuSiE: two correlated traits driven by the SAME variant —
+    shared selection concentrates on it."""
+    from legume_tpu.models.sgvb import fit_regression
+
+    rng = np.random.default_rng(8)
+    n, p = 400, 40
+    x = rng.standard_normal((n, p))
+    y = np.stack([1.2 * x[:, 9] + 0.4 * rng.standard_normal(n),
+                  -0.9 * x[:, 9] + 0.4 * rng.standard_normal(n)], 1)
+    out = fit_regression(
+        x, y, family="bisusie", L=2,
+        llik=lambda yy, ee: gaussian_llik(yy, ee, obs_var=0.16),
+        config=SgvbConfig(num_steps=1000, learning_rate=0.02),
+    )
+    pip = out["pip"][:, 0]
+    assert pip[9] > 0.5, pip[9]
+    assert np.median(np.delete(pip, 9)) < 0.2
+    # per-trait effects have opposite signs
+    assert out["theta_mean"][9, 0] > 0.5
+    assert out["theta_mean"][9, 1] < -0.3
