@@ -476,9 +476,28 @@ def run_beans(argv):
     p.add_argument("--max-mito-frac", type=float, default=1.0)
     p = sub.add_parser("info", help="backend shape and nnz")
     p.add_argument("backend")
+    p = sub.add_parser("histogram", help="ASCII histogram of per-cell totals")
+    p.add_argument("backend")
+    p.add_argument("--bins", type=int, default=20)
     args = ap.parse_args(argv)
 
     from ..data import open_sparse_matrix
+
+    if args.cmd == "histogram":
+        import numpy as np
+
+        from ..data.qc import compute_cell_qc
+
+        be = open_sparse_matrix(args.backend)
+        qc = compute_cell_qc(be)
+        lx = np.log10(np.maximum(qc.total, 1))
+        hist, edges = np.histogram(lx, bins=args.bins)
+        peak = max(hist.max(), 1)
+        for h, e in zip(hist, edges):
+            bar = "#" * int(50 * h / peak)
+            print(f"10^{e:5.2f} | {bar} {h}")
+        print(f"median total: {np.median(qc.total):.0f}")
+        return
 
     if args.cmd == "from-mtx":
         from ..data.builders import from_mtx
@@ -611,7 +630,26 @@ def run_pinto(argv):
     p.add_argument("--n-communities", "-k", type=int, default=10)
     p.add_argument("--knn", type=int, default=10)
     p.add_argument("--sweeps", type=int, default=30)
+    p = sub.add_parser("p", help="spatial hex plot of a propensity/value column")
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--values", required=True, help="parquet with a value column")
+    p.add_argument("--column", default=None, help="column name (default: 2nd)")
+    p.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "p":
+        import numpy as np
+        import pandas as pd
+
+        from ..utils.plot import spatial_hex
+
+        coords = np.loadtxt(args.coords, usecols=(1, 2))
+        df = pd.read_parquet(args.values)
+        col = args.column or df.columns[1]
+        spatial_hex(coords, df[col].to_numpy(), args.out, title=col)
+        print(f"wrote {args.out}")
+        return
 
     from ..pinto.lc import PintoLcArgs, run_lc
 
