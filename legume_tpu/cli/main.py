@@ -76,6 +76,12 @@ def run_senna(argv):
     p.add_argument("--out", required=True)
     p.add_argument("--n-nodes", type=int, default=50)
     p.add_argument("--root-cell", type=int, default=None)
+    p.add_argument(
+        "--velocity",
+        default=None,
+        help="parquet of per-cell velocity in latent space (e.g. senna bge"
+        " --velocity output); orients the tree and overrides --root-cell",
+    )
 
     p = sub.add_parser("plot", help="scatter a layout colored by clusters")
     p.add_argument("--layout", required=True, help="layout/latent parquet")
@@ -307,15 +313,29 @@ def run_senna(argv):
 
         if _np.all(z <= 0):
             z = _np.exp(z)
-        pg = fit_pt(z, n_nodes=args.n_nodes, root_cell=args.root_cell)
-        pd.DataFrame(
-            {
-                "cell": df.iloc[:, 0],
-                "pseudotime": pg.pseudotime,
-                "branch": pg.branch,
-                "node": pg.cell_to_node,
-            }
-        ).to_parquet(f"{args.out}.pseudotime.parquet")
+        if args.velocity is not None:
+            from ..embedding.lineage import velocity_oriented_lineage
+
+            vel = pd.read_parquet(args.velocity).iloc[:, 1:].to_numpy("float32")
+            lin = velocity_oriented_lineage(z, vel, n_nodes=args.n_nodes)
+            out_df = pd.DataFrame(
+                {
+                    "cell": df.iloc[:, 0],
+                    "pseudotime": lin.pseudotime,
+                    "consistency": lin.consistency,
+                }
+            )
+        else:
+            pg = fit_pt(z, n_nodes=args.n_nodes, root_cell=args.root_cell)
+            out_df = pd.DataFrame(
+                {
+                    "cell": df.iloc[:, 0],
+                    "pseudotime": pg.pseudotime,
+                    "branch": pg.branch,
+                    "node": pg.cell_to_node,
+                }
+            )
+        out_df.to_parquet(f"{args.out}.pseudotime.parquet")
         print(f"wrote {args.out}.pseudotime.parquet")
         return
     if args.cmd == "plot":
