@@ -100,16 +100,22 @@ def run_senna(argv):
     p.add_argument("--heldout-latent", required=True)
     p.add_argument("--out", required=True)
 
-    p = sub.add_parser("masked-topic", help="indexed top-K masked ETM")
-    p.add_argument("--data-files", nargs="+", required=True)
-    p.add_argument("--out", required=True)
-    p.add_argument("-k", "--n-latent-topics", type=int, default=10)
-    p.add_argument("--window", type=int, default=128, help="top-K genes per cell")
-    p.add_argument("--embed-dim", type=int, default=64)
-    p.add_argument("--epochs", type=int, default=100)
-    p.add_argument("--minibatch-size", type=int, default=256)
-    p.add_argument("--mask-frac", type=float, default=0.15)
-    p.add_argument("--latent", choices=["simplex", "sbp"], default="simplex")
+    for _name, _help in [
+        ("masked-topic", "indexed top-K masked ETM (simplex latent)"),
+        ("masked-vae", "masked indexed model, Gaussian latent"),
+        ("masked-sbp", "masked indexed model, stick-breaking simplex"),
+    ]:
+        p = sub.add_parser(_name, help=_help)
+        p.add_argument("--data-files", nargs="+", required=True)
+        p.add_argument("--out", required=True)
+        p.add_argument("-k", "--n-latent-topics", type=int, default=10)
+        p.add_argument("--window", type=int, default=128, help="top-K genes per cell")
+        p.add_argument("--embed-dim", type=int, default=64)
+        p.add_argument("--epochs", type=int, default=100)
+        p.add_argument("--minibatch-size", type=int, default=256)
+        p.add_argument("--mask-frac", type=float, default=0.15)
+        if _name == "masked-topic":
+            p.add_argument("--latent", choices=["simplex", "sbp"], default="simplex")
 
     p = sub.add_parser("bge", help="count-NCE joint embedding")
     p.add_argument("--data-files", nargs="+", required=True)
@@ -172,7 +178,7 @@ def run_senna(argv):
             _json.dump(doc, f, indent=2)
         print(_json.dumps(doc))
         return
-    if args.cmd == "masked-topic":
+    if args.cmd in ("masked-topic", "masked-vae", "masked-sbp"):
         import pandas as pd
 
         from ..models.indexed import (
@@ -185,13 +191,18 @@ def run_senna(argv):
         from ..senna.topic import load_data_vec
         from ..utils.manifest import RunManifest
 
+        latent = {
+            "masked-topic": getattr(args, "latent", "simplex"),
+            "masked-vae": "gaussian",
+            "masked-sbp": "sbp",
+        }[args.cmd]
         vec = load_data_vec(args.data_files)
         data = build_topk_windows(vec, args.window)
         model = MaskedTopicModel(
             n_genes=vec.num_rows,
             n_topics=args.n_latent_topics,
             embed_dim=args.embed_dim,
-            latent=args.latent,
+            latent=latent,
         )
         variables, trace = train_masked(
             model, data,
@@ -201,18 +212,20 @@ def run_senna(argv):
                 mask_frac=args.mask_frac,
             ),
         )
-        log_theta = encode_all(model, variables, data)
+        raw = latent == "gaussian"
+        log_theta = encode_all(model, variables, data, raw_latent=raw)
         import numpy as _np
 
+        col = "z" if raw else "topic"
         pd.DataFrame(
             log_theta, index=vec.column_names(),
-            columns=[f"topic{k}" for k in range(args.n_latent_topics)],
+            columns=[f"{col}{k}" for k in range(args.n_latent_topics)],
         ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
         pd.DataFrame({"epoch": _np.arange(len(trace)), "loss": trace}).to_parquet(
             f"{args.out}.loss.parquet"
         )
         RunManifest(
-            command="masked-topic",
+            command=args.cmd,
             inputs={"data_files": list(args.data_files)},
             outputs={"latent": f"{args.out}.latent.parquet"},
         ).save(args.out)

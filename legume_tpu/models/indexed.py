@@ -133,7 +133,8 @@ class MaskedTopicModel(nn.Module):
     n_topics: int
     embed_dim: int = 64
     hidden: int = 128
-    latent: str = "simplex"  # simplex | gaussian | sbp
+    latent: str = "simplex"  # simplex (masked-topic) | gaussian (masked-vae) | sbp (masked-sbp)
+    kl_weight: float = 1e-3  # gaussian latent only
 
     def setup(self):
         self.rho = self.param(
@@ -146,16 +147,19 @@ class MaskedTopicModel(nn.Module):
             "log_phi", nn.initializers.constant(0.693), (self.n_genes + 1,)
         )
         self.encoder = IndexedEmbeddingEncoder(self.n_topics, self.hidden)
+        if self.latent == "gaussian":
+            # masked-vae: latent is a free Gaussian; a learned readout
+            # maps it to mixture weights for the union reconstruction
+            self.theta_readout = nn.Dense(self.n_topics, name="theta_readout")
 
     def encode(self, ids, vals, *, train: bool):
-        z_mean, z_lnvar = self.encoder(self.rho, ids, vals, train=train)
-        if self.latent == "gaussian":
-            return z_mean, z_lnvar
-        return z_mean, z_lnvar
+        return self.encoder(self.rho, ids, vals, train=train)
 
     def latent_log_simplex(self, z):
         if self.latent == "sbp":
             return losses.stick_breaking_log_simplex(z)
+        if self.latent == "gaussian":
+            return jax.nn.log_softmax(self.theta_readout(z), axis=-1)
         return jax.nn.log_softmax(z, axis=-1)
 
     def union_log_softmax(self, union_ids, log_q_u, valid_u):
@@ -201,6 +205,10 @@ class MaskedTopicModel(nn.Module):
         llik = jnp.sum(jnp.where(scored, ll_elem, 0.0), axis=-1)
         n_scored = jnp.maximum(jnp.sum(scored, axis=-1), 1)
         loss = -(llik / n_scored)
+        if self.latent == "gaussian":
+            # masked-vae keeps the latent near N(0, I) (weak KL; the
+            # objective is still masked imputation, not an ELBO)
+            loss = loss + self.kl_weight * losses.gaussian_kl(z_mean, z_lnvar)
         return loss, log_theta
 
 
@@ -296,9 +304,15 @@ def train_masked(
 
 
 def encode_all(
-    model: MaskedTopicModel, variables: dict, data: IndexedData, *, batch: int = 4096
+    model: MaskedTopicModel,
+    variables: dict,
+    data: IndexedData,
+    *,
+    batch: int = 4096,
+    raw_latent: bool = False,
 ) -> np.ndarray:
-    """Eval-mode log-topic proportions for every cell."""
+    """Eval-mode log-topic proportions (or, with ``raw_latent``, the
+    Gaussian latent means — the masked-vae output) for every cell."""
     n = data.ids.shape[0]
     out = None
 
@@ -307,6 +321,8 @@ def encode_all(
         z_mean, _ = model.apply(
             variables, ids_b, vals_b, train=False, method=MaskedTopicModel.encode
         )
+        if raw_latent:
+            return z_mean
         return model.apply(
             variables, z_mean, method=MaskedTopicModel.latent_log_simplex
         )

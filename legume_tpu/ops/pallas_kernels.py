@@ -16,6 +16,12 @@ sequential), so accumulation is in-VMEM.
 
 Validated in interpreter mode on CPU (tests) and used on TPU behind
 `LEGUME_PALLAS=1` (`project_block` dispatch in `ops/sparse.py`).
+
+STATUS (round 1): real-chip timing was never captured — every attempt
+on the tunneled dev chip hung in the remote-compile relay (see
+docs/BENCH_NOTES.md). On a locally attached TPU, benchmark this
+against the XLA path before enabling; the XLA segment-sum path is the
+proven default.
 """
 
 from __future__ import annotations
