@@ -9,7 +9,15 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
+
+if os.environ.get("LEGUME_CPU") == "1":
+    # pin JAX to host CPU before any jax import triggers accelerator
+    # discovery (overrides site-injected platform lists)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def _add_topic_parser(sub):
@@ -65,11 +73,13 @@ def run_senna(argv):
     p.add_argument("--n-factors", type=int, default=20)
     p.add_argument("--block-size", type=int, default=8192)
 
-    p = sub.add_parser("layout", help="2D UMAP layout of a latent parquet")
+    p = sub.add_parser("layout", help="2D layout of a latent parquet")
     p.add_argument("--latent", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--method", choices=["umap", "tsne", "phate"], default="umap")
     p.add_argument("--n-neighbors", type=int, default=15)
     p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--perplexity", type=float, default=30.0, help="tsne only")
 
     p = sub.add_parser("pseudotime", help="principal-graph pseudotime")
     p.add_argument("--latent", required=True)
@@ -309,7 +319,16 @@ def run_senna(argv):
         z = z.astype("float32")
         if _np.all(z <= 0):
             z = _np.exp(z)
-        emb = umap(z, n_neighbors=args.n_neighbors, n_epochs=args.epochs)
+        if args.method == "tsne":
+            from ..ops.layouts import tsne
+
+            emb = tsne(z, perplexity=args.perplexity, n_iter=max(args.epochs, 300))
+        elif args.method == "phate":
+            from ..ops.layouts import phate
+
+            emb = phate(z, knn=args.n_neighbors, n_iter=args.epochs)
+        else:
+            emb = umap(z, n_neighbors=args.n_neighbors, n_epochs=args.epochs)
         pd.DataFrame(
             {"cell": df.iloc[:, 0], "x": emb[:, 0], "y": emb[:, 1]}
         ).to_parquet(f"{args.out}.layout.parquet")
