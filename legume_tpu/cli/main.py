@@ -726,6 +726,10 @@ def run_fagioli(argv):
     p.add_argument("--out", required=True)
     p.add_argument("-L", type=int, default=5)
     p.add_argument("--steps", type=int, default=1500)
+    p.add_argument(
+        "--multilevel", action="store_true",
+        help="hierarchical block/within-block selection (LD-blocked)",
+    )
     p = sub.add_parser("sim-sumstat", help="simulate GWAS summary stats")
     p.add_argument("--out", required=True)
     p.add_argument("--n", type=int, default=500)
@@ -759,6 +763,7 @@ def run_fagioli(argv):
         out = map_sumstat(
             df["z"].to_numpy(), geno, L=args.L,
             config=SgvbConfig(num_steps=args.steps),
+            multilevel=args.multilevel,
         )
         pd.DataFrame(
             {"variant": df.iloc[:, 0], "pip": out["pip"],

@@ -78,9 +78,29 @@ def map_sumstat(
     rank: Optional[int] = None,
     lam: float = 0.1,
     config: SgvbConfig | None = None,
+    multilevel: bool = False,
+    block_size: int | None = None,
 ) -> dict:
-    """SuSiE-RSS fine-mapping: returns pip [p], alpha [L, p], effects."""
+    """SuSiE-RSS fine-mapping: returns pip [p], alpha [L, p], effects.
+
+    ``multilevel`` switches the variational family to the hierarchical
+    block/within-block selection softmax over positional LD blocks
+    (fit_sumstat_sgvb.rs multilevel option)."""
     design = RssDesign.from_genotypes(ref_genotypes, z, rank=rank, lam=lam)
-    out = fit_susie_rss(design, L=L, config=config)
+    if multilevel:
+        from ..models.sgvb import contiguous_ld_blocks, fit_regression, gaussian_llik
+
+        p = z.shape[0]
+        out = fit_regression(
+            design.x_tilde,
+            design.y_tilde,
+            family="ml-susie",
+            L=L,
+            llik=gaussian_llik,
+            config=config,
+            groups=contiguous_ld_blocks(p, block_size),
+        )
+    else:
+        out = fit_susie_rss(design, L=L, config=config)
     out["pip"] = out["pip"][:, 0]
     return out

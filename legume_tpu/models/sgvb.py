@@ -227,6 +227,95 @@ def bisusie_pip(q: BiSusieVarParams):
     return 1.0 - jnp.prod(1.0 - a, axis=0)
 
 
+class MlSusieVarParams(NamedTuple):
+    """Multilevel SuSiE (variational_multilevel_susie.rs): the per-effect
+    selection softmax is factored hierarchically — a categorical over LD
+    blocks (plus a null block) times a categorical over variants WITHIN
+    the selected block. Same posterior family as flat SuSiE but the
+    parameterization mixes far better when p is large and LD is
+    block-structured: a block-level logit moves all its variants' mass
+    jointly instead of fighting p-way softmax competition."""
+
+    block_logits: jax.Array  # [L, B + 1, k] (last block = null)
+    within_logits: jax.Array  # [L, p, k]
+    beta_mean: jax.Array  # [L, p, k]
+    beta_ln_std: jax.Array  # [L, p, k]
+
+
+def ml_susie_init(key, L, p, k, n_blocks):
+    return MlSusieVarParams(
+        block_logits=jnp.zeros((L, n_blocks + 1, k)),
+        within_logits=jnp.zeros((L, p, k)),
+        beta_mean=0.01 * jax.random.normal(key, (L, p, k)),
+        beta_ln_std=jnp.full((L, p, k), -2.0),
+    )
+
+
+def _ml_susie_alpha(q: MlSusieVarParams, group_onehot: jax.Array):
+    """alpha[l, j, k] = P(block of j) * P(j | block of j); one-hot
+    [p, B] matmuls keep the per-block normalization on the MXU."""
+    b = group_onehot.shape[1]
+    block_prob = jax.nn.softmax(q.block_logits, axis=1)  # [L, B+1, k]
+    # within-block softmax via segment normalization; a global max
+    # shift keeps exp in range (per-block shift is unnecessary at the
+    # logit scales Adam produces)
+    w = q.within_logits
+    w = w - jax.lax.stop_gradient(w.max(axis=1, keepdims=True))
+    e = jnp.exp(w)
+    denom_b = jnp.einsum("lpk,pb->lbk", e, group_onehot)  # [L, B, k]
+    denom_p = jnp.einsum("lbk,pb->lpk", denom_b, group_onehot)
+    within_prob = e / jnp.maximum(denom_p, 1e-30)
+    blk_p = jnp.einsum("lbk,pb->lpk", block_prob[:, :b, :], group_onehot)
+    return blk_p * within_prob  # [L, p, k]; null mass = block_prob[:, b]
+
+
+def ml_susie_moments(q: MlSusieVarParams, group_onehot):
+    a = _ml_susie_alpha(q, group_onehot)
+    var_b = jnp.exp(2.0 * q.beta_ln_std)
+    mean_l = a * q.beta_mean
+    var_l = a * (var_b + q.beta_mean**2) - mean_l**2
+    return mean_l.sum(0), jnp.maximum(var_l, 1e-12).sum(0)
+
+
+def ml_susie_kl(q: MlSusieVarParams, group_onehot, prior_var: float = 1.0):
+    """KL of the factored categorical vs uniform over p + 1 outcomes,
+    plus the alpha-weighted Gaussian slab KL (same as flat SuSiE)."""
+    p = q.beta_mean.shape[1]
+    b = group_onehot.shape[1]
+    a = _ml_susie_alpha(q, group_onehot)  # [L, p, k]
+    null = jax.nn.softmax(q.block_logits, axis=1)[:, b, :]  # [L, k]
+    log_a = jnp.log(jnp.maximum(a, 1e-30))
+    log_null = jnp.log(jnp.maximum(null, 1e-30))
+    kl_cat = jnp.sum(a * (log_a + jnp.log(p + 1.0))) + jnp.sum(
+        null * (log_null + jnp.log(p + 1.0))
+    )
+    var_b = jnp.exp(2.0 * q.beta_ln_std)
+    kl_gauss = jnp.sum(
+        a
+        * 0.5
+        * (
+            (var_b + q.beta_mean**2) / prior_var
+            - 1.0
+            + jnp.log(prior_var)
+            - 2.0 * q.beta_ln_std
+        )
+    )
+    return kl_cat + kl_gauss
+
+
+def ml_susie_pip(q: MlSusieVarParams, group_onehot):
+    a = _ml_susie_alpha(q, group_onehot)
+    return 1.0 - jnp.prod(1.0 - a, axis=0)
+
+
+def contiguous_ld_blocks(p: int, block_size: int | None = None) -> np.ndarray:
+    """Positional LD blocks (fit_sumstat_sgvb.rs multilevel option):
+    contiguous windows of ~sqrt(p) variants."""
+    if block_size is None:
+        block_size = max(int(np.ceil(np.sqrt(p))), 2)
+    return (np.arange(p) // block_size).astype(np.int32)
+
+
 # family registry: (init, moments, kl)
 FAMILIES = {
     "gaussian": (gaussian_var_init, gaussian_var_moments, gaussian_var_kl),
@@ -363,6 +452,7 @@ def fit_regression(
     llik: Callable = gaussian_llik,
     config: SgvbConfig | None = None,
     with_null: bool = True,
+    groups: np.ndarray | None = None,  # ml-susie: variant -> LD block
 ):
     """Fit q(theta) by maximizing the local-reparameterized ELBO:
 
@@ -379,6 +469,14 @@ def fit_regression(
     if family == "susie":
         q = susie_init(k_init, L, p, k, with_null=with_null)
         moments, kl_fn = susie_moments, susie_kl
+    elif family == "ml-susie":
+        g = groups if groups is not None else contiguous_ld_blocks(p)
+        g = np.asarray(g, np.int32)
+        n_blocks = int(g.max()) + 1
+        onehot = jnp.asarray(np.eye(n_blocks, dtype=np.float32)[g])  # [p, B]
+        q = ml_susie_init(k_init, L, p, k, n_blocks)
+        moments = lambda q: ml_susie_moments(q, onehot)
+        kl_fn = lambda q, prior_var: ml_susie_kl(q, onehot, prior_var=prior_var)
     elif family == "bisusie":
         q = bisusie_init(k_init, L, p, k, with_null=with_null)
         moments, kl_fn = bisusie_moments, bisusie_kl
@@ -425,6 +523,9 @@ def fit_regression(
     if family == "susie":
         result["pip"] = np.asarray(susie_pip(q))
         result["alpha"] = np.asarray(susie_alpha(q, p))
+    elif family == "ml-susie":
+        result["pip"] = np.asarray(ml_susie_pip(q, onehot))
+        result["alpha"] = np.asarray(_ml_susie_alpha(q, onehot))
     elif family == "bisusie":
         result["pip"] = np.asarray(bisusie_pip(q))[:, None]
     elif family == "spike-slab":

