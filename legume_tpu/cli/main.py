@@ -506,6 +506,15 @@ def run_beans(argv):
     p = sub.add_parser("from-10x-matrix", help="build from CellRanger .h5")
     p.add_argument("--h5", required=True)
     p.add_argument("--output", required=True)
+    p = sub.add_parser("from-10x-molecule", help="build from molecule_info.h5")
+    p.add_argument("--h5", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-umi", type=int, default=1, help="min reads per molecule")
+    p = sub.add_parser("from-triplets", help="Xenium/transcript triplet table")
+    p.add_argument("--table", required=True, help="parquet/csv, one row per transcript")
+    p.add_argument("--output", required=True)
+    p.add_argument("--feature-col", default="feature_name")
+    p.add_argument("--cell-col", default="cell_id")
     p = sub.add_parser("from-fragments", help="ATAC fragments -> tile/peak counts")
     p.add_argument("--fragments", required=True)
     p.add_argument("--output", required=True)
@@ -565,6 +574,19 @@ def run_beans(argv):
         from ..data.builders import from_10x_h5
 
         from_10x_h5(args.h5, args.output)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "from-10x-molecule":
+        from ..data.builders import from_10x_molecule
+
+        from_10x_molecule(args.h5, args.output, min_umi=args.min_umi)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "from-triplets":
+        from ..data.builders import from_triplets_table
+
+        from_triplets_table(
+            args.table, args.output,
+            feature_col=args.feature_col, cell_col=args.cell_col,
+        )
         print(f"wrote backend: {args.output}")
     elif args.cmd == "from-fragments":
         from ..data.builders import from_fragments

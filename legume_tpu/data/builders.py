@@ -98,6 +98,86 @@ def from_10x_h5(h5_path: str, output: str, *, genome: str | None = None) -> Spar
     return create_sparse_from_csc(csc, output, genes, cells)
 
 
+def from_10x_molecule(
+    h5_path: str,
+    output: str,
+    *,
+    min_umi: int = 1,
+) -> SparseBackend:
+    """CellRanger molecule_info.h5 -> cell x gene counts
+    (`data-beans from-10x-molecule`, `data-beans/src/main.rs:205+`).
+
+    Each record is one deduplicated molecule: `barcode_idx`,
+    `feature_idx`, `count` (reads supporting the UMI), `umi`. A
+    molecule contributes 1 to (cell, gene) when its read support is
+    >= ``min_umi`` reads."""
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        bc_idx = np.asarray(f["barcode_idx"], np.int64)
+        ft_idx = np.asarray(f["feature_idx"], np.int64)
+        support = (
+            np.asarray(f["count"], np.int64)
+            if "count" in f
+            else np.ones_like(bc_idx)
+        )
+        barcodes = _h5_strings(f["barcodes"])
+        feat_grp = f["features/name"] if "features" in f else f["gene_names"]
+        genes = _h5_strings(feat_grp)
+
+    keep = support >= min_umi
+    bc_idx, ft_idx = bc_idx[keep], ft_idx[keep]
+    # only barcodes that carry molecules become columns (the molecule
+    # file lists the full whitelist)
+    used = np.unique(bc_idx)
+    remap = np.full(len(barcodes), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    counts = sp.coo_matrix(
+        (np.ones(len(bc_idx), np.float32), (ft_idx, remap[bc_idx])),
+        shape=(len(genes), len(used)),
+    ).tocsc()
+    cells = [barcodes[i] for i in used]
+    log.info(
+        "from-10x-molecule: %d molecules -> %d genes x %d cells",
+        len(bc_idx), counts.shape[0], counts.shape[1],
+    )
+    return create_sparse_from_csc(counts, output, genes, cells)
+
+
+def from_triplets_table(
+    path: str,
+    output: str,
+    *,
+    feature_col: str = "feature_name",
+    cell_col: str = "cell_id",
+    value_col: str | None = None,
+) -> SparseBackend:
+    """Xenium/transcript-table triplets (parquet/csv of one row per
+    transcript) -> feature x cell counts (`data-beans from-zarr`
+    equivalent; the reference reads Xenium zarr triplet stores)."""
+    import pandas as pd
+
+    if path.endswith(".parquet"):
+        df = pd.read_parquet(path)
+    else:
+        df = pd.read_csv(path)
+    feats, f_codes = np.unique(df[feature_col].astype(str), return_inverse=True)
+    cells, c_codes = np.unique(df[cell_col].astype(str), return_inverse=True)
+    vals = (
+        df[value_col].to_numpy(np.float32)
+        if value_col is not None
+        else np.ones(len(df), np.float32)
+    )
+    counts = sp.coo_matrix(
+        (vals, (f_codes, c_codes)), shape=(len(feats), len(cells))
+    ).tocsc()
+    log.info(
+        "from-triplets: %d rows -> %d features x %d cells",
+        len(df), counts.shape[0], counts.shape[1],
+    )
+    return create_sparse_from_csc(counts, output, list(feats), list(cells))
+
+
 def from_mtx(
     mtx: str, output: str, *, rows_file: str | None = None, cols_file: str | None = None
 ) -> SparseBackend:
