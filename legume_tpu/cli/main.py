@@ -647,6 +647,38 @@ def run_faba(argv):
     p.add_argument("--output", required=True)
     p.add_argument("--min-mapq", type=int, default=20)
     p.add_argument("--no-dedup", action="store_true")
+    for _name, _help in [
+        ("dartseq", "m6A C->T WT-vs-control site calling"),
+        ("atoi", "A-to-I (A->G) editing site calling"),
+    ]:
+        p = sub.add_parser(_name, help=_help)
+        p.add_argument("--bam", required=True, help="WT/DART BAM")
+        p.add_argument("--control-bam", required=True)
+        p.add_argument("--output", required=True)
+        p.add_argument("--max-p", type=float, default=0.05)
+        p.add_argument("--min-alt", type=int, default=3)
+    p = sub.add_parser("all", help="pipeline: genes -> apa -> snp -> m6a/atoi")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--gff", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--control-bam", default=None)
+    p.add_argument("--min-mapq", type=int, default=20)
+    p = sub.add_parser("pwm", help="sequence-context PWM around called sites")
+    p.add_argument("--sites", required=True, help="parquet with chrom,pos[,strand]")
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--flank", type=int, default=5)
+    p = sub.add_parser("metagene", help="site density over normalized gene coords")
+    p.add_argument("--sites", required=True, help="parquet with chrom,pos")
+    p.add_argument("--gff", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--bins", type=int, default=50)
+    p = sub.add_parser("pileup", help="base composition around sites from BAM")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--sites", required=True, help="parquet with chrom,pos")
+    p.add_argument("--output", required=True)
+    p.add_argument("--flank", type=int, default=2)
+    p.add_argument("--fasta", default=None)
     args = ap.parse_args(argv)
 
     if args.cmd == "genes":
@@ -658,6 +690,105 @@ def run_faba(argv):
         )
         create_sparse_from_csc(counts, args.output, genes, barcodes)
         print(f"wrote backend: {args.output} ({counts.shape[0]} genes x {counts.shape[1]} cells)")
+    elif args.cmd in ("dartseq", "atoi"):
+        import pandas as pd
+
+        from ..data.sparse_io import create_sparse_from_csc
+        from ..faba.bam import read_bam
+        from ..faba.dartseq import run_atoi, run_dartseq
+
+        runner = run_dartseq if args.cmd == "dartseq" else run_atoi
+        res = runner(
+            args.bam, args.control_bam, max_p=args.max_p, min_alt=args.min_alt
+        )
+        ref_names = read_bam(args.bam).ref_names
+        df = pd.DataFrame(
+            {
+                "chrom": [ref_names[r] for r in res.sites[:, 0]],
+                "pos": res.sites[:, 1],
+                "name": res.site_names,
+                **{k: v for k, v in res.stats.items()},
+            }
+        )
+        df.to_parquet(f"{args.output}.sites.parquet")
+        if res.cell_counts.shape[0]:
+            create_sparse_from_csc(
+                res.cell_counts, f"{args.output}.zarr", res.site_names, res.barcodes
+            )
+        print(f"wrote {args.output}.sites.parquet ({len(df)} sites)")
+    elif args.cmd == "all":
+        from ..faba.pipeline import run_all
+
+        res = run_all(
+            args.bam, args.gff, args.output,
+            control_bam=args.control_bam, min_mapq=args.min_mapq,
+        )
+        print(f"wrote: {' '.join(sorted(res.outputs))}")
+    elif args.cmd == "pwm":
+        import json as _json
+
+        import numpy as np
+        import pandas as pd
+
+        from ..faba.context import pwm_at_sites, read_fasta
+
+        df = pd.read_parquet(args.sites)
+        strand = df["strand"].to_numpy() if "strand" in df else None
+        pwm = pwm_at_sites(
+            read_fasta(args.fasta), df["chrom"].tolist(),
+            df["pos"].to_numpy(), flank=args.flank, strand=strand,
+        )
+        out = pd.DataFrame(pwm.freqs, columns=list("ACGT"))
+        out["offset"] = np.arange(-args.flank, args.flank + 1)
+        out["info_bits"] = pwm.info_bits
+        out.to_parquet(f"{args.output}.pwm.parquet")
+        print(
+            _json.dumps(
+                {"consensus": pwm.consensus, "n_sites": pwm.n_sites,
+                 "out": f"{args.output}.pwm.parquet"}
+            )
+        )
+    elif args.cmd == "metagene":
+        import pandas as pd
+
+        from ..faba.context import metagene_profile
+        from ..faba.genes import parse_gff_genes
+
+        df = pd.read_parquet(args.sites)
+        model = parse_gff_genes(args.gff)
+        chroms = sorted(set(df["chrom"].astype(str)))
+        cidx = {c: i for i, c in enumerate(chroms)}
+        prof = metagene_profile(
+            model, chroms,
+            df["chrom"].map(cidx).to_numpy(), df["pos"].to_numpy(),
+            bins=args.bins,
+        )
+        pd.DataFrame(
+            {"bin": prof["bin_centers"], "density": prof["density"],
+             "count": prof["counts"]}
+        ).to_parquet(f"{args.output}.metagene.parquet")
+        print(
+            f"wrote {args.output}.metagene.parquet "
+            f"({prof['n_assigned']}/{len(df)} sites in genes)"
+        )
+    elif args.cmd == "pileup":
+        import pandas as pd
+
+        from ..faba.bam import read_bam
+        from ..faba.context import pileup_at_sites, read_fasta
+
+        reads = read_bam(args.bam)
+        df = pd.read_parquet(args.sites)
+        rmap = {n: i for i, n in enumerate(reads.ref_names)}
+        rid = df["chrom"].astype(str).map(rmap).to_numpy()
+        fasta = read_fasta(args.fasta) if args.fasta else None
+        pu = pileup_at_sites(
+            reads, rid, df["pos"].to_numpy(), flank=args.flank, fasta=fasta
+        )
+        out = pd.DataFrame(pu["counts"], columns=pu["channels"])
+        out["offset"] = pu["offsets"]
+        out.to_parquet(f"{args.output}.pileup.parquet")
+        print(f"wrote {args.output}.pileup.parquet (mismatch records: {pu['n_mismatch']})")
 
 
 def run_cocoa(argv):

@@ -1,0 +1,215 @@
+"""Site-context summaries: pileup / metagene / PWM
+(`faba` `pwm`/`pileup`/`metagene` subcommands; faba/README.md:120-150).
+
+All three consume a called-site table (chrom, pos) — the dartseq/atoi
+output convention — and produce aggregate views:
+
+- ``pileup_at_sites``: per-offset base composition around each site
+  from the BAM mismatch stream + coverage (matches count toward the
+  reference base when a FASTA is given).
+- ``metagene_profile``: site density / mean signal over normalized,
+  strand-aware gene coordinates (the m6A-near-stop-codon picture).
+- ``pwm_at_sites``: position weight matrix of the reference sequence
+  context around sites + per-position information content (bits).
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bam import BamRecords
+from .genes import GeneModel
+
+log = logging.getLogger(__name__)
+
+BASES = "ACGT"
+_BASE_IDX = {ord(b): i for i, b in enumerate(BASES)}
+_COMP = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
+def read_fasta(path: str) -> dict[str, str]:
+    """Minimal FASTA reader (no htslib in this image); sequences are
+    uppercased, names truncated at the first whitespace."""
+    opener = gzip.open if str(path).endswith(".gz") else open
+    seqs: dict[str, list[str]] = {}
+    name = None
+    with opener(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                name = line[1:].split()[0]
+                seqs[name] = []
+            elif name is not None:
+                seqs[name].append(line.upper())
+    return {k: "".join(v) for k, v in seqs.items()}
+
+
+@dataclass
+class Pwm:
+    counts: np.ndarray  # [2*flank+1, 4]
+    freqs: np.ndarray  # [2*flank+1, 4]
+    info_bits: np.ndarray  # [2*flank+1]
+    consensus: str
+    n_sites: int
+
+
+def pwm_at_sites(
+    fasta: dict[str, str],
+    chrom: list[str] | np.ndarray,
+    pos: np.ndarray,
+    *,
+    flank: int = 5,
+    strand: np.ndarray | None = None,
+    pseudocount: float = 0.5,
+) -> Pwm:
+    """PWM of the +/-flank reference context; minus-strand sites are
+    reverse-complemented so the motif reads 5'->3'."""
+    w = 2 * flank + 1
+    counts = np.full((w, 4), pseudocount)
+    n = 0
+    for i, (c, p) in enumerate(zip(chrom, pos)):
+        seq = fasta.get(str(c))
+        if seq is None:
+            continue
+        lo, hi = int(p) - flank, int(p) + flank + 1
+        if lo < 0 or hi > len(seq):
+            continue
+        ctx = seq[lo:hi]
+        if strand is not None and strand[i] < 0:
+            ctx = ctx.translate(_COMP)[::-1]
+        ok = True
+        for j, b in enumerate(ctx):
+            if ord(b) not in _BASE_IDX:
+                ok = False
+                break
+        if not ok:
+            continue
+        for j, b in enumerate(ctx):
+            counts[j, _BASE_IDX[ord(b)]] += 1
+        n += 1
+    freqs = counts / counts.sum(1, keepdims=True)
+    info = np.log2(4.0) + (freqs * np.log2(np.maximum(freqs, 1e-12))).sum(1)
+    consensus = "".join(BASES[j] for j in freqs.argmax(1))
+    return Pwm(counts=counts, freqs=freqs, info_bits=info, consensus=consensus, n_sites=n)
+
+
+def pileup_at_sites(
+    reads: BamRecords,
+    site_ref_id: np.ndarray,
+    site_pos: np.ndarray,
+    *,
+    flank: int = 0,
+    fasta: dict[str, str] | None = None,
+) -> dict:
+    """Aggregate base composition at each offset in [-flank, flank]
+    around the sites. Mismatching reads contribute their read base
+    (from the MD-tag mismatch stream); matching coverage contributes
+    to the reference base when ``fasta`` resolves it, else to a
+    separate 'ref' channel."""
+    w = 2 * flank + 1
+    # channels: A C G T ref
+    out = np.zeros((w, 5), np.int64)
+    site_set = {}
+    for r, p in zip(site_ref_id, site_pos):
+        for off in range(-flank, flank + 1):
+            site_set.setdefault((int(r), int(p) + off), []).append(off + flank)
+
+    # coverage per (site, offset): reads spanning the position
+    order = np.argsort(reads.ref_id, kind="stable")
+    cov = np.zeros(w, np.int64)
+    for ri in order:
+        r, s, e = int(reads.ref_id[ri]), int(reads.pos[ri]), int(reads.end_pos[ri])
+        for p in range(s, e):
+            slots = site_set.get((r, p))
+            if slots:
+                for sl in slots:
+                    cov[sl] += 1
+    # mismatches: subtract from ref coverage, add to the read base
+    mm_n = 0
+    if reads.mm_pos is not None:
+        for r, p, rb in zip(reads.mm_ref_id, reads.mm_pos, reads.mm_read_base):
+            slots = site_set.get((int(r), int(p)))
+            if slots:
+                b = _BASE_IDX.get(int(rb))
+                for sl in slots:
+                    if b is not None:
+                        out[sl, b] += 1
+                    mm_n += 1
+                    cov[sl] -= 1
+    out[:, 4] = np.maximum(cov, 0)
+    if fasta is not None:
+        # fold matching coverage into the actual reference base per
+        # offset, averaged over sites (aggregate view): distribute the
+        # 'ref' channel by the majority reference base at each offset
+        ref_counts = np.zeros((w, 4), np.int64)
+        # reconstruct ref base composition across sites
+        names = reads.ref_names
+        for r, p in zip(site_ref_id, site_pos):
+            seq = fasta.get(names[int(r)])
+            if seq is None:
+                continue
+            for off in range(-flank, flank + 1):
+                q = int(p) + off
+                if 0 <= q < len(seq):
+                    b = _BASE_IDX.get(ord(seq[q]))
+                    if b is not None:
+                        ref_counts[off + flank, b] += 1
+        dom = ref_counts.argmax(1)
+        for sl in range(w):
+            out[sl, dom[sl]] += out[sl, 4]
+        out[:, 4] = 0
+    return {
+        "offsets": np.arange(-flank, flank + 1),
+        "counts": out,
+        "channels": ["A", "C", "G", "T", "ref_match"],
+        "n_mismatch": mm_n,
+    }
+
+
+def metagene_profile(
+    model: GeneModel,
+    ref_names: list[str],
+    site_ref_id: np.ndarray,
+    site_pos: np.ndarray,
+    *,
+    value: np.ndarray | None = None,
+    bins: int = 50,
+) -> dict:
+    """Histogram of sites over normalized strand-aware gene coordinates
+    (0 = TSS, 1 = TES). Sites outside every gene are dropped; a site in
+    k overlapping genes contributes to each."""
+    cmap = {c: i for i, c in enumerate(model.chrom_names)}
+    chrom_of_ref = np.asarray([cmap.get(r, -1) for r in ref_names], np.int64)
+    hist = np.zeros(bins, np.float64)
+    vsum = np.zeros(bins, np.float64)
+    n_assigned = 0
+    for i, (r, p) in enumerate(zip(site_ref_id, site_pos)):
+        c = chrom_of_ref[int(r)]
+        if c < 0:
+            continue
+        gm = (model.chrom == c) & (model.start <= p) & (p < model.end)
+        for g in np.nonzero(gm)[0]:
+            span = max(int(model.end[g] - model.start[g]), 1)
+            frac = (int(p) - int(model.start[g])) / span
+            if model.strand[g] < 0:
+                frac = 1.0 - frac
+            b = min(int(frac * bins), bins - 1)
+            hist[b] += 1
+            if value is not None:
+                vsum[b] += float(value[i])
+            n_assigned += 1
+    out = {
+        "bin_centers": (np.arange(bins) + 0.5) / bins,
+        "density": hist / max(hist.sum(), 1.0),
+        "counts": hist,
+        "n_assigned": n_assigned,
+    }
+    if value is not None:
+        out["mean_value"] = vsum / np.maximum(hist, 1.0)
+    return out

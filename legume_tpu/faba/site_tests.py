@@ -25,6 +25,8 @@ def betabinom_pvalue_greater(
     out = np.ones(np.broadcast(k, n).shape, np.float64)
     k, n = np.broadcast_arrays(k, n)
     eps = float(np.clip(eps, 1e-9, 1 - 1e-9))
+    if out.size == 0:  # no candidate sites
+        return out
 
     it = np.nditer([k, n], flags=["multi_index"])
     for kv, nv in it:
@@ -57,6 +59,8 @@ def fisher_exact_greater(a_w, u_w, a_m, u_m) -> np.ndarray:
         np.asarray(a_w), np.asarray(u_w), np.asarray(a_m), np.asarray(u_m)
     )
     out = np.ones(a_w.shape, np.float32)
+    if out.size == 0:  # no candidate sites
+        return out
     it = np.nditer([a_w, u_w, a_m, u_m], flags=["multi_index"])
     for aw, uw, am, um in it:
         _, p = _scipy_fisher([[int(aw), int(uw)], [int(am), int(um)]], alternative="greater")
