@@ -679,6 +679,21 @@ def run_faba(argv):
     p.add_argument("--output", required=True)
     p.add_argument("--flank", type=int, default=2)
     p.add_argument("--fasta", default=None)
+    for _name, _help in [
+        ("gem", "geodesic embedding + motion (NCE, velocity delta)"),
+        ("gem-encoder", "masked generative sibling (u+delta->s)"),
+    ]:
+        p = sub.add_parser(_name, help=_help)
+        p.add_argument("--spliced", required=True, help="spliced pb backend")
+        p.add_argument("--unspliced", required=True, help="unspliced pb backend")
+        p.add_argument("--output", required=True)
+        p.add_argument("-d", "--embedding-dim", type=int, default=16)
+        p.add_argument("--epochs", type=int, default=600)
+    p = sub.add_parser("dyn-assoc", help="between-branch Bayesian modality contrast")
+    p.add_argument("--backend", required=True, help="site x cell counts backend")
+    p.add_argument("--branches", required=True, help="parquet: cell, branch|pseudotime")
+    p.add_argument("--output", required=True)
+    p.add_argument("--exposure", default=None, help="optional coverage backend")
     args = ap.parse_args(argv)
 
     if args.cmd == "genes":
@@ -771,6 +786,95 @@ def run_faba(argv):
             f"wrote {args.output}.metagene.parquet "
             f"({prof['n_assigned']}/{len(df)} sites in genes)"
         )
+    elif args.cmd in ("gem", "gem-encoder"):
+        import numpy as np
+        import pandas as pd
+
+        from ..data.sparse_io import open_sparse_matrix
+        from ..embedding.gem import fit_gem, fit_gem_encoder
+
+        sb = open_sparse_matrix(args.spliced)
+        ub = open_sparse_matrix(args.unspliced)
+        s = np.asarray(
+            sb.read_columns_csc(np.arange(sb.num_columns)).todense()
+        ).T  # [P, D]
+        u = np.asarray(ub.read_columns_csc(np.arange(ub.num_columns)).todense()).T
+        if s.shape != u.shape:
+            raise SystemExit(
+                f"spliced {s.shape} and unspliced {u.shape} backends must "
+                "share genes and columns"
+            )
+        genes = sb.row_names()
+        if args.cmd == "gem":
+            res = fit_gem(s, u, embedding_dim=args.embedding_dim, epochs=args.epochs)
+            delta, emb = res.delta, res.e_feat
+            vel = res.cell_velocity(u)
+        else:
+            res = fit_gem_encoder(
+                s, u, latent_dim=args.embedding_dim, epochs=args.epochs
+            )
+            delta, emb = res.delta, res.rho
+            vel = res.cell_velocity(u)
+        pd.DataFrame(
+            emb, index=genes, columns=[f"h{j}" for j in range(emb.shape[1])]
+        ).reset_index(names="gene").to_parquet(f"{args.output}.gene_embedding.parquet")
+        out_v = pd.DataFrame(
+            vel, index=sb.column_names(),
+            columns=[f"v{j}" for j in range(vel.shape[1])],
+        ).reset_index(names="cell")
+        out_v.to_parquet(f"{args.output}.velocity.parquet")
+        pd.DataFrame(
+            {"gene": genes, "velocity_norm": np.linalg.norm(delta, axis=1)}
+        ).to_parquet(f"{args.output}.gene_velocity.parquet")
+        print(f"wrote {args.output}.{{gene_embedding,velocity,gene_velocity}}.parquet")
+    elif args.cmd == "dyn-assoc":
+        import numpy as np
+        import pandas as pd
+
+        from ..data.sparse_io import open_sparse_matrix
+        from ..faba.assoc import dyn_assoc, dyn_assoc_pseudotime
+
+        be = open_sparse_matrix(args.backend)
+        counts = np.asarray(
+            be.read_columns_csc(np.arange(be.num_columns)).todense()
+        )  # [S, N]
+        cells = be.column_names()
+        lab = pd.read_parquet(args.branches).set_index(
+            pd.read_parquet(args.branches).columns[0]
+        )
+        lab = lab.reindex(cells)
+        if args.exposure:
+            ex_be = open_sparse_matrix(args.exposure)
+            exposure = np.asarray(
+                ex_be.read_columns_csc(np.arange(ex_be.num_columns)).todense()
+            ).sum(0)
+        else:
+            exposure = counts.sum(0) + 1.0
+        if "branch" in lab.columns:
+            out = dyn_assoc(counts, exposure, lab["branch"].to_numpy())
+            df = pd.DataFrame(
+                {
+                    "site": be.row_names(),
+                    "branch": out["branch"],
+                    "log_fold_change": out["log_fold_change"],
+                    "z": out["z"],
+                    "log_bf": out["log_bf"],
+                    "pvalue": out["pvalue"],
+                }
+            )
+        else:
+            pt_col = "pseudotime" if "pseudotime" in lab.columns else lab.columns[0]
+            out = dyn_assoc_pseudotime(counts, exposure, lab[pt_col].to_numpy())
+            df = pd.DataFrame(
+                {
+                    "site": be.row_names(),
+                    "slope": out["slope"],
+                    "z": out["z"],
+                    "pvalue": out["pvalue"],
+                }
+            )
+        df.to_parquet(f"{args.output}.assoc.parquet")
+        print(f"wrote {args.output}.assoc.parquet ({len(df)} sites)")
     elif args.cmd == "pileup":
         import pandas as pd
 

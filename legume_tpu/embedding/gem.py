@@ -115,3 +115,101 @@ def fit_gem(
         pb_b=np.asarray(params["pb_b"]),
         losses=losses,
     )
+
+
+# ----------------------------------------------------------------------------
+# gem-encoder: masked generative sibling (faba gem_encoder/mod.rs:1-19)
+# ----------------------------------------------------------------------------
+
+
+@dataclass
+class GemEncoderResult:
+    rho: np.ndarray  # [D, H] shared gene embeddings
+    delta: np.ndarray  # [D, H] velocity offsets (u + delta -> s)
+    w1: np.ndarray
+    b1: np.ndarray
+    bias_s: np.ndarray
+    losses: list = field(default_factory=list)
+
+    def encode(self, unspliced_nd: np.ndarray) -> np.ndarray:
+        u = np.log1p(unspliced_nd)
+        u = u / np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-9)
+        h = u @ self.rho
+        return np.maximum(h @ self.w1 + self.b1, 0.0)
+
+    def cell_velocity(self, unspliced_nd: np.ndarray) -> np.ndarray:
+        w = unspliced_nd / np.maximum(unspliced_nd.sum(1, keepdims=True), 1e-9)
+        return w @ self.delta
+
+
+def fit_gem_encoder(
+    spliced_pd: np.ndarray,  # [P, D]
+    unspliced_pd: np.ndarray,  # [P, D]
+    *,
+    latent_dim: int = 16,
+    epochs: int = 600,
+    learning_rate: float = 0.01,
+    mask_frac: float = 0.2,
+    delta_l2: float = 0.01,
+    seed: int = 0,
+) -> GemEncoderResult:
+    """Masked generative sibling of gem (`faba gem-encoder`,
+    gem_encoder/mod.rs:1-19 u+delta->s parameterization): encode the
+    cell state from the UNSPLICED profile through shared gene
+    embeddings rho, then generatively score the SPLICED counts against
+    rho + delta — the velocity offset carries the u->s flow. Training
+    is BERT-style: a random gene subset is masked out of the encoder
+    input each step and the spliced multinomial is scored everywhere,
+    forcing the latent to impute through co-expression."""
+    p, d = spliced_pd.shape
+    key = jax.random.key(seed)
+    k1, k2, key = jax.random.split(key, 3)
+
+    params = {
+        "rho": 0.1 * jax.random.normal(k1, (d, latent_dim)),
+        "delta": jnp.zeros((d, latent_dim)),
+        "w1": 0.1 * jax.random.normal(k2, (latent_dim, latent_dim)),
+        "b1": jnp.zeros(latent_dim),
+        "bias_s": jnp.zeros(d),
+    }
+
+    u_log = jnp.asarray(np.log1p(unspliced_pd), jnp.float32)
+    u_log = u_log / jnp.maximum(
+        jnp.linalg.norm(u_log, axis=1, keepdims=True), 1e-9
+    )
+    s_j = jnp.asarray(spliced_pd, jnp.float32)
+
+    def loss_fn(pr, kmask):
+        keep = jax.random.uniform(kmask, (p, d)) > mask_frac
+        h = (u_log * keep) @ pr["rho"]
+        z = jax.nn.relu(h @ pr["w1"] + pr["b1"])  # [P, H]
+        logits = z @ (pr["rho"] + pr["delta"]).T + pr["bias_s"][None, :]
+        log_prob = jax.nn.log_softmax(logits, axis=1)
+        ll = jnp.sum(s_j * log_prob) / jnp.maximum(s_j.sum(), 1.0)
+        reg = delta_l2 * jnp.mean(jnp.sum(pr["delta"] ** 2, axis=1))
+        return -ll + reg
+
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, k):
+        loss, grads = jax.value_and_grad(loss_fn)(params, k)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(epochs):
+        key, km = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, km)
+        if i % 50 == 0:
+            losses.append(float(loss))
+
+    return GemEncoderResult(
+        rho=np.asarray(params["rho"]),
+        delta=np.asarray(params["delta"]),
+        w1=np.asarray(params["w1"]),
+        b1=np.asarray(params["b1"]),
+        bias_s=np.asarray(params["bias_s"]),
+        losses=losses,
+    )
