@@ -472,7 +472,31 @@ def run_sim(argv):
     p.add_argument("--depth", type=float, default=1000.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--output", required=True)
+    p.add_argument(
+        "--reference", default=None,
+        help="real backend: sample via NB + Gaussian copula conditioned on it",
+    )
+    p.add_argument("--copula-rank", type=int, default=10)
     args = ap.parse_args(argv)
+
+    if args.cmd == "topic" and args.reference:
+        import numpy as np
+
+        from ..data.sim import simulate_from_reference
+        from ..data.sparse_io import create_sparse_from_csc, open_sparse_matrix
+
+        ref = open_sparse_matrix(args.reference)
+        counts, params = simulate_from_reference(
+            ref.read_columns_csc(np.arange(ref.num_columns)),
+            n_cells=args.cols, rank=args.copula_rank, seed=args.seed,
+        )
+        path = args.output if args.output.endswith((".zarr", ".h5")) else args.output + ".zarr"
+        create_sparse_from_csc(
+            counts, path, ref.row_names(),
+            [f"sim{i}" for i in range(counts.shape[1])],
+        )
+        print(f"wrote backend: {path} (copula rank {args.copula_rank})")
+        return
 
     if args.cmd == "topic":
         from ..data.sim import simulate_topic, write_topic_sim

@@ -183,6 +183,78 @@ def simulate_bulk(
     return rng.poisson(lam).astype(np.float32), fracs
 
 
+def simulate_from_reference(
+    ref_counts: sp.spmatrix,  # [G, N] real cells
+    n_cells: int = 1000,
+    *,
+    rank: int = 10,
+    seed: int = 0,
+    max_ref_cells: int = 5000,
+) -> tuple[sp.csc_matrix, dict]:
+    """Reference-conditioned NB + Gaussian-copula generator
+    (`data-beans-sim topic --reference`, `data-beans-sim/src/copula/`):
+
+    1. per-gene NB marginals from the reference (method-of-moments
+       mean/dispersion on library-size-normalized counts),
+    2. a rank-``rank`` Gaussian copula capturing gene-gene dependence
+       (factor loadings from the SVD of the z-scored log1p matrix),
+    3. sample latent z = L f + sqrt(1 - ||L||^2) eps, push through the
+       NB quantile at each gene.
+
+    Returns ([G, n_cells] counts, params dict with nb_mean/nb_phi/
+    loadings)."""
+    rng = np.random.default_rng(seed)
+    csc = sp.csc_matrix(ref_counts)
+    g, n = csc.shape
+    if n > max_ref_cells:
+        pick = rng.choice(n, max_ref_cells, replace=False)
+        csc = csc[:, pick]
+        n = max_ref_cells
+    x = np.asarray(csc.todense(), np.float64)  # [G, N]
+    lib = np.maximum(x.sum(0), 1.0)
+    depth = lib.mean()
+    xn = x / lib[None, :] * depth  # depth-normalized
+
+    mu = xn.mean(1)
+    var = xn.var(1)
+    # NB: var = mu + phi mu^2  ->  phi = max((var - mu) / mu^2, 0)
+    phi = np.maximum((var - mu) / np.maximum(mu**2, 1e-12), 1e-6)
+
+    # copula loadings from z-scored log1p
+    z = np.log1p(xn)
+    z = (z - z.mean(1, keepdims=True)) / np.maximum(z.std(1, keepdims=True), 1e-8)
+    rank = min(rank, min(g, n) - 1)
+    u_svd, s_svd, _ = np.linalg.svd(z / np.sqrt(n), full_matrices=False)
+    load = u_svd[:, :rank] * s_svd[:rank][None, :]  # [G, R]
+    # cap so the residual variance stays positive
+    norms = np.linalg.norm(load, axis=1)
+    scale = np.minimum(0.99 / np.maximum(norms, 1e-9), 1.0)
+    load = load * scale[:, None]
+    resid_sd = np.sqrt(np.maximum(1.0 - (load**2).sum(1), 1e-4))
+
+    from scipy.stats import nbinom, norm, poisson
+
+    f = rng.standard_normal((rank, n_cells))
+    eps = rng.standard_normal((g, n_cells))
+    z_new = load @ f + resid_sd[:, None] * eps
+    u = norm.cdf(z_new)  # [G, n_cells] uniforms with gene dependence
+
+    counts = np.zeros((g, n_cells), np.float32)
+    for j in range(g):
+        if mu[j] <= 0:
+            continue
+        if phi[j] < 1e-5:
+            counts[j] = poisson.ppf(u[j], mu[j])
+        else:
+            r = 1.0 / phi[j]
+            p = r / (r + mu[j])
+            counts[j] = nbinom.ppf(u[j], r, p)
+    return (
+        sp.csc_matrix(counts),
+        {"nb_mean": mu, "nb_phi": phi, "loadings": load},
+    )
+
+
 def write_topic_sim(sim: TopicSim, output: str):
     """Write the backend + ground-truth parquet sidecars the way the
     reference does (`data-beans-sim/README.md` outputs table)."""
