@@ -1011,6 +1011,20 @@ def run_fagioli(argv):
         "--multilevel", action="store_true",
         help="hierarchical block/within-block selection (LD-blocked)",
     )
+    p = sub.add_parser("fit-prs-susie", help="sparse PRS weights via SuSiE")
+    p.add_argument("--zscores", required=True, help="TSV: variant z")
+    p.add_argument("--geno", required=True, help="LD reference .npy [n, p]")
+    p.add_argument("--out", required=True)
+    p.add_argument("-L", type=int, default=10)
+    p.add_argument("--score-geno", default=None, help=".npy panel to score")
+    p.add_argument("--steps", type=int, default=1500)
+    p = sub.add_parser("fit-sumstat-mcmc", help="ESS posterior over RSS effects")
+    p.add_argument("--zscores", required=True)
+    p.add_argument("--geno", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--samples", type=int, default=1000)
+    p.add_argument("--burn-in", type=int, default=200)
+    p.add_argument("--prior-sd", type=float, default=0.3)
     p = sub.add_parser("sim-sumstat", help="simulate GWAS summary stats")
     p.add_argument("--out", required=True)
     p.add_argument("--n", type=int, default=500)
@@ -1035,6 +1049,45 @@ def run_fagioli(argv):
              "beta_true": sim.beta, "causal": sim.causal}
         ).to_csv(args.out + ".sumstat.tsv", sep="\t", index=False)
         print(f"wrote {args.out}.sumstat.tsv and {args.out}.geno.npy")
+    elif args.cmd == "fit-prs-susie":
+        from ..fagioli.sumstat import fit_prs
+        from ..models.sgvb import SgvbConfig
+
+        df = pd.read_csv(args.zscores, sep="\t")
+        geno = np.load(args.geno)
+        score = np.load(args.score_geno) if args.score_geno else None
+        out = fit_prs(
+            df["z"].to_numpy(), geno, L=args.L, score_genotypes=score,
+            config=SgvbConfig(num_steps=args.steps),
+        )
+        pd.DataFrame(
+            {"variant": df.iloc[:, 0], "weight": out["weights"], "pip": out["pip"]}
+        ).to_parquet(args.out + ".prs_weights.parquet")
+        msg = f"wrote {args.out}.prs_weights.parquet"
+        if "prs" in out:
+            pd.DataFrame(
+                {"sample": np.arange(len(out["prs"])), "prs": out["prs"]}
+            ).to_parquet(args.out + ".prs.parquet")
+            msg += f" and {args.out}.prs.parquet"
+        print(msg)
+    elif args.cmd == "fit-sumstat-mcmc":
+        from ..fagioli.sumstat import fit_sumstat_mcmc
+
+        df = pd.read_csv(args.zscores, sep="\t")
+        geno = np.load(args.geno)
+        out = fit_sumstat_mcmc(
+            df["z"].to_numpy(), geno,
+            num_samples=args.samples, burn_in=args.burn_in,
+            prior_sd=args.prior_sd,
+        )
+        pd.DataFrame(
+            {"variant": df.iloc[:, 0], "beta_mean": out["beta_mean"],
+             "beta_sd": out["beta_sd"], "rhat": out["rhat"], "ess": out["ess"]}
+        ).to_parquet(args.out + ".mcmc.parquet")
+        print(
+            f"wrote {args.out}.mcmc.parquet "
+            f"(max rhat {out['rhat'].max():.3f}, min ess {out['ess'].min():.0f})"
+        )
     else:
         from ..fagioli.sumstat import map_sumstat
         from ..models.sgvb import SgvbConfig

@@ -104,3 +104,79 @@ def map_sumstat(
         out = fit_susie_rss(design, L=L, config=config)
     out["pip"] = out["pip"][:, 0]
     return out
+
+
+def fit_prs(
+    z: np.ndarray,
+    ref_genotypes: np.ndarray,
+    *,
+    L: int = 10,
+    score_genotypes: np.ndarray | None = None,
+    config: SgvbConfig | None = None,
+) -> dict:
+    """Sparse polygenic-score weights via SuSiE on summary stats
+    (`fagioli fit-prs-susie`): posterior-mean effects are the PRS
+    weights; optionally scores a genotype panel (standardized dosages)
+    with them."""
+    out = map_sumstat(z, ref_genotypes, L=L, config=config)
+    weights = out["theta_mean"][:, 0]
+    result = {"weights": weights, "pip": out["pip"]}
+    if score_genotypes is not None:
+        xs = np.asarray(score_genotypes, np.float64)
+        xs = (xs - xs.mean(0)) / np.maximum(xs.std(0), 1e-8)
+        result["prs"] = xs @ weights
+    return result
+
+
+def fit_sumstat_mcmc(
+    z: np.ndarray,
+    ref_genotypes: np.ndarray,
+    *,
+    rank: Optional[int] = None,
+    lam: float = 0.1,
+    prior_sd: float = 0.3,
+    num_samples: int = 1000,
+    burn_in: int = 200,
+    n_chains: int = 4,
+    seed: int = 0,
+) -> dict:
+    """Posterior over effects by elliptical slice sampling on the RSS
+    likelihood (`fagioli fit-sumstat-mcmc` -> mcmc-util sampler): beta
+    ~ N(0, prior_sd^2 I) prior, y_tilde ~ N(X_tilde beta, I)
+    likelihood. ESS needs only prior draws + log-likelihood, so a
+    non-Gaussian extension drops in by swapping the prior sampler.
+    Returns posterior mean/sd plus split-Rhat and ESS diagnostics."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.sgvb import RssDesign
+    from ..ops.mcmc import ess as ess_diag
+    from ..ops.mcmc import run_ess_chains, split_rhat
+
+    design = RssDesign.from_genotypes(ref_genotypes, z, rank=rank, lam=lam)
+    x_t = jnp.asarray(design.x_tilde)  # [r, p]
+    y_t = jnp.asarray(design.y_tilde[:, 0])
+
+    def lnpdf(beta):  # [C, p] -> [C]
+        resid = y_t[None, :] - beta @ x_t.T
+        return -0.5 * jnp.sum(resid**2, axis=-1)
+
+    p = z.shape[0]
+    key = jax.random.key(seed)
+    init = prior_sd * jax.random.normal(key, (n_chains, p))
+    samples, _ = run_ess_chains(
+        key, init,
+        prior_draw=lambda k, s: prior_sd * jax.random.normal(k, s),
+        lnpdf=lnpdf, num_samples=num_samples, burn_in=burn_in,
+    )  # [num_samples, C, p]
+    s = np.asarray(samples)
+    flat = s.reshape(-1, p)
+    rhat = np.asarray([split_rhat(s[:, :, j].T.reshape(-1)) for j in range(p)])
+    ess_j = np.asarray([ess_diag(flat[:, j]) for j in range(p)])
+    return {
+        "beta_mean": flat.mean(0),
+        "beta_sd": flat.std(0),
+        "rhat": rhat,
+        "ess": ess_j,
+        "samples": s,
+    }

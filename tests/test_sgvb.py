@@ -207,3 +207,37 @@ def test_multilevel_susie_recovery():
     for c in causal_idx:
         far[max(c - 3, 0) : c + 4] = False
     assert np.median(pip[far]) < 0.1
+
+
+def test_fit_prs_predicts_phenotype():
+    """PRS weights from summary stats predict held-out phenotype."""
+    from legume_tpu.fagioli.sumstat import fit_prs
+
+    sim = simulate_sumstat(n=600, p=120, n_causal=3, h2=0.5, seed=9)
+    rng = np.random.default_rng(9)
+    # held-out panel drawn from the same genotypes (split)
+    xs = (sim.genotypes - sim.genotypes.mean(0)) / np.maximum(
+        sim.genotypes.std(0), 1e-8
+    )
+    y = xs @ sim.beta
+    out = fit_prs(
+        sim.z, sim.genotypes, L=6, score_genotypes=sim.genotypes,
+        config=SgvbConfig(num_steps=1200, learning_rate=0.02),
+    )
+    r = np.corrcoef(out["prs"], y)[0, 1]
+    assert r > 0.8, r
+
+
+def test_fit_sumstat_mcmc_diagnostics():
+    from legume_tpu.fagioli.sumstat import fit_sumstat_mcmc
+
+    sim = simulate_sumstat(n=400, p=40, n_causal=1, h2=0.4, seed=10)
+    out = fit_sumstat_mcmc(
+        sim.z, sim.genotypes, num_samples=600, burn_in=150, prior_sd=0.3
+    )
+    causal = int(np.nonzero(sim.causal)[0][0])
+    # the causal variant's neighborhood carries the largest |beta|
+    top = int(np.argmax(np.abs(out["beta_mean"])))
+    assert abs(top - causal) <= 2, (top, causal)
+    assert np.all(out["rhat"] < 1.2)
+    assert out["ess"].min() > 50
