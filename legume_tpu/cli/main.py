@@ -543,6 +543,29 @@ def run_beans(argv):
     p.add_argument("--fragments", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--tile-size", type=int, default=5000)
+    p = sub.add_parser("align", help="rewrite backends onto the shared row union")
+    p.add_argument("backends", nargs="+")
+    p.add_argument("--suffix", default=".aligned", help="output suffix per backend")
+    p = sub.add_parser("reorder", help="reorder columns by a name list")
+    p.add_argument("backend")
+    p.add_argument("--columns", required=True, help="file with one column name per line")
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("squeeze", help="drop all-zero feature rows")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-row-total", type=float, default=1.0)
+    p = sub.add_parser("subsample", help="uniform column subsample")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p.add_argument("-n", "--n-columns", type=int, required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p = sub.add_parser("subset", help="subset columns and/or rows by name file")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p.add_argument("--columns", default=None, help="file: one column name per line")
+    p.add_argument("--rows", default=None, help="file: one row name per line")
+    p = sub.add_parser("stat", help="summary statistics JSON")
+    p.add_argument("backend")
     p.add_argument("--peaks", default=None, help="BED of peaks (else tiles)")
     p = sub.add_parser("to-mtx", help="export MEX (mtx + features + barcodes)")
     p.add_argument("backend")
@@ -599,6 +622,53 @@ def run_beans(argv):
 
         from_10x_h5(args.h5, args.output)
         print(f"wrote backend: {args.output}")
+    elif args.cmd == "align":
+        from ..data.builders import align_backends
+
+        outs = [b.rstrip("/").rsplit(".zarr", 1)[0] + args.suffix for b in args.backends]
+        align_backends(list(args.backends), outs)
+        print(f"wrote aligned backends: {' '.join(outs)}")
+    elif args.cmd == "reorder":
+        from ..data.builders import _read_name_file, reorder_backend
+
+        reorder_backend(args.backend, args.output, _read_name_file(args.columns))
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "squeeze":
+        from ..data.builders import squeeze_backend
+
+        be = squeeze_backend(
+            args.backend, args.output, min_row_total=args.min_row_total
+        )
+        print(f"wrote backend: {args.output} ({be.num_rows} rows kept)")
+    elif args.cmd == "subsample":
+        from ..data.builders import subsample_backend
+
+        subsample_backend(args.backend, args.output, args.n_columns, seed=args.seed)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "subset":
+        import numpy as np
+
+        from ..data.builders import _read_name_file, subset_backend
+        from ..data.sparse_io import open_sparse_matrix
+
+        be = open_sparse_matrix(args.backend)
+        cols = rows = None
+        if args.columns:
+            want = set(_read_name_file(args.columns))
+            cols = np.asarray(
+                [i for i, n in enumerate(be.column_names()) if n in want]
+            )
+        if args.rows:
+            want = set(_read_name_file(args.rows))
+            rows = np.asarray([i for i, n in enumerate(be.row_names()) if n in want])
+        subset_backend(args.backend, args.output, columns=cols, rows=rows)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "stat":
+        import json as _json
+
+        from ..data.builders import backend_stat
+
+        print(_json.dumps(backend_stat(args.backend)))
     elif args.cmd == "from-10x-molecule":
         from ..data.builders import from_10x_molecule
 

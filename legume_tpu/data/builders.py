@@ -355,3 +355,81 @@ def merge_backends(paths: list[str], output: str) -> SparseBackend:
         names.extend(f"{n}@{i}" if len(bes) > 1 else n for n in be.column_names())
     merged = sp.hstack(pieces, format="csc")
     return create_sparse_from_csc(merged, output, rows0, names)
+
+
+def align_backends(paths: list[str], outputs: list[str]) -> list[SparseBackend]:
+    """Rewrite each backend onto the SHARED row (feature) union, in a
+    canonical sorted order, so they can be merged/stacked
+    (`data-beans align`). Missing features become explicit zero rows."""
+    bes = [open_sparse_matrix(p) for p in paths]
+    union = sorted(set().union(*[set(be.row_names()) for be in bes]))
+    idx = {n: i for i, n in enumerate(union)}
+    out = []
+    for be, dest in zip(bes, outputs):
+        csc = be.read_columns_csc(np.arange(be.num_columns)).tocoo()
+        rmap = np.asarray([idx[n] for n in be.row_names()], np.int64)
+        aligned = sp.coo_matrix(
+            (csc.data, (rmap[csc.row], csc.col)),
+            shape=(len(union), be.num_columns),
+        ).tocsc()
+        out.append(
+            create_sparse_from_csc(aligned, dest, union, be.column_names())
+        )
+    return out
+
+
+def reorder_backend(
+    backend_path: str, output: str, column_order: list[str]
+) -> SparseBackend:
+    """Reorder columns by an explicit name list (`data-beans reorder`)."""
+    be = open_sparse_matrix(backend_path)
+    pos = {n: i for i, n in enumerate(be.column_names())}
+    missing = [n for n in column_order if n not in pos]
+    if missing:
+        raise ValueError(f"{len(missing)} requested columns absent, e.g. {missing[:3]}")
+    cols = np.asarray([pos[n] for n in column_order], np.int64)
+    return subset_backend(backend_path, output, columns=cols)
+
+
+def squeeze_backend(
+    backend_path: str, output: str, *, min_row_total: float = 1.0
+) -> SparseBackend:
+    """Drop all-(near-)zero feature rows (`data-beans squeeze`)."""
+    be = open_sparse_matrix(backend_path)
+    csc = be.read_columns_csc(np.arange(be.num_columns))
+    totals = np.asarray(csc.sum(axis=1)).ravel()
+    keep = np.nonzero(totals >= min_row_total)[0]
+    return subset_backend(backend_path, output, rows=keep)
+
+
+def subsample_backend(
+    backend_path: str, output: str, n_columns: int, *, seed: int = 0
+) -> SparseBackend:
+    """Uniform column subsample (`data-beans subsample`)."""
+    be = open_sparse_matrix(backend_path)
+    rng = np.random.default_rng(seed)
+    n = min(n_columns, be.num_columns)
+    cols = np.sort(rng.choice(be.num_columns, n, replace=False))
+    return subset_backend(backend_path, output, columns=cols)
+
+
+def backend_stat(backend_path: str) -> dict:
+    """Row/column summary statistics (`data-beans stat`)."""
+    be = open_sparse_matrix(backend_path)
+    csc = be.read_columns_csc(np.arange(be.num_columns))
+    col_tot = np.asarray(csc.sum(axis=0)).ravel()
+    row_tot = np.asarray(csc.sum(axis=1)).ravel()
+    row_nnz = np.diff(sp.csr_matrix(csc).indptr)
+    col_nnz = np.diff(csc.indptr)
+    return {
+        "nrow": be.num_rows,
+        "ncol": be.num_columns,
+        "nnz": int(csc.nnz),
+        "total": float(csc.sum()),
+        "col_total_mean": float(col_tot.mean()),
+        "col_total_median": float(np.median(col_tot)),
+        "col_nnz_median": float(np.median(col_nnz)),
+        "row_total_mean": float(row_tot.mean()),
+        "row_nnz_median": float(np.median(row_nnz)),
+        "zero_rows": int((row_tot == 0).sum()),
+    }

@@ -1,0 +1,59 @@
+"""data-beans handler parity: align/reorder/squeeze/subsample/stat."""
+
+import numpy as np
+import scipy.sparse as sp
+
+from legume_tpu.data.builders import (
+    align_backends,
+    backend_stat,
+    merge_backends,
+    reorder_backend,
+    squeeze_backend,
+    subsample_backend,
+)
+from legume_tpu.data.sparse_io import create_sparse_from_csc, open_sparse_matrix
+
+
+def _mk(tmp_path, name, dense, rows, cols):
+    p = str(tmp_path / name)
+    create_sparse_from_csc(sp.csc_matrix(np.asarray(dense, np.float32)), p, rows, cols)
+    return p
+
+
+def test_align_then_merge_on_row_union(tmp_path):
+    a = _mk(tmp_path, "a", [[0, 1, 2], [3, 4, 5]], ["gX", "gY"], ["a0", "a1", "a2"])
+    b = _mk(tmp_path, "b", [[0, 1], [4, 5]], ["gY", "gZ"], ["b0", "b1"])
+    align_backends([a, b], [a + ".al", b + ".al"])
+    m = merge_backends([a + ".al", b + ".al"], str(tmp_path / "m"))
+    assert m.row_names() == ["gX", "gY", "gZ"]
+    d = np.asarray(m.read_columns_csc(np.arange(5)).todense())
+    np.testing.assert_array_equal(
+        d, [[0, 1, 2, 0, 0], [3, 4, 5, 0, 1], [0, 0, 0, 4, 5]]
+    )
+
+
+def test_reorder_and_missing_name(tmp_path):
+    p = _mk(tmp_path, "r", [[1, 2, 3]], ["g"], ["c0", "c1", "c2"])
+    out = reorder_backend(p, str(tmp_path / "ro"), ["c2", "c0"])
+    assert out.column_names() == ["c2", "c0"]
+    d = np.asarray(out.read_columns_csc(np.arange(2)).todense())
+    np.testing.assert_array_equal(d, [[3, 1]])
+    import pytest
+
+    with pytest.raises(ValueError, match="absent"):
+        reorder_backend(p, str(tmp_path / "bad"), ["nope"])
+
+
+def test_squeeze_subsample_stat(tmp_path):
+    dense = np.zeros((4, 6), np.float32)
+    dense[0] = 1.0
+    dense[2, 3] = 7.0
+    p = _mk(tmp_path, "s", dense, ["r0", "r1", "r2", "r3"], [f"c{i}" for i in range(6)])
+    sq = squeeze_backend(p, str(tmp_path / "sq"))
+    assert sq.row_names() == ["r0", "r2"]
+    sub = subsample_backend(p, str(tmp_path / "sub"), 3, seed=0)
+    assert sub.num_columns == 3
+    st = backend_stat(p)
+    assert st["nrow"] == 4 and st["ncol"] == 6
+    assert st["zero_rows"] == 2
+    assert st["total"] == 13.0
