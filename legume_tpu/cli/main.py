@@ -135,6 +135,23 @@ def run_senna(argv):
     p.add_argument("--sort-dim", type=int, default=8)
     p.add_argument("--proj-dim", type=int, default=50)
 
+    p = sub.add_parser("qmatrix", help="gene-set x topic enrichment Q-matrix")
+    p.add_argument("--dictionary", required=True, help="{out}.dictionary.parquet")
+    p.add_argument("--markers", required=True, help="GMT gene sets")
+    p.add_argument("--out", required=True)
+    p.add_argument("--permutations", type=int, default=500)
+
+    p = sub.add_parser(
+        "annotate-ontology", help="ontology-consensus cluster annotation (TreeBH)"
+    )
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--clusters", required=True, help="clusters parquet")
+    p.add_argument("--obo", required=True, help="ontology .obo")
+    p.add_argument("--gaf", required=True, help="term-gene annotations GAF")
+    p.add_argument("--out", required=True)
+    p.add_argument("--top-frac", type=float, default=0.1)
+    p.add_argument("--alpha", type=float, default=0.05)
+
     p = sub.add_parser(
         "annotate-by-enrichment", help="marker-panel cluster annotation"
     )
@@ -278,6 +295,57 @@ def run_senna(argv):
             },
         ).save(args.out, "gem.json")
         print(f"wrote {args.out}.latent.parquet")
+        return
+    if args.cmd == "qmatrix":
+        import numpy as _np
+        import pandas as pd
+
+        from ..data.knowledge import read_gmt
+        from ..ops.enrichment import geneset_topic_qmatrix
+
+        dic = pd.read_parquet(args.dictionary)
+        genes = dic.iloc[:, 0].astype(str).tolist()
+        log_beta = dic.iloc[:, 1:].to_numpy("float64").T  # [K, D]
+        out = geneset_topic_qmatrix(
+            log_beta, genes, read_gmt(args.markers), n_perm=args.permutations
+        )
+        topics = dic.columns[1:].tolist()
+        pd.DataFrame(out["z"], index=out["labels"], columns=topics).reset_index(
+            names="gene_set"
+        ).to_parquet(f"{args.out}.qmatrix.parquet")
+        pd.DataFrame(out["q"], index=out["labels"], columns=topics).reset_index(
+            names="gene_set"
+        ).to_parquet(f"{args.out}.qvalues.parquet")
+        print(f"wrote {args.out}.qmatrix.parquet and {args.out}.qvalues.parquet")
+        return
+    if args.cmd == "annotate-ontology":
+        import numpy as _np
+        import pandas as pd
+
+        from ..data.knowledge import parse_obo, read_gaf
+        from ..ops.enrichment import annotate_ontology
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        cl = pd.read_parquet(args.clusters)
+        labels = cl.iloc[:, 1].to_numpy()
+        uniq = _np.unique(labels)
+        profiles = _np.zeros((len(uniq), vec.num_rows))
+        for i, c in enumerate(uniq):
+            cells = _np.nonzero(labels == c)[0]
+            profiles[i] = _np.log1p(
+                _np.asarray(vec.read_columns_csc(cells).mean(axis=1)).ravel()
+            )
+        ont = parse_obo(args.obo)
+        term_genes = read_gaf(args.gaf, ont)
+        res = annotate_ontology(
+            profiles, vec.row_names(), term_genes, ont,
+            top_frac=args.top_frac, alpha=args.alpha, term_names=ont.terms,
+        )
+        pd.DataFrame(
+            {"cluster": uniq, "annotation": res["labels"], "q": res["q"]}
+        ).to_parquet(f"{args.out}.annotation.parquet")
+        print(f"wrote {args.out}.annotation.parquet")
         return
     if args.cmd == "annotate-by-enrichment":
         import numpy as _np

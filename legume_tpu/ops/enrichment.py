@@ -92,17 +92,35 @@ def treebh(
     Tests proceed root-to-leaf: a term is tested only if all its
     parents were rejected; the per-level BH budget is alpha scaled by
     the fraction of rejected parents. Returns adjusted q-values (1.0
-    for never-tested terms)."""
-    # group terms by depth (longest path to a root)
+    for never-tested terms).
+
+    Depth and eligibility are computed over the TESTED subforest:
+    ancestors absent from ``pvalues`` are transparent (a term whose
+    only ancestors are untested counts as a root), so dropping
+    uninformative roots does not wall off the rest of the DAG."""
+
+    def tested_parents(t):
+        """Nearest ancestors that are themselves tested."""
+        out, stack, seen = set(), list(ontology.parents.get(t, ())), set()
+        while stack:
+            p = stack.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            if p in pvalues:
+                out.add(p)
+            else:
+                stack.extend(ontology.parents.get(p, ()))
+        return out
+
+    tp = {t: tested_parents(t) for t in pvalues}
     depth: dict[str, int] = {}
 
     def get_depth(t):
         if t in depth:
             return depth[t]
-        parents = ontology.parents.get(t, ())
-        d = 0 if not parents else 1 + max(get_depth(p) for p in parents)
-        depth[t] = d
-        return d
+        depth[t] = 0 if not tp[t] else 1 + max(get_depth(p) for p in tp[t])
+        return depth[t]
 
     for t in pvalues:
         get_depth(t)
@@ -113,12 +131,9 @@ def treebh(
     alpha_level = alpha
     for d in range(max_d + 1):
         terms = [t for t in pvalues if depth[t] == d]
-        # eligible: roots, or at least one rejected parent
+        # eligible: tested-forest roots, or at least one rejected parent
         elig = [
-            t
-            for t in terms
-            if d == 0
-            or any(p in rejected for p in ontology.parents.get(t, ()))
+            t for t in terms if d == 0 or any(p in rejected for p in tp[t])
         ]
         if not elig:
             continue
@@ -129,6 +144,129 @@ def treebh(
             if qv <= alpha_level:
                 rejected.add(t)
     return q_out
+
+
+def geneset_topic_qmatrix(
+    log_beta_kd: np.ndarray,  # [K, D] topic log-dictionary
+    gene_names: list[str],
+    gene_sets: dict[str, list[str]],
+    *,
+    n_perm: int = 500,
+    seed: int = 0,
+) -> dict:
+    """The Q-matrix lens (enrichment/src/lib.rs annotate path): GSEA
+    enrichment of every gene set against every topic's dictionary
+    ranking -> Q [n_sets, K] of signed z-scores (vs a shared
+    permutation null) + BH-adjusted p-values. This is the matrix the
+    reference renders to pick topic labels."""
+    rng = np.random.default_rng(seed)
+    beta = np.asarray(log_beta_kd, np.float64)
+    k, d = beta.shape
+    name_to_idx = {str(g).lower(): i for i, g in enumerate(gene_names)}
+    sets = {
+        lab: np.asarray(
+            [name_to_idx[m.lower()] for m in genes if m.lower() in name_to_idx],
+            np.int64,
+        )
+        for lab, genes in gene_sets.items()
+    }
+    sets = {lab: ids for lab, ids in sets.items() if len(ids)}
+    labels = list(sets)
+
+    es = np.zeros((len(labels), k))
+    z = np.zeros((len(labels), k))
+    pv = np.ones((len(labels), k))
+    for t in range(k):
+        order = np.argsort(-beta[t])  # descending relevance
+        rank_of = np.empty(d, np.int64)
+        rank_of[order] = np.arange(d)
+        scores = beta[t][order] - beta[t].mean()
+        for li, lab in enumerate(labels):
+            mask = np.zeros(d, bool)
+            mask[rank_of[sets[lab]]] = True
+            es[li, t] = enrichment_score(scores, mask)
+            # permutation null: random sets of the same size
+            null = np.empty(n_perm)
+            for b in range(n_perm):
+                m2 = np.zeros(d, bool)
+                m2[rng.choice(d, len(sets[lab]), replace=False)] = True
+                null[b] = enrichment_score(scores, m2)
+            mu, sd = null.mean(), max(null.std(), 1e-12)
+            z[li, t] = (es[li, t] - mu) / sd
+            # same-sign tail (GSEA convention): the weighted-KS null is
+            # asymmetric, a two-sided count loses power
+            if es[li, t] >= 0:
+                tail = null[null >= 0]
+                pv[li, t] = (1 + np.sum(tail >= es[li, t])) / (len(tail) + 1)
+            else:
+                tail = null[null < 0]
+                pv[li, t] = (1 + np.sum(tail <= es[li, t])) / (len(tail) + 1)
+    q = bh_fdr(pv.ravel()).reshape(pv.shape)
+    return {"labels": labels, "es": es, "z": z, "pvalue": pv, "q": q}
+
+
+def annotate_ontology(
+    mean_profiles: np.ndarray,  # [K, D] cluster mean expression
+    gene_names: list[str],
+    term_genes: dict[str, set],  # term -> gene symbols (GAF true-path)
+    ontology,
+    *,
+    top_frac: float = 0.1,
+    alpha: float = 0.05,
+    term_names: dict[str, str] | None = None,
+) -> dict:
+    """Ontology-consensus annotation (`senna annotate-ontology`):
+    per cluster, hypergeometric enrichment of each ontology term in the
+    cluster's top-expressed genes, TreeBH-adjusted down the DAG; the
+    consensus label is the DEEPEST term that stays significant (the
+    most specific claim the hierarchy supports)."""
+    from scipy.stats import hypergeom
+
+    prof = np.asarray(mean_profiles, np.float64)
+    kk, d = prof.shape
+    # rank genes by the cluster's deviation from the cross-cluster mean
+    # (NOT a z-score: with K <= 2 clusters the per-gene std collapses
+    # and z degenerates to +/-1 ties, making the top-gene cut arbitrary)
+    z = prof - prof.mean(0, keepdims=True) if kk > 1 else prof
+    name_set = {str(g).lower(): i for i, g in enumerate(gene_names)}
+    term_ids = {
+        t: {name_set[g.lower()] for g in genes if g.lower() in name_set}
+        for t, genes in term_genes.items()
+    }
+    # drop empty and near-universal terms (a root annotated to every
+    # gene can never be enriched; treebh treats its children as roots)
+    term_ids = {
+        t: ids for t, ids in term_ids.items() if ids and len(ids) < 0.5 * d
+    }
+
+    n_top = max(int(d * top_frac), 5)
+    labels, qvals, all_q = [], [], []
+    for c in range(kk):
+        top = set(np.argsort(-z[c])[:n_top].tolist())
+        pvals = {}
+        for t, ids in term_ids.items():
+            x = len(top & ids)
+            if x == 0:
+                pvals[t] = 1.0
+                continue
+            pvals[t] = float(hypergeom.sf(x - 1, d, len(ids), n_top))
+        q = treebh(pvals, ontology, alpha=alpha)
+        all_q.append(q)
+        sig = [t for t, qv in q.items() if qv <= alpha]
+        if not sig:
+            labels.append(UNASSIGNED_LABEL)
+            qvals.append(1.0)
+            continue
+
+        def _depth(t, seen=()):
+            ps = ontology.parents.get(t, ())
+            return 0 if not ps else 1 + max(_depth(p) for p in ps)
+
+        best = max(sig, key=lambda t: (_depth(t), -q[t]))
+        nice = term_names.get(best, best) if term_names else best
+        labels.append(nice)
+        qvals.append(q[best])
+    return {"labels": labels, "q": np.asarray(qvals), "per_cluster_q": all_q}
 
 
 def annotate_by_markers(

@@ -1,0 +1,77 @@
+"""Q-matrix lens + ontology-consensus annotation (enrichment)."""
+
+import numpy as np
+
+from legume_tpu.data.knowledge import Ontology
+from legume_tpu.ops.enrichment import (
+    UNASSIGNED_LABEL,
+    annotate_ontology,
+    geneset_topic_qmatrix,
+)
+
+
+def test_qmatrix_flags_topic_set_pairs():
+    rng = np.random.default_rng(0)
+    d, k = 200, 3
+    genes = [f"g{i}" for i in range(d)]
+    log_beta = rng.normal(scale=0.2, size=(k, d))
+    # topic 0 loads set A genes; topic 2 loads set B genes
+    set_a = [f"g{i}" for i in range(0, 20)]
+    set_b = [f"g{i}" for i in range(50, 70)]
+    log_beta[0, 0:20] += 2.0
+    log_beta[2, 50:70] += 2.0
+    out = geneset_topic_qmatrix(
+        log_beta, genes, {"A": set_a, "B": set_b}, n_perm=200, seed=1
+    )
+    z = out["z"]
+    ia, ib = out["labels"].index("A"), out["labels"].index("B")
+    # weighted-KS nulls are wide, so z ~ 2 even for a perfect set; the
+    # permutation q-value is the crisp signal
+    assert z[ia, 0] > 1.5 and z[ib, 2] > 1.5, z
+    # A is ANTI-enriched in topic 2 (B's genes displace it) — sign flips
+    assert z[ia, 2] < 0 and z[ib, 0] < 0
+    assert out["q"][ia, 0] < 0.05 and out["q"][ib, 2] < 0.05
+    # off-target pairs not significant
+    assert out["q"][ia, 1] > 0.05 and out["q"][ib, 1] > 0.05
+
+
+def _toy_ontology():
+    # root CL:0 -> CL:1 (lymphocyte) -> CL:2 (T cell); sibling CL:3 (myeloid)
+    return Ontology(
+        terms={"CL:0": "cell", "CL:1": "lymphocyte", "CL:2": "T cell", "CL:3": "myeloid"},
+        parents={"CL:0": set(), "CL:1": {"CL:0"}, "CL:2": {"CL:1"}, "CL:3": {"CL:0"}},
+    )
+
+
+def test_ontology_consensus_picks_deepest_significant():
+    rng = np.random.default_rng(1)
+    d = 120
+    genes = [f"g{i}" for i in range(d)]
+    # T-cell genes 0..14 (subset of lymphocyte genes 0..29); myeloid 60..74
+    term_genes = {
+        "CL:0": {f"g{i}" for i in range(d)},
+        "CL:1": {f"g{i}" for i in range(0, 30)},
+        "CL:2": {f"g{i}" for i in range(0, 15)},
+        "CL:3": {f"g{i}" for i in range(60, 75)},
+    }
+    prof = rng.normal(scale=0.2, size=(2, d))
+    prof[0, 0:15] += 3.0  # cluster 0 is a T cell
+    prof[1, 60:75] += 3.0  # cluster 1 myeloid
+    out = annotate_ontology(
+        prof, genes, term_genes, _toy_ontology(),
+        term_names=_toy_ontology().terms,
+    )
+    assert out["labels"][0] == "T cell"
+    assert out["labels"][1] == "myeloid"
+    assert np.all(out["q"] < 0.05)
+
+
+def test_ontology_consensus_unassigned_on_noise():
+    rng = np.random.default_rng(2)
+    d = 120
+    genes = [f"g{i}" for i in range(d)]
+    term_genes = {"CL:1": {f"g{i}" for i in range(0, 30)}}
+    prof = rng.normal(scale=0.2, size=(1, d))
+    ont = Ontology(terms={"CL:1": "lymphocyte"}, parents={"CL:1": set()})
+    out = annotate_ontology(prof, genes, term_genes, ont)
+    assert out["labels"][0] == UNASSIGNED_LABEL
