@@ -809,6 +809,10 @@ def run_faba(argv):
     p.add_argument("--output", required=True)
     p.add_argument("--min-mapq", type=int, default=20)
     p.add_argument("--no-dedup", action="store_true")
+    p.add_argument(
+        "--splice", action="store_true",
+        help="emit spliced + unspliced backends (velocity input)",
+    )
     for _name, _help in [
         ("dartseq", "m6A C->T WT-vs-control site calling"),
         ("atoi", "A-to-I (A->G) editing site calling"),
@@ -860,8 +864,20 @@ def run_faba(argv):
 
     if args.cmd == "genes":
         from ..data.sparse_io import create_sparse_from_csc
-        from ..faba.genes import count_genes
+        from ..faba.genes import count_genes, count_genes_spliced
 
+        if args.splice:
+            s, u, genes, barcodes = count_genes_spliced(
+                args.bam, args.gff,
+                min_mapq=args.min_mapq, dedup_umi=not args.no_dedup,
+            )
+            create_sparse_from_csc(s, f"{args.output}.spliced", genes, barcodes)
+            create_sparse_from_csc(u, f"{args.output}.unspliced", genes, barcodes)
+            print(
+                f"wrote backends: {args.output}.spliced / .unspliced "
+                f"({s.nnz} spliced, {u.nnz} unspliced entries)"
+            )
+            return
         counts, genes, barcodes = count_genes(
             args.bam, args.gff, min_mapq=args.min_mapq, dedup_umi=not args.no_dedup
         )

@@ -54,6 +54,13 @@ def _load():
             *(np.ctypeslib.ndpointer(dt, flags="C_CONTIGUOUS") for dt in
               (np.int32, np.int32, np.int32, np.uint16, np.uint8, np.int64, np.int64)),
         ]
+        lib.bam_next_chunk2.restype = ctypes.c_long
+        lib.bam_next_chunk2.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            *(np.ctypeslib.ndpointer(dt, flags="C_CONTIGUOUS") for dt in
+              (np.int32, np.int32, np.int32, np.uint16, np.uint8, np.int64,
+               np.int64, np.uint8)),
+        ]
         lib.bam_take_mismatches.restype = ctypes.c_long
         lib.bam_take_mismatches.argtypes = [
             ctypes.c_void_p, ctypes.c_long,
@@ -82,6 +89,7 @@ class BamRecords:
     umi_id: np.ndarray  # int64 interned UMI (-1 = none)
     ref_names: list[str]
     barcodes: list[str]
+    has_skip: np.ndarray | None = None  # uint8: CIGAR N op (spliced junction)
     # reference mismatches from MD tags (dartseq/editing paths)
     mm_ref_id: np.ndarray | None = None
     mm_pos: np.ndarray | None = None
@@ -99,7 +107,10 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
         raise IOError(f"cannot open BAM: {path}")
     try:
         refs = [lib.bam_ref_name(h, i).decode() for i in range(lib.bam_num_refs(h))]
-        cols = {k: [] for k in ("ref_id", "pos", "end_pos", "flag", "mapq", "cb", "umi")}
+        cols = {
+            k: []
+            for k in ("ref_id", "pos", "end_pos", "flag", "mapq", "cb", "umi", "skip")
+        }
         while True:
             rid = np.empty(chunk, np.int32)
             pos = np.empty(chunk, np.int32)
@@ -108,7 +119,8 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
             mapq = np.empty(chunk, np.uint8)
             cb = np.empty(chunk, np.int64)
             umi = np.empty(chunk, np.int64)
-            n = lib.bam_next_chunk(h, chunk, rid, pos, end, flag, mapq, cb, umi)
+            skip = np.empty(chunk, np.uint8)
+            n = lib.bam_next_chunk2(h, chunk, rid, pos, end, flag, mapq, cb, umi, skip)
             if n < 0:
                 raise IOError(f"BAM parse error in {path}")
             if n == 0:
@@ -120,6 +132,7 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
             cols["mapq"].append(mapq[:n].copy())
             cols["cb"].append(cb[:n].copy())
             cols["umi"].append(umi[:n].copy())
+            cols["skip"].append(skip[:n].copy())
         mms = {k: [] for k in ("rid", "pos", "rb", "ab", "cb", "umi")}
         while True:
             rid = np.empty(chunk, np.int32)
@@ -157,6 +170,7 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
         umi_id=cat("umi").astype(np.int64),
         ref_names=refs,
         barcodes=barcodes,
+        has_skip=cat("skip").astype(np.uint8),
         mm_ref_id=catm("rid", np.int32),
         mm_pos=catm("pos", np.int32),
         mm_ref_base=catm("rb", np.uint8),

@@ -108,6 +108,104 @@ def assign_reads_to_genes(
     return out
 
 
+def parse_gff_exons(path: str, model: GeneModel) -> dict[int, np.ndarray]:
+    """Merged exon intervals per gene index (feature=exon rows matched
+    to the gene map by gene_id/Parent; gene_count/splice.rs gene view).
+    Genes with no exon rows get their full span (single-exon model)."""
+    opener = gzip.open if str(path).endswith(".gz") else open
+    gidx = {n: i for i, n in enumerate(model.names)}
+    name_re = re.compile(r'(?:gene_name[= "]+|Name=)([\w.\-]+)')
+    id_re = re.compile(r'(?:gene_id[= "]+|Parent=(?:gene:)?|ID=(?:gene:)?)([\w.\-]+)')
+    raw: dict[int, list] = {}
+    with opener(path, "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 9 or parts[2] != "exon":
+                continue
+            m = name_re.search(parts[8]) or id_re.search(parts[8])
+            if not m or m.group(1) not in gidx:
+                continue
+            raw.setdefault(gidx[m.group(1)], []).append(
+                (int(parts[3]) - 1, int(parts[4]))
+            )
+    out: dict[int, np.ndarray] = {}
+    for g in range(len(model.names)):
+        if g not in raw:
+            out[g] = np.asarray([[model.start[g], model.end[g]]], np.int64)
+            continue
+        ivs = sorted(raw[g])
+        merged = [list(ivs[0])]
+        for s, e in ivs[1:]:
+            if s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        out[g] = np.asarray(merged, np.int64)
+    return out
+
+
+def count_genes_spliced(
+    bam_path: str,
+    gff_path: str,
+    *,
+    min_mapq: int = 20,
+    dedup_umi: bool = True,
+) -> tuple[sp.csc_matrix, sp.csc_matrix, list[str], list[str]]:
+    """(spliced, unspliced, gene_names, barcodes) — the velocity input
+    (`faba genes --splice`; gene_count/splice.rs, velocyto convention):
+
+    - CIGAR carries an N op (junction-spanning) -> SPLICED
+    - else read lies fully inside the gene's exon union -> SPLICED
+    - else (overlaps intronic sequence) -> UNSPLICED
+    """
+    recs = read_bam(bam_path)
+    model = parse_gff_genes(gff_path)
+    exons = parse_gff_exons(gff_path, model)
+    keep = (recs.mapq >= min_mapq) & (recs.cb_id >= 0) & ((recs.flag & 0x904) == 0)
+    idx = np.nonzero(keep)[0]
+    gene = assign_reads_to_genes(
+        recs.ref_id[keep], recs.pos[keep], recs.end_pos[keep], recs.ref_names, model
+    )
+    ok = gene >= 0
+    idx, gene = idx[ok], gene[ok]
+    cb = recs.cb_id[idx]
+    umi = recs.umi_id[idx]
+    pos = recs.pos[idx]
+    end = recs.end_pos[idx]
+    skip = (
+        recs.has_skip[idx].astype(bool)
+        if recs.has_skip is not None
+        else np.zeros(len(idx), bool)
+    )
+
+    spliced_mask = skip.copy()
+    for i in np.nonzero(~skip)[0]:
+        ivs = exons[int(gene[i])]
+        # fully contained in one exon?
+        j = np.searchsorted(ivs[:, 0], pos[i], side="right") - 1
+        spliced_mask[i] = j >= 0 and pos[i] >= ivs[j, 0] and end[i] <= ivs[j, 1]
+
+    def tally(sel):
+        g, c, u = gene[sel], cb[sel], umi[sel]
+        if dedup_umi and len(u) and u.max() >= 0:
+            _, first = np.unique(np.stack([c, u, g]), axis=1, return_index=True)
+            g, c = g[first], c[first]
+        return sp.coo_matrix(
+            (np.ones(len(g), np.float32), (g, c)),
+            shape=(len(model.names), len(recs.barcodes)),
+        ).tocsc()
+
+    spliced = tally(spliced_mask)
+    unspliced = tally(~spliced_mask)
+    log.info(
+        "faba genes --splice: %d spliced / %d unspliced UMIs",
+        spliced.nnz, unspliced.nnz,
+    )
+    return spliced, unspliced, list(model.names), list(recs.barcodes)
+
+
 def count_genes(
     bam_path: str,
     gff_path: str,

@@ -270,8 +270,9 @@ int bam_ref_len(void* h, int i) { return ((BamFile*)h)->ref_lens[i]; }
 // Stream up to `cap` records into parallel arrays. Returns the count
 // (0 at EOF, -1 on parse error). end_pos is pos + reference span from
 // CIGAR (M/D/N/=/X consume reference).
-long bam_next_chunk(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,
-                    uint16_t* flag, uint8_t* mapq, int64_t* cb_id, int64_t* umi_id) {
+long bam_next_chunk2(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,
+                     uint16_t* flag, uint8_t* mapq, int64_t* cb_id, int64_t* umi_id,
+                     uint8_t* has_skip) {
     auto* b = (BamFile*)h;
     long n = 0;
     while (n < cap) {
@@ -293,12 +294,14 @@ long bam_next_chunk(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* e
         std::memcpy(&l_seq, p + 16, 4);
         const uint8_t* cigar = p + 32 + l_read_name;
         int32_t span = 0;
+        uint8_t skip = 0;  // CIGAR N op = spliced-junction evidence
         for (int c = 0; c < n_cigar; c++) {
             uint32_t op;
             std::memcpy(&op, cigar + 4 * c, 4);
             uint32_t len = op >> 4;
             switch (op & 0xf) {
-                case 0: case 2: case 3: case 7: case 8: span += len; break;  // M D N = X
+                case 3: skip = 1; span += len; break;           // N
+                case 0: case 2: case 7: case 8: span += len; break;  // M D = X
                 default: break;
             }
         }
@@ -318,9 +321,17 @@ long bam_next_chunk(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* e
         mapq[n] = mq;
         cb_id[n] = cbi;
         umi_id[n] = umii;
+        has_skip[n] = skip;
         n++;
     }
     return n;
+}
+
+long bam_next_chunk(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,
+                    uint16_t* flag, uint8_t* mapq, int64_t* cb_id, int64_t* umi_id) {
+    std::vector<uint8_t> tmp(cap > 0 ? (size_t)cap : 1);
+    return bam_next_chunk2(h, cap, ref_id, pos, end_pos, flag, mapq, cb_id, umi_id,
+                           tmp.data());
 }
 
 // Drain up to `cap` accumulated mismatches into parallel arrays;
