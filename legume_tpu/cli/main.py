@@ -1117,6 +1117,18 @@ def run_pinto(argv):
     p.add_argument("--n-communities", "-k", type=int, default=10)
     p.add_argument("--knn", type=int, default=10)
     p.add_argument("--sweeps", type=int, default=30)
+    p = sub.add_parser("cascade", help="multilevel V-cycle link-community refinement")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--out", required=True)
+    p.add_argument("--levels", type=int, nargs="+", default=[6, 4])
+    p.add_argument("--knn", type=int, default=10)
+    p.add_argument("--sweeps", type=int, default=30)
+    p = sub.add_parser("annotate", help="marker enrichment labels for communities")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--edges", required=True, help="{out}.edges.parquet from lc/cascade")
+    p.add_argument("--markers", required=True, help="GMT marker sets")
+    p.add_argument("--out", required=True)
     p = sub.add_parser("p", help="spatial hex plot of a propensity/value column")
     p.add_argument("--coords", required=True, help="TSV: cell x y")
     p.add_argument("--values", required=True, help="parquet with a value column")
@@ -1124,6 +1136,58 @@ def run_pinto(argv):
     p.add_argument("--out", required=True)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "cascade":
+        import numpy as np
+        import pandas as pd
+
+        from ..pinto.cascade import cascade_link_community
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        coords = np.loadtxt(args.coords, usecols=(1, 2))
+        res = cascade_link_community(
+            vec, coords, levels=tuple(args.levels),
+            knn=args.knn, n_sweeps=args.sweeps,
+        )
+        pd.DataFrame(
+            {"src": res.edges[:, 0], "dst": res.edges[:, 1],
+             "community": res.edge_labels}
+        ).to_parquet(f"{args.out}.edges.parquet")
+        pd.DataFrame(
+            res.propensity, columns=res.leaf_names
+        ).reset_index(names="cell").to_parquet(f"{args.out}.propensity.parquet")
+        print(
+            f"wrote {args.out}.edges.parquet + .propensity.parquet "
+            f"({len(res.leaf_names)} leaf communities)"
+        )
+        return
+    if args.cmd == "annotate":
+        import numpy as np
+        import pandas as pd
+
+        from ..data.knowledge import read_gmt
+        from ..ops.enrichment import annotate_by_markers
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        ed = pd.read_parquet(args.edges)
+        labels, uniq = pd.factorize(ed["community"])
+        edges = ed[["src", "dst"]].to_numpy()
+        profiles = np.zeros((len(uniq), vec.num_rows))
+        for i in range(len(uniq)):
+            cells = np.unique(edges[labels == i].ravel())
+            profiles[i] = np.log1p(
+                np.asarray(vec.read_columns_csc(cells).mean(axis=1)).ravel()
+            )
+        names, scores = annotate_by_markers(
+            profiles, vec.row_names(), read_gmt(args.markers)
+        )
+        pd.DataFrame(
+            {"community": list(uniq), "annotation": names, "score": scores.max(1)}
+        ).to_parquet(f"{args.out}.annotation.parquet")
+        print(f"wrote {args.out}.annotation.parquet")
+        return
 
     if args.cmd == "p":
         import numpy as np

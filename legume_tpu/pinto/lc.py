@@ -111,6 +111,43 @@ def _sweep(
     return new_labels.astype(jnp.int32), scores
 
 
+def _fit_edge_labels(
+    profiles,
+    k: int,
+    *,
+    n_genes: int,
+    n_sweeps: int = 30,
+    n_greedy: int = 10,
+    alpha: float = 1.0,
+    seed: int = DEFAULT_PROJECTION_SEED,
+) -> tuple[np.ndarray, list]:
+    """Collapsed Gibbs over edge labels on an [E, D] sparse profile
+    matrix; the shared core for flat fits and the cascade."""
+    e = profiles.shape[0]
+    coo = profiles.tocoo()
+    row_e = jnp.asarray(coo.row.astype(np.int32))
+    col_g = jnp.asarray(coo.col.astype(np.int32))
+    vals = jnp.asarray(coo.data.astype(np.float32))
+    edge_tot = jnp.asarray(np.asarray(profiles.sum(1)).ravel().astype(np.float32))
+
+    key = jax.random.key(seed & 0x7FFFFFFF)
+    key, k_init = jax.random.split(key)
+    labels = jax.random.randint(k_init, (e,), 0, k, dtype=jnp.int32)
+
+    trace = []
+    for sweep in range(n_sweeps + n_greedy):
+        key, k_s = jax.random.split(key)
+        labels, scores = _sweep(
+            k_s, row_e, col_g, vals, edge_tot, labels,
+            k=k, n_edges=e, n_genes=n_genes, alpha=alpha, a0=1.0, b0=1.0,
+            sample=sweep < n_sweeps,
+        )
+        if sweep % 5 == 0 or sweep >= n_sweeps:
+            chosen = jnp.take_along_axis(scores, labels[:, None].astype(jnp.int32), 1)
+            trace.append(float(jnp.sum(chosen)))
+    return np.asarray(labels), trace
+
+
 @dataclass
 class LinkCommunityResult:
     edge_labels: np.ndarray  # [E]
@@ -141,29 +178,11 @@ def fit_link_community(
     e = profiles.shape[0]
     log.info("link community: %d cells, %d edges, K=%d", n, e, k)
 
-    coo = profiles.tocoo()
-    row_e = jnp.asarray(coo.row.astype(np.int32))
-    col_g = jnp.asarray(coo.col.astype(np.int32))
-    vals = jnp.asarray(coo.data.astype(np.float32))
-    edge_tot = jnp.asarray(np.asarray(profiles.sum(1)).ravel().astype(np.float32))
-
-    key = jax.random.key(seed & 0x7FFFFFFF)
-    key, k_init = jax.random.split(key)
-    labels = jax.random.randint(k_init, (e,), 0, k, dtype=jnp.int32)
-
-    trace = []
-    for sweep in range(n_sweeps + n_greedy):
-        key, k_s = jax.random.split(key)
-        labels, scores = _sweep(
-            k_s, row_e, col_g, vals, edge_tot, labels,
-            k=k, n_edges=e, n_genes=d, alpha=alpha, a0=1.0, b0=1.0,
-            sample=sweep < n_sweeps,
-        )
-        if sweep % 5 == 0 or sweep >= n_sweeps:
-            chosen = jnp.take_along_axis(scores, labels[:, None].astype(jnp.int32), 1)
-            trace.append(float(jnp.sum(chosen)))
-
-    labels_np = np.asarray(labels)
+    labels_np, trace = _fit_edge_labels(
+        profiles, k,
+        n_genes=d, n_sweeps=n_sweeps, n_greedy=n_greedy,
+        alpha=alpha, seed=seed,
+    )
     # per-cell propensity: fraction of incident edges per community
     prop = np.zeros((n, k), np.float64)
     np.add.at(prop, edges[:, 0], np.eye(k)[labels_np])
