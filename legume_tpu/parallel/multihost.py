@@ -55,6 +55,60 @@ def collapse_stats_sharded(
     return np.asarray(out)
 
 
+def collapse_observed_multihost(
+    vec,
+    groups: np.ndarray,  # [N] pseudobulk assignment per cell
+    mesh,
+    *,
+    block_size: int = 8192,
+) -> np.ndarray:
+    """Stream a zarr/h5 backend into per-device column shards and
+    reduce observed pseudobulk sums with one psum — the multi-host
+    topic-pipeline collapse path (SURVEY.md section 2.7).
+
+    Each mesh device owns a contiguous column (cell) range and only
+    that range is read for it, mirroring the real multi-host layout
+    where every host streams its own zarr shard: on a true multi-host
+    mesh, each process calls this with the same global `vec` but the
+    reads below touch only the local devices' ranges."""
+    d = vec.num_rows
+    n = vec.num_columns
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    bounds = np.linspace(0, n, n_dev + 1).astype(np.int64)
+    num_groups = int(groups.max()) + 1
+
+    shard_coo = []
+    max_nnz, max_cols = 1, 1
+    for s in range(n_dev):
+        lb, ub = int(bounds[s]), int(bounds[s + 1])
+        rows_l, cols_l, vals_l = [], [], []
+        for blk_lb in range(lb, ub, block_size):
+            blk_ub = min(blk_lb + block_size, ub)
+            coo = vec.read_columns_csc(np.arange(blk_lb, blk_ub)).tocoo()
+            rows_l.append(coo.row.astype(np.int32))
+            cols_l.append((coo.col + (blk_lb - lb)).astype(np.int32))
+            vals_l.append(coo.data.astype(np.float32))
+        r = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int32)
+        c = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int32)
+        v = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
+        shard_coo.append((r, c, v, ub - lb, groups[lb:ub]))
+        max_nnz = max(max_nnz, len(r))
+        max_cols = max(max_cols, ub - lb)
+
+    rows = np.zeros((n_dev, max_nnz), np.int32)
+    cols = np.full((n_dev, max_nnz), max_cols, np.int32)
+    vals = np.zeros((n_dev, max_nnz), np.float32)
+    segs = np.full((n_dev, max_cols + 1), num_groups, np.int32)
+    for s, (r, c, v, ncols, g) in enumerate(shard_coo):
+        rows[s, : len(r)] = r
+        cols[s, : len(r)] = c
+        vals[s, : len(r)] = v
+        segs[s, :ncols] = g
+    return collapse_stats_sharded(
+        mesh, rows, cols, vals, segs, num_genes=d, num_groups=num_groups
+    )
+
+
 def shard_coo_by_cells(
     csc, groups: np.ndarray, n_shards: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -30,3 +30,29 @@ def test_sharded_collapse_matches_dense():
     for g in range(s_groups):
         want[:, g] = dense[:, groups == g].sum(1)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_collapse_observed_multihost_from_backend(tmp_path):
+    """zarr backend -> per-device column shards -> psum reduction
+    matches the dense groupby (the topic pipeline's multi-host path)."""
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import create_sparse_from_csc, open_sparse_matrix
+    from legume_tpu.parallel.mesh import make_mesh
+    from legume_tpu.parallel.multihost import collapse_observed_multihost
+
+    rng = np.random.default_rng(0)
+    d, n, s = 40, 200, 6
+    dense = rng.poisson(1.0, (d, n)).astype(np.float32)
+    groups = rng.integers(0, s, n)
+    create_sparse_from_csc(
+        sp.csc_matrix(dense), str(tmp_path / "be"),
+        [f"g{i}" for i in range(d)], [f"c{j}" for j in range(n)],
+    )
+    vec = open_sparse_matrix(str(tmp_path / "be"))
+    mesh = make_mesh()  # all 8 virtual devices on the data axis
+    got = collapse_observed_multihost(vec, groups, mesh, block_size=64)
+    want = np.zeros((d, s))
+    for j in range(n):
+        want[:, groups[j]] += dense[:, j]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
