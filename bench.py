@@ -35,8 +35,32 @@ def _t(label, t0):
     return time.time()
 
 
+def _device_init_ok(timeout_s: float = 150.0) -> bool:
+    """Probe accelerator init in a SUBPROCESS: a wedged TPU relay hangs
+    `jax.devices()` indefinitely (docs/BENCH_NOTES.md), and an
+    interrupted in-process init leaves jax unusable — so probe out of
+    process and fall back to CPU in the parent if it never comes up."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+
+    if not _device_init_ok():
+        print(
+            "[bench] accelerator init timed out (wedged relay?) -> CPU",
+            file=sys.stderr, flush=True,
+        )
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from legume_tpu.data.sim import simulate_topic

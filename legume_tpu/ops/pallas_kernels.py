@@ -17,11 +17,18 @@ sequential), so accumulation is in-VMEM.
 Validated in interpreter mode on CPU (tests) and used on TPU behind
 `LEGUME_PALLAS=1` (`project_block` dispatch in `ops/sparse.py`).
 
-STATUS (round 1): real-chip timing was never captured — every attempt
-on the tunneled dev chip hung in the remote-compile relay (see
-docs/BENCH_NOTES.md). On a locally attached TPU, benchmark this
-against the XLA path before enabling; the XLA segment-sum path is the
-proven default.
+STATUS (resolved, round 1): real-TPU lowering REJECTS this kernel —
+Mosaic does not support per-element integer indexing
+(`ValueError: Cannot do int indexing on TPU`), so the gather
+(`basis[rows]`) and scatter (`.at[cols].add`) at the heart of a COO
+SpMM cannot be expressed inside a TPU Pallas body. This is a
+programming-model constraint, not a bug: Mosaic indexing must be
+block-structured (scalar-prefetch index maps select BLOCKS, not
+elements). XLA's segment_sum path lowers the same computation through
+TPU-optimized embedding-style gather/scatter and IS the production
+path (`ops/sparse.py`); on the dev chip it compiles and runs in ~6 s.
+The kernel is retained for interpret-mode reference and as a template
+for GPU-side Pallas (Triton), where int indexing is supported.
 """
 
 from __future__ import annotations
