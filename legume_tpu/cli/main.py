@@ -98,6 +98,13 @@ def run_senna(argv):
     p.add_argument("--clusters", default=None, help="clusters parquet")
     p.add_argument("--out", required=True, help="output image (.png/.svg/.pdf)")
 
+    p = sub.add_parser("plot-topic", help="structure bars + top genes per topic")
+    p.add_argument("--latent", required=True, help="log topic proportions parquet")
+    p.add_argument("--out", required=True, help="output image (.png/.svg/.pdf)")
+    p.add_argument("--clusters", default=None, help="order cells by these labels")
+    p.add_argument("--dictionary", default=None, help="{out}.dictionary.parquet")
+    p.add_argument("--top-genes", type=int, default=10)
+
     p = sub.add_parser("deconvolve", help="bulk deconvolution against a reference")
     p.add_argument("--bulk", required=True, help="TSV/parquet: samples x genes counts")
     p.add_argument("--reference", required=True, help="parquet: genes x components rates")
@@ -438,6 +445,39 @@ def run_senna(argv):
         out_df.to_parquet(f"{args.out}.pseudotime.parquet")
         print(f"wrote {args.out}.pseudotime.parquet")
         return
+    if args.cmd == "plot-topic":
+        import numpy as _np
+        import pandas as pd
+
+        from ..utils.plot import structure_bars
+
+        df = pd.read_parquet(args.latent)
+        theta = df.iloc[:, 1:].to_numpy("float64")
+        if _np.all(theta <= 0):
+            theta = _np.exp(theta)
+        theta = theta / _np.maximum(theta.sum(1, keepdims=True), 1e-12)
+        order_by = None
+        if args.clusters:
+            cl = pd.read_parquet(args.clusters).set_index(
+                pd.read_parquet(args.clusters).columns[0]
+            )
+            order_by = cl.reindex(df.iloc[:, 0]).iloc[:, 0].to_numpy()
+        structure_bars(theta, args.out, order_by=order_by, title="topic proportions")
+        msg = f"wrote {args.out}"
+        if args.dictionary:
+            dic = pd.read_parquet(args.dictionary)
+            genes = dic.iloc[:, 0].astype(str).to_numpy()
+            lb = dic.iloc[:, 1:].to_numpy("float64")
+            lines = []
+            for t, col in enumerate(dic.columns[1:]):
+                top = genes[_np.argsort(-lb[:, t])[: args.top_genes]]
+                lines.append(f"{col}\t" + "\t".join(top))
+            topf = f"{args.out}.top_genes.tsv"
+            with open(topf, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            msg += f" and {topf}"
+        print(msg)
+        return
     if args.cmd == "plot":
         import pandas as pd
 
@@ -545,7 +585,36 @@ def run_sim(argv):
         help="real backend: sample via NB + Gaussian copula conditioned on it",
     )
     p.add_argument("--copula-rank", type=int, default=10)
+    p = sub.add_parser("faba", help="m6A/A-to-I/APA site tracks (faba naming)")
+    p.add_argument("--genes", type=int, default=50)
+    p.add_argument("--cols", type=int, default=500)
+    p.add_argument("--states", type=int, default=3)
+    p.add_argument("--depth", type=float, default=30.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", required=True)
     args = ap.parse_args(argv)
+
+    if args.cmd == "faba":
+        import pandas as pd
+
+        from ..data.sim import simulate_faba
+        from ..data.sparse_io import create_sparse_from_csc
+
+        sim = simulate_faba(
+            n_genes=args.genes, n_cells=args.cols, n_states=args.states,
+            depth=args.depth, seed=args.seed,
+        )
+        path = args.output if args.output.endswith((".zarr", ".h5")) else args.output + ".zarr"
+        create_sparse_from_csc(sim.counts, path, sim.site_names, sim.col_names)
+        pd.DataFrame(
+            {"cell": sim.col_names, "state": sim.state}
+        ).to_parquet(args.output + ".state.parquet")
+        pd.DataFrame(
+            sim.true_rates, index=sim.site_names,
+            columns=[f"state{k}" for k in range(args.states)],
+        ).reset_index(names="site").to_parquet(args.output + ".rates.parquet")
+        print(f"wrote backend: {path} ({len(sim.site_names)} sites)")
+        return
 
     if args.cmd == "topic" and args.reference:
         import numpy as np
@@ -1028,8 +1097,9 @@ def run_faba(argv):
             ).sum(0)
         else:
             exposure = counts.sum(0) + 1.0
-        if "branch" in lab.columns:
-            out = dyn_assoc(counts, exposure, lab["branch"].to_numpy())
+        branch_col = next((c for c in ("branch", "state") if c in lab.columns), None)
+        if branch_col is not None:
+            out = dyn_assoc(counts, exposure, lab[branch_col].to_numpy())
             df = pd.DataFrame(
                 {
                     "site": be.row_names(),

@@ -183,6 +183,57 @@ def simulate_bulk(
     return rng.poisson(lam).astype(np.float32), fracs
 
 
+@dataclass
+class FabaSim:
+    counts: sp.csc_matrix  # [S, N] site x cell modality counts
+    site_names: list  # gene/modality/channel convention (feature_name.rs)
+    col_names: list
+    modality: np.ndarray  # [S] modality of each site
+    true_rates: np.ndarray  # [S, K] per-state rates
+    state: np.ndarray  # [N] latent cell state
+
+
+def simulate_faba(
+    n_genes: int = 50,
+    n_cells: int = 500,
+    n_states: int = 3,
+    sites_per_gene: int = 2,
+    depth: float = 30.0,
+    seed: int = 0,
+) -> FabaSim:
+    """`data-beans-sim faba`: m6A / A-to-I / APA tracks in faba's
+    `gene/modality/channel` row-name convention (feature_name.rs), with
+    state-dependent modification rates as ground truth for dyn-assoc /
+    masked-topic style benchmarks."""
+    rng = np.random.default_rng(seed)
+    modalities = [("m6a", "CT"), ("atoi", "AG"), ("apa", "distal")]
+    state = rng.integers(0, n_states, n_cells)
+
+    names, mods, rate_rows = [], [], []
+    for g in range(n_genes):
+        for s in range(sites_per_gene):
+            mod, channel = modalities[(g * sites_per_gene + s) % len(modalities)]
+            names.append(f"g{g}:{100 * (s + 1)}/{mod}/{channel}")
+            mods.append(mod)
+            base = rng.uniform(0.02, 0.1)
+            rates = np.full(n_states, base)
+            if rng.random() < 0.3:  # 30% of sites are state-specific
+                rates[rng.integers(0, n_states)] = rng.uniform(0.2, 0.5)
+            rate_rows.append(rates)
+    true_rates = np.stack(rate_rows)  # [S, K]
+
+    lam = true_rates[:, state] * depth  # [S, N]
+    counts = sp.csc_matrix(rng.poisson(lam).astype(np.float32))
+    return FabaSim(
+        counts=counts,
+        site_names=names,
+        col_names=[f"cell{i}" for i in range(n_cells)],
+        modality=np.asarray(mods),
+        true_rates=true_rates,
+        state=state,
+    )
+
+
 def simulate_from_reference(
     ref_counts: sp.spmatrix,  # [G, N] real cells
     n_cells: int = 1000,
