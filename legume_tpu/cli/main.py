@@ -42,6 +42,8 @@ def _add_topic_parser(sub):
     p.add_argument("--iter-opt", type=int, default=30)
     p.add_argument("--ignore-batch", action="store_true")
     p.add_argument("--block-size", type=int, default=8192)
+    p.add_argument("--max-coarse-features", type=int, default=0)
+    p.add_argument("--cnv", action="store_true", help="CNV side-channel on pb residuals")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -561,6 +563,8 @@ def run_senna(argv):
                 iter_opt=args.iter_opt,
                 ignore_batch=args.ignore_batch,
                 block_size=args.block_size,
+                max_coarse_features=args.max_coarse_features,
+                cnv=args.cnv,
                 seed=args.seed if args.seed is not None else DEFAULT_PROJECTION_SEED,
             )
         )

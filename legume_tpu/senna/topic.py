@@ -76,6 +76,10 @@ class TopicArgs:
     # level ladder; 0 = off, full-D decoders). Coarser levels get
     # proportionally smaller targets down to >= 50 meta-features.
     max_coarse_features: int = 0
+    # CNV side-channel during the fit (cmd.rs:536-556 cnv_pseudobulk):
+    # HMM copy-number states on the pseudobulk adjusted-mean log-ratios
+    cnv: bool = False
+    cnv_genes_per_bin: int = 25
     seed: int = DEFAULT_PROJECTION_SEED
 
 
@@ -347,6 +351,28 @@ def fit_topic_model(args: TopicArgs) -> dict:
     pd.DataFrame({"epoch": np.arange(len(scores.llik)), "llik": scores.llik, "kl": scores.kl}).to_parquet(
         f"{args.out}.log_likelihood.parquet"
     )
+
+    # CNV side-channel (cmd.rs:536-556): per-pseudobulk copy-number
+    # states from the adjusted means vs their cross-pb shared profile
+    if args.cnv:
+        from ..cocoa.cnv_call import call_cnv_on_residuals
+
+        # adjusted means when batch correction ran, observed otherwise
+        plane = finest.mu_adjusted if finest.mu_adjusted is not None else finest.mu_observed
+        mu_dp = np.asarray(plane.mean())  # [D, P]
+        cnv = call_cnv_on_residuals(
+            mu_dp, mu_dp.mean(1), genes_per_bin=args.cnv_genes_per_bin
+        )
+        n_pb, n_bins = cnv.states.shape
+        pd.DataFrame(
+            {
+                "pseudobulk": np.repeat(np.arange(n_pb), n_bins),
+                "bin": np.tile(np.arange(n_bins), n_pb),
+                "state": cnv.states.ravel(),
+                "log_ratio": cnv.log_ratio.ravel(),
+            }
+        ).to_parquet(f"{args.out}.cnv.parquet")
+        log.info("cnv side-channel: %d pbs x %d bins", n_pb, n_bins)
 
     save_model(args.out, variables, args, d, gene_names)
 
