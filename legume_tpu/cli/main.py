@@ -1411,6 +1411,8 @@ BINARIES = {
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    # CLI runs render stage progress (library callers stay silent)
+    os.environ.setdefault("LEGUME_PROGRESS", "1")
     logging.basicConfig(level=logging.INFO, format="[%(levelname)s %(name)s] %(message)s")
     from ..utils.stop import install_sigint_handler
 

@@ -475,6 +475,155 @@ def create_sparse_from_csc(
     return backend
 
 
+class StreamingCscWriter:
+    """Bounded-memory backend construction from column slabs
+    (`data-beans` streaming CSC append + CSR rebuild, SURVEY.md
+    section 2.2 `zarr.rs` slab path).
+
+    `append(csc_slab)` spills each slab's COO arrays to disk; nothing
+    is held across slabs. `finalize()` makes two kinds of streaming
+    passes: one sequential pass assembling `by_column/{data, indices,
+    indptr}` via partial tensorstore writes, then gene-chunked passes
+    over the spilled slabs to assemble `by_row` (each pass keeps only
+    one gene-chunk's entries in memory — O(nnz_chunk), not O(nnz)).
+
+    Usage:
+        w = StreamingCscWriter(path, n_rows, row_names=...)
+        for slab in blocks: w.append(slab)
+        backend = w.finalize(column_names=...)
+    """
+
+    def __init__(
+        self,
+        path: str | os.PathLike,
+        n_rows: int,
+        *,
+        row_names: Sequence[str] | None = None,
+        gene_chunk: int = 8192,
+    ):
+        self.path = str(path)
+        self.n_rows = int(n_rows)
+        self.row_names = row_names
+        self.gene_chunk = int(gene_chunk)
+        self._spill = Path(self.path + ".spill")
+        self._spill.mkdir(parents=True, exist_ok=True)
+        self._n_slabs = 0
+        self._n_cols = 0
+        self._nnz = 0
+        self._row_counts = np.zeros(self.n_rows, np.int64)
+        self._col_indptr_parts: list[np.ndarray] = [np.zeros(1, np.int64)]
+
+    def append(self, csc_slab: sp.spmatrix):
+        slab = sp.csc_matrix(csc_slab)
+        if slab.shape[0] != self.n_rows:
+            raise ValueError(f"slab rows {slab.shape[0]} != {self.n_rows}")
+        i = self._n_slabs
+        np.save(self._spill / f"data{i}.npy", slab.data.astype(np.float32))
+        np.save(self._spill / f"indices{i}.npy", slab.indices.astype(np.int64))
+        self._col_indptr_parts.append(
+            slab.indptr[1:].astype(np.int64) + self._nnz
+        )
+        self._row_counts += np.bincount(
+            slab.indices, minlength=self.n_rows
+        ).astype(np.int64)
+        self._n_slabs += 1
+        self._n_cols += slab.shape[1]
+        self._nnz += slab.nnz
+
+    def _create(self, key: str, n: int, dtype: str):
+        ts = _ts()
+        return ts.open(
+            _zarr3_spec(self.path, key, shape=(max(n, 1),), dtype=dtype, create=True)
+        ).result()
+
+    def finalize(
+        self, column_names: Sequence[str] | None = None
+    ) -> SparseBackend:
+        import shutil
+
+        Path(self.path).mkdir(parents=True, exist_ok=True)
+        # scalars
+        _zarr3_write(self.path, "nrow", np.asarray([self.n_rows], np.uint64), "uint64")
+        _zarr3_write(self.path, "ncol", np.asarray([self._n_cols], np.uint64), "uint64")
+        _zarr3_write(self.path, "nnz", np.asarray([self._nnz], np.uint64), "uint64")
+
+        # ---- by_column: one sequential pass over the slabs ---------------
+        data_st = self._create("by_column/data", self._nnz, "float32")
+        idx_st = self._create("by_column/indices", self._nnz, "uint64")
+        off = 0
+        for i in range(self._n_slabs):
+            d = np.load(self._spill / f"data{i}.npy")
+            r = np.load(self._spill / f"indices{i}.npy")
+            if len(d):
+                data_st[off : off + len(d)].write(d).result()
+                idx_st[off : off + len(d)].write(r.astype(np.uint64)).result()
+            off += len(d)
+        _zarr3_write(
+            self.path, "by_column/indptr",
+            np.concatenate(self._col_indptr_parts).astype(np.uint64), "uint64",
+        )
+
+        # ---- by_row: gene-chunked passes ---------------------------------
+        row_indptr = np.zeros(self.n_rows + 1, np.int64)
+        np.cumsum(self._row_counts, out=row_indptr[1:])
+        rdata_st = self._create("by_row/data", self._nnz, "float32")
+        ridx_st = self._create("by_row/indices", self._nnz, "uint64")
+        for glb in range(0, self.n_rows, self.gene_chunk):
+            gub = min(glb + self.gene_chunk, self.n_rows)
+            base = row_indptr[glb]
+            chunk_nnz = row_indptr[gub] - base
+            if chunk_nnz == 0:
+                continue
+            cd = np.empty(chunk_nnz, np.float32)
+            cc = np.empty(chunk_nnz, np.int64)
+            cr = np.empty(chunk_nnz, np.int64)
+            fill = (row_indptr[glb:gub] - base).copy()
+            col_off = 0
+            for i in range(self._n_slabs):
+                d = np.load(self._spill / f"data{i}.npy")
+                r = np.load(self._spill / f"indices{i}.npy")
+                ptr = np.concatenate(
+                    [
+                        [0],
+                        self._col_indptr_parts[i + 1]
+                        - (self._col_indptr_parts[i][-1] if i > 0 else 0),
+                    ]
+                )
+                sel = (r >= glb) & (r < gub)
+                if sel.any():
+                    # column id of each selected entry within this slab
+                    cols_local = np.searchsorted(
+                        ptr, np.nonzero(sel)[0], side="right"
+                    ) - 1
+                    rs = r[sel] - glb
+                    order = np.argsort(rs, kind="stable")
+                    rs, ds = rs[order], d[sel][order]
+                    cs = (cols_local[order] + col_off).astype(np.int64)
+                    # scatter into per-row runs (slabs arrive in column
+                    # order, so stable row-sort keeps columns sorted)
+                    counts = np.bincount(rs, minlength=gub - glb)
+                    pos = fill[rs] + np.arange(len(rs)) - np.repeat(
+                        np.cumsum(np.concatenate([[0], counts[:-1]])), counts
+                    )
+                    cd[pos] = ds
+                    cc[pos] = cs
+                    cr[pos] = rs
+                    fill += counts
+                col_off += len(ptr) - 1
+            rdata_st[base : base + chunk_nnz].write(cd).result()
+            ridx_st[base : base + chunk_nnz].write(cc.astype(np.uint64)).result()
+        _zarr3_write(
+            self.path, "by_row/indptr", row_indptr.astype(np.uint64), "uint64"
+        )
+
+        if self.row_names is not None:
+            _write_names(self.path, "row_names", self.row_names)
+        if column_names is not None:
+            _write_names(self.path, "column_names", column_names)
+        shutil.rmtree(self._spill, ignore_errors=True)
+        return ZarrBackend(self.path)
+
+
 def open_sparse_matrix(path: str | os.PathLike) -> SparseBackend:
     """Open an existing backend by sniffing the path
     (`open_sparse_matrix`, factory.rs:27)."""

@@ -98,7 +98,11 @@ def visit_columns_by_block(
             return csc_to_coo_block(csc, lb=lb)
         return (lb, csc)
 
-    with cf.ThreadPoolExecutor(max_workers=max(prefetch, 1)) as pool:
+    from ..utils.progress import progress
+
+    with cf.ThreadPoolExecutor(max_workers=max(prefetch, 1)) as pool, progress.stage(
+        "stream-columns", total=len(jobs)
+    ) as stage:
         pending = [pool.submit(load, j) for j in jobs[:prefetch]]
         next_job = prefetch
         for _ in range(len(jobs)):
@@ -106,6 +110,7 @@ def visit_columns_by_block(
             if next_job < len(jobs):
                 pending.append(pool.submit(load, jobs[next_job]))
                 next_job += 1
+            stage.update()
             yield fut.result()
 
 
