@@ -972,6 +972,7 @@ def run_faba(argv):
             {
                 "chrom": [ref_names[r] for r in res.sites[:, 0]],
                 "pos": res.sites[:, 1],
+                "strand": res.strand,
                 "name": res.site_names,
                 **{k: v for k, v in res.stats.items()},
             }

@@ -27,12 +27,15 @@ from __future__ import annotations
 
 import abc
 import json
+import logging
 import os
 from pathlib import Path
 from typing import Iterable, Sequence
 
 import numpy as np
 import scipy.sparse as sp
+
+_log = logging.getLogger(__name__)
 
 _CHUNK = 1 << 20  # elements per chunk, mirroring MTX_STREAM_BLOCK (zarr.rs:48)
 _ZSTD_LEVEL = 5  # COMPRESSION_LEVEL (zarr.rs:41)
@@ -341,11 +344,24 @@ class _CompressedFileBackend(SparseBackend):
 
     def row_names(self):
         names = self._read_name_list("row_names")
-        return names if names is not None else [f"r{i}" for i in range(self.num_rows)]
+        if names is None:
+            _log.warning(
+                "%s: no row names registered; using placeholder r0..r%d "
+                "(downstream gene-name joins will not match)",
+                self.path, self.num_rows - 1,
+            )
+            return [f"r{i}" for i in range(self.num_rows)]
+        return names
 
     def column_names(self):
         names = self._read_name_list("column_names")
-        return names if names is not None else [f"c{j}" for j in range(self.num_columns)]
+        if names is None:
+            _log.warning(
+                "%s: no column names registered; using placeholder c0..c%d",
+                self.path, self.num_columns - 1,
+            )
+            return [f"c{j}" for j in range(self.num_columns)]
+        return names
 
     def register_row_names(self, names):
         assert len(names) == self.num_rows, "row name length mismatch"
@@ -358,7 +374,13 @@ class _CompressedFileBackend(SparseBackend):
 
 class ZarrBackend(_CompressedFileBackend):
     """Zarr v3 directory store via tensorstore (default backend,
-    `sparse_backend/zarr.rs:66`)."""
+    `sparse_backend/zarr.rs:66`).
+
+    Names are read/written as zarr v3 string arrays at the reference's
+    keys (`/row_names`, `/column_names`; `zarr.rs:799-801`) so stores
+    interoperate with the reference engine in both directions; a
+    sidecar `.names.txt` is kept as a human-readable mirror and as the
+    fallback for stores written before the string-array path existed."""
 
     def _read_array(self, key, lb=0, ub=None):
         store = _zarr3_open(self.path, key)
@@ -370,9 +392,17 @@ class ZarrBackend(_CompressedFileBackend):
         _zarr3_write(self.path, key, np.ascontiguousarray(arr), dtype)
 
     def _read_name_list(self, key):
+        from .zarr_strings import read_string_array
+
+        names = read_string_array(self.path, key)
+        if names is not None:
+            return names
         return _read_names(self.path, key)
 
     def _write_name_list(self, key, names):
+        from .zarr_strings import write_string_array
+
+        write_string_array(self.path, key, [str(n) for n in names])
         _write_names(self.path, key, names)
 
 
@@ -616,12 +646,13 @@ class StreamingCscWriter:
             self.path, "by_row/indptr", row_indptr.astype(np.uint64), "uint64"
         )
 
-        if self.row_names is not None:
-            _write_names(self.path, "row_names", self.row_names)
-        if column_names is not None:
-            _write_names(self.path, "column_names", column_names)
         shutil.rmtree(self._spill, ignore_errors=True)
-        return ZarrBackend(self.path)
+        backend = ZarrBackend(self.path)
+        if self.row_names is not None:
+            backend.register_row_names(self.row_names)
+        if column_names is not None:
+            backend.register_column_names(column_names)
+        return backend
 
 
 def open_sparse_matrix(path: str | os.PathLike) -> SparseBackend:

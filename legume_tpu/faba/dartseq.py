@@ -2,9 +2,12 @@
 (`faba/src/m6a/run.rs:608` pipeline; SURVEY.md section 3.5).
 
 WT (APOBEC1-YTH) vs control (APOBEC1-only) contrast:
-1. per-site alt (C->T on +, G->A on -) and ref coverage from the
-   native BAM mismatch stream ((cell, UMI) dedup, `DnaBaseFreqMap`
-   parity);
+1. per-site alt and ref coverage from the native BAM mismatch stream
+   ((cell, UMI) dedup, `DnaBaseFreqMap` parity). Both strand channels
+   are extracted: C->T in reference space for plus-strand genes and
+   its complement G->A for minus-strand genes (whose conversions
+   appear complemented in reference coordinates); the two site tables
+   merge before testing, with the observed channel recording strand;
 2. site tests: single-sample beta-binomial in WT + one-sided Fisher
    against control (NOT BH — reads are shared across sites,
    SURVEY.md section 3.5 note);
@@ -111,6 +114,10 @@ class DartseqResult:
     cell_counts: sp.csc_matrix  # [S, n_cells] per-cell conversions at called sites
     site_names: list
     barcodes: list
+    strand: "np.ndarray | None" = None  # '+'/'-' per called site
+
+
+_COMPLEMENT = {C: G, G: C, A: T, T: A}
 
 
 def run_dartseq(
@@ -127,24 +134,50 @@ def run_dartseq(
 ) -> DartseqResult:
     """C->T by default (dartseq m6A); `faba atoi` calls this with
     A->G (`ref_base=A, alt_base=G, modality="atoi"`) — the editing
-    machinery (`faba/src/editing/`) shares the same contrast."""
+    machinery (`faba/src/editing/`) shares the same contrast.
+
+    Minus-strand genes produce the complementary channel in reference
+    space (G->A for dartseq, T->C for atoi); both channels are scanned
+    and the merged table is tested site-by-site, so minus-strand sites
+    are called rather than silently discarded."""
     wt = read_bam(wt_bam)
     ctrl = read_bam(control_bam)
-    wt_tab, wt_cells = conversion_counts(wt, ref_base=ref_base, alt_base=alt_base)
-    ct_tab, _ = conversion_counts(ctrl, ref_base=ref_base, alt_base=alt_base)
+    # plus-strand channel as given; minus-strand conversions appear
+    # complemented in reference space
+    channels = [
+        (ref_base, alt_base, "+"),
+        (_COMPLEMENT[ref_base], _COMPLEMENT[alt_base], "-"),
+    ]
+    tabs, cells_per_ch, strands = [], [], []
+    ct_alt_parts = []
+    for rb, ab, strand in channels:
+        tab, cells = conversion_counts(wt, ref_base=rb, alt_base=ab)
+        ct_tab, _ = conversion_counts(ctrl, ref_base=rb, alt_base=ab)
+        # align control conversions onto this channel's WT sites
+        ct_map = {
+            (int(r), int(p)): i
+            for i, (r, p) in enumerate(zip(ct_tab.ref_id, ct_tab.pos))
+        }
+        alt_c = np.zeros(len(tab.pos))
+        for i, (r, p) in enumerate(zip(tab.ref_id, tab.pos)):
+            j = ct_map.get((int(r), int(p)))
+            if j is not None:
+                alt_c[i] = ct_tab.alt[j]
+        tabs.append(tab)
+        cells_per_ch.append(cells)
+        strands.append(np.full(len(tab.pos), strand, dtype="U1"))
+        ct_alt_parts.append(alt_c)
 
-    # align control counts onto WT sites: conversions from the control
-    # table, coverage from the control READS (sites clean in control
-    # still have coverage there)
-    ct_map = {
-        (int(r), int(p)): i
-        for i, (r, p) in enumerate(zip(ct_tab.ref_id, ct_tab.pos))
-    }
-    alt_c = np.zeros(len(wt_tab.pos))
-    for i, (r, p) in enumerate(zip(wt_tab.ref_id, wt_tab.pos)):
-        j = ct_map.get((int(r), int(p)))
-        if j is not None:
-            alt_c[i] = ct_tab.alt[j]
+    wt_tab = SiteTable(
+        ref_id=np.concatenate([t.ref_id for t in tabs]),
+        pos=np.concatenate([t.pos for t in tabs]),
+        alt=np.concatenate([t.alt for t in tabs]),
+        cov=np.concatenate([t.cov for t in tabs]),
+    )
+    strand_arr = np.concatenate(strands)
+    alt_c = np.concatenate(ct_alt_parts)
+    # control-side coverage comes from the control READS (sites clean
+    # in control still have coverage there) — channel-agnostic
     cov_c = coverage_at_sites(ctrl, wt_tab.ref_id, wt_tab.pos)
 
     stats = contrast_sites(
@@ -158,33 +191,43 @@ def run_dartseq(
     )
     log.info("dartseq: %d candidate sites -> %d called", len(called), called.sum())
 
-    # per-cell quantification at called sites
+    # per-cell quantification at called sites (strand in the key: the
+    # two channels of one genomic position are distinct sites)
     called_idx = np.nonzero(called)[0]
     site_lut = {
-        (int(wt_tab.ref_id[s]), int(wt_tab.pos[s])): i for i, s in enumerate(called_idx)
+        (int(wt_tab.ref_id[s]), int(wt_tab.pos[s]), str(strand_arr[s])): i
+        for i, s in enumerate(called_idx)
     }
     rows, cols = [], []
-    for r, p, cb in zip(wt_cells["rid"], wt_cells["pos"], wt_cells["cb"]):
-        s = site_lut.get((int(r), int(p)))
-        if s is not None and cb >= 0:
-            rows.append(s)
-            cols.append(cb)
+    for (rb, ab, strand), cells in zip(channels, cells_per_ch):
+        for r, p, cb in zip(cells["rid"], cells["pos"], cells["cb"]):
+            s = site_lut.get((int(r), int(p), strand))
+            if s is not None and cb >= 0:
+                rows.append(s)
+                cols.append(cb)
     counts = sp.coo_matrix(
         (np.ones(len(rows), np.float32), (rows, cols)),
         shape=(len(called_idx), len(wt.barcodes)),
     ).tocsc()
 
-    channel = chr(ref_base) + chr(alt_base)
+    # gene/modality/channel convention (faba feature_name.rs): channel
+    # is the OBSERVED reference-space pair, so "CT" marks plus strand
+    # and "GA" marks minus strand for dartseq
+    def _channel(s):
+        rb, ab, _ = channels[0] if strand_arr[s] == "+" else channels[1]
+        return chr(rb) + chr(ab)
+
     site_names = [
-        f"{wt.ref_names[wt_tab.ref_id[s]]}:{wt_tab.pos[s]}/{modality}/{channel}"
+        f"{wt.ref_names[wt_tab.ref_id[s]]}:{wt_tab.pos[s]}/{modality}/{_channel(s)}"
         for s in called_idx
-    ]  # gene/modality/channel convention (faba feature_name.rs)
+    ]
     return DartseqResult(
         sites=np.stack([wt_tab.ref_id[called_idx], wt_tab.pos[called_idx]], 1),
         stats={k: v[called_idx] for k, v in stats.items()},
         cell_counts=counts,
         site_names=site_names,
         barcodes=wt.barcodes,
+        strand=strand_arr[called_idx],
     )
 
 

@@ -89,10 +89,12 @@ def treebh(
     """TreeBH hierarchical FDR over an ontology DAG
     (enrichment `treebh.rs`; Bogomolov et al. 2021).
 
-    Tests proceed root-to-leaf: a term is tested only if all its
-    parents were rejected; the per-level BH budget is alpha scaled by
-    the fraction of rejected parents. Returns adjusted q-values (1.0
-    for never-tested terms).
+    Tests proceed root-to-leaf: a term is tested only when at least one
+    tested parent was rejected, within that parent's child family, with
+    BH budget alpha * gamma where gamma is the running product of
+    ancestor-family rejection fractions. Returns q-values rescaled by
+    1/gamma so that `q <= alpha` reproduces the hierarchical decision
+    (1.0 for never-tested terms).
 
     Depth and eligibility are computed over the TESTED subforest:
     ancestors absent from ``pvalues`` are transparent (a term whose
@@ -126,23 +128,47 @@ def treebh(
         get_depth(t)
     max_d = max(depth.values(), default=0)
 
+    # TreeBH descends family-by-family: children of a rejected node form
+    # a family tested with BH at level alpha * gamma, where gamma is the
+    # product of ancestor-family rejection fractions
+    # (gamma_child_family = gamma_parent_family * n_rejected / n_family;
+    # treebh.rs::descend). Reported q is the family-BH q rescaled by
+    # 1/gamma so `q <= alpha` reproduces the selective-FDR decision.
     q_out = {t: 1.0 for t in pvalues}
     rejected: set = set()
-    alpha_level = alpha
-    for d in range(max_d + 1):
-        terms = [t for t in pvalues if depth[t] == d]
-        # eligible: tested-forest roots, or at least one rejected parent
-        elig = [
-            t for t in terms if d == 0 or any(p in rejected for p in tp[t])
-        ]
-        if not elig:
-            continue
-        p = np.asarray([pvalues[t] for t in elig])
+    child_gamma: dict[str, float] = {}  # rejected node -> gamma for its child family
+
+    def run_family(terms: list[str], gamma: float):
+        p = np.asarray([pvalues[t] for t in terms])
         q = bh_fdr(p)
-        for t, qv in zip(elig, q):
-            q_out[t] = float(qv)
-            if qv <= alpha_level:
+        n_rej = 0
+        for t, qv in zip(terms, q):
+            q_out[t] = float(min(1.0, qv / max(gamma, 1e-300)))
+            if qv <= alpha * gamma:
                 rejected.add(t)
+                n_rej += 1
+        frac = n_rej / len(terms)
+        for t, qv in zip(terms, q):
+            if qv <= alpha * gamma:
+                child_gamma[t] = gamma * frac
+
+    roots = [t for t in pvalues if depth[t] == 0]
+    if roots:
+        run_family(roots, 1.0)
+    for d in range(1, max_d + 1):
+        terms = [t for t in pvalues if depth[t] == d]
+        # family key: the rejected tested-parent with the largest gamma
+        # (a DAG child with several rejected parents is tested once, in
+        # the most-powered family; ties break deterministically)
+        families: dict[str, list[str]] = {}
+        for t in terms:
+            rej_parents = [p for p in tp[t] if p in rejected]
+            if not rej_parents:
+                continue
+            fam = max(rej_parents, key=lambda p: (child_gamma[p], p))
+            families.setdefault(fam, []).append(t)
+        for fam in sorted(families):
+            run_family(sorted(families[fam]), child_gamma[fam])
     return q_out
 
 

@@ -49,12 +49,15 @@ struct BgzfReader {
         for (size_t i = 0; i + 4 <= extra.size();) {
             uint16_t slen = extra[i + 2] | (extra[i + 3] << 8);
             if (extra[i] == 'B' && extra[i + 1] == 'C' && slen == 2) {
+                if (i + 6 > extra.size()) return false;  // truncated BC payload
                 bsize = extra[i + 4] | (extra[i + 5] << 8);
                 break;
             }
             i += 4 + slen;
         }
-        if (bsize == 0) return false;
+        // guard the (bsize + 1) - 12 - xlen subtraction against underflow
+        // on a corrupt BC value before computing the compressed remainder
+        if (bsize == 0 || (size_t)bsize + 1 < 12 + (size_t)xlen) return false;
         size_t remaining = (size_t)bsize + 1 - 12 - xlen;
         std::vector<uint8_t> cdata(remaining);
         if (std::fread(cdata.data(), 1, remaining, f) != remaining) return false;
@@ -202,8 +205,8 @@ constexpr char SEQ_CHARS[] = "=ACMGRSVTWYHKDBN";
 // `seq4` is the 4-bit packed SEQ. Only M/=/X ops consume both axes;
 // insertions/clips consume the read, deletions consume MD's ^-runs.
 void extract_mismatches(BamFile* b, int32_t rid, int32_t pos, const uint8_t* cigar,
-                        int n_cigar, const uint8_t* seq4, const std::string& md,
-                        int64_t cb_id, int64_t umi_id) {
+                        int n_cigar, const uint8_t* seq4, int32_t l_seq,
+                        const std::string& md, int64_t cb_id, int64_t umi_id) {
     // read offset of each aligned (reference-consuming) base, in order
     std::vector<int32_t> aligned_read_off;
     int32_t roff = 0;
@@ -238,7 +241,9 @@ void extract_mismatches(BamFile* b, int32_t rid, int32_t pos, const uint8_t* cig
             while (i < md.size() && std::isalpha((unsigned char)md[i])) { i++; deleted++; }
         } else {
             char ref_base = md[i++];
-            if (ai < aligned_read_off.size()) {
+            // CIGAR may claim more read bases than SEQ carries on a
+            // corrupt record; never index seq4 past (l_seq+1)/2
+            if (ai < aligned_read_off.size() && aligned_read_off[ai] < l_seq) {
                 int32_t ro = aligned_read_off[ai];
                 uint8_t code = (ro % 2 == 0) ? (seq4[ro / 2] >> 4) : (seq4[ro / 2] & 0xf);
                 char read_base = SEQ_CHARS[code];
@@ -292,6 +297,14 @@ long bam_next_chunk2(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* 
         std::memcpy(&flg, p + 14, 2);
         int32_t l_seq;
         std::memcpy(&l_seq, p + 16, 4);
+        // validate variable-length fields against the record size before
+        // touching CIGAR/SEQ/tag pointers (corrupt input must parse-error,
+        // not overread the heap buffer)
+        if (l_seq < 0 ||
+            32 + (int64_t)l_read_name + 4 * (int64_t)n_cigar +
+                    ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq >
+                (int64_t)block_size)
+            return -1;
         const uint8_t* cigar = p + 32 + l_read_name;
         int32_t span = 0;
         uint8_t skip = 0;  // CIGAR N op = spliced-junction evidence
@@ -313,7 +326,7 @@ long bam_next_chunk2(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* 
         if (find_z_tag(tags, end, "CB", &cbv)) cbi = b->cb.intern(cbv);
         if (find_z_tag(tags, end, "UB", &umiv)) umii = b->umi.intern(umiv);
         if (find_z_tag(tags, end, "MD", &mdv) && !mdv.empty())
-            extract_mismatches(b, rid, rpos, cigar, n_cigar, seq4, mdv, cbi, umii);
+            extract_mismatches(b, rid, rpos, cigar, n_cigar, seq4, l_seq, mdv, cbi, umii);
         ref_id[n] = rid;
         pos[n] = rpos;
         end_pos[n] = rpos + span;

@@ -95,6 +95,34 @@ def test_atoi_reuses_contrast(tmp_path):
     assert res.site_names[0] == "chr1:210/atoi/AG"
 
 
+def test_dartseq_minus_strand_channel(tmp_path):
+    """Minus-strand genes convert as G->A in reference space; the
+    complementary channel must be scanned and merged (dartseq.py
+    strand handling; the reference resolves strand via the gene
+    model before the contrast tests)."""
+    cells = ["c1", "c2"]
+    wt, ct = [], []
+    for i in range(16):
+        conv = i < 11
+        md = "10G29" if conv else "40"
+        seq = list("C" * 40)
+        seq[10] = "A" if conv else "G"
+        wt.append(dict(name=f"w{i}", ref_id=0, pos=300, seq="".join(seq),
+                       cigar="40M", cb=cells[i % 2], ub=f"uw{i}", md=md))
+    for i in range(16):
+        ct.append(dict(name=f"k{i}", ref_id=0, pos=300, seq="C" * 40,
+                       cigar="40M", cb=cells[i % 2], ub=f"uk{i}", md="40"))
+    wt_path, ct_path = str(tmp_path / "wt.bam"), str(tmp_path / "ct.bam")
+    write_bam(wt_path, [("chr1", 5000)], wt)
+    write_bam(ct_path, [("chr1", 5000)], ct)
+    res = run_dartseq(wt_path, ct_path, max_p=0.05, min_alt=3)
+    assert res.sites.shape[0] == 1
+    assert res.sites[0, 1] == 310
+    assert res.site_names[0] == "chr1:310/m6a/GA"
+    assert res.strand[0] == "-"
+    assert res.cell_counts.sum() == 11
+
+
 def test_faba_all_pipeline(dartseq_bams, tmp_path):
     """`faba all` chains genes + apa + snp (+ m6a with a control)."""
     from pathlib import Path

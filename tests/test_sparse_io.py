@@ -123,3 +123,54 @@ def test_groups_and_batches(small_coo):
     vec.register_batches(np.asarray(["a", "b"] * (n // 2)))
     assert vec.num_batches == 2
     assert vec.batch_membership().shape == (n,)
+
+
+def test_zarr_string_array_names_interop(tmp_path, small_coo):
+    """Names live as zarr v3 string arrays at the reference's keys
+    (`sparse_backend/zarr.rs:799-801`): readable without the sidecar,
+    and a hand-built vlen-utf8+zstd array (reference layout) opens."""
+    from pathlib import Path
+
+    from legume_tpu.data.zarr_strings import read_string_array, write_string_array
+
+    rows, cols, vals, dense = small_coo
+    d, n = dense.shape
+    path = str(tmp_path / "mat.zarr")
+    create_sparse_from_triplets(
+        rows, cols, vals, (d, n), path,
+        row_names=[f"gene{i}" for i in range(d)],
+        column_names=[f"cell{j}" for j in range(n)],
+    )
+    # the string-array path alone suffices: drop the sidecar mirrors
+    (Path(path) / "row_names.names.txt").unlink()
+    (Path(path) / "column_names.names.txt").unlink()
+    be = open_sparse_matrix(path)
+    assert be.row_names()[:2] == ["gene0", "gene1"]
+    assert be.column_names()[-1] == f"cell{n - 1}"
+    # direct decode matches too (unicode survives the roundtrip)
+    write_string_array(path, "extra_names", ["α", "β/1", ""])
+    assert read_string_array(path, "extra_names") == ["α", "β/1", ""]
+
+
+def test_streaming_csc_writer_matches_bulk(tmp_path, small_coo):
+    """StreamingCscWriter slab appends + CSR rebuild reproduce the
+    bulk `create_sparse_from_csc` layout exactly
+    (`sparse_io/traits.rs:680-843` streaming path)."""
+    from legume_tpu.data.sparse_io import StreamingCscWriter
+
+    rows, cols, vals, dense = small_coo
+    d, n = dense.shape
+    csc = sp.csc_matrix(dense)
+    w = StreamingCscWriter(
+        str(tmp_path / "st.zarr"), d,
+        row_names=[f"g{i}" for i in range(d)], gene_chunk=17,
+    )
+    for lb in range(0, n, 33):
+        w.append(csc[:, lb : min(lb + 33, n)])
+    be = w.finalize(column_names=[f"c{j}" for j in range(n)])
+    assert (be.num_rows, be.num_columns, be.num_nonzeros) == (d, n, csc.nnz)
+    got = np.asarray(be.read_columns_csc(np.arange(n)).todense())
+    np.testing.assert_allclose(got, dense)
+    got_r = np.asarray(be.read_rows_csr(np.arange(d)).todense())
+    np.testing.assert_allclose(got_r, dense)
+    assert be.row_names()[3] == "g3"
