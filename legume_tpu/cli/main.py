@@ -1418,6 +1418,12 @@ def main(argv=None):
     from ..utils.stop import install_sigint_handler
 
     install_sigint_handler()
+    # multi-host: LEGUME_COORDINATOR/LEGUME_NUM_PROCESSES/LEGUME_PROCESS_ID
+    # (or LEGUME_DISTRIBUTED=1 on pods with runtime discovery) turn on
+    # jax.distributed before any backend touch (parallel/multihost.py)
+    from ..parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     if not argv or argv[0] not in BINARIES:
         print(f"usage: legume <binary> ...; binaries: {', '.join(sorted(BINARIES))}")
         return 1

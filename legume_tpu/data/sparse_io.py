@@ -165,6 +165,11 @@ class SparseBackend(abc.ABC):
         n = self.num_columns
         return [(lb, min(lb + block_size, n)) for lb in range(0, n, block_size)]
 
+    def column_nnz(self) -> np.ndarray | None:
+        """Per-column nonzero counts from metadata where cheap (None
+        lets callers fall back); drives nnz-balanced multi-host shards."""
+        return None
+
 
 def _to_csc(
     rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, shape: tuple[int, int]
@@ -201,6 +206,9 @@ class MemoryBackend(SparseBackend):
 
     def read_rows_csr(self, rows):
         return self._csr[np.asarray(rows, dtype=np.int64), :]
+
+    def column_nnz(self):
+        return np.diff(self._csc.indptr).astype(np.int64)
 
     def row_names(self):
         return self._row_names
@@ -292,6 +300,9 @@ class _CompressedFileBackend(SparseBackend):
         if self._row_indptr is None:
             self._row_indptr = self._read_array("by_row/indptr").astype(np.int64)
         return self._row_indptr
+
+    def column_nnz(self):
+        return np.diff(self._column_indptr()).astype(np.int64)
 
     def _read_compressed_slabs(
         self, axis_keys: tuple[str, str], indptr: np.ndarray, idx: np.ndarray

@@ -144,6 +144,13 @@ class SparseIoVec:
     def read_columns_dense(self, columns) -> np.ndarray:
         return np.asarray(self.read_columns_csc(columns).todense())
 
+    def column_nnz(self) -> np.ndarray:
+        """Per-column nnz over the whole stack (metadata only; drives
+        nnz-balanced multi-host shard planning)."""
+        from ..parallel.multihost import column_nnz as _nnz
+
+        return np.concatenate([_nnz(b) for b in self._backends])
+
     # ---- batch registry (batch.rs:46) -----------------------------------
 
     def register_batches(self, membership: Sequence[str] | np.ndarray):

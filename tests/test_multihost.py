@@ -1,5 +1,14 @@
-"""Multi-host sharded sufficient-stat reduction on the virtual
-8-device mesh: the psum'd result must equal the single-device sums."""
+"""Multi-host sharded sufficient-stat reduction.
+
+Three layers (VERDICT round-1 item 1; SURVEY.md section 2.7/5):
+- virtual 8-device mesh: psum'd result equals single-device sums;
+- nnz-balanced shard planner properties;
+- per-process READ ISOLATION: with a simulated process view, each
+  process touches only its own devices' column ranges, and the
+  partials sum to the global answer;
+- a true multi-process run (jax.distributed over localhost) lives in
+  `test_multiprocess.py`.
+"""
 
 import numpy as np
 import pytest
@@ -8,7 +17,13 @@ import scipy.sparse as sp
 import jax
 
 from legume_tpu.parallel.mesh import make_mesh
-from legume_tpu.parallel.multihost import collapse_stats_sharded, shard_coo_by_cells
+from legume_tpu.parallel.multihost import (
+    collapse_observed_multihost,
+    collapse_stats_sharded,
+    column_nnz,
+    plan_column_shards,
+    shard_coo_by_cells,
+)
 
 
 def test_sharded_collapse_matches_dense():
@@ -32,14 +47,27 @@ def test_sharded_collapse_matches_dense():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
-def test_collapse_observed_multihost_from_backend(tmp_path):
-    """zarr backend -> per-device column shards -> psum reduction
-    matches the dense groupby (the topic pipeline's multi-host path)."""
-    import scipy.sparse as sp
+def test_plan_column_shards_balances_nnz():
+    rng = np.random.default_rng(1)
+    # heavy head: first 10% of columns hold most nnz
+    nnz = np.concatenate([rng.integers(50, 100, 100), rng.integers(0, 5, 900)])
+    bounds = plan_column_shards(nnz, 8)
+    assert bounds[0] == 0 and bounds[-1] == len(nnz)
+    assert np.all(np.diff(bounds) >= 0)
+    per = np.asarray([nnz[bounds[s] : bounds[s + 1]].sum() for s in range(8)])
+    # balanced: no shard above 2x the mean (uniform split would be ~5x)
+    assert per.max() <= 2.0 * per.mean()
+    uniform = np.linspace(0, len(nnz), 9).astype(int)
+    per_u = np.asarray([nnz[uniform[s] : uniform[s + 1]].sum() for s in range(8)])
+    assert per.max() < per_u.max()
 
+
+def test_collapse_observed_multihost_from_backend(tmp_path):
+    """zarr backend -> per-device nnz-balanced column shards -> psum
+    reduction matches the dense groupby (the topic pipeline's
+    multi-host path); explicit num_groups keeps empty trailing
+    pseudobulks in the plane."""
     from legume_tpu.data.sparse_io import create_sparse_from_csc, open_sparse_matrix
-    from legume_tpu.parallel.mesh import make_mesh
-    from legume_tpu.parallel.multihost import collapse_observed_multihost
 
     rng = np.random.default_rng(0)
     d, n, s = 40, 200, 6
@@ -50,9 +78,67 @@ def test_collapse_observed_multihost_from_backend(tmp_path):
         [f"g{i}" for i in range(d)], [f"c{j}" for j in range(n)],
     )
     vec = open_sparse_matrix(str(tmp_path / "be"))
+    assert column_nnz(vec).sum() == vec.num_nonzeros
     mesh = make_mesh()  # all 8 virtual devices on the data axis
     got = collapse_observed_multihost(vec, groups, mesh, block_size=64)
     want = np.zeros((d, s))
     for j in range(n):
         want[:, groups[j]] += dense[:, j]
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # explicit num_groups: trailing empty groups stay allocated
+    got2 = collapse_observed_multihost(
+        vec, groups, mesh, num_groups=s + 3, block_size=64
+    )
+    assert got2.shape == (d, s + 3)
+    np.testing.assert_allclose(got2[:, :s], want, rtol=1e-5)
+    assert np.all(got2[:, s:] == 0)
+
+
+def test_process_local_read_isolation(tmp_path):
+    """Simulated 2-process view over the 8-device mesh: each process
+    reads ONLY its own devices' column ranges and the partials sum to
+    the global pseudobulk plane."""
+    from legume_tpu.data.sparse_io import create_sparse_from_csc, open_sparse_matrix
+
+    rng = np.random.default_rng(2)
+    d, n, s = 30, 300, 5
+    dense = rng.poisson(1.0, (d, n)).astype(np.float32)
+    groups = rng.integers(0, s, n)
+    create_sparse_from_csc(
+        sp.csc_matrix(dense), str(tmp_path / "be"),
+        [f"g{i}" for i in range(d)], [f"c{j}" for j in range(n)],
+    )
+    vec = open_sparse_matrix(str(tmp_path / "be"))
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    bounds = plan_column_shards(column_nnz(vec), n_dev)
+
+    partials, all_ranges = [], []
+    for p in range(2):
+        read_log: list = []
+        part = collapse_observed_multihost(
+            vec, groups, mesh,
+            num_groups=s, block_size=32,
+            process_index=p, num_processes=2, read_log=read_log,
+        )
+        # isolation: all reads inside this process's device bounds
+        lo = int(bounds[p * (n_dev // 2)])
+        hi = int(bounds[(p + 1) * (n_dev // 2)])
+        for lb, ub in read_log:
+            assert lo <= lb and ub <= hi, (p, lb, ub, lo, hi)
+        all_ranges.extend(read_log)
+        partials.append(part)
+
+    # coverage: the two processes' reads tile [0, n) without overlap
+    all_ranges.sort()
+    cur = 0
+    for lb, ub in all_ranges:
+        assert lb == cur
+        cur = ub
+    assert cur == n
+
+    want = np.zeros((d, s))
+    for j in range(n):
+        want[:, groups[j]] += dense[:, j]
+    np.testing.assert_allclose(partials[0] + partials[1], want, rtol=1e-5)
