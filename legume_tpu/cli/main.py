@@ -44,6 +44,15 @@ def _add_topic_parser(sub):
     p.add_argument("--block-size", type=int, default=8192)
     p.add_argument("--max-coarse-features", type=int, default=0)
     p.add_argument("--cnv", action="store_true", help="CNV side-channel on pb residuals")
+    p.add_argument("--qc", action="store_true", help="cell QC keep mask before projection")
+    p.add_argument("--qc-min-total", type=float, default=0.0)
+    p.add_argument("--qc-min-genes", type=int, default=0)
+    p.add_argument("--qc-max-mito-frac", type=float, default=1.0)
+    p.add_argument("--hvg-genes", type=int, default=5000, help="HVG gate on the projection sketch")
+    p.add_argument("--no-refine", action="store_true", help="skip DC-Poisson partition refinement")
+    p.add_argument("--gene-weighting", choices=["nb-fisher", "none"], default="nb-fisher")
+    p.add_argument("--anchor-penalty", type=float, default=0.0,
+                   help="CE penalty lambda on beta toward the anchor prior (0 = off)")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -565,6 +574,14 @@ def run_senna(argv):
                 block_size=args.block_size,
                 max_coarse_features=args.max_coarse_features,
                 cnv=args.cnv,
+                qc=args.qc,
+                qc_min_total=args.qc_min_total,
+                qc_min_genes=args.qc_min_genes,
+                qc_max_mito_frac=args.qc_max_mito_frac,
+                hvg_genes=args.hvg_genes,
+                refine=not args.no_refine,
+                gene_weighting=args.gene_weighting,
+                anchor_penalty=args.anchor_penalty,
                 seed=args.seed if args.seed is not None else DEFAULT_PROJECTION_SEED,
             )
         )

@@ -203,3 +203,72 @@ class SparseIoVec:
     def column_blocks(self, block_size: int) -> list[tuple[int, int]]:
         n = self.num_columns
         return [(lb, min(lb + block_size, n)) for lb in range(0, n, block_size)]
+
+    # ---- QC subsetting ---------------------------------------------------
+
+    def subset_columns(self, keep: np.ndarray) -> "ColumnSubsetVec":
+        """View over the kept columns (QC keep mask; the reference
+        applies `compute_qc_stack`'s mask before projection,
+        `topic/common.rs` load_and_project / `qc_lib.rs:297`)."""
+        return ColumnSubsetVec(self, np.asarray(keep))
+
+
+class ColumnSubsetVec:
+    """Column-subset view of a SparseIoVec (or any backend-like): the
+    QC keep mask applied lazily at read time — nothing is rewritten."""
+
+    def __init__(self, base, keep: np.ndarray):
+        keep = np.asarray(keep)
+        if keep.dtype == bool:
+            self._idx = np.nonzero(keep)[0].astype(np.int64)
+        else:
+            self._idx = keep.astype(np.int64)
+        self._base = base
+
+    @property
+    def kept_indices(self) -> np.ndarray:
+        return self._idx
+
+    @property
+    def num_rows(self) -> int:
+        return self._base.num_rows
+
+    @property
+    def num_columns(self) -> int:
+        return len(self._idx)
+
+    @property
+    def shape(self):
+        return (self.num_rows, self.num_columns)
+
+    def row_names(self):
+        return self._base.row_names()
+
+    def column_names(self):
+        names = self._base.column_names()
+        return [names[j] for j in self._idx]
+
+    def read_columns_csc(self, columns) -> sp.csc_matrix:
+        return self._base.read_columns_csc(self._idx[np.asarray(columns, np.int64)])
+
+    def read_columns_dense(self, columns) -> np.ndarray:
+        return np.asarray(self.read_columns_csc(columns).todense())
+
+    def column_nnz(self) -> np.ndarray:
+        from ..parallel.multihost import column_nnz as _nnz
+
+        return _nnz(self._base)[self._idx]
+
+    @property
+    def num_batches(self) -> int:
+        return getattr(self._base, "num_batches", 1)
+
+    def batch_membership(self) -> np.ndarray:
+        return self._base.batch_membership()[self._idx]
+
+    def batch_names(self):
+        return self._base.batch_names()
+
+    def column_blocks(self, block_size: int) -> list[tuple[int, int]]:
+        n = self.num_columns
+        return [(lb, min(lb + block_size, n)) for lb in range(0, n, block_size)]

@@ -242,7 +242,9 @@ class MixedTrainer:
             denom = jnp.maximum(jnp.sum(wb), 1.0)
             loss = jnp.sum((kl - llik) * wb) / denom
             if loss_hook is not None:
-                loss = loss_hook(loss, level, {"log_z": log_z, "w": wb})
+                loss = loss_hook(
+                    loss, level, {"log_z": log_z, "w": wb, "params": params}
+                )
             aux = (
                 {"encoder": mut["batch_stats"]},
                 jnp.sum(llik * wb),
@@ -319,9 +321,20 @@ class MixedTrainer:
         k_init, key = jax.random.split(key)
         params, batch_stats, opt_state = self.init(level_data, k_init)
         if init_params is not None:
-            # warm start: overlay matching entries (shape-checked by
-            # tree structure), fresh optimizer state
-            params = jax.tree.map(lambda w: jnp.asarray(w), {**params, **init_params})
+            # warm start / prior init: DEEP overlay of matching entries
+            # (a partial subtree — e.g. only the dictionary logits —
+            # keeps its siblings), fresh optimizer state
+            def deep_merge(base, over):
+                if isinstance(base, dict) and isinstance(over, dict):
+                    out = dict(base)
+                    for k, v in over.items():
+                        out[k] = deep_merge(base[k], v) if k in base else v
+                    return out
+                return over
+
+            params = jax.tree.map(
+                lambda w: jnp.asarray(w), deep_merge(params, init_params)
+            )
             opt_state = self.optimizer.init(params)
 
         padded = [_pad_level(lvl, cfg.minibatch_size) for lvl in level_data]

@@ -72,6 +72,27 @@ class TopicArgs:
     block_size: int = 8192
     init_from: Optional[str] = None  # warm start from a prior run's prefix
     from_run: Optional[str] = None  # inherit inputs from a {prefix}.senna.json
+    # ---- full call-stack stages (SURVEY.md section 3.1) ----------------
+    # cell QC keep mask before projection (qc_lib.rs:297; off unless
+    # requested, matching the reference's Option<QcConfig>)
+    qc: bool = False
+    qc_min_total: float = 0.0
+    qc_min_genes: int = 0
+    qc_max_mito_frac: float = 1.0
+    # HVG selection gating the projection sketch (hvg.rs:370; reference
+    # default n-hvg = 5000; every gene still trains)
+    hvg_genes: int = 5000
+    # BBKNN + DC-Poisson refinement of the fine partition
+    # (refine_multilevel.rs:117, dc_poisson.rs:778)
+    refine: bool = True
+    refine_gibbs: int = 3
+    refine_greedy: int = 3
+    # per-gene NB-Fisher decoder weights per level (gene_weighting.rs
+    # via cmd.rs:440-463)
+    gene_weighting: str = "nb-fisher"  # or "none"
+    # anchor prior (anchor_prior.rs; cmd.rs:468-476): beta always
+    # initializes from anchors; lambda > 0 adds the CE penalty
+    anchor_penalty: float = 0.0
     # feature coarsening: cap decoder dims per level (cmd.rs:344-373
     # level ladder; 0 = off, full-D decoders). Coarser levels get
     # proportionally smaller targets down to >= 50 meta-features.
@@ -129,36 +150,153 @@ class CollapsedLevels:
     fine_codes: np.ndarray
 
 
+def refine_hierarchy_maps(
+    proj_kn: np.ndarray,
+    fine_groups: np.ndarray,
+    uniq_codes: np.ndarray,
+    level_dims: Sequence[int],
+    args: TopicArgs,
+) -> list[np.ndarray]:
+    """BBKNN + DC-Poisson refinement of the pb-sample hierarchy
+    (refine_multilevel.rs `refine_assignments` + dc_poisson.rs:778).
+
+    Entities are the FINE pb-samples (the hash partition stays put for
+    cells, as in the reference); each coarser level's fine->coarse map
+    starts from the masked sort codes and is refined coarsest->finest.
+    Scoring uses PROJECTED pb centroids with negative dims dropped
+    (`Profiles::from_projection`, dc_poisson.rs:164) — the projection is
+    batch-centered, so moves follow biology, not batch. Candidates are
+    groups of kNN-neighbor pb-samples intersected with siblings (same
+    parent at the next-coarser level), sibling fallback when empty.
+
+    Returns the per-level fine->coarse maps (level 0 = identity)."""
+    import scipy.sparse as sp
+
+    from ..ops.dc_poisson import refine_with_candidates
+    from ..ops.knn import knn_within
+
+    s_fine = len(uniq_codes)
+    kdim = proj_kn.shape[0]
+    cent = np.zeros((s_fine, kdim), np.float64)
+    np.add.at(cent, fine_groups, proj_kn.T)
+    profiles = np.maximum(cent, 0.0)  # keep positive dims only
+    size = profiles.sum(1).astype(np.float32)
+
+    # initial maps from masked codes (nested by construction)
+    maps = []
+    for dim in level_dims:
+        mask = (1 << dim) - 1
+        _, f2c = np.unique(uniq_codes & mask, return_inverse=True)
+        maps.append(f2c.astype(np.int32))
+
+    if s_fine < 3 or len(level_dims) < 2:
+        return maps
+
+    n_nbr = min(max(args.knn_cells, 2), s_fine - 1)
+    _, nbr = knn_within(cent.astype(np.float32), n_nbr)  # [s_fine, n_nbr]
+    prof_sp = sp.csr_matrix(profiles)
+
+    # refine coarsest -> finest (level 0 stays the identity partition)
+    for li in range(len(level_dims) - 1, 0, -1):
+        if li + 1 < len(maps):
+            # re-nest under the REFINED coarser level first
+            # (`project_to_refinement`, refine_multilevel.rs:269): the
+            # finer group id becomes the (refined parent, old group) pair
+            parent_of_samp = maps[li + 1]
+            pair = parent_of_samp.astype(np.int64) * (maps[li].max() + 1) + maps[li]
+            _, renest = np.unique(pair, return_inverse=True)
+            maps[li] = renest.astype(np.int32)
+        else:
+            parent_of_samp = np.zeros(s_fine, np.int32)
+        labels = maps[li]
+        n_groups = int(labels.max()) + 1
+        if n_groups < 2:
+            continue
+        parent_of_group = np.zeros(n_groups, np.int32)
+        parent_of_group[labels] = parent_of_samp
+        cand = np.zeros((s_fine, n_groups), bool)
+        sib_ok = parent_of_group[None, :] == parent_of_samp[:, None]  # [E, G]
+        nbr_groups = labels[nbr]  # [E, n_nbr]
+        cand[np.repeat(np.arange(s_fine), nbr.shape[1]), nbr_groups.ravel()] = True
+        cand &= sib_ok
+        cand[np.arange(s_fine), labels] = True
+        empty = ~cand.any(1)
+        if empty.any():  # sibling fallback
+            cand[empty] = sib_ok[empty]
+        res = refine_with_candidates(
+            prof_sp,
+            labels,
+            n_groups,
+            candidates=cand,
+            size_factors=size,
+            num_gibbs=args.refine_gibbs,
+            num_greedy=args.refine_greedy,
+            seed=args.seed & 0x7FFFFFFF,
+        )
+        new, moves = res.labels, res.n_moves_per_sweep
+        log.info("refine level %d: moves per sweep %s", li, moves)
+        # compact (emptied groups drop; nesting within parents preserved)
+        _, new_c = np.unique(new, return_inverse=True)
+        maps[li] = new_c.astype(np.int32)
+    return maps
+
+
 def load_and_collapse(vec: SparseIoVec, args: TopicArgs) -> CollapsedLevels:
-    """Projection + binary sort + multilevel collapse
-    (topic/common.rs:419 `load_and_collapse`)."""
+    """Projection + binary sort + partition refinement + multilevel
+    collapse (topic/common.rs:419 `load_and_collapse`; stages per
+    SURVEY.md section 3.1)."""
     batches = vec.batch_membership()
     num_batches = vec.num_batches if not args.ignore_batch else 1
+    d = vec.num_rows
+
+    # HVG gate on the projection sketch only (hvg.rs long_help: every
+    # gene still trains)
+    row_weights = None
+    if args.hvg_genes and args.hvg_genes < d:
+        from ..ops.gene_stats import hvg_row_weights
+
+        row_weights = hvg_row_weights(vec, args.hvg_genes, block_size=args.block_size)
+        log.info("hvg: projection sketch gated to %d genes", int(row_weights.sum()))
 
     basis, proj_kn = rp.project_columns(
         vec,
         max(args.proj_dim, args.n_latent_topics),
         block_size=args.block_size,
         batch_membership=batches if num_batches > 1 else None,
+        row_weights=row_weights,
         seed=args.seed,
     )
 
     level_dims = compute_level_sort_dims(args.sort_dim, args.num_levels)
     fine_codes = rp.binary_sort_columns(proj_kn, level_dims[0], seed=args.seed)
 
+    # group id <-> sort code registry
+    uniq_codes, fine_groups = np.unique(fine_codes, return_inverse=True)
+    fine_groups = fine_groups.astype(np.int32)
+    s_fine = len(uniq_codes)
+
+    # per-level fine-pb -> coarse-group maps: masked codes, refined by
+    # BBKNN + DC-Poisson on projected centroids when requested
+    if args.refine:
+        level_maps = refine_hierarchy_maps(
+            proj_kn, fine_groups, uniq_codes, level_dims, args
+        )
+    else:
+        level_maps = []
+        for dim in level_dims:
+            mask = (1 << dim) - 1
+            _, f2c = np.unique(uniq_codes & mask, return_inverse=True)
+            level_maps.append(f2c.astype(np.int32))
+
     collapsed = []
     groups_per_level = []
     num_groups_per_level = []
-    fine_groups, _ = rp.compact_group_codes(fine_codes)
 
     # finest-level stats once; coarser levels merge (merge_stat path)
-    finest_dim = level_dims[0]
     stats_fine: clp.CollapsedStat | None = None
-    for dim in level_dims:
-        mask = (1 << dim) - 1
-        codes_l = fine_codes & mask
-        groups_l, s_l = rp.compact_group_codes(codes_l)
+    for li, dim in enumerate(level_dims):
         if stats_fine is None:
+            groups_l, s_l = fine_groups, s_fine
             stat_l = clp.collect_basic_stats(
                 vec,
                 groups_l,
@@ -179,15 +317,10 @@ def load_and_collapse(vec: SparseIoVec, args: TopicArgs) -> CollapsedLevels:
                     stat=stat_l,
                 )
             stats_fine = stat_l
-            fine_groups_l = groups_l
         else:
-            # map finest groups -> this level's groups by masking codes
-            fine_code_of_group = np.zeros(len(np.unique(fine_groups_l)), np.int64)
-            fine_code_of_group[fine_groups_l] = fine_codes
-            coarse_codes = fine_code_of_group & mask
-            _, f2c = np.unique(coarse_codes, return_inverse=True)
+            f2c = level_maps[li]
             stat_l = clp.merge_stat(stats_fine, f2c, int(f2c.max()) + 1)
-            groups_l = f2c[fine_groups_l].astype(np.int32)
+            groups_l = f2c[fine_groups]
             s_l = stat_l.num_groups
         out_l = clp.optimize(stat_l, num_iter=args.iter_opt)
         collapsed.append(out_l)
@@ -238,6 +371,30 @@ def fit_topic_model(args: TopicArgs) -> dict:
     n = vec.num_columns
     log.info("topic fit: D=%d genes, N=%d cells", d, n)
 
+    # cell QC keep mask before any other stage (qc_lib.rs:297 via
+    # load_and_project; kept cells drive the whole pipeline + outputs)
+    if args.qc:
+        from ..data.qc import compute_cell_qc
+
+        qc_stats = compute_cell_qc(vec, block_size=args.block_size)
+        keep = qc_stats.keep_mask(
+            min_total=args.qc_min_total,
+            min_genes=args.qc_min_genes,
+            max_mito_frac=args.qc_max_mito_frac,
+        )
+        pd.DataFrame(
+            {
+                "cell": vec.column_names(),
+                "total": qc_stats.total,
+                "n_genes": qc_stats.n_genes,
+                "mito_frac": qc_stats.mito_frac,
+                "keep": keep,
+            }
+        ).to_parquet(f"{args.out}.qc.parquet")
+        log.info("qc: keeping %d/%d cells", int(keep.sum()), n)
+        vec = vec.subset_columns(keep)
+        n = vec.num_columns
+
     levels = load_and_collapse(vec, args)
     key = jax.random.key(args.seed & 0x7FFFFFFF)
     key, *level_keys = jax.random.split(key, 1 + len(levels.collapsed))
@@ -278,6 +435,59 @@ def fit_topic_model(args: TopicArgs) -> dict:
         for i in range(len(level_data))
     ]
 
+    # per-level NB-Fisher decoder weights (gene_weighting.rs via
+    # cmd.rs:440-463 compute_nb_fisher_weights_coarsened): housekeeping
+    # genes downweight; coarse features average their members' weights
+    feature_weights = [None] * len(level_data)
+    if args.gene_weighting == "nb-fisher":
+        from ..ops.gene_stats import nb_fisher_weights
+
+        fw_full = nb_fisher_weights(vec, block_size=args.block_size)
+        for i, fc in enumerate(coarsenings):
+            if fc is None:
+                feature_weights[i] = fw_full
+            else:
+                sums = np.bincount(
+                    fc.fine_to_coarse, weights=fw_full, minlength=fc.num_coarse
+                )
+                cnts = np.bincount(fc.fine_to_coarse, minlength=fc.num_coarse)
+                feature_weights[i] = (sums / np.maximum(cnts, 1)).astype(np.float32)
+
+    # anchor prior (anchor_prior.rs; cmd.rs:468-476): archetypal PBs of
+    # the finest level -> beta init (+ optional CE penalty)
+    anchor_prior = None
+    anchor_level_weights = None
+    finest_plane = (
+        levels.collapsed[0].mu_adjusted
+        if levels.collapsed[0].mu_adjusted is not None
+        else levels.collapsed[0].mu_observed
+    )
+    n_pb_finest = np.asarray(finest_plane.mean()).shape[1]
+    if n_pb_finest >= 2:
+        from .anchor import AnchorPrior
+
+        anchor_prior = AnchorPrior.from_pseudobulk(
+            np.asarray(finest_plane.mean()),
+            args.n_latent_topics,
+            finest_coarsening=coarsenings[0],
+        )
+        if args.anchor_penalty > 0:
+            anchor_level_weights = [
+                jnp.asarray(w) for w in anchor_prior.per_level_weights(coarsenings)
+            ]
+
+    loss_hook = None
+    if anchor_level_weights is not None:
+        lam = float(args.anchor_penalty)
+
+        def loss_hook(loss, level, aux):
+            # CE(anchor, log beta) on the level's dictionary logits
+            # (anchor_prior.rs anchor_penalty_at_level)
+            logits = aux["params"][f"decoder_{level}"]["dictionary"]["dictionary"]
+            log_beta = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.mean(jnp.sum(anchor_level_weights[level] * log_beta, axis=-1))
+            return loss + lam * ce
+
     cfg = TrainConfig(
         epochs=args.epochs,
         minibatch_size=args.minibatch_size,
@@ -286,7 +496,10 @@ def fit_topic_model(args: TopicArgs) -> dict:
         grad_clip=args.grad_clip,
         seed=args.seed & 0x7FFFFFFF,
     )
-    trainer = MixedTrainer(encoder, decoders, cfg)
+    trainer = MixedTrainer(
+        encoder, decoders, cfg,
+        feature_weights=feature_weights, loss_hook=loss_hook,
+    )
 
     if args.init_from:
         # warm start: strict architecture check before loading
@@ -306,7 +519,19 @@ def fit_topic_model(args: TopicArgs) -> dict:
         )
         log.info("warm start from %s applied", args.init_from)
     else:
-        variables, _, scores = trainer.train(level_data, key)
+        # beta initializes from the anchor prior (cmd.rs:468-476): the
+        # softmax of the anchor logits reproduces the prior columns
+        init_overrides = None
+        if anchor_prior is not None:
+            init_overrides = {
+                f"decoder_{i}": {
+                    "dictionary": {
+                        "dictionary": jnp.asarray(anchor_prior.init_logits(coarsenings[i]))
+                    }
+                }
+                for i in range(len(level_data))
+            }
+        variables, _, scores = trainer.train(level_data, key, init_params=init_overrides)
 
     # ---- outputs -------------------------------------------------------
     finest = levels.collapsed[0]
