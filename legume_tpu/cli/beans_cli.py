@@ -1,0 +1,232 @@
+"""`data-beans` binary: sparse backend CLI (extracted from cli/main.py; one module per installed binary)."""
+
+from __future__ import annotations
+
+import argparse
+import numpy as np
+
+
+def run_beans(argv):
+    ap = argparse.ArgumentParser(prog="data-beans", description="sparse matrix backends")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("from-mtx", help="build a backend from MatrixMarket")
+    p.add_argument("--mtx", required=True)
+    p.add_argument("--rows", default=None, help="row (gene) names file")
+    p.add_argument("--cols", default=None, help="column (cell) names file")
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("from-h5ad", help="build from AnnData .h5ad")
+    p.add_argument("--h5ad", required=True)
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("from-10x-matrix", help="build from CellRanger .h5")
+    p.add_argument("--h5", required=True)
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("from-10x-molecule", help="build from molecule_info.h5")
+    p.add_argument("--h5", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-umi", type=int, default=1, help="min reads per molecule")
+    p = sub.add_parser("from-triplets", help="Xenium/transcript triplet table")
+    p.add_argument("--table", required=True, help="parquet/csv, one row per transcript")
+    p.add_argument("--output", required=True)
+    p.add_argument("--feature-col", default="feature_name")
+    p.add_argument("--cell-col", default="cell_id")
+    p = sub.add_parser("from-fragments", help="ATAC fragments -> tile/peak counts")
+    p.add_argument("--fragments", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--tile-size", type=int, default=5000)
+    p = sub.add_parser("align", help="rewrite backends onto the shared row union")
+    p.add_argument("backends", nargs="+")
+    p.add_argument("--suffix", default=".aligned", help="output suffix per backend")
+    p = sub.add_parser("reorder", help="reorder columns by a name list")
+    p.add_argument("backend")
+    p.add_argument("--columns", required=True, help="file with one column name per line")
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("squeeze", help="drop all-zero feature rows")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-row-total", type=float, default=1.0)
+    p = sub.add_parser("subsample", help="uniform column subsample")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p.add_argument("-n", "--n-columns", type=int, required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p = sub.add_parser("subset", help="subset columns and/or rows by name file")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p.add_argument("--columns", default=None, help="file: one column name per line")
+    p.add_argument("--rows", default=None, help="file: one row name per line")
+    p = sub.add_parser("stat", help="summary statistics JSON")
+    p.add_argument("backend")
+    p.add_argument("--peaks", default=None, help="BED of peaks (else tiles)")
+    p = sub.add_parser("to-mtx", help="export MEX (mtx + features + barcodes)")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("to-h5ad", help="export AnnData .h5ad")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("merge-backend", help="merge backends column-wise")
+    p.add_argument("backends", nargs="+")
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("qc", help="cell QC stats + keep mask")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-total", type=float, default=0)
+    p.add_argument("--min-genes", type=int, default=0)
+    p.add_argument("--max-mito-frac", type=float, default=1.0)
+    p = sub.add_parser("info", help="backend shape and nnz")
+    p.add_argument("backend")
+    p = sub.add_parser("histogram", help="ASCII histogram of per-cell totals")
+    p.add_argument("backend")
+    p.add_argument("--bins", type=int, default=20)
+    p = sub.add_parser("merge-mtx", help="merge MatrixMarket files column-wise")
+    p.add_argument("mtx", nargs="+")
+    p.add_argument("--rows", default=None, help="shared row (gene) names file")
+    p.add_argument("--cols", nargs="+", default=None, help="one column file per mtx")
+    p.add_argument("--output", required=True)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "merge-mtx":
+        from ..data.builders import merge_mtx
+
+        merge_mtx(args.mtx, args.output, rows_file=args.rows, cols_files=args.cols)
+        print(f"wrote backend: {args.output}")
+        return
+
+    from ..data import open_sparse_matrix
+
+    if args.cmd == "histogram":
+
+        from ..data.qc import compute_cell_qc
+
+        be = open_sparse_matrix(args.backend)
+        qc = compute_cell_qc(be)
+        lx = np.log10(np.maximum(qc.total, 1))
+        hist, edges = np.histogram(lx, bins=args.bins)
+        peak = max(hist.max(), 1)
+        for h, e in zip(hist, edges):
+            bar = "#" * int(50 * h / peak)
+            print(f"10^{e:5.2f} | {bar} {h}")
+        print(f"median total: {np.median(qc.total):.0f}")
+        return
+
+    if args.cmd == "from-mtx":
+        from ..data.builders import from_mtx
+
+        from_mtx(args.mtx, args.output, rows_file=args.rows, cols_file=args.cols)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "from-h5ad":
+        from ..data.builders import from_h5ad
+
+        from_h5ad(args.h5ad, args.output)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "from-10x-matrix":
+        from ..data.builders import from_10x_h5
+
+        from_10x_h5(args.h5, args.output)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "align":
+        from ..data.builders import align_backends
+
+        outs = [b.rstrip("/").rsplit(".zarr", 1)[0] + args.suffix for b in args.backends]
+        align_backends(list(args.backends), outs)
+        print(f"wrote aligned backends: {' '.join(outs)}")
+    elif args.cmd == "reorder":
+        from ..data.builders import _read_name_file, reorder_backend
+
+        reorder_backend(args.backend, args.output, _read_name_file(args.columns))
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "squeeze":
+        from ..data.builders import squeeze_backend
+
+        be = squeeze_backend(
+            args.backend, args.output, min_row_total=args.min_row_total
+        )
+        print(f"wrote backend: {args.output} ({be.num_rows} rows kept)")
+    elif args.cmd == "subsample":
+        from ..data.builders import subsample_backend
+
+        subsample_backend(args.backend, args.output, args.n_columns, seed=args.seed)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "subset":
+
+        from ..data.builders import _read_name_file, subset_backend
+        from ..data.sparse_io import open_sparse_matrix
+
+        be = open_sparse_matrix(args.backend)
+        cols = rows = None
+        if args.columns:
+            want = set(_read_name_file(args.columns))
+            cols = np.asarray(
+                [i for i, n in enumerate(be.column_names()) if n in want]
+            )
+        if args.rows:
+            want = set(_read_name_file(args.rows))
+            rows = np.asarray([i for i, n in enumerate(be.row_names()) if n in want])
+        subset_backend(args.backend, args.output, columns=cols, rows=rows)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "stat":
+        import json as _json
+
+        from ..data.builders import backend_stat
+
+        print(_json.dumps(backend_stat(args.backend)))
+    elif args.cmd == "from-10x-molecule":
+        from ..data.builders import from_10x_molecule
+
+        from_10x_molecule(args.h5, args.output, min_umi=args.min_umi)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "from-triplets":
+        from ..data.builders import from_triplets_table
+
+        from_triplets_table(
+            args.table, args.output,
+            feature_col=args.feature_col, cell_col=args.cell_col,
+        )
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "from-fragments":
+        from ..data.builders import from_fragments
+
+        from_fragments(
+            args.fragments, args.output,
+            tile_size=args.tile_size, peaks_bed=args.peaks,
+        )
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "to-mtx":
+        from ..data.builders import to_mtx
+
+        to_mtx(args.backend, args.output)
+        print(f"wrote {args.output}.matrix.mtx.gz")
+    elif args.cmd == "to-h5ad":
+        from ..data.builders import to_h5ad
+
+        to_h5ad(args.backend, args.output)
+        print(f"wrote {args.output}")
+    elif args.cmd == "merge-backend":
+        from ..data.builders import merge_backends
+
+        merge_backends(args.backends, args.output)
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "qc":
+        import pandas as pd
+
+        from ..data.qc import compute_cell_qc
+
+        be = open_sparse_matrix(args.backend)
+        qc = compute_cell_qc(be)
+        keep = qc.keep_mask(
+            min_total=args.min_total,
+            min_genes=args.min_genes,
+            max_mito_frac=args.max_mito_frac,
+        )
+        pd.DataFrame(
+            {
+                "cell": be.column_names(),
+                "total": qc.total,
+                "n_genes": qc.n_genes,
+                "mito_frac": qc.mito_frac,
+                "keep": keep,
+            }
+        ).to_parquet(f"{args.output}.qc.parquet")
+        print(f"wrote {args.output}.qc.parquet ({keep.sum()}/{len(keep)} kept)")
+    elif args.cmd == "info":
+        be = open_sparse_matrix(args.backend)
+        print(f"rows: {be.num_rows}\ncols: {be.num_columns}\nnnz: {be.num_nonzeros}")

@@ -1,0 +1,389 @@
+"""`faba` binary: BAM feature extraction CLI (extracted from cli/main.py; one module per installed binary)."""
+
+from __future__ import annotations
+
+import argparse
+import numpy as np
+
+
+def run_faba(argv):
+    ap = argparse.ArgumentParser(prog="faba", description="BAM feature extraction")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("genes", help="per-cell gene counts from BAM")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--gff", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-mapq", type=int, default=20)
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument(
+        "--splice", action="store_true",
+        help="emit spliced + unspliced backends (velocity input)",
+    )
+    for _name, _help in [
+        ("dartseq", "m6A C->T WT-vs-control site calling"),
+        ("atoi", "A-to-I (A->G) editing site calling"),
+    ]:
+        p = sub.add_parser(_name, help=_help)
+        p.add_argument("--bam", required=True, help="WT/DART BAM")
+        p.add_argument("--control-bam", required=True)
+        p.add_argument("--output", required=True)
+        p.add_argument("--max-p", type=float, default=0.05)
+        p.add_argument("--min-alt", type=int, default=3)
+    p = sub.add_parser("all", help="pipeline: genes -> apa -> snp -> m6a/atoi")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--gff", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--control-bam", default=None)
+    p.add_argument("--min-mapq", type=int, default=20)
+    p = sub.add_parser("pwm", help="sequence-context PWM around called sites")
+    p.add_argument("--sites", required=True, help="parquet with chrom,pos[,strand]")
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--flank", type=int, default=5)
+    p = sub.add_parser("metagene", help="site density over normalized gene coords")
+    p.add_argument("--sites", required=True, help="parquet with chrom,pos")
+    p.add_argument("--gff", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--bins", type=int, default=50)
+    p = sub.add_parser("pileup", help="base composition around sites from BAM")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--sites", required=True, help="parquet with chrom,pos")
+    p.add_argument("--output", required=True)
+    p.add_argument("--flank", type=int, default=2)
+    p.add_argument("--fasta", default=None)
+    for _name, _help in [
+        ("gem", "geodesic embedding + motion (NCE, velocity delta)"),
+        ("gem-encoder", "masked generative sibling (u+delta->s)"),
+    ]:
+        p = sub.add_parser(_name, help=_help)
+        p.add_argument("--spliced", required=True, help="spliced pb backend")
+        p.add_argument("--unspliced", required=True, help="unspliced pb backend")
+        p.add_argument("--output", required=True)
+        p.add_argument("-d", "--embedding-dim", type=int, default=16)
+        p.add_argument("--epochs", type=int, default=600)
+    p = sub.add_parser("dyn-assoc", help="between-branch Bayesian modality contrast")
+    p.add_argument("--backend", required=True, help="site x cell counts backend")
+    p.add_argument("--branches", required=True, help="parquet: cell, branch|pseudotime")
+    p.add_argument("--output", required=True)
+    p.add_argument("--exposure", default=None, help="optional coverage backend")
+    p = sub.add_parser("apa", help="alternative polyadenylation site usage")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--gff", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-mapq", type=int, default=20)
+    p.add_argument("--peak-window", type=int, default=30)
+    p.add_argument("--min-reads", type=int, default=5)
+
+    p = sub.add_parser("snp", help="pileup genotyper on BAM mismatches")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-depth", type=int, default=8)
+    p.add_argument("--min-alt", type=int, default=2)
+    p.add_argument("--min-qual", type=float, default=20.0)
+
+    p = sub.add_parser("depth", help="per-cell coverage over BED regions")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--bed", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-mapq", type=int, default=20)
+
+    p = sub.add_parser("annotate", help="marker labels for site-track clusters")
+    p.add_argument("--backend", required=True, help="site x cell counts backend")
+    p.add_argument("--clusters", required=True, help="clusters parquet")
+    p.add_argument("--markers", required=True, help="GMT marker sets")
+    p.add_argument("--output", required=True)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "apa":
+        import pandas as pd
+
+        from ..data.sparse_io import create_sparse_from_csc
+        from ..faba.apa import run_apa
+
+        apa = run_apa(
+            args.bam, args.gff,
+            min_mapq=args.min_mapq, peak_window=args.peak_window,
+            min_reads=args.min_reads,
+        )
+        if apa.counts.shape[0]:
+            create_sparse_from_csc(
+                apa.counts, f"{args.output}.zarr", apa.site_names, apa.barcodes
+            )
+        pd.DataFrame(
+            {"gene": list(apa.distal_index),
+             "distal_usage": list(apa.distal_index.values())}
+        ).to_parquet(f"{args.output}.distal.parquet")
+        print(
+            f"wrote {args.output}.zarr ({apa.counts.shape[0]} PAS sites) "
+            f"+ .distal.parquet"
+        )
+        return
+    if args.cmd == "snp":
+        import pandas as pd
+
+        from ..faba.snp import call_snps
+
+        snps = call_snps(
+            args.bam, min_depth=args.min_depth,
+            min_alt=args.min_alt, min_qual=args.min_qual,
+        )
+        pd.DataFrame(
+            {
+                "chrom": [snps.ref_names[r] for r in snps.ref_id],
+                "pos": snps.pos,
+                "ref": snps.ref_base,
+                "alt": snps.alt_base,
+                "genotype": snps.genotype,
+                "depth": snps.depth,
+                "alt_depth": snps.alt_depth,
+                "qual": snps.qual,
+            }
+        ).to_parquet(f"{args.output}.snp.parquet")
+        print(f"wrote {args.output}.snp.parquet ({len(snps.pos)} sites)")
+        return
+    if args.cmd == "depth":
+        from ..data.sparse_io import create_sparse_from_csc
+        from ..faba.depth import depth_per_region, read_bed
+
+        bed = read_bed(args.bed)
+        cov, names, barcodes = depth_per_region(
+            args.bam, bed, min_mapq=args.min_mapq
+        )
+        create_sparse_from_csc(cov, f"{args.output}.zarr", names, barcodes)
+        print(f"wrote backend: {args.output}.zarr ({cov.shape[0]} regions)")
+        return
+    if args.cmd == "annotate":
+        import pandas as pd
+
+        from ..data.knowledge import read_gmt
+        from ..data.sparse_io import open_sparse_matrix
+        from ..ops.enrichment import annotate_by_markers
+
+        be = open_sparse_matrix(args.backend)
+        cl = pd.read_parquet(args.clusters)
+        labels = cl.iloc[:, 1].to_numpy()
+        uniq = np.unique(labels)
+        profiles = np.zeros((len(uniq), be.num_rows))
+        for i, c in enumerate(uniq):
+            cells = np.nonzero(labels == c)[0]
+            profiles[i] = np.log1p(
+                np.asarray(be.read_columns_csc(cells).mean(axis=1)).ravel()
+            )
+        # faba features follow gene/modality/channel; match markers on
+        # the gene part of the row name (feature_name.rs convention)
+        genes = [str(n).split(":")[0].split("/")[0] for n in be.row_names()]
+        names, scores = annotate_by_markers(profiles, genes, read_gmt(args.markers))
+        pd.DataFrame(
+            {"cluster": uniq, "annotation": names, "score": scores.max(1)}
+        ).to_parquet(f"{args.output}.annotation.parquet")
+        print(f"wrote {args.output}.annotation.parquet")
+        return
+
+    if args.cmd == "genes":
+        from ..data.sparse_io import create_sparse_from_csc
+        from ..faba.genes import count_genes, count_genes_spliced
+
+        if args.splice:
+            s, u, genes, barcodes = count_genes_spliced(
+                args.bam, args.gff,
+                min_mapq=args.min_mapq, dedup_umi=not args.no_dedup,
+            )
+            create_sparse_from_csc(s, f"{args.output}.spliced", genes, barcodes)
+            create_sparse_from_csc(u, f"{args.output}.unspliced", genes, barcodes)
+            print(
+                f"wrote backends: {args.output}.spliced / .unspliced "
+                f"({s.nnz} spliced, {u.nnz} unspliced entries)"
+            )
+            return
+        counts, genes, barcodes = count_genes(
+            args.bam, args.gff, min_mapq=args.min_mapq, dedup_umi=not args.no_dedup
+        )
+        create_sparse_from_csc(counts, args.output, genes, barcodes)
+        print(f"wrote backend: {args.output} ({counts.shape[0]} genes x {counts.shape[1]} cells)")
+    elif args.cmd in ("dartseq", "atoi"):
+        import pandas as pd
+
+        from ..data.sparse_io import create_sparse_from_csc
+        from ..faba.bam import read_bam
+        from ..faba.dartseq import run_atoi, run_dartseq
+
+        runner = run_dartseq if args.cmd == "dartseq" else run_atoi
+        res = runner(
+            args.bam, args.control_bam, max_p=args.max_p, min_alt=args.min_alt
+        )
+        ref_names = read_bam(args.bam).ref_names
+        df = pd.DataFrame(
+            {
+                "chrom": [ref_names[r] for r in res.sites[:, 0]],
+                "pos": res.sites[:, 1],
+                "strand": res.strand,
+                "name": res.site_names,
+                **{k: v for k, v in res.stats.items()},
+            }
+        )
+        df.to_parquet(f"{args.output}.sites.parquet")
+        if res.cell_counts.shape[0]:
+            create_sparse_from_csc(
+                res.cell_counts, f"{args.output}.zarr", res.site_names, res.barcodes
+            )
+        print(f"wrote {args.output}.sites.parquet ({len(df)} sites)")
+    elif args.cmd == "all":
+        from ..faba.pipeline import run_all
+
+        res = run_all(
+            args.bam, args.gff, args.output,
+            control_bam=args.control_bam, min_mapq=args.min_mapq,
+        )
+        print(f"wrote: {' '.join(sorted(res.outputs))}")
+    elif args.cmd == "pwm":
+        import json as _json
+
+        import pandas as pd
+
+        from ..faba.context import pwm_at_sites, read_fasta
+
+        df = pd.read_parquet(args.sites)
+        strand = df["strand"].to_numpy() if "strand" in df else None
+        pwm = pwm_at_sites(
+            read_fasta(args.fasta), df["chrom"].tolist(),
+            df["pos"].to_numpy(), flank=args.flank, strand=strand,
+        )
+        out = pd.DataFrame(pwm.freqs, columns=list("ACGT"))
+        out["offset"] = np.arange(-args.flank, args.flank + 1)
+        out["info_bits"] = pwm.info_bits
+        out.to_parquet(f"{args.output}.pwm.parquet")
+        print(
+            _json.dumps(
+                {"consensus": pwm.consensus, "n_sites": pwm.n_sites,
+                 "out": f"{args.output}.pwm.parquet"}
+            )
+        )
+    elif args.cmd == "metagene":
+        import pandas as pd
+
+        from ..faba.context import metagene_profile
+        from ..faba.genes import parse_gff_genes
+
+        df = pd.read_parquet(args.sites)
+        model = parse_gff_genes(args.gff)
+        chroms = sorted(set(df["chrom"].astype(str)))
+        cidx = {c: i for i, c in enumerate(chroms)}
+        prof = metagene_profile(
+            model, chroms,
+            df["chrom"].map(cidx).to_numpy(), df["pos"].to_numpy(),
+            bins=args.bins,
+        )
+        pd.DataFrame(
+            {"bin": prof["bin_centers"], "density": prof["density"],
+             "count": prof["counts"]}
+        ).to_parquet(f"{args.output}.metagene.parquet")
+        print(
+            f"wrote {args.output}.metagene.parquet "
+            f"({prof['n_assigned']}/{len(df)} sites in genes)"
+        )
+    elif args.cmd in ("gem", "gem-encoder"):
+        import pandas as pd
+
+        from ..data.sparse_io import open_sparse_matrix
+        from ..embedding.gem import fit_gem, fit_gem_encoder
+
+        sb = open_sparse_matrix(args.spliced)
+        ub = open_sparse_matrix(args.unspliced)
+        s = np.asarray(
+            sb.read_columns_csc(np.arange(sb.num_columns)).todense()
+        ).T  # [P, D]
+        u = np.asarray(ub.read_columns_csc(np.arange(ub.num_columns)).todense()).T
+        if s.shape != u.shape:
+            raise SystemExit(
+                f"spliced {s.shape} and unspliced {u.shape} backends must "
+                "share genes and columns"
+            )
+        genes = sb.row_names()
+        if args.cmd == "gem":
+            res = fit_gem(s, u, embedding_dim=args.embedding_dim, epochs=args.epochs)
+            delta, emb = res.delta, res.e_feat
+            vel = res.cell_velocity(u)
+        else:
+            res = fit_gem_encoder(
+                s, u, latent_dim=args.embedding_dim, epochs=args.epochs
+            )
+            delta, emb = res.delta, res.rho
+            vel = res.cell_velocity(u)
+        pd.DataFrame(
+            emb, index=genes, columns=[f"h{j}" for j in range(emb.shape[1])]
+        ).reset_index(names="gene").to_parquet(f"{args.output}.gene_embedding.parquet")
+        out_v = pd.DataFrame(
+            vel, index=sb.column_names(),
+            columns=[f"v{j}" for j in range(vel.shape[1])],
+        ).reset_index(names="cell")
+        out_v.to_parquet(f"{args.output}.velocity.parquet")
+        pd.DataFrame(
+            {"gene": genes, "velocity_norm": np.linalg.norm(delta, axis=1)}
+        ).to_parquet(f"{args.output}.gene_velocity.parquet")
+        print(f"wrote {args.output}.{{gene_embedding,velocity,gene_velocity}}.parquet")
+    elif args.cmd == "dyn-assoc":
+        import pandas as pd
+
+        from ..data.sparse_io import open_sparse_matrix
+        from ..faba.assoc import dyn_assoc, dyn_assoc_pseudotime
+
+        be = open_sparse_matrix(args.backend)
+        counts = np.asarray(
+            be.read_columns_csc(np.arange(be.num_columns)).todense()
+        )  # [S, N]
+        cells = be.column_names()
+        lab = pd.read_parquet(args.branches).set_index(
+            pd.read_parquet(args.branches).columns[0]
+        )
+        lab = lab.reindex(cells)
+        if args.exposure:
+            ex_be = open_sparse_matrix(args.exposure)
+            exposure = np.asarray(
+                ex_be.read_columns_csc(np.arange(ex_be.num_columns)).todense()
+            ).sum(0)
+        else:
+            exposure = counts.sum(0) + 1.0
+        branch_col = next((c for c in ("branch", "state") if c in lab.columns), None)
+        if branch_col is not None:
+            out = dyn_assoc(counts, exposure, lab[branch_col].to_numpy())
+            df = pd.DataFrame(
+                {
+                    "site": be.row_names(),
+                    "branch": out["branch"],
+                    "log_fold_change": out["log_fold_change"],
+                    "z": out["z"],
+                    "log_bf": out["log_bf"],
+                    "pvalue": out["pvalue"],
+                }
+            )
+        else:
+            pt_col = "pseudotime" if "pseudotime" in lab.columns else lab.columns[0]
+            out = dyn_assoc_pseudotime(counts, exposure, lab[pt_col].to_numpy())
+            df = pd.DataFrame(
+                {
+                    "site": be.row_names(),
+                    "slope": out["slope"],
+                    "z": out["z"],
+                    "pvalue": out["pvalue"],
+                }
+            )
+        df.to_parquet(f"{args.output}.assoc.parquet")
+        print(f"wrote {args.output}.assoc.parquet ({len(df)} sites)")
+    elif args.cmd == "pileup":
+        import pandas as pd
+
+        from ..faba.bam import read_bam
+        from ..faba.context import pileup_at_sites, read_fasta
+
+        reads = read_bam(args.bam)
+        df = pd.read_parquet(args.sites)
+        rmap = {n: i for i, n in enumerate(reads.ref_names)}
+        rid = df["chrom"].astype(str).map(rmap).to_numpy()
+        fasta = read_fasta(args.fasta) if args.fasta else None
+        pu = pileup_at_sites(
+            reads, rid, df["pos"].to_numpy(), flank=args.flank, fasta=fasta
+        )
+        out = pd.DataFrame(pu["counts"], columns=pu["channels"])
+        out["offset"] = pu["offsets"]
+        out.to_parquet(f"{args.output}.pileup.parquet")
+        print(f"wrote {args.output}.pileup.parquet (mismatch records: {pu['n_mismatch']})")

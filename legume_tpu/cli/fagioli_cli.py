@@ -1,0 +1,293 @@
+"""`fagioli` binary: genetics fine-mapping CLI (extracted from cli/main.py; one module per installed binary)."""
+
+from __future__ import annotations
+
+import argparse
+import numpy as np
+
+
+def run_fagioli(argv):
+    ap = argparse.ArgumentParser(prog="fagioli", description="genetics fine-mapping")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("map-sumstat", help="SuSiE-RSS fine-mapping from z-scores")
+    p.add_argument("--zscores", required=True, help="TSV: variant z")
+    p.add_argument("--geno", required=True, help="reference genotype .npy [n, p]")
+    p.add_argument("--out", required=True)
+    p.add_argument("-L", type=int, default=5)
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument(
+        "--multilevel", action="store_true",
+        help="hierarchical block/within-block selection (LD-blocked)",
+    )
+    p = sub.add_parser("fit-prs-susie", help="sparse PRS weights via SuSiE")
+    p.add_argument("--zscores", required=True, help="TSV: variant z")
+    p.add_argument("--geno", required=True, help="LD reference .npy [n, p]")
+    p.add_argument("--out", required=True)
+    p.add_argument("-L", type=int, default=10)
+    p.add_argument("--score-geno", default=None, help=".npy panel to score")
+    p.add_argument("--steps", type=int, default=1500)
+    p = sub.add_parser("fit-sumstat-mcmc", help="ESS posterior over RSS effects")
+    p.add_argument("--zscores", required=True)
+    p.add_argument("--geno", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--samples", type=int, default=1000)
+    p.add_argument("--burn-in", type=int, default=200)
+    p.add_argument("--prior-sd", type=float, default=0.3)
+    p = sub.add_parser("sim-sumstat", help="simulate GWAS summary stats")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n", type=int, default=500)
+    p.add_argument("--p", type=int, default=200)
+    p.add_argument("--n-causal", type=int, default=3)
+    p.add_argument("--h2", type=float, default=0.3)
+    p.add_argument("--seed", type=int, default=0)
+    p = sub.add_parser("sim-geno", help="LD-blocked genotype panel")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n", type=int, default=500)
+    p.add_argument("--p", type=int, default=200)
+    p.add_argument("--block-size", type=int, default=25)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("sim-qtl", help="single-cell eQTL generative model")
+    p.add_argument("--out", required=True)
+    p.add_argument("--genes", type=int, default=40)
+    p.add_argument("--indv", type=int, default=60)
+    p.add_argument("--cells-per-indv", type=int, default=25)
+    p.add_argument("--variants", type=int, default=50)
+    p.add_argument("--frac-egenes", type=float, default=0.5)
+    p.add_argument("--effect-sd", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("map-qtl", help="per-gene SuSiE eQTL fine-mapping")
+    p.add_argument("--backend", required=True, help="gene x cell counts backend")
+    p.add_argument("--indv", required=True, help="cell -> individual labels, one per line")
+    p.add_argument("--geno", required=True, help=".npy [n_indv, p] dosages")
+    p.add_argument("--out", required=True)
+    p.add_argument("-L", type=int, default=3)
+    p.add_argument("--steps", type=int, default=800)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("sim-mediation", help="X -> M -> Y mediation fixture")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n", type=int, default=800)
+    p.add_argument("--p", type=int, default=100)
+    p.add_argument("--mediators", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("fit-regression", help="SGVB regression on a table")
+    p.add_argument("--table", required=True, help="TSV/parquet: response + covariates")
+    p.add_argument("--response", required=True, help="response column name")
+    p.add_argument("--out", required=True)
+    p.add_argument("--family", choices=["susie", "spike-slab", "gaussian"], default="susie")
+    p.add_argument("-L", type=int, default=5)
+    p.add_argument("--steps", type=int, default=1500)
+
+    p = sub.add_parser(
+        "pseudobulk", help="per-(individual) Gamma pseudobulk log-rates"
+    )
+    p.add_argument("--backend", required=True, help="gene x cell counts backend")
+    p.add_argument("--indv", required=True, help="cell -> individual labels, one per line")
+    p.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+
+    import pandas as pd
+
+    if args.cmd == "sim-geno":
+        from ..fagioli.sim import simulate_genotypes
+
+        gs = simulate_genotypes(
+            n=args.n, p=args.p, block_size=args.block_size, seed=args.seed
+        )
+        np.save(args.out + ".geno.npy", gs.genotypes)
+        pd.DataFrame(
+            {"variant": [f"v{i}" for i in range(args.p)], "maf": gs.maf,
+             "block": gs.block}
+        ).to_csv(args.out + ".variants.tsv", sep="\t", index=False)
+        print(f"wrote {args.out}.geno.npy and .variants.tsv")
+        return
+    if args.cmd == "sim-qtl":
+        import scipy.sparse as sp
+
+        from ..data.sparse_io import create_sparse_from_csc
+        from ..fagioli.qtl import simulate_qtl
+
+        sim = simulate_qtl(
+            n_genes=args.genes, n_indv=args.indv,
+            cells_per_indv=args.cells_per_indv, n_variants=args.variants,
+            frac_egenes=args.frac_egenes, effect_sd=args.effect_sd,
+            seed=args.seed,
+        )
+        create_sparse_from_csc(
+            sp.csc_matrix(sim.counts), f"{args.out}.zarr",
+            [f"g{i}" for i in range(args.genes)],
+            [f"cell{j}" for j in range(sim.counts.shape[1])],
+        )
+        np.save(args.out + ".geno.npy", sim.genotypes)
+        with open(f"{args.out}.indv.txt", "w") as f:
+            f.write("\n".join(f"i{v:04d}" for v in sim.cell_indv) + "\n")
+        pd.DataFrame(
+            {"gene": [f"g{i}" for i in range(args.genes)],
+             "causal_variant": sim.causal_variant, "beta": sim.beta}
+        ).to_parquet(f"{args.out}.truth.parquet")
+        print(f"wrote {args.out}.zarr + .geno.npy + .indv.txt + .truth.parquet")
+        return
+    if args.cmd == "map-qtl":
+        from ..data.sparse_io import open_sparse_matrix
+        from ..fagioli.qtl import map_qtl
+
+        be = open_sparse_matrix(args.backend)
+        counts = np.asarray(
+            be.read_columns_csc(np.arange(be.num_columns)).todense()
+        )
+        with open(args.indv) as f:
+            labels = np.asarray([line.strip() for line in f if line.strip()])
+        names, cell_indv = np.unique(labels, return_inverse=True)
+        geno = np.load(args.geno)
+        if geno.shape[0] != len(names):
+            raise SystemExit(
+                f"genotypes have {geno.shape[0]} rows but {len(names)} individuals found"
+            )
+        out = map_qtl(
+            counts, cell_indv, geno, L=args.L, num_steps=args.steps, seed=args.seed
+        )
+        g, p_var = out["pip"].shape
+        pd.DataFrame(
+            {
+                "gene": np.repeat([str(x) for x in be.row_names()], p_var),
+                "variant": np.tile([f"v{j}" for j in range(p_var)], g),
+                "pip": out["pip"].ravel(),
+                "effect": out["effect"].ravel(),
+            }
+        ).to_parquet(f"{args.out}.qtl.parquet")
+        print(f"wrote {args.out}.qtl.parquet ({g} genes x {p_var} variants)")
+        return
+    if args.cmd == "sim-mediation":
+        from ..fagioli.sim import simulate_mediation
+
+        sim = simulate_mediation(
+            n=args.n, p=args.p, n_mediators=args.mediators, seed=args.seed
+        )
+        np.save(args.out + ".geno.npy", sim.genotypes)
+        m = sim.z_med.shape[1]
+        med_cols = {f"z_med{j}": sim.z_med[:, j] for j in range(m)}
+        pd.DataFrame(
+            {"variant": [f"v{i}" for i in range(args.p)], "z": sim.z_out,
+             **med_cols}
+        ).to_csv(args.out + ".sumstat.tsv", sep="\t", index=False)
+        pd.DataFrame(
+            {"mediator": [f"m{j}" for j in range(m)], "beta_med": sim.beta_med}
+        ).to_parquet(args.out + ".truth.parquet")
+        np.save(args.out + ".alpha.npy", sim.alpha)
+        print(f"wrote {args.out}.geno.npy + .sumstat.tsv + .truth.parquet")
+        return
+    if args.cmd == "fit-regression":
+        from ..models.sgvb import SgvbConfig, fit_regression
+
+        df = (
+            pd.read_parquet(args.table)
+            if args.table.endswith(".parquet")
+            else pd.read_csv(args.table, sep="\t")
+        )
+        y = df[args.response].to_numpy(np.float64)[:, None]
+        xcols = [c for c in df.columns if c != args.response and np.issubdtype(df[c].dtype, np.number)]
+        x = df[xcols].to_numpy(np.float64)
+        x = (x - x.mean(0)) / np.maximum(x.std(0), 1e-8)
+        y = (y - y.mean()) / max(y.std(), 1e-8)
+        out = fit_regression(
+            x, y, family=args.family, L=args.L,
+            config=SgvbConfig(num_steps=args.steps),
+        )
+        res = {"covariate": xcols, "effect": out["theta_mean"][:, 0]}
+        if "pip" in out:
+            res["pip"] = out["pip"][:, 0]
+        pd.DataFrame(res).to_parquet(f"{args.out}.regression.parquet")
+        print(f"wrote {args.out}.regression.parquet ({len(xcols)} covariates)")
+        return
+    if args.cmd == "pseudobulk":
+        from ..data.sparse_io import open_sparse_matrix
+        from ..fagioli.qtl import pseudobulk_log_rates
+
+        be = open_sparse_matrix(args.backend)
+        counts = np.asarray(
+            be.read_columns_csc(np.arange(be.num_columns)).todense()
+        )
+        with open(args.indv) as f:
+            labels = np.asarray([line.strip() for line in f if line.strip()])
+        names, cell_indv = np.unique(labels, return_inverse=True)
+        log_mu, w = pseudobulk_log_rates(counts, cell_indv, len(names))
+        genes = [str(g) for g in be.row_names()]
+        pd.DataFrame(
+            log_mu, index=genes, columns=[str(n) for n in names]
+        ).reset_index(names="gene").to_parquet(f"{args.out}.pseudobulk.parquet")
+        pd.DataFrame(
+            w, index=genes, columns=[str(n) for n in names]
+        ).reset_index(names="gene").to_parquet(f"{args.out}.weights.parquet")
+        print(f"wrote {args.out}.pseudobulk.parquet + .weights.parquet")
+        return
+
+    if args.cmd == "sim-sumstat":
+        from ..fagioli.sumstat import simulate_sumstat
+
+        sim = simulate_sumstat(
+            n=args.n, p=args.p, n_causal=args.n_causal, h2=args.h2, seed=args.seed
+        )
+        np.save(args.out + ".geno.npy", sim.genotypes)
+        pd.DataFrame(
+            {"variant": [f"v{i}" for i in range(args.p)], "z": sim.z,
+             "beta_true": sim.beta, "causal": sim.causal}
+        ).to_csv(args.out + ".sumstat.tsv", sep="\t", index=False)
+        print(f"wrote {args.out}.sumstat.tsv and {args.out}.geno.npy")
+    elif args.cmd == "fit-prs-susie":
+        from ..fagioli.sumstat import fit_prs
+        from ..models.sgvb import SgvbConfig
+
+        df = pd.read_csv(args.zscores, sep="\t")
+        geno = np.load(args.geno)
+        score = np.load(args.score_geno) if args.score_geno else None
+        out = fit_prs(
+            df["z"].to_numpy(), geno, L=args.L, score_genotypes=score,
+            config=SgvbConfig(num_steps=args.steps),
+        )
+        pd.DataFrame(
+            {"variant": df.iloc[:, 0], "weight": out["weights"], "pip": out["pip"]}
+        ).to_parquet(args.out + ".prs_weights.parquet")
+        msg = f"wrote {args.out}.prs_weights.parquet"
+        if "prs" in out:
+            pd.DataFrame(
+                {"sample": np.arange(len(out["prs"])), "prs": out["prs"]}
+            ).to_parquet(args.out + ".prs.parquet")
+            msg += f" and {args.out}.prs.parquet"
+        print(msg)
+    elif args.cmd == "fit-sumstat-mcmc":
+        from ..fagioli.sumstat import fit_sumstat_mcmc
+
+        df = pd.read_csv(args.zscores, sep="\t")
+        geno = np.load(args.geno)
+        out = fit_sumstat_mcmc(
+            df["z"].to_numpy(), geno,
+            num_samples=args.samples, burn_in=args.burn_in,
+            prior_sd=args.prior_sd,
+        )
+        pd.DataFrame(
+            {"variant": df.iloc[:, 0], "beta_mean": out["beta_mean"],
+             "beta_sd": out["beta_sd"], "rhat": out["rhat"], "ess": out["ess"]}
+        ).to_parquet(args.out + ".mcmc.parquet")
+        print(
+            f"wrote {args.out}.mcmc.parquet "
+            f"(max rhat {out['rhat'].max():.3f}, min ess {out['ess'].min():.0f})"
+        )
+    else:
+        from ..fagioli.sumstat import map_sumstat
+        from ..models.sgvb import SgvbConfig
+
+        df = pd.read_csv(args.zscores, sep="\t")
+        geno = np.load(args.geno)
+        out = map_sumstat(
+            df["z"].to_numpy(), geno, L=args.L,
+            config=SgvbConfig(num_steps=args.steps),
+            multilevel=args.multilevel,
+        )
+        pd.DataFrame(
+            {"variant": df.iloc[:, 0], "pip": out["pip"],
+             "effect": out["theta_mean"][:, 0]}
+        ).to_parquet(args.out + ".finemap.parquet")
+        print(f"wrote {args.out}.finemap.parquet")

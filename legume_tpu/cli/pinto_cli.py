@@ -1,0 +1,291 @@
+"""`pinto` binary: spatial transcriptomics CLI (extracted from cli/main.py; one module per installed binary)."""
+
+from __future__ import annotations
+
+import argparse
+import numpy as np
+
+
+def run_pinto(argv):
+    ap = argparse.ArgumentParser(prog="pinto", description="spatial transcriptomics")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("lc", help="spatial link-community segmentation")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-communities", "-k", type=int, default=10)
+    p.add_argument("--knn", type=int, default=10)
+    p.add_argument("--sweeps", type=int, default=30)
+    p = sub.add_parser("cascade", help="multilevel V-cycle link-community refinement")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--out", required=True)
+    p.add_argument("--levels", type=int, nargs="+", default=[6, 4])
+    p.add_argument("--knn", type=int, default=10)
+    p.add_argument("--sweeps", type=int, default=30)
+    p = sub.add_parser("annotate", help="marker enrichment labels for communities")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--edges", required=True, help="{out}.edges.parquet from lc/cascade")
+    p.add_argument("--markers", required=True, help="GMT marker sets")
+    p.add_argument("--out", required=True)
+    p = sub.add_parser("p", help="spatial hex plot of a propensity/value column")
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--values", required=True, help="parquet with a value column")
+    p.add_argument("--column", default=None, help="column name (default: 2nd)")
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("prop", help="edge-latent re-clustering (kmeans/leiden)")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--out", required=True)
+    p.add_argument("--method", choices=["kmeans", "leiden"], default="kmeans")
+    p.add_argument("-k", "--n-clusters", type=int, default=10)
+    p.add_argument("--knn", type=int, default=8)
+    p.add_argument("--proj-dim", type=int, default=30)
+    p.add_argument("--resolution", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=None)
+
+    p = sub.add_parser("dsvd", help="cell-pair shared/difference SVD")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--out", required=True)
+    p.add_argument("--rank", type=int, default=16)
+    p.add_argument("--knn", type=int, default=8)
+    p.add_argument("--seed", type=int, default=None)
+
+    p = sub.add_parser("cage", help="activity-gated cell-graph embedding")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--out", required=True)
+    p.add_argument("-d", "--embedding-dim", type=int, default=16)
+    p.add_argument("--knn", type=int, default=8)
+    p.add_argument("--proj-dim", type=int, default=30)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--seed", type=int, default=None)
+
+    p = sub.add_parser("lc-etm", help="indexed-VAE link community")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--out", required=True)
+    p.add_argument("-k", "--n-communities", type=int, default=10)
+    p.add_argument("--knn", type=int, default=8)
+    p.add_argument("--window", type=int, default=64)
+    p.add_argument("--embed-dim", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--minibatch-size", type=int, default=256)
+    p.add_argument("--seed", type=int, default=None)
+
+    p = sub.add_parser(
+        "lra", help="directional ligand->receptor activity vs gene-swap null"
+    )
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--pairs", required=True, help="TSV: ligand TAB receptor")
+    p.add_argument("--out", required=True)
+    p.add_argument("--knn", type=int, default=8)
+    p.add_argument("--permutations", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from ..utils.prng import DEFAULT_PROJECTION_SEED
+
+    seed = getattr(args, "seed", None)
+    seed = DEFAULT_PROJECTION_SEED if seed is None else seed
+
+    if args.cmd == "prop":
+        import pandas as pd
+
+        from ..pinto.prop import edge_prop_clustering
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        coords = np.loadtxt(args.coords, usecols=(1, 2))
+        labels, edges, prop = edge_prop_clustering(
+            vec, coords,
+            method=args.method, n_clusters=args.n_clusters,
+            proj_dim=args.proj_dim, knn=args.knn,
+            resolution=args.resolution, seed=seed,
+        )
+        pd.DataFrame(
+            {"src": edges[:, 0], "dst": edges[:, 1], "community": labels}
+        ).to_parquet(f"{args.out}.edges.parquet")
+        pd.DataFrame(
+            prop, columns=[f"c{j}" for j in range(prop.shape[1])]
+        ).reset_index(names="cell").to_parquet(f"{args.out}.propensity.parquet")
+        print(f"wrote {args.out}.edges.parquet + .propensity.parquet")
+        return
+    if args.cmd == "dsvd":
+        import pandas as pd
+
+        from ..pinto.prop import pair_dsvd
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        coords = np.loadtxt(args.coords, usecols=(1, 2))
+        factors, shared, diff, edges = pair_dsvd(
+            vec, coords, rank=args.rank, knn=args.knn, seed=seed
+        )
+        df = pd.DataFrame(
+            factors, columns=[f"f{j}" for j in range(factors.shape[1])]
+        )
+        df.insert(0, "src", edges[:, 0])
+        df.insert(1, "dst", edges[:, 1])
+        df.to_parquet(f"{args.out}.pair_factors.parquet")
+        genes = vec.row_names()
+        pd.DataFrame(
+            shared.T, index=genes,
+            columns=[f"f{j}" for j in range(shared.shape[0])],
+        ).reset_index(names="gene").to_parquet(f"{args.out}.shared_basis.parquet")
+        pd.DataFrame(
+            diff.T, index=genes,
+            columns=[f"f{j}" for j in range(diff.shape[0])],
+        ).reset_index(names="gene").to_parquet(f"{args.out}.diff_basis.parquet")
+        print(f"wrote {args.out}.pair_factors/.shared_basis/.diff_basis parquet")
+        return
+    if args.cmd == "cage":
+        import pandas as pd
+
+        from ..pinto.cage import fit_cage
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        coords = np.loadtxt(args.coords, usecols=(1, 2))
+        res = fit_cage(
+            vec, coords,
+            embedding_dim=args.embedding_dim, knn=args.knn,
+            proj_dim=args.proj_dim, epochs=args.epochs, seed=seed,
+        )
+        pd.DataFrame(
+            res.embedding, index=vec.column_names(),
+            columns=[f"h{j}" for j in range(res.embedding.shape[1])],
+        ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
+        pd.DataFrame(
+            {"src": res.edges[:, 0], "dst": res.edges[:, 1],
+             "weight": res.edge_weights}
+        ).to_parquet(f"{args.out}.edges.parquet")
+        print(f"wrote {args.out}.latent.parquet + .edges.parquet")
+        return
+    if args.cmd == "lc-etm":
+        import pandas as pd
+
+        from ..pinto.lc_etm import fit_lc_etm
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        coords = np.loadtxt(args.coords, usecols=(1, 2))
+        res = fit_lc_etm(
+            vec, coords,
+            n_communities=args.n_communities, knn=args.knn,
+            window=args.window, embed_dim=args.embed_dim,
+            epochs=args.epochs, minibatch=args.minibatch_size, seed=seed,
+        )
+        pd.DataFrame(
+            {"src": res.edges[:, 0], "dst": res.edges[:, 1],
+             "community": res.edge_theta.argmax(1)}
+        ).to_parquet(f"{args.out}.edges.parquet")
+        pd.DataFrame(
+            res.propensity, columns=[f"c{j}" for j in range(res.propensity.shape[1])]
+        ).reset_index(names="cell").to_parquet(f"{args.out}.propensity.parquet")
+        print(f"wrote {args.out}.edges.parquet + .propensity.parquet")
+        return
+    if args.cmd == "lra":
+        import pandas as pd
+
+        from ..pinto.lra import run_lra
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        coords = np.loadtxt(args.coords, usecols=(1, 2))
+        pairs_df = pd.read_csv(args.pairs, sep="\t", header=None)
+        lr_pairs = list(zip(pairs_df.iloc[:, 0], pairs_df.iloc[:, 1]))
+        expr = np.log1p(
+            np.asarray(
+                vec.read_columns_csc(np.arange(vec.num_columns)).todense()
+            ).T
+        )
+        res = run_lra(
+            expr, vec.row_names(), coords, lr_pairs,
+            knn=args.knn, n_null=args.permutations, seed=args.seed,
+        )
+        pd.DataFrame(
+            {"ligand": res.ligand, "receptor": res.receptor,
+             "activity": res.activity, "pvalue": res.pvalue,
+             "null_mean": res.null_mean}
+        ).to_parquet(f"{args.out}.lra.parquet")
+        print(f"wrote {args.out}.lra.parquet ({len(res.ligand)} pairs)")
+        return
+
+    if args.cmd == "cascade":
+        import pandas as pd
+
+        from ..pinto.cascade import cascade_link_community
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        coords = np.loadtxt(args.coords, usecols=(1, 2))
+        res = cascade_link_community(
+            vec, coords, levels=tuple(args.levels),
+            knn=args.knn, n_sweeps=args.sweeps,
+        )
+        pd.DataFrame(
+            {"src": res.edges[:, 0], "dst": res.edges[:, 1],
+             "community": res.edge_labels}
+        ).to_parquet(f"{args.out}.edges.parquet")
+        pd.DataFrame(
+            res.propensity, columns=res.leaf_names
+        ).reset_index(names="cell").to_parquet(f"{args.out}.propensity.parquet")
+        print(
+            f"wrote {args.out}.edges.parquet + .propensity.parquet "
+            f"({len(res.leaf_names)} leaf communities)"
+        )
+        return
+    if args.cmd == "annotate":
+        import pandas as pd
+
+        from ..data.knowledge import read_gmt
+        from ..ops.enrichment import annotate_by_markers
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        ed = pd.read_parquet(args.edges)
+        labels, uniq = pd.factorize(ed["community"])
+        edges = ed[["src", "dst"]].to_numpy()
+        profiles = np.zeros((len(uniq), vec.num_rows))
+        for i in range(len(uniq)):
+            cells = np.unique(edges[labels == i].ravel())
+            profiles[i] = np.log1p(
+                np.asarray(vec.read_columns_csc(cells).mean(axis=1)).ravel()
+            )
+        names, scores = annotate_by_markers(
+            profiles, vec.row_names(), read_gmt(args.markers)
+        )
+        pd.DataFrame(
+            {"community": list(uniq), "annotation": names, "score": scores.max(1)}
+        ).to_parquet(f"{args.out}.annotation.parquet")
+        print(f"wrote {args.out}.annotation.parquet")
+        return
+
+    if args.cmd == "p":
+        import pandas as pd
+
+        from ..utils.plot import spatial_hex
+
+        coords = np.loadtxt(args.coords, usecols=(1, 2))
+        df = pd.read_parquet(args.values)
+        col = args.column or df.columns[1]
+        spatial_hex(coords, df[col].to_numpy(), args.out, title=col)
+        print(f"wrote {args.out}")
+        return
+
+    from ..pinto.lc import PintoLcArgs, run_lc
+
+    run_lc(
+        PintoLcArgs(
+            data_files=args.data_files,
+            coord_file=args.coords,
+            out=args.out,
+            n_communities=args.n_communities,
+            knn=args.knn,
+            n_sweeps=args.sweeps,
+        )
+    )

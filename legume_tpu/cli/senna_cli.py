@@ -1,0 +1,882 @@
+"""`senna` binary: embedding suite CLI (extracted from cli/main.py; one module per installed binary)."""
+
+from __future__ import annotations
+
+import argparse
+import numpy as np
+
+
+def _add_topic_parser(sub):
+    p = sub.add_parser("topic", help="multilevel pseudobulk VAE topic model")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch-files", nargs="+", default=None)
+    p.add_argument("--n-latent-topics", "-k", type=int, default=10)
+    p.add_argument("--encoder-layers", type=int, nargs="+", default=[128, 1024, 128])
+    p.add_argument("--epochs", "-i", type=int, default=1000)
+    p.add_argument("--minibatch-size", type=int, default=100)
+    p.add_argument("--learning-rate", "--lr", type=float, default=0.01)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument(
+        "--decoder", choices=["multinomial", "nb", "poisson", "nb-mixture"], default="nb"
+    )
+    p.add_argument("--topic-smoothing", type=float, default=1e-4)
+    p.add_argument("--proj-dim", type=int, default=50)
+    p.add_argument("--sort-dim", type=int, default=10)
+    p.add_argument("--knn-cells", type=int, default=10)
+    p.add_argument("--num-levels", type=int, default=3)
+    p.add_argument("--iter-opt", type=int, default=30)
+    p.add_argument("--ignore-batch", action="store_true")
+    p.add_argument("--block-size", type=int, default=8192)
+    p.add_argument("--max-coarse-features", type=int, default=0)
+    p.add_argument("--cnv", action="store_true", help="CNV side-channel on pb residuals")
+    p.add_argument("--qc", action="store_true", help="cell QC keep mask before projection")
+    p.add_argument("--qc-min-total", type=float, default=0.0)
+    p.add_argument("--qc-min-genes", type=int, default=0)
+    p.add_argument("--qc-max-mito-frac", type=float, default=1.0)
+    p.add_argument("--hvg-genes", type=int, default=5000, help="HVG gate on the projection sketch")
+    p.add_argument("--no-refine", action="store_true", help="skip DC-Poisson partition refinement")
+    p.add_argument("--gene-weighting", choices=["nb-fisher", "none"], default="nb-fisher")
+    p.add_argument("--anchor-penalty", type=float, default=0.0,
+                   help="CE penalty lambda on beta toward the anchor prior (0 = off)")
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def run_senna(argv):
+    ap = argparse.ArgumentParser(prog="senna", description="embedding suite")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_topic_parser(sub)
+
+    p = sub.add_parser("predict", help="held-out latent inference")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--model", required=True, help="output prefix of a senna topic run")
+    p.add_argument("--out", required=True)
+    p.add_argument("--block-size", type=int, default=4096)
+
+    p = sub.add_parser("clustering", help="kmeans/leiden on a latent parquet")
+    p.add_argument("--latent", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--method", choices=["kmeans", "leiden"], default="leiden")
+    p.add_argument("--n-clusters", type=int, default=10)
+    p.add_argument("--knn", type=int, default=15)
+    p.add_argument("--resolution", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("svd", help="streaming Nystrom rSVD embedding")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch-files", nargs="+", default=None)
+    p.add_argument("--n-factors", type=int, default=20)
+    p.add_argument("--block-size", type=int, default=8192)
+
+    p = sub.add_parser("layout", help="2D layout of a latent parquet")
+    p.add_argument("--latent", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--method", choices=["umap", "tsne", "phate"], default="umap")
+    p.add_argument("--n-neighbors", type=int, default=15)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--perplexity", type=float, default=30.0, help="tsne only")
+
+    p = sub.add_parser("pseudotime", help="principal-graph pseudotime")
+    p.add_argument("--latent", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-nodes", type=int, default=50)
+    p.add_argument("--root-cell", type=int, default=None)
+    p.add_argument(
+        "--velocity",
+        default=None,
+        help="parquet of per-cell velocity in latent space (e.g. senna bge"
+        " --velocity output); orients the tree and overrides --root-cell",
+    )
+
+    p = sub.add_parser("plot", help="scatter a layout colored by clusters")
+    p.add_argument("--layout", required=True, help="layout/latent parquet")
+    p.add_argument("--clusters", default=None, help="clusters parquet")
+    p.add_argument("--out", required=True, help="output image (.png/.svg/.pdf)")
+
+    p = sub.add_parser("plot-topic", help="structure bars + top genes per topic")
+    p.add_argument("--latent", required=True, help="log topic proportions parquet")
+    p.add_argument("--out", required=True, help="output image (.png/.svg/.pdf)")
+    p.add_argument("--clusters", default=None, help="order cells by these labels")
+    p.add_argument("--dictionary", default=None, help="{out}.dictionary.parquet")
+    p.add_argument("--top-genes", type=int, default=10)
+
+    p = sub.add_parser("deconvolve", help="bulk deconvolution against a reference")
+    p.add_argument("--bulk", required=True, help="TSV/parquet: samples x genes counts")
+    p.add_argument("--reference", required=True, help="parquet: genes x components rates")
+    p.add_argument("--out", required=True)
+    p.add_argument("--sweeps", type=int, default=300)
+    p.add_argument("--burn-in", type=int, default=100)
+
+    p = sub.add_parser("probe", help="drift/novelty verdict for held-out latents")
+    p.add_argument("--train-latent", required=True)
+    p.add_argument("--heldout-latent", required=True)
+    p.add_argument("--out", required=True)
+
+    for _name, _help in [
+        ("masked-topic", "indexed top-K masked ETM (simplex latent)"),
+        ("masked-vae", "masked indexed model, Gaussian latent"),
+        ("masked-sbp", "masked indexed model, stick-breaking simplex"),
+    ]:
+        p = sub.add_parser(_name, help=_help)
+        p.add_argument("--data-files", nargs="+", required=True)
+        p.add_argument("--out", required=True)
+        p.add_argument("-k", "--n-latent-topics", type=int, default=10)
+        p.add_argument("--window", type=int, default=128, help="top-K genes per cell")
+        p.add_argument("--embed-dim", type=int, default=64)
+        p.add_argument("--epochs", type=int, default=100)
+        p.add_argument("--minibatch-size", type=int, default=256)
+        p.add_argument("--mask-frac", type=float, default=0.15)
+        if _name == "masked-topic":
+            p.add_argument("--latent", choices=["simplex", "sbp"], default="simplex")
+
+    p = sub.add_parser("bge", help="count-NCE joint embedding")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--embed-dim", "-d", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--sort-dim", type=int, default=8)
+    p.add_argument("--proj-dim", type=int, default=50)
+
+    p = sub.add_parser("qmatrix", help="gene-set x topic enrichment Q-matrix")
+    p.add_argument("--dictionary", required=True, help="{out}.dictionary.parquet")
+    p.add_argument("--markers", required=True, help="GMT gene sets")
+    p.add_argument("--out", required=True)
+    p.add_argument("--permutations", type=int, default=500)
+
+    p = sub.add_parser(
+        "annotate-ontology", help="ontology-consensus cluster annotation (TreeBH)"
+    )
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--clusters", required=True, help="clusters parquet")
+    p.add_argument("--obo", required=True, help="ontology .obo")
+    p.add_argument("--gaf", required=True, help="term-gene annotations GAF")
+    p.add_argument("--out", required=True)
+    p.add_argument("--top-frac", type=float, default=0.1)
+    p.add_argument("--alpha", type=float, default=0.05)
+
+    p = sub.add_parser(
+        "annotate-by-enrichment", help="marker-panel cluster annotation"
+    )
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--clusters", required=True, help="clusters parquet")
+    p.add_argument("--markers", required=True, help="GMT marker sets")
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("vae", help="scVI-style Gaussian-latent VAE")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch-files", nargs="+", default=None)
+    p.add_argument("-k", "--n-latent", type=int, default=16)
+    p.add_argument("--encoder-layers", type=int, nargs="+", default=[128, 64])
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--minibatch-size", type=int, default=100)
+    p.add_argument("--learning-rate", "--lr", type=float, default=0.01)
+    p.add_argument("--proj-dim", type=int, default=50)
+    p.add_argument("--sort-dim", type=int, default=10)
+    p.add_argument("--num-levels", type=int, default=2)
+    p.add_argument("--iter-opt", type=int, default=30)
+    p.add_argument("--block-size", type=int, default=8192)
+    p.add_argument("--seed", type=int, default=None)
+
+    p = sub.add_parser("impute", help="kNN-over-latent count imputation")
+    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--latent", required=True, help="latent parquet (topic/vae run)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--knn", type=int, default=15)
+
+    p = sub.add_parser("fne", help="feature-network embedding from an edge list")
+    p.add_argument("--edges", required=True, help="TSV: src dst [weight]")
+    p.add_argument("--out", required=True)
+    p.add_argument("-d", "--embedding-dim", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser(
+        "resolve-embedding-space",
+        help="Procrustes-align feature/cell embeddings across runs",
+    )
+    p.add_argument(
+        "--runs", nargs="+", required=True,
+        help="run prefixes; each needs {prefix}.feature_embedding.parquet"
+        " (optionally {prefix}.latent.parquet)",
+    )
+    p.add_argument("--out", required=True)
+    p.add_argument("--reference", type=int, default=0, help="index of the anchor run")
+    p.add_argument("--no-scale", action="store_true")
+
+    p = sub.add_parser("joint-topic", help="multi-modality topic model (shared cells)")
+    p.add_argument(
+        "--data-files", nargs="+", required=True, action="append",
+        help="repeat once per modality",
+    )
+    p.add_argument("--out", required=True)
+    p.add_argument("-k", "--n-latent-topics", type=int, default=10)
+    p.add_argument("--encoder-layers", type=int, nargs="+", default=[128, 128])
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--minibatch-size", type=int, default=100)
+    p.add_argument("--decoder", choices=["multinomial", "nb", "poisson"], default="nb")
+    p.add_argument("--decoder-weights", type=float, nargs="+", default=None)
+    p.add_argument("--proj-dim", type=int, default=50)
+    p.add_argument("--sort-dim", type=int, default=8)
+    p.add_argument("--iter-opt", type=int, default=30)
+    p.add_argument("--seed", type=int, default=None)
+
+    p = sub.add_parser("joint-svd", help="multi-modality rSVD (shared cells)")
+    p.add_argument(
+        "--data-files", nargs="+", required=True, action="append",
+        help="repeat once per modality",
+    )
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-factors", type=int, default=20)
+    p.add_argument("--proj-dim", type=int, default=50)
+    p.add_argument("--sort-dim", type=int, default=10)
+    p.add_argument("--block-size", type=int, default=8192)
+    p.add_argument("--seed", type=int, default=None)
+
+    p = sub.add_parser(
+        "annotate-by-projection", help="kNN label transfer from a reference latent"
+    )
+    p.add_argument("--train-latent", required=True)
+    p.add_argument("--train-clusters", required=True, help="clusters parquet")
+    p.add_argument("--latent", required=True, help="held-out latent parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--knn", type=int, default=15)
+
+    p = sub.add_parser(
+        "plot-strand", help="Watson/Crick mirrored genomic-activity ideograms"
+    )
+    p.add_argument("--activity", required=True, help="parquet: gene x group activity")
+    p.add_argument("--gff", required=True, help="gene coordinates + strand")
+    p.add_argument("--out", required=True, help="output prefix (one image per group)")
+    p.add_argument("--bins", type=int, default=200)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "vae":
+        from ..senna.vae import VaeArgs, fit_vae
+        from ..utils.prng import DEFAULT_PROJECTION_SEED
+
+        fit_vae(
+            VaeArgs(
+                data_files=args.data_files,
+                out=args.out,
+                batch_files=args.batch_files,
+                n_latent=args.n_latent,
+                encoder_layers=tuple(args.encoder_layers),
+                epochs=args.epochs,
+                minibatch_size=args.minibatch_size,
+                learning_rate=args.learning_rate,
+                proj_dim=args.proj_dim,
+                sort_dim=args.sort_dim,
+                num_levels=args.num_levels,
+                iter_opt=args.iter_opt,
+                block_size=args.block_size,
+                seed=args.seed if args.seed is not None else DEFAULT_PROJECTION_SEED,
+            )
+        )
+        print(f"wrote {args.out}.latent.parquet")
+        return
+    if args.cmd == "impute":
+        import pandas as pd
+        import scipy.sparse as sp
+
+        from ..data.sparse_io import create_sparse_from_csc
+        from ..senna.impute import impute_counts
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        z = pd.read_parquet(args.latent).iloc[:, 1:].to_numpy("float32")
+        if len(z) != vec.num_columns:
+            raise SystemExit(
+                f"latent has {len(z)} cells but data has {vec.num_columns}"
+            )
+        imp = impute_counts(vec, z, knn=args.knn)
+        create_sparse_from_csc(
+            sp.csc_matrix(imp.T), f"{args.out}.zarr",
+            vec.row_names(), vec.column_names(),
+        )
+        print(f"wrote backend: {args.out}.zarr (imputed)")
+        return
+    if args.cmd == "fne":
+        import pandas as pd
+
+        from ..senna.fne import fit_fne
+
+        df = pd.read_csv(args.edges, sep="\t", header=None)
+        edges = [tuple(r) for r in df.itertuples(index=False)]
+        res = fit_fne(
+            edges, embedding_dim=args.embedding_dim,
+            epochs=args.epochs, seed=args.seed,
+        )
+        pd.DataFrame(
+            res.embedding, index=[str(n) for n in res.names],
+            columns=[f"h{j}" for j in range(res.embedding.shape[1])],
+        ).reset_index(names="node").to_parquet(f"{args.out}.embedding.parquet")
+        print(f"wrote {args.out}.embedding.parquet ({len(res.names)} nodes)")
+        return
+    if args.cmd == "resolve-embedding-space":
+        import pandas as pd
+
+        from ..embedding.resolve import resolve_embedding_spaces
+
+        runs = []
+        for prefix in args.runs:
+            fe = pd.read_parquet(f"{prefix}.feature_embedding.parquet")
+            run = {
+                "feat_names": fe.iloc[:, 0].astype(str).tolist(),
+                "e_feat": fe.iloc[:, 1:].to_numpy("float64"),
+                "e_cell": None,
+                "cell_names": None,
+            }
+            try:
+                ce = pd.read_parquet(f"{prefix}.latent.parquet")
+                run["e_cell"] = ce.iloc[:, 1:].to_numpy("float64")
+                run["cell_names"] = ce.iloc[:, 0].astype(str).tolist()
+            except FileNotFoundError:
+                pass
+            runs.append(run)
+        aligned = resolve_embedding_spaces(
+            runs, reference=args.reference, allow_scale=not args.no_scale
+        )
+        for i, run in enumerate(aligned):
+            pd.DataFrame(
+                run["e_feat"], index=run["feat_names"],
+                columns=[f"h{j}" for j in range(run["e_feat"].shape[1])],
+            ).reset_index(names="feature").to_parquet(
+                f"{args.out}.run{i}.feature_embedding.parquet"
+            )
+            if run.get("e_cell") is not None:
+                pd.DataFrame(
+                    run["e_cell"], index=run["cell_names"],
+                    columns=[f"h{j}" for j in range(run["e_cell"].shape[1])],
+                ).reset_index(names="cell").to_parquet(
+                    f"{args.out}.run{i}.latent.parquet"
+                )
+        print(f"wrote {len(aligned)} aligned runs under {args.out}.run*")
+        return
+    if args.cmd == "joint-topic":
+        import pandas as pd
+
+        from ..senna.joint import JointTopicArgs, fit_joint_topic
+        from ..senna.topic import load_data_vec
+        from ..utils.manifest import RunManifest
+        from ..utils.prng import DEFAULT_PROJECTION_SEED
+
+        modality_files = args.data_files  # list of lists (action=append)
+        mods = [load_data_vec(files) for files in modality_files]
+        res = fit_joint_topic(
+            mods,
+            JointTopicArgs(
+                n_topics=args.n_latent_topics,
+                encoder_layers=tuple(args.encoder_layers),
+                epochs=args.epochs,
+                minibatch_size=args.minibatch_size,
+                decoder=args.decoder,
+                decoder_weights=args.decoder_weights,
+                proj_dim=args.proj_dim,
+                sort_dim=args.sort_dim,
+                iter_opt=args.iter_opt,
+                seed=args.seed if args.seed is not None else DEFAULT_PROJECTION_SEED,
+            ),
+        )
+        k = args.n_latent_topics
+        pd.DataFrame(
+            res["pb_latent"], columns=[f"topic{j}" for j in range(k)]
+        ).reset_index(names="pseudobulk").to_parquet(f"{args.out}.pb_latent.parquet")
+        # per-cell latent via the cell -> pb map
+        cell_theta = res["pb_latent"][res["groups"]]
+        pd.DataFrame(
+            cell_theta, index=mods[0].column_names(),
+            columns=[f"topic{j}" for j in range(k)],
+        ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
+        RunManifest(
+            command="joint-topic",
+            inputs={"modalities": [list(f) for f in modality_files]},
+            outputs={"latent": f"{args.out}.latent.parquet",
+                     "pb_latent": f"{args.out}.pb_latent.parquet"},
+        ).save(args.out)
+        print(f"wrote {args.out}.latent.parquet + .pb_latent.parquet")
+        return
+    if args.cmd == "joint-svd":
+        from ..senna.svd import fit_joint_svd
+        from ..utils.prng import DEFAULT_PROJECTION_SEED
+
+        fit_joint_svd(
+            args.data_files, args.out,
+            n_factors=args.n_factors, proj_dim=args.proj_dim,
+            sort_dim=args.sort_dim, block_size=args.block_size,
+            seed=args.seed if args.seed is not None else DEFAULT_PROJECTION_SEED,
+        )
+        print(f"wrote {args.out}.latent.parquet + .dictionary.parquet")
+        return
+    if args.cmd == "annotate-by-projection":
+        import pandas as pd
+
+        from ..ops.knn import knn_search
+
+        tr = pd.read_parquet(args.train_latent)
+        ho = pd.read_parquet(args.latent)
+        cl = pd.read_parquet(args.train_clusters)
+        lab = cl.set_index(cl.columns[0]).reindex(tr.iloc[:, 0]).iloc[:, 0].to_numpy()
+        zt = tr.iloc[:, 1:].to_numpy("float32")
+        zh = ho.iloc[:, 1:].to_numpy("float32")
+        dist, idx = knn_search(zh, zt, min(args.knn, len(zt)))
+        w = np.exp(-(dist - dist.min(1, keepdims=True)))
+        w = w / np.maximum(w.sum(1, keepdims=True), 1e-30)
+        uniq, lab_codes = np.unique(lab.astype(str), return_inverse=True)
+        votes = np.zeros((len(zh), len(uniq)))
+        for j in range(idx.shape[1]):
+            np.add.at(votes, (np.arange(len(zh)), lab_codes[idx[:, j]]), w[:, j])
+        best = votes.argmax(1)
+        conf = votes[np.arange(len(zh)), best] / np.maximum(votes.sum(1), 1e-30)
+        pd.DataFrame(
+            {"cell": ho.iloc[:, 0], "annotation": uniq[best], "confidence": conf}
+        ).to_parquet(f"{args.out}.annotation.parquet")
+        print(f"wrote {args.out}.annotation.parquet")
+        return
+    if args.cmd == "plot-strand":
+        import pandas as pd
+
+        from ..faba.genes import parse_gff_genes
+        from ..utils.plot import strand_ideogram
+
+        act = pd.read_parquet(args.activity)
+        gene_col = act.columns[0]
+        act = act.set_index(gene_col)
+        model = parse_gff_genes(args.gff)
+        pos_of = {}
+        for i, nm in enumerate(model.names):
+            tss = model.start[i] if model.strand[i] > 0 else model.end[i]
+            pos_of[nm] = (model.chrom[i], int(tss), int(model.strand[i]))
+        hit = [g for g in act.index.astype(str) if g in pos_of]
+        if not hit:
+            raise SystemExit("no activity rows match GFF gene names")
+        chrom = np.asarray([pos_of[g][0] for g in hit])
+        pos = np.asarray([pos_of[g][1] for g in hit])
+        strand = np.asarray([pos_of[g][2] for g in hit])
+        outs = []
+        for col in act.columns:
+            a = act.loc[hit, col].to_numpy("float64")
+            f = f"{args.out}.{col}.png"
+            strand_ideogram(
+                a, chrom, pos, strand, model.chrom_names, f,
+                bins=args.bins, title=str(col),
+            )
+            outs.append(f)
+        print(f"wrote {len(outs)} ideograms: {outs[0]} ...")
+        return
+
+    if args.cmd == "deconvolve":
+        import numpy as _np
+        import pandas as pd
+
+        from ..senna.deconvolve import DeconvConfig, deconvolve
+
+        bulk_df = (
+            pd.read_parquet(args.bulk)
+            if args.bulk.endswith(".parquet")
+            else pd.read_csv(args.bulk, sep="\t", index_col=0)
+        )
+        ref_df = pd.read_parquet(args.reference)
+        # a non-numeric first column is the gene-name index (pandas 3
+        # strings are 'str' dtype, not object — test numerically)
+        import pandas.api.types as ptypes
+
+        ref = (
+            ref_df.set_index(ref_df.columns[0])
+            if not ptypes.is_numeric_dtype(ref_df.iloc[:, 0])
+            else ref_df
+        )
+        shared = [g for g in ref.index if g in bulk_df.columns]
+        y = bulk_df[shared].to_numpy(_np.float32)
+        mu = ref.loc[shared].to_numpy(_np.float32)
+        res = deconvolve(
+            y, mu, config=DeconvConfig(n_sweeps=args.sweeps, burn_in=args.burn_in)
+        )
+        pd.DataFrame(
+            res.fractions, index=bulk_df.index, columns=list(ref.columns)
+        ).reset_index(names="sample").to_parquet(f"{args.out}.fractions.parquet")
+        print(f"wrote {args.out}.fractions.parquet (worst Rhat {res.rhat.max():.2f})")
+        return
+    if args.cmd == "probe":
+        import pandas as pd
+
+        from ..senna.impute import probe_latent
+
+        tr = pd.read_parquet(args.train_latent).iloc[:, 1:].to_numpy("float32")
+        ho = pd.read_parquet(args.heldout_latent).iloc[:, 1:].to_numpy("float32")
+        v = probe_latent(tr, ho)
+        import json as _json
+
+        doc = {
+            "verdict": v.verdict,
+            "drift_score": v.drift_score,
+            "novelty_frac": v.novelty_frac,
+        }
+        with open(f"{args.out}.probe.json", "w") as f:
+            _json.dump(doc, f, indent=2)
+        print(_json.dumps(doc))
+        return
+    if args.cmd in ("masked-topic", "masked-vae", "masked-sbp"):
+        import pandas as pd
+
+        from ..models.indexed import (
+            MaskedTopicModel,
+            MaskedTrainConfig,
+            build_topk_windows,
+            encode_all,
+            train_masked,
+        )
+        from ..senna.topic import load_data_vec
+        from ..utils.manifest import RunManifest
+
+        latent = {
+            "masked-topic": getattr(args, "latent", "simplex"),
+            "masked-vae": "gaussian",
+            "masked-sbp": "sbp",
+        }[args.cmd]
+        vec = load_data_vec(args.data_files)
+        data = build_topk_windows(vec, args.window)
+        model = MaskedTopicModel(
+            n_genes=vec.num_rows,
+            n_topics=args.n_latent_topics,
+            embed_dim=args.embed_dim,
+            latent=latent,
+        )
+        variables, trace = train_masked(
+            model, data,
+            MaskedTrainConfig(
+                epochs=args.epochs,
+                minibatch=args.minibatch_size,
+                mask_frac=args.mask_frac,
+            ),
+        )
+        raw = latent == "gaussian"
+        log_theta = encode_all(model, variables, data, raw_latent=raw)
+        import numpy as _np
+
+        col = "z" if raw else "topic"
+        pd.DataFrame(
+            log_theta, index=vec.column_names(),
+            columns=[f"{col}{k}" for k in range(args.n_latent_topics)],
+        ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
+        pd.DataFrame({"epoch": _np.arange(len(trace)), "loss": trace}).to_parquet(
+            f"{args.out}.loss.parquet"
+        )
+        RunManifest(
+            command=args.cmd,
+            inputs={"data_files": list(args.data_files)},
+            outputs={"latent": f"{args.out}.latent.parquet"},
+        ).save(args.out)
+        print(f"wrote {args.out}.latent.parquet")
+        return
+    if args.cmd == "bge":
+        import numpy as _np
+        import pandas as pd
+
+        from ..embedding.nce import NceConfig, fit_bge
+        from ..ops import collapse as _clp
+        from ..ops import random_projection as _rp
+        from ..senna.topic import load_data_vec
+        from ..utils.manifest import RunManifest
+
+        vec = load_data_vec(args.data_files)
+        _, proj = _rp.project_columns(vec, args.proj_dim)
+        codes = _rp.binary_sort_columns(proj, args.sort_dim)
+        groups, s = _rp.compact_group_codes(codes)
+        stat = _clp.collect_basic_stats(vec, groups, s)
+        pb = stat.observed_sum_ds.T  # [P, D]
+        res = fit_bge(
+            [pb], data=vec,
+            config=NceConfig(embedding_dim=args.embed_dim, epochs=args.epochs),
+        )
+        pd.DataFrame(
+            res.e_feat, index=vec.row_names(),
+            columns=[f"h{i}" for i in range(args.embed_dim)],
+        ).reset_index(names="gene").to_parquet(f"{args.out}.feature_embedding.parquet")
+        pd.DataFrame(
+            res.e_cell, index=vec.column_names(),
+            columns=[f"h{i}" for i in range(args.embed_dim)],
+        ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
+        RunManifest(
+            command="bge",
+            inputs={"data_files": list(args.data_files)},
+            outputs={
+                "latent": f"{args.out}.latent.parquet",
+                "feature_embedding": f"{args.out}.feature_embedding.parquet",
+            },
+        ).save(args.out, "gem.json")
+        print(f"wrote {args.out}.latent.parquet")
+        return
+    if args.cmd == "qmatrix":
+        import numpy as _np
+        import pandas as pd
+
+        from ..data.knowledge import read_gmt
+        from ..ops.enrichment import geneset_topic_qmatrix
+
+        dic = pd.read_parquet(args.dictionary)
+        genes = dic.iloc[:, 0].astype(str).tolist()
+        log_beta = dic.iloc[:, 1:].to_numpy("float64").T  # [K, D]
+        out = geneset_topic_qmatrix(
+            log_beta, genes, read_gmt(args.markers), n_perm=args.permutations
+        )
+        topics = dic.columns[1:].tolist()
+        pd.DataFrame(out["z"], index=out["labels"], columns=topics).reset_index(
+            names="gene_set"
+        ).to_parquet(f"{args.out}.qmatrix.parquet")
+        pd.DataFrame(out["q"], index=out["labels"], columns=topics).reset_index(
+            names="gene_set"
+        ).to_parquet(f"{args.out}.qvalues.parquet")
+        print(f"wrote {args.out}.qmatrix.parquet and {args.out}.qvalues.parquet")
+        return
+    if args.cmd == "annotate-ontology":
+        import numpy as _np
+        import pandas as pd
+
+        from ..data.knowledge import parse_obo, read_gaf
+        from ..ops.enrichment import annotate_ontology
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        cl = pd.read_parquet(args.clusters)
+        labels = cl.iloc[:, 1].to_numpy()
+        uniq = _np.unique(labels)
+        profiles = _np.zeros((len(uniq), vec.num_rows))
+        for i, c in enumerate(uniq):
+            cells = _np.nonzero(labels == c)[0]
+            profiles[i] = _np.log1p(
+                _np.asarray(vec.read_columns_csc(cells).mean(axis=1)).ravel()
+            )
+        ont = parse_obo(args.obo)
+        term_genes = read_gaf(args.gaf, ont)
+        res = annotate_ontology(
+            profiles, vec.row_names(), term_genes, ont,
+            top_frac=args.top_frac, alpha=args.alpha, term_names=ont.terms,
+        )
+        pd.DataFrame(
+            {"cluster": uniq, "annotation": res["labels"], "q": res["q"]}
+        ).to_parquet(f"{args.out}.annotation.parquet")
+        print(f"wrote {args.out}.annotation.parquet")
+        return
+    if args.cmd == "annotate-by-enrichment":
+        import numpy as _np
+        import pandas as pd
+
+        from ..data.knowledge import read_gmt
+        from ..ops.enrichment import annotate_by_markers
+        from ..senna.topic import load_data_vec
+
+        vec = load_data_vec(args.data_files)
+        cl = pd.read_parquet(args.clusters)
+        labels = cl.iloc[:, 1].to_numpy()
+        uniq = _np.unique(labels)
+        # mean log1p profile per cluster
+        profiles = _np.zeros((len(uniq), vec.num_rows))
+        for i, c in enumerate(uniq):
+            cells = _np.nonzero(labels == c)[0]
+            profiles[i] = _np.log1p(
+                _np.asarray(vec.read_columns_csc(cells).mean(axis=1)).ravel()
+            )
+        names, scores = annotate_by_markers(
+            profiles, vec.row_names(), read_gmt(args.markers)
+        )
+        pd.DataFrame(
+            {"cluster": uniq, "annotation": names, "score": scores.max(1)}
+        ).to_parquet(f"{args.out}.annotation.parquet")
+        print(f"wrote {args.out}.annotation.parquet")
+        return
+
+    if args.cmd == "layout":
+        import pandas as pd
+
+        from ..ops.umap import umap
+
+        df = pd.read_parquet(args.latent)
+        z = df.iloc[:, 1:].to_numpy(np.float32) if False else df.iloc[:, 1:].to_numpy()
+        import numpy as _np
+
+        z = z.astype("float32")
+        if _np.all(z <= 0):
+            z = _np.exp(z)
+        if args.method == "tsne":
+            from ..ops.layouts import tsne
+
+            emb = tsne(z, perplexity=args.perplexity, n_iter=max(args.epochs, 300))
+        elif args.method == "phate":
+            from ..ops.layouts import phate
+
+            emb = phate(z, knn=args.n_neighbors, n_iter=args.epochs)
+        else:
+            emb = umap(z, n_neighbors=args.n_neighbors, n_epochs=args.epochs)
+        pd.DataFrame(
+            {"cell": df.iloc[:, 0], "x": emb[:, 0], "y": emb[:, 1]}
+        ).to_parquet(f"{args.out}.layout.parquet")
+        print(f"wrote {args.out}.layout.parquet")
+        return
+    if args.cmd == "pseudotime":
+        import pandas as pd
+
+        from ..ops.principal_graph import pseudotime as fit_pt
+
+        df = pd.read_parquet(args.latent)
+        z = df.iloc[:, 1:].to_numpy("float32")
+        import numpy as _np
+
+        if _np.all(z <= 0):
+            z = _np.exp(z)
+        if args.velocity is not None:
+            from ..embedding.lineage import velocity_oriented_lineage
+
+            vel = pd.read_parquet(args.velocity).iloc[:, 1:].to_numpy("float32")
+            lin = velocity_oriented_lineage(z, vel, n_nodes=args.n_nodes)
+            out_df = pd.DataFrame(
+                {
+                    "cell": df.iloc[:, 0],
+                    "pseudotime": lin.pseudotime,
+                    "consistency": lin.consistency,
+                }
+            )
+        else:
+            pg = fit_pt(z, n_nodes=args.n_nodes, root_cell=args.root_cell)
+            out_df = pd.DataFrame(
+                {
+                    "cell": df.iloc[:, 0],
+                    "pseudotime": pg.pseudotime,
+                    "branch": pg.branch,
+                    "node": pg.cell_to_node,
+                }
+            )
+        out_df.to_parquet(f"{args.out}.pseudotime.parquet")
+        print(f"wrote {args.out}.pseudotime.parquet")
+        return
+    if args.cmd == "plot-topic":
+        import numpy as _np
+        import pandas as pd
+
+        from ..utils.plot import structure_bars
+
+        df = pd.read_parquet(args.latent)
+        theta = df.iloc[:, 1:].to_numpy("float64")
+        if _np.all(theta <= 0):
+            theta = _np.exp(theta)
+        theta = theta / _np.maximum(theta.sum(1, keepdims=True), 1e-12)
+        order_by = None
+        if args.clusters:
+            cl = pd.read_parquet(args.clusters).set_index(
+                pd.read_parquet(args.clusters).columns[0]
+            )
+            order_by = cl.reindex(df.iloc[:, 0]).iloc[:, 0].to_numpy()
+        structure_bars(theta, args.out, order_by=order_by, title="topic proportions")
+        msg = f"wrote {args.out}"
+        if args.dictionary:
+            dic = pd.read_parquet(args.dictionary)
+            genes = dic.iloc[:, 0].astype(str).to_numpy()
+            lb = dic.iloc[:, 1:].to_numpy("float64")
+            lines = []
+            for t, col in enumerate(dic.columns[1:]):
+                top = genes[_np.argsort(-lb[:, t])[: args.top_genes]]
+                lines.append(f"{col}\t" + "\t".join(top))
+            topf = f"{args.out}.top_genes.tsv"
+            with open(topf, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            msg += f" and {topf}"
+        print(msg)
+        return
+    if args.cmd == "plot":
+        import pandas as pd
+
+        from ..utils.plot import scatter_by_label
+
+        lay = pd.read_parquet(args.layout)
+        coords = lay.iloc[:, 1:3].to_numpy("float32")
+        if args.clusters:
+            cl = pd.read_parquet(args.clusters)
+            labels = cl.iloc[:, 1].to_numpy()
+        else:
+            import numpy as _np
+
+            labels = _np.zeros(len(coords), int)
+        scatter_by_label(coords, labels, args.out)
+        print(f"wrote {args.out}")
+        return
+
+    if args.cmd == "predict":
+        from ..senna.predict import PredictArgs, predict_model
+
+        predict_model(
+            PredictArgs(
+                data_files=args.data_files,
+                model=args.model,
+                out=args.out,
+                block_size=args.block_size,
+            )
+        )
+        return
+    if args.cmd == "clustering":
+        from ..senna.clustering import ClusteringArgs, run_clustering
+
+        run_clustering(
+            ClusteringArgs(
+                latent=args.latent,
+                out=args.out,
+                method=args.method,
+                n_clusters=args.n_clusters,
+                knn=args.knn,
+                resolution=args.resolution,
+                seed=args.seed,
+            )
+        )
+        return
+    if args.cmd == "svd":
+        from ..senna.svd import SvdArgs, fit_svd
+
+        fit_svd(
+            SvdArgs(
+                data_files=args.data_files,
+                out=args.out,
+                batch_files=args.batch_files,
+                n_factors=args.n_factors,
+                block_size=args.block_size,
+            )
+        )
+        return
+
+    if args.cmd == "topic":
+        from ..senna.topic import TopicArgs, fit_topic_model
+        from ..utils.prng import DEFAULT_PROJECTION_SEED
+
+        fit_topic_model(
+            TopicArgs(
+                data_files=args.data_files,
+                out=args.out,
+                batch_files=args.batch_files,
+                n_latent_topics=args.n_latent_topics,
+                encoder_layers=tuple(args.encoder_layers),
+                epochs=args.epochs,
+                minibatch_size=args.minibatch_size,
+                learning_rate=args.learning_rate,
+                grad_clip=args.grad_clip,
+                decoder=args.decoder,
+                topic_smoothing=args.topic_smoothing,
+                proj_dim=args.proj_dim,
+                sort_dim=args.sort_dim,
+                knn_cells=args.knn_cells,
+                num_levels=args.num_levels,
+                iter_opt=args.iter_opt,
+                ignore_batch=args.ignore_batch,
+                block_size=args.block_size,
+                max_coarse_features=args.max_coarse_features,
+                cnv=args.cnv,
+                qc=args.qc,
+                qc_min_total=args.qc_min_total,
+                qc_min_genes=args.qc_min_genes,
+                qc_max_mito_frac=args.qc_max_mito_frac,
+                hvg_genes=args.hvg_genes,
+                refine=not args.no_refine,
+                gene_weighting=args.gene_weighting,
+                anchor_penalty=args.anchor_penalty,
+                seed=args.seed if args.seed is not None else DEFAULT_PROJECTION_SEED,
+            )
+        )

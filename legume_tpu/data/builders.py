@@ -433,3 +433,35 @@ def backend_stat(backend_path: str) -> dict:
         "row_nnz_median": float(np.median(row_nnz)),
         "zero_rows": int((row_tot == 0).sum()),
     }
+
+
+def merge_mtx(
+    mtx_files: list[str],
+    output: str,
+    *,
+    rows_file: str | None = None,
+    cols_files: list[str] | None = None,
+) -> SparseBackend:
+    """Column-wise merge of MatrixMarket files sharing the feature axis
+    (`data-beans merge-mtx`, handlers/merge_mtx.rs role): cells
+    concatenate; column names get a per-file @i suffix when they
+    collide across files."""
+    import scipy.io as sio
+    import scipy.sparse as sp
+
+    mats = [sio.mmread(f).tocsc() for f in mtx_files]
+    d = mats[0].shape[0]
+    for f, m in zip(mtx_files, mats):
+        if m.shape[0] != d:
+            raise ValueError(f"{f}: {m.shape[0]} rows != {d}")
+    merged = sp.hstack(mats, format="csc")
+    row_names = _read_name_file(rows_file) if rows_file else None
+    col_names = None
+    if cols_files:
+        col_names = []
+        seen: set = set()
+        for i, cf in enumerate(cols_files):
+            for nm in _read_name_file(cf):
+                col_names.append(f"{nm}@{i}" if nm in seen else nm)
+                seen.add(nm)
+    return create_sparse_from_csc(merged, output, row_names, col_names)

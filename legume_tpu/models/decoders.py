@@ -104,8 +104,10 @@ class NbTopicDecoder(nn.Module):
         recon = jnp.exp(log_recon)
         lib = jnp.sum(x_nd, axis=-1, keepdims=True)  # topic.rs:195-196
         mu = recon * lib
-        llik = losses.nb_log_likelihood(x_nd, mu, log_phi)
-        return recon, llik
+        elem = losses.nb_log_likelihood_elem(x_nd, mu, log_phi)
+        if feature_weights is not None:  # NB-Fisher per-gene weights
+            elem = elem * feature_weights
+        return recon, jnp.sum(elem, axis=-1)
 
     def get_dictionary(self) -> jax.Array:
         return self.dictionary().T
@@ -126,8 +128,10 @@ class PoissonTopicDecoder(nn.Module):
         recon = jnp.exp(log_recon)
         lib = jnp.sum(x_nd, axis=-1, keepdims=True)
         rate = recon * lib + 1e-8
-        llik = losses.poisson_log_likelihood(x_nd, rate)
-        return recon, llik
+        elem = x_nd * jnp.log(rate) - rate
+        if feature_weights is not None:
+            elem = elem * feature_weights
+        return recon, jnp.sum(elem, axis=-1)
 
     def get_dictionary(self) -> jax.Array:
         return self.dictionary().T
@@ -158,10 +162,62 @@ class NbMixtureTopicDecoder(nn.Module):
         amb = jax.nn.softmax(ambient_logit, axis=-1)
         recon = (1.0 - pi) * jnp.exp(log_recon) + pi * amb
         lib = jnp.sum(x_nd, axis=-1, keepdims=True)
-        llik = losses.nb_log_likelihood(x_nd, recon * lib, log_phi)
-        return recon, llik
+        elem = losses.nb_log_likelihood_elem(x_nd, recon * lib, log_phi)
+        if feature_weights is not None:
+            elem = elem * feature_weights
+        return recon, jnp.sum(elem, axis=-1)
 
     def get_dictionary(self) -> jax.Array:
+        return self.dictionary().T
+
+
+class _LinearMap(nn.Module):
+    """[K, D] loading matrix + bias; call with z for the affine map,
+    with no argument for the raw kernel (dictionary reads)."""
+
+    n_features: int
+    n_latent: int
+
+    @nn.compact
+    def __call__(self, z_nk=None):
+        w = self.param(
+            "kernel", nn.initializers.normal(stddev=0.1),
+            (self.n_latent, self.n_features),
+        )
+        if z_nk is None:
+            return w
+        b = self.param("bias", nn.initializers.zeros, (self.n_features,))
+        return z_nk @ w + b
+
+
+class GaussianNbDecoder(nn.Module):
+    """scVI-style gene-axis softmax decoder for a GAUSSIAN latent
+    (`decoder/gaussian_nb.rs` role; `senna vae`): proportions =
+    softmax(Dense(z)) over genes, mu = libsize * proportions, NB llik
+    with per-gene dispersion. `n_topics` names the latent dim so the
+    trainer contract matches the topic decoders."""
+
+    n_features: int
+    n_topics: int
+
+    def setup(self):
+        self.dictionary = _LinearMap(self.n_features, self.n_topics)
+
+    @nn.compact
+    def __call__(self, z_nk, x_nd, feature_weights=None):
+        log_phi = self.param(
+            "log_phi", nn.initializers.constant(0.693), (1, self.n_features)
+        )
+        log_prop = jax.nn.log_softmax(self.dictionary(z_nk), axis=-1)
+        lib = jnp.sum(x_nd, axis=-1, keepdims=True)
+        mu = jnp.exp(log_prop) * lib
+        elem = losses.nb_log_likelihood_elem(x_nd, mu, log_phi)
+        if feature_weights is not None:
+            elem = elem * feature_weights
+        return jnp.exp(log_prop), jnp.sum(elem, axis=-1)
+
+    def get_dictionary(self) -> jax.Array:
+        """[D, K] linear loading matrix (the scVI factor loadings)."""
         return self.dictionary().T
 
 
@@ -170,4 +226,5 @@ DECODERS = {
     "nb": NbTopicDecoder,
     "poisson": PoissonTopicDecoder,
     "nb-mixture": NbMixtureTopicDecoder,
+    "gaussian-nb": GaussianNbDecoder,
 }

@@ -106,3 +106,81 @@ def fit_svd(args: SvdArgs) -> dict:
         },
     ).save(args.out)
     return {"factors": factors, "basis": u, "singular_values": np.asarray(s)}
+
+
+def fit_joint_svd(
+    modality_files: Sequence[Sequence[str]],
+    out: str,
+    *,
+    n_factors: int = 20,
+    proj_dim: int = 50,
+    sort_dim: int = 10,
+    iter_opt: int = 30,
+    block_size: int = 8192,
+    seed: int = DEFAULT_PROJECTION_SEED,
+) -> dict:
+    """`senna joint-svd`: modalities sharing cells -> shared pseudobulk
+    groups (from the primary modality's projection) -> concatenated
+    log1p pb features -> one rSVD; per-cell factors stream each
+    modality through its slice of the gene basis and sum."""
+    import pandas as pd
+
+    from ..ops import collapse as clp
+    from ..ops import random_projection as rp
+
+    vecs = [load_data_vec(list(files)) for files in modality_files]
+    n = vecs[0].num_columns
+    for v in vecs[1:]:
+        if v.num_columns != n:
+            raise ValueError("joint-svd modalities must share cells")
+
+    _, proj = rp.project_columns(vecs[0], proj_dim, block_size=block_size, seed=seed)
+    codes = rp.binary_sort_columns(proj, sort_dim, seed=seed)
+    groups, s_groups = rp.compact_group_codes(codes)
+
+    pbs = []
+    for v in vecs:
+        stat = clp.collect_basic_stats(v, groups, s_groups, block_size=block_size)
+        o = clp.optimize(stat, num_iter=iter_opt)
+        pbs.append(np.log1p(np.asarray(o.mu_observed.mean())))  # [D_m, P]
+    concat = np.concatenate(pbs, axis=0)  # [sum_D, P]
+
+    k = min(n_factors, min(concat.shape) - 1)
+    u, s, vt = rsvd(jnp.asarray(concat), k, key=key_from_seed(seed, 29))
+    u = np.asarray(u)  # [sum_D, k]
+
+    # per-cell factors: sum over modalities of U_m^T log1p(x_cell_m)
+    from ..data.visitors import visit_columns_by_block
+    from ..ops.sparse import project_block
+
+    factors = np.zeros((n, k), np.float32)
+    off = 0
+    for v in vecs:
+        d_m = v.num_rows
+        u_m = jnp.asarray(u[off : off + d_m])
+        for blk in visit_columns_by_block(v, block_size=block_size):
+            f = project_block(
+                u_m,
+                jnp.asarray(blk.row_ids),
+                jnp.asarray(blk.col_ids),
+                jnp.log1p(jnp.asarray(blk.vals)),
+                ncols=blk.ncols,
+            )
+            factors[blk.lb : blk.lb + blk.ncols] += np.asarray(f)
+        off += d_m
+
+    pd.DataFrame(
+        factors, index=vecs[0].column_names(), columns=[f"f{i}" for i in range(k)]
+    ).reset_index(names="cell").to_parquet(f"{out}.latent.parquet")
+    rows = []
+    for m, v in enumerate(vecs):
+        rows.extend(f"m{m}:{g}" for g in v.row_names())
+    pd.DataFrame(
+        u, index=rows, columns=[f"f{i}" for i in range(k)]
+    ).reset_index(names="feature").to_parquet(f"{out}.dictionary.parquet")
+    RunManifest(
+        command="joint-svd",
+        inputs={"modalities": [list(f) for f in modality_files]},
+        outputs={"latent": f"{out}.latent.parquet"},
+    ).save(out)
+    return {"factors": factors, "basis": u}

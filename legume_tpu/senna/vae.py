@@ -1,0 +1,139 @@
+"""`senna vae` — scVI-style Gaussian-latent VAE on the multilevel
+pseudobulk ladder (`senna/src/main.rs` Train group `vae`;
+`encoder/gaussian.rs` + gene-axis-softmax NB decoder).
+
+Rides the same load/collapse machinery as `senna topic`; the latent is
+a free Gaussian (no simplex map), the decoder a linear gene-axis
+softmax with NB noise, so the dictionary read is the factor-loading
+matrix rather than topic profiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoders import GaussianNbDecoder
+from ..models.encoders import GaussianEncoder
+from ..models.train import LevelData, MixedTrainer, TrainConfig
+from ..ops import sparse as sparse_ops
+from ..utils.manifest import RunManifest
+from ..utils.prng import DEFAULT_PROJECTION_SEED
+from .topic import TopicArgs, load_and_collapse, load_data_vec, sample_collapsed_data
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class VaeArgs:
+    data_files: Sequence[str] = ()
+    out: str = "vae"
+    batch_files: Optional[Sequence[str]] = None
+    n_latent: int = 16
+    encoder_layers: Sequence[int] = (128, 64)
+    epochs: int = 500
+    minibatch_size: int = 100
+    learning_rate: float = 0.01
+    proj_dim: int = 50
+    sort_dim: int = 10
+    num_levels: int = 2
+    iter_opt: int = 30
+    ignore_batch: bool = False
+    block_size: int = 8192
+    seed: int = DEFAULT_PROJECTION_SEED
+
+
+def fit_vae(args: VaeArgs) -> dict:
+    import pandas as pd
+
+    vec = load_data_vec(args.data_files, args.batch_files)
+    d = vec.num_rows
+    topic_args = TopicArgs(
+        data_files=args.data_files,
+        proj_dim=args.proj_dim,
+        sort_dim=args.sort_dim,
+        num_levels=args.num_levels,
+        iter_opt=args.iter_opt,
+        ignore_batch=args.ignore_batch,
+        block_size=args.block_size,
+        seed=args.seed,
+    )
+    levels = load_and_collapse(vec, topic_args)
+    key = jax.random.key(args.seed & 0x7FFFFFFF)
+    key, *lkeys = jax.random.split(key, 1 + len(levels.collapsed))
+    level_data = [
+        sample_collapsed_data(out, k) for out, k in zip(levels.collapsed, lkeys)
+    ]
+
+    encoder = GaussianEncoder(n_latent=args.n_latent, layers=tuple(args.encoder_layers))
+    decoders = [GaussianNbDecoder(n_features=d, n_topics=args.n_latent) for _ in level_data]
+    trainer = MixedTrainer(
+        encoder,
+        decoders,
+        TrainConfig(
+            epochs=args.epochs,
+            minibatch_size=args.minibatch_size,
+            learning_rate=args.learning_rate,
+            topic_smoothing=0.0,  # Gaussian latent: no simplex smoothing
+            seed=args.seed & 0x7FFFFFFF,
+        ),
+    )
+    variables, _, scores = trainer.train(level_data, key)
+
+    # per-cell latent: stream blocks through the eval encoder
+    from ..data.visitors import visit_columns_by_block
+
+    finest = levels.collapsed[0]
+    groups = levels.groups_per_level[0]
+    null_ds = (
+        np.asarray(finest.mu_residual.mean()) if finest.mu_residual is not None else None
+    )
+    n = vec.num_columns
+    z = np.zeros((n, args.n_latent), np.float32)
+    for blk in visit_columns_by_block(vec, block_size=args.minibatch_size * 8):
+        x = np.asarray(
+            sparse_ops.densify_block(
+                jnp.asarray(blk.row_ids), jnp.asarray(blk.col_ids),
+                jnp.asarray(blk.vals), ncols=blk.ncols, num_genes=d,
+            )
+        )
+        null = (
+            null_ds[:, groups[blk.lb : blk.lb + blk.ncols]].T
+            if null_ds is not None
+            else None
+        )
+        z[blk.lb : blk.lb + blk.ncols] = trainer.encode(variables, x, null)
+
+    pd.DataFrame(
+        z, index=vec.column_names(), columns=[f"z{k}" for k in range(args.n_latent)]
+    ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
+    loadings = np.asarray(
+        decoders[0].apply(
+            {"params": variables["params"]["decoder_0"]}, method="get_dictionary"
+        )
+    )
+    pd.DataFrame(
+        loadings, index=vec.row_names(),
+        columns=[f"z{k}" for k in range(args.n_latent)],
+    ).reset_index(names="gene").to_parquet(f"{args.out}.loadings.parquet")
+    pd.DataFrame(
+        {"epoch": np.arange(len(scores.llik)), "llik": scores.llik, "kl": scores.kl}
+    ).to_parquet(f"{args.out}.log_likelihood.parquet")
+    RunManifest(
+        command="vae",
+        inputs={"data_files": list(args.data_files)},
+        outputs={
+            "latent": f"{args.out}.latent.parquet",
+            "loadings": f"{args.out}.loadings.parquet",
+            "log_likelihood": f"{args.out}.log_likelihood.parquet",
+        },
+        params=dataclasses.asdict(args),
+    ).save(args.out)
+    log.info("vae: wrote %s.latent.parquet", args.out)
+    return {"latent": z, "loadings": loadings, "scores": scores}

@@ -1,0 +1,530 @@
+"""E2e coverage of the round-2 CLI surface (VERDICT item 2): every
+newly wired subcommand runs argv-in / files-out on tiny fixtures, and
+the simulator+fitter pairs assert truth recovery where ground truth
+exists (reference test pattern 3)."""
+
+import gzip
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from legume_tpu.cli import main as cli
+
+
+# ---------------------------------------------------------------------------
+# chickpea
+# ---------------------------------------------------------------------------
+
+
+def test_chickpea_p2g_recovers_driving_peaks(tmp_path):
+    out = str(tmp_path / "mo")
+    cli.run_sim([
+        "multiome", "--genes", "20", "--peaks", "60", "--cols", "400",
+        "--factors", "4", "--output", out,
+    ])
+    fit = str(tmp_path / "p2g")
+    cli.run_chickpea([
+        "p2g", "--rna", f"{out}.rna.zarr", "--atac", f"{out}.atac.zarr",
+        "--gff", f"{out}.genes.gff", "--out", fit,
+        "--cis-window", "20000", "--steps", "300", "-L", "2",
+    ])
+    links = pd.read_parquet(f"{fit}.p2g.parquet")
+    truth = pd.read_parquet(f"{out}.truth.parquet").set_index("gene")["peak"]
+    assert Path(f"{fit}.p2g.bed.gz").exists()
+    assert Path(f"{fit}.chickpea.json").exists()
+    # the low-rank sim makes same-factor peaks genuinely correlated with
+    # the driver, so exact top-1 recovery is not identifiable; assert the
+    # true driver ranks high by pip within each cis set on average
+    pctls = []
+    for gene, grp in links.groupby("gene"):
+        ranks = grp["pip"].rank(pct=True)
+        m = grp["peak"] == truth.loc[gene]
+        if m.any():
+            pctls.append(float(ranks[m].iloc[0]))
+    assert len(pctls) >= 15
+    med = float(np.median(pctls))
+    assert med > 0.7, f"median driver pip percentile {med:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# senna additions
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mm_sim(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mm")
+    out = str(tmp / "mm")
+    cli.run_sim([
+        "multimodal", "--rows", "60", "40", "--cols", "300",
+        "--factors", "3", "--output", out,
+    ])
+    return out, tmp
+
+
+def test_senna_joint_topic(mm_sim):
+    out, tmp = mm_sim
+    fit = str(tmp / "jt")
+    cli.run_senna([
+        "joint-topic", "--data-files", f"{out}.mod0.zarr",
+        "--data-files", f"{out}.mod1.zarr",
+        "--out", fit, "-k", "3", "--epochs", "20", "--sort-dim", "5",
+        "--encoder-layers", "32",
+    ])
+    z = pd.read_parquet(f"{fit}.latent.parquet")
+    assert z.shape == (300, 4)
+    th = z.iloc[:, 1:].to_numpy()
+    assert np.isfinite(th).all()
+    assert Path(f"{fit}.pb_latent.parquet").exists()
+    assert Path(f"{fit}.senna.json").exists()
+
+
+def test_senna_joint_svd(mm_sim):
+    out, tmp = mm_sim
+    fit = str(tmp / "jsvd")
+    cli.run_senna([
+        "joint-svd", "--data-files", f"{out}.mod0.zarr",
+        "--data-files", f"{out}.mod1.zarr",
+        "--out", fit, "--n-factors", "5", "--sort-dim", "5",
+    ])
+    z = pd.read_parquet(f"{fit}.latent.parquet")
+    assert z.shape[0] == 300 and np.isfinite(z.iloc[:, 1:].to_numpy()).all()
+    d = pd.read_parquet(f"{fit}.dictionary.parquet")
+    assert d.shape[0] == 100  # both modalities stacked
+
+
+@pytest.fixture(scope="module")
+def topic_sim(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ts")
+    out = str(tmp / "sim")
+    cli.run_sim([
+        "topic", "--rows", "60", "--cols", "250", "--factors", "3",
+        "--depth", "1500", "--output", out,
+    ])
+    return f"{out}.zarr", tmp
+
+
+def test_senna_vae(topic_sim):
+    path, tmp = topic_sim
+    fit = str(tmp / "vae")
+    cli.run_senna([
+        "vae", "--data-files", path, "--out", fit, "-k", "4",
+        "--encoder-layers", "32", "--epochs", "20", "--sort-dim", "5",
+        "--num-levels", "1", "--iter-opt", "5",
+    ])
+    z = pd.read_parquet(f"{fit}.latent.parquet")
+    assert z.shape == (250, 5) and np.isfinite(z.iloc[:, 1:].to_numpy()).all()
+    lo = pd.read_parquet(f"{fit}.loadings.parquet")
+    assert lo.shape == (60, 5)
+
+
+def test_senna_svd_impute_and_projection_annotate(topic_sim):
+    path, tmp = topic_sim
+    svd = str(tmp / "svd")
+    cli.run_senna(["svd", "--data-files", path, "--out", svd, "--n-factors", "5"])
+    # impute against the svd latent
+    imp = str(tmp / "imp")
+    cli.run_senna([
+        "impute", "--data-files", path, "--latent", f"{svd}.latent.parquet",
+        "--out", imp, "--knn", "5",
+    ])
+    from legume_tpu.data import open_sparse_matrix
+
+    be = open_sparse_matrix(f"{imp}.zarr")
+    assert be.shape == (60, 250)
+    assert be.num_nonzeros > 0
+    # label transfer: train labels = kmeans of latent; held-out = same
+    # latent -> transferred labels must agree with themselves
+    cl = str(tmp / "cl")
+    cli.run_senna([
+        "clustering", "--latent", f"{svd}.latent.parquet", "--out", cl,
+        "--method", "kmeans", "--n-clusters", "3",
+    ])
+    ann = str(tmp / "ann")
+    cli.run_senna([
+        "annotate-by-projection", "--train-latent", f"{svd}.latent.parquet",
+        "--train-clusters", f"{cl}.clusters.parquet",
+        "--latent", f"{svd}.latent.parquet", "--out", ann, "--knn", "5",
+    ])
+    a = pd.read_parquet(f"{ann}.annotation.parquet")
+    cl_df = pd.read_parquet(f"{cl}.clusters.parquet")
+    agree = (
+        a["annotation"].to_numpy().astype(str) == cl_df.iloc[:, 1].to_numpy().astype(str)
+    ).mean()
+    assert agree > 0.95, f"self-transfer agreement {agree:.2f}"
+
+
+def test_senna_fne_and_resolve(tmp_path):
+    # two triangle cliques joined by one weak edge
+    edges = tmp_path / "edges.tsv"
+    rows = [
+        ("a", "b", 5), ("b", "c", 5), ("a", "c", 5),
+        ("x", "y", 5), ("y", "z", 5), ("x", "z", 5),
+        ("c", "x", 0.2),
+    ]
+    edges.write_text("\n".join(f"{a}\t{b}\t{w}" for a, b, w in rows) + "\n")
+    out = str(tmp_path / "fne")
+    cli.run_senna([
+        "fne", "--edges", str(edges), "--out", out, "-d", "4", "--epochs", "200",
+    ])
+    emb = pd.read_parquet(f"{out}.embedding.parquet").set_index("node")
+    e = emb.to_numpy()
+    e = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-9)
+    within = float(e[emb.index.get_loc("a")] @ e[emb.index.get_loc("b")])
+    across = float(e[emb.index.get_loc("a")] @ e[emb.index.get_loc("x")])
+    assert within > across
+
+    # resolve: run1 = rotated copy of run0's feature embedding
+    rng = np.random.default_rng(0)
+    feat = rng.standard_normal((30, 4))
+    q, _ = np.linalg.qr(rng.standard_normal((4, 4)))
+    names = [f"g{i}" for i in range(30)]
+    for i, mat in enumerate([feat, feat @ q]):
+        pd.DataFrame(
+            mat, index=names, columns=[f"h{j}" for j in range(4)]
+        ).reset_index(names="feature").to_parquet(
+            tmp_path / f"run{i}.feature_embedding.parquet"
+        )
+    res = str(tmp_path / "res")
+    cli.run_senna([
+        "resolve-embedding-space",
+        "--runs", str(tmp_path / "run0"), str(tmp_path / "run1"),
+        "--out", res,
+    ])
+    a0 = pd.read_parquet(f"{res}.run0.feature_embedding.parquet").iloc[:, 1:].to_numpy()
+    a1 = pd.read_parquet(f"{res}.run1.feature_embedding.parquet").iloc[:, 1:].to_numpy()
+    np.testing.assert_allclose(a0, a1, atol=1e-6)
+
+
+def test_senna_plot_strand(tmp_path):
+    gff = tmp_path / "g.gff"
+    lines = []
+    acts = {}
+    rng = np.random.default_rng(3)
+    for c in ("chr1", "chr2"):
+        for i in range(10):
+            nm = f"{c}_g{i}"
+            s = "+" if i % 2 == 0 else "-"
+            start = 1000 + i * 5000
+            lines.append(
+                f"{c}\tsim\tgene\t{start}\t{start + 900}\t.\t{s}\t.\tID=gene:{nm};Name={nm}"
+            )
+            acts[nm] = rng.random()
+    gff.write_text("\n".join(lines) + "\n")
+    act = tmp_path / "act.parquet"
+    pd.DataFrame(
+        {"gene": list(acts), "typeA": list(acts.values()),
+         "typeB": [v * 2 for v in acts.values()]}
+    ).to_parquet(act)
+    out = str(tmp_path / "strand")
+    cli.run_senna([
+        "plot-strand", "--activity", str(act), "--gff", str(gff), "--out", out,
+    ])
+    assert Path(f"{out}.typeA.png").exists() and Path(f"{out}.typeB.png").exists()
+
+
+# ---------------------------------------------------------------------------
+# cocoa simulators + collapse
+# ---------------------------------------------------------------------------
+
+
+def test_cocoa_simulate_and_collapse(tmp_path):
+    out = str(tmp_path / "one")
+    cli.run_cocoa([
+        "simulate-one", "--output", out, "--genes", "40", "--indv", "6",
+        "--cells-per-indv", "20", "--n-causal", "5",
+    ])
+    for sfx in (".zarr", ".indv.txt", ".exposure.tsv", ".truth.parquet"):
+        assert Path(out + sfx).exists(), sfx
+    col = str(tmp_path / "clp")
+    cli.run_cocoa([
+        "collapse", "--data-files", f"{out}.zarr", "--indv", f"{out}.indv.txt",
+        "--out", col,
+    ])
+    pb = pd.read_parquet(f"{col}.pseudobulk.parquet")
+    assert pb.shape == (40, 7)  # gene col + 6 individuals
+    # pseudobulk means track the per-individual raw means
+    from legume_tpu.data import open_sparse_matrix
+
+    be = open_sparse_matrix(f"{out}.zarr")
+    dense = np.asarray(be.read_columns_csc(np.arange(be.num_columns)).todense())
+    indv = np.loadtxt(f"{out}.indv.txt", dtype=str)
+    want = dense[:, indv == "i0000"].mean(1)
+    got = pb.set_index("gene")["i0000"].to_numpy()
+    r = np.corrcoef(want, got)[0, 1]
+    assert r > 0.99, r
+
+
+def test_cocoa_simulate_collider(tmp_path):
+    out = str(tmp_path / "coll")
+    cli.run_cocoa([
+        "simulate-collider", "--output", out, "--genes", "30", "--types", "2",
+        "--indv", "6", "--cells-per-indv", "15",
+    ])
+    assert Path(f"{out}.celltype.parquet").exists()
+    ct = pd.read_parquet(f"{out}.celltype.parquet")
+    assert set(ct["type"].unique()) <= {0, 1}
+
+
+# ---------------------------------------------------------------------------
+# fagioli additions
+# ---------------------------------------------------------------------------
+
+
+def test_fagioli_sim_geno_and_fit_regression(tmp_path):
+    out = str(tmp_path / "geno")
+    cli.run_fagioli(["sim-geno", "--out", out, "--n", "200", "--p", "30"])
+    geno = np.load(f"{out}.geno.npy")
+    assert geno.shape == (200, 30) and set(np.unique(geno)) <= {0.0, 1.0, 2.0}
+    var = pd.read_csv(f"{out}.variants.tsv", sep="\t")
+    assert len(var) == 30
+    # table regression: y driven by one covariate
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((150, 5))
+    y = 2.0 * x[:, 2] + 0.3 * rng.standard_normal(150)
+    df = pd.DataFrame(x, columns=[f"c{i}" for i in range(5)])
+    df["resp"] = y
+    tab = tmp_path / "tab.tsv"
+    df.to_csv(tab, sep="\t", index=False)
+    reg = str(tmp_path / "reg")
+    cli.run_fagioli([
+        "fit-regression", "--table", str(tab), "--response", "resp",
+        "--out", reg, "--steps", "600", "-L", "2",
+    ])
+    res = pd.read_parquet(f"{reg}.regression.parquet").set_index("covariate")
+    assert res.loc["c2", "pip"] > 0.9
+    assert res["pip"].drop("c2").max() < 0.5
+
+
+def test_fagioli_qtl_roundtrip(tmp_path):
+    out = str(tmp_path / "qtl")
+    cli.run_fagioli([
+        "sim-qtl", "--out", out, "--genes", "6", "--indv", "50",
+        "--cells-per-indv", "15", "--variants", "20", "--frac-egenes", "1.0",
+        "--effect-sd", "1.0",
+    ])
+    fit = str(tmp_path / "map")
+    cli.run_fagioli([
+        "map-qtl", "--backend", f"{out}.zarr", "--indv", f"{out}.indv.txt",
+        "--geno", f"{out}.geno.npy", "--out", fit, "--steps", "400", "-L", "2",
+    ])
+    res = pd.read_parquet(f"{fit}.qtl.parquet")
+    truth = pd.read_parquet(f"{out}.truth.parquet")
+    hits = 0
+    for gi, row in truth.iterrows():
+        if row["causal_variant"] < 0 or abs(row["beta"]) < 0.3:
+            continue
+        grp = res[res["gene"] == row["gene"]]
+        top = int(grp.loc[grp["pip"].idxmax(), "variant"][1:])
+        if top == row["causal_variant"]:
+            hits += 1
+    assert hits >= 2, f"only {hits} eGenes recovered"
+
+
+def test_fagioli_mediation_and_pseudobulk(tmp_path):
+    out = str(tmp_path / "med")
+    cli.run_fagioli(["sim-mediation", "--out", out, "--n", "300", "--p", "40"])
+    ss = pd.read_csv(f"{out}.sumstat.tsv", sep="\t")
+    assert {"variant", "z", "z_med0"} <= set(ss.columns)
+    assert np.isfinite(ss["z"]).all()
+
+    # pseudobulk command on the qtl fixture
+    q = str(tmp_path / "q")
+    cli.run_fagioli([
+        "sim-qtl", "--out", q, "--genes", "5", "--indv", "8",
+        "--cells-per-indv", "10", "--variants", "5",
+    ])
+    pb = str(tmp_path / "pb")
+    cli.run_fagioli([
+        "pseudobulk", "--backend", f"{q}.zarr", "--indv", f"{q}.indv.txt",
+        "--out", pb,
+    ])
+    lm = pd.read_parquet(f"{pb}.pseudobulk.parquet")
+    assert lm.shape == (5, 9)
+    assert Path(f"{pb}.weights.parquet").exists()
+
+
+# ---------------------------------------------------------------------------
+# pinto additions
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def spatial_sim(tmp_path_factory):
+    """Two spatial domains with distinct programs on a grid."""
+    tmp = tmp_path_factory.mktemp("sp")
+    rng = np.random.default_rng(4)
+    side = 12
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.stack([xs.ravel(), ys.ravel()], 1).astype(float)
+    n = len(coords)
+    domain = (coords[:, 0] < side / 2).astype(int)
+    d = 40
+    prog = np.stack([np.linspace(3, 0.2, d), np.linspace(0.2, 3, d)])
+    lam = prog[domain] * 2.0
+    counts = rng.poisson(lam).astype(np.float32).T  # [D, N]
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+
+    path = str(tmp / "sp.zarr")
+    create_sparse_from_csc(
+        sp.csc_matrix(counts), path,
+        [f"g{i}" for i in range(d)], [f"c{j}" for j in range(n)],
+    )
+    coord_file = tmp / "coords.tsv"
+    np.savetxt(
+        coord_file,
+        np.column_stack([np.arange(n), coords[:, 0], coords[:, 1]]),
+        fmt=["%d", "%.1f", "%.1f"], delimiter="\t",
+    )
+    return path, str(coord_file), domain, tmp
+
+
+def test_pinto_prop_recovers_domains(spatial_sim):
+    path, coords, domain, tmp = spatial_sim
+    out = str(tmp / "prop")
+    cli.run_pinto([
+        "prop", "--data-files", path, "--coords", coords, "--out", out,
+        "--method", "kmeans", "-k", "2", "--knn", "6",
+    ])
+    prop = pd.read_parquet(f"{out}.propensity.parquet").iloc[:, 1:].to_numpy()
+    lab = prop.argmax(1)
+    agree = max((lab == domain).mean(), (lab != domain).mean())
+    assert agree > 0.8, agree
+
+
+def test_pinto_dsvd_and_cage(spatial_sim):
+    path, coords, domain, tmp = spatial_sim
+    out = str(tmp / "dsvd")
+    cli.run_pinto([
+        "dsvd", "--data-files", path, "--coords", coords, "--out", out,
+        "--rank", "4", "--knn", "6",
+    ])
+    pf = pd.read_parquet(f"{out}.pair_factors.parquet")
+    assert {"src", "dst"} <= set(pf.columns) and np.isfinite(
+        pf.iloc[:, 2:].to_numpy()
+    ).all()
+    cage = str(tmp / "cage")
+    cli.run_pinto([
+        "cage", "--data-files", path, "--coords", coords, "--out", cage,
+        "-d", "4", "--epochs", "150", "--knn", "6",
+    ])
+    z = pd.read_parquet(f"{cage}.latent.parquet")
+    assert z.shape[0] == 144 and np.isfinite(z.iloc[:, 1:].to_numpy()).all()
+
+
+def test_pinto_lc_etm(spatial_sim):
+    path, coords, domain, tmp = spatial_sim
+    out = str(tmp / "lcetm")
+    cli.run_pinto([
+        "lc-etm", "--data-files", path, "--coords", coords, "--out", out,
+        "-k", "2", "--knn", "6", "--window", "16", "--epochs", "10",
+        "--embed-dim", "8",
+    ])
+    prop = pd.read_parquet(f"{out}.propensity.parquet").iloc[:, 1:].to_numpy()
+    assert prop.shape == (144, 2) and np.isfinite(prop).all()
+
+
+def test_pinto_lra(spatial_sim):
+    path, coords, domain, tmp = spatial_sim
+    pairs = tmp / "pairs.tsv"
+    pairs.write_text("g0\tg39\ng1\tg38\n")
+    out = str(tmp / "lra")
+    cli.run_pinto([
+        "lra", "--data-files", path, "--coords", coords,
+        "--pairs", str(pairs), "--out", out, "--permutations", "50",
+    ])
+    res = pd.read_parquet(f"{out}.lra.parquet")
+    assert len(res) == 2 and np.isfinite(res["pvalue"]).all()
+
+
+# ---------------------------------------------------------------------------
+# data-beans merge-mtx + bulk sim -> deconvolve recovery
+# ---------------------------------------------------------------------------
+
+
+def test_beans_merge_mtx(tmp_path):
+    import scipy.io as sio
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(5)
+    a = sp.csc_matrix(rng.poisson(1.0, (10, 6)).astype(np.float32))
+    b = sp.csc_matrix(rng.poisson(1.0, (10, 4)).astype(np.float32))
+    sio.mmwrite(tmp_path / "a.mtx", a)
+    sio.mmwrite(tmp_path / "b.mtx", b)
+    (tmp_path / "rows.txt").write_text("\n".join(f"g{i}" for i in range(10)) + "\n")
+    (tmp_path / "ca.txt").write_text("\n".join(f"c{i}" for i in range(6)) + "\n")
+    (tmp_path / "cb.txt").write_text("\n".join(f"c{i}" for i in range(4)) + "\n")
+    out = str(tmp_path / "merged.zarr")
+    cli.run_beans([
+        "merge-mtx", str(tmp_path / "a.mtx"), str(tmp_path / "b.mtx"),
+        "--rows", str(tmp_path / "rows.txt"),
+        "--cols", str(tmp_path / "ca.txt"), str(tmp_path / "cb.txt"),
+        "--output", out,
+    ])
+    from legume_tpu.data import open_sparse_matrix
+
+    be = open_sparse_matrix(out)
+    assert be.shape == (10, 10)
+    got = np.asarray(be.read_columns_csc(np.arange(10)).todense())
+    want = np.asarray(sp.hstack([a, b]).todense())
+    np.testing.assert_allclose(got, want)
+    # duplicate columns disambiguated
+    assert be.column_names()[6] == "c0@1"
+
+
+def test_bulk_sim_deconvolve_recovery(tmp_path):
+    """`data-beans-sim bulk` -> `senna deconvolve` recovers the mixing
+    fractions (VERDICT weak item 5: deconvolve recovery vs sim truth)."""
+    rng = np.random.default_rng(6)
+    d, n = 60, 300
+    types = rng.integers(0, 3, n)
+    prog = rng.gamma(2.0, 1.0, (3, d)) * np.asarray([[1.0], [1.0], [1.0]])
+    # make programs distinct
+    prog[0, :20] *= 6
+    prog[1, 20:40] *= 6
+    prog[2, 40:] *= 6
+    lam = prog[types] * 2.0
+    counts = rng.poisson(lam).astype(np.float32).T  # [D, N]
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+
+    path = str(tmp_path / "sc.zarr")
+    create_sparse_from_csc(
+        sp.csc_matrix(counts), path,
+        [f"g{i}" for i in range(d)], [f"c{j}" for j in range(n)],
+    )
+    lab = tmp_path / "lab.tsv"
+    pd.DataFrame({"cell": [f"c{j}" for j in range(n)], "label": types}).to_csv(
+        lab, sep="\t", index=False
+    )
+    out = str(tmp_path / "bulk")
+    cli.run_sim([
+        "bulk", "--backend", path, "--labels", str(lab),
+        "--samples", "12", "--reads", "30000", "--output", out,
+    ])
+    bulk = pd.read_parquet(f"{out}.bulk.parquet")
+    fracs = pd.read_parquet(f"{out}.fractions.parquet")
+    assert bulk.shape == (12, d + 1)
+
+    # reference profile per type from the single cells
+    profiles = np.stack([counts[:, types == t].mean(1) for t in range(3)], 1)
+    ref = pd.DataFrame(
+        profiles, index=[f"g{i}" for i in range(d)], columns=["0", "1", "2"]
+    ).reset_index(names="gene")
+    refp = tmp_path / "ref.parquet"
+    ref.to_parquet(refp)
+    dec = str(tmp_path / "dec")
+    cli.run_senna([
+        "deconvolve", "--bulk", f"{out}.bulk.parquet", "--reference", str(refp),
+        "--out", dec, "--sweeps", "200", "--burn-in", "50",
+    ])
+    est = pd.read_parquet(f"{dec}.fractions.parquet").iloc[:, 1:].to_numpy()
+    true = fracs.iloc[:, 1:].to_numpy()
+    err = np.abs(est - true).mean()
+    assert err < 0.12, f"mean abs fraction error {err:.3f}"
