@@ -14,6 +14,8 @@ def run_beans(argv):
     p.add_argument("--rows", default=None, help="row (gene) names file")
     p.add_argument("--cols", default=None, help="column (cell) names file")
     p.add_argument("--output", required=True)
+    p.add_argument("--streaming", action="store_true",
+                   help="force the bounded-memory external-sort path")
     p = sub.add_parser("from-h5ad", help="build from AnnData .h5ad")
     p.add_argument("--h5ad", required=True)
     p.add_argument("--output", required=True)
@@ -111,7 +113,8 @@ def run_beans(argv):
     if args.cmd == "from-mtx":
         from ..data.builders import from_mtx
 
-        from_mtx(args.mtx, args.output, rows_file=args.rows, cols_file=args.cols)
+        from_mtx(args.mtx, args.output, rows_file=args.rows, cols_file=args.cols,
+                 streaming=args.streaming or None)
         print(f"wrote backend: {args.output}")
     elif args.cmd == "from-h5ad":
         from ..data.builders import from_h5ad

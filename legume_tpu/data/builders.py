@@ -67,15 +67,49 @@ def _read_index(f, key):
     raise KeyError(f"no index in {key}")
 
 
-def from_h5ad(h5ad_path: str, output: str) -> SparseBackend:
-    """Build a backend from .h5ad (`data-beans from-h5ad`)."""
+def from_h5ad(
+    h5ad_path: str, output: str, *, streaming: bool | None = None
+) -> SparseBackend:
+    """Build a backend from .h5ad (`data-beans from-h5ad`). CSR-encoded
+    X (the CELLxGENE default) streams cell slabs directly into CSC
+    appends — a cell row IS a backend column — so large files never
+    materialize in RAM."""
     import h5py
 
+    if streaming is None:
+        streaming = Path(h5ad_path).stat().st_size > _STREAM_BYTES
     with h5py.File(h5ad_path, "r") as f:
-        x = _read_h5ad_x(f)  # [cells, genes]
         cells = _read_index(f, "obs")
         genes = _read_index(f, "var")
-    csc = x.T.tocsc()  # -> [genes, cells]
+        x = f["X"]
+        enc = x.attrs.get("encoding-type", b"") if not isinstance(x, h5py.Dataset) else ""
+        enc = enc.decode() if isinstance(enc, bytes) else str(enc)
+        if streaming and "csr" in enc:
+            from .sparse_io import StreamingCscWriter
+
+            indptr = np.asarray(x["indptr"], np.int64)
+            n_cells, d = (int(v) for v in x.attrs["shape"])
+            writer = StreamingCscWriter(str(output), d, row_names=genes)
+            slab = 8192
+            for lb in range(0, n_cells, slab):
+                ub = min(lb + slab, n_cells)
+                a, b = indptr[lb], indptr[ub]
+                csr = sp.csr_matrix(
+                    (
+                        np.asarray(x["data"][a:b], np.float32),
+                        np.asarray(x["indices"][a:b], np.int64),
+                        indptr[lb : ub + 1] - a,
+                    ),
+                    shape=(ub - lb, d),
+                )
+                writer.append(csr.T.tocsc())
+            backend = writer.finalize(column_names=cells)
+            log.info(
+                "from-h5ad (streaming): %d genes x %d cells", d, n_cells
+            )
+            return backend
+        xm = _read_h5ad_x(f)  # [cells, genes]
+    csc = xm.T.tocsc()  # -> [genes, cells]
     log.info("from-h5ad: %d genes x %d cells, nnz=%d", csc.shape[0], csc.shape[1], csc.nnz)
     return create_sparse_from_csc(csc, output, genes, cells)
 
@@ -178,15 +212,79 @@ def from_triplets_table(
     return create_sparse_from_csc(counts, output, list(feats), list(cells))
 
 
-def from_mtx(
-    mtx: str, output: str, *, rows_file: str | None = None, cols_file: str | None = None
-) -> SparseBackend:
-    import scipy.io as sio
+# in-memory build below this compressed-file size; larger inputs stream
+# through the external column sort (traits.rs:680-843 contract)
+_STREAM_BYTES = 256 << 20
 
-    m = sio.mmread(mtx).tocsc()
+
+def from_mtx(
+    mtx: str,
+    output: str,
+    *,
+    rows_file: str | None = None,
+    cols_file: str | None = None,
+    streaming: bool | None = None,
+) -> SparseBackend:
     row_names = _read_name_file(rows_file) if rows_file else None
     col_names = _read_name_file(cols_file) if cols_file else None
-    return create_sparse_from_csc(m, output, row_names, col_names)
+    if streaming is None:
+        streaming = Path(mtx).stat().st_size > _STREAM_BYTES
+    if not streaming:
+        import scipy.io as sio
+
+        m = sio.mmread(mtx).tocsc()
+        return create_sparse_from_csc(m, output, row_names, col_names)
+    return from_mtx_streaming(mtx, output, row_names=row_names, col_names=col_names)
+
+
+def from_mtx_streaming(
+    mtx: str,
+    output: str,
+    *,
+    row_names=None,
+    col_names=None,
+    chunk_nnz: int = 1 << 22,
+    slab_cols: int = 16384,
+) -> SparseBackend:
+    """Bounded-memory MTX ingestion: triplet chunks -> external column
+    sort -> CSC slab appends + gene-chunked CSR rebuild (the streaming
+    path of `sparse_io/traits.rs:680-843`)."""
+    import pandas as pd
+
+    from .spill import build_streaming_from_triplet_chunks
+
+    opener = gzip.open if str(mtx).endswith(".gz") else open
+    with opener(mtx, "rt") as f:
+        line = "%"
+        while line.startswith("%"):
+            line = f.readline()
+        d, n, nnz = (int(x) for x in line.split()[:3])
+
+        def chunks():
+            reader = pd.read_csv(
+                f, sep=r"\s+", header=None, chunksize=chunk_nnz,
+                names=["i", "j", "v"], engine="c",
+            )
+            for df in reader:
+                yield (
+                    df["i"].to_numpy(np.int64) - 1,
+                    df["j"].to_numpy(np.int64) - 1,
+                    df["v"].to_numpy(np.float32)
+                    if "v" in df and df["v"].notna().any()
+                    else np.ones(len(df), np.float32),
+                )
+
+        backend, sorter = build_streaming_from_triplet_chunks(
+            chunks(), output,
+            n_rows=d, n_cols=n,
+            row_names=row_names, column_names=col_names,
+            chunk_nnz=chunk_nnz, slab_cols=slab_cols,
+        )
+    log.info(
+        "from-mtx (streaming): %d x %d nnz=%d, peak resident nnz=%d",
+        d, n, sorter.total_nnz, sorter.peak_resident_nnz,
+    )
+    return backend
 
 
 def _read_name_file(path: str) -> list[str]:
@@ -231,10 +329,29 @@ def from_fragments(
             )
             peak_names.extend(f"{c}:{s}-{e}" for s, e in iv)
 
+    # single pass with bounded memory: triplet chunks spill to the
+    # external column sorter, registries (barcodes/tiles) stay in RAM
+    # (`traits.rs:680-843` streaming-CSC contract)
+    from .spill import TripletSpillSorter
+
+    sorter = TripletSpillSorter(str(output).rstrip("/") + ".sortspill")
     barcodes: dict[str, int] = {}
     tiles: dict[tuple, int] = {}
     rows, cols, vals = [], [], []
     tile_names: list[str] = []
+    flush_every = 1 << 20
+
+    def flush():
+        if rows:
+            sorter.add(
+                np.asarray(rows, np.int64),
+                np.asarray(cols, np.int64),
+                np.asarray(vals, np.float32),
+            )
+            rows.clear()
+            cols.clear()
+            vals.clear()
+
     with opener(fragments_path, "rt") as f:
         for line in f:
             if line.startswith("#"):
@@ -265,21 +382,31 @@ def from_fragments(
             rows.append(rid)
             cols.append(cb)
             vals.append(cnt)
+            if len(rows) >= flush_every:
+                flush()
+    flush()
 
     names = peak_names if peaks is not None else tile_names
-    csc = sp.coo_matrix(
-        (np.asarray(vals, np.float32), (np.asarray(rows), np.asarray(cols))),
-        shape=(len(names), len(barcodes)),
-    ).tocsc()
-    if min_count > 1:
-        csc.data[csc.data < min_count] = 0
-        csc.eliminate_zeros()
+    from .sparse_io import StreamingCscWriter
+
+    sorter.n_rows = len(names)
+    writer = StreamingCscWriter(str(output), len(names), row_names=names)
+    for _lb, slab in sorter.iter_column_slabs(16384, n_cols=len(barcodes)):
+        if min_count > 1:
+            slab.data[slab.data < min_count] = 0
+            slab.eliminate_zeros()
+        writer.append(slab)
+    cell_names = [None] * len(barcodes)
+    for bc, i in barcodes.items():
+        cell_names[i] = bc
+    backend = writer.finalize(column_names=cell_names)
+    sorter.cleanup()
     log.info(
-        "from-fragments: %d %s x %d cells, nnz=%d",
+        "from-fragments: %d %s x %d cells, nnz=%d (peak resident nnz %d)",
         len(names), "peaks" if peaks is not None else "tiles",
-        len(barcodes), csc.nnz,
+        len(barcodes), backend.num_nonzeros, sorter.peak_resident_nnz,
     )
-    return create_sparse_from_csc(csc, output, names, list(barcodes))
+    return backend
 
 
 def to_mtx(backend_path: str, out_prefix: str):

@@ -609,8 +609,18 @@ class StreamingCscWriter:
         np.cumsum(self._row_counts, out=row_indptr[1:])
         rdata_st = self._create("by_row/data", self._nnz, "float32")
         ridx_st = self._create("by_row/indices", self._nnz, "uint64")
-        for glb in range(0, self.n_rows, self.gene_chunk):
+        # chunk boundaries bounded by NNZ, not gene count: a short-fat
+        # matrix must not collapse into one O(nnz) chunk
+        max_chunk_nnz = 1 << 22
+        bounds = [0]
+        while bounds[-1] < self.n_rows:
+            glb = bounds[-1]
             gub = min(glb + self.gene_chunk, self.n_rows)
+            # shrink until the chunk's nnz fits the budget
+            while gub > glb + 1 and row_indptr[gub] - row_indptr[glb] > max_chunk_nnz:
+                gub = glb + max(1, (gub - glb) // 2)
+            bounds.append(gub)
+        for glb, gub in zip(bounds[:-1], bounds[1:]):
             base = row_indptr[glb]
             chunk_nnz = row_indptr[gub] - base
             if chunk_nnz == 0:
