@@ -698,7 +698,11 @@ def run_senna(argv):
         import numpy as _np
 
         z = z.astype("float32")
-        if _np.all(z <= 0):
+        from ..utils.manifest import ArtifactScale
+
+        # content-detected scale guard (run_manifest.rs:308-345): only a
+        # log-simplex exponentiates; signed latents (vae/svd) pass raw
+        if ArtifactScale.detect(z, axis=1) == ArtifactScale.LOG_SIMPLEX_COLUMNS:
             z = _np.exp(z)
         if args.method == "tsne":
             from ..ops.layouts import tsne
@@ -724,7 +728,11 @@ def run_senna(argv):
         z = df.iloc[:, 1:].to_numpy("float32")
         import numpy as _np
 
-        if _np.all(z <= 0):
+        from ..utils.manifest import ArtifactScale
+
+        # content-detected scale guard (run_manifest.rs:308-345): only a
+        # log-simplex exponentiates; signed latents (vae/svd) pass raw
+        if ArtifactScale.detect(z, axis=1) == ArtifactScale.LOG_SIMPLEX_COLUMNS:
             z = _np.exp(z)
         if args.velocity is not None:
             from ..embedding.lineage import velocity_oriented_lineage
@@ -759,8 +767,11 @@ def run_senna(argv):
 
         df = pd.read_parquet(args.latent)
         theta = df.iloc[:, 1:].to_numpy("float64")
-        if _np.all(theta <= 0):
-            theta = _np.exp(theta)
+        from ..utils.manifest import ArtifactScale
+
+        # plot-topic REQUIRES a simplex: a signed matrix here means the
+        # wrong artifact was passed (scale guard, run_manifest.rs:346)
+        theta = ArtifactScale.to_linear_simplex(theta, axis=1)
         theta = theta / _np.maximum(theta.sum(1, keepdims=True), 1e-12)
         order_by = None
         if args.clusters:

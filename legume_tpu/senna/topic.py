@@ -148,6 +148,7 @@ class CollapsedLevels:
     proj_kn: np.ndarray
     basis_dk: np.ndarray
     fine_codes: np.ndarray
+    level_maps: list[np.ndarray] = field(default_factory=list)  # fine-pb -> group
 
 
 def refine_hierarchy_maps(
@@ -241,10 +242,17 @@ def refine_hierarchy_maps(
     return maps
 
 
-def load_and_collapse(vec: SparseIoVec, args: TopicArgs) -> CollapsedLevels:
+def load_and_collapse(
+    vec: SparseIoVec, args: TopicArgs, *, partition: dict | None = None
+) -> CollapsedLevels:
     """Projection + binary sort + partition refinement + multilevel
     collapse (topic/common.rs:419 `load_and_collapse`; stages per
-    SURVEY.md section 3.1)."""
+    SURVEY.md section 3.1).
+
+    `partition` (from a prior run's `{out}.partition.npz` via `--from`,
+    `topic/common.rs:404-419`) supplies `fine_groups` + `level_maps`
+    and SKIPS binary sort + DC-Poisson refinement; the projection still
+    runs (the matched-stat kNN needs cell coordinates)."""
     batches = vec.batch_membership()
     num_batches = vec.num_batches if not args.ignore_batch else 1
     d = vec.num_rows
@@ -268,25 +276,41 @@ def load_and_collapse(vec: SparseIoVec, args: TopicArgs) -> CollapsedLevels:
     )
 
     level_dims = compute_level_sort_dims(args.sort_dim, args.num_levels)
-    fine_codes = rp.binary_sort_columns(proj_kn, level_dims[0], seed=args.seed)
 
-    # group id <-> sort code registry
-    uniq_codes, fine_groups = np.unique(fine_codes, return_inverse=True)
-    fine_groups = fine_groups.astype(np.int32)
-    s_fine = len(uniq_codes)
-
-    # per-level fine-pb -> coarse-group maps: masked codes, refined by
-    # BBKNN + DC-Poisson on projected centroids when requested
-    if args.refine:
-        level_maps = refine_hierarchy_maps(
-            proj_kn, fine_groups, uniq_codes, level_dims, args
-        )
+    if partition is not None:
+        # cell->pb partition reuse (topic/common.rs:404-419): no sort,
+        # no refinement — the prior run's hierarchy is the hierarchy
+        fine_groups = np.asarray(partition["fine_groups"], np.int32)
+        if len(fine_groups) != vec.num_columns:
+            raise ValueError(
+                f"inherited partition covers {len(fine_groups)} cells but the "
+                f"data has {vec.num_columns}"
+            )
+        level_maps = [np.asarray(m, np.int32) for m in partition["level_maps"]]
+        level_dims = level_dims[: len(level_maps)]
+        fine_codes = fine_groups.astype(np.int64)
+        s_fine = int(fine_groups.max()) + 1
+        log.info("reusing inherited cell->pb partition (%d fine pbs)", s_fine)
     else:
-        level_maps = []
-        for dim in level_dims:
-            mask = (1 << dim) - 1
-            _, f2c = np.unique(uniq_codes & mask, return_inverse=True)
-            level_maps.append(f2c.astype(np.int32))
+        fine_codes = rp.binary_sort_columns(proj_kn, level_dims[0], seed=args.seed)
+
+        # group id <-> sort code registry
+        uniq_codes, fine_groups = np.unique(fine_codes, return_inverse=True)
+        fine_groups = fine_groups.astype(np.int32)
+        s_fine = len(uniq_codes)
+
+        # per-level fine-pb -> coarse-group maps: masked codes, refined
+        # by BBKNN + DC-Poisson on projected centroids when requested
+        if args.refine:
+            level_maps = refine_hierarchy_maps(
+                proj_kn, fine_groups, uniq_codes, level_dims, args
+            )
+        else:
+            level_maps = []
+            for dim in level_dims:
+                mask = (1 << dim) - 1
+                _, f2c = np.unique(uniq_codes & mask, return_inverse=True)
+                level_maps.append(f2c.astype(np.int32))
 
     collapsed = []
     groups_per_level = []
@@ -334,6 +358,7 @@ def load_and_collapse(vec: SparseIoVec, args: TopicArgs) -> CollapsedLevels:
         proj_kn=proj_kn,
         basis_dk=basis,
         fine_codes=fine_codes,
+        level_maps=level_maps,
     )
 
 
@@ -356,14 +381,26 @@ def fit_topic_model(args: TopicArgs) -> dict:
     """End-to-end `senna topic` (cmd.rs:273)."""
     import pandas as pd
 
+    partition = None
     if args.from_run:
         # --from inheritance: prefill inputs from a prior run's manifest
-        # (run_manifest.rs:848 inherit_from)
+        # (run_manifest.rs:848 inherit_from); reuse its cell->pb
+        # partition when available (topic/common.rs:404-419)
         prev = RunManifest.load(
             args.from_run if args.from_run.endswith(".json") else args.from_run + ".senna.json"
         )
         if not args.data_files:
             args.data_files = prev.inputs.get("data_files", [])
+        part_path = prev.outputs.get("partition")
+        if part_path and list(args.data_files) == list(
+            prev.inputs.get("data_files", [])
+        ):
+            with np.load(part_path) as z:
+                partition = {
+                    "fine_groups": z["fine_groups"],
+                    "level_maps": [z[k] for k in sorted(z.files) if k.startswith("map")],
+                }
+            log.info("inherited cell->pb partition from %s", part_path)
         log.info("inherited inputs from %s", args.from_run)
 
     vec = load_data_vec(args.data_files, args.batch_files)
@@ -395,7 +432,7 @@ def fit_topic_model(args: TopicArgs) -> dict:
         vec = vec.subset_columns(keep)
         n = vec.num_columns
 
-    levels = load_and_collapse(vec, args)
+    levels = load_and_collapse(vec, args, partition=partition)
     key = jax.random.key(args.seed & 0x7FFFFFFF)
     key, *level_keys = jax.random.split(key, 1 + len(levels.collapsed))
     level_data = [
@@ -601,18 +638,40 @@ def fit_topic_model(args: TopicArgs) -> dict:
 
     save_model(args.out, variables, args, d, gene_names)
 
+    # cell->pb partition for `--from` reuse (topic/common.rs:404-419)
+    part_path = f"{args.out}.partition.npz"
+    np.savez(
+        part_path,
+        fine_groups=levels.groups_per_level[0].astype(np.int32),
+        **{f"map{i:02d}": m.astype(np.int32) for i, m in enumerate(levels.level_maps)},
+    )
+
+    from ..utils.manifest import ArtifactScale
+
     manifest = RunManifest(
         command="topic",
         inputs={"data_files": list(args.data_files)},
         outputs={
-            "latent": f"{args.out}.latent.parquet",
-            "pb_latent": f"{args.out}.pb_latent.parquet",
-            "dictionary": f"{args.out}.dictionary.parquet",
             "log_likelihood": f"{args.out}.log_likelihood.parquet",
             "model": f"{args.out}.model.npz",
             "model_metadata": f"{args.out}.model.json",
         },
         params=dataclasses.asdict(args),
+    )
+    manifest.record_artifact(
+        "latent", f"{args.out}.latent.parquet", "cell_latent",
+        ArtifactScale.detect(z, axis=1),
+    )
+    manifest.record_artifact(
+        "pb_latent", f"{args.out}.pb_latent.parquet", "pb_latent",
+        ArtifactScale.PROBABILITY_SIMPLEX_COLUMNS,
+    )
+    manifest.record_artifact(
+        "dictionary", f"{args.out}.dictionary.parquet", "topic_dictionary",
+        ArtifactScale.detect(log_beta, axis=0),
+    )
+    manifest.record_artifact(
+        "partition", part_path, "cell_pb_partition", ArtifactScale.SIGNED
     )
     manifest.save(args.out)
 

@@ -226,3 +226,57 @@ def test_topic_multibatch_removes_batch_effect(tmp_path):
     assert ratio < 0.5, f"batch contrast energy ratio {ratio:.3f}"
     r_adj = np.corrcoef(true_c, c_adj)[0, 1]
     assert r_adj < 0.5 * r_obs, f"r_obs={r_obs:.3f} r_adj={r_adj:.3f}"
+
+
+def test_artifact_scale_guard():
+    """ArtifactScale content detection + guard (run_manifest.rs:308-345)."""
+    import pytest
+
+    from legume_tpu.utils.manifest import ArtifactScale
+
+    rng = np.random.default_rng(0)
+    signed = rng.standard_normal((20, 4))
+    probs = rng.dirichlet(np.ones(20), size=4).T  # columns sum to 1
+    logp = np.log(probs + 1e-30)
+    assert ArtifactScale.detect(signed) == ArtifactScale.SIGNED
+    assert ArtifactScale.detect(probs) == ArtifactScale.PROBABILITY_SIMPLEX_COLUMNS
+    assert ArtifactScale.detect(logp) == ArtifactScale.LOG_SIMPLEX_COLUMNS
+    np.testing.assert_allclose(ArtifactScale.to_linear_simplex(logp), probs, atol=1e-9)
+    with pytest.raises(ValueError):
+        ArtifactScale.to_linear_simplex(signed)
+    with pytest.raises(ValueError):
+        ArtifactScale.ensure(signed, ArtifactScale.LOG_SIMPLEX_COLUMNS, "beta")
+
+
+def test_topic_partition_reuse_via_from(sim_backend, tmp_path):
+    """--from reuses the prior run's cell->pb partition
+    (topic/common.rs:404-419): the inherited run reproduces the same
+    groups without re-deriving (and without refinement sweeps)."""
+    sim, path, _ = sim_backend
+    first = str(tmp_path / "first")
+    args = TopicArgs(
+        data_files=[path], out=first, n_latent_topics=3,
+        encoder_layers=(16,), epochs=5, minibatch_size=64,
+        decoder="multinomial", proj_dim=12, sort_dim=6, num_levels=2,
+        iter_opt=5, block_size=256,
+    )
+    res1 = fit_topic_model(args)
+    assert Path(first + ".partition.npz").exists()
+    man = json.loads(Path(first + ".senna.json").read_text())
+    assert man["artifacts"]["latent"]["scale"] == "log_simplex_columns"
+    assert man["outputs"]["partition"].endswith(".partition.npz")
+
+    second = str(tmp_path / "second")
+    args2 = TopicArgs(
+        data_files=[path], out=second, n_latent_topics=3,
+        encoder_layers=(16,), epochs=5, minibatch_size=64,
+        decoder="multinomial", proj_dim=12, sort_dim=6, num_levels=2,
+        iter_opt=5, block_size=256, from_run=first,
+        refine=False,  # reuse means no re-refinement either way
+    )
+    res2 = fit_topic_model(args2)
+    assert len(res1["levels"].groups_per_level) == len(res2["levels"].groups_per_level)
+    for g1, g2 in zip(
+        res1["levels"].groups_per_level, res2["levels"].groups_per_level
+    ):
+        np.testing.assert_array_equal(g1, g2)
