@@ -16,6 +16,13 @@ def run_pinto(argv):
     p.add_argument("--n-communities", "-k", type=int, default=10)
     p.add_argument("--knn", type=int, default=10)
     p.add_argument("--sweeps", type=int, default=30)
+    p.add_argument("--em-sweeps", type=int, default=10,
+                   help="frozen-incidence component-EM sweeps after Gibbs")
+    p.add_argument("--gene-network", default=None,
+                   help="gene-gene edge list TSV: module-pair edge basis")
+    p.add_argument("--snn-min-shared", type=int, default=2)
+    p.add_argument("--gene-trim-min-degree", type=int, default=2)
+    p.add_argument("--gene-modules-resolution", type=float, default=1.0)
     p = sub.add_parser("cascade", help="multilevel V-cycle link-community refinement")
     p.add_argument("--data-files", nargs="+", required=True)
     p.add_argument("--coords", required=True, help="TSV: cell x y")
@@ -287,5 +294,10 @@ def run_pinto(argv):
             n_communities=args.n_communities,
             knn=args.knn,
             n_sweeps=args.sweeps,
+            em_sweeps=args.em_sweeps,
+            gene_network=args.gene_network,
+            snn_min_shared=args.snn_min_shared,
+            gene_trim_min_degree=args.gene_trim_min_degree,
+            gene_modules_resolution=args.gene_modules_resolution,
         )
     )

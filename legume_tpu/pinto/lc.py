@@ -96,6 +96,7 @@ def _sweep(
     vals: jax.Array,  # [nnz]
     edge_tot: jax.Array,  # [E] per-edge profile totals
     labels: jax.Array,  # [E] current labels
+    inc_scores: jax.Array,  # [E, K] frozen-incidence additive term (zeros = off)
     *,
     k: int,
     n_edges: int,
@@ -127,6 +128,7 @@ def _sweep(
     # given normalized rates, so normalize log_rate per community:
     logz_k = jax.scipy.special.logsumexp(log_rate, axis=1)
     scores = scores - edge_tot[:, None] * logz_k[None, :] + log_pi[None, :]
+    scores = scores + inc_scores
 
     if sample:
         g = jax.random.gumbel(key, scores.shape)
@@ -134,6 +136,40 @@ def _sweep(
     else:
         new_labels = jnp.argmax(scores, axis=1)
     return new_labels.astype(jnp.int32), scores
+
+
+def compute_node_membership(
+    edges: np.ndarray, labels: np.ndarray, n_cells: int, k: int
+) -> np.ndarray:
+    """[N, K] soft propensity: fraction of incident edges per community
+    (propensity.rs compute_node_membership)."""
+    prop = np.zeros((n_cells, k), np.float64)
+    np.add.at(prop, edges[:, 0], np.eye(k)[labels])
+    np.add.at(prop, edges[:, 1], np.eye(k)[labels])
+    return prop / np.maximum(prop.sum(1, keepdims=True), 1.0)
+
+
+def fit_log_incidence(
+    edges: np.ndarray,
+    labels: np.ndarray,
+    propensity: np.ndarray,  # [N, K]
+    k: int,
+    *,
+    a: float = 1.0,
+    b: float = 1.0,
+) -> np.ndarray:
+    """Frozen variational E_q[log B[k, k']] under a Gamma(a, b) prior
+    (incidence.rs fit_log_incidence):
+
+        S[k, k'] = sum_{e: z_e = k} (theta_L + theta_R)[k']
+        W[k']    = sum_e (theta_L + theta_R)[k']
+        E_q[log B] = psi(a + S) - log(b + W)
+    """
+    th = propensity[edges[:, 0]] + propensity[edges[:, 1]]  # [E, K]
+    s = np.zeros((k, k))
+    np.add.at(s, labels, th)
+    w = th.sum(0)
+    return np.asarray(digamma(jnp.asarray(a + s))) - np.log(b + w)[None, :]
 
 
 def _fit_edge_labels(
@@ -145,9 +181,22 @@ def _fit_edge_labels(
     n_greedy: int = 10,
     alpha: float = 1.0,
     seed: int = DEFAULT_PROJECTION_SEED,
+    edges: np.ndarray | None = None,
+    n_cells: int | None = None,
+    em_sweeps: int = 0,
+    incidence_a: float = 1.0,
+    incidence_b: float = 1.0,
+    init_labels: np.ndarray | None = None,
 ) -> tuple[np.ndarray, list]:
     """Collapsed Gibbs over edge labels on an [E, D] sparse profile
-    matrix; the shared core for flat fits and the cascade."""
+    matrix; the shared core for flat fits and the cascade.
+
+    With `em_sweeps > 0` (and `edges`/`n_cells` given), a final
+    component-EM stage runs: vertex propensity theta and the K x K
+    Poisson-Gamma incidence are computed once from the post-Gibbs
+    labels and FROZEN, adding sum_k' (theta_L + theta_R)[k'] *
+    E_q[log B[k, k']] to every score during EM + greedy
+    (gibbs.rs:25-41 IncidenceConfig + run_components_em)."""
     e = profiles.shape[0]
     coo = profiles.tocoo()
     row_e = jnp.asarray(coo.row.astype(np.int32))
@@ -157,19 +206,45 @@ def _fit_edge_labels(
 
     key = jax.random.key(seed & 0x7FFFFFFF)
     key, k_init = jax.random.split(key)
-    labels = jax.random.randint(k_init, (e,), 0, k, dtype=jnp.int32)
+    if init_labels is not None:
+        labels = jnp.asarray(np.asarray(init_labels, np.int32))
+    else:
+        labels = jax.random.randint(k_init, (e,), 0, k, dtype=jnp.int32)
+    zeros_inc = jnp.zeros((e, k), jnp.float32)
 
     trace = []
-    for sweep in range(n_sweeps + n_greedy):
-        key, k_s = jax.random.split(key)
-        labels, scores = _sweep(
-            k_s, row_e, col_g, vals, edge_tot, labels,
-            k=k, n_edges=e, n_genes=n_genes, alpha=alpha, a0=1.0, b0=1.0,
-            sample=sweep < n_sweeps,
-        )
-        if sweep % 5 == 0 or sweep >= n_sweeps:
+
+    def run(labels, n_sample, n_max, inc, phase):
+        prev = None
+        for sweep in range(n_sample + n_max):
+            nonlocal key
+            key, k_s = jax.random.split(key)
+            labels, scores = _sweep(
+                k_s, row_e, col_g, vals, edge_tot, labels, inc,
+                k=k, n_edges=e, n_genes=n_genes, alpha=alpha, a0=1.0, b0=1.0,
+                sample=sweep < n_sample,
+            )
             chosen = jnp.take_along_axis(scores, labels[:, None].astype(jnp.int32), 1)
-            trace.append(float(jnp.sum(chosen)))
+            trace.append((phase, float(jnp.sum(chosen))))
+            if sweep >= n_sample:
+                lab_np = np.asarray(labels)
+                if prev is not None and np.array_equal(prev, lab_np):
+                    break  # greedy converged
+                prev = lab_np
+        return labels
+
+    labels = run(labels, n_sweeps, n_greedy, zeros_inc, "gibbs")
+
+    if em_sweeps > 0 and edges is not None and n_cells is not None:
+        lab_np = np.asarray(labels)
+        theta = compute_node_membership(edges, lab_np, n_cells, k)
+        log_b = fit_log_incidence(
+            edges, lab_np, theta, k, a=incidence_a, b=incidence_b
+        )
+        th_e = theta[edges[:, 0]] + theta[edges[:, 1]]  # [E, K']
+        inc = jnp.asarray((th_e @ log_b.T).astype(np.float32))  # [E, K]
+        labels = run(labels, em_sweeps, n_greedy, inc, "em")
+
     return np.asarray(labels), trace
 
 
@@ -190,8 +265,13 @@ def fit_link_community(
     knn: int = 10,
     n_sweeps: int = 30,
     n_greedy: int = 10,
+    em_sweeps: int = 10,
     alpha: float = 1.0,
     gene_weights: np.ndarray | None = None,
+    gene_network: str | None = None,
+    snn_min_shared: int = 2,
+    gene_trim_min_degree: int = 2,
+    gene_modules_resolution: float = 1.0,
     seed: int = DEFAULT_PROJECTION_SEED,
 ) -> LinkCommunityResult:
     n = data.num_columns
@@ -199,21 +279,52 @@ def fit_link_community(
     k = n_communities
 
     edges = spatial_knn_edges(coords, knn)
-    profiles = edge_profiles(data, edges, gene_weights=gene_weights)
+    if gene_network:
+        # module-pair edge basis (fit.rs:80-137): gene network -> SNN
+        # augment -> k-core trim -> Leiden modules -> pair features
+        from .gene_network import (
+            GenePairGraph,
+            ModulePairBasis,
+            build_module_expression,
+            kcore_trim,
+            leiden_gene_modules,
+            module_pair_edge_profiles,
+        )
+
+        graph = GenePairGraph.from_edge_list(gene_network, data.row_names())
+        if graph.num_edges == 0:
+            raise ValueError(
+                "gene network matched 0 gene pairs (check name conventions)"
+            )
+        graph.augment_with_snn(snn_min_shared)
+        keep = kcore_trim(graph, gene_trim_min_degree)
+        mog = leiden_gene_modules(
+            graph, keep, resolution=gene_modules_resolution, seed=seed & 0x7FFFFFFF
+        )
+        basis = ModulePairBasis.build(graph, mog)
+        if basis.n_pairs == 0:
+            raise ValueError("module-pair basis is empty; lower trim/resolution")
+        module_expr, cell_totals = build_module_expression(
+            data, mog, basis.n_modules, gene_weights=gene_weights
+        )
+        profiles = module_pair_edge_profiles(module_expr, cell_totals, edges, basis)
+        n_feat = basis.n_pairs
+    else:
+        profiles = edge_profiles(data, edges, gene_weights=gene_weights)
+        n_feat = d
     e = profiles.shape[0]
-    log.info("link community: %d cells, %d edges, K=%d", n, e, k)
+    log.info(
+        "link community: %d cells, %d edges, K=%d, %d features%s",
+        n, e, k, n_feat, " (module pairs)" if gene_network else "",
+    )
 
     labels_np, trace = _fit_edge_labels(
         profiles, k,
-        n_genes=d, n_sweeps=n_sweeps, n_greedy=n_greedy,
+        n_genes=n_feat, n_sweeps=n_sweeps, n_greedy=n_greedy,
         alpha=alpha, seed=seed,
+        edges=edges, n_cells=n, em_sweeps=em_sweeps,
     )
-    # per-cell propensity: fraction of incident edges per community
-    prop = np.zeros((n, k), np.float64)
-    np.add.at(prop, edges[:, 0], np.eye(k)[labels_np])
-    np.add.at(prop, edges[:, 1], np.eye(k)[labels_np])
-    deg = prop.sum(1, keepdims=True)
-    prop = prop / np.maximum(deg, 1.0)
+    prop = compute_node_membership(edges, labels_np, n, k)
     p_safe = np.maximum(prop, 1e-30)
     entropy = -(prop * np.log(p_safe)).sum(1)
 
@@ -226,6 +337,36 @@ def fit_link_community(
     )
 
 
+def gene_community_rates(
+    data, propensity: np.ndarray, *, a0: float = 1.0, b0: float = 1.0,
+    block_size: int = 8192,
+) -> np.ndarray:
+    """[D, K] Poisson-Gamma gene rates per community, weighting each
+    cell by its soft propensity (profiles.rs
+    compute_gene_community_stat)."""
+    from ..data.visitors import visit_columns_by_block
+
+    d = data.num_rows
+    k = propensity.shape[1]
+    num = np.zeros((d, k))
+    for blk in visit_columns_by_block(data, block_size=block_size):
+        real = blk.col_ids < blk.ncols
+        r, c, v = blk.row_ids[real], blk.col_ids[real], blk.vals[real]
+        th = propensity[blk.lb + c]  # [nnz, K]
+        np.add.at(num, r, th * v[:, None])
+    den = propensity.sum(0)  # [K]
+    return ((a0 + num) / (b0 + den)[None, :]).astype(np.float32)
+
+
+def bhc_consensus(gene_rates_dk: np.ndarray) -> tuple[np.ndarray, list]:
+    """BHC merge of community gene profiles -> consensus label per
+    community + merge trace (cluster_bhc consensus, outputs.rs)."""
+    from ..ops.bhc import bhc_cluster
+
+    res = bhc_cluster(gene_rates_dk.T)  # [K, D] profiles
+    return np.asarray(res.labels), list(getattr(res, "merges", []))
+
+
 @dataclass
 class PintoLcArgs:
     data_files: Sequence[str] = ()
@@ -234,6 +375,11 @@ class PintoLcArgs:
     n_communities: int = 10
     knn: int = 10
     n_sweeps: int = 30
+    em_sweeps: int = 10
+    gene_network: Optional[str] = None
+    snn_min_shared: int = 2
+    gene_trim_min_degree: int = 2
+    gene_modules_resolution: float = 1.0
     seed: int = DEFAULT_PROJECTION_SEED
 
 
@@ -249,7 +395,12 @@ def run_lc(args: PintoLcArgs) -> LinkCommunityResult:
     res = fit_link_community(
         vec, coords,
         n_communities=args.n_communities, knn=args.knn,
-        n_sweeps=args.n_sweeps, gene_weights=w, seed=args.seed,
+        n_sweeps=args.n_sweeps, em_sweeps=args.em_sweeps,
+        gene_weights=w, gene_network=args.gene_network,
+        snn_min_shared=args.snn_min_shared,
+        gene_trim_min_degree=args.gene_trim_min_degree,
+        gene_modules_resolution=args.gene_modules_resolution,
+        seed=args.seed,
     )
     cells = vec.column_names()
     pd.DataFrame(
@@ -261,12 +412,36 @@ def run_lc(args: PintoLcArgs) -> LinkCommunityResult:
     pd.DataFrame(
         {"src": res.edges[:, 0], "dst": res.edges[:, 1], "community": res.edge_labels}
     ).to_parquet(f"{args.out}.edges.parquet")
+
+    # score trace per sweep (util/score_trace.rs role)
+    pd.DataFrame(
+        {
+            "sweep": np.arange(len(res.scores_trace)),
+            "phase": [p for p, _ in res.scores_trace],
+            "score": [s for _, s in res.scores_trace],
+        }
+    ).to_parquet(f"{args.out}.score_trace.parquet")
+
+    # gene x community Poisson-Gamma rates + BHC consensus of communities
+    rates = gene_community_rates(vec, res.propensity)
+    pd.DataFrame(
+        rates, index=vec.row_names(),
+        columns=[f"c{i}" for i in range(rates.shape[1])],
+    ).reset_index(names="gene").to_parquet(f"{args.out}.gene_community.parquet")
+    consensus, _merges = bhc_consensus(rates)
+    pd.DataFrame(
+        {"community": np.arange(len(consensus)), "consensus": consensus}
+    ).to_parquet(f"{args.out}.consensus.parquet")
+
     RunManifest(
         command="lc",
         inputs={"data_files": list(args.data_files), "coords": args.coord_file},
         outputs={
             "propensity": f"{args.out}.propensity.parquet",
             "edges": f"{args.out}.edges.parquet",
+            "score_trace": f"{args.out}.score_trace.parquet",
+            "gene_community": f"{args.out}.gene_community.parquet",
+            "consensus": f"{args.out}.consensus.parquet",
         },
     ).save(args.out, "metadata.json")
     return res

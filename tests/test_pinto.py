@@ -74,8 +74,8 @@ def test_link_community_recovers_domains(spatial_sim):
         acc += (domain[cells] == maj).sum()
     acc /= len(domain)
     assert acc > 0.9, acc
-    # objective improves across sweeps
-    assert res.scores_trace[-1] > res.scores_trace[0]
+    # objective improves across sweeps (trace entries are (phase, score))
+    assert res.scores_trace[-1][1] > res.scores_trace[0][1]
 
 
 def test_lc_etm_segments_domains(spatial_sim):
@@ -95,3 +95,123 @@ def test_lc_etm_segments_domains(spatial_sim):
         cells = top == c
         acc += np.bincount(domain[cells]).max()
     assert acc / len(domain) > 0.85, acc / len(domain)
+
+
+def _planted_domains(seed=7, side=14, d=50):
+    """Two spatial domains, distinct programs, plus a gene network whose
+    modules align with the programs."""
+    rng = np.random.default_rng(seed)
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.stack([xs.ravel(), ys.ravel()], 1).astype(float)
+    domain = (coords[:, 0] < side / 2).astype(int)
+    prog = np.stack([np.linspace(4, 0.2, d), np.linspace(0.2, 4, d)])
+    counts = rng.poisson(prog[domain] * 2.0).astype(np.float32).T  # [D, N]
+    return coords, domain, counts
+
+
+def test_lc_component_em_recovers_planted_domains(tmp_path):
+    """Full `pinto lc` with the frozen-incidence EM stage: per-cell
+    propensity must separate the planted spatial domains (VERDICT
+    round-1 item 7 quality bar)."""
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import MemoryBackend
+    from legume_tpu.pinto.lc import fit_link_community
+
+    coords, domain, counts = _planted_domains()
+    vec = MemoryBackend(
+        sp.csc_matrix(counts),
+        [f"g{i}" for i in range(counts.shape[0])],
+        [f"c{j}" for j in range(counts.shape[1])],
+    )
+    res = fit_link_community(
+        vec, coords, n_communities=2, knn=6,
+        n_sweeps=15, n_greedy=5, em_sweeps=8, seed=3,
+    )
+    lab = res.propensity.argmax(1)
+    agree = max((lab == domain).mean(), (lab != domain).mean())
+    assert agree > 0.85, agree
+    # EM phase appears in the score trace and does not degrade the score
+    phases = [p for p, _ in res.scores_trace]
+    assert "em" in phases
+    gibbs_last = [s for p, s in res.scores_trace if p == "gibbs"][-1]
+    em_last = [s for p, s in res.scores_trace if p == "em"][-1]
+    assert em_last >= gibbs_last - abs(gibbs_last) * 0.05
+
+
+def test_lc_module_pair_basis(tmp_path):
+    """Gene-network module-pair basis: modules recover the two programs
+    and the lc fit on pair features still separates the domains."""
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import MemoryBackend
+    from legume_tpu.pinto.gene_network import (
+        GenePairGraph, ModulePairBasis, kcore_trim, leiden_gene_modules,
+    )
+    from legume_tpu.pinto.lc import fit_link_community
+
+    coords, domain, counts = _planted_domains()
+    d = counts.shape[0]
+    genes = [f"g{i}" for i in range(d)]
+    vec = MemoryBackend(sp.csc_matrix(counts), genes, None)
+    # network: cliquish chains inside each half of the gene axis
+    lines = []
+    for base in (0, d // 2):
+        for i in range(base, base + d // 2 - 2):
+            lines.append(f"g{i}\tg{i + 1}")
+            lines.append(f"g{i}\tg{i + 2}")
+    net = tmp_path / "net.tsv"
+    net.write_text("\n".join(lines) + "\n")
+
+    graph = GenePairGraph.from_edge_list(str(net), genes)
+    graph.augment_with_snn(2)
+    keep = kcore_trim(graph, 2)
+    mog = leiden_gene_modules(graph, keep, resolution=0.5, seed=0)
+    # the two halves of the gene axis should never share a module
+    left = set(mog[: d // 2]) - {-1}
+    right = set(mog[d // 2 :]) - {-1}
+    assert left and right and not (left & right)
+    basis = ModulePairBasis.build(graph, mog)
+    assert basis.n_pairs >= 2
+
+    res = fit_link_community(
+        vec, coords, n_communities=2, knn=6,
+        n_sweeps=15, n_greedy=5, em_sweeps=5,
+        gene_network=str(net), seed=4,
+    )
+    lab = res.propensity.argmax(1)
+    agree = max((lab == domain).mean(), (lab != domain).mean())
+    assert agree > 0.8, agree
+
+
+def test_lc_cli_outputs_traces_and_consensus(tmp_path):
+    """`pinto lc` writes score traces, gene-community rates, and the
+    BHC consensus table (score_trace.rs / outputs.rs roles)."""
+    import pandas as pd
+    import scipy.sparse as sp
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+
+    coords, domain, counts = _planted_domains(seed=9, side=10, d=30)
+    path = str(tmp_path / "sp.zarr")
+    create_sparse_from_csc(
+        sp.csc_matrix(counts), path,
+        [f"g{i}" for i in range(30)], [f"c{j}" for j in range(100)],
+    )
+    cf = tmp_path / "coords.tsv"
+    np.savetxt(
+        cf, np.column_stack([np.arange(100), coords[:, 0], coords[:, 1]]),
+        fmt=["%d", "%.1f", "%.1f"], delimiter="\t",
+    )
+    out = str(tmp_path / "lc")
+    cli.run_pinto([
+        "lc", "--data-files", path, "--coords", str(cf), "--out", out,
+        "-k", "3", "--knn", "5", "--sweeps", "10", "--em-sweeps", "4",
+    ])
+    tr = pd.read_parquet(f"{out}.score_trace.parquet")
+    assert set(tr["phase"]) >= {"gibbs", "em"}
+    gc = pd.read_parquet(f"{out}.gene_community.parquet")
+    assert gc.shape == (30, 4)
+    cons = pd.read_parquet(f"{out}.consensus.parquet")
+    assert len(cons) == 3
