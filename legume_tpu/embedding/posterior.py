@@ -149,3 +149,246 @@ def selection_pass(
             on = jax.random.bernoulli(kd, jax.nn.sigmoid(logit))
             g = g.at[:, dim].set(on.astype(g.dtype))
     return np.asarray(g)
+
+
+# ----------------------------------------------------------------------------
+# Hierarchical hyperpriors (posterior/hyper.rs parity)
+# ----------------------------------------------------------------------------
+
+
+class HalfCauchyVar:
+    """A variance with a half-Cauchy(scale) prior on its SD, carried as
+    the Inverse-Gamma scale mixture (Wand et al. 2011; hyper.rs):
+
+        sigma^2 | a ~ IG((n+1)/2, Sum x^2 / 2 + 1/a)
+        a | sigma^2 ~ IG(1, 1/A^2 + 1/sigma^2)
+
+    Conjugate two-step Gibbs; mass at 0, heavy tail, well-behaved as
+    sigma -> 0 (unlike the IG(eps, eps) collapse)."""
+
+    LOG_SD_CLAMP = 8.0
+
+    def __init__(self, scale: float = 1.0):
+        self.scale = float(scale)
+        self.aux = scale * scale
+
+    @staticmethod
+    def _inv_gamma(rng, shape, rate):
+        return 1.0 / max(rng.gamma(shape, 1.0 / max(rate, 1e-30)), 1e-30)
+
+    def sample(self, sum_sq: float, n: int, rng: np.random.Generator) -> float:
+        lo = np.exp(-2.0 * self.LOG_SD_CLAMP)
+        hi = np.exp(2.0 * self.LOG_SD_CLAMP)
+        shape = (n + 1.0) / 2.0
+        rate = 0.5 * sum_sq + 1.0 / self.aux
+        sigma2 = float(np.clip(self._inv_gamma(rng, shape, rate), lo, hi))
+        self.aux = self._inv_gamma(
+            rng, 1.0, 1.0 / (self.scale * self.scale) + 1.0 / sigma2
+        )
+        return sigma2
+
+
+def sample_pi0(
+    n_null: int, n_total: int, a: float, b: float, rng: np.random.Generator
+) -> float:
+    """Beta-Binomial global sparsity draw, clamped off {0,1}
+    (hyper.rs sample_pi0)."""
+    p = rng.beta(a + n_null, b + max(n_total - n_null, 0))
+    return float(np.clip(p, 1e-4, 1.0 - 1e-4))
+
+
+def ibp_pi0(alpha: float, h: int) -> np.ndarray:
+    """Per-dim EXCLUSION rates from a truncated Indian Buffet Process
+    held at the stick-breaking prior mean (hyper.rs ibp_pi0):
+    pi_h = (alpha/(alpha+1))^(h+1), exclusion = 1 - pi_h (increasing
+    with dim index — inclusion decays geometrically)."""
+    v = alpha / (alpha + 1.0)
+    return 1.0 - v ** (np.arange(1, h + 1, dtype=np.float64))
+
+
+# ----------------------------------------------------------------------------
+# Two-sided blocked Gibbs (posterior/pb_gibbs parity)
+# ----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=())
+def _poisson_ll_cols(y_pd, eta_pd):
+    """Per-COLUMN Poisson ll contributions given full eta."""
+    eta = jnp.clip(eta_pd, -20.0, 20.0)
+    return jnp.sum(y_pd * eta - jnp.exp(eta), axis=0)  # [D]
+
+
+@dataclass
+class PbGibbsResult:
+    e_feat_mean: np.ndarray  # [D, H]
+    pip: np.ndarray  # [D, H] per-(gene, dim) inclusion probability
+    e_pb_mean: np.ndarray  # [P, H]
+    b_pb_mean: np.ndarray  # [P]
+    sigma2_trace: np.ndarray  # [S, H] per-dim slab variances
+    rhat: np.ndarray  # [P] per-ANCHOR split-Rhat of the pb chains
+    ess: np.ndarray  # [P]
+
+
+def pb_gibbs(
+    counts_pd: np.ndarray,  # [P, D] pseudobulk counts
+    e_feat: np.ndarray,  # [D, H] warm start (phase-1 point estimate)
+    b_feat: np.ndarray,  # [D]
+    e_pb: np.ndarray,  # [P, H]
+    b_pb: np.ndarray,  # [P]
+    *,
+    n_sweeps: int = 20,
+    burnin: int = 5,
+    transitions_per_dim: int = 2,
+    stick_alpha: float | None = 2.0,
+    half_cauchy_scale: float = 1.0,
+    seed: int = 0,
+) -> PbGibbsResult:
+    """Alternating two-sided Gibbs over the bilinear Poisson model
+    (posterior/pb_gibbs/mod.rs):
+
+        genes | pb   per-dim spike-and-slab (slab via lockstep ESS on
+                     the dim coordinate for ALL genes at once, the
+                     chromatic schedule over dims; inclusion gates vs
+                     the IBP exclusion ladder or a flat prior)
+        pb | genes   per-dim Gaussian (null mass pinned at 0)
+
+    with per-dim slab variances under half-Cauchy hyperpriors resampled
+    between blocks, warm-started from the NCE point estimate.
+    Diagnostics cover EVERY pb anchor (vectorized split-Rhat/ESS)."""
+    from ..ops.mcmc import run_ess_chains
+
+    p, d = counts_pd.shape
+    h = e_feat.shape[1]
+    rng = np.random.default_rng(seed)
+    y = jnp.asarray(counts_pd, jnp.float32)
+    yt = y.T  # [D, P]
+    ef = jnp.asarray(e_feat, jnp.float32)
+    bf = jnp.asarray(b_feat, jnp.float32)
+    gates = jnp.ones((d, h), jnp.float32)
+    ep = jnp.asarray(e_pb, jnp.float32)
+    bp = jnp.asarray(b_pb, jnp.float32)
+
+    pi0 = (
+        ibp_pi0(stick_alpha, h)
+        if stick_alpha is not None
+        else np.full(h, 0.5)
+    )
+    hv = [HalfCauchyVar(half_cauchy_scale) for _ in range(h)]
+    sigma2 = np.full(h, half_cauchy_scale**2)
+
+    feat_acc = np.zeros((d, h))
+    pip_acc = np.zeros((d, h))
+    pb_acc = np.zeros((p, h))
+    bpb_acc = np.zeros(p)
+    sigma2_trace = []
+    pb_chain = []  # first pb coordinate per sweep, for diagnostics
+    kept = 0
+
+    key = jax.random.key(seed & 0x7FFFFFFF)
+    for sweep in range(burnin + n_sweeps):
+        # ---- gene block: per-dim spike-and-slab, genes in lockstep ----
+        for dim in range(h):
+            gated = ef * gates
+            eta_off = (
+                ep @ (gated.at[:, dim].set(0.0)).T + bf[None, :] + bp[:, None]
+            )  # [P, D]
+            # slab draw: ESS on the dim coordinate of ALL genes, prior
+            # N(0, sigma2[dim]), conditional on gate = 1
+            contrib_dir = ep[:, dim]  # [P]
+
+            def lnpdf(state, eta_off=eta_off, contrib_dir=contrib_dir):
+                # state [D, 1]: candidate coordinate per gene
+                eta = eta_off + jnp.outer(contrib_dir, state[:, 0])
+                return _poisson_ll_cols(yt.T, eta)
+
+            key, k_e = jax.random.split(key)
+            sd_dim = float(np.sqrt(sigma2[dim]))
+            samples, _ = run_ess_chains(
+                k_e,
+                (ef[:, dim] * gates[:, dim])[:, None],
+                prior_draw=lambda k, s, sd=sd_dim: sd * jax.random.normal(k, s),
+                lnpdf=lnpdf,
+                num_samples=transitions_per_dim,
+                burn_in=0,
+            )
+            new_coord = samples[-1][:, 0]  # [D]
+            # inclusion: ll(coord) - ll(0) + prior log-odds
+            ll_on = lnpdf(new_coord[:, None])
+            ll_off = lnpdf(jnp.zeros((d, 1)))
+            log_odds = (
+                ll_on - ll_off + float(np.log((1 - pi0[dim]) / max(pi0[dim], 1e-12)))
+            )
+            key, k_g = jax.random.split(key)
+            on = jax.random.bernoulli(k_g, jax.nn.sigmoid(log_odds))
+            gates = gates.at[:, dim].set(on.astype(jnp.float32))
+            ef = ef.at[:, dim].set(new_coord)
+
+        # ---- per-dim slab variance hypers (half-Cauchy, hyper.rs) ----
+        g_np = np.asarray(gates)
+        ef_np = np.asarray(ef)
+        for dim in range(h):
+            active = g_np[:, dim] > 0
+            n_act = int(active.sum())
+            ssq = float((ef_np[active, dim] ** 2).sum())
+            sigma2[dim] = hv[dim].sample(ssq, n_act, rng)
+
+        # ---- pb block: per-dim Gaussian, anchors in lockstep ----------
+        gated = ef * gates
+
+        def lnpdf_pb(state):
+            e = state[:, :h]
+            b = state[:, h]
+            eta = e @ gated.T + bf[None, :] + b[:, None]
+            eta = jnp.clip(eta, -20.0, 20.0)
+            return jnp.sum(y * eta - jnp.exp(eta), axis=1)
+
+        key, k_p = jax.random.split(key)
+        samples, _ = run_ess_chains(
+            k_p,
+            jnp.concatenate([ep, bp[:, None]], axis=1),
+            prior_draw=lambda k, s: jax.random.normal(k, s),
+            lnpdf=lnpdf_pb,
+            num_samples=transitions_per_dim,
+            burn_in=0,
+        )
+        last = samples[-1]
+        ep, bp = last[:, :h], last[:, h]
+
+        if sweep >= burnin:
+            kept += 1
+            feat_acc += np.asarray(ef * gates)
+            pip_acc += g_np
+            pb_acc += np.asarray(ep)
+            bpb_acc += np.asarray(bp)
+            sigma2_trace.append(sigma2.copy())
+            pb_chain.append(np.asarray(ep[:, 0]))
+
+    kept = max(kept, 1)
+    chain = np.stack(pb_chain) if pb_chain else np.zeros((1, p))
+
+    # vectorized per-anchor diagnostics over ALL anchors
+    def _split_rhat_all(x_sp):
+        s, pp = x_sp.shape
+        n = s // 2
+        if n < 2:
+            return np.ones(pp)
+        halves = np.stack([x_sp[:n], x_sp[n : 2 * n]])  # [2, n, P]
+        w = halves.var(axis=1, ddof=1).mean(0)
+        b = n * halves.mean(axis=1).var(axis=0, ddof=1)
+        out = np.sqrt((w * (n - 1) / n + b / n) / np.maximum(w, 1e-30))
+        return np.where(w <= 0, 1.0, out)
+
+    def _ess_all(x_sp):
+        from ..ops.mcmc import ess as _ess
+
+        return np.asarray([_ess(x_sp[:, i]) for i in range(x_sp.shape[1])])
+
+    return PbGibbsResult(
+        e_feat_mean=feat_acc / kept,
+        pip=pip_acc / kept,
+        e_pb_mean=pb_acc / kept,
+        b_pb_mean=bpb_acc / kept,
+        sigma2_trace=np.stack(sigma2_trace) if sigma2_trace else np.zeros((0, h)),
+        rhat=_split_rhat_all(chain),
+        ess=_ess_all(chain),
+    )

@@ -57,3 +57,104 @@ def test_selection_pass_keeps_informative_dims():
     # fall to the prior rate sigmoid(-1) ~ 0.27
     assert gates[:, :2].mean() > 0.6, gates.mean(0)
     assert gates[:, 2:].mean() < 0.45, gates.mean(0)
+
+
+def test_pb_gibbs_recovers_sparse_loadings():
+    """Alternating pb_gibbs (posterior/pb_gibbs): per-(gene, dim) PIPs
+    separate active from null loadings, pb embeddings track truth, and
+    diagnostics cover EVERY anchor."""
+    from legume_tpu.embedding.posterior import pb_gibbs
+
+    rng = np.random.default_rng(0)
+    d, p, h = 40, 12, 2
+    z_true = np.zeros((d, h))
+    active = rng.random((d, h)) < 0.3
+    z_true[active] = rng.normal(0, 1.2, active.sum())
+    e_pb = rng.normal(0, 1.0, (p, h))
+    eta = e_pb @ z_true.T + 0.5
+    y = rng.poisson(np.exp(np.clip(eta, -8, 8))).astype(np.float64)
+
+    res = pb_gibbs(
+        y, z_true + rng.normal(0, 0.3, z_true.shape),  # noisy warm start
+        np.full(d, 0.5), e_pb + rng.normal(0, 0.3, e_pb.shape), np.zeros(p),
+        n_sweeps=12, burnin=4, transitions_per_dim=2,
+        stick_alpha=2.0, seed=1,
+    )
+    # PIP separates active from inactive loadings
+    auc_num, auc_den = 0, 0
+    for dim in range(h):
+        on, off = res.pip[active[:, dim], dim], res.pip[~active[:, dim], dim]
+        for a in on:
+            for b in off:
+                auc_den += 1
+                auc_num += (a > b) + 0.5 * (a == b)
+    auc = auc_num / max(auc_den, 1)
+    assert auc > 0.75, f"pip AUC {auc:.2f}"
+    assert res.rhat.shape == (p,) and res.ess.shape == (p,)
+    assert np.isfinite(res.sigma2_trace).all()
+    # pb means track truth (sign/rotation-free via correlation of scores)
+    s_true = (e_pb @ z_true.T).ravel()
+    s_est = (res.e_pb_mean @ res.e_feat_mean.T).ravel()
+    r = np.corrcoef(s_true, s_est)[0, 1]
+    assert r > 0.8, f"score correlation {r:.2f}"
+
+
+def test_hyper_primitives():
+    from legume_tpu.embedding.posterior import HalfCauchyVar, ibp_pi0, sample_pi0
+
+    rng = np.random.default_rng(0)
+    hv = HalfCauchyVar(1.0)
+    # with many effects of variance 4, draws concentrate near 4
+    n = 4000
+    x = rng.normal(0, 2.0, n)
+    draws = [hv.sample((x**2).sum(), n, rng) for _ in range(50)]
+    assert 3.0 < np.median(draws) < 5.5, np.median(draws)
+    pi = ibp_pi0(2.0, 5)
+    assert np.all(np.diff(pi) > 0) and 0 < pi[0] < pi[-1] < 1
+    p0 = sample_pi0(90, 100, 9, 1, rng)
+    assert 0.7 < p0 < 1.0
+
+
+def test_two_layer_annotation_merges_nested_types():
+    """Nested fine types collapse onto one coarse group when the cells
+    only resolve two directions (type_annotation.rs two-layer)."""
+    from legume_tpu.embedding.type_annotation import annotate_two_layer
+
+    rng = np.random.default_rng(1)
+    h, d = 6, 60
+    # two real directions; genes load one of them
+    dirs = np.linalg.qr(rng.standard_normal((h, h)))[0][:2]
+    gene_dir = np.repeat([0, 1], d // 2)
+    feat = dirs[gene_dir] + 0.15 * rng.standard_normal((d, h))
+    # cells: two populations along the two directions
+    n = 200
+    cell_pop = np.repeat([0, 1], n // 2)
+    cells = dirs[cell_pop] + 0.15 * rng.standard_normal((n, h))
+    genes = [f"g{i}" for i in range(d)]
+    markers = {
+        "T Naive": [f"g{i}" for i in range(0, 10)],
+        "T Memory": [f"g{i}" for i in range(10, 20)],
+        "B Naive": [f"g{i}" for i in range(30, 40)],
+        "B Memory": [f"g{i}" for i in range(40, 50)],
+    }
+    res = annotate_two_layer(
+        cells, feat, genes, markers, knn=10, n_permutations=60, min_z=1.0, seed=0,
+    )
+    # the two T subtypes merge, the two B subtypes merge, never across
+    assert res.group_of_type["T Naive"] == res.group_of_type["T Memory"]
+    assert res.group_of_type["B Naive"] == res.group_of_type["B Memory"]
+    assert res.group_of_type["T Naive"] != res.group_of_type["B Naive"]
+    assert res.group_of_type["T Naive"].startswith("T")
+    # coarse labels align with the true populations
+    coarse = np.asarray(res.coarse_labels, dtype=object)
+    t_frac = (coarse[cell_pop == 0] == res.group_of_type["T Naive"]).mean()
+    b_frac = (coarse[cell_pop == 1] == res.group_of_type["B Naive"]).mean()
+    assert t_frac > 0.8 and b_frac > 0.8, (t_frac, b_frac)
+    # hub calls agree with community majorities
+    assert len(res.hub_calls) >= 1
+    # term-ORA path
+    res2 = annotate_two_layer(
+        cells, feat, genes, markers, knn=10, n_permutations=30, min_z=1.0,
+        term_genes={"immune cell": [f"g{i}" for i in range(0, 20)]}, seed=0,
+    )
+    assert res2.term_ora is not None and len(res2.term_ora) >= 1
