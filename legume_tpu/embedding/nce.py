@@ -145,17 +145,30 @@ def fit_bge(
             )
         return total / len(counts_j)
 
-    @jax.jit
-    def phase1_step(params, opt_state):
-        loss, grads = jax.value_and_grad(phase1_loss)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    # epochs fold into ONE device dispatch (lax.scan) — the per-epoch
+    # dispatch cost dominates over a tunneled device and is pure waste
+    # on a local one (same redesign as models/train.py)
+    @partial(jax.jit, static_argnames=("n_epochs",))
+    def phase1_epochs(params, opt_state, *, n_epochs):
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(phase1_loss)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), None, length=n_epochs
+        )
+        return params, opt_state, losses
 
     p1_losses = []
-    for epoch in range(cfg.epochs):
-        params, opt_state, loss = phase1_step(params, opt_state)
-        if epoch % 50 == 0:
-            p1_losses.append(float(loss))
+    chunk_epochs = 100
+    done = 0
+    while done < cfg.epochs:
+        n_e = min(chunk_epochs, cfg.epochs - done)
+        params, opt_state, losses = phase1_epochs(params, opt_state, n_epochs=n_e)
+        p1_losses.extend(np.asarray(losses)[::50].tolist())
+        done += n_e
     feat = params["feat"]
     axes = params["axes"]
 

@@ -17,18 +17,20 @@ sequential), so accumulation is in-VMEM.
 Validated in interpreter mode on CPU (tests) and used on TPU behind
 `LEGUME_PALLAS=1` (`project_block` dispatch in `ops/sparse.py`).
 
-STATUS (resolved, round 1): real-TPU lowering REJECTS this kernel —
-Mosaic does not support per-element integer indexing
-(`ValueError: Cannot do int indexing on TPU`), so the gather
-(`basis[rows]`) and scatter (`.at[cols].add`) at the heart of a COO
-SpMM cannot be expressed inside a TPU Pallas body. This is a
-programming-model constraint, not a bug: Mosaic indexing must be
-block-structured (scalar-prefetch index maps select BLOCKS, not
-elements). XLA's segment_sum path lowers the same computation through
-TPU-optimized embedding-style gather/scatter and IS the production
-path (`ops/sparse.py`); on the dev chip it compiles and runs in ~6 s.
-The kernel is retained for interpret-mode reference and as a template
-for GPU-side Pallas (Triton), where int indexing is supported.
+STATUS (round 2): the round-1 COO kernel below still needs
+per-element int indexing and remains interpret-only. The RESOLUTION of
+SURVEY hard-part 1 is `project_block_tiled` further down: a fully
+block-structured (Mosaic-legal) formulation where gather and scatter
+both become one-hot MXU matmuls — VALIDATED ON THE REAL CHIP (max rel
+err 3e-3 vs XLA, from MXU f32-pass rounding; immaterial for the JL
+sketch whose downstream is sign bits) and measured 2.26x faster than
+the XLA segment path device-side at the production shape (40.8 ms vs
+92.3 ms for 8.4M nnz; docs/BENCH_NOTES.md roofline). Host-side tile
+bucketing is the trade: O(nnz) sort + scatter that this dev host runs
+~100x slower than a normal core (np divide of 8M int64 = 3.4 s), so
+the production default stays the XLA path; LEGUME_PALLAS=1 opts in
+where blocks are re-projected repeatedly (rSVD power iterations,
+matched re-reads) or bucketing can be pushed to ingest time.
 """
 
 from __future__ import annotations
@@ -91,3 +93,178 @@ def coo_project_pallas(
         interpret=interpret,
     )(row_ids, col_ids, vals, basis_dk)
     return out[:ncols]
+
+
+# ----------------------------------------------------------------------------
+# Mosaic-legal tiled SpMM (round 2: SURVEY hard-part 1 resolution)
+# ----------------------------------------------------------------------------
+#
+# The round-1 kernel above needs per-element int indexing, which Mosaic
+# rejects on real TPUs. This formulation is block-structured end to end:
+# nonzeros bucket into (gene-tile x cell-tile) chunks on the host; on
+# device, gather and scatter both become ONE-HOT MATMULS on the MXU
+# (one-hot built from broadcasted_iota + compare — no int indexing):
+#
+#   gathered [C, K]  = onehot(local_row, TILE_G) . vals  @  basis_tile
+#   out_tile [Tc, K] += onehot(local_col, TILE_C)^T @ gathered
+#
+# Scalar-prefetch index maps pick the basis tile (gi) and output tile
+# (cj) per chunk; chunks arrive sorted by (cj, gi) so each output tile
+# is visited contiguously and accumulates in VMEM, zeroed when a chunk
+# opens a new tile. Roofline: the XLA segment_sum path measures ~24
+# GB/s effective (0.07x of saxpy) because TPU scatter serializes; this
+# kernel replaces scatter with ~49 KFLOP/nnz of MXU work, which the
+# MXU absorbs far below the scatter latency (docs/BENCH_NOTES.md).
+
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+TILE_G = 128  # genes per basis tile (MXU-aligned)
+TILE_C = 256  # cells per output tile
+ENTRY_CHUNK = 1024  # nonzero entries per grid step (8 x 128 VMEM tile)
+_ROWS = ENTRY_CHUNK // 128  # entry arrays are [n_chunks * 8, 128]
+
+
+def _tiled_kernel(gi_ref, cj_ref, new_ref, lr_ref, lc_ref, v_ref, basis_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(new_ref[i] == 1)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    # entry blocks are [1, C, 1]: the trailing length-1 dim lets the
+    # one-hot build broadcast WITHOUT any reshape (Mosaic rejects
+    # vector reshapes like (8,128)->(1024,1))
+    lr = lr_ref[0]  # [C, 1] local gene row in [0, TILE_G)
+    lc = lc_ref[0]  # [C, 1] local cell col in [0, TILE_C)
+    v = v_ref[0]  # [C, 1] values (0 = padding)
+
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, TILE_G), 1)
+    oh_g = jnp.where(iota_g == lr, v, 0.0)  # [C, G]
+    gathered = jnp.dot(oh_g, basis_ref[:, :], preferred_element_type=jnp.float32)
+
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, TILE_C), 1)
+    oh_c = (iota_c == lc).astype(jnp.float32)  # [C, Tc]
+    out_ref[:, :] += jax.lax.dot_general(
+        oh_c, gathered,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def bucket_coo_for_tiles(
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray
+) -> tuple[np.ndarray, ...]:
+    """Host-side bucketing: entries sorted by (cell tile, gene tile) and
+    split into fixed-size chunks; returns per-chunk scalars
+    (gi, cj, new_out_tile) and [n_chunks, ENTRY_CHUNK] local entries."""
+    gi = rows // TILE_G
+    cj = cols // TILE_C
+    order = np.lexsort((gi, cj))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    gi, cj = gi[order], cj[order]
+
+    key = cj.astype(np.int64) * (gi.max() + 1 if len(gi) else 1) + gi
+    uniq, run_start, counts = np.unique(key, return_index=True, return_counts=True)
+    n_runs = len(uniq)
+    chunks_per_run = -(-counts // ENTRY_CHUNK)
+    chunk_off = np.zeros(n_runs + 1, np.int64)
+    np.cumsum(chunks_per_run, out=chunk_off[1:])
+    n_chunks = int(chunk_off[-1])
+
+    run_of_entry = np.repeat(np.arange(n_runs), counts)
+    within = np.arange(len(rows)) - run_start[run_of_entry]
+    chunk_of_entry = chunk_off[run_of_entry] + within // ENTRY_CHUNK
+    slot = within % ENTRY_CHUNK
+
+    lr = np.zeros((n_chunks, ENTRY_CHUNK), np.int32)
+    lc = np.zeros((n_chunks, ENTRY_CHUNK), np.int32)
+    vv = np.zeros((n_chunks, ENTRY_CHUNK), np.float32)
+    lr[chunk_of_entry, slot] = (rows % TILE_G).astype(np.int32)
+    lc[chunk_of_entry, slot] = (cols % TILE_C).astype(np.int32)
+    vv[chunk_of_entry, slot] = vals.astype(np.float32)
+    # [n_chunks, C, 1] layout: trailing unit dim == the array dim, so
+    # the (1, C, 1) block satisfies Mosaic's last-two-dims rule
+    lr = lr[:, :, None]
+    lc = lc[:, :, None]
+    vv = vv[:, :, None]
+
+    gi_of_chunk = np.repeat(gi[run_start], chunks_per_run).astype(np.int32)
+    cj_of_chunk = np.repeat(cj[run_start], chunks_per_run).astype(np.int32)
+    new_tile = np.ones(n_chunks, np.int32)
+    new_tile[1:] = (cj_of_chunk[1:] != cj_of_chunk[:-1]).astype(np.int32)
+    return gi_of_chunk, cj_of_chunk, new_tile, lr, lc, vv
+
+
+def project_block_tiled(
+    basis_dk,  # [D, K] numpy or jax
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    *,
+    ncols: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Mosaic-legal tiled SpMM projection: [ncols, K] = scatter-by-cell
+    of basis rows gathered at nonzero gene ids. Matches
+    `sparse.project_block` numerically (reordering-level float error)."""
+    basis = np.asarray(basis_dk, np.float32)
+    d, k = basis.shape
+    k_pad = -(-k // 128) * 128
+    d_pad = -(-d // TILE_G) * TILE_G
+    n_ct = max(-(-ncols // TILE_C), 1)
+    basis_p = np.zeros((d_pad, k_pad), np.float32)
+    basis_p[:d, :k] = basis
+
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    real = (cols >= 0) & (cols < ncols)  # drop COO padding slots
+    gi, cj, new, lr, lc, vv = bucket_coo_for_tiles(
+        rows[real].astype(np.int64), cols[real].astype(np.int64), vals[real]
+    )
+    if len(gi) == 0:
+        return jnp.zeros((ncols, k), jnp.float32)
+
+    # cell tiles with no nonzeros still need their output block zeroed:
+    # give each missing tile one empty chunk (all-padding entries)
+    missing = np.setdiff1d(np.arange(n_ct), np.unique(cj))
+    if len(missing):
+        gi = np.concatenate([gi, np.zeros(len(missing), np.int32)])
+        cj = np.concatenate([cj, missing.astype(np.int32)])
+        new = np.concatenate([new, np.ones(len(missing), np.int32)])
+        lr = np.concatenate([lr, np.zeros((len(missing), ENTRY_CHUNK, 1), np.int32)])
+        lc = np.concatenate([lc, np.zeros((len(missing), ENTRY_CHUNK, 1), np.int32)])
+        vv = np.concatenate([vv, np.zeros((len(missing), ENTRY_CHUNK, 1), np.float32)])
+        order = np.argsort(cj, kind="stable")
+        gi, cj, new = gi[order], cj[order], new[order]
+        lr, lc, vv = lr[order], lc[order], vv[order]
+
+    out = tiled_call(
+        jnp.asarray(gi), jnp.asarray(cj), jnp.asarray(new),
+        jnp.asarray(lr), jnp.asarray(lc), jnp.asarray(vv),
+        jnp.asarray(basis_p), n_ct=n_ct, k_pad=k_pad, interpret=interpret,
+    )
+    return out[:ncols, :k]
+
+
+@partial(jax.jit, static_argnames=("n_ct", "k_pad", "interpret"))
+def tiled_call(gi, cj, new, lr, lc, vv, basis_p, *, n_ct, k_pad, interpret=False):
+    """The device half of `project_block_tiled` (prebucketed inputs);
+    exposed separately so the roofline bench can time it alone."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(gi.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, ENTRY_CHUNK, 1), lambda i, gi, cj, nw: (i, 0, 0)),
+            pl.BlockSpec((1, ENTRY_CHUNK, 1), lambda i, gi, cj, nw: (i, 0, 0)),
+            pl.BlockSpec((1, ENTRY_CHUNK, 1), lambda i, gi, cj, nw: (i, 0, 0)),
+            pl.BlockSpec((TILE_G, k_pad), lambda i, gi, cj, nw: (gi[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE_C, k_pad), lambda i, gi, cj, nw: (cj[i], 0)),
+    )
+    return pl.pallas_call(
+        _tiled_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_ct * TILE_C, k_pad), jnp.float32),
+        interpret=interpret,
+    )(gi, cj, new, lr, lc, vv, basis_p)

@@ -48,6 +48,29 @@ def _project_block_normed(
     return proj[:ncols] / norm[:, None]
 
 
+def _project_block_normed_pallas(
+    basis_dk, row_ids, col_ids, vals, *, ncols: int
+) -> jax.Array:
+    """LEGUME_PALLAS=1 path: the Mosaic tiled one-hot SpMM kernel for
+    the projection matmul (~2.3x the XLA segment path on-device; see
+    docs/BENCH_NOTES.md roofline). Per-cell norms stay on the XLA
+    segment path (K=1, cheap)."""
+    from .pallas_kernels import project_block_tiled
+
+    lv = np.log1p(np.asarray(vals))
+    proj = project_block_tiled(
+        np.asarray(basis_dk), np.asarray(row_ids), np.asarray(col_ids), lv,
+        ncols=ncols,
+        interpret=jax.default_backend() == "cpu",  # Mosaic needs a real TPU
+    )
+    sq = jax.ops.segment_sum(
+        jnp.asarray(lv * lv), jnp.asarray(col_ids),
+        num_segments=ncols + 1, indices_are_sorted=True,
+    )
+    norm = jnp.maximum(jnp.sqrt(sq[:ncols]), 1e-8)
+    return proj / norm[:, None]
+
+
 @jax.jit
 def _standardize_cells(proj_nk: jax.Array) -> jax.Array:
     """Per-cell z-score over the K dims, clamp, re-z-score
@@ -85,15 +108,23 @@ def project_columns(
         w = jnp.asarray(np.asarray(row_weights, dtype=np.float32))[:, None]
         basis_dk = basis_dk * w  # zero weight removes the feature (rs:437-444)
 
+    import os
+
+    use_pallas = os.environ.get("LEGUME_PALLAS") == "1"
     pieces = []
     for blk in visit_columns_by_block(data, block_size=block_size):
-        proj_bk = _project_block_normed(
-            basis_dk,
-            jnp.asarray(blk.row_ids),
-            jnp.asarray(blk.col_ids),
-            jnp.asarray(blk.vals),
-            ncols=blk.ncols,
-        )
+        if use_pallas:
+            proj_bk = _project_block_normed_pallas(
+                basis_dk, blk.row_ids, blk.col_ids, blk.vals, ncols=blk.ncols
+            )
+        else:
+            proj_bk = _project_block_normed(
+                basis_dk,
+                jnp.asarray(blk.row_ids),
+                jnp.asarray(blk.col_ids),
+                jnp.asarray(blk.vals),
+                ncols=blk.ncols,
+            )
         pieces.append(np.asarray(proj_bk))
     proj_nk = np.concatenate(pieces, axis=0) if pieces else np.zeros((0, target_dim), np.float32)
 

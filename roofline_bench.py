@@ -1,0 +1,159 @@
+"""Roofline measurement for the sparse hot ops (SURVEY hard-part 1 /
+VERDICT round-1 item 8): is the XLA segment_sum path within ~2x of
+HBM speed-of-light for the projection/collapse shapes?
+
+Stages (one process, one TPU client — axon tunnel is single-client):
+1. practical HBM bandwidth: saxpy over a 256 MB f32 array (the
+   achievable ceiling, not the datasheet number);
+2. `project_block` (JL projection: gather basis rows at nonzero gene
+   ids, scale, segment-sum by cell) at the production shape;
+3. `collapse_block` (pseudobulk segment reduction);
+4. the same ops at a second nnz scale (shape-scaling check).
+
+Traffic model per nonzero (f32):
+  project: read row/col ids + val (12 B) + basis row gather (K*4 B);
+           write [B, K] once per block (amortized).
+  collapse: read ids + val (12 B) + scatter-add into [D, S] (atomic
+           read-modify-write ~8 B effective).
+
+Prints one JSON line per stage to stdout; run manually, results land
+in docs/BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def timed(fn, *args, n=40):
+    """Two-point chained timing. Iteration i+1 CONSUMES iteration i's
+    output (the first positional arg is threaded), so neither XLA async
+    dispatch nor relay-level memoization can overlap or skip work; a
+    tiny READBACK is the barrier (the tunnel's block_until_ready
+    returns early). The per-iteration time is the slope between an
+    n-run and an n/2-run, cancelling fixed RPC overhead."""
+    import jax
+    import numpy as np
+
+    def chain(m):
+        cur = args[0]
+        out = None
+        t0 = time.time()
+        for _ in range(m):
+            out = fn(cur, *args[1:])
+            cur = _thread(out, cur)
+        jax.block_until_ready(cur)
+        np.asarray(jax.tree.leaves(out)[0].ravel()[:4])  # readback barrier
+        return time.time() - t0, out
+
+    chain(3)  # warm op + threading add compiles
+    t_half, _ = chain(n // 2)
+    t_full, out = chain(n)
+    dt = max(t_full - t_half, 1e-9) / (n - n // 2)
+    return dt, out
+
+
+def _thread(out, prev):
+    """Derive the next iteration's first arg from this output so the
+    chain has a real data dependency, preserving shape/dtype. When the
+    output IS shape/dtype-compatible (saxpy), chain it directly with no
+    extra traffic; otherwise fold a scalar probe into `prev` (one extra
+    full pass over `prev`, accounted small vs the op's own traffic)."""
+    import jax.numpy as jnp
+
+    if out.shape == prev.shape and out.dtype == prev.dtype:
+        return out
+    flat = out.ravel() if out.ndim else out[None]
+    probe = (flat[:1] * 1e-20).astype(prev.dtype)
+    return prev + jnp.broadcast_to(probe, prev.shape)
+
+
+def main():
+    results = {}
+    # internal deadline: a clean in-process exit wedges the axon relay
+    # far less than an external kill (docs/BENCH_NOTES.md)
+    import signal
+
+    def _bail(sig, frame):
+        print(json.dumps({"error": "roofline deadline hit", **results}))
+        sys.exit(0)
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(int(float(__import__("os").environ.get("ROOFLINE_DEADLINE", "900"))))
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    print(f"[roofline] device: {dev}", file=sys.stderr, flush=True)
+
+    # ---- 1. practical HBM bandwidth (saxpy) ---------------------------
+    n_el = 1 << 26  # 256 MB f32
+    x = jnp.ones(n_el, jnp.float32)
+
+    @jax.jit
+    def saxpy(x):
+        return x * 1.000001 + 0.5
+
+    t, _ = timed(saxpy, x)
+    bw = 2 * 4 * n_el / t  # read + write
+    results["hbm_saxpy_GBps"] = round(bw / 1e9, 1)
+    print(f"[roofline] saxpy: {t*1e3:.2f} ms -> {bw/1e9:.1f} GB/s", file=sys.stderr, flush=True)
+
+    from legume_tpu.ops.sparse import collapse_block, project_block
+
+    rng = np.random.default_rng(0)
+    d_genes, kdim = 34_008, 64
+    basis = jnp.asarray(rng.standard_normal((d_genes, kdim)).astype(np.float32))
+
+    for label, nnz, ncols in (("prod", 1 << 23, 8192), ("small", 1 << 21, 2048)):
+        rows = jnp.asarray(rng.integers(0, d_genes, nnz).astype(np.int32))
+        cols = jnp.asarray(np.sort(rng.integers(0, ncols, nnz)).astype(np.int32))
+        vals = jnp.asarray(rng.random(nnz).astype(np.float32))
+
+        t, _ = timed(
+            lambda r, c, v: project_block(basis, r, c, v, ncols=ncols),
+            rows, cols, vals,
+        )
+        bytes_proj = nnz * (12 + kdim * 4) + ncols * kdim * 4
+        gbps = bytes_proj / t / 1e9
+        results[f"project_{label}_ms"] = round(t * 1e3, 2)
+        results[f"project_{label}_GBps"] = round(gbps, 1)
+        results[f"project_{label}_frac_of_saxpy"] = round(gbps / (bw / 1e9), 3)
+        print(
+            f"[roofline] project[{label}]: {t*1e3:.1f} ms, {gbps:.1f} GB/s "
+            f"({gbps/(bw/1e9):.2f}x saxpy)",
+            file=sys.stderr, flush=True,
+        )
+
+        s_groups = 607
+        seg = np.full(ncols + 1, s_groups, np.int32)
+        seg[:ncols] = rng.integers(0, s_groups, ncols)
+        seg_j = jnp.asarray(seg)
+        t, _ = timed(
+            lambda r, c, v: collapse_block(
+                r, c, v, seg_j, num_genes=d_genes, num_groups=s_groups
+            ),
+            rows, cols, vals,
+        )
+        bytes_clp = nnz * (12 + 8) + d_genes * s_groups * 4
+        gbps = bytes_clp / t / 1e9
+        results[f"collapse_{label}_ms"] = round(t * 1e3, 2)
+        results[f"collapse_{label}_GBps"] = round(gbps, 1)
+        results[f"collapse_{label}_frac_of_saxpy"] = round(gbps / (bw / 1e9), 3)
+        print(
+            f"[roofline] collapse[{label}]: {t*1e3:.1f} ms, {gbps:.1f} GB/s "
+            f"({gbps/(bw/1e9):.2f}x saxpy)",
+            file=sys.stderr, flush=True,
+        )
+
+    results["device"] = str(dev)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,3 +58,68 @@ def test_pallas_multi_chunk():
     )
     want = np.asarray(m.T.todense()) @ basis
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_tiled_kernel_matches_segment_sum():
+    """Mosaic-legal tiled one-hot SpMM == XLA segment-sum projection
+    (interpret mode on CPU; the real-chip run is in roofline_bench)."""
+    import jax.numpy as jnp
+
+    from legume_tpu.ops.pallas_kernels import project_block_tiled
+    from legume_tpu.ops.sparse import project_block
+
+    rng = np.random.default_rng(3)
+    d, k, ncols, nnz = 500, 48, 700, 20_000
+    basis = rng.standard_normal((d, k)).astype(np.float32)
+    rows = rng.integers(0, d, nnz)
+    cols = np.sort(rng.integers(0, ncols, nnz))
+    vals = rng.random(nnz).astype(np.float32)
+
+    want = np.asarray(
+        project_block(
+            jnp.asarray(basis), jnp.asarray(rows.astype(np.int32)),
+            jnp.asarray(cols.astype(np.int32)), jnp.asarray(vals), ncols=ncols,
+        )
+    )
+    got = np.asarray(
+        project_block_tiled(basis, rows, cols, vals, ncols=ncols, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_tiled_kernel_handles_empty_tiles_and_padding():
+    from legume_tpu.ops.pallas_kernels import project_block_tiled
+
+    rng = np.random.default_rng(4)
+    d, k, ncols = 300, 16, 600
+    basis = rng.standard_normal((d, k)).astype(np.float32)
+    # all nonzeros land in the LAST cell tile; early tiles must be zero
+    rows = rng.integers(0, d, 500)
+    cols = rng.integers(520, 600, 500)
+    vals = np.ones(500, np.float32)
+    # plus COO padding slots (col == ncols) that must be dropped
+    rows = np.concatenate([rows, np.zeros(12, np.int64)])
+    cols = np.concatenate([cols, np.full(12, ncols)])
+    vals = np.concatenate([vals, np.ones(12, np.float32)])
+    out = np.asarray(
+        project_block_tiled(basis, rows, cols, vals, ncols=ncols, interpret=True)
+    )
+    assert np.all(out[:512] == 0)
+    assert np.abs(out[520:]).sum() > 0
+
+
+def test_projection_pallas_dispatch_matches(monkeypatch):
+    """LEGUME_PALLAS=1 routes project_columns through the tiled kernel
+    and agrees with the XLA path."""
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import MemoryBackend
+    from legume_tpu.ops import random_projection as rp
+
+    rng = np.random.default_rng(5)
+    dense = rng.poisson(1.0, (120, 400)).astype(np.float32)
+    be = MemoryBackend(sp.csc_matrix(dense))
+    _, want = rp.project_columns(be, 24, block_size=128, seed=3)
+    monkeypatch.setenv("LEGUME_PALLAS", "1")
+    _, got = rp.project_columns(be, 24, block_size=128, seed=3)
+    np.testing.assert_allclose(got, want, atol=5e-3)
