@@ -131,28 +131,31 @@ def fit_bge(
     optimizer = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
     opt_state = optimizer.init(params)
 
-    def phase1_loss(params):
+    # counts/q/m ride as ARGUMENTS, never closure constants: closed-over
+    # arrays get baked into the compiled program (a 357 MB payload at
+    # the anchor shape — the tunnel's compile endpoint rejects it)
+    def phase1_loss(params, data):
         total = 0.0
-        for i in range(len(counts_j)):
+        for i in range(len(data["counts"])):
             total = total + _expected_nce_loss(
                 params["feat"],
                 params["axes"][i],
-                counts_j[i],
-                q_j[i],
-                m_j[i],
+                data["counts"][i],
+                data["q"][i],
+                data["m"][i],
                 k_neg=cfg.n_negatives,
                 ridge=cfg.ridge,
             )
-        return total / len(counts_j)
+        return total / len(data["counts"])
 
     # epochs fold into ONE device dispatch (lax.scan) — the per-epoch
     # dispatch cost dominates over a tunneled device and is pure waste
     # on a local one (same redesign as models/train.py)
     @partial(jax.jit, static_argnames=("n_epochs",))
-    def phase1_epochs(params, opt_state, *, n_epochs):
+    def phase1_epochs(params, opt_state, data, *, n_epochs):
         def step(carry, _):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(phase1_loss)(params)
+            loss, grads = jax.value_and_grad(phase1_loss)(params, data)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), loss
 
@@ -161,12 +164,15 @@ def fit_bge(
         )
         return params, opt_state, losses
 
+    data_j = {"counts": counts_j, "q": q_j, "m": m_j}
     p1_losses = []
     chunk_epochs = 100
     done = 0
     while done < cfg.epochs:
         n_e = min(chunk_epochs, cfg.epochs - done)
-        params, opt_state, losses = phase1_epochs(params, opt_state, n_epochs=n_e)
+        params, opt_state, losses = phase1_epochs(
+            params, opt_state, data_j, n_epochs=n_e
+        )
         p1_losses.extend(np.asarray(losses)[::50].tolist())
         done += n_e
     feat = params["feat"]

@@ -88,6 +88,72 @@ def main(n_cells=100_000, n_genes=2_000, epochs=100):
     )
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--stream-1m" not in sys.argv:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     main(n_cells=n)
+
+
+def stream_1m(n_cells=1_000_000, n_genes=2_000, block=32_768, nnz_per_cell=120):
+    """1M-cell STREAMING-PATH scaling: the projection + collapse hot
+    loops at full scale, with COO blocks GENERATED ON DEVICE (the host
+    in this environment is ~100x slower than production and cannot
+    simulate or convert 2e8 nonzeros in reasonable time; this measures
+    the compute path the zarr reader feeds). Prints one JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from legume_tpu.ops.sparse import collapse_block, project_block
+
+    kdim, s_groups = 50, 1024
+    key = jax.random.key(0)
+    basis = jax.random.normal(jax.random.key(1), (n_genes, kdim), jnp.float32)
+    nnz_blk = block * nnz_per_cell
+
+    @jax.jit
+    def gen_block(key):
+        kr, kv, kg = jax.random.split(key, 3)
+        rows = jax.random.randint(kr, (nnz_blk,), 0, n_genes, jnp.int32)
+        cols = jnp.repeat(jnp.arange(block, dtype=jnp.int32), nnz_per_cell)
+        vals = (jax.random.poisson(kv, 2.0, (nnz_blk,)) + 1).astype(jnp.float32)
+        seg = jax.random.randint(kg, (block + 1,), 0, s_groups, jnp.int32)
+        return rows, cols, vals, seg
+
+    # warm
+    r, c, v, seg = gen_block(key)
+    jax.block_until_ready(project_block(basis, r, c, v, ncols=block))
+    jax.block_until_ready(
+        collapse_block(r, c, v, seg, num_genes=n_genes, num_groups=s_groups)
+    )
+
+    n_blocks = n_cells // block
+    obs = jnp.zeros((n_genes, s_groups), jnp.float32)
+    t0 = time.time()
+    done_proj = 0.0
+    for b in range(n_blocks):
+        key, kb = jax.random.split(key)
+        r, c, v, seg = gen_block(kb)
+        p = project_block(basis, r, c, v, ncols=block)
+        obs = obs + collapse_block(
+            r, c, v, seg, num_genes=n_genes, num_groups=s_groups
+        )
+        done_proj += float(p[0, 0]) * 0.0  # consume without full readback
+    jax.block_until_ready(obs)
+    t = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "1M-cell streaming projection+collapse (device-fed)",
+                "n_cells": n_cells,
+                "nnz_total": n_blocks * nnz_blk,
+                "wall_s": round(t, 1),
+                "cells_per_s": round(n_cells / t, 1),
+                "note": "compute path only; zarr IO measured separately "
+                        "(host here is ~100x slower than production)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__" and "--stream-1m" in sys.argv:
+    stream_1m()
+    sys.exit(0)
