@@ -82,6 +82,9 @@ def main(argv=None):
     from ..utils.stop import install_sigint_handler
 
     install_sigint_handler()
+    from ..utils.progress import install_log_bridge
+
+    install_log_bridge()
     # multi-host: LEGUME_COORDINATOR/LEGUME_NUM_PROCESSES/LEGUME_PROCESS_ID
     # (or LEGUME_DISTRIBUTED=1 on pods with runtime discovery) turn on
     # jax.distributed before any backend touch (parallel/multihost.py)

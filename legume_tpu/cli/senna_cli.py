@@ -128,6 +128,11 @@ def run_senna(argv):
         p.add_argument("--epochs", type=int, default=100)
         p.add_argument("--minibatch-size", type=int, default=256)
         p.add_argument("--mask-frac", type=float, default=0.15)
+        p.add_argument(
+            "--frozen-features", default=None,
+            help="feature-embedding parquet from a prior run: matching"
+            " genes' rho rows load frozen (topic/freeze.rs)",
+        )
         if _name == "masked-topic":
             p.add_argument("--latent", choices=["simplex", "sbp"], default="simplex")
 
@@ -538,10 +543,30 @@ def run_senna(argv):
         }[args.cmd]
         vec = load_data_vec(args.data_files)
         data = build_topk_windows(vec, args.window)
+        embed_dim = args.embed_dim
+        frozen_init = frozen_mask = None
+        if getattr(args, "frozen_features", None):
+            import numpy as _np
+
+            from ..data.knowledge import load_frozen_features
+
+            ff = load_frozen_features(args.frozen_features, vec.row_names())
+            embed_dim = ff.h
+            rng = _np.random.default_rng(0)
+            frozen_init = 0.1 * rng.standard_normal(
+                (vec.num_rows + 1, ff.h)
+            ).astype(_np.float32)
+            frozen_init[ff.keep_target_indices] = ff.e_feat
+            frozen_mask = _np.zeros(vec.num_rows + 1, _np.float32)
+            frozen_mask[ff.keep_target_indices] = 1.0
+            print(
+                f"frozen features: {len(ff.keep_target_indices)}/{vec.num_rows}"
+                f" genes pinned (H={ff.h})"
+            )
         model = MaskedTopicModel(
             n_genes=vec.num_rows,
             n_topics=args.n_latent_topics,
-            embed_dim=args.embed_dim,
+            embed_dim=embed_dim,
             latent=latent,
         )
         variables, trace = train_masked(
@@ -550,6 +575,8 @@ def run_senna(argv):
                 epochs=args.epochs,
                 minibatch=args.minibatch_size,
                 mask_frac=args.mask_frac,
+                frozen_rho_init=frozen_init,
+                frozen_rho_mask=frozen_mask,
             ),
         )
         raw = latent == "gaussian"
@@ -793,6 +820,24 @@ def run_senna(argv):
             with open(topf, "w") as f:
                 f.write("\n".join(lines) + "\n")
             msg += f" and {topf}"
+            # gene x topic dictionary as a Hinton diagram over the
+            # union of top genes (plot-topic long_help: "a Hinton plot
+            # at <= 100 genes")
+            from ..utils.plot import hinton
+
+            top_union = []
+            for t in range(lb.shape[1]):
+                for g in _np.argsort(-lb[:, t])[: args.top_genes]:
+                    if g not in top_union:
+                        top_union.append(g)
+            top_union = _np.asarray(top_union[:100])
+            hf = f"{args.out}.dict_hinton.png"
+            hinton(
+                _np.exp(lb[top_union]), hf,
+                row_labels=genes[top_union], col_labels=list(dic.columns[1:]),
+                title="topic dictionary (top genes)",
+            )
+            msg += f" and {hf}"
         print(msg)
         return
     if args.cmd == "plot":

@@ -225,6 +225,11 @@ class MaskedTrainConfig:
     mask_frac: float = 0.15
     union_size: int = 4096  # static union bound U
     seed: int = 0
+    # frozen gene embedding (topic/freeze.rs + frozen_features.rs):
+    # rows of rho initialized from a prior run and HELD FIXED; rows not
+    # covered by the source (mask 0) stay trainable
+    frozen_rho_init: "np.ndarray | None" = None  # [n_genes + 1, H]
+    frozen_rho_mask: "np.ndarray | None" = None  # [n_genes + 1] 1 = frozen
 
 
 def train_masked(
@@ -252,6 +257,24 @@ def train_masked(
     log_q = jnp.asarray(data.log_q)
 
     optimizer = optax.adamw(cfg.learning_rate, weight_decay=0.01)
+    if cfg.frozen_rho_init is not None:
+        # overlay the pre-fit rows and zero their updates (row-granular
+        # freeze: unmatched genes keep training)
+        params = dict(params)
+        params["rho"] = jnp.asarray(cfg.frozen_rho_init, jnp.float32)
+        fmask = jnp.asarray(cfg.frozen_rho_mask, jnp.float32)[:, None]
+
+        def _zero_frozen(updates, state, params=None):
+            updates = dict(updates)
+            updates["rho"] = updates["rho"] * (1.0 - fmask)
+            return updates, state
+
+        optimizer = optax.chain(
+            optimizer,
+            optax.GradientTransformation(
+                lambda p: optax.EmptyState(), _zero_frozen
+            ),
+        )
     opt_state = optimizer.init(params)
 
     num_mb = max(n // cfg.minibatch, 1)

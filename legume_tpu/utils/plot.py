@@ -159,3 +159,96 @@ def strand_ideogram(
     fig.savefig(out, dpi=150)
     plt.close(fig)
     return out
+
+
+def hinton(
+    matrix: np.ndarray,
+    out: str,
+    *,
+    row_labels=None,
+    col_labels=None,
+    max_weight: float | None = None,
+    title: str = "",
+):
+    """Hinton diagram (plot-utils hinton role): square area encodes
+    |value|, color encodes sign. Used by `senna plot-topic` for the
+    gene x topic dictionary at <= 100 genes."""
+    plt = _mpl()
+    m = np.asarray(matrix, float)
+    if max_weight is None:
+        max_weight = 2 ** np.ceil(np.log2(np.abs(m).max() + 1e-12))
+    r, c = m.shape
+    fig, ax = plt.subplots(figsize=(max(c * 0.25, 2), max(r * 0.25, 2)))
+    ax.set_facecolor("#f5f5f5")
+    for (i, j), w in np.ndenumerate(m):
+        size = min(np.sqrt(abs(w) / max_weight), 1.0)
+        if size <= 0:
+            continue
+        color = PALETTE[0] if w > 0 else PALETTE[2]
+        ax.add_patch(
+            plt.Rectangle(
+                [j - size / 2, i - size / 2], size, size,
+                facecolor=color, edgecolor="none",
+            )
+        )
+    ax.set_xlim(-0.5, c - 0.5)
+    ax.set_ylim(r - 0.5, -0.5)
+    ax.set_aspect("equal")
+    if col_labels is not None:
+        ax.set_xticks(range(c))
+        ax.set_xticklabels(col_labels, rotation=90, fontsize=6)
+    if row_labels is not None:
+        ax.set_yticks(range(r))
+        ax.set_yticklabels(row_labels, fontsize=6)
+    if title:
+        ax.set_title(title, fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
+def scatter_with_hulls(
+    coords: np.ndarray,
+    labels: np.ndarray,
+    out: str,
+    *,
+    hull_frac: float = 0.9,
+    title: str = "",
+):
+    """Label-colored scatter with per-cluster convex hulls around the
+    central `hull_frac` of points (plot-utils hulls role)."""
+    from scipy.spatial import ConvexHull
+
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 6))
+    uniq = np.unique(labels)
+    for i, lab in enumerate(uniq):
+        pts = coords[labels == lab]
+        color = PALETTE[i % len(PALETTE)]
+        ax.scatter(pts[:, 0], pts[:, 1], s=4, color=color, label=str(lab), lw=0)
+        if len(pts) >= 4:
+            # central fraction: drop the most-distant points from the
+            # centroid so a few outliers do not balloon the hull
+            ctr = pts.mean(0)
+            d = np.linalg.norm(pts - ctr, axis=1)
+            keep = pts[d <= np.quantile(d, hull_frac)]
+            if len(keep) >= 3:
+                try:
+                    hull = ConvexHull(keep)
+                    poly = keep[hull.vertices]
+                    ax.fill(
+                        poly[:, 0], poly[:, 1],
+                        facecolor=color, alpha=0.15, edgecolor=color, lw=1.0,
+                    )
+                except Exception:
+                    pass
+    ax.legend(markerscale=3, fontsize=7, frameon=False)
+    if title:
+        ax.set_title(title, fontsize=9)
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out

@@ -139,3 +139,72 @@ def test_annotate_by_markers():
     }
     labels, scores = annotate_by_markers(profiles, genes, markers)
     assert labels == ["T cell", "B cell", "Monocyte"]
+
+
+def test_cell_annotations_and_frozen_features(tmp_path):
+    """auxiliary-data parity: cell -> individual loader with aligned
+    output (cell_annotations.rs), frozen-feature intersection with
+    composite-name resolution (frozen_features.rs), bundled panel."""
+    import pandas as pd
+
+    from legume_tpu.data.knowledge import (
+        bundled_panel,
+        load_frozen_features,
+        read_cell_annotations,
+    )
+
+    f = tmp_path / "ann.tsv"
+    f.write_text("#hdr\ncellA\tind1\ncellB\tind2\ncellC\tind1\n")
+    ann = read_cell_annotations(str(f))
+    assert ann.individual_ids == ["ind1", "ind2"]
+    out = ann.to_column_aligned(["cellB", "cellX", "cellA"], missing="NA")
+    assert out == ["ind2", "NA", "ind1"]
+
+    emb = tmp_path / "fe.parquet"
+    pd.DataFrame(
+        {
+            "gene": ["ENSG000001_TGFB1", "CD19", "ACTB"],
+            "h0": [1.0, 2.0, 3.0],
+            "h1": [4.0, 5.0, 6.0],
+        }
+    ).to_parquet(emb)
+    ff = load_frozen_features(str(emb), ["tgfb1", "MS4A1", "cd19"])
+    # TGFB1 resolves through the composite name; MS4A1 is unmatched
+    assert ff.keep_target_indices.tolist() == [0, 2]
+    np.testing.assert_allclose(ff.e_feat[:, 0], [1.0, 2.0])
+    assert ff.h == 2
+
+    panel = bundled_panel("blood")
+    assert "CD3D" in panel["markers"]["T_cell"]
+    assert panel["label_cl"]["NK_cell"].startswith("CL:")
+
+
+def test_masked_topic_frozen_rho_stays_fixed(tmp_path):
+    """--frozen-features pins matched rho rows across training."""
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import MemoryBackend
+    from legume_tpu.models.indexed import (
+        MaskedTopicModel, MaskedTrainConfig, build_topk_windows, train_masked,
+    )
+
+    rng = np.random.default_rng(0)
+    d, n = 40, 200
+    dense = rng.poisson(1.5, (d, n)).astype(np.float32)
+    vec = MemoryBackend(sp.csc_matrix(dense))
+    data = build_topk_windows(vec, 16)
+    h = 8
+    init = 0.1 * rng.standard_normal((d + 1, h)).astype(np.float32)
+    mask = np.zeros(d + 1, np.float32)
+    mask[:20] = 1.0  # first 20 genes frozen
+    model = MaskedTopicModel(n_genes=d, n_topics=3, embed_dim=h)
+    variables, _ = train_masked(
+        model, data,
+        MaskedTrainConfig(
+            epochs=5, minibatch=64,
+            frozen_rho_init=init, frozen_rho_mask=mask,
+        ),
+    )
+    rho = np.asarray(variables["params"]["rho"])
+    np.testing.assert_allclose(rho[:20], init[:20], atol=1e-6)
+    assert np.abs(rho[20:d] - init[20:d]).max() > 1e-4  # unmatched trained
