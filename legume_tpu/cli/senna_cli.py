@@ -221,7 +221,10 @@ def run_senna(argv):
     p.add_argument("--encoder-layers", type=int, nargs="+", default=[128, 128])
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--minibatch-size", type=int, default=100)
-    p.add_argument("--decoder", choices=["multinomial", "nb", "poisson"], default="nb")
+    p.add_argument(
+        "--decoder", choices=["multinomial", "nb", "poisson", "delta"], default="nb",
+        help="delta = shared base + chain deltas (same feature axis across modalities)",
+    )
     p.add_argument("--decoder-weights", type=float, nargs="+", default=None)
     p.add_argument("--proj-dim", type=int, default=50)
     p.add_argument("--sort-dim", type=int, default=8)

@@ -228,3 +228,88 @@ DECODERS = {
     "nb-mixture": NbMixtureTopicDecoder,
     "gaussian-nb": GaussianNbDecoder,
 }
+
+
+class DeltaTopicDecoder(nn.Module):
+    """Shared-base + cumulative chain-delta decoder for modalities on
+    the SAME feature axis (`decoder/delta_topic.rs`): modality m's
+    dictionary is log_softmax(base + sum_{j<=m} delta_j) with the
+    deltas zero-initialized, so modality 1 anchors and later modalities
+    learn residual shifts (spliced/unspliced, multi-condition). The
+    target is the [N, M*D] concatenation; the llik sums modalities."""
+
+    n_features: int  # per modality
+    n_topics: int
+    n_modalities: int = 2
+
+    @nn.compact
+    def __call__(self, log_z_nk, x_nmd, feature_weights=None):
+        base = self.param(
+            "base", nn.initializers.normal(stddev=1.0),
+            (self.n_topics, self.n_features),
+        )
+        deltas = [
+            self.param(f"delta_{m}", nn.initializers.zeros,
+                       (self.n_topics, self.n_features))
+            for m in range(1, self.n_modalities)
+        ]
+        z = jnp.exp(log_z_nk)
+        logits = base
+        recons, llik = [], 0.0
+        for m in range(self.n_modalities):
+            if m > 0:
+                logits = logits + deltas[m - 1]
+            log_beta = jax.nn.log_softmax(logits, axis=-1)
+            x_m = x_nmd[:, m * self.n_features : (m + 1) * self.n_features]
+            wx = x_m if feature_weights is None else x_m * feature_weights
+            log_recon = jnp.log(z @ jnp.exp(log_beta) + _LOG_EPS)
+            llik = llik + jnp.sum(wx * log_recon, axis=-1)
+            recons.append(jnp.exp(log_recon))
+        return jnp.concatenate(recons, axis=-1), llik
+
+    def get_dictionary(self) -> jax.Array:
+        """Base-modality log dictionary [D, K]."""
+        base = self.get_variable("params", "base")
+        return jax.nn.log_softmax(base, axis=-1).T
+
+
+class BipartiteDecoder(nn.Module):
+    """Bipartite block decoder (`decoder/bipartite.rs`): scores
+    S = z R F with a learned feature side F [K, D] and block coupling
+    R [K, K]; selectable likelihood — 'block' (one softmax over the
+    whole matrix), 'symmetric' (row + column softmaxes), or 'poisson'
+    (scores are log-rates)."""
+
+    n_features: int
+    n_topics: int
+    likelihood: str = "block"
+
+    @nn.compact
+    def __call__(self, log_z_nk, x_nd, feature_weights=None):
+        r = self.param(
+            "coupling", nn.initializers.normal(stddev=0.1),
+            (self.n_topics, self.n_topics),
+        )
+        f = self.param(
+            "feature", nn.initializers.normal(stddev=0.1),
+            (self.n_topics, self.n_features),
+        )
+        z = jnp.exp(log_z_nk)
+        scores = z @ r @ f  # [N, D]
+        wx = x_nd if feature_weights is None else x_nd * feature_weights
+        if self.likelihood == "block":
+            log_p = jax.nn.log_softmax(scores.reshape(scores.shape[0], -1), axis=None)
+            llik_total = jnp.sum(wx * log_p.reshape(scores.shape), axis=-1)
+        elif self.likelihood == "symmetric":
+            llik_total = jnp.sum(
+                wx * (jax.nn.log_softmax(scores, axis=0)
+                      + jax.nn.log_softmax(scores, axis=1)),
+                axis=-1,
+            )
+        else:  # poisson: scores are log-rates
+            rate = jnp.exp(jnp.clip(scores, -20.0, 20.0))
+            llik_total = jnp.sum(wx * scores - rate, axis=-1)
+        return scores, llik_total
+
+    def get_dictionary(self) -> jax.Array:
+        return self.get_variable("params", "feature").T

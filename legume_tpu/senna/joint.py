@@ -72,8 +72,25 @@ def fit_joint_topic(modalities: Sequence, args: JointTopicArgs) -> dict:
         off += d
 
     enc = LogSoftmaxEncoder(n_topics=args.n_topics, layers=tuple(args.encoder_layers))
-    dec_cls = DECODERS[args.decoder]
-    decoders = [[dec_cls(n_features=d, n_topics=args.n_topics) for d in dims]]
+    if args.decoder == "delta":
+        # shared-feature-axis modalities: one base dictionary + chain
+        # deltas (decoder/delta_topic.rs) instead of per-modality slices
+        from ..models.decoders import DeltaTopicDecoder
+
+        if len(set(dims)) != 1:
+            raise ValueError(
+                "delta decoder needs every modality on the SAME feature axis; "
+                f"got dims {dims}"
+            )
+        decoders = [
+            DeltaTopicDecoder(
+                n_features=dims[0], n_topics=args.n_topics,
+                n_modalities=len(dims),
+            )
+        ]
+    else:
+        dec_cls = DECODERS[args.decoder]
+        decoders = [[dec_cls(n_features=d, n_topics=args.n_topics) for d in dims]]
 
     trainer = MixedTrainer(
         enc,
@@ -86,7 +103,8 @@ def fit_joint_topic(modalities: Sequence, args: JointTopicArgs) -> dict:
         ),
         decoder_weights=list(args.decoder_weights) if args.decoder_weights else None,
     )
-    trainer.target_slices = slices
+    if args.decoder != "delta":
+        trainer.target_slices = slices
     variables, _, scores = trainer.train([LevelData(input=concat, input_null=None)], key)
 
     pb_log_z = trainer.encode(variables, concat)

@@ -528,3 +528,28 @@ def test_bulk_sim_deconvolve_recovery(tmp_path):
     true = fracs.iloc[:, 1:].to_numpy()
     err = np.abs(est - true).mean()
     assert err < 0.12, f"mean abs fraction error {err:.3f}"
+
+
+def test_senna_joint_topic_delta_decoder(tmp_path):
+    """joint-topic --decoder delta: shared-axis modalities through the
+    chain-delta dictionary (delta_topic.rs)."""
+    out = str(tmp_path / "mm")
+    cli.run_sim([
+        "multimodal", "--rows", "50", "50", "--cols", "250",
+        "--factors", "3", "--output", out,
+    ])
+    # give both modalities the same row names (shared feature axis)
+    from legume_tpu.data import open_sparse_matrix
+
+    for m in range(2):
+        be = open_sparse_matrix(f"{out}.mod{m}.zarr")
+        be.register_row_names([f"f{i}" for i in range(50)])
+    fit = str(tmp_path / "jtd")
+    cli.run_senna([
+        "joint-topic", "--data-files", f"{out}.mod0.zarr",
+        "--data-files", f"{out}.mod1.zarr",
+        "--out", fit, "-k", "3", "--epochs", "15", "--sort-dim", "5",
+        "--encoder-layers", "24", "--decoder", "delta",
+    ])
+    z = pd.read_parquet(f"{fit}.latent.parquet")
+    assert z.shape == (250, 4) and np.isfinite(z.iloc[:, 1:].to_numpy()).all()

@@ -185,3 +185,45 @@ def test_iaf_encoder_trains(toy_counts):
     assert np.mean(scores.llik[-3:]) > np.mean(scores.llik[:3])
     log_z = trainer.encode(variables, toy_counts)
     np.testing.assert_allclose(np.exp(log_z).sum(-1), 1.0, rtol=1e-3)
+
+
+def test_delta_topic_decoder_chains_modalities():
+    """DeltaTopicDecoder (delta_topic.rs): zero-init deltas make all
+    modalities start at the base dictionary; training moves modality 2
+    away while modality 1 stays anchored to the shared base."""
+    import jax
+    import jax.numpy as jnp
+
+    from legume_tpu.models.decoders import DeltaTopicDecoder
+
+    rng = np.random.default_rng(0)
+    n, d, k, m = 16, 30, 3, 2
+    dec = DeltaTopicDecoder(n_features=d, n_topics=k, n_modalities=m)
+    log_z = jnp.asarray(np.log(rng.dirichlet(np.ones(k), n) + 1e-9), jnp.float32)
+    x = jnp.asarray(rng.poisson(2.0, (n, m * d)).astype(np.float32))
+    variables = dec.init(jax.random.key(0), log_z, x)
+    recon, llik = dec.apply(variables, log_z, x)
+    assert recon.shape == (n, m * d) and np.isfinite(np.asarray(llik)).all()
+    # zero deltas -> the two modalities reconstruct identically
+    r = np.asarray(recon)
+    np.testing.assert_allclose(r[:, :d], r[:, d:], rtol=1e-5)
+    lb = np.asarray(dec.apply(variables, method="get_dictionary"))
+    np.testing.assert_allclose(np.exp(lb).sum(0), 1.0, rtol=1e-4)
+
+
+def test_bipartite_decoder_likelihoods():
+    import jax
+    import jax.numpy as jnp
+
+    from legume_tpu.models.decoders import BipartiteDecoder
+
+    rng = np.random.default_rng(1)
+    n, d, k = 12, 20, 4
+    log_z = jnp.asarray(np.log(rng.dirichlet(np.ones(k), n) + 1e-9), jnp.float32)
+    x = jnp.asarray(rng.poisson(1.0, (n, d)).astype(np.float32))
+    for fam in ("block", "symmetric", "poisson"):
+        dec = BipartiteDecoder(n_features=d, n_topics=k, likelihood=fam)
+        variables = dec.init(jax.random.key(0), log_z, x)
+        scores, llik = dec.apply(variables, log_z, x)
+        assert scores.shape == (n, d)
+        assert np.isfinite(np.asarray(llik)).all(), fam

@@ -74,3 +74,23 @@ def test_bge_multilevel_axes(structured):
     assert len(res.pb_embeddings) == 2
     assert res.pb_embeddings[0].shape == (40, 4)
     assert res.pb_embeddings[1].shape == (10, 4)
+
+
+def test_gene_chunked_phase1_matches_dense():
+    """gene_chunk > 0 computes the SAME objective/gradients as the
+    dense pass (chunk padding carries zero counts + zero q), so the
+    fitted embeddings agree."""
+    rng = np.random.default_rng(0)
+    p, d, h = 30, 50, 6
+    counts = rng.poisson(1.0, (p, d)).astype(np.float32)
+    dense = fit_bge([counts], config=NceConfig(embedding_dim=h, epochs=150, seed=2))
+    chunked = fit_bge(
+        [counts],
+        config=NceConfig(embedding_dim=h, epochs=150, seed=2, gene_chunk=16),
+    )
+    assert chunked.e_feat.shape == (d, h)
+    # same seeds + same math -> near-identical trajectories
+    np.testing.assert_allclose(chunked.e_feat, dense.e_feat, atol=2e-3)
+    np.testing.assert_allclose(
+        chunked.pb_embeddings[0], dense.pb_embeddings[0], atol=2e-3
+    )
