@@ -118,26 +118,32 @@ def stream_1m(n_cells=1_000_000, n_genes=2_000, block=32_768, nnz_per_cell=120):
         seg = jax.random.randint(kg, (block + 1,), 0, s_groups, jnp.int32)
         return rows, cols, vals, seg
 
-    # warm
-    r, c, v, seg = gen_block(key)
-    jax.block_until_ready(project_block(basis, r, c, v, ncols=block))
-    jax.block_until_ready(
-        collapse_block(r, c, v, seg, num_genes=n_genes, num_groups=s_groups)
-    )
-
     n_blocks = n_cells // block
-    obs = jnp.zeros((n_genes, s_groups), jnp.float32)
+
+    # ONE dispatch for the whole run: a lax.scan over blocks (per-block
+    # dispatches through the tunnel cost seconds each and measured the
+    # relay, not the engine)
+    @jax.jit
+    def run_all(key):
+        def body(carry, kb):
+            obs = carry
+            r, c, v, seg = gen_block(kb)
+            proj = project_block(basis, r, c, v, ncols=block)
+            obs = obs + collapse_block(
+                r, c, v, seg, num_genes=n_genes, num_groups=s_groups
+            )
+            # consume the projection inside the graph (no readback)
+            return obs + jnp.zeros_like(obs) * proj[0, 0], None
+
+        keys = jax.random.split(key, n_blocks)
+        obs, _ = jax.lax.scan(body, jnp.zeros((n_genes, s_groups), jnp.float32), keys)
+        return obs
+
+    jax.block_until_ready(run_all(jax.random.key(9)))  # compile warm-up
     t0 = time.time()
-    done_proj = 0.0
-    for b in range(n_blocks):
-        key, kb = jax.random.split(key)
-        r, c, v, seg = gen_block(kb)
-        p = project_block(basis, r, c, v, ncols=block)
-        obs = obs + collapse_block(
-            r, c, v, seg, num_genes=n_genes, num_groups=s_groups
-        )
-        done_proj += float(p[0, 0]) * 0.0  # consume without full readback
+    obs = run_all(key)
     jax.block_until_ready(obs)
+    np.asarray(obs[:1, :1])  # readback barrier
     t = time.time() - t0
     print(
         json.dumps(
