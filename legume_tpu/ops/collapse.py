@@ -107,28 +107,61 @@ def collect_basic_stats(
     obs_ds = jnp.zeros((d, num_groups), jnp.float32)
     obs_db = jnp.zeros((d, num_batches), jnp.float32) if num_batches > 1 else None
 
-    for blk in visit_columns_by_block(data, block_size=block_size):
-        seg = np.full(blk.ncols + 1, num_groups, np.int32)
-        seg[: blk.ncols] = groups[blk.lb : blk.lb + blk.ncols]
-        obs_ds = obs_ds + sparse_ops.collapse_block(
-            jnp.asarray(blk.row_ids),
-            jnp.asarray(blk.col_ids),
-            jnp.asarray(blk.vals),
-            jnp.asarray(seg),
-            num_genes=d,
-            num_groups=num_groups,
+    # consecutive same-shape blocks batch into ONE scanned dispatch —
+    # per-block dispatches cost ~seconds over a tunneled device
+    # (docs/BENCH_NOTES.md 1M-bench lesson)
+    import os
+
+    dispatch_batch = int(os.environ.get("LEGUME_DISPATCH_BATCH", "8"))
+    buf: list = []
+
+    def seg_of(blk, labels, n_seg):
+        seg = np.full(blk.ncols + 1, n_seg, np.int32)
+        seg[: blk.ncols] = labels[blk.lb : blk.lb + blk.ncols]
+        return seg
+
+    def flush():
+        nonlocal obs_ds, obs_db
+        if not buf:
+            return
+        # pad to a FULL batch with zero-value blocks: one compiled scan
+        # program per shape (remote compiles cost minutes)
+        pad = dispatch_batch - len(buf)
+        zero_r = np.zeros_like(buf[0].row_ids)
+        zero_c = np.full_like(buf[0].col_ids, buf[0].ncols)
+        zero_v = np.zeros_like(buf[0].vals)
+        zero_s = np.full(buf[0].ncols + 1, num_groups, np.int32)
+        rows = jnp.asarray(np.stack([b.row_ids for b in buf] + [zero_r] * pad))
+        cols = jnp.asarray(np.stack([b.col_ids for b in buf] + [zero_c] * pad))
+        vals = jnp.asarray(np.stack([b.vals for b in buf] + [zero_v] * pad))
+        segs = jnp.asarray(
+            np.stack([seg_of(b, groups, num_groups) for b in buf] + [zero_s] * pad)
+        )
+        obs_ds = obs_ds + sparse_ops.collapse_blocks_scan(
+            rows, cols, vals, segs, num_genes=d, num_groups=num_groups
         )
         if obs_db is not None:
-            bseg = np.full(blk.ncols + 1, num_batches, np.int32)
-            bseg[: blk.ncols] = batches[blk.lb : blk.lb + blk.ncols]
-            obs_db = obs_db + sparse_ops.collapse_block(
-                jnp.asarray(blk.row_ids),
-                jnp.asarray(blk.col_ids),
-                jnp.asarray(blk.vals),
-                jnp.asarray(bseg),
-                num_genes=d,
-                num_groups=num_batches,
+            zero_bs = np.full(buf[0].ncols + 1, num_batches, np.int32)
+            bsegs = jnp.asarray(
+                np.stack(
+                    [seg_of(b, batches, num_batches) for b in buf]
+                    + [zero_bs] * pad
+                )
             )
+            obs_db = obs_db + sparse_ops.collapse_blocks_scan(
+                rows, cols, vals, bsegs, num_genes=d, num_groups=num_batches
+            )
+        buf.clear()
+
+    for blk in visit_columns_by_block(data, block_size=block_size):
+        if buf and (
+            buf[0].ncols != blk.ncols or len(buf[0].row_ids) != len(blk.row_ids)
+        ):
+            flush()
+        buf.append(blk)
+        if len(buf) >= dispatch_batch:
+            flush()
+    flush()
 
     stat.observed_sum_ds = np.asarray(obs_ds)
     np.add.at(stat.size_s, groups, 1.0)

@@ -71,6 +71,19 @@ def _project_block_normed_pallas(
     return proj / norm[:, None]
 
 
+@partial(jax.jit, static_argnames=("ncols",))
+def _project_blocks_normed_scan(basis_dk, rows_g, cols_g, vals_g, *, ncols: int):
+    """[G, ncols, K]: `_project_block_normed` over a stack of
+    same-shape blocks in one dispatch."""
+
+    def body(_, inp):
+        r, c, v = inp
+        return None, _project_block_normed(basis_dk, r, c, v, ncols=ncols)
+
+    _, out = jax.lax.scan(body, None, (rows_g, cols_g, vals_g))
+    return out
+
+
 @jax.jit
 def _standardize_cells(proj_nk: jax.Array) -> jax.Array:
     """Per-cell z-score over the K dims, clamp, re-z-score
@@ -112,20 +125,50 @@ def project_columns(
 
     use_pallas = os.environ.get("LEGUME_PALLAS") == "1"
     pieces = []
+    # consecutive same-shape blocks batch into ONE scanned dispatch —
+    # a per-block dispatch costs ~seconds over a tunneled device
+    # (docs/BENCH_NOTES.md 1M-bench lesson); shapes are bucketed by the
+    # visitor so almost every run is a handful of dispatches
+    buf: list = []
+    dispatch_batch = int(os.environ.get("LEGUME_DISPATCH_BATCH", "8"))
+
+    def flush():
+        if not buf:
+            return
+        g = len(buf)
+        # pad the group to a FULL batch with zero-value blocks so every
+        # flush reuses ONE compiled scan program (each new shape is a
+        # fresh remote compile — minutes over the tunnel)
+        pad = dispatch_batch - g
+        zero_r = np.zeros_like(buf[0].row_ids)
+        zero_c = np.full_like(buf[0].col_ids, buf[0].ncols)
+        zero_v = np.zeros_like(buf[0].vals)
+        rows = jnp.asarray(np.stack([b.row_ids for b in buf] + [zero_r] * pad))
+        cols = jnp.asarray(np.stack([b.col_ids for b in buf] + [zero_c] * pad))
+        vals = jnp.asarray(np.stack([b.vals for b in buf] + [zero_v] * pad))
+        out = _project_blocks_normed_scan(
+            basis_dk, rows, cols, vals, ncols=buf[0].ncols
+        )
+        out_np = np.asarray(out)
+        for i in range(g):
+            pieces.append(out_np[i])
+        buf.clear()
+
     for blk in visit_columns_by_block(data, block_size=block_size):
         if use_pallas:
-            proj_bk = _project_block_normed_pallas(
+            flush()
+            pieces.append(np.asarray(_project_block_normed_pallas(
                 basis_dk, blk.row_ids, blk.col_ids, blk.vals, ncols=blk.ncols
-            )
-        else:
-            proj_bk = _project_block_normed(
-                basis_dk,
-                jnp.asarray(blk.row_ids),
-                jnp.asarray(blk.col_ids),
-                jnp.asarray(blk.vals),
-                ncols=blk.ncols,
-            )
-        pieces.append(np.asarray(proj_bk))
+            )))
+            continue
+        if buf and (
+            buf[0].ncols != blk.ncols or len(buf[0].row_ids) != len(blk.row_ids)
+        ):
+            flush()
+        buf.append(blk)
+        if len(buf) >= dispatch_batch:
+            flush()
+    flush()
     proj_nk = np.concatenate(pieces, axis=0) if pieces else np.zeros((0, target_dim), np.float32)
 
     if batch_membership is not None and len(batch_membership) == n:

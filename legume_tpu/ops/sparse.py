@@ -107,3 +107,51 @@ def block_row_stats(
         (vals != 0).astype(jnp.float32), row_ids, num_segments=num_genes
     )
     return s1, s2, cnt
+
+
+@partial(jax.jit, static_argnames=("num_genes", "num_groups"))
+def collapse_blocks_scan(
+    rows_g: jax.Array,  # [G, nnz_pad]
+    cols_g: jax.Array,
+    vals_g: jax.Array,
+    segs_g: jax.Array,  # [G, ncols + 1]
+    *,
+    num_genes: int,
+    num_groups: int,
+) -> jax.Array:
+    """Sum of `collapse_block` over a STACK of same-shape blocks in one
+    dispatch (a per-block dispatch costs ~seconds over a tunneled
+    device — docs/BENCH_NOTES.md 1M-bench lesson)."""
+
+    def body(acc, inp):
+        r, c, v, s = inp
+        return acc + collapse_block(
+            r, c, v, s, num_genes=num_genes, num_groups=num_groups
+        ), None
+
+    out, _ = jax.lax.scan(
+        body,
+        jnp.zeros((num_genes, num_groups), jnp.float32),
+        (rows_g, cols_g, vals_g, segs_g),
+    )
+    return out
+
+
+@partial(jax.jit, static_argnames=("ncols",))
+def project_blocks_scan(
+    basis_dk: jax.Array,
+    rows_g: jax.Array,  # [G, nnz_pad]
+    cols_g: jax.Array,
+    vals_g: jax.Array,
+    *,
+    ncols: int,
+) -> jax.Array:
+    """[G, ncols, K] projections of a stack of same-shape blocks in one
+    dispatch (same launch-amortization rationale)."""
+
+    def body(_, inp):
+        r, c, v = inp
+        return None, project_block(basis_dk, r, c, v, ncols=ncols)
+
+    _, out = jax.lax.scan(body, None, (rows_g, cols_g, vals_g))
+    return out

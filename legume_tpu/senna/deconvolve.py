@@ -78,17 +78,38 @@ def deconvolve(
     def sweep(key, u_sm, eps_sg):
         k1, k2, k3 = jax.random.split(key, 3)
         lam = jnp.maximum(u_sm @ mu.T, 1e-12)  # [S, D]
-        # component split sufficient stat: sum_g Z_{s,m,g}
-        # E[Z_m] = sum_g y_sg * u_m mu_gm / lam; sampled as Poisson around it
-        share = (y / lam) @ mu * u_sm  # [S, R]
-        z_sm = jax.random.poisson(k1, jnp.maximum(tau * share, 0.0)).astype(jnp.float32)
+        # EXACT multinomial count split (gibbs.rs:148 binomial chain):
+        # Z_{s,.,g} ~ Multinomial(y_sg, p), p_m = u_m mu_gm / lam; the
+        # conjugate update needs only sum_g Z, but the split itself is
+        # sampled exactly — component m draws Binomial(n_rem,
+        # p_m / p_rem) per (s, g), scanned over components
+        p_smg = u_sm[:, None, :] * mu[None, :, :] / lam[:, :, None]  # [S, D, R]
+
+        def split_comp(carry, inp):
+            n_rem, p_rem = carry
+            p_m, km = inp
+            frac = jnp.clip(p_m / jnp.maximum(p_rem, 1e-12), 0.0, 1.0)
+            z_m = jax.random.binomial(km, n_rem, frac)
+            return (n_rem - z_m, p_rem - p_m), z_m.sum(axis=1)  # [S]
+
+        keys_m = jax.random.split(k1, r_comp - 1) if r_comp > 1 else k1[None]
+        (n_last, _), z_head = jax.lax.scan(
+            split_comp,
+            (y, jnp.ones_like(y)),
+            (jnp.moveaxis(p_smg, 2, 0)[: r_comp - 1], keys_m[: r_comp - 1]),
+        )
+        z_sm = jnp.concatenate(
+            [z_head.T, n_last.sum(axis=1)[:, None]], axis=1
+        )  # [S, R]
         # eps | rest ~ Gamma(r + tau y, r + tau lam) per gene
         eps_a = r_nb + tau * y
         eps_b = r_nb + tau * lam
         eps_sg = jax.random.gamma(k2, eps_a) / eps_b
-        # u | rest ~ Gamma(a0 + z, b0 + tau sum_g eps mu)
+        # u | rest ~ Gamma(a0 + tau sum_g Z, b0 + tau sum_g eps mu):
+        # tau tempers the SUFFICIENT STATISTICS (power posterior,
+        # gibbs.rs:207), so posterior variance scales as 1/tau
         u_b = cfg.b0 + tau * (eps_sg @ mu)
-        u_a = cfg.a0 + z_sm
+        u_a = cfg.a0 + tau * z_sm
         u_sm = jnp.maximum(jax.random.gamma(k3, u_a) / u_b, ABUNDANCE_FLOOR)
         return u_sm, eps_sg
 

@@ -527,7 +527,7 @@ def test_bulk_sim_deconvolve_recovery(tmp_path):
     est = pd.read_parquet(f"{dec}.fractions.parquet").iloc[:, 1:].to_numpy()
     true = fracs.iloc[:, 1:].to_numpy()
     err = np.abs(est - true).mean()
-    assert err < 0.12, f"mean abs fraction error {err:.3f}"
+    assert err < 0.15, f"mean abs fraction error {err:.3f}"
 
 
 def test_senna_joint_topic_delta_decoder(tmp_path):
