@@ -230,9 +230,20 @@ def from_mtx(
     if streaming is None:
         streaming = Path(mtx).stat().st_size > _STREAM_BYTES
     if not streaming:
-        import scipy.io as sio
+        from .ioaccel import available, mtx_triplet_chunks
 
-        m = sio.mmread(mtx).tocsc()
+        if available():
+            it = mtx_triplet_chunks(mtx)
+            (d_mtx, n_mtx, _nnz), _ = next(it)
+            parts = list(it)
+            rows = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+            cols = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int64)
+            vals = np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.float32)
+            m = sp.coo_matrix((vals, (rows, cols)), shape=(d_mtx, n_mtx)).tocsc()
+        else:
+            import scipy.io as sio
+
+            m = sio.mmread(mtx).tocsc()
         return create_sparse_from_csc(m, output, row_names, col_names)
     return from_mtx_streaming(mtx, output, row_names=row_names, col_names=col_names)
 
@@ -252,6 +263,24 @@ def from_mtx_streaming(
     import pandas as pd
 
     from .spill import build_streaming_from_triplet_chunks
+
+    from .ioaccel import available as _accel_ok
+    from .ioaccel import mtx_triplet_chunks
+
+    if _accel_ok():
+        it = mtx_triplet_chunks(mtx, chunk=chunk_nnz)
+        (d, n, nnz), _ = next(it)
+        backend, sorter = build_streaming_from_triplet_chunks(
+            it, output,
+            n_rows=d, n_cols=n,
+            row_names=row_names, column_names=col_names,
+            chunk_nnz=chunk_nnz, slab_cols=slab_cols,
+        )
+        log.info(
+            "from-mtx (streaming, native): %d x %d nnz=%d, peak resident nnz=%d",
+            d, n, sorter.total_nnz, sorter.peak_resident_nnz,
+        )
+        return backend
 
     opener = gzip.open if str(mtx).endswith(".gz") else open
     with opener(mtx, "rt") as f:
@@ -335,6 +364,75 @@ def from_fragments(
     from .spill import TripletSpillSorter
 
     sorter = TripletSpillSorter(str(output).rstrip("/") + ".sortspill")
+
+    # native tokenizer path: vectorized per-chunk processing (the
+    # Python line loop below is the fallback when g++ is absent)
+    from .ioaccel import available as _accel_ok
+    from .ioaccel import fragment_chunks
+
+    if _accel_ok():
+        tiles: dict[tuple, int] = {}
+        tile_names: list[str] = []
+        peak_pos: dict[str, np.ndarray] | None = None
+        if peaks is not None:
+            peak_pos = peaks  # chrom -> [n, 3] (start, end, rid)
+        names_final = None
+        for out in fragment_chunks(fragments_path):
+            if isinstance(out, dict):
+                names_final = out
+                break
+            cid, start, end, bid, cnt, chroms_now = out
+            mid = (start + end) // 2
+            if peak_pos is not None:
+                rid = np.full(len(cid), -1, np.int64)
+                for ci in np.unique(cid):
+                    cname = chroms_now[ci]
+                    iv = peak_pos.get(cname)
+                    if iv is None:
+                        continue
+                    m = cid == ci
+                    j = np.searchsorted(iv[:, 0], mid[m], side="right") - 1
+                    ok = (j >= 0) & (mid[m] < iv[np.clip(j, 0, len(iv) - 1), 1])
+                    rr = np.where(ok, iv[np.clip(j, 0, len(iv) - 1), 2], -1)
+                    rid[m] = rr
+                keep = rid >= 0
+                sorter.add(rid[keep], bid[keep], cnt[keep].astype(np.float32))
+            else:
+                tile_idx = mid // tile_size
+                rid = np.empty(len(cid), np.int64)
+                # registry update via per-chunk unique pairs
+                pairs = np.stack([cid, tile_idx], 1)
+                uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+                lut = np.empty(len(uniq), np.int64)
+                for u, (ci, tj) in enumerate(uniq):
+                    key = (chroms_now[ci], int(tj))
+                    if key not in tiles:
+                        tiles[key] = len(tiles)
+                        tile_names.append(
+                            f"{key[0]}:{key[1] * tile_size}-{(key[1] + 1) * tile_size}"
+                        )
+                    lut[u] = tiles[key]
+                rid = lut[inv]
+                sorter.add(rid, bid, cnt.astype(np.float32))
+        names = peak_names if peaks is not None else tile_names
+        barcodes_list = names_final["barcodes"]
+        from .sparse_io import StreamingCscWriter
+
+        sorter.n_rows = len(names)
+        writer = StreamingCscWriter(str(output), len(names), row_names=names)
+        for _lb, slab in sorter.iter_column_slabs(16384, n_cols=len(barcodes_list)):
+            if min_count > 1:
+                slab.data[slab.data < min_count] = 0
+                slab.eliminate_zeros()
+            writer.append(slab)
+        backend = writer.finalize(column_names=barcodes_list)
+        sorter.cleanup()
+        log.info(
+            "from-fragments (native): %d %s x %d cells, nnz=%d",
+            len(names), "peaks" if peaks is not None else "tiles",
+            len(barcodes_list), backend.num_nonzeros,
+        )
+        return backend
     barcodes: dict[str, int] = {}
     tiles: dict[tuple, int] = {}
     rows, cols, vals = [], [], []

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -704,20 +705,109 @@ def evaluate_latent_by_encoder(
         np.asarray(finest.mu_residual.mean()) if finest.mu_residual is not None else None
     )
     out = np.zeros((n, trainer.encoder.n_topics), np.float32)
+
+    # batch the densify+encode of consecutive same-shape blocks into one
+    # scanned dispatch (docs/BENCH_NOTES.md dispatch lesson); flushes
+    # zero-pad to the full batch so one program compiles
+    import os
+
+    dispatch_batch = int(os.environ.get("LEGUME_DISPATCH_BATCH", "8"))
+    enc = trainer.encoder
+    enc_vars = {
+        "params": variables["params"]["encoder"],
+        "batch_stats": variables["batch_stats"]["encoder"],
+    }
+
+    @partial(jax.jit, static_argnames=("ncols",))
+    def encode_blocks(rows_g, cols_g, vals_g, null_g, *, ncols):
+        def body(_, inp):
+            r, c, v, nu = inp
+            x = sparse_ops.densify_block(r, c, v, ncols=ncols, num_genes=d)
+            log_z, _ = enc.apply(enc_vars, x, nu, train=False)
+            return None, log_z
+
+        _, zs = jax.lax.scan(body, None, (rows_g, cols_g, vals_g, null_g))
+        return zs
+
+    buf: list = []
+
+    def flush():
+        if not buf:
+            return
+        g = len(buf)
+        pad = dispatch_batch - g
+        ncols = buf[0].ncols
+        zero_r = np.zeros_like(buf[0].row_ids)
+        zero_c = np.full_like(buf[0].col_ids, ncols)
+        zero_v = np.zeros_like(buf[0].vals)
+        rows_g = jnp.asarray(np.stack([b.row_ids for b in buf] + [zero_r] * pad))
+        cols_g = jnp.asarray(np.stack([b.col_ids for b in buf] + [zero_c] * pad))
+        vals_g = jnp.asarray(np.stack([b.vals for b in buf] + [zero_v] * pad))
+        if null_ds is not None:
+            nulls = [
+                null_ds[:, groups[b.lb : b.lb + b.ncols]].T.astype(np.float32)
+                for b in buf
+            ] + [np.zeros((ncols, d), np.float32)] * pad
+            null_g = jnp.asarray(np.stack(nulls))
+        else:
+            null_g = jnp.zeros((dispatch_batch, ncols, 0), jnp.float32)
+        zs = np.asarray(encode_blocks(rows_g, cols_g, vals_g, null_g, ncols=ncols))
+        for i, b in enumerate(buf):
+            out[b.lb : b.lb + b.ncols] = zs[i]
+        buf.clear()
+
+    @partial(jax.jit, static_argnames=("ncols",))
+    def encode_blocks_nonull(rows_g, cols_g, vals_g, *, ncols):
+        def body(_, inp):
+            r, c, v = inp
+            x = sparse_ops.densify_block(r, c, v, ncols=ncols, num_genes=d)
+            log_z, _ = enc.apply(enc_vars, x, None, train=False)
+            return None, log_z
+
+        _, zs = jax.lax.scan(body, None, (rows_g, cols_g, vals_g))
+        return zs
+
+    def flush_nonull():
+        if not buf:
+            return
+        g = len(buf)
+        pad = dispatch_batch - g
+        ncols = buf[0].ncols
+        rows_g = jnp.asarray(
+            np.stack([b.row_ids for b in buf] + [np.zeros_like(buf[0].row_ids)] * pad)
+        )
+        cols_g = jnp.asarray(
+            np.stack([b.col_ids for b in buf] + [np.full_like(buf[0].col_ids, ncols)] * pad)
+        )
+        vals_g = jnp.asarray(
+            np.stack([b.vals for b in buf] + [np.zeros_like(buf[0].vals)] * pad)
+        )
+        zs = np.asarray(encode_blocks_nonull(rows_g, cols_g, vals_g, ncols=ncols))
+        for i, b in enumerate(buf):
+            out[b.lb : b.lb + b.ncols] = zs[i]
+        buf.clear()
+
+    if null_ds is None:
+        for blk in visit_columns_by_block(vec, block_size=block_size):
+            if buf and (
+                buf[0].ncols != blk.ncols or len(buf[0].row_ids) != len(blk.row_ids)
+            ):
+                flush_nonull()
+            buf.append(blk)
+            if len(buf) >= dispatch_batch:
+                flush_nonull()
+        flush_nonull()
+        return out
+
     for blk in visit_columns_by_block(vec, block_size=block_size):
-        x = np.asarray(
-            sparse_ops.densify_block(
-                jnp.asarray(blk.row_ids),
-                jnp.asarray(blk.col_ids),
-                jnp.asarray(blk.vals),
-                ncols=blk.ncols,
-                num_genes=d,
-            )
-        )
-        null = (
-            null_ds[:, groups[blk.lb : blk.lb + blk.ncols]].T if null_ds is not None else None
-        )
-        out[blk.lb : blk.lb + blk.ncols] = trainer.encode(variables, x, null)
+        if buf and (
+            buf[0].ncols != blk.ncols or len(buf[0].row_ids) != len(blk.row_ids)
+        ):
+            flush()
+        buf.append(blk)
+        if len(buf) >= dispatch_batch:
+            flush()
+    flush()
     return out
 
 
