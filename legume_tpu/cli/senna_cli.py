@@ -594,10 +594,22 @@ def run_senna(argv):
         pd.DataFrame({"epoch": _np.arange(len(trace)), "loss": trace}).to_parquet(
             f"{args.out}.loss.parquet"
         )
+        from ..senna.topic import save_model
+
+        save_model(
+            args.out, variables, args, vec.num_rows, vec.row_names(),
+            model_type=args.cmd,
+            extra_meta={
+                "window": args.window,
+                "embed_dim": embed_dim,
+                "latent": latent,
+            },
+        )
         RunManifest(
             command=args.cmd,
             inputs={"data_files": list(args.data_files)},
-            outputs={"latent": f"{args.out}.latent.parquet"},
+            outputs={"latent": f"{args.out}.latent.parquet",
+                     "model": f"{args.out}.model.npz"},
         ).save(args.out)
         print(f"wrote {args.out}.latent.parquet")
         return

@@ -73,6 +73,11 @@ def predict_model(args: PredictArgs) -> np.ndarray:
     import pandas as pd
 
     meta, variables, train_genes = load_model(args.model)
+    import jax
+
+    # npz round-trip yields numpy leaves; indexed-model gathers index
+    # params with traced ids, which numpy arrays reject
+    variables = jax.tree.map(jnp.asarray, variables)
     vec = load_data_vec(args.data_files)
     remap = build_gene_remap(train_genes, vec.row_names())
     log.info(
@@ -81,14 +86,33 @@ def predict_model(args: PredictArgs) -> np.ndarray:
         len(remap.new_to_train),
     )
 
-    encoder = LogSoftmaxEncoder(
-        n_topics=meta["n_topics"], layers=tuple(meta["encoder_layers"])
-    )
-    z = score_dense_backend(vec, encoder, variables, remap, block_size=args.block_size)
+    # model-type dispatch (predict.rs:287): dense topic / vae / masked
+    kind = meta.get("model_type", "topic")
+    if kind.startswith("masked"):
+        z = score_masked_backend(vec, meta, variables, remap)
+        col = "topic" if meta.get("latent", "simplex") != "gaussian" else "z"
+    elif kind == "vae":
+        from ..models.encoders import GaussianEncoder
+
+        encoder = GaussianEncoder(
+            n_latent=meta["n_topics"], layers=tuple(meta["encoder_layers"])
+        )
+        z = score_dense_backend(
+            vec, encoder, variables, remap, block_size=args.block_size
+        )
+        col = "z"
+    else:
+        encoder = LogSoftmaxEncoder(
+            n_topics=meta["n_topics"], layers=tuple(meta["encoder_layers"])
+        )
+        z = score_dense_backend(
+            vec, encoder, variables, remap, block_size=args.block_size
+        )
+        col = "topic"
 
     cells = vec.column_names()
     pd.DataFrame(
-        z, index=cells, columns=[f"topic{k}" for k in range(meta["n_topics"])]
+        z, index=cells, columns=[f"{col}{k}" for k in range(z.shape[1])]
     ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
     RunManifest(
         command="predict",
@@ -137,3 +161,39 @@ def score_dense_backend(
             out = np.zeros((n, log_z.shape[1]), np.float32)
         out[blk.lb : blk.lb + blk.ncols] = np.asarray(log_z)
     return out if out is not None else np.zeros((0, 0), np.float32)
+
+
+def score_masked_backend(vec, meta: dict, variables: dict, remap: GeneRemap) -> np.ndarray:
+    """Held-out inference for the masked/indexed models
+    (predict.rs:886 `score_masked_backend`): build top-K windows on the
+    held-out data, remap window gene ids into the TRAINING vocabulary
+    (unmapped genes drop to the pad slot), and run the indexed encoder
+    at eval."""
+    from ..models.indexed import MaskedTopicModel, build_topk_windows, encode_all
+
+    window = int(meta.get("window", 128))
+    data = build_topk_windows(vec, window)
+    d_train = remap.d_train
+    row_map = np.where(remap.new_to_train >= 0, remap.new_to_train, d_train)
+    # held-out ids index the NEW gene axis (pad = d_new); remap into the
+    # training axis with pad -> d_train
+    ids = data.ids.copy()
+    pad_mask = ids >= vec.num_rows
+    ids = row_map[np.clip(ids, 0, vec.num_rows - 1)]
+    ids[pad_mask] = d_train
+    data.ids = ids.astype(np.int32)
+    data.n_genes = d_train
+    # log_q over the training axis (selection-frequency of the remapped ids)
+    counts = np.zeros(d_train + 1, np.float64)
+    np.add.at(counts, data.ids.reshape(-1), 1.0)
+    freq = counts / max(counts[:d_train].sum(), 1.0)
+    data.log_q = np.log(np.maximum(freq, 1e-12)).astype(np.float32)
+
+    model = MaskedTopicModel(
+        n_genes=d_train,
+        n_topics=int(meta["n_topics"]),
+        embed_dim=int(meta.get("embed_dim", 64)),
+        latent=meta.get("latent", "simplex"),
+    )
+    raw = meta.get("latent") == "gaussian"
+    return encode_all(model, variables, data, raw_latent=raw)

@@ -811,9 +811,13 @@ def evaluate_latent_by_encoder(
     return out
 
 
-def save_model(out: str, variables: dict, args: TopicArgs, n_features: int, gene_names):
+def save_model(
+    out: str, variables: dict, args, n_features: int, gene_names,
+    *, model_type: str = "topic", extra_meta: dict | None = None,
+):
     """Weights + strict metadata round-trip
-    (`topic/model_metadata.rs:130-226`)."""
+    (`topic/model_metadata.rs:130-226`); `model_type` selects the
+    predict dispatch (dense topic / vae / masked, predict.rs:287)."""
     import json
 
     import flax
@@ -821,13 +825,14 @@ def save_model(out: str, variables: dict, args: TopicArgs, n_features: int, gene
     flat = flax.traverse_util.flatten_dict(variables, sep="/")
     np.savez(f"{out}.model.npz", **{k: np.asarray(v) for k, v in flat.items()})
     meta = {
-        "model_type": "topic",
-        "n_topics": args.n_latent_topics,
+        "model_type": model_type,
+        "n_topics": getattr(args, "n_latent_topics", getattr(args, "n_latent", 0)),
         "n_features": n_features,
-        "encoder_layers": list(args.encoder_layers),
-        "decoder": args.decoder,
-        "num_levels": args.num_levels,
+        "encoder_layers": list(getattr(args, "encoder_layers", ())),
+        "decoder": getattr(args, "decoder", ""),
+        "num_levels": getattr(args, "num_levels", 1),
         "gene_names_file": f"{out}.genes.txt",
+        **(extra_meta or {}),
     }
     with open(f"{out}.model.json", "w") as f:
         json.dump(meta, f, indent=2)

@@ -125,6 +125,11 @@ def fit_vae(args: VaeArgs) -> dict:
     pd.DataFrame(
         {"epoch": np.arange(len(scores.llik)), "llik": scores.llik, "kl": scores.kl}
     ).to_parquet(f"{args.out}.log_likelihood.parquet")
+    from .topic import save_model
+
+    save_model(
+        args.out, variables, args, d, vec.row_names(), model_type="vae"
+    )
     RunManifest(
         command="vae",
         inputs={"data_files": list(args.data_files)},

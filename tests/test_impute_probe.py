@@ -39,3 +39,49 @@ def test_probe_flags_drift():
     assert v_ok.verdict == "ok"
     assert v_drift.verdict in ("drift", "novel")
     assert v_drift.drift_score > v_ok.drift_score
+
+
+def test_predict_dispatch_vae_and_masked(tmp_path):
+    """`senna predict` dispatches on model_type (predict.rs:287): vae
+    and masked models round-trip through their saved weights and agree
+    with the training-time latents on the SAME data."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sim import simulate_topic, write_topic_sim
+
+    sim = simulate_topic(rows=80, cols=250, factors=3, depth=1500, seed=8)
+    path = write_topic_sim(sim, str(tmp_path / "sim"))
+
+    # vae
+    vf = str(tmp_path / "vae")
+    cli.run_senna([
+        "vae", "--data-files", path, "--out", vf, "-k", "4",
+        "--encoder-layers", "24", "--epochs", "10", "--sort-dim", "4",
+        "--num-levels", "1", "--iter-opt", "3",
+    ])
+    pv = str(tmp_path / "pv")
+    cli.run_senna(["predict", "--data-files", path, "--model", vf, "--out", pv])
+    z_train = pd.read_parquet(f"{vf}.latent.parquet").iloc[:, 1:].to_numpy()
+    z_pred = pd.read_parquet(f"{pv}.latent.parquet").iloc[:, 1:].to_numpy()
+    assert z_pred.shape == z_train.shape
+    # same data, same encoder: correlated latents (train used batch-null
+    # inputs per pb; predict uses none, so exact equality is not expected)
+    r = np.corrcoef(z_train.ravel(), z_pred.ravel())[0, 1]
+    assert r > 0.9, r
+
+    # masked-topic
+    mf = str(tmp_path / "mt")
+    cli.run_senna([
+        "masked-topic", "--data-files", path, "--out", mf, "-k", "3",
+        "--window", "24", "--embed-dim", "8", "--epochs", "8",
+        "--minibatch-size", "64",
+    ])
+    pm = str(tmp_path / "pm")
+    cli.run_senna(["predict", "--data-files", path, "--model", mf, "--out", pm])
+    zt = pd.read_parquet(f"{mf}.latent.parquet").iloc[:, 1:].to_numpy()
+    zp = pd.read_parquet(f"{pm}.latent.parquet").iloc[:, 1:].to_numpy()
+    assert zp.shape == zt.shape
+    np.testing.assert_allclose(np.exp(zp).sum(1), 1.0, rtol=1e-3)
+    r = np.corrcoef(zt.ravel(), zp.ravel())[0, 1]
+    assert r > 0.95, r
