@@ -41,6 +41,20 @@ def run_pinto(argv):
     p.add_argument("--column", default=None, help="column name (default: 2nd)")
     p.add_argument("--out", required=True)
 
+    p = sub.add_parser(
+        "interfaces", help="high-entropy interface cells: overview figure + TSV"
+    )
+    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--propensity", required=True,
+                   help="{out}.propensity.parquet from lc/cascade/prop")
+    p.add_argument("--edges", default=None,
+                   help="optional {out}.edges.parquet (else kNN on coords)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--entropy-quantile", type=float, default=0.9)
+    p.add_argument("--max-interface-cells", type=int, default=200)
+    p.add_argument("--neighborhood-hops", type=int, default=2)
+    p.add_argument("--knn", type=int, default=8)
+
     p = sub.add_parser("prop", help="edge-latent re-clustering (kmeans/leiden)")
     p.add_argument("--data-files", nargs="+", required=True)
     p.add_argument("--coords", required=True, help="TSV: cell x y")
@@ -99,6 +113,35 @@ def run_pinto(argv):
     seed = getattr(args, "seed", None)
     seed = DEFAULT_PROJECTION_SEED if seed is None else seed
 
+    if args.cmd == "interfaces":
+        import pandas as pd
+
+        from ..pinto.interfaces import interface_report
+        from ..utils.plot import interface_map
+
+        coords = np.loadtxt(args.coords, usecols=(1, 2))
+        pdf = pd.read_parquet(args.propensity)
+        comm_cols = [c for c in pdf.columns if c not in ("cell", "entropy")]
+        prop = pdf[comm_cols].to_numpy()
+        edges = None
+        if args.edges:
+            ed = pd.read_parquet(args.edges)
+            edges = ed[["src", "dst"]].to_numpy()
+        rep = interface_report(
+            prop, coords, edges,
+            community_names=comm_cols,
+            entropy_quantile=args.entropy_quantile,
+            max_cells=args.max_interface_cells,
+            hops=args.neighborhood_hops, knn=args.knn,
+        )
+        interface_map(coords, rep.entropy, rep.focal, f"{args.out}.interfaces.pdf")
+        pd.DataFrame(rep.rows).to_csv(
+            f"{args.out}.interfaces.tsv", sep="\t", index=False
+        )
+        print(
+            f"wrote {args.out}.interfaces.pdf + .tsv ({len(rep.focal)} focal cells)"
+        )
+        return
     if args.cmd == "prop":
         import pandas as pd
 

@@ -55,7 +55,9 @@ def run_senna(argv):
     p.add_argument("--block-size", type=int, default=4096)
 
     p = sub.add_parser("clustering", help="kmeans/leiden on a latent parquet")
-    p.add_argument("--latent", required=True)
+    p.add_argument("--latent", default=None)
+    p.add_argument("--from", dest="from_run", default=None,
+                   help="prefix of a prior run: inputs resolve from its manifest")
     p.add_argument("--out", required=True)
     p.add_argument("--method", choices=["kmeans", "leiden"], default="leiden")
     p.add_argument("--n-clusters", type=int, default=10)
@@ -71,7 +73,9 @@ def run_senna(argv):
     p.add_argument("--block-size", type=int, default=8192)
 
     p = sub.add_parser("layout", help="2D layout of a latent parquet")
-    p.add_argument("--latent", required=True)
+    p.add_argument("--latent", default=None)
+    p.add_argument("--from", dest="from_run", default=None,
+                   help="prefix of a prior run: inputs resolve from its manifest")
     p.add_argument("--out", required=True)
     p.add_argument("--method", choices=["umap", "tsne", "phate"], default="umap")
     p.add_argument("--n-neighbors", type=int, default=15)
@@ -79,7 +83,9 @@ def run_senna(argv):
     p.add_argument("--perplexity", type=float, default=30.0, help="tsne only")
 
     p = sub.add_parser("pseudotime", help="principal-graph pseudotime")
-    p.add_argument("--latent", required=True)
+    p.add_argument("--latent", default=None)
+    p.add_argument("--from", dest="from_run", default=None,
+                   help="prefix of a prior run: inputs resolve from its manifest")
     p.add_argument("--out", required=True)
     p.add_argument("--n-nodes", type=int, default=50)
     p.add_argument("--root-cell", type=int, default=None)
@@ -96,7 +102,9 @@ def run_senna(argv):
     p.add_argument("--out", required=True, help="output image (.png/.svg/.pdf)")
 
     p = sub.add_parser("plot-topic", help="structure bars + top genes per topic")
-    p.add_argument("--latent", required=True, help="log topic proportions parquet")
+    p.add_argument("--latent", default=None, help="log topic proportions parquet")
+    p.add_argument("--from", dest="from_run", default=None,
+                   help="prefix of a prior run: latent+dictionary resolve from its manifest")
     p.add_argument("--out", required=True, help="output image (.png/.svg/.pdf)")
     p.add_argument("--clusters", default=None, help="order cells by these labels")
     p.add_argument("--dictionary", default=None, help="{out}.dictionary.parquet")
@@ -260,6 +268,30 @@ def run_senna(argv):
     p.add_argument("--out", required=True, help="output prefix (one image per group)")
     p.add_argument("--bins", type=int, default=200)
     args = ap.parse_args(argv)
+
+    # --from manifest chaining (run_manifest.rs:848 inherit_from):
+    # downstream commands resolve their inputs from a prior run's
+    # {prefix}.senna.json instead of explicit paths
+    if getattr(args, "from_run", None):
+        from ..utils.manifest import RunManifest
+
+        mpath = (
+            args.from_run
+            if args.from_run.endswith(".json")
+            else args.from_run + ".senna.json"
+        )
+        prev = RunManifest.load(mpath)
+        if getattr(args, "latent", None) is None and "latent" in prev.outputs:
+            args.latent = prev.outputs["latent"]
+        if (
+            getattr(args, "dictionary", None) is None
+            and "dictionary" in prev.outputs
+        ):
+            args.dictionary = prev.outputs["dictionary"]
+    if args.cmd in ("clustering", "layout", "pseudotime", "plot-topic") and not getattr(
+        args, "latent", None
+    ):
+        raise SystemExit(f"{args.cmd}: provide --latent or --from <run prefix>")
 
     if args.cmd == "vae":
         from ..senna.vae import VaeArgs, fit_vae

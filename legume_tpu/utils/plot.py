@@ -114,6 +114,38 @@ def spatial_hex(
     plt.close(fig)
 
 
+def interface_map(
+    coords: np.ndarray,  # [N, 2]
+    entropy: np.ndarray,  # [N]
+    focal: np.ndarray,  # focal cell indices
+    out: str,
+    *,
+    title: str = "interfaces",
+):
+    """Entropy-as-grayscale+size overview with focal cells highlighted
+    (pinto/src/plot/interfaces.rs figure: radius scales with the
+    entropy quantile; darkest/largest = strongest interface)."""
+    plt = _mpl()
+    ent = np.asarray(entropy, np.float64)
+    lo, hi = float(ent.min()), float(ent.max())
+    q = (ent - lo) / max(hi - lo, 1e-12)
+    fig, ax = plt.subplots(figsize=(6, 5), dpi=150)
+    ax.scatter(
+        coords[:, 0], coords[:, 1], s=2 + 28 * q, c=0.85 - 0.7 * q,
+        cmap="gray", vmin=0, vmax=1, linewidths=0,
+    )
+    if len(focal):
+        ax.scatter(
+            coords[focal, 0], coords[focal, 1], s=46,
+            facecolors="none", edgecolors="crimson", linewidths=0.8,
+        )
+    ax.set_title(title)
+    ax.set_aspect("equal")
+    fig.tight_layout()
+    fig.savefig(out)
+    plt.close(fig)
+
+
 def strand_ideogram(
     activity: np.ndarray,  # [G] per-gene activity for one group
     chrom: np.ndarray,  # [G] chromosome index per gene

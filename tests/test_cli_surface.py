@@ -157,6 +157,30 @@ def test_senna_svd_impute_and_projection_annotate(topic_sim):
     assert agree > 0.95, f"self-transfer agreement {agree:.2f}"
 
 
+def test_senna_from_manifest_chaining(topic_sim):
+    # downstream commands resolve --latent from a prior run's manifest
+    path, tmp = topic_sim
+    svd = str(tmp / "svdchain")
+    cli.run_senna(["svd", "--data-files", path, "--out", svd, "--n-factors", "4"])
+    cl = str(tmp / "clchain")
+    cli.run_senna([
+        "clustering", "--from", svd, "--out", cl,
+        "--method", "kmeans", "--n-clusters", "3",
+    ])
+    labels = pd.read_parquet(f"{cl}.clusters.parquet")
+    assert len(labels) == 250
+    lay = str(tmp / "laychain")
+    cli.run_senna(["layout", "--from", svd, "--out", lay, "--method", "umap",
+        "--epochs", "30"])
+    xy = pd.read_parquet(f"{lay}.layout.parquet")
+    assert len(xy) == 250 and np.isfinite(xy.iloc[:, 1:].to_numpy()).all()
+    # missing both --latent and --from is a clean usage error
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.run_senna(["clustering", "--out", cl])
+
+
 def test_senna_fne_and_resolve(tmp_path):
     # two triangle cliques joined by one weak edge
     edges = tmp_path / "edges.tsv"

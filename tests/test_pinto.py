@@ -215,3 +215,46 @@ def test_lc_cli_outputs_traces_and_consensus(tmp_path):
     assert gc.shape == (30, 4)
     cons = pd.read_parquet(f"{out}.consensus.parquet")
     assert len(cons) == 3
+
+
+def test_interface_report_flags_boundary_cells(tmp_path):
+    import pandas as pd
+
+    # two spatial halves with opposite communities; boundary strip mixed
+    from legume_tpu.cli import main as cli
+    from legume_tpu.pinto.interfaces import (
+        interface_report, pick_uncommitted_cells,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 300
+    xy = rng.uniform(0, 10, size=(n, 2))
+    # propensity: smooth in x — pure c0 at x=0, pure c1 at x=10
+    w = 1 / (1 + np.exp(-(xy[:, 0] - 5) * 2.0))
+    prop = np.stack([1 - w, w], axis=1)
+    rep = interface_report(prop, xy, entropy_quantile=0.9, max_cells=50)
+    # focal cells concentrate near the x=5 boundary
+    assert len(rep.focal) > 0
+    assert np.abs(xy[rep.focal, 0] - 5).mean() < np.abs(xy[:, 0] - 5).mean()
+    unc = pick_uncommitted_cells(prop, commit_threshold=0.7)
+    assert np.abs(xy[unc, 0] - 5).max() < 2.0  # strictly boundary strip
+    # rows carry dominant + neighborhood composition
+    assert all(r["n_one_hop"] > 0 for r in rep.rows)
+
+    # CLI e2e: coords TSV + propensity parquet -> pdf + tsv
+    coords = tmp_path / "xy.tsv"
+    np.savetxt(coords, np.column_stack(
+        [np.arange(n), xy[:, 0], xy[:, 1]]
+    ), fmt=["%d", "%.4f", "%.4f"], delimiter="\t")
+    pq = tmp_path / "prop.parquet"
+    pd.DataFrame(prop, columns=["c0", "c1"]).assign(
+        entropy=0.0
+    ).reset_index(names="cell").to_parquet(pq)
+    out = str(tmp_path / "ifc")
+    cli.run_pinto([
+        "interfaces", "--coords", str(coords), "--propensity", str(pq),
+        "--out", out, "--entropy-quantile", "0.85",
+    ])
+    tsv = pd.read_csv(f"{out}.interfaces.tsv", sep="\t")
+    assert {"cell", "entropy", "dominant", "neighbor_communities"} <= set(tsv.columns)
+    assert (tmp_path / "ifc.interfaces.pdf").exists()
