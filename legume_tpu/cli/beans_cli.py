@@ -35,6 +35,28 @@ def run_beans(argv):
     p.add_argument("--fragments", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--tile-size", type=int, default=5000)
+    p.add_argument("--peaks", default=None, help="BED of peaks (else tiles)")
+    p = sub.add_parser("list-rows", help="print row (feature) names")
+    p.add_argument("backend")
+    p = sub.add_parser("list-columns", help="print column (cell) names")
+    p.add_argument("backend")
+    p = sub.add_parser("take-columns", help="dense TSV of selected columns")
+    p.add_argument("backend")
+    p.add_argument("--columns", required=True, help="file: one column name per line")
+    p.add_argument("--output", required=True, help="TSV out (.gz ok)")
+    p = sub.add_parser(
+        "take-rows", help="dense TSV of selected rows (transposed: cells x rows)"
+    )
+    p.add_argument("backend")
+    p.add_argument("--rows", required=True, help="file: one row name per line")
+    p.add_argument("--output", required=True, help="TSV out (.gz ok)")
+    p = sub.add_parser("sort-rows", help="reorder feature rows by a name list")
+    p.add_argument("backend")
+    p.add_argument("--rows", required=True, help="file: one row name per line")
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("convert", help="convert backend format (zarr <-> h5)")
+    p.add_argument("backend")
+    p.add_argument("--output", required=True, help=".zarr dir or .h5 file")
     p = sub.add_parser("align", help="rewrite backends onto the shared row union")
     p.add_argument("backends", nargs="+")
     p.add_argument("--suffix", default=".aligned", help="output suffix per backend")
@@ -233,3 +255,49 @@ def run_beans(argv):
     elif args.cmd == "info":
         be = open_sparse_matrix(args.backend)
         print(f"rows: {be.num_rows}\ncols: {be.num_columns}\nnnz: {be.num_nonzeros}")
+    elif args.cmd == "list-rows":
+        for n in open_sparse_matrix(args.backend).row_names():
+            print(n)
+    elif args.cmd == "list-columns":
+        for n in open_sparse_matrix(args.backend).column_names():
+            print(n)
+    elif args.cmd in ("take-columns", "take-rows"):
+        import pandas as pd
+
+        from ..data.builders import _read_name_file
+
+        be = open_sparse_matrix(args.backend)
+        if args.cmd == "take-columns":
+            want = _read_name_file(args.columns)
+            pos = {n: i for i, n in enumerate(be.column_names())}
+            idx = np.asarray([pos[n] for n in want if n in pos], np.int64)
+            dense = be.read_columns_dense(idx)  # [genes, cells]
+            df = pd.DataFrame(
+                dense, index=be.row_names(),
+                columns=[be.column_names()[i] for i in idx],
+            )
+        else:
+            want = _read_name_file(args.rows)
+            pos = {n: i for i, n in enumerate(be.row_names())}
+            idx = np.asarray([pos[n] for n in want if n in pos], np.int64)
+            dense = np.asarray(be.read_rows_csr(idx).todense()).T  # cells x rows
+            df = pd.DataFrame(
+                dense, index=be.column_names(),
+                columns=[be.row_names()[i] for i in idx],
+            )
+        if idx.size < len(want):
+            print(f"warning: {len(want) - idx.size} requested names absent")
+        df.to_csv(args.output, sep="\t")
+        print(f"wrote {args.output} ({df.shape[0]} x {df.shape[1]})")
+    elif args.cmd == "sort-rows":
+        from ..data.builders import _read_name_file, sort_rows_backend
+
+        be = sort_rows_backend(
+            args.backend, args.output, _read_name_file(args.rows)
+        )
+        print(f"wrote backend: {args.output} ({be.num_rows} rows)")
+    elif args.cmd == "convert":
+        from ..data.builders import convert_backend
+
+        be = convert_backend(args.backend, args.output)
+        print(f"wrote backend: {args.output} (nnz {be.num_nonzeros})")

@@ -690,3 +690,46 @@ def merge_mtx(
                 col_names.append(f"{nm}@{i}" if nm in seen else nm)
                 seen.add(nm)
     return create_sparse_from_csc(merged, output, row_names, col_names)
+
+
+def sort_rows_backend(
+    backend_path: str, output: str, row_order: list[str]
+) -> SparseBackend:
+    """Reorder feature rows by an explicit name list (`data-beans
+    sort-rows`; reference main.rs "Sort rows by name order"). Names
+    absent from the backend are skipped with a warning; backend rows
+    absent from the list are dropped (the reference semantics: the
+    name file defines the output universe)."""
+    be = open_sparse_matrix(backend_path)
+    pos = {n: i for i, n in enumerate(be.row_names())}
+    missing = [n for n in row_order if n not in pos]
+    if missing:
+        log.warning(
+            "sort-rows: %d requested rows absent (e.g. %s)",
+            len(missing), missing[:3],
+        )
+    rows = np.asarray([pos[n] for n in row_order if n in pos], np.int64)
+    if rows.size == 0:
+        raise ValueError("sort-rows: no requested row names found in backend")
+    return subset_backend(backend_path, output, rows=rows)
+
+
+def convert_backend(
+    backend_path: str, output: str, *, block_size: int = 8192
+) -> SparseBackend:
+    """Convert a backend between on-disk formats (`data-beans convert`,
+    zarr <-> h5): format picked from the output extension. Zarr targets
+    stream column slabs through StreamingCscWriter (bounded memory);
+    h5 targets assemble in memory."""
+    from .sparse_io import StreamingCscWriter, _backend_kind
+
+    be = open_sparse_matrix(backend_path)
+    if _backend_kind(str(output)) == "h5":
+        csc = be.read_columns_csc(np.arange(be.num_columns))
+        return create_sparse_from_csc(
+            csc, output, be.row_names(), be.column_names()
+        )
+    w = StreamingCscWriter(output, be.num_rows, row_names=be.row_names())
+    for lb, ub in be.column_block_sizes(block_size):
+        w.append(be.read_column_range_csc(lb, ub))
+    return w.finalize(column_names=be.column_names())

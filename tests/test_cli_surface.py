@@ -577,3 +577,77 @@ def test_senna_joint_topic_delta_decoder(tmp_path):
     ])
     z = pd.read_parquet(f"{fit}.latent.parquet")
     assert z.shape == (250, 4) and np.isfinite(z.iloc[:, 1:].to_numpy()).all()
+
+
+def test_beans_take_sort_convert_list(tmp_path):
+    out = str(tmp_path / "sim")
+    cli.run_sim([
+        "topic", "--rows", "30", "--cols", "80", "--factors", "2",
+        "--depth", "500", "--output", out,
+    ])
+    from legume_tpu.data import open_sparse_matrix
+
+    be = open_sparse_matrix(f"{out}.zarr")
+    genes, cells = be.row_names(), be.column_names()
+    full = np.asarray(be.read_columns_csc(np.arange(80)).todense())
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.run_beans(["list-rows", f"{out}.zarr"])
+    assert buf.getvalue().split() == genes
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.run_beans(["list-columns", f"{out}.zarr"])
+    assert buf.getvalue().split() == cells
+
+    # take-columns: dense slice matches, in name-file order
+    colsel = tmp_path / "cols.txt"
+    colsel.write_text("\n".join([cells[5], cells[2], cells[9]]) + "\n")
+    tc = tmp_path / "tc.tsv"
+    cli.run_beans([
+        "take-columns", f"{out}.zarr", "--columns", str(colsel),
+        "--output", str(tc),
+    ])
+    df = pd.read_csv(tc, sep="\t", index_col=0)
+    assert list(df.columns) == [cells[5], cells[2], cells[9]]
+    np.testing.assert_allclose(df.to_numpy(), full[:, [5, 2, 9]])
+
+    # take-rows: transposed (cells x rows)
+    rowsel = tmp_path / "rows.txt"
+    rowsel.write_text("\n".join([genes[7], genes[0]]) + "\n")
+    tr = tmp_path / "tr.tsv"
+    cli.run_beans([
+        "take-rows", f"{out}.zarr", "--rows", str(rowsel), "--output", str(tr),
+    ])
+    df = pd.read_csv(tr, sep="\t", index_col=0)
+    assert df.shape == (80, 2)
+    np.testing.assert_allclose(df.to_numpy(), full[[7, 0], :].T)
+
+    # sort-rows: reversed name order defines the output row order
+    rev = tmp_path / "rev.txt"
+    rev.write_text("\n".join(reversed(genes)) + "\n")
+    sr = str(tmp_path / "sorted")
+    cli.run_beans([
+        "sort-rows", f"{out}.zarr", "--rows", str(rev), "--output", f"{sr}.zarr",
+    ])
+    bs = open_sparse_matrix(f"{sr}.zarr")
+    assert bs.row_names() == list(reversed(genes))
+    np.testing.assert_allclose(
+        np.asarray(bs.read_columns_csc(np.arange(80)).todense()), full[::-1]
+    )
+
+    # convert zarr -> h5 -> zarr roundtrip
+    h5 = str(tmp_path / "conv.h5")
+    cli.run_beans(["convert", f"{out}.zarr", "--output", h5])
+    bh = open_sparse_matrix(h5)
+    assert bh.row_names() == genes and bh.column_names() == cells
+    z2 = str(tmp_path / "back.zarr")
+    cli.run_beans(["convert", h5, "--output", z2])
+    bz = open_sparse_matrix(z2)
+    np.testing.assert_allclose(
+        np.asarray(bz.read_columns_csc(np.arange(80)).todense()), full
+    )
+    assert bz.row_names() == genes
