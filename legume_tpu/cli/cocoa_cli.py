@@ -20,6 +20,12 @@ def run_cocoa(argv):
     p.add_argument("--iter-opt", type=int, default=100)
     p.add_argument("--permutations", type=int, default=0)
     p.add_argument("--no-collider-fix", action="store_true")
+    p.add_argument("--gff", default=None,
+                   help="GFF gene coordinates: run the per-(indv,topic) CNV HMM")
+    p.add_argument("--cnv-ground-truth", default=None,
+                   help="simulation alternative to --gff: TSV gene_idx/chr/pos")
+    p.add_argument("--cnv-states", type=int, default=3)
+    p.add_argument("--cnv-ref-iters", type=int, default=2)
 
     p = sub.add_parser(
         "collapse", help="per-individual pseudobulk Gamma means (cocoa collapse)"
@@ -143,5 +149,9 @@ def run_cocoa(argv):
             n_opt_iter=args.iter_opt,
             n_permutations=args.permutations,
             collider_fix=not args.no_collider_fix,
+            gff=args.gff,
+            cnv_ground_truth=args.cnv_ground_truth,
+            cnv_states=args.cnv_states,
+            cnv_ref_iters=args.cnv_ref_iters,
         )
     )

@@ -48,6 +48,13 @@ class CocoaDiffArgs:
     # the reference's MatchCache.y0_mat caching + --preload-data);
     # gated by nnz so 1M-cell runs keep streaming
     preload_max_nnz: int = 200_000_000
+    # CNV side-channel (cocoa/src/cnv_call.rs): per-(indv, topic) HMM
+    # on the adjusted exposure log-means, genome-ordered via --gff or a
+    # simulation ground-truth TSV
+    gff: Optional[str] = None
+    cnv_ground_truth: Optional[str] = None
+    cnv_states: int = 3
+    cnv_ref_iters: int = 2
     seed: int = DEFAULT_PROJECTION_SEED
 
 
@@ -151,7 +158,65 @@ def run_cocoa_diff(args: CocoaDiffArgs) -> dict:
         pvalue = z_to_pvalue(zscore)
 
     genes = vec.row_names()
+
+    # CNV side-channel on the adjusted exposure posterior (cnv_call.rs
+    # run_cnv_calling): states/cn_score parquet, normal-sample TSV,
+    # non-neutral segments BED, DEG concordance columns
+    cnv_run = None
+    if args.gff or args.cnv_ground_truth:
+        import gzip
+
+        from scipy.special import digamma
+
+        from .cnv_call import (
+            call_per_sample_cnv,
+            genome_order_from_gff,
+            genome_order_from_truth_tsv,
+            segments_bed_rows,
+        )
+
+        order = (
+            genome_order_from_gff(genes, args.gff)
+            if args.gff
+            else genome_order_from_truth_tsv(d, args.cnv_ground_truth)
+        )
+        log_tau = np.asarray(
+            digamma(np.asarray(params.exposure.a))
+            - np.log(np.asarray(params.exposure.b))
+        )  # [K, D, I]
+        topic_names = [f"topic{k}" for k in range(log_tau.shape[0])]
+        cnv_run = call_per_sample_cnv(
+            log_tau, order, [str(n) for n in indv_names], topic_names,
+            n_states=args.cnv_states, ref_iters=args.cnv_ref_iters,
+            seed=args.seed & 0x7FFFFFFF,
+        )
+        gene_ord = [genes[i] for i in order.ordered]
+        pd.DataFrame(
+            cnv_run.states, index=gene_ord, columns=cnv_run.sample_names
+        ).reset_index(names="gene").to_parquet(f"{args.out}.cnv.states.parquet")
+        pd.DataFrame(
+            cnv_run.cn_score, index=gene_ord, columns=cnv_run.sample_names
+        ).reset_index(names="gene").to_parquet(f"{args.out}.cnv.cn_score.parquet")
+        with gzip.open(f"{args.out}.cnv.normal_samples.tsv.gz", "wt") as f:
+            for k, refs in enumerate(cnv_run.refs_per_topic):
+                for i in refs:
+                    f.write(f"{topic_names[k]}\t{indv_names[int(i)]}\n")
+        with gzip.open(f"{args.out}.cnv.segments.bed.gz", "wt") as f:
+            for row in segments_bed_rows(cnv_run):
+                f.write("\t".join(str(x) for x in row) + "\n")
+        log.info(
+            "CNV outputs: %s.cnv.{states,cn_score}.parquet + "
+            "normal_samples.tsv.gz + segments.bed.gz", args.out,
+        )
+
     out = {"gene": genes, "effect": effect}
+    if cnv_run is not None:
+        from .cnv_call import deg_concordance as _conc
+
+        r, p, state = _conc(cnv_run, d)
+        out["cnv_concordance_r"] = r
+        out["cnv_concordance_p"] = p
+        out["cnv_state"] = state
     pd.DataFrame(out).to_parquet(f"{args.out}.effect.parquet")
     shared = np.asarray(params.shared.mean()).mean(axis=(0, 2))
     resid = np.asarray(params.residual.mean()).mean(axis=(0, 2))
@@ -161,6 +226,11 @@ def run_cocoa_diff(args: CocoaDiffArgs) -> dict:
     )
     outputs = {
         "effect": f"{args.out}.effect.parquet",
+        **({
+            "cnv_states": f"{args.out}.cnv.states.parquet",
+            "cnv_cn_score": f"{args.out}.cnv.cn_score.parquet",
+            "cnv_segments": f"{args.out}.cnv.segments.bed.gz",
+        } if cnv_run is not None else {}),
         "shared": f"{args.out}.shared.parquet",
         "residual": f"{args.out}.residual.parquet",
     }

@@ -55,3 +55,87 @@ def test_cocoa_diff_e2e(tmp_path):
     # permutation p-values: enriched for small values on causal genes
     pv = pd.read_parquet(out + ".pvalue.parquet").pvalue.to_numpy()
     assert pv[causal].mean() < pv[~causal].mean()
+
+
+def test_cocoa_cnv_side_channel_recovers_amplified_block(tmp_path):
+    # 8 individuals; carriers 0-1 have a 2.2x amplified gene block
+    # [20, 36) — a minority, so the auto-detected "normal" reference is
+    # identifiable (a ~50% carrier fraction makes the sign ambiguous, in
+    # the reference implementation too). Exposure orthogonal to carriers.
+    import gzip
+
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    g, n_indv, cpi = 60, 8, 40
+    n = n_indv * cpi
+    base = rng.gamma(2.0, 1.0, size=g)
+    cell_indv = np.repeat(np.arange(n_indv), cpi)
+    rate = np.tile(base[:, None], (1, n))
+    carriers = np.arange(2)
+    amp = slice(20, 36)
+    for i in carriers:
+        rate[amp, cell_indv == i] *= 2.2
+    counts = rng.poisson(rate * 5.0).astype(np.float32)
+    import scipy.sparse as sp
+
+    be_path = str(tmp_path / "cnv_counts.zarr")
+    create_sparse_from_csc(
+        sp.csc_matrix(counts), be_path,
+        [f"g{i}" for i in range(g)], [f"c{j}" for j in range(n)],
+    )
+    (tmp_path / "indv.txt").write_text(
+        "\n".join(f"i{v}" for v in cell_indv) + "\n"
+    )
+    exposure = np.tile([0, 1], n_indv // 2)  # alternating: orthogonal
+    (tmp_path / "exp.tsv").write_text(
+        "".join(f"i{i}\t{x}\n" for i, x in enumerate(exposure))
+    )
+    truth = tmp_path / "truth.tsv"
+    pd.DataFrame({
+        "gene_idx": np.arange(g), "chr": "chr1",
+        "pos": np.arange(g) * 1000 + 500,
+    }).to_csv(truth, sep="\t", index=False)
+
+    out = str(tmp_path / "cnv")
+    run_cocoa_diff(
+        CocoaDiffArgs(
+            data_files=[be_path], out=out,
+            indv_file=str(tmp_path / "indv.txt"),
+            exposure_file=str(tmp_path / "exp.tsv"),
+            n_pb_samples=4, knn=5, n_opt_iter=40,
+            cnv_ground_truth=str(truth), cnv_ref_iters=2,
+        )
+    )
+    cn = pd.read_parquet(out + ".cnv.states.parquet")
+    score = pd.read_parquet(out + ".cnv.cn_score.parquet").set_index("gene")
+    assert len(cn) == g  # all genes mapped
+    # carriers' mean cn_score inside the block exceeds non-carriers'
+    carrier_cols = [c for c in score.columns if int(c.split("@")[0][1:]) < 2]
+    other_cols = [c for c in score.columns if c not in carrier_cols]
+    blk = [f"g{i}" for i in range(20, 36)]
+    rest = [f"g{i}" for i in range(g) if not (20 <= i < 36)]
+    gap_block = (
+        score.loc[blk, carrier_cols].to_numpy().mean()
+        - score.loc[blk, other_cols].to_numpy().mean()
+    )
+    gap_rest = (
+        score.loc[rest, carrier_cols].to_numpy().mean()
+        - score.loc[rest, other_cols].to_numpy().mean()
+    )
+    assert gap_block > 0.25, f"carrier-vs-normal block gap {gap_block:.3f}"
+    assert gap_block > gap_rest + 0.2
+    # segments BED names the carriers in the amplified region
+    with gzip.open(out + ".cnv.segments.bed.gz", "rt") as f:
+        seg = [line.split("\t") for line in f]
+    carrier_seg = [
+        r for r in seg
+        if int(r[3].split("@")[0][1:]) < 2 and int(r[1]) < 36000 and int(r[2]) > 20000
+    ]
+    assert carrier_seg, "no non-neutral segments overlap the amplified block"
+    # concordance columns attached to effect output
+    eff = pd.read_parquet(out + ".effect.parquet")
+    assert {"cnv_concordance_r", "cnv_concordance_p", "cnv_state"} <= set(eff.columns)
+    assert np.isfinite(eff["cnv_concordance_r"]).all()
+    # normal-sample TSV exists and lists only non-carrier-heavy refs in fit 2
+    assert (tmp_path / "cnv.cnv.normal_samples.tsv.gz").exists()
