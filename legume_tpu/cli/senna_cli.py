@@ -48,11 +48,20 @@ def run_senna(argv):
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_topic_parser(sub)
 
-    p = sub.add_parser("predict", help="held-out latent inference")
+    p = sub.add_parser(
+        "predict", aliases=["eval-topic"],
+        help="held-out latent inference (eval-topic: +batch null, refinement)",
+    )
     p.add_argument("--data-files", nargs="+", required=True)
     p.add_argument("--model", required=True, help="output prefix of a senna topic run")
     p.add_argument("--out", required=True)
     p.add_argument("--block-size", type=int, default=4096)
+    p.add_argument("--batch-files", nargs="+", default=None,
+                   help="batch label files (one label per cell, per data file)")
+    p.add_argument("--refine-steps", type=int, default=0,
+                   help="per-cell refinement steps against the frozen dictionary")
+    p.add_argument("--refine-lr", type=float, default=0.01)
+    p.add_argument("--refine-reg", type=float, default=1.0)
 
     p = sub.add_parser("clustering", help="kmeans/leiden on a latent parquet")
     p.add_argument("--latent", default=None)
@@ -905,7 +914,7 @@ def run_senna(argv):
         print(f"wrote {args.out}")
         return
 
-    if args.cmd == "predict":
+    if args.cmd in ("predict", "eval-topic"):
         from ..senna.predict import PredictArgs, predict_model
 
         predict_model(
@@ -914,6 +923,10 @@ def run_senna(argv):
                 model=args.model,
                 out=args.out,
                 block_size=args.block_size,
+                batch_files=args.batch_files,
+                refine_steps=args.refine_steps,
+                refine_lr=args.refine_lr,
+                refine_reg=args.refine_reg,
             )
         )
         return

@@ -61,12 +61,57 @@ def build_gene_remap(training_genes: Sequence[str], new_genes: Sequence[str]) ->
     return GeneRemap(new_to_train=out, d_train=len(training_genes))
 
 
+def refine_topic_proportions(
+    log_z: jnp.ndarray,  # [N, K] encoder log-softmax output
+    x: jnp.ndarray,  # [N, D] counts (training-vocab aligned)
+    log_dict: jnp.ndarray,  # [D, K] bias-free log dictionary
+    *,
+    steps: int = 10,
+    lr: float = 0.01,
+    reg: float = 1.0,
+) -> jnp.ndarray:
+    """Inference-time per-cell refinement (`senna eval-topic
+    --refine-steps`; candle_util/topic_refinement.rs): gradient steps on
+    the topic logits against the frozen decoder's multinomial
+    likelihood, L2-anchored to the encoder output. Returns refined
+    log-probabilities."""
+    import jax
+
+    init = jax.lax.stop_gradient(log_z)
+    ld_kd = log_dict.T  # [K, D]
+    x_pos = jnp.maximum(x, 0.0)
+
+    def loss_fn(logits):
+        lz = jax.nn.log_softmax(logits, axis=1)
+        # log_recon[n, d] = logsumexp_k(lz[n, k] + log_dict[k, d])
+        log_recon = jax.nn.logsumexp(lz[:, :, None] + ld_kd[None], axis=1)
+        llik = (x_pos * log_recon).sum(axis=1)
+        l2 = ((logits - init) ** 2).sum()
+        return reg * l2 - llik.mean()
+
+    grad_fn = jax.grad(loss_fn)
+
+    def step(logits, _):
+        return logits - lr * grad_fn(logits), None
+
+    import jax.lax as lax
+
+    out, _ = lax.scan(step, init, None, length=steps)
+    return jax.nn.log_softmax(out, axis=1)
+
+
 @dataclass
 class PredictArgs:
     data_files: Sequence[str] = ()
     model: str = ""  # output prefix of a `senna topic` run
     out: str = "predict"
     block_size: int = 4096
+    # eval-topic extras (senna/src/eval_topic.rs): per-batch null
+    # stream + inference-time refinement against the frozen dictionary
+    batch_files: Optional[Sequence[str]] = None
+    refine_steps: int = 0
+    refine_lr: float = 0.01
+    refine_reg: float = 1.0
 
 
 def predict_model(args: PredictArgs) -> np.ndarray:
@@ -87,6 +132,29 @@ def predict_model(args: PredictArgs) -> np.ndarray:
     )
 
     # model-type dispatch (predict.rs:287): dense topic / vae / masked
+    # per-batch null stream (eval_topic.rs batch-delta re-estimation
+    # role, expressed in this architecture's encoder-null convention:
+    # each cell's null input is its batch's mean profile on the
+    # training gene axis)
+    cell_batch = batch_profiles = None
+    if args.batch_files:
+        labels = []
+        for bf in args.batch_files:
+            with open(bf) as f:
+                labels.extend(line.strip() for line in f if line.strip())
+        if len(labels) != vec.num_columns:
+            raise ValueError(
+                f"batch files list {len(labels)} cells, backend has {vec.num_columns}"
+            )
+        _, cell_batch = np.unique(np.asarray(labels), return_inverse=True)
+        batch_profiles = _batch_mean_profiles(
+            vec, remap, cell_batch, block_size=args.block_size
+        )
+
+    log_dict = None
+    if args.refine_steps > 0:
+        log_dict = _load_log_dictionary(args.model, train_genes)
+
     kind = meta.get("model_type", "topic")
     if kind.startswith("masked"):
         z = score_masked_backend(vec, meta, variables, remap)
@@ -98,7 +166,8 @@ def predict_model(args: PredictArgs) -> np.ndarray:
             n_latent=meta["n_topics"], layers=tuple(meta["encoder_layers"])
         )
         z = score_dense_backend(
-            vec, encoder, variables, remap, block_size=args.block_size
+            vec, encoder, variables, remap, block_size=args.block_size,
+            cell_batch=cell_batch, batch_profiles=batch_profiles,
         )
         col = "z"
     else:
@@ -106,7 +175,10 @@ def predict_model(args: PredictArgs) -> np.ndarray:
             n_topics=meta["n_topics"], layers=tuple(meta["encoder_layers"])
         )
         z = score_dense_backend(
-            vec, encoder, variables, remap, block_size=args.block_size
+            vec, encoder, variables, remap, block_size=args.block_size,
+            cell_batch=cell_batch, batch_profiles=batch_profiles,
+            log_dict=log_dict, refine_steps=args.refine_steps,
+            refine_lr=args.refine_lr, refine_reg=args.refine_reg,
         )
         col = "topic"
 
@@ -122,6 +194,49 @@ def predict_model(args: PredictArgs) -> np.ndarray:
     return z
 
 
+def _load_log_dictionary(model_prefix: str, train_genes) -> np.ndarray:
+    """[D_train, K] log dictionary from `{model}.dictionary.parquet`,
+    reindexed onto the training gene order."""
+    import pandas as pd
+
+    df = pd.read_parquet(f"{model_prefix}.dictionary.parquet")
+    df = df.set_index(df.columns[0])
+    mat = df.to_numpy(np.float32)
+    if np.all(mat <= 0):  # stored as log already
+        logd = mat
+    else:
+        logd = np.log(np.maximum(mat, 1e-12))
+    pos = {str(g): i for i, g in enumerate(df.index)}
+    out = np.full((len(train_genes), mat.shape[1]), np.log(1e-12), np.float32)
+    for i, g in enumerate(train_genes):
+        j = pos.get(str(g))
+        if j is not None:
+            out[i] = logd[j]
+    return out
+
+
+def _batch_mean_profiles(
+    vec: SparseIoVec, remap: GeneRemap, cell_batch: np.ndarray, *, block_size: int
+) -> np.ndarray:
+    """[B, D_train] per-batch mean expression on the training gene
+    axis (the encoder-null stream for held-out batches)."""
+    from ..data.visitors import visit_columns_by_block
+
+    n_batches = int(cell_batch.max()) + 1
+    sums = np.zeros((n_batches, remap.d_train), np.float64)
+    counts = np.zeros(n_batches, np.int64)
+    row_map = np.where(remap.new_to_train >= 0, remap.new_to_train, remap.d_train)
+    for blk in visit_columns_by_block(vec, block_size=block_size):
+        mapped = row_map[np.clip(blk.row_ids, 0, len(row_map) - 1)]
+        # skip padded entries (col sentinel = ncols) and unmapped genes
+        keep = (mapped < remap.d_train) & (blk.col_ids < blk.ncols)
+        b = cell_batch[blk.lb + blk.col_ids[keep]]
+        np.add.at(sums, (b, mapped[keep]), blk.vals[keep])
+        bc = np.bincount(cell_batch[blk.lb : blk.lb + blk.ncols], minlength=n_batches)
+        counts += bc
+    return (sums / np.maximum(counts, 1)[:, None]).astype(np.float32)
+
+
 def score_dense_backend(
     vec: SparseIoVec,
     encoder,
@@ -129,19 +244,26 @@ def score_dense_backend(
     remap: GeneRemap,
     *,
     block_size: int = 4096,
+    cell_batch: np.ndarray | None = None,
+    batch_profiles: np.ndarray | None = None,
+    log_dict: np.ndarray | None = None,
+    refine_steps: int = 0,
+    refine_lr: float = 0.01,
+    refine_reg: float = 1.0,
 ) -> np.ndarray:
     """Stream blocks -> scatter counts into training gene positions ->
-    encoder eval forward (predict.rs:444 `score_dense_backend`)."""
+    encoder eval forward (predict.rs:444 `score_dense_backend`);
+    optional per-batch null stream + inference-time refinement."""
     from ..data.visitors import visit_columns_by_block
 
     n = vec.num_columns
-    d_new = vec.num_rows
     # remap rows at the COO level: new row id -> train row id (or discard)
     row_map = np.where(remap.new_to_train >= 0, remap.new_to_train, remap.d_train)
     enc_vars = {
         "params": variables["params"]["encoder"],
         "batch_stats": variables["batch_stats"]["encoder"],
     }
+    ld = jnp.asarray(log_dict) if log_dict is not None else None
     out = None
     for blk in visit_columns_by_block(vec, block_size=block_size):
         mapped_rows = row_map[blk.row_ids]
@@ -156,7 +278,17 @@ def score_dense_backend(
                 num_genes=remap.d_train + 1,
             )
         )[:, : remap.d_train]
-        log_z, _ = encoder.apply(enc_vars, jnp.asarray(x), None, train=False)
+        null = (
+            jnp.asarray(batch_profiles[cell_batch[blk.lb : blk.lb + blk.ncols]])
+            if batch_profiles is not None
+            else None
+        )
+        log_z, _ = encoder.apply(enc_vars, jnp.asarray(x), null, train=False)
+        if refine_steps > 0 and ld is not None:
+            log_z = refine_topic_proportions(
+                log_z, jnp.asarray(x), ld,
+                steps=refine_steps, lr=refine_lr, reg=refine_reg,
+            )
         if out is None:
             out = np.zeros((n, log_z.shape[1]), np.float32)
         out[blk.lb : blk.lb + blk.ncols] = np.asarray(log_z)

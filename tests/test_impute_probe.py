@@ -85,3 +85,55 @@ def test_predict_dispatch_vae_and_masked(tmp_path):
     np.testing.assert_allclose(np.exp(zp).sum(1), 1.0, rtol=1e-3)
     r = np.corrcoef(zt.ravel(), zp.ravel())[0, 1]
     assert r > 0.95, r
+
+
+def test_eval_topic_refinement_improves_llik(tmp_path):
+    """eval-topic inference-time refinement (topic_refinement.rs):
+    refined log-proportions must raise the multinomial likelihood
+    against the frozen dictionary vs the raw encoder output, and stay
+    on the simplex; batch files feed the encoder-null stream."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sim import simulate_topic, write_topic_sim
+
+    sim = simulate_topic(rows=80, cols=200, factors=3, depth=2000, seed=9)
+    path = write_topic_sim(sim, str(tmp_path / "sim"))
+    fit = str(tmp_path / "fit")
+    cli.run_senna([
+        "topic", "--data-files", path, "--out", fit, "-k", "3",
+        "--encoder-layers", "24", "--epochs", "15", "--minibatch-size", "64",
+        "--num-levels", "1", "--sort-dim", "4", "--iter-opt", "5",
+    ])
+    p0 = str(tmp_path / "p0")
+    cli.run_senna(["predict", "--data-files", path, "--model", fit, "--out", p0])
+    p1 = str(tmp_path / "p1")
+    batches = tmp_path / "batch.txt"
+    batches.write_text("\n".join("ab"[j % 2] for j in range(200)) + "\n")
+    cli.run_senna([
+        "eval-topic", "--data-files", path, "--model", fit, "--out", p1,
+        "--refine-steps", "20", "--refine-lr", "0.05",
+        "--batch-files", str(batches),
+    ])
+    z0 = pd.read_parquet(f"{p0}.latent.parquet").iloc[:, 1:].to_numpy()
+    z1 = pd.read_parquet(f"{p1}.latent.parquet").iloc[:, 1:].to_numpy()
+    assert np.allclose(np.exp(z1).sum(1), 1, atol=1e-3)
+
+    from legume_tpu.data import open_sparse_matrix
+
+    be = open_sparse_matrix(path)
+    x = np.asarray(be.read_columns_csc(np.arange(200)).todense()).T  # [N, D]
+    ld = pd.read_parquet(f"{fit}.dictionary.parquet").set_index("gene").to_numpy()
+    if not np.all(ld <= 0):
+        ld = np.log(np.maximum(ld, 1e-12))
+
+    def llik(z):
+        lr = np.zeros_like(x)
+        m = (z[:, :, None] + ld.T[None]).max(axis=1)
+        lr = m + np.log(
+            np.exp(z[:, :, None] + ld.T[None] - m[:, None, :]).sum(axis=1)
+        )
+        return float((x * lr).sum(1).mean())
+
+    l0, l1 = llik(z0), llik(z1)
+    assert l1 >= l0 - 1e-3, f"refinement degraded llik: {l0:.2f} -> {l1:.2f}"
