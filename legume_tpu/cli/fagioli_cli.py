@@ -19,6 +19,21 @@ def run_fagioli(argv):
         "--multilevel", action="store_true",
         help="hierarchical block/within-block selection (LD-blocked)",
     )
+    p = sub.add_parser(
+        "fit-sumstat-sgvb",
+        help="SGVB fine-mapping: model family + prior grid/ash",
+    )
+    p.add_argument("--zscores", required=True, help="TSV: variant z")
+    p.add_argument("--geno", required=True, help="reference genotype .npy [n, p]")
+    p.add_argument("--out", required=True)
+    p.add_argument("--model", default="susie",
+                   choices=["susie", "bisusie", "spike-slab", "ml-susie"])
+    p.add_argument("--prior-type", default="single", choices=["single", "ash"])
+    p.add_argument("--prior-var", type=float, nargs="+",
+                   default=[0.01, 0.1, 1.0],
+                   help="variance grid (single: ELBO-selected; ash: components)")
+    p.add_argument("-L", type=int, default=5)
+    p.add_argument("--steps", type=int, default=1000)
     p = sub.add_parser("fit-prs-susie", help="sparse PRS weights via SuSiE")
     p.add_argument("--zscores", required=True, help="TSV: variant z")
     p.add_argument("--geno", required=True, help="LD reference .npy [n, p]")
@@ -275,6 +290,26 @@ def run_fagioli(argv):
             f"wrote {args.out}.mcmc.parquet "
             f"(max rhat {out['rhat'].max():.3f}, min ess {out['ess'].min():.0f})"
         )
+    elif args.cmd == "fit-sumstat-sgvb":
+        from ..fagioli.sumstat import fit_sumstat_sgvb
+        from ..models.sgvb import SgvbConfig
+
+        df = pd.read_csv(args.zscores, sep="\t")
+        geno = np.load(args.geno)
+        out = fit_sumstat_sgvb(
+            df["z"].to_numpy(), geno,
+            model=args.model, prior_type=args.prior_type,
+            prior_vars=args.prior_var, L=args.L,
+            config=SgvbConfig(num_steps=args.steps),
+        )
+        tbl = {"variant": df.iloc[:, 0], "pip": out["pip"],
+               "effect": out["theta_mean"][:, 0]}
+        pd.DataFrame(tbl).to_parquet(args.out + ".finemap.parquet")
+        extra = (
+            f"prior_var={out['prior_var']}" if "prior_var" in out
+            else f"mix_weights={np.round(out['mix_weights'], 3)}"
+        )
+        print(f"wrote {args.out}.finemap.parquet ({args.model}, {extra})")
     else:
         from ..fagioli.sumstat import map_sumstat
         from ..models.sgvb import SgvbConfig

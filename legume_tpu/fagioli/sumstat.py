@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -180,3 +180,61 @@ def fit_sumstat_mcmc(
         "ess": ess_j,
         "samples": s,
     }
+
+
+def fit_sumstat_sgvb(
+    z: np.ndarray,
+    ref_genotypes: np.ndarray,
+    *,
+    model: str = "susie",
+    prior_type: str = "single",
+    prior_vars: Optional[Sequence[float]] = None,
+    L: int = 5,
+    rank: Optional[int] = None,
+    lam: float = 0.1,
+    config=None,
+    block_size: Optional[int] = None,
+) -> dict:
+    """SGVB fine-mapping on summary stats with model-family and prior
+    choice (`fagioli fit-sumstat-sgvb`; fit_sumstat_sgvb.rs):
+
+    - model: susie / bisusie / spike-slab / ml-susie
+    - prior_type "single": grid search over `prior_vars`, keep the
+      max-ELBO fit (reports `prior_var`, `grid_elbos`)
+    - prior_type "ash": mixture-of-Gaussians prior over the grid with
+      learnable weights (spike-slab family; reports `mix_weights`)
+    """
+    from ..models.sgvb import (
+        RssDesign,
+        SgvbConfig,
+        contiguous_ld_blocks,
+        fit_regression_ash,
+        fit_regression_grid,
+        gaussian_llik,
+    )
+
+    grid = list(prior_vars) if prior_vars else [0.01, 0.1, 1.0]
+    cfg = config or SgvbConfig(num_steps=1000)
+    design = RssDesign.from_genotypes(ref_genotypes, z, rank=rank, lam=lam)
+    if prior_type == "ash":
+        if model not in ("spike-slab",):
+            log.info(
+                "ash prior runs on the spike-slab family (requested %s)", model
+            )
+        out = fit_regression_ash(
+            design.x_tilde, design.y_tilde, prior_vars=grid,
+            llik=gaussian_llik, config=cfg,
+        )
+    else:
+        groups = (
+            contiguous_ld_blocks(z.shape[0], block_size)
+            if model == "ml-susie"
+            else None
+        )
+        out = fit_regression_grid(
+            design.x_tilde, design.y_tilde, prior_vars=grid,
+            family=model, L=L, llik=gaussian_llik, config=cfg, groups=groups,
+        )
+    pip = np.asarray(out["pip"])
+    out["pip"] = pip[:, 0] if pip.ndim > 1 else pip
+    return out

@@ -24,6 +24,7 @@ of `sgvb/likelihood/rss.rs`: ytilde = Dreg^-1 V' z, Xtilde = Dreg V').
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable, NamedTuple
@@ -516,7 +517,9 @@ def fit_regression(
         if i % 50 == 0:
             losses.append(float(loss))
 
-    result = {"q": q, "losses": losses}
+    # final ELBO on a fixed key (comparable across prior-var grid points)
+    final_elbo = -float(elbo_loss(q, jax.random.key(cfg.seed ^ 0x5EED)))
+    result = {"q": q, "losses": losses, "elbo": final_elbo}
     mean, var = moments(q)
     result["theta_mean"] = np.asarray(mean)
     result["theta_var"] = np.asarray(var)
@@ -531,6 +534,154 @@ def fit_regression(
     elif family == "spike-slab":
         result["pip"] = np.asarray(smoothed_sigmoid(q.gate_logits))
     return result
+
+
+def fit_regression_grid(
+    x: np.ndarray,
+    y: np.ndarray,
+    *,
+    prior_vars,
+    family: str = "susie",
+    L: int = 5,
+    llik: Callable = gaussian_llik,
+    config: SgvbConfig | None = None,
+    with_null: bool = True,
+    groups: np.ndarray | None = None,
+) -> dict:
+    """Single-Gaussian prior with grid search over prior variances
+    (fit_sumstat_sgvb.rs `--prior-type single`): fit once per grid value
+    and keep the max-ELBO fit. Adds `prior_var` and `grid_elbos`."""
+    cfg = config or SgvbConfig()
+    best = None
+    grid_elbos = []
+    for v in prior_vars:
+        out = fit_regression(
+            x, y, family=family, L=L, llik=llik,
+            config=dataclasses.replace(cfg, prior_var=float(v)),
+            with_null=with_null, groups=groups,
+        )
+        grid_elbos.append(out["elbo"])
+        if best is None or out["elbo"] > best["elbo"]:
+            best = out
+            best["prior_var"] = float(v)
+    best["grid_elbos"] = grid_elbos
+    return best
+
+
+class AshVarParams(NamedTuple):
+    """Spike-slab q + per-coordinate mixture responsibilities over the
+    prior-variance grid (fit_sumstat_sgvb.rs `--prior-type ash`:
+    mixture-of-Gaussians prior, learnable weights)."""
+
+    gate_logits: jax.Array  # [p, k]
+    beta_mean: jax.Array  # [p, k]
+    beta_ln_std: jax.Array  # [p, k]
+    resp_logits: jax.Array  # [p, k, C] component responsibilities
+    mix_logits: jax.Array  # [C] shared mixture weights
+
+
+def ash_kl(q: AshVarParams, prior_vars: jax.Array, prior_pi: float = 0.1):
+    """Exact KL for the component-augmented model: responsibilities are
+    the variational posterior over the mixture assignment, so
+    KL = sum_j sum_c r_jc [KL(q_j || N(0, v_c)) + log r_jc - log pi_c]
+    + Bernoulli gate term."""
+    a = smoothed_sigmoid(q.gate_logits)
+    var_b = jnp.exp(2.0 * q.beta_ln_std)
+    kl_gate = jnp.sum(
+        a * (jnp.log(a) - jnp.log(prior_pi))
+        + (1 - a) * (jnp.log1p(-a) - jnp.log(1 - prior_pi))
+    )
+    # per-coordinate per-component slab KL [p, k, C]
+    kl_c = 0.5 * (
+        (var_b[..., None] + q.beta_mean[..., None] ** 2) / prior_vars
+        - 1.0
+        + jnp.log(prior_vars)
+        - 2.0 * q.beta_ln_std[..., None]
+    )
+    r = jax.nn.softmax(q.resp_logits, axis=-1)
+    log_pi = jax.nn.log_softmax(q.mix_logits)
+    # slab + assignment KL weighted by the gate (spike contributes only
+    # through the Bernoulli term, matching spike_slab_kl's structure)
+    kl_slab_mix = jnp.sum(
+        a * jnp.sum(r * (kl_c + jnp.log(jnp.maximum(r, 1e-12)) - log_pi), axis=-1)
+    )
+    return kl_gate + kl_slab_mix
+
+
+def fit_regression_ash(
+    x: np.ndarray,
+    y: np.ndarray,
+    *,
+    prior_vars,
+    llik: Callable = gaussian_llik,
+    config: SgvbConfig | None = None,
+    prior_pi: float = 0.1,
+) -> dict:
+    """Spike-slab SGVB with an adaptive-shrinkage (ash) mixture prior
+    over the effect-size variance grid. The mixture weights and
+    per-coordinate responsibilities are optimized with the rest of the
+    variational state; returns `mix_weights` over the grid."""
+    cfg = config or SgvbConfig()
+    key = jax.random.key(cfg.seed)
+    p = x.shape[1]
+    k = y.shape[1] if y.ndim > 1 else 1
+    y = y.reshape(-1, k)
+    c = len(prior_vars)
+    pv = jnp.asarray(np.asarray(prior_vars, np.float32))
+
+    k_init, key = jax.random.split(key)
+    ss = spike_slab_init(k_init, p, k)
+    q = AshVarParams(
+        gate_logits=ss.gate_logits,
+        beta_mean=ss.beta_mean,
+        beta_ln_std=ss.beta_ln_std,
+        resp_logits=jnp.zeros((p, k, c)),
+        mix_logits=jnp.zeros(c),
+    )
+    x_j = jnp.asarray(x, jnp.float32)
+    x_sq = x_j * x_j
+    y_j = jnp.asarray(y, jnp.float32)
+    optimizer = optax.adam(cfg.learning_rate)
+    opt_state = optimizer.init(q)
+
+    def moments(q):
+        return spike_slab_moments(
+            SpikeSlabVarParams(q.gate_logits, q.beta_mean, q.beta_ln_std)
+        )
+
+    def elbo_loss(q, key):
+        mean, var = moments(q)
+        eta_mean = x_j @ mean
+        eta_var = x_sq @ var
+        eps = jax.random.normal(key, (cfg.num_samples, *eta_mean.shape))
+        eta = eta_mean[None] + jnp.sqrt(jnp.maximum(eta_var, 1e-12))[None] * eps
+        ll = jnp.mean(llik(y_j, eta))
+        return -(ll - cfg.kl_weight * ash_kl(q, pv, prior_pi))
+
+    @jax.jit
+    def step(q, opt_state, key):
+        loss, grads = jax.value_and_grad(elbo_loss)(q, key)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(q, updates), opt_state, loss
+
+    losses = []
+    for i in range(cfg.num_steps):
+        key, k_s = jax.random.split(key)
+        q, opt_state, loss = step(q, opt_state, k_s)
+        if i % 50 == 0:
+            losses.append(float(loss))
+    final_elbo = -float(elbo_loss(q, jax.random.key(cfg.seed ^ 0x5EED)))
+    mean, var = moments(q)
+    return {
+        "q": q,
+        "losses": losses,
+        "elbo": final_elbo,
+        "theta_mean": np.asarray(mean),
+        "theta_var": np.asarray(var),
+        "pip": np.asarray(smoothed_sigmoid(q.gate_logits)),
+        "mix_weights": np.asarray(jax.nn.softmax(q.mix_logits)),
+        "prior_vars": np.asarray(pv),
+    }
 
 
 def fit_susie_rss(

@@ -651,3 +651,26 @@ def test_beans_take_sort_convert_list(tmp_path):
         np.asarray(bz.read_columns_csc(np.arange(80)).todense()), full
     )
     assert bz.row_names() == genes
+
+
+def test_fagioli_fit_sumstat_sgvb_models_and_priors(tmp_path):
+    out = str(tmp_path / "ss")
+    cli.run_fagioli([
+        "sim-sumstat", "--out", out, "--n", "400", "--p", "60",
+        "--n-causal", "2", "--h2", "0.5", "--seed", "3",
+    ])
+    truth = pd.read_csv(f"{out}.sumstat.tsv", sep="\t")
+    causal = set(truth[truth["causal"]]["variant"])
+    for model, prior in [("susie", "single"), ("spike-slab", "ash")]:
+        fit = str(tmp_path / f"fm_{model}")
+        cli.run_fagioli([
+            "fit-sumstat-sgvb", "--zscores", f"{out}.sumstat.tsv",
+            "--geno", f"{out}.geno.npy", "--out", fit,
+            "--model", model, "--prior-type", prior, "--steps", "600",
+            "--prior-var", "0.01", "0.1", "1.0",
+        ])
+        fm = pd.read_parquet(f"{fit}.finemap.parquet")
+        top = set(fm.nlargest(4, "pip")["variant"])
+        hits = len(causal & top)
+        assert hits >= 1, f"{model}/{prior}: causal not in top-4 pips"
+        assert np.isfinite(fm["pip"]).all() and fm["pip"].between(0, 1).all()
