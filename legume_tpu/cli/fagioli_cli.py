@@ -81,6 +81,29 @@ def run_fagioli(argv):
     p.add_argument("--steps", type=int, default=800)
     p.add_argument("--seed", type=int, default=0)
 
+    p = sub.add_parser(
+        "fit-qtl-sgvb",
+        help="cell-type-resolved SGVB eQTL (soft membership, cis windows)",
+    )
+    p.add_argument("--backend", required=True, help="gene x cell counts backend")
+    p.add_argument("--indv", required=True, help="cell -> individual labels, one per line")
+    p.add_argument("--geno", default=None, help=".npy [n_indv, p] dosages")
+    p.add_argument("--plink", default=None, help="PLINK prefix (.bed/.bim/.fam)")
+    p.add_argument("--celltypes", default=None,
+                   help="per-cell labels TSV (hard) or membership parquet (soft)")
+    p.add_argument("--gff", default=None, help="gene coordinates: cis-window mode")
+    p.add_argument("--cis-window", type=int, default=1000000)
+    p.add_argument("--model", default="susie",
+                   choices=["susie", "bisusie", "spike-slab", "ml-susie"])
+    p.add_argument("--prior-type", default="single", choices=["single", "ash"])
+    p.add_argument("--prior-var", type=float, nargs="+", default=[0.01, 0.1, 1.0])
+    p.add_argument("--min-weight", type=float, default=2.0,
+                   help="min effective cells per (indv, celltype) pair")
+    p.add_argument("-L", type=int, default=3)
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=0)
+
     p = sub.add_parser("sim-mediation", help="X -> M -> Y mediation fixture")
     p.add_argument("--out", required=True)
     p.add_argument("--n", type=int, default=800)
@@ -194,6 +217,72 @@ def run_fagioli(argv):
         np.save(args.out + ".alpha.npy", sim.alpha)
         print(f"wrote {args.out}.geno.npy + .sumstat.tsv + .truth.parquet")
         return
+    if args.cmd == "fit-qtl-sgvb":
+        from ..data import open_sparse_matrix
+        from ..fagioli.qtl import fit_qtl_sgvb
+
+        be = open_sparse_matrix(args.backend)
+        counts = np.asarray(
+            be.read_columns_csc(np.arange(be.num_columns)).todense()
+        )
+        with open(args.indv) as f:
+            labels = np.asarray([ln.strip() for ln in f if ln.strip()])
+        indv_names, cell_indv = np.unique(labels, return_inverse=True)
+        if args.plink:
+            from ..fagioli.plink import read_plink
+
+            pk = read_plink(args.plink)
+            geno = pk.genotypes
+            var_pos = pk.pos
+            var_names = pk.variant_ids
+        elif args.geno:
+            geno = np.load(args.geno)
+            var_pos = None
+            var_names = [f"v{j}" for j in range(geno.shape[1])]
+        else:
+            raise SystemExit("fit-qtl-sgvb: provide --geno or --plink")
+        membership = ct_names = None
+        if args.celltypes:
+            if args.celltypes.endswith(".parquet"):
+                mdf = pd.read_parquet(args.celltypes)
+                ct_names = [c for c in mdf.columns if c != "cell"]
+                membership = mdf[ct_names].to_numpy(np.float32)
+            else:
+                with open(args.celltypes) as f:
+                    ct = np.asarray([ln.strip() for ln in f if ln.strip()])
+                uniq, inv = np.unique(ct, return_inverse=True)
+                ct_names = [str(u) for u in uniq]
+                membership = np.eye(len(uniq), dtype=np.float32)[inv]
+        tss = None
+        if args.gff and var_pos is not None:
+            from ..faba.genes import parse_gff_genes
+
+            model_g = parse_gff_genes(args.gff)
+            where = {n: j for j, n in enumerate(model_g.names)}
+            tss = np.full(be.num_rows, -10**12, np.int64)
+            for gi, gname in enumerate(be.row_names()):
+                j = where.get(gname)
+                if j is not None:
+                    tss[gi] = (
+                        model_g.start[j] if model_g.strand[j] > 0 else model_g.end[j]
+                    )
+        rows = fit_qtl_sgvb(
+            counts, cell_indv, geno,
+            membership_nc=membership, celltype_names=ct_names,
+            model=args.model, prior_type=args.prior_type,
+            prior_vars=args.prior_var, L=args.L, num_steps=args.steps,
+            min_weight=args.min_weight,
+            gene_tss=tss, var_pos=var_pos, cis_window=args.cis_window,
+            seed=args.seed,
+        )
+        genes = be.row_names()
+        df = pd.DataFrame(rows)
+        df["gene"] = [genes[int(i)] for i in df["gene"]]
+        df["variant"] = [var_names[int(j)] for j in df["variant"]]
+        df.to_parquet(args.out + ".qtl.parquet")
+        print(f"wrote {args.out}.qtl.parquet ({len(df)} tests)")
+        return
+
     if args.cmd == "fit-regression":
         from ..models.sgvb import SgvbConfig, fit_regression
 

@@ -115,3 +115,121 @@ def map_qtl(
         pips.append(out["pip"][:, 0])
         effects.append(out["theta_mean"][:, 0])
     return {"pip": np.stack(pips), "effect": np.stack(effects)}
+
+
+def pseudobulk_celltype_log_rates(
+    counts_gn: np.ndarray,
+    cell_indv: np.ndarray,
+    n_indv: int,
+    membership_nc: np.ndarray,  # [N, C] soft cell-type membership
+    *,
+    a0: float = 1.0,
+    b0: float = 1.0,
+):
+    """Per-(celltype, gene, individual) Gamma posterior log-rates with
+    membership-weighted sufficient statistics (fit_qtl_sgvb.rs
+    collapse_pseudobulk with soft Membership): returns
+    (log_mean [C, G, I], precision weights [C, G, I],
+    effective cell weight [C, I])."""
+    import jax.numpy as jnp
+
+    g, n = counts_gn.shape
+    c = membership_nc.shape[1]
+    sums = np.zeros((c, g, n_indv))
+    sizes = np.zeros((c, n_indv))
+    for ci in range(c):
+        w = membership_nc[:, ci]
+        np.add.at(sums[ci].T, cell_indv, (counts_gn * w[None, :]).T)
+        np.add.at(sizes[ci], cell_indv, w)
+    gp = GammaParam(
+        a=jnp.asarray(a0 + sums), b=jnp.asarray(b0 + sizes[:, None, :])
+    )
+    log_mean = np.asarray(gp.log_mean())
+    log_sd = np.asarray(gp.log_sd())
+    prec = 1.0 / np.maximum(log_sd, 1e-3) ** 2
+    return log_mean, prec, sizes
+
+
+def fit_qtl_sgvb(
+    counts_gn: np.ndarray,
+    cell_indv: np.ndarray,
+    genotypes: np.ndarray,  # [I, P]
+    *,
+    membership_nc: np.ndarray | None = None,  # [N, C]; None = one bulk type
+    celltype_names: list | None = None,
+    model: str = "susie",
+    prior_type: str = "single",
+    prior_vars=None,
+    L: int = 3,
+    num_steps: int = 800,
+    min_weight: float = 2.0,
+    gene_tss: np.ndarray | None = None,  # [G] bp (cis mode)
+    var_pos: np.ndarray | None = None,  # [P] bp (cis mode)
+    cis_window: int = 1_000_000,
+    a0: float = 1.0,
+    b0: float = 1.0,
+    seed: int = 0,
+) -> dict:
+    """Per-(celltype, gene) SGVB eQTL fine-mapping on membership-weighted
+    pseudobulk (fit_qtl_sgvb.rs): model family + prior grid/ash, with
+    optional cis-window variant subsetting and a min effective-cell
+    filter on (indv, celltype) pairs."""
+    from ..models.sgvb import (
+        SgvbConfig,
+        fit_regression_ash,
+        fit_regression_grid,
+        weighted_gaussian_llik,
+    )
+
+    n_indv = genotypes.shape[0]
+    if membership_nc is None:
+        membership_nc = np.ones((counts_gn.shape[1], 1), np.float32)
+    c = membership_nc.shape[1]
+    names = celltype_names or [f"ct{j}" for j in range(c)]
+    grid = list(prior_vars) if prior_vars else [0.01, 0.1, 1.0]
+    log_mu, prec, eff = pseudobulk_celltype_log_rates(
+        counts_gn, cell_indv, n_indv, membership_nc, a0=a0, b0=b0
+    )
+    gs = (genotypes - np.nanmean(genotypes, 0)) / np.maximum(
+        np.nanstd(genotypes, 0), 1e-8
+    )
+    gs = np.nan_to_num(gs)
+
+    rows = {"celltype": [], "gene": [], "variant": [], "pip": [], "effect": []}
+    g = counts_gn.shape[0]
+    for ci in range(c):
+        keep_i = np.flatnonzero(eff[ci] >= min_weight)
+        if keep_i.size < 3:
+            log.info("fit-qtl-sgvb: %s has <3 usable individuals; skipped", names[ci])
+            continue
+        for gi in range(g):
+            cols = (
+                np.flatnonzero(np.abs(var_pos - gene_tss[gi]) <= cis_window)
+                if gene_tss is not None and var_pos is not None
+                else np.arange(gs.shape[1])
+            )
+            if cols.size == 0:
+                continue
+            x = gs[np.ix_(keep_i, cols)]
+            y = log_mu[ci, gi, keep_i]
+            y = (y - y.mean())[:, None]
+            w = prec[ci, gi, keep_i][:, None]
+            w = w / max(w.mean(), 1e-9)
+            cfg = SgvbConfig(num_steps=num_steps, learning_rate=0.02, seed=seed)
+            llik = lambda yy, ee, w=w: weighted_gaussian_llik(yy, ee, w)
+            if prior_type == "ash":
+                out = fit_regression_ash(
+                    x, y, prior_vars=grid, llik=llik, config=cfg
+                )
+            else:
+                out = fit_regression_grid(
+                    x, y, prior_vars=grid, family=model, L=L,
+                    llik=llik, config=cfg,
+                )
+            pip = np.asarray(out["pip"]).reshape(-1)
+            rows["celltype"].extend([names[ci]] * cols.size)
+            rows["gene"].extend([gi] * cols.size)
+            rows["variant"].extend(cols.tolist())
+            rows["pip"].extend(pip.tolist())
+            rows["effect"].extend(out["theta_mean"][:, 0].tolist())
+    return rows

@@ -674,3 +674,34 @@ def test_fagioli_fit_sumstat_sgvb_models_and_priors(tmp_path):
         hits = len(causal & top)
         assert hits >= 1, f"{model}/{prior}: causal not in top-4 pips"
         assert np.isfinite(fm["pip"]).all() and fm["pip"].between(0, 1).all()
+
+
+def test_fagioli_fit_qtl_sgvb_cli(tmp_path):
+    out = str(tmp_path / "qtl")
+    cli.run_fagioli([
+        "sim-qtl", "--out", out, "--genes", "5", "--indv", "50",
+        "--cells-per-indv", "16", "--variants", "16", "--frac-egenes", "1.0",
+        "--effect-sd", "1.0",
+    ])
+    # hard cell-type labels: split each individual's cells 50/50
+    indv = [ln.strip() for ln in open(f"{out}.indv.txt") if ln.strip()]
+    ct = tmp_path / "ct.txt"
+    ct.write_text("\n".join("AB"[j % 2] for j in range(len(indv))) + "\n")
+    fit = str(tmp_path / "ctq")
+    cli.run_fagioli([
+        "fit-qtl-sgvb", "--backend", f"{out}.zarr", "--indv", f"{out}.indv.txt",
+        "--geno", f"{out}.geno.npy", "--celltypes", str(ct),
+        "--out", fit, "--steps", "300", "-L", "2", "--prior-var", "0.1", "1.0",
+    ])
+    res = pd.read_parquet(f"{fit}.qtl.parquet")
+    assert set(res["celltype"]) == {"A", "B"}
+    truth = pd.read_parquet(f"{out}.truth.parquet")
+    # effects are shared across cell types in this sim: both must recover
+    hits = 0
+    for _, row in truth.iterrows():
+        if row["causal_variant"] < 0 or abs(row["beta"]) < 0.5:
+            continue
+        grp = res[(res["gene"] == row["gene"]) & (res["celltype"] == "A")]
+        top = int(grp.loc[grp["pip"].idxmax(), "variant"][1:])
+        hits += int(top == row["causal_variant"])
+    assert hits >= 1

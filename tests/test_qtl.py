@@ -37,3 +37,43 @@ def test_map_qtl_recovers_egenes():
     n_egenes = (sim.causal_variant >= 0).sum()
     assert hits >= max(n_egenes - 2, 1), (hits, n_egenes)
     assert fps <= 2
+
+
+def test_fit_qtl_sgvb_celltype_specific_effect(tmp_path):
+    """fit-qtl-sgvb resolves a cell-type-specific eQTL: the causal
+    variant's pip is high in the carrier cell type and low in the
+    other (fit_qtl_sgvb.rs soft-membership pseudobulk)."""
+    rng = np.random.default_rng(4)
+    g, i, p, cpi = 4, 60, 20, 24
+    maf = rng.uniform(0.2, 0.5, p)
+    geno = rng.binomial(2, maf[None, :], size=(i, p)).astype(np.float64)
+    gs = (geno - geno.mean(0)) / np.maximum(geno.std(0), 1e-8)
+    cell_indv = np.repeat(np.arange(i), cpi)
+    n = len(cell_indv)
+    ct = np.tile(np.repeat([0, 1], cpi // 2), i)  # half cells each type
+    causal = 7
+    base = rng.gamma(2.0, 1.0, g)
+    log_mu = np.tile(np.log(base)[:, None], (1, n))
+    # gene 0 eQTL only in ct0
+    log_mu[0, ct == 0] += 0.9 * gs[cell_indv[ct == 0], causal]
+    lam = 40.0 * np.exp(np.clip(log_mu, -6, 6))
+    counts = rng.poisson(lam).astype(np.float32)
+    membership = np.eye(2, dtype=np.float32)[ct]
+
+    from legume_tpu.fagioli.qtl import fit_qtl_sgvb
+
+    rows = fit_qtl_sgvb(
+        counts, cell_indv, geno,
+        membership_nc=membership, celltype_names=["a", "b"],
+        num_steps=500, prior_vars=[0.1, 1.0],
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    pip_a = df[(df.celltype == "a") & (df.gene == 0) & (df.variant == causal)]["pip"]
+    pip_b = df[(df.celltype == "b") & (df.gene == 0) & (df.variant == causal)]["pip"]
+    assert float(pip_a.iloc[0]) > 0.5, f"carrier-ct pip {float(pip_a.iloc[0]):.2f}"
+    assert float(pip_a.iloc[0]) > float(pip_b.iloc[0]) + 0.3
+    # rank check too: causal tops the carrier cell type
+    sub = df[(df.celltype == "a") & (df.gene == 0)]
+    assert int(sub.loc[sub["pip"].idxmax(), "variant"]) == causal
