@@ -57,6 +57,11 @@ def run_beans(argv):
     p = sub.add_parser("convert", help="convert backend format (zarr <-> h5)")
     p.add_argument("backend")
     p.add_argument("--output", required=True, help=".zarr dir or .h5 file")
+    p = sub.add_parser(
+        "tile-cache", help="prebucket Pallas SpMM tiles next to the backend"
+    )
+    p.add_argument("backend")
+    p.add_argument("--block-size", type=int, default=8192)
     p = sub.add_parser("align", help="rewrite backends onto the shared row union")
     p.add_argument("backends", nargs="+")
     p.add_argument("--suffix", default=".aligned", help="output suffix per backend")
@@ -296,6 +301,11 @@ def run_beans(argv):
             args.backend, args.output, _read_name_file(args.rows)
         )
         print(f"wrote backend: {args.output} ({be.num_rows} rows)")
+    elif args.cmd == "tile-cache":
+        from ..data.tile_cache import build_tile_cache
+
+        nb = build_tile_cache(args.backend, block_size=args.block_size)
+        print(f"wrote tile cache: {nb} blocks")
     elif args.cmd == "convert":
         from ..data.builders import convert_backend
 

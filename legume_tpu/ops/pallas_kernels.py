@@ -215,6 +215,26 @@ def project_block_tiled(
     basis_p = np.zeros((d_pad, k_pad), np.float32)
     basis_p[:d, :k] = basis
 
+    tiles = prepare_tiles(rows, cols, vals, ncols=ncols)
+    if tiles is None:
+        return jnp.zeros((ncols, k), jnp.float32)
+    out = tiled_call(
+        jnp.asarray(tiles["gi"]), jnp.asarray(tiles["cj"]),
+        jnp.asarray(tiles["new"]), jnp.asarray(tiles["lr"]),
+        jnp.asarray(tiles["lc"]), jnp.asarray(tiles["vv"]),
+        jnp.asarray(basis_p), n_ct=n_ct, k_pad=k_pad, interpret=interpret,
+    )
+    return out[:ncols, :k]
+
+
+def prepare_tiles(
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, *, ncols: int
+) -> dict | None:
+    """Host half of the tiled SpMM: filter COO padding, bucket into
+    fixed chunks, and pad empty cell tiles. The returned dict is the
+    exact device input of `tiled_call` — persist it at ingest time
+    (data/tile_cache.py) so the hot path never re-buckets."""
+    n_ct = max(-(-ncols // TILE_C), 1)
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     vals = np.asarray(vals)
@@ -223,7 +243,7 @@ def project_block_tiled(
         rows[real].astype(np.int64), cols[real].astype(np.int64), vals[real]
     )
     if len(gi) == 0:
-        return jnp.zeros((ncols, k), jnp.float32)
+        return None
 
     # cell tiles with no nonzeros still need their output block zeroed:
     # give each missing tile one empty chunk (all-padding entries)
@@ -238,13 +258,46 @@ def project_block_tiled(
         order = np.argsort(cj, kind="stable")
         gi, cj, new = gi[order], cj[order], new[order]
         lr, lc, vv = lr[order], lc[order], vv[order]
+    return {"gi": gi, "cj": cj, "new": new, "lr": lr, "lc": lc, "vv": vv,
+            "ncols": np.int64(ncols)}
 
+
+def project_tiles(
+    basis_dk,
+    tiles: dict,
+    *,
+    log1p: bool = True,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Project prebucketed tiles and return (proj [ncols, K],
+    sq_norm [ncols]) — the per-cell squared norms come from the same
+    tiled entries (global cell id = cj * TILE_C + lc), so the cached
+    path needs no COO arrays at all."""
+    basis = np.asarray(basis_dk, np.float32)
+    d, k = basis.shape
+    ncols = int(tiles["ncols"])
+    k_pad = -(-k // 128) * 128
+    d_pad = -(-d // TILE_G) * TILE_G
+    n_ct = max(-(-ncols // TILE_C), 1)
+    basis_p = np.zeros((d_pad, k_pad), np.float32)
+    basis_p[:d, :k] = basis
+
+    vv = jnp.asarray(tiles["vv"])
+    if log1p:
+        vv = jnp.log1p(vv)
     out = tiled_call(
-        jnp.asarray(gi), jnp.asarray(cj), jnp.asarray(new),
-        jnp.asarray(lr), jnp.asarray(lc), jnp.asarray(vv),
+        jnp.asarray(tiles["gi"]), jnp.asarray(tiles["cj"]),
+        jnp.asarray(tiles["new"]), jnp.asarray(tiles["lr"]),
+        jnp.asarray(tiles["lc"]), vv,
         jnp.asarray(basis_p), n_ct=n_ct, k_pad=k_pad, interpret=interpret,
     )
-    return out[:ncols, :k]
+    cell_ids = (
+        jnp.asarray(tiles["cj"])[:, None, None] * TILE_C + jnp.asarray(tiles["lc"])
+    ).reshape(-1)
+    sq = jax.ops.segment_sum(
+        (vv * vv).reshape(-1), cell_ids, num_segments=n_ct * TILE_C
+    )
+    return out[:ncols, :k], sq[:ncols]
 
 
 @partial(jax.jit, static_argnames=("n_ct", "k_pad", "interpret"))

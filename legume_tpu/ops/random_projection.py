@@ -124,6 +124,32 @@ def project_columns(
     import os
 
     use_pallas = os.environ.get("LEGUME_PALLAS") == "1"
+
+    # ingest-time tile cache (data/tile_cache.py): when the vec is a
+    # single on-disk backend with a matching cache, skip host
+    # bucketing entirely and stream device-ready tiles
+    if use_pallas:
+        cache = _find_tile_cache(data, block_size)
+        if cache is not None:
+            from .pallas_kernels import project_tiles
+
+            interp = jax.default_backend() == "cpu"
+            pieces = []
+            for bi in range(cache.n_blocks):
+                tiles = cache.block(bi)
+                if tiles["gi"].size == 0:
+                    pieces.append(
+                        np.zeros((int(tiles["ncols"]), target_dim), np.float32)
+                    )
+                    continue
+                proj, sq = project_tiles(basis_dk, tiles, interpret=interp)
+                norm = jnp.maximum(jnp.sqrt(sq), 1e-8)
+                pieces.append(np.asarray(proj / norm[:, None]))
+            proj_nk = np.concatenate(pieces, axis=0)
+            return _finish_projection(
+                basis_dk, proj_nk, n, target_dim, batch_membership
+            )
+
     pieces = []
     # consecutive same-shape blocks batch into ONE scanned dispatch —
     # a per-block dispatch costs ~seconds over a tunneled device
@@ -170,7 +196,27 @@ def project_columns(
             flush()
     flush()
     proj_nk = np.concatenate(pieces, axis=0) if pieces else np.zeros((0, target_dim), np.float32)
+    return _finish_projection(basis_dk, proj_nk, n, target_dim, batch_membership)
 
+
+def _find_tile_cache(data, block_size: int):
+    """Single-backend vecs with an on-disk path can serve prebucketed
+    tiles; anything else (multi-backend, memory) falls back."""
+    backends = getattr(data, "_backends", None)
+    if backends is None or len(backends) != 1:
+        return None
+    path = getattr(backends[0], "path", None)
+    if not path:
+        return None
+    try:
+        from ..data.tile_cache import TileCache
+
+        return TileCache.load(path, block_size=block_size)
+    except Exception:
+        return None
+
+
+def _finish_projection(basis_dk, proj_nk, n, target_dim, batch_membership):
     if batch_membership is not None and len(batch_membership) == n:
         codes = np.asarray(batch_membership)
         for b in np.unique(codes):

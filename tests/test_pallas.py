@@ -123,3 +123,35 @@ def test_projection_pallas_dispatch_matches(monkeypatch):
     monkeypatch.setenv("LEGUME_PALLAS", "1")
     _, got = rp.project_columns(be, 24, block_size=128, seed=3)
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_tile_cache_projection_matches_xla(tmp_path, monkeypatch):
+    """Ingest-time tile cache: LEGUME_PALLAS=1 projection through the
+    cached tiles must match the XLA segment path (interpret mode on
+    CPU), including per-cell norms and multi-block concatenation."""
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.tile_cache import TileCache, build_tile_cache
+    from legume_tpu.ops import random_projection as rp
+    from legume_tpu.senna.topic import load_data_vec
+
+    out = str(tmp_path / "sim")
+    cli.run_sim([
+        "topic", "--rows", "120", "--cols", "700", "--factors", "3",
+        "--depth", "800", "--output", out,
+    ])
+    path = f"{out}.zarr"
+    nb = build_tile_cache(path, block_size=256)  # 3 blocks
+    assert nb == 3
+    assert TileCache.load(path, block_size=256) is not None
+    assert TileCache.load(path, block_size=512) is None  # param mismatch
+
+    vec = load_data_vec([path])
+    basis_ref, proj_ref = rp.project_columns(vec, 8, block_size=256, seed=7)
+    monkeypatch.setenv("LEGUME_PALLAS", "1")
+    calls = []
+    orig_block = TileCache.block
+    monkeypatch.setattr(TileCache, "block", lambda self, i: calls.append(i) or orig_block(self, i))
+    basis_c, proj_c = rp.project_columns(vec, 8, block_size=256, seed=7)
+    assert calls == [0, 1, 2], "cache path not taken"
+    np.testing.assert_allclose(basis_c, basis_ref, rtol=1e-6)
+    np.testing.assert_allclose(proj_c, proj_ref, rtol=2e-3, atol=2e-3)
