@@ -213,7 +213,38 @@ def main():
 
             t0 = time.time()
             basis, proj = rp.project_columns(be, 50, block_size=8192)
+            detail["projection_xla_s"] = round(time.time() - t0, 2)
             t0 = _t("projection", t0)
+
+            # cached Pallas path (ingest-time tile cache; 5.1x the warm
+            # XLA projection on-chip — docs/BENCH_NOTES.md)
+            if _left() > 120 and os.environ.get("LEGUME_CPU") != "1":
+                try:
+                    import tempfile
+
+                    from legume_tpu.data.sparse_io import create_sparse_from_csc
+                    from legume_tpu.data.tile_cache import build_tile_cache
+                    from legume_tpu.senna.topic import load_data_vec
+
+                    bdir = tempfile.mkdtemp(prefix="bench_tiles_")
+                    be_path = f"{bdir}/sim.zarr"
+                    create_sparse_from_csc(sim.counts, be_path)
+                    tc0 = time.time()
+                    build_tile_cache(be_path, block_size=8192)
+                    detail["tile_cache_build_s"] = round(time.time() - tc0, 2)
+                    vec_c = load_data_vec([be_path])
+                    os.environ["LEGUME_PALLAS"] = "1"
+                    tc0 = time.time()
+                    rp.project_columns(vec_c, 50, block_size=8192)
+                    detail["projection_pallas_cached_s"] = round(
+                        time.time() - tc0, 2
+                    )
+                    _t("projection_pallas_cached", tc0)
+                except Exception as e:
+                    detail["tile_cache_error"] = str(e)[:120]
+                finally:
+                    os.environ.pop("LEGUME_PALLAS", None)
+            t0 = time.time()
             bits = (proj[:10] > 0).astype(np.int64)
             codes = (bits * (1 << np.arange(10))[:, None]).sum(axis=0)
             g2, s = rp.compact_group_codes(codes)

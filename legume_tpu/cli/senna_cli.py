@@ -68,7 +68,9 @@ def run_senna(argv):
     p.add_argument("--from", dest="from_run", default=None,
                    help="prefix of a prior run: inputs resolve from its manifest")
     p.add_argument("--out", required=True)
-    p.add_argument("--method", choices=["kmeans", "leiden"], default="leiden")
+    p.add_argument("--method", choices=["kmeans", "leiden", "hsblock"],
+                   default="leiden")
+    p.add_argument("--hsblock-depth", type=int, default=4)
     p.add_argument("--n-clusters", type=int, default=10)
     p.add_argument("--knn", type=int, default=15)
     p.add_argument("--resolution", type=float, default=1.0)
@@ -941,6 +943,7 @@ def run_senna(argv):
                 n_clusters=args.n_clusters,
                 knn=args.knn,
                 resolution=args.resolution,
+                hsblock_depth=args.hsblock_depth,
                 seed=args.seed,
             )
         )

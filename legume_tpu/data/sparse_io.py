@@ -678,10 +678,39 @@ class StreamingCscWriter:
 
 def open_sparse_matrix(path: str | os.PathLike) -> SparseBackend:
     """Open an existing backend by sniffing the path
-    (`open_sparse_matrix`, factory.rs:27)."""
+    (`open_sparse_matrix`, factory.rs:27). `.zarr.zip` archives
+    (zarr.rs zip-store flavor) are extracted once into a sibling cache
+    directory and served read-only from there."""
     path = str(path)
     if not Path(path).exists():
         raise FileNotFoundError(path)
+    if path.endswith(".zarr.zip"):
+        return ZarrBackend(_extract_zarr_zip(path))
     if _backend_kind(path) == "h5":
         return H5Backend(path)
     return ZarrBackend(path)
+
+
+def _extract_zarr_zip(path: str) -> str:
+    """Unpack a .zarr.zip archive next to itself ({path}.extracted/),
+    reusing the extraction when it is newer than the archive."""
+    import zipfile
+
+    dest = Path(path + ".extracted")
+    marker = dest / ".extract_ok"
+    if not (marker.exists() and marker.stat().st_mtime >= Path(path).stat().st_mtime):
+        if dest.exists():
+            import shutil
+
+            shutil.rmtree(dest)
+        dest.mkdir(parents=True)
+        with zipfile.ZipFile(path) as zf:
+            zf.extractall(dest)
+        marker.touch()
+    # archives may nest the store under a single top-level dir; the
+    # store root is recognizable by its "nrow" array
+    if not (dest / "nrow").exists():
+        for d in dest.iterdir():
+            if d.is_dir() and (d / "nrow").exists():
+                return str(d)
+    return str(dest)

@@ -1,5 +1,5 @@
 """`senna clustering` equivalent (`senna/src/clustering.rs:209`):
-kmeans / leiden on a latent parquet.
+kmeans / leiden / hsblock on a latent parquet.
 """
 
 from __future__ import annotations
@@ -20,7 +20,8 @@ log = logging.getLogger(__name__)
 class ClusteringArgs:
     latent: str = ""  # {prefix}.latent.parquet
     out: str = "clusters"
-    method: str = "leiden"  # kmeans | leiden
+    method: str = "leiden"  # kmeans | leiden | hsblock
+    hsblock_depth: int = 4  # hsblock: K = 2^(depth-1) tree leaves
     n_clusters: int = 10  # kmeans K
     knn: int = 15
     resolution: float = 1.0
@@ -44,6 +45,18 @@ def run_clustering(args: ClusteringArgs) -> np.ndarray:
         res = leiden_clustering(adj, resolution=args.resolution, seed=args.seed)
         labels = res.membership
         log.info("leiden: %d communities, quality %.4f", res.n_communities, res.quality)
+    elif args.method == "hsblock":
+        from ..ops.hsblock import hsblock_clustering
+
+        adj = knn_adjacency(z, k=args.knn)
+        res = hsblock_clustering(
+            adj, max_depth=args.hsblock_depth, seed=args.seed
+        )
+        labels = res.membership
+        log.info(
+            "hsblock: %d leaves occupied (tree K=%d)",
+            len(np.unique(labels)), 1 << (args.hsblock_depth - 1),
+        )
     else:
         raise ValueError(f"unknown clustering method {args.method}")
 

@@ -705,3 +705,18 @@ def test_fagioli_fit_qtl_sgvb_cli(tmp_path):
         top = int(grp.loc[grp["pip"].idxmax(), "variant"][1:])
         hits += int(top == row["causal_variant"])
     assert hits >= 1
+
+
+def test_senna_clustering_hsblock(topic_sim):
+    path, tmp = topic_sim
+    svd = str(tmp / "svdh")
+    cli.run_senna(["svd", "--data-files", path, "--out", svd, "--n-factors", "4"])
+    cl = str(tmp / "clh")
+    cli.run_senna([
+        "clustering", "--latent", f"{svd}.latent.parquet", "--out", cl,
+        "--method", "hsblock", "--hsblock-depth", "3", "--knn", "10",
+    ])
+    labels = pd.read_parquet(f"{cl}.clusters.parquet")
+    assert len(labels) == 250
+    k = labels.iloc[:, 1].nunique()
+    assert 1 <= k <= 4  # tree K = 2^(3-1)

@@ -174,3 +174,34 @@ def test_streaming_csc_writer_matches_bulk(tmp_path, small_coo):
     got_r = np.asarray(be.read_rows_csr(np.arange(d)).todense())
     np.testing.assert_allclose(got_r, dense)
     assert be.row_names()[3] == "g3"
+
+
+def test_open_zarr_zip_archive(tmp_path):
+    """`.zarr.zip` archives open read-only via one-time extraction
+    (reference zarr backend zip-store flavor)."""
+    import zipfile
+
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import create_sparse_from_csc, open_sparse_matrix
+
+    rng = np.random.default_rng(0)
+    csc = sp.random(15, 40, 0.3, format="csc", random_state=1, dtype=np.float32)
+    zdir = tmp_path / "m.zarr"
+    create_sparse_from_csc(csc, str(zdir), [f"g{i}" for i in range(15)],
+                           [f"c{j}" for j in range(40)])
+    zpath = tmp_path / "m.zarr.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for f in sorted(zdir.rglob("*")):
+            if f.is_file():
+                zf.write(f, f.relative_to(zdir))
+    be = open_sparse_matrix(str(zpath))
+    assert be.shape == (15, 40)
+    np.testing.assert_allclose(
+        np.asarray(be.read_columns_csc(np.arange(40)).todense()),
+        csc.toarray(), rtol=1e-6,
+    )
+    assert be.row_names()[0] == "g0"
+    # second open reuses the extraction (marker newer than archive)
+    be2 = open_sparse_matrix(str(zpath))
+    assert be2.num_nonzeros == be.num_nonzeros
