@@ -45,12 +45,20 @@ def run_faba(argv):
     p.add_argument("--gff", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--bins", type=int, default=50)
-    p = sub.add_parser("pileup", help="base composition around sites from BAM")
+    p = sub.add_parser(
+        "pileup", aliases=["inspect"],
+        help="base composition around sites; --miami renders the figure mode",
+    )
     p.add_argument("--bam", required=True)
     p.add_argument("--sites", required=True, help="parquet with chrom,pos")
     p.add_argument("--output", required=True)
     p.add_argument("--flank", type=int, default=2)
     p.add_argument("--fasta", default=None)
+    p.add_argument("--miami", default=None,
+                   help="figure out-path (.pdf/.svg/.png): sites up, gene "
+                        "model middle, mirrored depth down")
+    p.add_argument("--region", default=None, help="chr:lb-ub (miami mode)")
+    p.add_argument("--gff", default=None, help="gene model track (miami mode)")
     for _name, _help in [
         ("gem", "geodesic embedding + motion (NCE, velocity delta)"),
         ("gem-encoder", "masked generative sibling (u+delta->s)"),
@@ -61,6 +69,15 @@ def run_faba(argv):
         p.add_argument("--output", required=True)
         p.add_argument("-d", "--embedding-dim", type=int, default=16)
         p.add_argument("--epochs", type=int, default=600)
+    p = sub.add_parser(
+        "lineage", help="velocity-oriented principal-tree lineage over a gem fit"
+    )
+    p.add_argument("--latent", required=True, help="{gem}.latent.parquet")
+    p.add_argument("--velocity", required=True, help="{gem}.velocity.parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-nodes", type=int, default=30)
+    p.add_argument("--seed", type=int, default=0)
+
     p = sub.add_parser("dyn-assoc", help="between-branch Bayesian modality contrast")
     p.add_argument("--backend", required=True, help="site x cell counts backend")
     p.add_argument("--branches", required=True, help="parquet: cell, branch|pseudotime")
@@ -303,12 +320,15 @@ def run_faba(argv):
             res = fit_gem(s, u, embedding_dim=args.embedding_dim, epochs=args.epochs)
             delta, emb = res.delta, res.e_feat
             vel = res.cell_velocity(u)
+            w = s / np.maximum(s.sum(1, keepdims=True), 1e-9)
+            cell_emb = w @ emb  # spliced-weighted gene embedding
         else:
             res = fit_gem_encoder(
                 s, u, latent_dim=args.embedding_dim, epochs=args.epochs
             )
             delta, emb = res.delta, res.rho
             vel = res.cell_velocity(u)
+            cell_emb = res.encode(u)
         pd.DataFrame(
             emb, index=genes, columns=[f"h{j}" for j in range(emb.shape[1])]
         ).reset_index(names="gene").to_parquet(f"{args.output}.gene_embedding.parquet")
@@ -320,7 +340,44 @@ def run_faba(argv):
         pd.DataFrame(
             {"gene": genes, "velocity_norm": np.linalg.norm(delta, axis=1)}
         ).to_parquet(f"{args.output}.gene_velocity.parquet")
-        print(f"wrote {args.output}.{{gene_embedding,velocity,gene_velocity}}.parquet")
+        pd.DataFrame(
+            cell_emb, index=sb.column_names(),
+            columns=[f"h{j}" for j in range(cell_emb.shape[1])],
+        ).reset_index(names="cell").to_parquet(f"{args.output}.latent.parquet")
+        print(
+            f"wrote {args.output}."
+            "{gene_embedding,velocity,gene_velocity,latent}.parquet"
+        )
+    elif args.cmd == "lineage":
+        import pandas as pd
+
+        from ..embedding.lineage import velocity_oriented_lineage
+
+        zdf = pd.read_parquet(args.latent)
+        vdf = pd.read_parquet(args.velocity)
+        cells = zdf.iloc[:, 0].to_numpy()
+        z = zdf.iloc[:, 1:].to_numpy(np.float32)
+        vel = vdf.iloc[:, 1:].to_numpy(np.float32)
+        lin = velocity_oriented_lineage(
+            z, vel, n_nodes=args.n_nodes, seed=args.seed
+        )
+        pd.DataFrame({
+            "cell": cells,
+            "pseudotime": lin.pseudotime,
+            "consistency": lin.consistency,
+        }).to_parquet(f"{args.out}.pseudotime.parquet")
+        nodes_df = pd.DataFrame(
+            lin.nodes, columns=[f"h{j}" for j in range(lin.nodes.shape[1])]
+        ).reset_index(names="node")
+        nodes_df["is_root"] = nodes_df["node"] == lin.root_node
+        nodes_df.to_parquet(f"{args.out}.lineage_nodes.parquet")
+        pd.DataFrame(
+            {"src": lin.edges[:, 0], "dst": lin.edges[:, 1]}
+        ).to_parquet(f"{args.out}.lineage_edges.parquet")
+        print(
+            f"wrote {args.out}.pseudotime/.lineage_nodes/.lineage_edges parquet "
+            f"(root node {lin.root_node})"
+        )
     elif args.cmd == "dyn-assoc":
         import pandas as pd
 
@@ -369,8 +426,72 @@ def run_faba(argv):
             )
         df.to_parquet(f"{args.output}.assoc.parquet")
         print(f"wrote {args.output}.assoc.parquet ({len(df)} sites)")
-    elif args.cmd == "pileup":
+    elif args.cmd in ("pileup", "inspect"):
         import pandas as pd
+
+        if args.miami:
+            from ..faba.bam import read_bam
+            from ..utils.plot import miami_pileup
+
+            if not args.region:
+                raise SystemExit("pileup --miami needs --region chr:lb-ub")
+            chrom, span = args.region.rsplit(":", 1)
+            lb, ub = (int(x) for x in span.replace(",", "").split("-"))
+            df = pd.read_parquet(args.sites)
+            insel = (
+                (df["chrom"].astype(str) == chrom)
+                & (df["pos"] >= lb) & (df["pos"] <= ub)
+            )
+            sel = df[insel]
+            stat_cols = [
+                c for c in sel.columns
+                if c not in ("chrom", "pos", "strand")
+                and pd.api.types.is_numeric_dtype(sel[c])
+            ]
+            vals = (
+                sel[stat_cols[0]].to_numpy(float)
+                if stat_cols else np.ones(len(sel))
+            )
+            reads = read_bam(args.bam)
+            rmap = {n: i for i, n in enumerate(reads.ref_names)}
+            rid = rmap.get(chrom, -1)
+            m = (
+                (reads.ref_id == rid)
+                & (reads.end_pos >= lb) & (reads.pos <= ub)
+            )
+            bins = np.linspace(lb, ub, 800)
+            depth = np.zeros(len(bins))
+            for rs, re_ in zip(reads.pos[m], reads.end_pos[m]):
+                i0 = np.searchsorted(bins, max(rs, lb))
+                i1 = np.searchsorted(bins, min(re_, ub))
+                depth[i0:i1] += 1
+            gene_rows = []
+            if args.gff:
+                from ..faba.genes import parse_gff_genes
+
+                model = parse_gff_genes(args.gff)
+                cidx = (
+                    model.chrom_names.index(chrom)
+                    if chrom in model.chrom_names else -1
+                )
+                for gi in range(len(model.names)):
+                    if (
+                        model.chrom[gi] == cidx
+                        and model.end[gi] >= lb and model.start[gi] <= ub
+                    ):
+                        gene_rows.append((
+                            model.names[gi], int(model.start[gi]),
+                            int(model.end[gi]), int(model.strand[gi]),
+                        ))
+            miami_pileup(
+                sel["pos"].to_numpy(), vals, bins, depth, gene_rows,
+                args.miami, title=args.region,
+            )
+            print(
+                f"wrote {args.miami} ({len(sel)} sites, "
+                f"{int(m.sum())} reads, {len(gene_rows)} genes)"
+            )
+            return
 
         from ..faba.bam import read_bam
         from ..faba.context import pileup_at_sites, read_fasta

@@ -87,3 +87,26 @@ def test_count_genes_no_dedup(tiny_bam):
     gi = {g: i for i, g in enumerate(genes)}
     ci = {c: i for i, c in enumerate(barcodes)}
     assert m[gi["GeneA"], ci["cell1"]] == 4  # raw read count
+
+
+def test_pileup_miami_figure(tiny_bam, tmp_path):
+    """`faba pileup --miami` renders the mirrored figure: sites up,
+    gene model middle, depth down (faba plot figure mode)."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+
+    path, gff = tiny_bam
+    sites = tmp_path / "sites.parquet"
+    pd.DataFrame({
+        "chrom": ["chr1", "chr1", "chr1"],
+        "pos": [150, 210, 2100],
+        "stat": [3.0, 1.5, 2.0],
+    }).to_parquet(sites)
+    fig = tmp_path / "miami.pdf"
+    cli.run_faba([
+        "pileup", "--bam", path, "--sites", str(sites),
+        "--output", str(tmp_path / "pu"),
+        "--miami", str(fig), "--region", "chr1:50-2600", "--gff", gff,
+    ])
+    assert fig.exists() and fig.stat().st_size > 1000

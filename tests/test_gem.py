@@ -80,3 +80,41 @@ def test_annotate_by_projection():
     assert (labels[:n_per] == "typeA").mean() > 0.9
     assert (labels[n_per:2*n_per] == "typeB").mean() > 0.9
     assert (labels[2*n_per:] == "Unassigned").mean() > 0.5
+
+
+def test_faba_lineage_cli_orients_by_velocity(tmp_path):
+    """`faba lineage`: a 1D trajectory with velocity pointing toward
+    increasing x must root at the low-x end (pseudotime correlates
+    with x) and emit nodes/edges artifacts."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+
+    rng = np.random.default_rng(0)
+    n = 300
+    t = np.sort(rng.uniform(0, 1, n))
+    z = np.stack([t * 10, np.sin(t * 3)], axis=1) + rng.normal(0, 0.05, (n, 2))
+    vel = np.stack([np.ones(n) * 2, np.cos(t * 3) * 0.6], axis=1)
+    zp = tmp_path / "z.parquet"
+    vp = tmp_path / "v.parquet"
+    cells = [f"c{i}" for i in range(n)]
+    pd.DataFrame(z, index=cells, columns=["h0", "h1"]).reset_index(
+        names="cell"
+    ).to_parquet(zp)
+    pd.DataFrame(vel, index=cells, columns=["v0", "v1"]).reset_index(
+        names="cell"
+    ).to_parquet(vp)
+    out = str(tmp_path / "lin")
+    cli.run_faba([
+        "lineage", "--latent", str(zp), "--velocity", str(vp),
+        "--out", out, "--n-nodes", "12",
+    ])
+    pt = pd.read_parquet(f"{out}.pseudotime.parquet")
+    r = np.corrcoef(pt["pseudotime"], t)[0, 1]
+    assert r > 0.9, f"pseudotime-vs-truth correlation {r:.2f}"
+    nodes = pd.read_parquet(f"{out}.lineage_nodes.parquet")
+    assert nodes["is_root"].sum() == 1
+    root_x = nodes.loc[nodes["is_root"], "h0"].iloc[0]
+    assert root_x < nodes["h0"].median()  # rooted at the low-x end
+    edges = pd.read_parquet(f"{out}.lineage_edges.parquet")
+    assert len(edges) >= len(nodes) - 1 - 2  # near-tree
