@@ -153,7 +153,28 @@ def collect_basic_stats(
             )
         buf.clear()
 
+    use_pallas = os.environ.get("LEGUME_PALLAS") == "1"
     for blk in visit_columns_by_block(data, block_size=block_size):
+        if use_pallas:
+            from .pallas_kernels import collapse_block_tiled
+
+            out = collapse_block_tiled(
+                blk.row_ids, blk.col_ids, blk.vals,
+                seg_of(blk, groups, num_groups),
+                ncols=blk.ncols, num_genes=d, num_groups=num_groups,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if out is not None:  # None = group count over VMEM budget
+                obs_ds = obs_ds + out
+                if obs_db is not None:
+                    out_b = collapse_block_tiled(
+                        blk.row_ids, blk.col_ids, blk.vals,
+                        seg_of(blk, batches, num_batches),
+                        ncols=blk.ncols, num_genes=d, num_groups=num_batches,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                    obs_db = obs_db + out_b
+                continue
         if buf and (
             buf[0].ncols != blk.ncols or len(buf[0].row_ids) != len(blk.row_ids)
         ):

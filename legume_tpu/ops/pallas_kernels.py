@@ -321,3 +321,172 @@ def tiled_call(gi, cj, new, lr, lc, vv, basis_p, *, n_ct, k_pad, interpret=False
         out_shape=jax.ShapeDtypeStruct((n_ct * TILE_C, k_pad), jnp.float32),
         interpret=interpret,
     )(gi, cj, new, lr, lc, vv, basis_p)
+
+
+# ----------------------------------------------------------------------------
+# Tiled collapse (per-(gene, group) sums) — the other hot SpMM-like op.
+#
+# collapse_block's XLA path is a scatter (segment_sum over gene*group
+# keys), which serializes on TPU exactly like the projection scatter
+# did. Same cure: entries bucket into gene-tile chunks on the host;
+# on device the scatter becomes one one-hot MXU matmul per chunk:
+#
+#   out_tile [TILE_G, GRP] += onehot(local_row)^T @ (vals (.) onehot(group))
+#
+# The output block is indexed by the gene tile (gi); chunks arrive
+# sorted by gi so each [TILE_G, GRP_PAD] block accumulates in VMEM.
+# GRP_PAD caps at _COLLAPSE_MAX_GRP to bound VMEM; larger group counts
+# fall back to the XLA path.
+# ----------------------------------------------------------------------------
+
+TILE_GRP = 128  # groups per output tile (MXU-aligned)
+
+
+def _collapse_kernel(gi_ref, gj_ref, new_ref, lr_ref, lg_ref, v_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(new_ref[i] == 1)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    lr = lr_ref[0]  # [C, 1] local gene row in [0, TILE_G)
+    lg = lg_ref[0]  # [C, 1] LOCAL group id in [0, TILE_GRP)
+    v = v_ref[0]  # [C, 1] values (0 = padding)
+
+    iota_grp = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, TILE_GRP), 1)
+    oh_grp = jnp.where(iota_grp == lg, v, 0.0)  # [C, TILE_GRP]
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, TILE_G), 1)
+    oh_g = (iota_g == lr).astype(jnp.float32)  # [C, TILE_G]
+    out_ref[:, :] += jax.lax.dot_general(
+        oh_g, oh_grp,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def bucket_coo_for_collapse(
+    rows: np.ndarray, groups_of_entry: np.ndarray, vals: np.ndarray
+) -> dict | None:
+    """Host bucketing for the collapse kernel: entries sorted by
+    (gene tile, GROUP tile) and split into fixed chunks with LOCAL
+    group ids. Tiling the group axis keeps per-chunk MXU work at
+    C x TILE_G x TILE_GRP regardless of the total group count, and
+    cells arrive pre-sorted by projection codes, so group locality is
+    high (few occupied group tiles per gene-tile run)."""
+    rows = np.asarray(rows, np.int64)
+    grp = np.asarray(groups_of_entry, np.int64)
+    gi = rows // TILE_G
+    gj = grp // TILE_GRP
+    order = np.lexsort((gj, gi))
+    rows = rows[order]
+    gi, gj = gi[order], gj[order]
+    grp = grp[order]
+    vals = np.asarray(vals, np.float32)[order]
+    if len(rows) == 0:
+        return None
+
+    key = gi * (gj.max() + 1) + gj
+    uniq, run_start, counts = np.unique(key, return_index=True, return_counts=True)
+    chunks_per_run = -(-counts // ENTRY_CHUNK)
+    chunk_off = np.zeros(len(uniq) + 1, np.int64)
+    np.cumsum(chunks_per_run, out=chunk_off[1:])
+    n_chunks = int(chunk_off[-1])
+    run_of_entry = np.repeat(np.arange(len(uniq)), counts)
+    within = np.arange(len(rows)) - run_start[run_of_entry]
+    chunk_of_entry = chunk_off[run_of_entry] + within // ENTRY_CHUNK
+    slot = within % ENTRY_CHUNK
+
+    lr = np.zeros((n_chunks, ENTRY_CHUNK), np.int32)
+    lg = np.zeros((n_chunks, ENTRY_CHUNK), np.int32)
+    vv = np.zeros((n_chunks, ENTRY_CHUNK), np.float32)
+    lr[chunk_of_entry, slot] = (rows % TILE_G).astype(np.int32)
+    lg[chunk_of_entry, slot] = (grp % TILE_GRP).astype(np.int32)
+    vv[chunk_of_entry, slot] = vals
+    gi_of_chunk = np.repeat(gi[run_start], chunks_per_run).astype(np.int32)
+    gj_of_chunk = np.repeat(gj[run_start], chunks_per_run).astype(np.int32)
+    new = np.ones(n_chunks, np.int32)
+    new[1:] = (
+        (gi_of_chunk[1:] != gi_of_chunk[:-1])
+        | (gj_of_chunk[1:] != gj_of_chunk[:-1])
+    ).astype(np.int32)
+    return {
+        "gi": gi_of_chunk, "gj": gj_of_chunk, "new": new,
+        "lr": lr[:, :, None], "lg": lg[:, :, None], "vv": vv[:, :, None],
+    }
+
+
+def collapse_tiled_call(gi, gj, new, lr, lg, vv, *, n_gt, n_grpt, interpret=False):
+    """Device half of `collapse_block_tiled` (prebucketed inputs)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(gi.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, ENTRY_CHUNK, 1), lambda i, gi, gj, nw: (i, 0, 0)),
+            pl.BlockSpec((1, ENTRY_CHUNK, 1), lambda i, gi, gj, nw: (i, 0, 0)),
+            pl.BlockSpec((1, ENTRY_CHUNK, 1), lambda i, gi, gj, nw: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_G, TILE_GRP), lambda i, gi, gj, nw: (gi[i], gj[i])
+        ),
+    )
+    return pl.pallas_call(
+        _collapse_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_gt * TILE_G, n_grpt * TILE_GRP), jnp.float32
+        ),
+        interpret=interpret,
+    )(gi, gj, new, lr, lg, vv)
+
+
+def collapse_block_tiled(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    seg_of_col: np.ndarray,  # [ncols + 1]; last slot = discard
+    *,
+    ncols: int,
+    num_genes: int,
+    num_groups: int,
+    interpret: bool = False,
+) -> jax.Array | None:
+    """Mosaic-legal tiled collapse: [num_genes, num_groups] group sums.
+    Matches `sparse.collapse_block`. Group axis is tiled too, so any
+    group count fits the VMEM budget."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    real = (cols >= 0) & (cols < ncols)
+    seg = np.asarray(seg_of_col)[np.clip(cols, 0, len(seg_of_col) - 1)]
+    real &= seg < num_groups  # discard slot
+    tiles = bucket_coo_for_collapse(rows[real], seg[real], vals[real])
+    if tiles is None:
+        return jnp.zeros((num_genes, num_groups), jnp.float32)
+    n_gt = -(-num_genes // TILE_G)
+    n_grpt = max(-(-int(num_groups) // TILE_GRP), 1)
+    # zero unvisited output tiles: one all-padding chunk per missing
+    # (gene tile, group tile) pair (same trick as project_block_tiled)
+    visited = set(zip(tiles["gi"].tolist(), tiles["gj"].tolist()))
+    missing = [
+        (a, b) for a in range(n_gt) for b in range(n_grpt)
+        if (a, b) not in visited
+    ]
+    if missing:
+        ma = np.asarray([m[0] for m in missing], np.int32)
+        mb = np.asarray([m[1] for m in missing], np.int32)
+        z_entry = np.zeros((len(missing), ENTRY_CHUNK, 1), np.int32)
+        tiles = {
+            "gi": np.concatenate([tiles["gi"], ma]),
+            "gj": np.concatenate([tiles["gj"], mb]),
+            "new": np.concatenate([tiles["new"], np.ones(len(missing), np.int32)]),
+            "lr": np.concatenate([tiles["lr"], z_entry]),
+            "lg": np.concatenate([tiles["lg"], z_entry]),
+            "vv": np.concatenate([tiles["vv"], z_entry.astype(np.float32)]),
+        }
+    out = collapse_tiled_call(
+        jnp.asarray(tiles["gi"]), jnp.asarray(tiles["gj"]),
+        jnp.asarray(tiles["new"]), jnp.asarray(tiles["lr"]),
+        jnp.asarray(tiles["lg"]), jnp.asarray(tiles["vv"]),
+        n_gt=n_gt, n_grpt=n_grpt, interpret=interpret,
+    )
+    return out[:num_genes, :num_groups]

@@ -155,3 +155,65 @@ def test_tile_cache_projection_matches_xla(tmp_path, monkeypatch):
     assert calls == [0, 1, 2], "cache path not taken"
     np.testing.assert_allclose(basis_c, basis_ref, rtol=1e-6)
     np.testing.assert_allclose(proj_c, proj_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_collapse_block_tiled_matches_xla():
+    """Tiled collapse kernel (interpret mode) == sparse.collapse_block
+    including discard-slot padding and multi-tile gene axes."""
+    import jax.numpy as jnp
+
+    from legume_tpu.ops.pallas_kernels import collapse_block_tiled
+    from legume_tpu.ops.sparse import collapse_block
+
+    rng = np.random.default_rng(3)
+    d, n, g, nnz = 300, 500, 7, 4000
+    rows = rng.integers(0, d, nnz)
+    cols = np.concatenate([rng.integers(0, n, nnz - 50), np.full(50, n)])  # pad
+    vals = rng.gamma(1.0, 1.0, nnz).astype(np.float32)
+    seg = np.concatenate([rng.integers(0, g, n), [g]]).astype(np.int32)
+
+    ref = np.asarray(collapse_block(
+        jnp.asarray(rows.astype(np.int32)), jnp.asarray(cols.astype(np.int32)),
+        jnp.asarray(vals), jnp.asarray(seg), num_genes=d, num_groups=g,
+    ))
+    out = collapse_block_tiled(
+        rows, cols, vals, seg, ncols=n, num_genes=d, num_groups=g,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+    # group-tiled: huge group counts still work
+    seg_big = np.concatenate([rng.integers(0, 5000, n), [5000]]).astype(np.int32)
+    ref_big = np.asarray(collapse_block(
+        jnp.asarray(rows.astype(np.int32)), jnp.asarray(cols.astype(np.int32)),
+        jnp.asarray(vals), jnp.asarray(seg_big), num_genes=d, num_groups=5000,
+    ))
+    out_big = collapse_block_tiled(
+        rows, cols, vals, seg_big, ncols=n, num_genes=d, num_groups=5000,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_big), ref_big, rtol=1e-5, atol=1e-5)
+
+
+def test_collect_basic_stats_pallas_matches_xla(monkeypatch):
+    """LEGUME_PALLAS=1 collect_basic_stats (tiled collapse kernel in
+    interpret mode) == the XLA scan path, incl. per-batch planes."""
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import MemoryBackend
+    from legume_tpu.ops.collapse import collect_basic_stats
+
+    rng = np.random.default_rng(5)
+    csc = sp.random(150, 400, 0.15, format="csc", random_state=2,
+                    dtype=np.float32)
+    be = MemoryBackend(csc)
+    groups = rng.integers(0, 6, 400)
+    batches = rng.integers(0, 2, 400)
+    ref = collect_basic_stats(be, groups, 6, num_batches=2, batches=batches,
+                              block_size=128)
+    monkeypatch.setenv("LEGUME_PALLAS", "1")
+    out = collect_basic_stats(be, groups, 6, num_batches=2, batches=batches,
+                              block_size=128)
+    np.testing.assert_allclose(out.observed_sum_ds, ref.observed_sum_ds,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out.observed_sum_db, ref.observed_sum_db,
+                               rtol=1e-5, atol=1e-5)
