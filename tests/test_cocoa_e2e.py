@@ -139,3 +139,25 @@ def test_cocoa_cnv_side_channel_recovers_amplified_block(tmp_path):
     assert np.isfinite(eff["cnv_concordance_r"]).all()
     # normal-sample TSV exists and lists only non-carrier-heavy refs in fit 2
     assert (tmp_path / "cnv.cnv.normal_samples.tsv.gz").exists()
+
+
+def test_cocoa_cnv_gff_genome_order(tmp_path):
+    """--gff mode: gene names match by GFF Name=, TSS ordering by
+    (chrom, position), unmatched genes dropped from CNV outputs."""
+    import pandas as pd
+
+    from legume_tpu.cocoa.cnv_call import genome_order_from_gff
+
+    gff = tmp_path / "g.gff"
+    rows = []
+    # genes deliberately OUT of genome order in the name list; g3 absent
+    rows.append("chr2\tsrc\tgene\t500\t900\t.\t+\t.\tID=gene:G0;Name=g0")
+    rows.append("chr1\tsrc\tgene\t2000\t2400\t.\t-\t.\tID=gene:G1;Name=g1")
+    rows.append("chr1\tsrc\tgene\t100\t300\t.\t+\t.\tID=gene:G2;Name=g2")
+    gff.write_text("\n".join(rows) + "\n")
+    order = genome_order_from_gff(["g0", "g1", "g2", "g3"], str(gff))
+    # genome order: chr1 g2 (0-based start 99), chr1 g1 (minus strand
+    # TSS = end 2400), chr2 g0; g3 dropped
+    assert order.ordered.tolist() == [2, 1, 0]
+    assert order.pos.tolist() == [99, 2400, 499]
+    assert len(order.chrom_names) == 2
