@@ -59,6 +59,8 @@ def run_faba(argv):
                         "model middle, mirrored depth down")
     p.add_argument("--region", default=None, help="chr:lb-ub (miami mode)")
     p.add_argument("--gff", default=None, help="gene model track (miami mode)")
+    p.add_argument("--cell-membership", default=None,
+                   help="TSV cell TAB type: one depth panel per cell type")
     for _name, _help in [
         ("gem", "geodesic embedding + motion (NCE, velocity delta)"),
         ("gem-encoder", "masked generative sibling (u+delta->s)"),
@@ -460,11 +462,39 @@ def run_faba(argv):
                 & (reads.end_pos >= lb) & (reads.pos <= ub)
             )
             bins = np.linspace(lb, ub, 800)
-            depth = np.zeros(len(bins))
-            for rs, re_ in zip(reads.pos[m], reads.end_pos[m]):
-                i0 = np.searchsorted(bins, max(rs, lb))
-                i1 = np.searchsorted(bins, min(re_, ub))
-                depth[i0:i1] += 1
+            facet_names = None
+            if args.cell_membership:
+                memb = {}
+                with open(args.cell_membership) as f:
+                    for ln in f:
+                        parts = ln.split()
+                        if len(parts) >= 2:
+                            memb[parts[0]] = parts[1]
+                facet_names = sorted(set(memb.values()))
+                fidx = {t: i for i, t in enumerate(facet_names)}
+                cb_facet = np.full(len(reads.barcodes), -1, np.int64)
+                for bi, bc in enumerate(reads.barcodes):
+                    t = memb.get(bc)
+                    if t is not None:
+                        cb_facet[bi] = fidx[t]
+                depth = np.zeros((len(facet_names), len(bins)))
+                read_facet = np.where(
+                    reads.cb_id[m] >= 0, cb_facet[reads.cb_id[m]], -1
+                )
+                for rf, rs, re_ in zip(
+                    read_facet, reads.pos[m], reads.end_pos[m]
+                ):
+                    if rf < 0:
+                        continue
+                    i0 = np.searchsorted(bins, max(rs, lb))
+                    i1 = np.searchsorted(bins, min(re_, ub))
+                    depth[rf, i0:i1] += 1
+            else:
+                depth = np.zeros(len(bins))
+                for rs, re_ in zip(reads.pos[m], reads.end_pos[m]):
+                    i0 = np.searchsorted(bins, max(rs, lb))
+                    i1 = np.searchsorted(bins, min(re_, ub))
+                    depth[i0:i1] += 1
             gene_rows = []
             if args.gff:
                 from ..faba.genes import parse_gff_genes
@@ -485,7 +515,7 @@ def run_faba(argv):
                         ))
             miami_pileup(
                 sel["pos"].to_numpy(), vals, bins, depth, gene_rows,
-                args.miami, title=args.region,
+                args.miami, title=args.region, facet_names=facet_names,
             )
             print(
                 f"wrote {args.miami} ({len(sel)} sites, "

@@ -273,98 +273,150 @@ def pb_gibbs(
         if stick_alpha is not None
         else np.full(h, 0.5)
     )
-    hv = [HalfCauchyVar(half_cauchy_scale) for _ in range(h)]
-    sigma2 = np.full(h, half_cauchy_scale**2)
+    # ---- fully-jitted sampler -----------------------------------------
+    # The first formulation looped sweeps/dims in Python, creating a
+    # FRESH lax.scan closure per (sweep, dim) — ~850 remote compiles at
+    # the reference anchor shape (1765 s over the tunnel vs the
+    # reference's 214 s CUDA). Everything now lives in ONE jitted scan:
+    # fori over dims inside a scan over sweeps, half-Cauchy hypers as
+    # vectorized inverse-gamma draws, accumulators in the carry. The
+    # counts/bias arrays ride as jit ARGUMENTS (a closure would bake
+    # the 357 MB counts constant into the compile payload — HTTP 413
+    # over the tunnel, the NCE phase-1 lesson).
+    from ..ops.mcmc import elliptical_slice_step_batched
 
-    feat_acc = np.zeros((d, h))
-    pip_acc = np.zeros((d, h))
-    pb_acc = np.zeros((p, h))
-    bpb_acc = np.zeros(p)
-    sigma2_trace = []
-    pb_chain = []  # first pb coordinate per sweep, for diagnostics
-    kept = 0
+    lo_s2 = float(np.exp(-2.0 * HalfCauchyVar.LOG_SD_CLAMP))
+    hi_s2 = float(np.exp(2.0 * HalfCauchyVar.LOG_SD_CLAMP))
+    hc_rate0 = 1.0 / float(half_cauchy_scale**2)
+    log_odds_np = np.log((1 - pi0) / np.maximum(pi0, 1e-12)).astype(np.float32)
+    sigma2_j = jnp.full(h, half_cauchy_scale**2, jnp.float32)
+    aux_j = jnp.full(h, half_cauchy_scale**2, jnp.float32)
+    total = burnin + n_sweeps
+
+    def _ess_run(key, init, scale, lnpdf):
+        def step(carry, k):
+            cur, cur_ln = carry
+            k1, k2 = jax.random.split(k)
+            nu = scale * jax.random.normal(k1, cur.shape)
+            return (
+                elliptical_slice_step_batched(k2, cur, nu, lnpdf, cur_ln),
+                None,
+            )
+
+        keys = jax.random.split(key, transitions_per_dim)
+        (out, _), _ = jax.lax.scan(step, (init, lnpdf(init)), keys)
+        return out
+
+    def _run(key, y, bf, log_odds, ef, gates, ep, bp, sigma2, aux):
+        def _sweep(carry, sweep_idx):
+            ef, gates, ep, bp, sigma2, aux, key, fa, pa, ea, ba = carry
+
+            # ---- gene block: per-dim spike-and-slab, lockstep ---------
+            def dim_body(dim, st):
+                ef, gates, key = st
+                gated = ef * gates
+                gated0 = gated.at[:, dim].set(0.0)
+                eta_off = (
+                    ep @ gated0.T + bf[None, :] + bp[:, None]
+                )  # [P, D]
+                contrib = jax.lax.dynamic_index_in_dim(
+                    ep, dim, 1, keepdims=False
+                )
+
+                def lnpdf(state):
+                    eta = eta_off + jnp.outer(contrib, state[:, 0])
+                    return _poisson_ll_cols(y, eta)
+
+                key, k_e, k_g = jax.random.split(key, 3)
+                sd_dim = jnp.sqrt(
+                    jax.lax.dynamic_index_in_dim(sigma2, dim, 0, keepdims=False)
+                )
+                init = (
+                    jax.lax.dynamic_index_in_dim(ef, dim, 1, keepdims=False)
+                    * jax.lax.dynamic_index_in_dim(
+                        gates, dim, 1, keepdims=False
+                    )
+                )[:, None]
+                new_coord = _ess_run(k_e, init, sd_dim, lnpdf)[:, 0]
+                # inclusion: ll(coord) - ll(0) + prior log-odds
+                ll_on = lnpdf(new_coord[:, None])
+                ll_off = lnpdf(jnp.zeros_like(new_coord)[:, None])
+                lop = jax.lax.dynamic_index_in_dim(
+                    log_odds, dim, 0, keepdims=False
+                )
+                on = jax.random.bernoulli(
+                    k_g, jax.nn.sigmoid(ll_on - ll_off + lop)
+                )
+                gates = gates.at[:, dim].set(on.astype(jnp.float32))
+                ef = ef.at[:, dim].set(new_coord)
+                return (ef, gates, key)
+
+            key, k_d = jax.random.split(key)
+            ef, gates, _ = jax.lax.fori_loop(0, h, dim_body, (ef, gates, k_d))
+
+            # ---- per-dim slab variance hypers (half-Cauchy IG mix) ----
+            key, k_s, k_a = jax.random.split(key, 3)
+            n_act = gates.sum(0)
+            ssq = ((ef * gates) ** 2).sum(0)
+            shape1 = (n_act + 1.0) / 2.0
+            rate1 = 0.5 * ssq + 1.0 / aux
+            g1 = jnp.maximum(jax.random.gamma(k_s, shape1), 1e-30)
+            sigma2 = jnp.clip(rate1 / g1, lo_s2, hi_s2)
+            g2 = jnp.maximum(jax.random.gamma(k_a, jnp.ones(h)), 1e-30)
+            aux = (hc_rate0 + 1.0 / sigma2) / g2
+
+            # ---- pb block: anchors in lockstep ------------------------
+            gated = ef * gates
+
+            def lnpdf_pb(state):
+                e = state[:, :h]
+                b = state[:, h]
+                eta = jnp.clip(
+                    e @ gated.T + bf[None, :] + b[:, None], -20.0, 20.0
+                )
+                return jnp.sum(y * eta - jnp.exp(eta), axis=1)
+
+            key, k_p = jax.random.split(key)
+            last = _ess_run(
+                k_p, jnp.concatenate([ep, bp[:, None]], axis=1), 1.0,
+                lnpdf_pb,
+            )
+            ep, bp = last[:, :h], last[:, h]
+
+            w = (sweep_idx >= burnin).astype(jnp.float32)
+            fa = fa + w * ef * gates
+            pa = pa + w * gates
+            ea = ea + w * ep
+            ba = ba + w * bp
+            return (
+                (ef, gates, ep, bp, sigma2, aux, key, fa, pa, ea, ba),
+                (sigma2, ep[:, 0]),
+            )
+
+        init = (
+            ef, gates, ep, bp, sigma2, aux, key,
+            jnp.zeros((d, h), jnp.float32), jnp.zeros((d, h), jnp.float32),
+            jnp.zeros((p, h), jnp.float32), jnp.zeros(p, jnp.float32),
+        )
+        carry, (sig_tr, chain) = jax.lax.scan(_sweep, init, jnp.arange(total))
+        return carry[7], carry[8], carry[9], carry[10], sig_tr, chain
 
     key = jax.random.key(seed & 0x7FFFFFFF)
-    for sweep in range(burnin + n_sweeps):
-        # ---- gene block: per-dim spike-and-slab, genes in lockstep ----
-        for dim in range(h):
-            gated = ef * gates
-            eta_off = (
-                ep @ (gated.at[:, dim].set(0.0)).T + bf[None, :] + bp[:, None]
-            )  # [P, D]
-            # slab draw: ESS on the dim coordinate of ALL genes, prior
-            # N(0, sigma2[dim]), conditional on gate = 1
-            contrib_dir = ep[:, dim]  # [P]
-
-            def lnpdf(state, eta_off=eta_off, contrib_dir=contrib_dir):
-                # state [D, 1]: candidate coordinate per gene
-                eta = eta_off + jnp.outer(contrib_dir, state[:, 0])
-                return _poisson_ll_cols(yt.T, eta)
-
-            key, k_e = jax.random.split(key)
-            sd_dim = float(np.sqrt(sigma2[dim]))
-            samples, _ = run_ess_chains(
-                k_e,
-                (ef[:, dim] * gates[:, dim])[:, None],
-                prior_draw=lambda k, s, sd=sd_dim: sd * jax.random.normal(k, s),
-                lnpdf=lnpdf,
-                num_samples=transitions_per_dim,
-                burn_in=0,
-            )
-            new_coord = samples[-1][:, 0]  # [D]
-            # inclusion: ll(coord) - ll(0) + prior log-odds
-            ll_on = lnpdf(new_coord[:, None])
-            ll_off = lnpdf(jnp.zeros((d, 1)))
-            log_odds = (
-                ll_on - ll_off + float(np.log((1 - pi0[dim]) / max(pi0[dim], 1e-12)))
-            )
-            key, k_g = jax.random.split(key)
-            on = jax.random.bernoulli(k_g, jax.nn.sigmoid(log_odds))
-            gates = gates.at[:, dim].set(on.astype(jnp.float32))
-            ef = ef.at[:, dim].set(new_coord)
-
-        # ---- per-dim slab variance hypers (half-Cauchy, hyper.rs) ----
-        g_np = np.asarray(gates)
-        ef_np = np.asarray(ef)
-        for dim in range(h):
-            active = g_np[:, dim] > 0
-            n_act = int(active.sum())
-            ssq = float((ef_np[active, dim] ** 2).sum())
-            sigma2[dim] = hv[dim].sample(ssq, n_act, rng)
-
-        # ---- pb block: per-dim Gaussian, anchors in lockstep ----------
-        gated = ef * gates
-
-        def lnpdf_pb(state):
-            e = state[:, :h]
-            b = state[:, h]
-            eta = e @ gated.T + bf[None, :] + b[:, None]
-            eta = jnp.clip(eta, -20.0, 20.0)
-            return jnp.sum(y * eta - jnp.exp(eta), axis=1)
-
-        key, k_p = jax.random.split(key)
-        samples, _ = run_ess_chains(
-            k_p,
-            jnp.concatenate([ep, bp[:, None]], axis=1),
-            prior_draw=lambda k, s: jax.random.normal(k, s),
-            lnpdf=lnpdf_pb,
-            num_samples=transitions_per_dim,
-            burn_in=0,
-        )
-        last = samples[-1]
-        ep, bp = last[:, :h], last[:, h]
-
-        if sweep >= burnin:
-            kept += 1
-            feat_acc += np.asarray(ef * gates)
-            pip_acc += g_np
-            pb_acc += np.asarray(ep)
-            bpb_acc += np.asarray(bp)
-            sigma2_trace.append(sigma2.copy())
-            pb_chain.append(np.asarray(ep[:, 0]))
+    fa, pa, ea, ba, sig_tr, chain_j = jax.jit(_run)(
+        key, y, bf, jnp.asarray(log_odds_np), ef, gates, ep, bp,
+        sigma2_j, aux_j,
+    )
+    kept = n_sweeps
+    feat_acc = np.asarray(fa)
+    pip_acc = np.asarray(pa)
+    pb_acc = np.asarray(ea)
+    bpb_acc = np.asarray(ba)
+    sigma2_trace = list(np.asarray(sig_tr)[burnin:])
+    chain = np.asarray(chain_j)[burnin:]
+    if len(chain) == 0:
+        chain = np.zeros((1, p))
 
     kept = max(kept, 1)
-    chain = np.stack(pb_chain) if pb_chain else np.zeros((1, p))
 
     # vectorized per-anchor diagnostics over ALL anchors
     def _split_rhat_all(x_sp):

@@ -290,38 +290,53 @@ def miami_pileup(
     site_pos: np.ndarray,  # [S] bp of modification sites in the region
     site_val: np.ndarray,  # [S] per-site stat (up panel)
     depth_pos: np.ndarray,  # [B] bp
-    depth: np.ndarray,  # [B] read depth (down panel, mirrored)
+    depth: np.ndarray,  # [B] or [F, B] read depth; 2D = one facet per row
     gene_rows: list,  # [(name, start, end, strand)] model track
     out: str,
     *,
     title: str = "",
+    facet_names: list | None = None,  # len F (2D depth): panel titles
 ):
     """Faceted Miami pileup (faba pileup figure mode): epi sites up, a
-    gene-model track in the middle, mirrored read depth down."""
+    gene-model track in the middle, mirrored read depth down. A 2D
+    depth renders one panel per cell type (--cell-membership)."""
     plt = _mpl()
-    fig, ax = plt.subplots(figsize=(8, 4.5), dpi=150)
-    if len(site_pos):
-        ax.vlines(site_pos, 0, site_val, color="crimson", lw=1.2)
-        ax.scatter(site_pos, site_val, s=8, color="crimson", zorder=3)
-    if len(depth_pos):
-        dmax = max(float(np.max(depth)), 1.0)
-        smax = max(float(np.max(site_val)) if len(site_val) else 1.0, 1e-9)
-        ax.fill_between(
-            depth_pos, 0, -depth / dmax * smax * 0.8,
-            color="steelblue", alpha=0.7, lw=0,
+    depth = np.atleast_2d(np.asarray(depth, float))
+    n_facets = depth.shape[0]
+    fig, axes = plt.subplots(
+        n_facets, 1, figsize=(8, 3.2 * n_facets), dpi=150,
+        squeeze=False, sharex=True,
+    )
+    dmax = max(float(depth.max()), 1.0)
+    smax = max(float(np.max(site_val)) if len(site_val) else 1.0, 1e-9)
+    for f in range(n_facets):
+        ax = axes[f, 0]
+        if len(site_pos):
+            ax.vlines(site_pos, 0, site_val, color="crimson", lw=1.2)
+            ax.scatter(site_pos, site_val, s=8, color="crimson", zorder=3)
+        if len(depth_pos):
+            ax.fill_between(
+                depth_pos, 0, -depth[f] / dmax * smax * 0.8,
+                color="steelblue", alpha=0.7, lw=0,
+            )
+        for name, start, end, strand in gene_rows:
+            ax.plot([start, end], [0, 0], color="black", lw=3,
+                    solid_capstyle="butt")
+            mid = (start + end) / 2
+            arrow = ">" if strand >= 0 else "<"
+            ax.annotate(
+                f"{arrow} {name}", (mid, 0), textcoords="offset points",
+                xytext=(0, -14), ha="center", fontsize=7,
+            )
+        ax.axhline(0, color="black", lw=0.5)
+        ax.set_yticks([])
+        panel = (
+            facet_names[f] if facet_names and f < len(facet_names) else None
         )
-    for name, start, end, strand in gene_rows:
-        ax.plot([start, end], [0, 0], color="black", lw=3, solid_capstyle="butt")
-        mid = (start + end) / 2
-        arrow = ">" if strand >= 0 else "<"
-        ax.annotate(
-            f"{arrow} {name}", (mid, 0), textcoords="offset points",
-            xytext=(0, -14), ha="center", fontsize=7,
-        )
-    ax.axhline(0, color="black", lw=0.5)
-    ax.set_yticks([])
-    ax.set_xlabel("position (bp)")
-    ax.set_title(title)
+        ax.set_title(panel or (title if f == 0 else ""), fontsize=9)
+    axes[-1, 0].set_xlabel("position (bp)")
+    if facet_names and title:
+        fig.suptitle(title, fontsize=10)
     fig.tight_layout()
     fig.savefig(out)
     plt.close(fig)

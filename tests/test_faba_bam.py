@@ -110,3 +110,15 @@ def test_pileup_miami_figure(tiny_bam, tmp_path):
         "--miami", str(fig), "--region", "chr1:50-2600", "--gff", gff,
     ])
     assert fig.exists() and fig.stat().st_size > 1000
+
+    # faceted: one panel per cell type via --cell-membership
+    memb = tmp_path / "memb.tsv"
+    memb.write_text("cell1\ttypeA\ncell2\ttypeB\n")
+    fig2 = tmp_path / "miami_facets.pdf"
+    cli.run_faba([
+        "pileup", "--bam", path, "--sites", str(sites),
+        "--output", str(tmp_path / "pu2"),
+        "--miami", str(fig2), "--region", "chr1:50-2600", "--gff", gff,
+        "--cell-membership", str(memb),
+    ])
+    assert fig2.exists() and fig2.stat().st_size > fig.stat().st_size * 0.8
