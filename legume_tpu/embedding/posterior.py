@@ -137,17 +137,34 @@ def selection_pass(
         if gates is None
         else jnp.asarray(np.asarray(gates, np.float32))
     )
-    key = jax.random.key(seed)
-    for sweep in range(n_sweeps):
-        for dim in range(h):
-            delta = _gate_dim_delta(ef, bf, g, dim, ae, ab, y, q, m_p, k_neg)
-            # raw objective delta IS the Gibbs log-odds (the NCE
-            # objective plays the log-likelihood role); `temperature`
-            # tempers it, 1.0 = exact conditional
-            logit = delta / temperature + prior_logit
-            key, kd = jax.random.split(key)
-            on = jax.random.bernoulli(kd, jax.nn.sigmoid(logit))
-            g = g.at[:, dim].set(on.astype(g.dtype))
+    # all sweeps in ONE dispatch (scan over sweeps, fori over dims);
+    # per-(sweep, dim) dispatches cost ~seconds over a tunneled device
+    @partial(jax.jit, static_argnames=("k_neg_s",))
+    def run_selection(key, g, y, q, m_p, k_neg_s):
+        def sweep_body(carry, k):
+            g = carry
+
+            def dim_body(dim, st):
+                g, key = st
+                delta = _gate_dim_delta(
+                    ef, bf, g, dim, ae, ab, y, q, m_p, k_neg_s
+                )
+                # raw objective delta IS the Gibbs log-odds (the NCE
+                # objective plays the log-likelihood role);
+                # `temperature` tempers it, 1.0 = exact conditional
+                logit = delta / temperature + prior_logit
+                key, kd = jax.random.split(key)
+                on = jax.random.bernoulli(kd, jax.nn.sigmoid(logit))
+                return g.at[:, dim].set(on.astype(g.dtype)), key
+
+            g, _ = jax.lax.fori_loop(0, h, dim_body, (g, k))
+            return g, None
+
+        keys = jax.random.split(key, n_sweeps)
+        g, _ = jax.lax.scan(sweep_body, g, keys)
+        return g
+
+    g = run_selection(jax.random.key(seed), g, y, q, m_p, k_neg)
     return np.asarray(g)
 
 

@@ -118,14 +118,21 @@ def deconvolve(
     u = jax.random.gamma(k_init, jnp.full((s, r_comp), cfg.a0)) / cfg.b0
     eps = jnp.ones((s, d))
 
-    draws = []
-    for t in range(cfg.n_sweeps):
-        key, k_s = jax.random.split(key)
-        u, eps = sweep(k_s, u, eps)
-        if t >= cfg.burn_in:
-            draws.append(np.asarray(u))
+    # whole chain in ONE dispatch (scan over sweeps; per-sweep python
+    # dispatches cost ~seconds over a tunneled device)
+    @jax.jit
+    def run_chain(key, u, eps):
+        def body(carry, k):
+            u, eps = carry
+            u, eps = sweep(k, u, eps)
+            return (u, eps), u
 
-    u_draws = np.stack(draws)  # [T, S, R]
+        keys = jax.random.split(key, cfg.n_sweeps)
+        _, all_u = jax.lax.scan(body, (u, eps), keys)
+        return all_u
+
+    key, k_c = jax.random.split(key)
+    u_draws = np.asarray(run_chain(k_c, u, eps))[cfg.burn_in :]  # [T, S, R]
     a_j = np.asarray(a_read)
     frac_draws = (u_draws @ a_j) / np.maximum(
         u_draws.sum(-1, keepdims=True), 1e-30
