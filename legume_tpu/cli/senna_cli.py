@@ -168,6 +168,10 @@ def run_senna(argv):
     p.add_argument("--markers", required=True, help="GMT gene sets")
     p.add_argument("--out", required=True)
     p.add_argument("--permutations", type=int, default=500)
+    p.add_argument("--specificity", choices=["raw", "simplex", "abs"],
+                   default="raw")
+    p.add_argument("--no-stratify", action="store_true",
+                   help="disable abundance-stratified null sets (GOseq fix)")
 
     p = sub.add_parser(
         "annotate-ontology", help="ontology-consensus cluster annotation (TreeBH)"
@@ -187,6 +191,9 @@ def run_senna(argv):
     p.add_argument("--clusters", required=True, help="clusters parquet")
     p.add_argument("--markers", required=True, help="GMT marker sets")
     p.add_argument("--out", required=True)
+    p.add_argument("--bootstrap", type=int, default=0,
+                   help="panel stability bootstrap draws (0 = off)")
+    p.add_argument("--support-threshold", type=float, default=0.6)
 
     p = sub.add_parser("vae", help="scVI-style Gaussian-latent VAE")
     p.add_argument("--data-files", nargs="+", required=True)
@@ -705,7 +712,8 @@ def run_senna(argv):
         genes = dic.iloc[:, 0].astype(str).tolist()
         log_beta = dic.iloc[:, 1:].to_numpy("float64").T  # [K, D]
         out = geneset_topic_qmatrix(
-            log_beta, genes, read_gmt(args.markers), n_perm=args.permutations
+            log_beta, genes, read_gmt(args.markers), n_perm=args.permutations,
+            specificity=args.specificity, stratify=not args.no_stratify,
         )
         topics = dic.columns[1:].tolist()
         pd.DataFrame(out["z"], index=out["labels"], columns=topics).reset_index(
@@ -764,12 +772,19 @@ def run_senna(argv):
             profiles[i] = _np.log1p(
                 _np.asarray(vec.read_columns_csc(cells).mean(axis=1)).ravel()
             )
-        names, scores = annotate_by_markers(
-            profiles, vec.row_names(), read_gmt(args.markers)
-        )
-        pd.DataFrame(
-            {"cluster": uniq, "annotation": names, "score": scores.max(1)}
-        ).to_parquet(f"{args.out}.annotation.parquet")
+        sets = read_gmt(args.markers)
+        names, scores = annotate_by_markers(profiles, vec.row_names(), sets)
+        table = {"cluster": uniq, "annotation": names, "score": scores.max(1)}
+        if args.bootstrap > 0:
+            from ..ops.enrichment import marker_bootstrap
+
+            bs = marker_bootstrap(
+                profiles, vec.row_names(), sets, n_boot=args.bootstrap,
+                support_threshold=args.support_threshold,
+            )
+            table["annotation"] = bs["annotation"]
+            table["cluster_label_support"] = bs["cluster_label_support"]
+        pd.DataFrame(table).to_parquet(f"{args.out}.annotation.parquet")
         print(f"wrote {args.out}.annotation.parquet")
         return
 

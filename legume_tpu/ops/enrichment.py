@@ -178,15 +178,28 @@ def geneset_topic_qmatrix(
     gene_sets: dict[str, list[str]],
     *,
     n_perm: int = 500,
+    specificity: str = "raw",
+    stratify: bool = True,
+    n_strata: int = 10,
     seed: int = 0,
 ) -> dict:
     """The Q-matrix lens (enrichment/src/lib.rs annotate path): GSEA
     enrichment of every gene set against every topic's dictionary
-    ranking -> Q [n_sets, K] of signed z-scores (vs a shared
-    permutation null) + BH-adjusted p-values. This is the matrix the
-    reference renders to pick topic labels."""
+    ranking -> Q [n_sets, K] of signed z-scores (vs a permutation
+    null) + BH-adjusted p-values. This is the matrix the reference
+    renders to pick topic labels.
+
+    `stratify` matches null gene sets on the abundance covariate
+    (gene_strata.rs / GOseq fix): an unstratified uniform null is full
+    of undetected genes and inflates well-expressed panels — measured
+    +1.0 rank correlation between es_std and marker expression in the
+    reference before the fix. `specificity` applies the
+    specificity.rs transform to the (linear) profile before ranking."""
     rng = np.random.default_rng(seed)
     beta = np.asarray(log_beta_kd, np.float64)
+    if specificity != "raw":
+        prof = compute_specificity(np.exp(beta).T, specificity).T  # [K, D]
+        beta = np.log(np.maximum(prof, 1e-300))
     k, d = beta.shape
     name_to_idx = {str(g).lower(): i for i, g in enumerate(gene_names)}
     sets = {
@@ -202,6 +215,11 @@ def geneset_topic_qmatrix(
     es = np.zeros((len(labels), k))
     z = np.zeros((len(labels), k))
     pv = np.ones((len(labels), k))
+    strata = (
+        abundance_strata(np.exp(beta).sum(axis=0), n_strata)
+        if stratify
+        else None
+    )
     for t in range(k):
         order = np.argsort(-beta[t])  # descending relevance
         rank_of = np.empty(d, np.int64)
@@ -211,12 +229,20 @@ def geneset_topic_qmatrix(
             mask = np.zeros(d, bool)
             mask[rank_of[sets[lab]]] = True
             es[li, t] = enrichment_score(scores, mask)
-            # permutation null: random sets of the same size
+            # permutation null: abundance-stratified sets (GOseq fix)
+            # when stratify, else uniform same-size sets
             null = np.empty(n_perm)
-            for b in range(n_perm):
-                m2 = np.zeros(d, bool)
-                m2[rng.choice(d, len(sets[lab]), replace=False)] = True
-                null[b] = enrichment_score(scores, m2)
+            if strata is not None:
+                draws = stratified_null_sets(rng, strata, sets[lab], n_perm)
+                for b in range(n_perm):
+                    m2 = np.zeros(d, bool)
+                    m2[rank_of[draws[b]]] = True
+                    null[b] = enrichment_score(scores, m2)
+            else:
+                for b in range(n_perm):
+                    m2 = np.zeros(d, bool)
+                    m2[rng.choice(d, len(sets[lab]), replace=False)] = True
+                    null[b] = enrichment_score(scores, m2)
             mu, sd = null.mean(), max(null.std(), 1e-12)
             z[li, t] = (es[li, t] - mu) / sd
             # same-sign tail (GSEA convention): the weighted-KS null is
@@ -322,3 +348,105 @@ def annotate_by_markers(
         for i, b in enumerate(best)
     ]
     return out, scores
+
+
+def compute_specificity(
+    profile_gk: np.ndarray, mode: str = "raw"
+) -> np.ndarray:
+    """Specificity transforms on a G x K group profile
+    (enrichment/src/specificity.rs):
+    - raw: no transform (training-time NB-Fisher weighting already
+      suppressed housekeeping; default for topic kinds)
+    - simplex: beta_gk / sum_k max(beta_gk, 0) — a second housekeeping
+      adjustment
+    - abs: |beta_gk| / sum_k |beta_gk| for signed profiles (SVD kinds)
+    """
+    p = np.asarray(profile_gk, np.float64)
+    if mode == "raw":
+        return p
+    if mode == "simplex":
+        pos = np.maximum(p, 0.0)
+        s = pos.sum(axis=1, keepdims=True)
+        return np.divide(pos, s, out=np.zeros_like(pos), where=s > 0)
+    if mode == "abs":
+        a = np.abs(p)
+        s = a.sum(axis=1, keepdims=True)
+        return np.divide(a, s, out=np.zeros_like(a), where=s > 0)
+    raise ValueError(f"unknown specificity mode {mode!r}")
+
+
+def abundance_strata(abundance: np.ndarray, n_strata: int = 10) -> np.ndarray:
+    """Stratum id per gene by abundance quantile
+    (enrichment/src/gene_strata.rs; GOseq bias fix, Young et al. 2010):
+    null gene sets must match the REAL set's abundance composition,
+    else argmax labels reward well-expressed panels over biology."""
+    a = np.asarray(abundance, np.float64)
+    qs = np.quantile(a, np.linspace(0, 1, n_strata + 1)[1:-1])
+    return np.searchsorted(qs, a, side="right").astype(np.int64)
+
+
+def stratified_null_sets(
+    rng: np.random.Generator,
+    strata: np.ndarray,  # [D] stratum per gene
+    set_ids: np.ndarray,  # the real set's gene indices
+    n_draws: int,
+) -> np.ndarray:
+    """[n_draws, |set|] null gene sets matched on the real set's
+    per-stratum counts (uniform WITHIN each stratum)."""
+    d = len(strata)
+    by_stratum = {s: np.flatnonzero(strata == s) for s in np.unique(strata)}
+    s_of_set, cnt = np.unique(strata[set_ids], return_counts=True)
+    out = np.empty((n_draws, len(set_ids)), np.int64)
+    for b in range(n_draws):
+        parts = []
+        for s, c in zip(s_of_set, cnt):
+            pool = by_stratum[s]
+            parts.append(rng.choice(pool, c, replace=len(pool) < c))
+        out[b] = np.concatenate(parts)
+    return out
+
+
+def marker_bootstrap(
+    mean_profiles: np.ndarray,  # [K, D] cluster profiles
+    gene_names: list[str],
+    marker_sets: dict[str, list[str]],
+    *,
+    n_boot: int = 100,
+    support_threshold: float = 0.6,
+    min_score: float = 0.0,
+    seed: int = 0,
+) -> dict:
+    """Marker-panel stability bootstrap
+    (enrichment/src/marker_bootstrap.rs): resample every label's panel
+    WITH replacement, re-score, re-call the winner per cluster; a
+    cluster's call ships with the fraction of resamples that agreed
+    (cluster_label_support) and abstains below the threshold — the
+    cross-label winner's curse dies with the resampling."""
+    rng = np.random.default_rng(seed)
+    base_names, _ = annotate_by_markers(
+        mean_profiles, gene_names, marker_sets, min_score=min_score
+    )
+    k = mean_profiles.shape[0]
+    agree = np.zeros(k)
+    for _ in range(n_boot):
+        resampled = {
+            lab: list(rng.choice(genes, len(genes), replace=True))
+            for lab, genes in marker_sets.items()
+            if len(genes)
+        }
+        names_b, _ = annotate_by_markers(
+            mean_profiles, gene_names, resampled, min_score=min_score
+        )
+        agree += np.asarray(
+            [names_b[i] == base_names[i] for i in range(k)], float
+        )
+    support = agree / max(n_boot, 1)
+    final = [
+        n if s >= support_threshold else UNASSIGNED_LABEL
+        for n, s in zip(base_names, support)
+    ]
+    return {
+        "annotation": final,
+        "base_annotation": base_names,
+        "cluster_label_support": support,
+    }

@@ -208,3 +208,69 @@ def test_masked_topic_frozen_rho_stays_fixed(tmp_path):
     rho = np.asarray(variables["params"]["rho"])
     np.testing.assert_allclose(rho[:20], init[:20], atol=1e-6)
     assert np.abs(rho[20:d] - init[20:d]).max() > 1e-4  # unmatched trained
+
+
+def test_stratified_null_kills_abundance_bias():
+    """qmatrix with stratify=True: a panel of high-abundance but
+    otherwise RANDOM genes must not look enriched, while the uniform
+    null inflates it (gene_strata.rs / GOseq fix)."""
+    from legume_tpu.ops.enrichment import geneset_topic_qmatrix
+
+    rng = np.random.default_rng(0)
+    k, d = 3, 400
+    # abundance spans 4 orders of magnitude; topics share it
+    abundance = 10 ** rng.uniform(-2, 2, d)
+    beta = np.log(abundance[None, :] * rng.uniform(0.8, 1.2, (k, d)))
+    genes = [f"g{i}" for i in range(d)]
+    top = np.argsort(-abundance)[:80]
+    panel = {"abundant_random": [genes[i] for i in rng.choice(top, 25, replace=False)]}
+    q_u = geneset_topic_qmatrix(
+        beta, genes, panel, n_perm=200, stratify=False, seed=1
+    )
+    q_s = geneset_topic_qmatrix(
+        beta, genes, panel, n_perm=200, stratify=True, seed=1
+    )
+    # uniform null: strongly inflated; stratified: calibrated
+    assert np.abs(q_u["z"]).max() > 3.0, q_u["z"]
+    assert np.abs(q_s["z"]).max() < 2.5, q_s["z"]
+
+
+def test_marker_bootstrap_support_and_abstention():
+    from legume_tpu.ops.enrichment import UNASSIGNED_LABEL, marker_bootstrap
+
+    rng = np.random.default_rng(1)
+    d = 120
+    genes = [f"g{i}" for i in range(d)]
+    prof = rng.normal(0, 0.2, (2, d))
+    # cluster 0: strong coherent signal for label A's whole panel
+    prof[0, :10] += 3.0
+    sets = {
+        "A": genes[:10],
+        # B's panel: one huge-outlier gene + junk — unstable under
+        # with-replacement resampling
+        "B": [genes[50]] + genes[100:115],
+    }
+    prof[1, 50] += 6.0
+    out = marker_bootstrap(
+        prof, genes, sets, n_boot=60, support_threshold=0.9, seed=2
+    )
+    assert out["base_annotation"][0] == "A"
+    assert out["annotation"][0] == "A"
+    assert out["cluster_label_support"][0] > 0.9
+    # cluster 1's call rides one gene: support collapses, abstains
+    assert out["cluster_label_support"][1] < 0.9
+    assert out["annotation"][1] == UNASSIGNED_LABEL
+
+
+def test_compute_specificity_modes():
+    from legume_tpu.ops.enrichment import compute_specificity
+
+    p = np.asarray([[1.0, 3.0], [-2.0, 2.0], [0.0, 0.0]])
+    raw = compute_specificity(p, "raw")
+    np.testing.assert_allclose(raw, p)
+    sx = compute_specificity(p, "simplex")
+    np.testing.assert_allclose(sx[0], [0.25, 0.75])
+    np.testing.assert_allclose(sx[1], [0.0, 1.0])  # negatives clipped
+    np.testing.assert_allclose(sx[2], [0.0, 0.0])  # zero row stays zero
+    ab = compute_specificity(p, "abs")
+    np.testing.assert_allclose(ab[1], [0.5, 0.5])
