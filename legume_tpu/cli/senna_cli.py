@@ -172,6 +172,10 @@ def run_senna(argv):
                    default="raw")
     p.add_argument("--no-stratify", action="store_true",
                    help="disable abundance-stratified null sets (GOseq fix)")
+    p.add_argument("--latent", default=None,
+                   help="cell topic proportions parquet: also writes per-cell "
+                        "labels via theta . Q (cellproj)")
+    p.add_argument("--min-confidence", type=float, default=0.0)
 
     p = sub.add_parser(
         "annotate-ontology", help="ontology-consensus cluster annotation (TreeBH)"
@@ -719,6 +723,22 @@ def run_senna(argv):
         pd.DataFrame(out["z"], index=out["labels"], columns=topics).reset_index(
             names="gene_set"
         ).to_parquet(f"{args.out}.qmatrix.parquet")
+        if args.latent:
+            from ..ops.enrichment import label_cells
+
+            zdf = pd.read_parquet(args.latent)
+            th = zdf.iloc[:, 1:].to_numpy("float64")
+            if _np.all(th <= 0):
+                th = _np.exp(th)
+            # FDR-sparse lens: zero out non-significant entries
+            zq = _np.where(out["q"] < 0.05, _np.maximum(out["z"], 0.0), 0.0)
+            _, cell_labels, conf = label_cells(
+                th, zq.T, out["labels"], min_confidence=args.min_confidence
+            )
+            pd.DataFrame({
+                "cell": zdf.iloc[:, 0], "annotation": cell_labels,
+                "confidence": conf,
+            }).to_parquet(f"{args.out}.cell_annotation.parquet")
         pd.DataFrame(out["q"], index=out["labels"], columns=topics).reset_index(
             names="gene_set"
         ).to_parquet(f"{args.out}.qvalues.parquet")

@@ -450,3 +450,30 @@ def marker_bootstrap(
         "base_annotation": base_names,
         "cluster_label_support": support,
     }
+
+
+def label_cells(
+    cell_membership_nk: np.ndarray,  # [N, K] topic proportions
+    q_kc: np.ndarray,  # [K, C] FDR-sparse Q matrix
+    celltype_names: list[str],
+    *,
+    min_confidence: float = 0.0,
+) -> tuple[np.ndarray, list[str], np.ndarray]:
+    """Cell-level projection P = theta . Q, row-normalized, argmax
+    (enrichment/src/cellproj.rs label_cells): returns (posterior
+    [N, C], labels, confidence). Zero-mass rows and low-confidence
+    calls get UNASSIGNED."""
+    theta = np.asarray(cell_membership_nk, np.float64)
+    q = np.maximum(np.asarray(q_kc, np.float64), 0.0)
+    post = theta @ q
+    post = np.maximum(post, 0.0)
+    s = post.sum(axis=1, keepdims=True)
+    post = np.divide(post, s, out=np.zeros_like(post), where=s > 1e-12)
+    best = post.argmax(axis=1)
+    conf = post[np.arange(len(post)), best]
+    labels = [
+        celltype_names[b] if conf[i] > max(min_confidence, 1e-12)
+        else UNASSIGNED_LABEL
+        for i, b in enumerate(best)
+    ]
+    return post, labels, conf.astype(np.float32)

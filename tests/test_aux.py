@@ -274,3 +274,14 @@ def test_compute_specificity_modes():
     np.testing.assert_allclose(sx[2], [0.0, 0.0])  # zero row stays zero
     ab = compute_specificity(p, "abs")
     np.testing.assert_allclose(ab[1], [0.5, 0.5])
+
+
+def test_label_cells_projection():
+    from legume_tpu.ops.enrichment import UNASSIGNED_LABEL, label_cells
+
+    theta = np.asarray([[0.9, 0.1], [0.1, 0.9], [0.0, 0.0]])
+    q = np.asarray([[5.0, 0.0], [0.0, 3.0]])  # topic0 -> A, topic1 -> B
+    post, labels, conf = label_cells(theta, q, ["A", "B"])
+    assert labels == ["A", "B", UNASSIGNED_LABEL]
+    assert conf[0] > 0.9 and conf[2] == 0.0
+    np.testing.assert_allclose(post.sum(1)[:2], 1.0)

@@ -75,3 +75,45 @@ def test_ontology_consensus_unassigned_on_noise():
     ont = Ontology(terms={"CL:1": "lymphocyte"}, parents={"CL:1": set()})
     out = annotate_ontology(prof, genes, term_genes, ont)
     assert out["labels"][0] == UNASSIGNED_LABEL
+
+
+def test_qmatrix_cli_cell_labels(tmp_path):
+    """`senna qmatrix --latent` projects per-cell labels via theta . Q
+    (cellproj.rs)."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+
+    rng = np.random.default_rng(2)
+    d, k, n = 150, 2, 60
+    genes = [f"g{i}" for i in range(d)]
+    log_beta = rng.normal(scale=0.2, size=(k, d))
+    log_beta[0, :15] += 2.5
+    log_beta[1, 40:55] += 2.5
+    dic = tmp_path / "dict.parquet"
+    pd.DataFrame(
+        log_beta.T, index=genes, columns=["t0", "t1"]
+    ).reset_index(names="gene").to_parquet(dic)
+    gmt = tmp_path / "m.gmt"
+    gmt.write_text(
+        "TypeA\tna\t" + "\t".join(genes[:15]) + "\n"
+        "TypeB\tna\t" + "\t".join(genes[40:55]) + "\n"
+    )
+    theta = np.zeros((n, k))
+    theta[:30, 0] = 0.95
+    theta[:30, 1] = 0.05
+    theta[30:, 0] = 0.05
+    theta[30:, 1] = 0.95
+    lat = tmp_path / "lat.parquet"
+    pd.DataFrame(
+        np.log(theta), index=[f"c{i}" for i in range(n)], columns=["t0", "t1"]
+    ).reset_index(names="cell").to_parquet(lat)
+    out = str(tmp_path / "qm")
+    cli.run_senna([
+        "qmatrix", "--dictionary", str(dic), "--markers", str(gmt),
+        "--out", out, "--permutations", "200", "--latent", str(lat),
+    ])
+    ca = pd.read_parquet(f"{out}.cell_annotation.parquet")
+    assert (ca["annotation"][:30] == "TypeA").mean() > 0.9
+    assert (ca["annotation"][30:] == "TypeB").mean() > 0.9
+    assert ca["confidence"].between(0, 1).all()
