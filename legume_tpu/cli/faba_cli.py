@@ -66,6 +66,9 @@ def run_faba(argv):
         ("gem-encoder", "masked generative sibling (u+delta->s)"),
     ]:
         p = sub.add_parser(_name, help=_help)
+        p.add_argument("--posterior", type=int, default=0,
+                       help="gem only: two-gate Gibbs sweeps over the fit "
+                            "(0 = off); writes delta_posterior.parquet")
         p.add_argument("--spliced", required=True, help="spliced pb backend")
         p.add_argument("--unspliced", required=True, help="unspliced pb backend")
         p.add_argument("--output", required=True)
@@ -324,6 +327,26 @@ def run_faba(argv):
             vel = res.cell_velocity(u)
             w = s / np.maximum(s.sum(1, keepdims=True), 1e-9)
             cell_emb = w @ emb  # spliced-weighted gene embedding
+            if args.posterior > 0:
+                from ..embedding.posterior import gem_gibbs
+
+                post = gem_gibbs(
+                    s, u, res.e_feat, res.delta,
+                    res.b_feat_s, res.b_feat_u, res.pb_e, res.pb_b,
+                    n_sweeps=args.posterior,
+                    burnin=max(args.posterior // 4, 2),
+                )
+                pd.DataFrame({
+                    "gene": genes,
+                    "delta_pip": post.delta_pip.max(axis=1),
+                    "delta_norm": np.linalg.norm(post.delta_mean, axis=1),
+                    "beta_pip": post.beta_pip.max(axis=1),
+                    "identified": post.delta_identified,
+                }).to_parquet(f"{args.output}.delta_posterior.parquet")
+                print(
+                    f"posterior: {args.posterior} sweeps, rhat max "
+                    f"{post.rhat.max():.2f}"
+                )
         else:
             res = fit_gem_encoder(
                 s, u, latent_dim=args.embedding_dim, epochs=args.epochs

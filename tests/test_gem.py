@@ -118,3 +118,34 @@ def test_faba_lineage_cli_orients_by_velocity(tmp_path):
     assert root_x < nodes["h0"].median()  # rooted at the low-x end
     edges = pd.read_parquet(f"{out}.lineage_edges.parquet")
     assert len(edges) >= len(nodes) - 1 - 2  # near-tree
+
+
+def test_faba_gem_posterior_cli(tmp_path):
+    import pandas as pd
+    import scipy.sparse as sp
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+
+    rng = np.random.default_rng(5)
+    d, p = 40, 30
+    base = rng.gamma(2.0, 2.0, (d, p))
+    s_counts = rng.poisson(base * 3.0).astype(np.float32)
+    u_counts = rng.poisson(base * 1.0).astype(np.float32)
+    u_counts[:8] = rng.poisson(base[:8] * 4.0)  # velocity-shifted genes
+    genes = [f"g{i}" for i in range(d)]
+    cols = [f"pb{j}" for j in range(p)]
+    sp_path = str(tmp_path / "s.zarr")
+    up_path = str(tmp_path / "u.zarr")
+    create_sparse_from_csc(sp.csc_matrix(s_counts), sp_path, genes, cols)
+    create_sparse_from_csc(sp.csc_matrix(u_counts), up_path, genes, cols)
+    out = str(tmp_path / "gemp")
+    cli.run_faba([
+        "gem", "--spliced", sp_path, "--unspliced", up_path,
+        "--output", out, "-d", "4", "--epochs", "80", "--posterior", "10",
+    ])
+    dp = pd.read_parquet(f"{out}.delta_posterior.parquet")
+    assert len(dp) == d
+    assert {"delta_pip", "beta_pip", "identified", "delta_norm"} <= set(dp.columns)
+    assert dp["identified"].all()  # every gene has spliced counts here
+    assert dp["delta_pip"].between(0, 1).all()

@@ -158,3 +158,44 @@ def test_two_layer_annotation_merges_nested_types():
         term_genes={"immune cell": [f"g{i}" for i in range(0, 20)]}, seed=0,
     )
     assert res2.term_ora is not None and len(res2.term_ora) >= 1
+
+
+def test_gem_gibbs_recovers_velocity_deviation():
+    """Two-gate splice posterior: genes with a REAL delta shift on the
+    unspliced track get high delta_pip; static genes do not; a
+    u-only gene is flagged unidentified (splice.rs semantics)."""
+    from legume_tpu.embedding.posterior import gem_gibbs
+
+    rng = np.random.default_rng(3)
+    p, d, h = 40, 60, 4
+    beta = rng.normal(0, 0.5, (d, h)).astype(np.float32)
+    delta_true = np.zeros((d, h), np.float32)
+    moving = np.arange(10)
+    delta_true[moving] = rng.normal(0, 1.0, (len(moving), h))
+    ep = rng.normal(0, 0.5, (p, h)).astype(np.float32)
+    bs = np.full(d, -0.5, np.float32)
+    bu = np.full(d, -1.0, np.float32)
+    bp = np.zeros(p, np.float32)
+    eta_s = ep @ beta.T + bs[None] + bp[:, None]
+    eta_u = ep @ (beta + delta_true).T + bu[None] + bp[:, None]
+    s_counts = rng.poisson(np.exp(np.clip(eta_s, -8, 5)) * 20).astype(np.float32)
+    u_counts = rng.poisson(np.exp(np.clip(eta_u, -8, 5)) * 20).astype(np.float32)
+    s_counts[:, 59] = 0.0  # u-only gene: delta unidentified
+
+    res = gem_gibbs(
+        s_counts, u_counts, beta, np.zeros_like(delta_true), bs, bu,
+        ep, bp, n_sweeps=15, burnin=5, seed=4,
+    )
+    assert not res.delta_identified[59]
+    assert res.delta_identified[:59].all()
+    pip_moving = res.delta_pip[moving].mean()
+    static = np.arange(20, 55)
+    pip_static = res.delta_pip[static].mean()
+    assert pip_moving > pip_static + 0.3, (pip_moving, pip_static)
+    # recovered deviations correlate with truth on the moving genes
+    r = np.corrcoef(
+        res.delta_mean[moving].ravel(), delta_true[moving].ravel()
+    )[0, 1]
+    assert r > 0.6, r
+    # nested gates: delta on implies beta on (averaged pips respect it)
+    assert np.all(res.delta_pip <= res.beta_pip + 1e-6)
