@@ -161,3 +161,52 @@ def test_cocoa_cnv_gff_genome_order(tmp_path):
     assert order.ordered.tolist() == [2, 1, 0]
     assert order.pos.tolist() == [99, 2400, 499]
     assert len(order.chrom_names) == 2
+
+
+def test_cocoa_cnv_gff_cli_path(tmp_path):
+    """--gff mode end-to-end: gene names matched via GFF, CNV artifacts
+    written genome-ordered."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    g, n_indv, cpi = 30, 6, 30
+    n = n_indv * cpi
+    base = rng.gamma(2.0, 1.0, size=g)
+    cell_indv = np.repeat(np.arange(n_indv), cpi)
+    rate = np.tile(base[:, None], (1, n))
+    rate[10:20, cell_indv == 0] *= 2.5  # one carrier
+    counts = rng.poisson(rate * 5.0).astype(np.float32)
+    import scipy.sparse as sp
+
+    be_path = str(tmp_path / "c.zarr")
+    create_sparse_from_csc(
+        sp.csc_matrix(counts), be_path,
+        [f"g{i}" for i in range(g)], [f"c{j}" for j in range(n)],
+    )
+    (tmp_path / "indv.txt").write_text(
+        "\n".join(f"i{v}" for v in cell_indv) + "\n"
+    )
+    (tmp_path / "exp.tsv").write_text(
+        "".join(f"i{i}\t{i % 2}\n" for i in range(n_indv))
+    )
+    gff = tmp_path / "genes.gff"
+    # g29 deliberately absent from the GFF -> dropped from CNV outputs
+    gff.write_text("\n".join(
+        f"chr1\tsrc\tgene\t{1000 * i + 1}\t{1000 * i + 500}\t.\t+\t.\tID=gene:G{i};Name=g{i}"
+        for i in range(g - 1)
+    ) + "\n")
+    out = str(tmp_path / "gffcnv")
+    run_cocoa_diff(
+        CocoaDiffArgs(
+            data_files=[be_path], out=out,
+            indv_file=str(tmp_path / "indv.txt"),
+            exposure_file=str(tmp_path / "exp.tsv"),
+            n_pb_samples=3, knn=5, n_opt_iter=30,
+            gff=str(gff), cnv_ref_iters=1,
+        )
+    )
+    st = pd.read_parquet(out + ".cnv.states.parquet")
+    assert len(st) == g - 1  # unmatched gene dropped
+    assert st["gene"].tolist() == [f"g{i}" for i in range(g - 1)]  # genome order
+    eff = pd.read_parquet(out + ".effect.parquet")
+    assert np.isnan(eff.loc[eff["gene"] == "g29", "cnv_concordance_r"]).all()
