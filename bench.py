@@ -228,7 +228,11 @@ def main():
 
                     bdir = tempfile.mkdtemp(prefix="bench_tiles_")
                     be_path = f"{bdir}/sim.zarr"
-                    create_sparse_from_csc(sim.counts, be_path)
+                    create_sparse_from_csc(
+                        sim.counts, be_path,
+                        [f"g{i}" for i in range(n_genes)],
+                        [f"c{j}" for j in range(n_cells)],
+                    )
                     tc0 = time.time()
                     build_tile_cache(be_path, block_size=8192)
                     detail["tile_cache_build_s"] = round(time.time() - tc0, 2)

@@ -156,6 +156,9 @@ def run_senna(argv):
             p.add_argument("--latent", choices=["simplex", "sbp"], default="simplex")
 
     p = sub.add_parser("bge", help="count-NCE joint embedding")
+    p.add_argument("--posterior", type=int, default=0,
+                   help="pb-level Gibbs sweeps over the fitted model "
+                        "(0 = off); writes feature_posterior.parquet")
     p.add_argument("--data-files", nargs="+", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--embed-dim", "-d", type=int, default=16)
@@ -695,13 +698,33 @@ def run_senna(argv):
             res.e_cell, index=vec.column_names(),
             columns=[f"h{i}" for i in range(args.embed_dim)],
         ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
+        outputs = {
+            "latent": f"{args.out}.latent.parquet",
+            "feature_embedding": f"{args.out}.feature_embedding.parquet",
+        }
+        if args.posterior > 0:
+            from ..embedding.posterior import pb_gibbs
+
+            post = pb_gibbs(
+                pb, res.e_feat, res.b_feat,
+                res.pb_embeddings[0], _np.zeros(pb.shape[0]),
+                n_sweeps=args.posterior,
+                burnin=max(args.posterior // 4, 2),
+            )
+            pd.DataFrame({
+                "gene": vec.row_names(),
+                "pip": post.pip.max(axis=1),
+                "posterior_norm": _np.linalg.norm(post.e_feat_mean, axis=1),
+            }).to_parquet(f"{args.out}.feature_posterior.parquet")
+            outputs["feature_posterior"] = f"{args.out}.feature_posterior.parquet"
+            print(
+                f"posterior: {args.posterior} sweeps, rhat max "
+                f"{post.rhat.max():.2f}"
+            )
         RunManifest(
             command="bge",
             inputs={"data_files": list(args.data_files)},
-            outputs={
-                "latent": f"{args.out}.latent.parquet",
-                "feature_embedding": f"{args.out}.feature_embedding.parquet",
-            },
+            outputs=outputs,
         ).save(args.out, "gem.json")
         print(f"wrote {args.out}.latent.parquet")
         return

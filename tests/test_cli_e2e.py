@@ -42,6 +42,7 @@ def test_cli_bge(sim_path):
         [
             "bge", "--data-files", path, "--out", out,
             "-d", "8", "--epochs", "120", "--sort-dim", "5", "--proj-dim", "16",
+            "--posterior", "8",
         ]
     )
     import pandas as pd
@@ -51,6 +52,9 @@ def test_cli_bge(sim_path):
     f = pd.read_parquet(out + ".feature_embedding.parquet")
     assert f.shape == (80, 9)
     assert np.isfinite(e.iloc[:, 1:].to_numpy()).all()
+    fp = pd.read_parquet(out + ".feature_posterior.parquet")
+    assert len(fp) == 80 and fp["pip"].between(0, 1).all()
+    assert np.isfinite(fp["posterior_norm"]).all()
 
 
 def test_cli_beans_qc(sim_path):
