@@ -127,8 +127,15 @@ def project_columns(
 
     # ingest-time tile cache (data/tile_cache.py): when the vec is a
     # single on-disk backend with a matching cache, skip host
-    # bucketing entirely and stream device-ready tiles
-    if use_pallas:
+    # bucketing entirely and stream device-ready tiles. On a REAL TPU
+    # a present cache is the default path (5.1x the warm XLA
+    # projection; BENCH_NOTES) — LEGUME_PALLAS=0 opts out; on CPU the
+    # kernel runs in interpret mode, so it stays opt-in for tests.
+    cache_default = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("LEGUME_PALLAS") != "0"
+    )
+    if use_pallas or cache_default:
         cache = _find_tile_cache(data, block_size)
         if cache is not None:
             from .pallas_kernels import project_tiles
