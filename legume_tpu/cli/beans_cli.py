@@ -40,6 +40,14 @@ def run_beans(argv):
     p.add_argument("backend")
     p = sub.add_parser("list-columns", help="print column (cell) names")
     p.add_argument("backend")
+    p = sub.add_parser(
+        "list-h5", help="list groups/datasets inside an HDF5 file"
+    )
+    p.add_argument("file")
+    p = sub.add_parser(
+        "list-zarr", help="list arrays inside a zarr store (.zarr dir or .zarr.zip)"
+    )
+    p.add_argument("file")
     p = sub.add_parser("take-columns", help="dense TSV of selected columns")
     p.add_argument("backend")
     p.add_argument("--columns", required=True, help="file: one column name per line")
@@ -266,6 +274,16 @@ def run_beans(argv):
     elif args.cmd == "list-columns":
         for n in open_sparse_matrix(args.backend).column_names():
             print(n)
+    elif args.cmd == "list-h5":
+        from ..data.listing import list_h5
+
+        for line in list_h5(args.file):
+            print(line)
+    elif args.cmd == "list-zarr":
+        from ..data.listing import list_zarr
+
+        for line in list_zarr(args.file):
+            print(line)
     elif args.cmd in ("take-columns", "take-rows"):
         import pandas as pd
 

@@ -114,8 +114,41 @@ def run_faba(argv):
     p.add_argument("--clusters", required=True, help="clusters parquet")
     p.add_argument("--markers", required=True, help="GMT marker sets")
     p.add_argument("--output", required=True)
+
+    p = sub.add_parser("docs", help="print embedded method write-ups")
+    p.add_argument("topic", nargs="?", default=None,
+                   help="omit to list available topics")
+
+    p = sub.add_parser(
+        "plot", help="render a lineage fit: annotated trajectory over a 2D layout"
+    )
+    p.add_argument("-f", "--from", dest="frm", required=True,
+                   help="lineage output prefix ({from}.pseudotime/... parquet)")
+    p.add_argument("--latent", required=True,
+                   help="cell latent parquet (the gem fit the lineage used)")
+    p.add_argument("-o", "--out", default=None,
+                   help="figure path (default {from}.plot.pdf)")
+    p.add_argument("--color-by", choices=["pseudotime", "label"],
+                   default="pseudotime")
+    p.add_argument("--annot", default=None,
+                   help="cell,label parquet (required for --color-by label)")
+    p.add_argument("--layout", choices=["phate", "umap", "tsne"],
+                   default="phate")
+    p.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
+    if args.cmd == "docs":
+        from ..faba import docs as faba_docs
+
+        if args.topic is None:
+            for line in faba_docs.index_lines():
+                print(line)
+        else:
+            print(faba_docs.text(args.topic))
+        return
+    if args.cmd == "plot":
+        _run_faba_plot(args)
+        return
     if args.cmd == "apa":
         import pandas as pd
 
@@ -561,3 +594,71 @@ def run_faba(argv):
         out["offset"] = pu["offsets"]
         out.to_parquet(f"{args.output}.pileup.parquet")
         print(f"wrote {args.output}.pileup.parquet (mismatch records: {pu['n_mismatch']})")
+
+
+def _run_faba_plot(args):
+    """`faba plot`: render {from}.pseudotime/.lineage_nodes/.lineage_edges
+    over a 2D layout of the cell latent (reference `faba/src/plot/mod.rs`
+    role; matplotlib instead of the SVG layer stack)."""
+    import pandas as pd
+
+    from ..utils.plot import trajectory_figure
+
+    zdf = pd.read_parquet(args.latent)
+    cells = zdf.iloc[:, 0].astype(str).to_numpy()
+    z = zdf.iloc[:, 1:].to_numpy(np.float32)
+    pt = pd.read_parquet(f"{args.frm}.pseudotime.parquet")
+    pt = pt.set_index(pt.columns[0]).reindex(cells)
+    nodes_df = pd.read_parquet(f"{args.frm}.lineage_nodes.parquet")
+    hcols = [c for c in nodes_df.columns if c.startswith("h")]
+    nodes = nodes_df[hcols].to_numpy(np.float32)
+    root = int(nodes_df.index[nodes_df["is_root"].to_numpy()][0]) \
+        if "is_root" in nodes_df else 0
+    edges_df = pd.read_parquet(f"{args.frm}.lineage_edges.parquet")
+    edges = edges_df[["src", "dst"]].to_numpy(np.int64)
+
+    if args.layout == "phate":
+        from ..ops.layouts import phate
+
+        coords = phate(z, seed=args.seed)
+    elif args.layout == "tsne":
+        from ..ops.layouts import tsne
+
+        coords = tsne(z, seed=args.seed)
+    else:
+        from ..ops.umap import umap
+
+        coords = umap(z, seed=args.seed)
+    coords = np.asarray(coords, np.float32)
+
+    # node positions in layout space: mean layout coords of the cells nearest
+    # each node in latent space (nodes live in latent space, the layout is
+    # non-linear, so projecting through member cells is the faithful lift)
+    d2 = ((z[:, None, :] - nodes[None, :, :]) ** 2).sum(-1)  # [N, M]
+    assign = d2.argmin(1)
+    node_xy = np.zeros((nodes.shape[0], 2), np.float32)
+    for m in range(nodes.shape[0]):
+        sel = assign == m
+        if sel.any():
+            node_xy[m] = coords[sel].mean(0)
+        else:  # empty node: nearest single cell
+            node_xy[m] = coords[d2[:, m].argmin()]
+
+    labels = None
+    color = None
+    if args.color_by == "label":
+        if not args.annot:
+            raise SystemExit("--color-by label needs --annot")
+        an = pd.read_parquet(args.annot)
+        an = an.set_index(an.columns[0]).reindex(cells)
+        labels = an.iloc[:, 0].fillna("NA").astype(str).to_numpy()
+    else:
+        color = pt.iloc[:, 0].to_numpy(np.float32)
+
+    out = args.out or f"{args.frm}.plot.pdf"
+    trajectory_figure(
+        coords, node_xy, edges, root, out,
+        color=color, labels=labels,
+        title=f"lineage: {args.frm.rsplit('/', 1)[-1]}",
+    )
+    print(f"wrote {out}")

@@ -340,3 +340,59 @@ def miami_pileup(
     fig.tight_layout()
     fig.savefig(out)
     plt.close(fig)
+
+
+def trajectory_figure(
+    coords: np.ndarray,       # [N, 2] cell layout
+    node_xy: np.ndarray,      # [M, 2] tree node positions in layout space
+    edges: np.ndarray,        # [E, 2] node index pairs
+    root_node: int,
+    out: str,
+    *,
+    color: np.ndarray | None = None,    # continuous per-cell (pseudotime)
+    labels: np.ndarray | None = None,   # discrete per-cell (annotation)
+    title: str = "",
+    point_size: float = 4.0,
+):
+    """Annotated trajectory over a 2D embedding (faba plot).
+
+    Reference role: `faba/src/plot/mod.rs` — cells as a scatter layer,
+    principal-tree edges and nodes as a dark overlay, the root starred,
+    legend (discrete labels) or colorbar (pseudotime) on the side.  One
+    matplotlib figure instead of the reference's SVG layer stack; the
+    artifact kinds (pdf/png/svg by extension) match.
+    """
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6.5, 5.5), dpi=150)
+    if labels is not None:
+        labels = np.asarray(labels)
+        uniq = np.unique(labels)
+        for i, lab in enumerate(uniq):
+            m = labels == lab
+            ax.scatter(coords[m, 0], coords[m, 1], s=point_size,
+                       color=PALETTE[i % len(PALETTE)], label=str(lab),
+                       linewidths=0, alpha=0.8)
+        if len(uniq) <= 15:
+            ax.legend(markerscale=4, fontsize=7, frameon=False,
+                      loc="center left", bbox_to_anchor=(1.0, 0.5))
+    else:
+        c = np.asarray(color, np.float32) if color is not None else None
+        sc = ax.scatter(coords[:, 0], coords[:, 1], s=point_size, c=c,
+                        cmap="viridis", linewidths=0, alpha=0.8)
+        if c is not None:
+            fig.colorbar(sc, ax=ax, shrink=0.8, label="pseudotime")
+    for a, b in np.asarray(edges, np.int64):
+        ax.plot([node_xy[a, 0], node_xy[b, 0]],
+                [node_xy[a, 1], node_xy[b, 1]],
+                color="#222222", lw=1.4, zorder=3)
+    ax.scatter(node_xy[:, 0], node_xy[:, 1], s=18, color="#222222",
+               zorder=4, linewidths=0)
+    ax.scatter([node_xy[root_node, 0]], [node_xy[root_node, 1]], s=220,
+               marker="*", color="#E15759", edgecolors="black",
+               linewidths=0.8, zorder=5)
+    ax.set_title(title)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(out, bbox_inches="tight")
+    plt.close(fig)

@@ -720,3 +720,72 @@ def test_senna_clustering_hsblock(topic_sim):
     assert len(labels) == 250
     k = labels.iloc[:, 1].nunique()
     assert 1 <= k <= 4  # tree K = 2^(3-1)
+
+
+# ---------------------------------------------------------------------------
+# faba docs / faba plot / data-beans list-h5/list-zarr (late-r2 surface)
+# ---------------------------------------------------------------------------
+
+
+def test_faba_docs(capsys):
+    cli.run_faba(["docs"])
+    idx = capsys.readouterr().out
+    assert "annotation" in idx and "profiling" in idx
+    cli.run_faba(["docs", "profiling"])
+    body = capsys.readouterr().out
+    assert "BGZF" in body and "UMI" in body
+    with pytest.raises(KeyError):
+        cli.run_faba(["docs", "nope"])
+
+
+def test_faba_plot_lineage_figure(tmp_path, monkeypatch):
+    monkeypatch.setenv("LEGUME_CPU", "1")
+    rng = np.random.default_rng(0)
+    n, h = 80, 4
+    t = rng.uniform(0, 1, n)
+    z = np.zeros((n, h), np.float32)
+    z[:, 0] = t * 3
+    z += rng.normal(0, 0.05, (n, h)).astype(np.float32)
+    vel = np.zeros_like(z)
+    vel[:, 0] = 1.0
+    cells = [f"c{i}" for i in range(n)]
+    cols = ["cell"] + [f"h{j}" for j in range(h)]
+    lat = str(tmp_path / "lat.parquet")
+    velp = str(tmp_path / "vel.parquet")
+    pd.DataFrame(z, columns=cols[1:]).assign(cell=cells)[cols].to_parquet(lat)
+    pd.DataFrame(vel, columns=cols[1:]).assign(cell=cells)[cols].to_parquet(velp)
+    lin = str(tmp_path / "lin")
+    cli.run_faba([
+        "lineage", "--latent", lat, "--velocity", velp,
+        "--out", lin, "--n-nodes", "8",
+    ])
+    cli.run_faba(["plot", "-f", lin, "--latent", lat, "--layout", "umap"])
+    assert Path(f"{lin}.plot.pdf").exists()
+    annot = str(tmp_path / "annot.parquet")
+    pd.DataFrame(
+        {"cell": cells, "label": np.where(t > 0.5, "late", "early")}
+    ).to_parquet(annot)
+    png = str(tmp_path / "lab.png")
+    cli.run_faba([
+        "plot", "-f", lin, "--latent", lat, "--layout", "umap",
+        "--color-by", "label", "--annot", annot, "-o", png,
+    ])
+    assert Path(png).exists()
+
+
+def test_beans_list_h5_and_zarr(tmp_path, capsys):
+    out = str(tmp_path / "d")
+    cli.run_sim([
+        "topic", "--rows", "25", "--cols", "40", "--factors", "3",
+        "--output", out,
+    ])
+    cli.run_beans(["list-zarr", f"{out}.zarr"])
+    zl = capsys.readouterr().out
+    assert "/by_column/indptr" in zl and "41" in zl
+    assert "row_names" in zl
+    h5 = str(tmp_path / "d.h5")
+    cli.run_beans(["convert", f"{out}.zarr", "--output", h5])
+    capsys.readouterr()
+    cli.run_beans(["list-h5", h5])
+    hl = capsys.readouterr().out
+    assert "/by_row/indptr" in hl and "dataset" in hl
