@@ -165,6 +165,13 @@ def run_senna(argv):
     p.add_argument("--epochs", type=int, default=1000)
     p.add_argument("--sort-dim", type=int, default=8)
     p.add_argument("--proj-dim", type=int, default=50)
+    p.add_argument("--batch-files", nargs="+", default=None,
+                   help="per-cell batch labels; switches NCE negatives to "
+                        "the batch-stratified marginal (loss/ contract)")
+    p.add_argument("--feature-qc", action="store_true",
+                   help="HVG feature QC before the fit (feature_qc.rs)")
+    p.add_argument("--hvg-min-excess", type=float, default=0.0)
+    p.add_argument("--min-nnz-rows", type=float, default=0.0)
 
     p = sub.add_parser("qmatrix", help="gene-set x topic enrichment Q-matrix")
     p.add_argument("--dictionary", required=True, help="{out}.dictionary.parquet")
@@ -680,15 +687,33 @@ def run_senna(argv):
         from ..senna.topic import load_data_vec
         from ..utils.manifest import RunManifest
 
-        vec = load_data_vec(args.data_files)
+        vec = load_data_vec(args.data_files, batch_files=args.batch_files)
         _, proj = _rp.project_columns(vec, args.proj_dim)
         codes = _rp.binary_sort_columns(proj, args.sort_dim)
         groups, s = _rp.compact_group_codes(codes)
-        stat = _clp.collect_basic_stats(vec, groups, s)
-        pb = stat.observed_sum_ds.T  # [P, D]
+        pb_batches = cell_batches = None
+        if vec.num_batches > 1:
+            # stratified negatives need pure-batch pb rows: split every
+            # group by batch so each row carries its batch's marginal
+            memb = vec.batch_membership()
+            gb = groups.astype(np.int64) * vec.num_batches + memb
+            gb_u, gb_c = _np.unique(gb, return_inverse=True)
+            stat = _clp.collect_basic_stats(vec, gb_c, gb_u.size)
+            pb = stat.observed_sum_ds.T  # [P(g,b), D]
+            pb_batches = [(gb_u % vec.num_batches).astype(np.int32)]
+            cell_batches = memb
+        else:
+            stat = _clp.collect_basic_stats(vec, groups, s)
+            pb = stat.observed_sum_ds.T  # [P, D]
         res = fit_bge(
             [pb], data=vec,
-            config=NceConfig(embedding_dim=args.embed_dim, epochs=args.epochs),
+            config=NceConfig(
+                embedding_dim=args.embed_dim, epochs=args.epochs,
+                feature_qc=args.feature_qc,
+                hvg_min_excess=args.hvg_min_excess,
+                min_nnz_rows=args.min_nnz_rows,
+            ),
+            pb_batches=pb_batches, cell_batches=cell_batches,
         )
         pd.DataFrame(
             res.e_feat, index=vec.row_names(),

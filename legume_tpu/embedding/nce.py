@@ -65,11 +65,33 @@ class NceConfig:
     # gene-axis chunking for shapes where [P, D] x [D, H] activations
     # exceed HBM; 0 = dense single-pass (identical gradients)
     gene_chunk: int = 0
+    # HVG feature QC before training (feature_qc.rs): dropped genes get
+    # zero embedding rows in the output
+    feature_qc: bool = False
+    hvg_min_excess: float = 0.0
+    min_nnz_rows: float = 0.0
 
 
 def _neg_marginal(counts_pd: np.ndarray, alpha: float) -> np.ndarray:
     q = counts_pd.sum(axis=0) ** alpha
     return (q / max(q.sum(), 1e-30)).astype(np.float32)
+
+
+def _neg_marginal_stratified(
+    counts_pd: np.ndarray, batches: np.ndarray, alpha: float
+) -> np.ndarray:
+    """Per-row negative marginal, stratified by the row's batch
+    (loss/mod.rs:4-8: negatives come from features observed in the
+    positive cell's OWN batch, so batch-separating features earn no NCE
+    signal).  Exact-expectation form of the reference's within-batch
+    sampler: row p in batch b uses q^(b), the marginal^alpha over batch
+    b's rows only.  Returns [P, D]."""
+    batches = np.asarray(batches)
+    out = np.zeros_like(np.asarray(counts_pd, np.float32))
+    for b in np.unique(batches):
+        m = batches == b
+        out[m] = _neg_marginal(counts_pd[m], alpha)[None, :]
+    return out
 
 
 @partial(jax.jit, static_argnames=("k_neg", "ridge"))
@@ -85,7 +107,8 @@ def _expected_nce_loss(
 ):
     scores = axis.e @ feat.e_feat.T + feat.b_feat[None, :] + axis.b[:, None]
     pos = counts_pd * log_sigmoid(scores)
-    neg = (k_neg * m_p[:, None] * q_d[None, :]) * log_sigmoid(-scores)
+    q2 = q_d if q_d.ndim == 2 else q_d[None, :]  # [P, D] when stratified
+    neg = (k_neg * m_p[:, None] * q2) * log_sigmoid(-scores)
     total = jnp.maximum(counts_pd.sum(), 1.0)
     loss = -(pos.sum() + neg.sum()) / total
     if ridge > 0:
@@ -117,13 +140,17 @@ def _expected_nce_loss_chunked(
     cc = counts_pd.reshape(p, n_chunks, gene_chunk).transpose(1, 0, 2)
     ec = feat.e_feat.reshape(n_chunks, gene_chunk, -1)
     bc = feat.b_feat.reshape(n_chunks, gene_chunk)
-    qc = q_d.reshape(n_chunks, gene_chunk)
+    if q_d.ndim == 2:  # batch-stratified [P, D]
+        qc = q_d.reshape(p, n_chunks, gene_chunk).transpose(1, 0, 2)
+    else:
+        qc = q_d.reshape(n_chunks, gene_chunk)
 
     def body(acc, inp):
         c, e, b, q = inp
         scores = axis.e @ e.T + b[None, :] + axis.b[:, None]
         pos = c * log_sigmoid(scores)
-        neg = (k_neg * m_p[:, None] * q[None, :]) * log_sigmoid(-scores)
+        q2 = q if q.ndim == 2 else q[None, :]
+        neg = (k_neg * m_p[:, None] * q2) * log_sigmoid(-scores)
         return acc + pos.sum() + neg.sum(), None
 
     num, _ = jax.lax.scan(body, 0.0, (cc, ec, bc, qc))
@@ -150,10 +177,34 @@ def fit_bge(
     data=None,  # backend/vec for phase-2 per-cell fit (optional)
     *,
     config: NceConfig | None = None,
+    pb_batches: Sequence[np.ndarray] | None = None,  # per level [P_l] labels
+    cell_batches: np.ndarray | None = None,  # [N] phase-2 labels
 ) -> BgeResult:
-    """Two-phase composite fit (fit/mod.rs:55; training.rs:1-50)."""
+    """Two-phase composite fit (fit/mod.rs:55; training.rs:1-50).
+
+    `pb_batches` / `cell_batches` switch the negative marginal to the
+    batch-stratified form (reference `loss/` contract): negatives for a
+    row are drawn from that row's own batch, in exact expectation.
+    """
     cfg = config or NceConfig()
     h = cfg.embedding_dim
+    d_full = pb_counts[0].shape[1]
+
+    # ---- feature QC (feature_qc.rs): train on kept genes, scatter back
+    keep = np.ones(d_full, bool)
+    if cfg.feature_qc:
+        from ..ops.gene_stats import hvg_feature_qc
+
+        keep = hvg_feature_qc(
+            np.concatenate([np.asarray(pc, np.float32) for pc in pb_counts]),
+            min_excess=cfg.hvg_min_excess,
+            min_nnz=cfg.min_nnz_rows,
+        )
+        if not keep.all():
+            log.info("feature QC: keeping %d/%d genes", keep.sum(), d_full)
+            pb_counts = [np.asarray(pc, np.float32)[:, keep] for pc in pb_counts]
+    keep_idx = np.flatnonzero(keep)
+
     d = pb_counts[0].shape[1]
     d_pad = d
     if cfg.gene_chunk > 0:
@@ -174,7 +225,13 @@ def fit_bge(
         for k, pc in zip(k_axes, pb_counts)
     ]
     counts_j = [jnp.asarray(pc, jnp.float32) for pc in pb_counts]
-    q_j = [jnp.asarray(_neg_marginal(pc, cfg.neg_alpha)) for pc in pb_counts]
+    if pb_batches is not None:
+        q_j = [
+            jnp.asarray(_neg_marginal_stratified(pc, bt, cfg.neg_alpha))
+            for pc, bt in zip(pb_counts, pb_batches)
+        ]
+    else:
+        q_j = [jnp.asarray(_neg_marginal(pc, cfg.neg_alpha)) for pc in pb_counts]
     m_j = [c.sum(axis=1) for c in counts_j]
 
     # ---- phase 1: one AdamW step per epoch per axis, shared feat side
@@ -247,15 +304,29 @@ def fit_bge(
         n = data.num_columns
         e_cell = np.zeros((n, h), np.float32)
         b_cell = np.zeros(n, np.float32)
-        q_global = jnp.asarray(
-            _neg_marginal(np.concatenate(pb_counts, axis=0), cfg.neg_alpha)
+        all_pb = np.concatenate(
+            [np.asarray(pc, np.float32)[:, :d] for pc in pb_counts], axis=0
         )
+        q_global = jnp.asarray(_neg_marginal(all_pb, cfg.neg_alpha))
+        q_pad = jnp.pad(q_global, (0, d_pad - d))
+        # per-BATCH marginals for stratified phase 2 (cell_batches given):
+        # computed from the pb rows of that batch at every level
+        q_by_batch = None
+        if cell_batches is not None and pb_batches is not None:
+            cat_b = np.concatenate([np.asarray(b) for b in pb_batches])
+            q_by_batch = {
+                b: jnp.pad(
+                    jnp.asarray(_neg_marginal(all_pb[cat_b == b], cfg.neg_alpha)),
+                    (0, d_pad - d),
+                )
+                for b in np.unique(cat_b)
+            }
         feat_frozen = jax.tree.map(jax.lax.stop_gradient, feat)
 
         cell_opt = optax.adam(cfg.learning_rate * 2)
 
         @jax.jit
-        def phase2_fit_block(key, counts_bd):
+        def phase2_fit_block(key, counts_bd, q_bd):
             """Fit a block of cells against the frozen feature side —
             separable per cell (fit/mod.rs phase-2 note)."""
             b = counts_bd.shape[0]
@@ -267,7 +338,7 @@ def fit_bge(
 
             def loss_fn(axis):
                 return _expected_nce_loss(
-                    feat_frozen, axis, counts_bd, q_global, m_b,
+                    feat_frozen, axis, counts_bd, q_bd, m_b,
                     k_neg=cfg.n_negatives, ridge=0.0,
                 )
 
@@ -293,9 +364,18 @@ def fit_bge(
                 jnp.asarray(blk.col_ids),
                 jnp.asarray(blk.vals),
                 ncols=blk.ncols,
-                num_genes=d,
+                num_genes=d_full,
             )
-            axis, loss = phase2_fit_block(kb, x)
+            if not keep.all():
+                x = x[:, jnp.asarray(keep_idx)]
+            if d_pad > d:
+                x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+            if q_by_batch is not None:
+                bl = np.asarray(cell_batches)[blk.lb : blk.lb + blk.ncols]
+                q_bd = jnp.stack([q_by_batch[b] for b in bl])
+            else:
+                q_bd = q_pad
+            axis, loss = phase2_fit_block(kb, x, q_bd)
             e_cell[blk.lb : blk.lb + blk.ncols] = np.asarray(axis.e)
             b_cell[blk.lb : blk.lb + blk.ncols] = np.asarray(axis.b)
             p2_losses.append(float(loss))
@@ -303,9 +383,15 @@ def fit_bge(
         e_cell = np.zeros((0, h), np.float32)
         b_cell = np.zeros(0, np.float32)
 
+    # scatter kept-gene rows back into the full feature space (dropped
+    # genes get zero embedding + zero bias, the reference's convention)
+    e_feat_full = np.zeros((d_full, h), np.float32)
+    b_feat_full = np.zeros(d_full, np.float32)
+    e_feat_full[keep_idx] = np.asarray(feat.e_feat)[:d]  # drop chunk padding
+    b_feat_full[keep_idx] = np.asarray(feat.b_feat)[:d]
     return BgeResult(
-        e_feat=np.asarray(feat.e_feat)[:d],  # drop gene-chunk padding
-        b_feat=np.asarray(feat.b_feat)[:d],
+        e_feat=e_feat_full,
+        b_feat=b_feat_full,
         pb_embeddings=[np.asarray(a.e) for a in axes],
         e_cell=e_cell,
         b_cell=b_cell,

@@ -145,3 +145,30 @@ def nb_fisher_weights(data, *, block_size: int = 8192) -> np.ndarray:
     trend = DispersionTrend.fit(stats.mean, stats.var)
     avg_s = float(stats.mean.sum())  # mean library size proxy per cell
     return trend.fisher_weights(stats.pi, stats.mean, max(avg_s, 1.0)).astype(np.float32)
+
+
+def hvg_feature_qc(
+    counts_rows: np.ndarray,  # [R, D] count rows (cells or pseudobulks)
+    *,
+    min_excess: float = 0.0,
+    min_nnz: float = 0.0,
+) -> np.ndarray:
+    """Model-independent feature QC for the NCE engine
+    (`graph-embedding-util/src/feature_qc.rs` contract): keep genes whose
+    NB dispersion exceeds the fitted mean-dispersion trend by more than
+    `min_excess` (the standard HVG cut), with an expression floor dropping
+    genes detected in fewer than `min_nnz` rows.  A majority guard keeps
+    every gene when a degenerate fit would drop most of them — safe under
+    logistic NCE (no softmax partition to collapse), catastrophic to apply
+    blindly."""
+    x = np.asarray(counts_rows, np.float64)
+    mu = x.mean(axis=0)
+    var = x.var(axis=0)
+    nnz = (x > 0).sum(axis=0)
+    trend = DispersionTrend.fit(mu, var)
+    keep = trend.excess(mu, var) > min_excess
+    if min_nnz > 0:
+        keep &= nnz >= min_nnz
+    if keep.sum() < 0.05 * keep.size:  # guard: would drop >=95% (feature_qc.rs:65)
+        return np.ones(keep.size, bool)
+    return keep

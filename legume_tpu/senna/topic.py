@@ -124,9 +124,12 @@ def load_data_vec(data_files: Sequence[str], batch_files=None) -> SparseIoVec:
     for f in data_files:
         vec.push(open_sparse_matrix(f))
     if batch_files:
+        import gzip
+
         labels = []
         for f in batch_files:
-            with open(f) as fh:
+            opener = gzip.open if str(f).endswith(".gz") else open
+            with opener(f, "rt") as fh:
                 labels.extend(line.strip() for line in fh if line.strip())
         vec.register_batches(np.asarray(labels))
     elif len(data_files) > 1:

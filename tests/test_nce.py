@@ -94,3 +94,84 @@ def test_gene_chunked_phase1_matches_dense():
     np.testing.assert_allclose(
         chunked.pb_embeddings[0], dense.pb_embeddings[0], atol=2e-3
     )
+
+
+def test_bge_stratified_negatives_suppress_batch_axis():
+    """Batch-stratified negatives (loss/mod.rs:4-8): a purely technical
+    batch signature — genes elevated in batch-1 rows across ALL
+    programs — should earn much less embedding signal under per-batch
+    marginals than under the global marginal, because within a batch
+    those genes are also the highest-probability negatives."""
+    rng = np.random.default_rng(1)
+    d, n_pb, k = 90, 60, 3
+    beta = np.full((k, d), 0.2)
+    for t in range(k):
+        beta[t, t * 20 : (t + 1) * 20] = 3.0
+    pb_topic = np.arange(n_pb) % k
+    batches = (np.arange(n_pb) // (n_pb // 2)).astype(np.int32)  # 2 batches
+    lam = beta[pb_topic] * 20
+    lam[batches == 1, 60:90] *= 6.0  # technical genes, batch 1 only
+    pb_counts = rng.poisson(lam).astype(np.float32)
+
+    cfg = NceConfig(embedding_dim=8, epochs=400, learning_rate=0.05, seed=3)
+    glob = fit_bge([pb_counts], config=cfg)
+    strat = fit_bge([pb_counts], config=cfg, pb_batches=[batches])
+
+    def batch_sep(res):
+        # how linearly separable the batches are in the pb embedding:
+        # distance between batch centroids / mean within-batch spread
+        e = res.pb_embeddings[0]
+        c0, c1 = e[batches == 0].mean(0), e[batches == 1].mean(0)
+        spread = 0.5 * (
+            np.linalg.norm(e[batches == 0] - c0, axis=1).mean()
+            + np.linalg.norm(e[batches == 1] - c1, axis=1).mean()
+        )
+        return np.linalg.norm(c0 - c1) / max(spread, 1e-9)
+
+    s_glob, s_strat = batch_sep(glob), batch_sep(strat)
+    assert s_strat < 0.7 * s_glob, (s_glob, s_strat)
+
+    # biology survives: program centroids still mutually distant
+    prog = np.stack(
+        [strat.e_feat[t * 20 : (t + 1) * 20].mean(0) for t in range(3)]
+    )
+    pn = prog / np.maximum(np.linalg.norm(prog, axis=1, keepdims=True), 1e-9)
+    off = (pn @ pn.T)[np.triu_indices(3, 1)]
+    assert np.all(off < 0.9), off
+
+
+def test_bge_feature_qc_drops_flat_genes():
+    """HVG feature QC (feature_qc.rs): flat housekeeping genes fall at/
+    below the dispersion trend and get zero embedding rows; structured
+    genes survive.  The majority guard keeps all genes when most would
+    drop."""
+    rng = np.random.default_rng(2)
+    d_var, d_flat = 30, 70
+    n_pb, k = 80, 3
+    beta = np.full((k, d_var), 0.2)
+    for t in range(k):
+        beta[t, t * 10 : (t + 1) * 10] = 3.0
+    pb_topic = np.arange(n_pb) % k
+    var_part = rng.poisson(beta[pb_topic] * 20)
+    # flat Poisson genes spanning a range of means anchor the trend at ~0
+    flat_means = np.exp(rng.uniform(np.log(2), np.log(50), d_flat))
+    flat_part = rng.poisson(np.tile(flat_means, (n_pb, 1)))
+    counts = np.concatenate([var_part, flat_part], 1).astype(np.float32)
+
+    res = fit_bge(
+        [counts],
+        config=NceConfig(embedding_dim=6, epochs=100, feature_qc=True),
+    )
+    norms = np.linalg.norm(res.e_feat, axis=1)
+    # flat genes: mostly dropped (exactly zero rows)
+    assert (norms[d_var:] == 0).mean() > 0.5, (norms[d_var:] == 0).mean()
+    # structured genes: mostly kept
+    assert (norms[:d_var] > 0).mean() > 0.8, (norms[:d_var] > 0).mean()
+
+    # degenerate guard: all-flat data keeps everything rather than
+    # dropping >=95% on trend-fit noise
+    from legume_tpu.ops.gene_stats import hvg_feature_qc
+
+    flat_only = rng.poisson(np.full((n_pb, 100), 5.0)).astype(np.float32)
+    keep = hvg_feature_qc(flat_only)
+    assert keep.all() or keep.mean() >= 0.05
