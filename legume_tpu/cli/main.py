@@ -94,7 +94,15 @@ def main(argv=None):
     if not argv or argv[0] not in BINARIES:
         print(f"usage: legume <binary> ...; binaries: {', '.join(sorted(BINARIES))}")
         return 1
-    BINARIES[argv[0]](argv[1:])
+    try:
+        BINARIES[argv[0]](argv[1:])
+    except FileNotFoundError as e:
+        # a missing input is a usage error, not a crash: clean one-line
+        # message instead of a traceback (reference binaries print
+        # `Error: ...` through anyhow and exit non-zero)
+        path = e.filename if getattr(e, "filename", None) else str(e)
+        print(f"error: file not found: {path}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -35,11 +35,24 @@ def run_pinto(argv):
     p.add_argument("--edges", required=True, help="{out}.edges.parquet from lc/cascade")
     p.add_argument("--markers", required=True, help="GMT marker sets")
     p.add_argument("--out", required=True)
-    p = sub.add_parser("p", help="spatial hex plot of a propensity/value column")
+    p = sub.add_parser(
+        "p", help="figure suite for an lc run (--from) or a single hex plot"
+    )
     p.add_argument("--coords", required=True, help="TSV: cell x y")
-    p.add_argument("--values", required=True, help="parquet with a value column")
+    p.add_argument("--values", default=None, help="parquet with a value column")
     p.add_argument("--column", default=None, help="column name (default: 2nd)")
-    p.add_argument("--out", required=True)
+    p.add_argument("--out", required=True, help="figure path, or dir with --from")
+    p.add_argument("--from", dest="frm", default=None,
+                   help="lc/cascade/prop output prefix: emits the full suite "
+                        "(propensity argmax, per-community heatmaps, mesh, "
+                        "LR overlays) + figures.json manifest")
+    p.add_argument("--lra", default=None,
+                   help="{out}.lra.parquet from `pinto lra` for LR overlays")
+    p.add_argument("--data-files", nargs="+", default=None,
+                   help="backends for LR overlay expression")
+    p.add_argument("--max-communities", type=int, default=16)
+    p.add_argument("--top-lr", type=int, default=6)
+    p.add_argument("--lr-max-p", type=float, default=0.05)
 
     p = sub.add_parser(
         "interfaces", help="high-entropy interface cells: overview figure + TSV"
@@ -321,6 +334,11 @@ def run_pinto(argv):
         from ..utils.plot import spatial_hex
 
         coords = np.loadtxt(args.coords, usecols=(1, 2))
+        if args.frm:
+            _run_pinto_figure_suite(args, coords)
+            return
+        if not args.values:
+            raise SystemExit("pinto p needs --values or --from")
         df = pd.read_parquet(args.values)
         col = args.column or df.columns[1]
         spatial_hex(coords, df[col].to_numpy(), args.out, title=col)
@@ -344,3 +362,90 @@ def run_pinto(argv):
             gene_modules_resolution=args.gene_modules_resolution,
         )
     )
+
+
+def _run_pinto_figure_suite(args, coords):
+    """`pinto p --from`: auto-discover an lc/cascade/prop run's artifacts
+    and emit the full figure suite (pinto/src/plot/mod.rs PlotKind::ALL:
+    propensity argmax, per-community heatmaps, mesh, LR overlays) plus a
+    figures.json manifest of everything produced."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from ..utils.plot import lr_overlay, mesh_figure, scatter_by_label, spatial_hex
+
+    os.makedirs(args.out, exist_ok=True)
+    produced = {}
+
+    pdf = pd.read_parquet(f"{args.frm}.propensity.parquet")
+    comm_cols = [c for c in pdf.columns if c not in ("cell", "entropy")]
+    prop = pdf[comm_cols].to_numpy(np.float32)
+    argmax = np.asarray([comm_cols[i] for i in prop.argmax(1)])
+
+    f = os.path.join(args.out, "propensity_argmax.pdf")
+    scatter_by_label(coords, argmax, f, title="argmax community")
+    produced["propensity"] = f
+
+    heat = []
+    order = np.argsort(-prop.sum(0))[: args.max_communities]
+    for k in order:
+        f = os.path.join(args.out, f"heatmap_{comm_cols[k]}.pdf")
+        spatial_hex(coords, prop[:, k], f, title=str(comm_cols[k]))
+        heat.append(f)
+    if len(order) < len(comm_cols):
+        print(
+            f"note: heatmaps for top {len(order)}/{len(comm_cols)} "
+            "communities by mass (--max-communities)"
+        )
+    produced["heatmaps"] = heat
+
+    edges_path = f"{args.frm}.edges.parquet"
+    if os.path.exists(edges_path):
+        edf = pd.read_parquet(edges_path)
+        edges = edf[["src", "dst"]].to_numpy(np.int64)
+        elab = edf["community"].to_numpy() if "community" in edf else None
+        f = os.path.join(args.out, "mesh.pdf")
+        mesh_figure(coords, edges, f, cell_labels=argmax, edge_labels=elab,
+                    title="link-community mesh")
+        produced["mesh"] = f
+
+    if args.lra:
+        ldf = pd.read_parquet(args.lra)
+        sig = ldf[ldf["pvalue"] <= args.lr_max_p].nlargest(
+            args.top_lr, "activity"
+        )
+        if len(sig) and not args.data_files:
+            print("note: --lra given without --data-files; skipping LR overlays")
+        elif len(sig):
+            from ..senna.topic import load_data_vec
+
+            vec = load_data_vec(args.data_files)
+            names = {n: i for i, n in enumerate(vec.row_names())}
+            lr_files = []
+            for _, row in sig.iterrows():
+                li, ri = names.get(row.ligand), names.get(row.receptor)
+                if li is None or ri is None:
+                    continue
+                ex = np.asarray(
+                    vec.read_columns_csc(np.arange(vec.num_columns))
+                    .tocsr()[np.asarray([li, ri])]
+                    .todense()
+                )  # [2, N]
+                f = os.path.join(
+                    args.out, f"lr_{row.ligand}_{row.receptor}.pdf"
+                )
+                lr_overlay(
+                    coords, ex[0], ex[1], f,
+                    title=(f"{row.ligand} -> {row.receptor}  "
+                           f"activity={row.activity:.3f} p={row.pvalue:.3g}"),
+                )
+                lr_files.append(f)
+            produced["lr"] = lr_files
+
+    man = os.path.join(args.out, "figures.json")
+    with open(man, "w") as fh:
+        json.dump(produced, fh, indent=1)
+    n = sum(len(v) if isinstance(v, list) else 1 for v in produced.values())
+    print(f"wrote {n} figures + {man}")

@@ -789,3 +789,41 @@ def test_beans_list_h5_and_zarr(tmp_path, capsys):
     cli.run_beans(["list-h5", h5])
     hl = capsys.readouterr().out
     assert "/by_row/indptr" in hl and "dataset" in hl
+
+
+def test_pinto_figure_suite(spatial_sim, tmp_path):
+    path, coords, domain, tmp = spatial_sim
+    lc = str(tmp_path / "lc")
+    cli.run_pinto([
+        "lc", "--data-files", path, "--coords", coords, "--out", lc,
+        "-k", "3", "--knn", "6", "--sweeps", "10", "--em-sweeps", "3",
+    ])
+    # LR pairs over the sim's gene names (expression-threshold overlay)
+    pairs = str(tmp_path / "pairs.tsv")
+    with open(pairs, "w") as fh:
+        fh.write("g0\tg39\ng1\tg38\n")
+    lra = str(tmp_path / "lra")
+    cli.run_pinto([
+        "lra", "--data-files", path, "--coords", coords,
+        "--pairs", pairs, "--out", lra, "--knn", "6",
+        "--permutations", "20",
+    ])
+    figs = str(tmp_path / "figs")
+    cli.run_pinto([
+        "p", "--coords", coords, "--from", lc, "--out", figs,
+        "--lra", f"{lra}.lra.parquet", "--data-files", path,
+        "--lr-max-p", "1.0", "--top-lr", "2",
+    ])
+    man = json.loads((Path(figs) / "figures.json").read_text())
+    assert Path(man["propensity"]).exists()
+    assert Path(man["mesh"]).exists()
+    assert len(man["heatmaps"]) >= 1
+    assert all(Path(f).exists() for f in man["heatmaps"])
+    assert len(man.get("lr", [])) == 2
+    # legacy single-hex mode still works
+    single = str(tmp_path / "one.pdf")
+    cli.run_pinto([
+        "p", "--coords", coords, "--values", f"{lc}.propensity.parquet",
+        "--out", single,
+    ])
+    assert Path(single).exists()
