@@ -172,6 +172,11 @@ def run_senna(argv):
                    help="HVG feature QC before the fit (feature_qc.rs)")
     p.add_argument("--hvg-min-excess", type=float, default=0.0)
     p.add_argument("--min-nnz-rows", type=float, default=0.0)
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="phase-1 [P,D]-plane compute dtype; bfloat16 "
+                        "halves HBM traffic on TPU (params/reductions "
+                        "stay float32)")
 
     p = sub.add_parser("qmatrix", help="gene-set x topic enrichment Q-matrix")
     p.add_argument("--dictionary", required=True, help="{out}.dictionary.parquet")
@@ -712,6 +717,7 @@ def run_senna(argv):
                 feature_qc=args.feature_qc,
                 hvg_min_excess=args.hvg_min_excess,
                 min_nnz_rows=args.min_nnz_rows,
+                compute_dtype=args.compute_dtype,
             ),
             pb_batches=pb_batches, cell_batches=cell_batches,
         )

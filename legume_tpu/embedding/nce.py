@@ -70,6 +70,11 @@ class NceConfig:
     feature_qc: bool = False
     hvg_min_excess: float = 0.0
     min_nnz_rows: float = 0.0
+    # "bfloat16" runs the [P, D]-plane compute in bf16 (params, optimizer
+    # state and loss accumulation stay f32) — the phase-1 epoch loop is
+    # HBM-traffic-bound, so halving the plane bytes is the idiomatic TPU
+    # speedup; counts are integers, exactly representable to 256 in bf16
+    compute_dtype: str = "float32"
 
 
 def _neg_marginal(counts_pd: np.ndarray, alpha: float) -> np.ndarray:
@@ -94,7 +99,7 @@ def _neg_marginal_stratified(
     return out
 
 
-@partial(jax.jit, static_argnames=("k_neg", "ridge"))
+@partial(jax.jit, static_argnames=("k_neg", "ridge", "dtype"))
 def _expected_nce_loss(
     feat: FeatSide,
     axis: AxisSide,
@@ -104,19 +109,27 @@ def _expected_nce_loss(
     *,
     k_neg: float,
     ridge: float,
+    dtype: str = "float32",
 ):
-    scores = axis.e @ feat.e_feat.T + feat.b_feat[None, :] + axis.b[:, None]
-    pos = counts_pd * log_sigmoid(scores)
+    dt = jnp.dtype(dtype)
+    ef = feat.e_feat.astype(dt)
+    scores = (
+        axis.e.astype(dt) @ ef.T
+        + feat.b_feat.astype(dt)[None, :]
+        + axis.b.astype(dt)[:, None]
+    )
+    pos = counts_pd.astype(dt) * log_sigmoid(scores)
     q2 = q_d if q_d.ndim == 2 else q_d[None, :]  # [P, D] when stratified
-    neg = (k_neg * m_p[:, None] * q2) * log_sigmoid(-scores)
-    total = jnp.maximum(counts_pd.sum(), 1.0)
-    loss = -(pos.sum() + neg.sum()) / total
+    neg = (k_neg * m_p[:, None] * q2).astype(dt) * log_sigmoid(-scores)
+    total = jnp.maximum(counts_pd.sum(dtype=jnp.float32), 1.0)
+    # accumulate the reductions in f32 regardless of the compute dtype
+    loss = -(pos.sum(dtype=jnp.float32) + neg.sum(dtype=jnp.float32)) / total
     if ridge > 0:
         loss = loss + ridge * jnp.mean(jnp.sum(feat.e_feat**2, axis=1))
     return loss
 
 
-@partial(jax.jit, static_argnames=("k_neg", "ridge", "gene_chunk"))
+@partial(jax.jit, static_argnames=("k_neg", "ridge", "gene_chunk", "dtype"))
 def _expected_nce_loss_chunked(
     feat: FeatSide,
     axis: AxisSide,
@@ -127,6 +140,7 @@ def _expected_nce_loss_chunked(
     k_neg: float,
     ridge: float,
     gene_chunk: int,
+    dtype: str = "float32",
 ):
     """Gene-axis-chunked form of the expected-NCE objective for shapes
     where [P, D] and [D, H] cannot co-reside with their activations in
@@ -145,16 +159,22 @@ def _expected_nce_loss_chunked(
     else:
         qc = q_d.reshape(n_chunks, gene_chunk)
 
+    dt = jnp.dtype(dtype)
+
     def body(acc, inp):
         c, e, b, q = inp
-        scores = axis.e @ e.T + b[None, :] + axis.b[:, None]
-        pos = c * log_sigmoid(scores)
+        scores = (
+            axis.e.astype(dt) @ e.astype(dt).T
+            + b.astype(dt)[None, :]
+            + axis.b.astype(dt)[:, None]
+        )
+        pos = c.astype(dt) * log_sigmoid(scores)
         q2 = q if q.ndim == 2 else q[None, :]
-        neg = (k_neg * m_p[:, None] * q2) * log_sigmoid(-scores)
-        return acc + pos.sum() + neg.sum(), None
+        neg = (k_neg * m_p[:, None] * q2).astype(dt) * log_sigmoid(-scores)
+        return acc + pos.sum(dtype=jnp.float32) + neg.sum(dtype=jnp.float32), None
 
     num, _ = jax.lax.scan(body, 0.0, (cc, ec, bc, qc))
-    total = jnp.maximum(counts_pd.sum(), 1.0)
+    total = jnp.maximum(counts_pd.sum(dtype=jnp.float32), 1.0)
     loss = -num / total
     if ridge > 0:
         loss = loss + ridge * jnp.mean(jnp.sum(feat.e_feat**2, axis=1))
@@ -224,15 +244,20 @@ def fit_bge(
         AxisSide(e=0.1 * jax.random.normal(k, (pc.shape[0], h)), b=jnp.zeros(pc.shape[0]))
         for k, pc in zip(k_axes, pb_counts)
     ]
-    counts_j = [jnp.asarray(pc, jnp.float32) for pc in pb_counts]
+    # the big [P, D] planes live on device in the compute dtype (bf16
+    # halves their HBM traffic); [P]/[D] vectors and reductions stay f32
+    store_dt = jnp.dtype(cfg.compute_dtype)
+    counts_j = [jnp.asarray(pc, store_dt) for pc in pb_counts]
     if pb_batches is not None:
         q_j = [
-            jnp.asarray(_neg_marginal_stratified(pc, bt, cfg.neg_alpha))
+            jnp.asarray(_neg_marginal_stratified(pc, bt, cfg.neg_alpha), store_dt)
             for pc, bt in zip(pb_counts, pb_batches)
         ]
     else:
         q_j = [jnp.asarray(_neg_marginal(pc, cfg.neg_alpha)) for pc in pb_counts]
-    m_j = [c.sum(axis=1) for c in counts_j]
+    m_j = [
+        jnp.asarray(np.asarray(pc, np.float32).sum(axis=1)) for pc in pb_counts
+    ]
 
     # ---- phase 1: one AdamW step per epoch per axis, shared feat side
     params = {"feat": feat, "axes": axes}
@@ -255,6 +280,7 @@ def fit_bge(
                     k_neg=cfg.n_negatives,
                     ridge=cfg.ridge,
                     gene_chunk=cfg.gene_chunk,
+                    dtype=cfg.compute_dtype,
                 )
             else:
                 total = total + _expected_nce_loss(
@@ -265,6 +291,7 @@ def fit_bge(
                     data["m"][i],
                     k_neg=cfg.n_negatives,
                     ridge=cfg.ridge,
+                    dtype=cfg.compute_dtype,
                 )
         return total / len(data["counts"])
 
@@ -340,6 +367,7 @@ def fit_bge(
                 return _expected_nce_loss(
                     feat_frozen, axis, counts_bd, q_bd, m_b,
                     k_neg=cfg.n_negatives, ridge=0.0,
+                    dtype=cfg.compute_dtype,
                 )
 
             def step(carry, _):

@@ -175,3 +175,33 @@ def test_bge_feature_qc_drops_flat_genes():
     flat_only = rng.poisson(np.full((n_pb, 100), 5.0)).astype(np.float32)
     keep = hvg_feature_qc(flat_only)
     assert keep.all() or keep.mean() >= 0.05
+
+
+def test_bge_bfloat16_compute_matches_f32_structure(structured):
+    """compute_dtype="bfloat16" halves the [P, D]-plane HBM traffic (the
+    TPU-idiomatic hot-loop dtype); params/optimizer/reductions stay f32,
+    so the fitted structure must match the f32 run: same program
+    separation, near-identical converged loss."""
+    pb_counts, _, _, _ = structured
+    cfg32 = NceConfig(embedding_dim=8, epochs=300, learning_rate=0.05, seed=5)
+    cfg16 = NceConfig(
+        embedding_dim=8, epochs=300, learning_rate=0.05, seed=5,
+        compute_dtype="bfloat16",
+    )
+    r32 = fit_bge([pb_counts], config=cfg32)
+    r16 = fit_bge([pb_counts], config=cfg16)
+    assert r16.e_feat.dtype == np.float32  # outputs stay f32
+    assert np.all(np.isfinite(r16.e_feat))
+    # converged loss parity: bf16 rounding must not change the optimum
+    assert abs(r16.phase1_losses[-1] - r32.phase1_losses[-1]) < 0.02, (
+        r16.phase1_losses[-1], r32.phase1_losses[-1],
+    )
+    # same program geometry: per-program centroids separate identically
+    def prog_cos(res):
+        prog = np.stack(
+            [res.e_feat[t * 40 : (t + 1) * 40].mean(0) for t in range(3)]
+        )
+        pn = prog / np.maximum(np.linalg.norm(prog, axis=1, keepdims=True), 1e-9)
+        return (pn @ pn.T)[np.triu_indices(3, 1)]
+
+    np.testing.assert_allclose(prog_cos(r16), prog_cos(r32), atol=0.1)
