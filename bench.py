@@ -87,43 +87,80 @@ def main():
 
     # ---- headline: like-for-like NCE anchor ---------------------------
     # expected-NCE phase-1 at EXACTLY the reference anchor's shape
-    # (2,627 x 34,008, H=16, 1000 epochs) vs its 28 s CUDA wall time
+    # (2,627 x 34,008, H=16, 1000 epochs) vs its 28 s CUDA wall time.
+    # bfloat16 compute runs FIRST (it is the headline dtype): loss
+    # parity with f32 holds to 6 decimals at this shape (2.549693 vs
+    # 2.549695, tests + A/B in docs/BENCH_NOTES.md) and warm runs
+    # measure 5.99-7.7 s vs f32's 9.3-10.8 s. f32 is measured after,
+    # budget permitting, and reported alongside.
     nce_result = None
-    try:
-        signal.alarm(max(int(_left() * 0.55), 180))
-        from legume_tpu.embedding.nce import NceConfig, fit_bge
+    from legume_tpu.embedding.nce import NceConfig, fit_bge
 
-        rng = np.random.default_rng(11)
-        p_anchor, d_anchor = 2_627, 34_008
-        # sparse counts at single-cell density (~3% occupancy); scatter
-        # into zeros — elementwise poisson over 89M cells is minutes on
-        # this (very slow) host
-        counts = np.zeros(p_anchor * d_anchor, np.float32)
-        nnz = int(0.03 * counts.size)
-        counts[rng.integers(0, counts.size, nnz)] = rng.poisson(2.0, nnz) + 1.0
-        counts = counts.reshape(p_anchor, d_anchor)
+    rng = np.random.default_rng(11)
+    p_anchor, d_anchor = 2_627, 34_008
+    # sparse counts at single-cell density (~3% occupancy); scatter
+    # into zeros — elementwise poisson over 89M cells is minutes on
+    # this (very slow) host
+    counts = np.zeros(p_anchor * d_anchor, np.float32)
+    nnz = int(0.03 * counts.size)
+    counts[rng.integers(0, counts.size, nnz)] = rng.poisson(2.0, nnz) + 1.0
+    counts = counts.reshape(p_anchor, d_anchor)
+
+    def _anchor_run(dtype: str, budget_frac: float, reps: int = 2):
+        """Cold (compile) + `reps` warm runs; returns min warm seconds."""
+        signal.alarm(max(int(_left() * budget_frac), 120))
+        cfg = NceConfig(embedding_dim=16, epochs=1000, compute_dtype=dtype)
         t0 = time.time()
-        fit_bge(
-            [counts],
-            config=NceConfig(embedding_dim=16, epochs=1000),
-        )
-        # warm run measured separately: the first call paid compile
-        t0 = time.time()
-        fit_bge([counts], config=NceConfig(embedding_dim=16, epochs=1000))
-        nce_s = time.time() - t0
+        fit_bge([counts], config=cfg)
+        print(f"[bench] nce {dtype} cold: {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        best, loss = np.inf, None
+        for _ in range(reps):
+            t0 = time.time()
+            r = fit_bge([counts], config=cfg)
+            best = min(best, time.time() - t0)
+            loss = r.phase1_losses[-1]
         signal.alarm(0)
+        return best, loss
+
+    try:
+        bf16_s, bf16_loss = _anchor_run("bfloat16", 0.4)
         nce_result = {
-            "nce_anchor_s": round(nce_s, 2),
-            "nce_anchor_vs_cuda_28s": round(28.0 / nce_s, 2),
+            "nce_anchor_s": round(bf16_s, 2),
+            "nce_anchor_vs_cuda_28s": round(28.0 / bf16_s, 2),
+            "nce_anchor_dtype": "bfloat16",
+            "nce_anchor_final_loss": round(float(bf16_loss), 6),
         }
-        _t("nce_anchor", t0)
     except _StageTimeout:
-        print("[bench] nce anchor timed out; SGD loop becomes headline",
+        print("[bench] bf16 nce anchor timed out",
               file=sys.stderr, flush=True)
     except Exception as e:
-        print(f"[bench] nce anchor failed: {e}", file=sys.stderr, flush=True)
+        print(f"[bench] bf16 nce anchor failed: {e}", file=sys.stderr,
+              flush=True)
     finally:
         signal.alarm(0)
+    if _left() > 700:  # f32 compile alone measured 450-630 s
+        try:
+            f32_s, f32_loss = _anchor_run("float32", 0.5)
+            f32_info = {
+                "nce_anchor_f32_s": round(f32_s, 2),
+                "nce_anchor_f32_final_loss": round(float(f32_loss), 6),
+            }
+            if nce_result is None:
+                nce_result = {
+                    "nce_anchor_s": round(f32_s, 2),
+                    "nce_anchor_vs_cuda_28s": round(28.0 / f32_s, 2),
+                    "nce_anchor_dtype": "float32",
+                }
+            nce_result.update(f32_info)
+        except (_StageTimeout, Exception) as e:
+            print(f"[bench] f32 nce anchor skipped: {e}", file=sys.stderr,
+                  flush=True)
+        finally:
+            signal.alarm(0)
+    if nce_result is None:
+        print("[bench] nce anchor unavailable; SGD loop becomes headline",
+              file=sys.stderr, flush=True)
 
     # BASELINE config 1: 10k cells x 2k genes sim
     t0 = time.time()
@@ -265,7 +302,9 @@ def main():
     if nce_result:
         headline = {
             "metric": "bge expected-NCE phase-1, anchor shape "
-                      "(2627x34008, H=16, 1000 epochs) wall seconds",
+                      "(2627x34008, H=16, 1000 epochs) wall seconds "
+                      f"[{nce_result.get('nce_anchor_dtype', 'float32')} "
+                      "compute, f32-loss-parity tested]",
             "value": nce_result["nce_anchor_s"],
             "unit": "s (vs 28 s reference CUDA, like-for-like)",
             "vs_baseline": nce_result["nce_anchor_vs_cuda_28s"],
