@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -83,28 +84,44 @@ def fit_gem(
         neg = (n_negatives * m[:, None] * q[None, :]) * log_sigmoid(-scores)
         return -(pos.sum() + neg.sum()) / jnp.maximum(counts.sum(), 1.0)
 
-    def loss_fn(pr):
-        ls = track_loss(s_j, q_s, m_s, pr["beta"], pr["b_s"], pr["pb_e"], pr["pb_b"])
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+
+    # epochs fold into chunked lax.scan dispatches (the nce.py /
+    # train.py redesign): per-epoch dispatch costs ~85 ms over a
+    # tunneled device — 800 epochs of it is a minute of pure launch
+    # latency. Data rides as ARGUMENTS (closure constants bake into the
+    # compile payload).
+    def _loss_data(pr, data):
+        s, u, qs, qu, ms, mu = data
+        ls = track_loss(s, qs, ms, pr["beta"], pr["b_s"], pr["pb_e"], pr["pb_b"])
         lu = track_loss(
-            u_j, q_u, m_u, pr["beta"] + pr["delta"], pr["b_u"], pr["pb_e"], pr["pb_b"]
+            u, qu, mu, pr["beta"] + pr["delta"], pr["b_u"], pr["pb_e"], pr["pb_b"]
         )
         reg = delta_l2 * jnp.mean(jnp.sum(pr["delta"] ** 2, axis=1))
         return ls + lu + reg
 
-    optimizer = optax.adam(learning_rate)
-    opt_state = optimizer.init(params)
+    @partial(jax.jit, static_argnames=("n_epochs",))
+    def run_epochs(params, opt_state, data, *, n_epochs):
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(_loss_data)(params, data)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
 
-    @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        (params, opt_state), ls = jax.lax.scan(
+            step, (params, opt_state), None, length=n_epochs
+        )
+        return params, opt_state, ls
 
+    data = (s_j, u_j, q_s, q_u, m_s, m_u)
     losses = []
-    for i in range(epochs):
-        params, opt_state, loss = step(params, opt_state)
-        if i % 50 == 0:
-            losses.append(float(loss))
+    done = 0
+    while done < epochs:
+        n_e = min(100, epochs - done)
+        params, opt_state, ls = run_epochs(params, opt_state, data, n_epochs=n_e)
+        losses.extend(np.asarray(ls)[::50].tolist())
+        done += n_e
 
     return GemResult(
         e_feat=np.asarray(params["beta"]),
@@ -179,31 +196,45 @@ def fit_gem_encoder(
     )
     s_j = jnp.asarray(spliced_pd, jnp.float32)
 
-    def loss_fn(pr, kmask):
+    def loss_fn(pr, data, kmask):
+        u, s = data
         keep = jax.random.uniform(kmask, (p, d)) > mask_frac
-        h = (u_log * keep) @ pr["rho"]
+        h = (u * keep) @ pr["rho"]
         z = jax.nn.relu(h @ pr["w1"] + pr["b1"])  # [P, H]
         logits = z @ (pr["rho"] + pr["delta"]).T + pr["bias_s"][None, :]
         log_prob = jax.nn.log_softmax(logits, axis=1)
-        ll = jnp.sum(s_j * log_prob) / jnp.maximum(s_j.sum(), 1.0)
+        ll = jnp.sum(s * log_prob) / jnp.maximum(s.sum(), 1.0)
         reg = delta_l2 * jnp.mean(jnp.sum(pr["delta"] ** 2, axis=1))
         return -ll + reg
 
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
 
-    @jax.jit
-    def step(params, opt_state, k):
-        loss, grads = jax.value_and_grad(loss_fn)(params, k)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+    # chunked epoch scan — one dispatch per 100 epochs, not per epoch
+    # (tunnel launch latency; see fit_gem / nce.py)
+    @partial(jax.jit, static_argnames=("n_epochs",))
+    def run_epochs(params, opt_state, data, key, *, n_epochs):
+        def step(carry, km):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, data, km)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
 
+        keys = jax.random.split(key, n_epochs)
+        (params, opt_state), ls = jax.lax.scan(step, (params, opt_state), keys)
+        return params, opt_state, ls
+
+    data = (u_log, s_j)
     losses = []
-    for i in range(epochs):
-        key, km = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, km)
-        if i % 50 == 0:
-            losses.append(float(loss))
+    done = 0
+    while done < epochs:
+        n_e = min(100, epochs - done)
+        key, kc = jax.random.split(key)
+        params, opt_state, ls = run_epochs(
+            params, opt_state, data, kc, n_epochs=n_e
+        )
+        losses.extend(np.asarray(ls)[::50].tolist())
+        done += n_e
 
     return GemEncoderResult(
         rho=np.asarray(params["rho"]),

@@ -281,14 +281,14 @@ def train_masked(
     ids_j = jnp.asarray(data.ids)
     vals_j = jnp.asarray(data.vals)
 
-    def minibatch_loss(params, batch_stats, kb, ids_b, vals_b):
+    def minibatch_loss(params, batch_stats, kb, ids_b, vals_b, lq):
         k_mask, k_rep = jax.random.split(kb)
         mask = (jax.random.uniform(k_mask, vals_b.shape) < cfg.mask_frac) & (vals_b > 0)
         union = jnp.unique(ids_b.reshape(-1), size=u_cap, fill_value=d)
         valid_u = union < d
         (loss, _), mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            ids_b, vals_b, union, log_q[union], valid_u, mask,
+            ids_b, vals_b, union, lq[union], valid_u, mask,
             train=True, rngs_key=k_rep,
             mutable=["batch_stats"],
         )
@@ -296,32 +296,53 @@ def train_masked(
 
     grad_fn = jax.value_and_grad(minibatch_loss, has_aux=True)
 
-    @jax.jit
-    def epoch(params, batch_stats, opt_state, key):
-        kperm, kscan = jax.random.split(key)
-        perm = jax.random.permutation(kperm, n)[: num_mb * cfg.minibatch]
-        idsp = ids_j[perm].reshape(num_mb, cfg.minibatch, k)
-        valsp = vals_j[perm].reshape(num_mb, cfg.minibatch, k)
-        keys = jax.random.split(kscan, num_mb)
-
+    # epochs fold into chunked dispatches (outer scan), and the data
+    # tensors ride as ARGUMENTS — a closure would bake the [N, K]
+    # id/value planes into the compiled program (the nce.py payload
+    # lesson), and a per-epoch float(loss) readback costs a device
+    # round-trip per epoch over a tunneled TPU
+    @partial(jax.jit, static_argnames=("n_epochs",))
+    def run_epochs(params, batch_stats, opt_state, key, ids_a, vals_a, lq,
+                   *, n_epochs):
         def step(carry, batch):
             params, batch_stats, opt_state = carry
             ids_b, vals_b, kb = batch
-            (loss, new_bs), grads = grad_fn(params, batch_stats, kb, ids_b, vals_b)
+            (loss, new_bs), grads = grad_fn(
+                params, batch_stats, kb, ids_b, vals_b, lq
+            )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, new_bs, opt_state), loss
 
-        (params, batch_stats, opt_state), losses_mb = jax.lax.scan(
-            step, (params, batch_stats, opt_state), (idsp, valsp, keys)
+        def one_epoch(carry, ek):
+            params, batch_stats, opt_state = carry
+            kperm, kscan = jax.random.split(ek)
+            perm = jax.random.permutation(kperm, n)[: num_mb * cfg.minibatch]
+            idsp = ids_a[perm].reshape(num_mb, cfg.minibatch, k)
+            valsp = vals_a[perm].reshape(num_mb, cfg.minibatch, k)
+            keys = jax.random.split(kscan, num_mb)
+            (params, batch_stats, opt_state), losses_mb = jax.lax.scan(
+                step, (params, batch_stats, opt_state), (idsp, valsp, keys)
+            )
+            return (params, batch_stats, opt_state), losses_mb.mean()
+
+        ekeys = jax.random.split(key, n_epochs)
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            one_epoch, (params, batch_stats, opt_state), ekeys
         )
-        return params, batch_stats, opt_state, losses_mb.mean()
+        return params, batch_stats, opt_state, losses
 
     trace = []
-    for _ in range(cfg.epochs):
+    done = 0
+    while done < cfg.epochs:
+        chunk = min(10, cfg.epochs - done)
         key, ke = jax.random.split(key)
-        params, batch_stats, opt_state, loss = epoch(params, batch_stats, opt_state, ke)
-        trace.append(float(loss))
+        params, batch_stats, opt_state, losses = run_epochs(
+            params, batch_stats, opt_state, ke, ids_j, vals_j, log_q,
+            n_epochs=chunk,
+        )
+        trace.extend(np.asarray(losses).tolist())
+        done += chunk
 
     return {"params": params, "batch_stats": batch_stats}, trace
 

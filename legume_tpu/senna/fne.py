@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -70,23 +71,36 @@ def fit_fne(
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
 
-    def loss_fn(p):
+    def loss_fn(p, data):
+        c, qq, mm = data
         scores = p["e"] @ p["e"].T + p["b"][None, :] + p["b"][:, None]
-        pos = counts * log_sigmoid(scores)
-        neg = (n_negatives * m[:, None] * q[None, :]) * log_sigmoid(-scores)
-        return -(pos.sum() + neg.sum()) / jnp.maximum(counts.sum(), 1.0)
+        pos = c * log_sigmoid(scores)
+        neg = (n_negatives * mm[:, None] * qq[None, :]) * log_sigmoid(-scores)
+        return -(pos.sum() + neg.sum()) / jnp.maximum(c.sum(), 1.0)
 
-    @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+    # chunked epoch scan: one dispatch per 100 epochs (nce.py design);
+    # adjacency rides as an argument, not a baked closure constant
+    @partial(jax.jit, static_argnames=("n_epochs",))
+    def run_epochs(params, opt_state, data, *, n_epochs):
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, data)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
 
+        (params, opt_state), ls = jax.lax.scan(
+            step, (params, opt_state), None, length=n_epochs
+        )
+        return params, opt_state, ls
+
+    data = (counts, q, m)
     losses = []
-    for i in range(epochs):
-        params, opt_state, loss = step(params, opt_state)
-        if i % 50 == 0:
-            losses.append(float(loss))
+    done = 0
+    while done < epochs:
+        n_e = min(100, epochs - done)
+        params, opt_state, ls = run_epochs(params, opt_state, data, n_epochs=n_e)
+        losses.extend(np.asarray(ls)[::50].tolist())
+        done += n_e
 
     inv = [None] * n
     for k, v in names.items():
