@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass, field
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -87,11 +86,7 @@ def fit_gem(
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
 
-    # epochs fold into chunked lax.scan dispatches (the nce.py /
-    # train.py redesign): per-epoch dispatch costs ~85 ms over a
-    # tunneled device — 800 epochs of it is a minute of pure launch
-    # latency. Data rides as ARGUMENTS (closure constants bake into the
-    # compile payload).
+    # epochs fold into chunked scan dispatches (utils/scan_train.py)
     def _loss_data(pr, data):
         s, u, qs, qu, ms, mu = data
         ls = track_loss(s, qs, ms, pr["beta"], pr["b_s"], pr["pb_e"], pr["pb_b"])
@@ -101,27 +96,18 @@ def fit_gem(
         reg = delta_l2 * jnp.mean(jnp.sum(pr["delta"] ** 2, axis=1))
         return ls + lu + reg
 
-    @partial(jax.jit, static_argnames=("n_epochs",))
-    def run_epochs(params, opt_state, data, *, n_epochs):
-        def step(carry, _):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(_loss_data)(params, data)
-            updates, opt_state = optimizer.update(grads, opt_state)
-            return (optax.apply_updates(params, updates), opt_state), loss
+    def gem_step(carry, data, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(_loss_data)(params, data)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return (optax.apply_updates(params, updates), opt_state), loss
 
-        (params, opt_state), ls = jax.lax.scan(
-            step, (params, opt_state), None, length=n_epochs
-        )
-        return params, opt_state, ls
+    from ..utils.scan_train import fold_epochs
 
-    data = (s_j, u_j, q_s, q_u, m_s, m_u)
-    losses = []
-    done = 0
-    while done < epochs:
-        n_e = min(100, epochs - done)
-        params, opt_state, ls = run_epochs(params, opt_state, data, n_epochs=n_e)
-        losses.extend(np.asarray(ls)[::50].tolist())
-        done += n_e
+    (params, opt_state), ls = fold_epochs(
+        gem_step, (params, opt_state), (s_j, u_j, q_s, q_u, m_s, m_u), epochs
+    )
+    losses = ls[::50].tolist()
 
     return GemResult(
         e_feat=np.asarray(params["beta"]),
@@ -210,31 +196,19 @@ def fit_gem_encoder(
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
 
-    # chunked epoch scan — one dispatch per 100 epochs, not per epoch
-    # (tunnel launch latency; see fit_gem / nce.py)
-    @partial(jax.jit, static_argnames=("n_epochs",))
-    def run_epochs(params, opt_state, data, key, *, n_epochs):
-        def step(carry, km):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, data, km)
-            updates, opt_state = optimizer.update(grads, opt_state)
-            return (optax.apply_updates(params, updates), opt_state), loss
+    # chunked epoch scan with per-epoch mask keys (utils/scan_train.py)
+    def enc_step(carry, data, km):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params, data, km)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return (optax.apply_updates(params, updates), opt_state), loss
 
-        keys = jax.random.split(key, n_epochs)
-        (params, opt_state), ls = jax.lax.scan(step, (params, opt_state), keys)
-        return params, opt_state, ls
+    from ..utils.scan_train import fold_epochs
 
-    data = (u_log, s_j)
-    losses = []
-    done = 0
-    while done < epochs:
-        n_e = min(100, epochs - done)
-        key, kc = jax.random.split(key)
-        params, opt_state, ls = run_epochs(
-            params, opt_state, data, kc, n_epochs=n_e
-        )
-        losses.extend(np.asarray(ls)[::50].tolist())
-        done += n_e
+    (params, opt_state), ls = fold_epochs(
+        enc_step, (params, opt_state), (u_log, s_j), epochs, key=key
+    )
+    losses = ls[::50].tolist()
 
     return GemEncoderResult(
         rho=np.asarray(params["rho"]),

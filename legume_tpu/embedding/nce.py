@@ -71,9 +71,12 @@ class NceConfig:
     hvg_min_excess: float = 0.0
     min_nnz_rows: float = 0.0
     # "bfloat16" runs the [P, D]-plane compute in bf16 (params, optimizer
-    # state and loss accumulation stay f32) — the phase-1 epoch loop is
+    # state and loss reductions stay f32) — the phase-1 epoch loop is
     # HBM-traffic-bound, so halving the plane bytes is the idiomatic TPU
-    # speedup; counts are integers, exactly representable to 256 in bf16
+    # speedup. Stored pseudobulk counts DO round in bf16 (~0.4% relative
+    # above 256); row masses are reduced in f32 before the downcast, and
+    # converged-loss parity with f32 is tested (6 decimals at the
+    # reference anchor shape)
     compute_dtype: str = "float32"
 
 
@@ -247,23 +250,29 @@ def fit_bge(
     # the big [P, D] planes live on device in the compute dtype (bf16
     # halves their HBM traffic); [P]/[D] vectors and reductions stay f32.
     # Cast ON DEVICE: a host-side ml_dtypes bf16 cast of the 89M-element
-    # anchor plane measured 19.6 s — the device cast is microseconds
+    # anchor plane measured 19.6 s — the device cast is microseconds.
+    # Row masses reduce from the f32 transfer BEFORE the downcast so
+    # they stay exact, and on device (no host pass over the plane).
+    if cfg.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"compute_dtype must be 'float32' or 'bfloat16', got "
+            f"{cfg.compute_dtype!r}"
+        )
     store_dt = jnp.dtype(cfg.compute_dtype)
 
-    def _to_device(a: np.ndarray) -> jax.Array:
-        return jnp.asarray(a, jnp.float32).astype(store_dt)
-
-    counts_j = [_to_device(pc) for pc in pb_counts]
+    counts32 = [jnp.asarray(pc, jnp.float32) for pc in pb_counts]
+    m_j = [c.sum(axis=1) for c in counts32]
+    counts_j = [c.astype(store_dt) for c in counts32]
+    del counts32
     if pb_batches is not None:
         q_j = [
-            _to_device(_neg_marginal_stratified(pc, bt, cfg.neg_alpha))
+            jnp.asarray(
+                _neg_marginal_stratified(pc, bt, cfg.neg_alpha)
+            ).astype(store_dt)
             for pc, bt in zip(pb_counts, pb_batches)
         ]
     else:
         q_j = [jnp.asarray(_neg_marginal(pc, cfg.neg_alpha)) for pc in pb_counts]
-    m_j = [
-        jnp.asarray(np.asarray(pc, np.float32).sum(axis=1)) for pc in pb_counts
-    ]
 
     # ---- phase 1: one AdamW step per epoch per axis, shared feat side
     params = {"feat": feat, "axes": axes}
@@ -301,33 +310,20 @@ def fit_bge(
                 )
         return total / len(data["counts"])
 
-    # epochs fold into ONE device dispatch (lax.scan) — the per-epoch
-    # dispatch cost dominates over a tunneled device and is pure waste
-    # on a local one (same redesign as models/train.py)
-    @partial(jax.jit, static_argnames=("n_epochs",))
-    def phase1_epochs(params, opt_state, data, *, n_epochs):
-        def step(carry, _):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(phase1_loss)(params, data)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state), loss
+    # epochs fold into chunked scan dispatches (utils/scan_train.py)
+    from ..utils.scan_train import fold_epochs
 
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), None, length=n_epochs
-        )
-        return params, opt_state, losses
+    def p1_step(carry, data, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(phase1_loss)(params, data)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
 
     data_j = {"counts": counts_j, "q": q_j, "m": m_j}
-    p1_losses = []
-    chunk_epochs = 100
-    done = 0
-    while done < cfg.epochs:
-        n_e = min(chunk_epochs, cfg.epochs - done)
-        params, opt_state, losses = phase1_epochs(
-            params, opt_state, data_j, n_epochs=n_e
-        )
-        p1_losses.extend(np.asarray(losses)[::50].tolist())
-        done += n_e
+    (params, opt_state), losses = fold_epochs(
+        p1_step, (params, opt_state), data_j, cfg.epochs
+    )
+    p1_losses = losses[::50].tolist()
     feat = params["feat"]
     axes = params["axes"]
 

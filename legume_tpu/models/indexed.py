@@ -296,14 +296,15 @@ def train_masked(
 
     grad_fn = jax.value_and_grad(minibatch_loss, has_aux=True)
 
-    # epochs fold into chunked dispatches (outer scan), and the data
-    # tensors ride as ARGUMENTS — a closure would bake the [N, K]
+    # epochs fold into chunked dispatches (utils/scan_train.py), and the
+    # data tensors ride as ARGUMENTS — a closure would bake the [N, K]
     # id/value planes into the compiled program (the nce.py payload
     # lesson), and a per-epoch float(loss) readback costs a device
     # round-trip per epoch over a tunneled TPU
-    @partial(jax.jit, static_argnames=("n_epochs",))
-    def run_epochs(params, batch_stats, opt_state, key, ids_a, vals_a, lq,
-                   *, n_epochs):
+    def one_epoch(carry, data, ek):
+        params, batch_stats, opt_state = carry
+        ids_a, vals_a, lq = data
+
         def step(carry, batch):
             params, batch_stats, opt_state = carry
             ids_b, vals_b, kb = batch
@@ -314,35 +315,23 @@ def train_masked(
             params = optax.apply_updates(params, updates)
             return (params, new_bs, opt_state), loss
 
-        def one_epoch(carry, ek):
-            params, batch_stats, opt_state = carry
-            kperm, kscan = jax.random.split(ek)
-            perm = jax.random.permutation(kperm, n)[: num_mb * cfg.minibatch]
-            idsp = ids_a[perm].reshape(num_mb, cfg.minibatch, k)
-            valsp = vals_a[perm].reshape(num_mb, cfg.minibatch, k)
-            keys = jax.random.split(kscan, num_mb)
-            (params, batch_stats, opt_state), losses_mb = jax.lax.scan(
-                step, (params, batch_stats, opt_state), (idsp, valsp, keys)
-            )
-            return (params, batch_stats, opt_state), losses_mb.mean()
-
-        ekeys = jax.random.split(key, n_epochs)
-        (params, batch_stats, opt_state), losses = jax.lax.scan(
-            one_epoch, (params, batch_stats, opt_state), ekeys
+        kperm, kscan = jax.random.split(ek)
+        perm = jax.random.permutation(kperm, n)[: num_mb * cfg.minibatch]
+        idsp = ids_a[perm].reshape(num_mb, cfg.minibatch, k)
+        valsp = vals_a[perm].reshape(num_mb, cfg.minibatch, k)
+        keys = jax.random.split(kscan, num_mb)
+        (params, batch_stats, opt_state), losses_mb = jax.lax.scan(
+            step, (params, batch_stats, opt_state), (idsp, valsp, keys)
         )
-        return params, batch_stats, opt_state, losses
+        return (params, batch_stats, opt_state), losses_mb.mean()
 
-    trace = []
-    done = 0
-    while done < cfg.epochs:
-        chunk = min(10, cfg.epochs - done)
-        key, ke = jax.random.split(key)
-        params, batch_stats, opt_state, losses = run_epochs(
-            params, batch_stats, opt_state, ke, ids_j, vals_j, log_q,
-            n_epochs=chunk,
-        )
-        trace.extend(np.asarray(losses).tolist())
-        done += chunk
+    from ..utils.scan_train import fold_epochs
+
+    (params, batch_stats, opt_state), losses = fold_epochs(
+        one_epoch, (params, batch_stats, opt_state),
+        (ids_j, vals_j, log_q), cfg.epochs, key=key, chunk=10,
+    )
+    trace = losses.tolist()
 
     return {"params": params, "batch_stats": batch_stats}, trace
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from functools import partial
 from typing import Sequence
 
 import jax
@@ -78,29 +77,20 @@ def fit_fne(
         neg = (n_negatives * mm[:, None] * qq[None, :]) * log_sigmoid(-scores)
         return -(pos.sum() + neg.sum()) / jnp.maximum(c.sum(), 1.0)
 
-    # chunked epoch scan: one dispatch per 100 epochs (nce.py design);
-    # adjacency rides as an argument, not a baked closure constant
-    @partial(jax.jit, static_argnames=("n_epochs",))
-    def run_epochs(params, opt_state, data, *, n_epochs):
-        def step(carry, _):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, data)
-            updates, opt_state = optimizer.update(grads, opt_state)
-            return (optax.apply_updates(params, updates), opt_state), loss
+    # chunked epoch scan (utils/scan_train.py); adjacency rides as an
+    # argument, not a baked closure constant
+    def fne_step(carry, data, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params, data)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return (optax.apply_updates(params, updates), opt_state), loss
 
-        (params, opt_state), ls = jax.lax.scan(
-            step, (params, opt_state), None, length=n_epochs
-        )
-        return params, opt_state, ls
+    from ..utils.scan_train import fold_epochs
 
-    data = (counts, q, m)
-    losses = []
-    done = 0
-    while done < epochs:
-        n_e = min(100, epochs - done)
-        params, opt_state, ls = run_epochs(params, opt_state, data, n_epochs=n_e)
-        losses.extend(np.asarray(ls)[::50].tolist())
-        done += n_e
+    (params, opt_state), ls = fold_epochs(
+        fne_step, (params, opt_state), (counts, q, m), epochs
+    )
+    losses = ls[::50].tolist()
 
     inv = [None] * n
     for k, v in names.items():
