@@ -202,12 +202,21 @@ def fit_bge(
     config: NceConfig | None = None,
     pb_batches: Sequence[np.ndarray] | None = None,  # per level [P_l] labels
     cell_batches: np.ndarray | None = None,  # [N] phase-2 labels
+    mesh=None,  # jax.sharding.Mesh: dp-shard pb rows, replicate features
 ) -> BgeResult:
     """Two-phase composite fit (fit/mod.rs:55; training.rs:1-50).
 
     `pb_batches` / `cell_batches` switch the negative marginal to the
     batch-stratified form (reference `loss/` contract): negatives for a
     row are drawn from that row's own batch, in exact expectation.
+
+    With `mesh`, phase 1 runs data-parallel over the pb-row axis: the
+    [P, D] count/q planes shard over `dp`, the feature side and
+    optimizer state replicate, and XLA inserts one psum over the
+    feature-side gradients per step (the SURVEY north-star layout —
+    cells/rows sharded, genes replicated). Rows pad to a multiple of
+    the dp size with zero counts + zero mass, which contribute nothing
+    through either loss term.
     """
     cfg = config or NceConfig()
     h = cfg.embedding_dim
@@ -236,6 +245,23 @@ def fit_bge(
             np.pad(np.asarray(pc, np.float32), ((0, 0), (0, d_pad - d)))
             for pc in pb_counts
         ]
+    # dp row padding: zero-count rows (zero mass -> zero loss terms)
+    p_orig = [pc.shape[0] for pc in pb_counts]
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS
+
+        ndp = mesh.shape[DATA_AXIS]
+        row_pad = [-pc.shape[0] % ndp for pc in pb_counts]
+        if any(row_pad):
+            pb_counts = [
+                np.pad(np.asarray(pc, np.float32), ((0, rp), (0, 0)))
+                for pc, rp in zip(pb_counts, row_pad)
+            ]
+            if pb_batches is not None:
+                pb_batches = [
+                    np.pad(np.asarray(bt), (0, rp), mode="edge")
+                    for bt, rp in zip(pb_batches, row_pad)
+                ]
     key = jax.random.key(cfg.seed)
 
     k_f, *k_axes = jax.random.split(key, 1 + len(pb_counts))
@@ -273,6 +299,29 @@ def fit_bge(
         ]
     else:
         q_j = [jnp.asarray(_neg_marginal(pc, cfg.neg_alpha)) for pc in pb_counts]
+
+    if mesh is not None:
+        # SURVEY north-star layout: rows (cells/pbs) shard over dp,
+        # the gene/feature side replicates; jit compiles the epoch scan
+        # with one psum over feature-side grads from these placements
+        from ..parallel.mesh import data_sharding, replicate
+
+        counts_j = [jax.device_put(c, data_sharding(mesh, 2)) for c in counts_j]
+        q_j = [
+            jax.device_put(
+                q, data_sharding(mesh, 2) if q.ndim == 2 else replicate(mesh)
+            )
+            for q in q_j
+        ]
+        m_j = [jax.device_put(m, data_sharding(mesh, 1)) for m in m_j]
+        feat = jax.device_put(feat, replicate(mesh))
+        axes = [
+            AxisSide(
+                e=jax.device_put(a.e, data_sharding(mesh, 2)),
+                b=jax.device_put(a.b, data_sharding(mesh, 1)),
+            )
+            for a in axes
+        ]
 
     # ---- phase 1: one AdamW step per epoch per axis, shared feat side
     params = {"feat": feat, "axes": axes}
@@ -422,7 +471,9 @@ def fit_bge(
     return BgeResult(
         e_feat=e_feat_full,
         b_feat=b_feat_full,
-        pb_embeddings=[np.asarray(a.e) for a in axes],
+        pb_embeddings=[
+            np.asarray(a.e)[:p0] for a, p0 in zip(axes, p_orig)
+        ],
         e_cell=e_cell,
         b_cell=b_cell,
         phase1_losses=p1_losses,

@@ -142,3 +142,32 @@ def test_process_local_read_isolation(tmp_path):
     for j in range(n):
         want[:, groups[j]] += dense[:, j]
     np.testing.assert_allclose(partials[0] + partials[1], want, rtol=1e-5)
+
+
+def test_bge_phase1_dp_sharded_matches_unsharded():
+    """fit_bge(mesh=...) shards the [P, D] planes over dp and replicates
+    the feature side; with row padding to the dp size the padded rows
+    carry zero counts + zero mass, so the fit must match the unsharded
+    run up to reduction-order float noise."""
+    from legume_tpu.embedding.nce import NceConfig, fit_bge
+
+    rng = np.random.default_rng(3)
+    p, d, k = 37, 60, 3  # p NOT divisible by 8: exercises row padding
+    beta = np.full((k, d), 0.2)
+    for t in range(k):
+        beta[t, t * 20 : (t + 1) * 20] = 3.0
+    pb_counts = rng.poisson(beta[np.arange(p) % k] * 20).astype(np.float32)
+
+    cfg = NceConfig(embedding_dim=6, epochs=200, learning_rate=0.05, seed=7)
+    plain = fit_bge([pb_counts], config=cfg)
+    mesh = make_mesh()  # 8 virtual devices on dp
+    sharded = fit_bge([pb_counts], config=cfg, mesh=mesh)
+
+    assert sharded.pb_embeddings[0].shape == (p, 6)  # padding sliced off
+    np.testing.assert_allclose(
+        sharded.e_feat, plain.e_feat, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        sharded.pb_embeddings[0], plain.pb_embeddings[0], atol=5e-3
+    )
+    assert abs(sharded.phase1_losses[-1] - plain.phase1_losses[-1]) < 1e-3
