@@ -39,6 +39,9 @@ def _add_topic_parser(sub):
     p.add_argument("--gene-weighting", choices=["nb-fisher", "none"], default="nb-fisher")
     p.add_argument("--anchor-penalty", type=float, default=0.0,
                    help="CE penalty lambda on beta toward the anchor prior (0 = off)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="dp-shard pseudobulk rows over all visible devices "
+                        "during training (params replicate)")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -177,6 +180,9 @@ def run_senna(argv):
                    help="phase-1 [P,D]-plane compute dtype; bfloat16 "
                         "halves HBM traffic on TPU (params/reductions "
                         "stay float32)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard phase-1 pb rows over all visible devices "
+                        "(dp mesh; feature side replicated)")
 
     p = sub.add_parser("qmatrix", help="gene-set x topic enrichment Q-matrix")
     p.add_argument("--dictionary", required=True, help="{out}.dictionary.parquet")
@@ -710,6 +716,14 @@ def run_senna(argv):
         else:
             stat = _clp.collect_basic_stats(vec, groups, s)
             pb = stat.observed_sum_ds.T  # [P, D]
+        mesh = None
+        if args.data_parallel:
+            import jax as _jax
+
+            from ..parallel.mesh import make_mesh
+
+            if _jax.device_count() > 1:
+                mesh = make_mesh()
         res = fit_bge(
             [pb], data=vec,
             config=NceConfig(
@@ -720,6 +734,7 @@ def run_senna(argv):
                 compute_dtype=args.compute_dtype,
             ),
             pb_batches=pb_batches, cell_batches=cell_batches,
+            mesh=mesh,
         )
         pd.DataFrame(
             res.e_feat, index=vec.row_names(),
@@ -1085,6 +1100,7 @@ def run_senna(argv):
                 refine=not args.no_refine,
                 gene_weighting=args.gene_weighting,
                 anchor_penalty=args.anchor_penalty,
+                data_parallel=args.data_parallel,
                 seed=args.seed if args.seed is not None else DEFAULT_PROJECTION_SEED,
             )
         )

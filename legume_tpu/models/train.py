@@ -104,11 +104,14 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     )
 
 
-def _pad_level(level: LevelData, mb: int):
-    """Pad rows to a multiple of the minibatch size; returns
+def _pad_level(level: LevelData, mb: int, row_multiple: int = 1):
+    """Pad rows to a multiple of the minibatch size (and of
+    `row_multiple`, for dp sharding placements); returns
     (input, null, target, row_weight) arrays of [P_pad, ...]."""
     p = level.n
     num_mb = max(1, -(-p // mb))
+    while (num_mb * mb) % row_multiple:
+        num_mb += 1
     p_pad = num_mb * mb
     pad = p_pad - p
 
@@ -136,6 +139,7 @@ class MixedTrainer:
         feature_weights: Sequence[Optional[np.ndarray]] | None = None,
         loss_hook: Optional[Callable[[jax.Array, int, dict], jax.Array]] = None,
         decoder_weights: Sequence[float] | None = None,
+        mesh=None,  # jax.sharding.Mesh: dp-shard level rows, replicate params
     ):
         """`decoders[level]` may be a single decoder or a LIST of
         decoders scored on the same z with `decoder_weights`-weighted
@@ -154,6 +158,7 @@ class MixedTrainer:
         )
         self.loss_hook = loss_hook
         self.optimizer = make_optimizer(config)
+        self.mesh = mesh
         self._epoch_fns: dict[int, Callable] = {}
 
     # -- init ------------------------------------------------------------
@@ -337,7 +342,37 @@ class MixedTrainer:
             )
             opt_state = self.optimizer.init(params)
 
-        padded = [_pad_level(lvl, cfg.minibatch_size) for lvl in level_data]
+        row_mult = 1
+        if self.mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            row_mult = self.mesh.shape[DATA_AXIS]
+        padded = [
+            _pad_level(lvl, cfg.minibatch_size, row_mult) for lvl in level_data
+        ]
+        if self.mesh is not None:
+            # SURVEY north-star layout: rows (pseudobulks/cells) shard
+            # over dp, params + optimizer state replicate; the padded
+            # rows carry zero weight so the masked loss is unchanged,
+            # and XLA inserts the grad psum from these placements
+            from ..parallel.mesh import data_sharding, replicate
+
+            def _place(t):
+                x, null, y, w, num_mb = t
+                ds = data_sharding(self.mesh, 2)
+                return (
+                    jax.device_put(x, ds),
+                    None if null is None else jax.device_put(null, ds),
+                    jax.device_put(y, ds),
+                    jax.device_put(w, data_sharding(self.mesh, 1)),
+                    num_mb,
+                )
+
+            padded = [_place(t) for t in padded]
+            repl = replicate(self.mesh)
+            params = jax.device_put(params, repl)
+            batch_stats = jax.device_put(batch_stats, repl)
+            opt_state = jax.device_put(opt_state, repl)
         scores = TrainScores()
         n_tot = sum(lvl.n for lvl in level_data)
 

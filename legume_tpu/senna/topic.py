@@ -102,6 +102,10 @@ class TopicArgs:
     # HMM copy-number states on the pseudobulk adjusted-mean log-ratios
     cnv: bool = False
     cnv_genes_per_bin: int = 25
+    # dp-shard each level's pseudobulk rows over all visible devices
+    # (params replicate; NEW capability vs the single-device reference,
+    # SURVEY.md section 2.7 north star)
+    data_parallel: bool = False
     seed: int = DEFAULT_PROJECTION_SEED
 
 
@@ -537,9 +541,15 @@ def fit_topic_model(args: TopicArgs) -> dict:
         grad_clip=args.grad_clip,
         seed=args.seed & 0x7FFFFFFF,
     )
+    mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     trainer = MixedTrainer(
         encoder, decoders, cfg,
         feature_weights=feature_weights, loss_hook=loss_hook,
+        mesh=mesh,
     )
 
     if args.init_from:

@@ -171,3 +171,35 @@ def test_bge_phase1_dp_sharded_matches_unsharded():
         sharded.pb_embeddings[0], plain.pb_embeddings[0], atol=5e-3
     )
     assert abs(sharded.phase1_losses[-1] - plain.phase1_losses[-1]) < 1e-3
+
+
+def test_mixed_trainer_dp_sharded_matches_unsharded():
+    """MixedTrainer(mesh=...) dp-shards each level's padded rows and
+    replicates params/opt state; identical PRNG stream -> the fit must
+    match the unsharded trainer up to reduction-order float noise."""
+    from legume_tpu.models.decoders import NbTopicDecoder
+    from legume_tpu.models.encoders import LogSoftmaxEncoder
+    from legume_tpu.models.train import LevelData, MixedTrainer, TrainConfig
+
+    rng = np.random.default_rng(5)
+    p, d, k = 53, 40, 4  # p NOT divisible by 8: exercises dp row padding
+    x = rng.poisson(2.0, (p, d)).astype(np.float32)
+    lvl = [LevelData(input=x, input_null=None)]
+    cfg = TrainConfig(epochs=20, minibatch_size=16, learning_rate=0.01, seed=3)
+
+    def fit(mesh):
+        enc = LogSoftmaxEncoder(n_topics=k, layers=(16,))
+        dec = NbTopicDecoder(n_features=d, n_topics=k)
+        trainer = MixedTrainer(enc, [dec], cfg, mesh=mesh)
+        variables, _, scores = trainer.train(lvl, jax.random.key(11))
+        z = trainer.encode(variables, x)
+        return z, scores
+
+    z_plain, s_plain = fit(None)
+    z_dp, s_dp = fit(make_mesh())
+
+    assert z_dp.shape == (p, k)
+    np.testing.assert_allclose(z_dp, z_plain, atol=2e-3)
+    np.testing.assert_allclose(
+        s_dp.llik[-1], s_plain.llik[-1], rtol=1e-4, atol=1e-4
+    )
