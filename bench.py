@@ -61,6 +61,9 @@ def _device_init_ok(timeout_s: float = 150.0) -> bool:
 def main():
     import jax
 
+    from legume_tpu.utils.jax_cache import ensure_compile_cache
+
+    ensure_compile_cache()
     if not _device_init_ok():
         print(
             "[bench] accelerator init timed out (wedged relay?) -> CPU",

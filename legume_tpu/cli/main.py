@@ -85,6 +85,9 @@ def main(argv=None):
     from ..utils.progress import install_log_bridge
 
     install_log_bridge()
+    from ..utils.jax_cache import ensure_compile_cache
+
+    ensure_compile_cache()
     # multi-host: LEGUME_COORDINATOR/LEGUME_NUM_PROCESSES/LEGUME_PROCESS_ID
     # (or LEGUME_DISTRIBUTED=1 on pods with runtime discovery) turn on
     # jax.distributed before any backend touch (parallel/multihost.py)

@@ -78,6 +78,64 @@ class NceConfig:
     # converged-loss parity with f32 is tested (6 decimals at the
     # reference anchor shape)
     compute_dtype: str = "float32"
+    # fused Pallas epoch kernel (embedding/nce_pallas.py): loss + all
+    # four gradients in ONE pass over the count plane instead of XLA's
+    # ~5 plane-sized HBM round trips. None = auto (on TPU, for the
+    # dense unstratified single-device case); True forces it (interpret
+    # mode off-TPU, for tests); False keeps the XLA path.
+    use_pallas: Optional[bool] = None
+
+
+def _device_counts(pc: np.ndarray) -> jax.Array:
+    """Host->device transfer of a count plane, minimizing wire bytes.
+
+    Count planes are small non-negative integers, so when the values
+    fit losslessly they ship as uint8/uint16 (4x/2x fewer bytes than
+    f32); the f32 cast happens on device inside the fused prep program
+    (`_prep_plane*`). Non-integral or wide-range planes ship as f32."""
+    a = np.asarray(pc)
+    if a.size == 0:
+        return jnp.asarray(a, jnp.float32)
+    if a.dtype.kind in "iu":
+        mn, mx = int(a.min()), int(a.max())
+        if mn >= 0 and mx < 256:
+            a = a.astype(np.uint8)
+        elif mn >= 0 and mx < 65536:
+            a = a.astype(np.uint16)
+        return jnp.asarray(a)
+    if a.dtype in (np.float32, np.float64):
+        mn, mx = float(a.min()), float(a.max())
+        if 0.0 <= mn and mx < 65536.0:
+            dt = np.uint8 if mx < 256.0 else np.uint16
+            cast = a.astype(dt)
+            if np.array_equal(cast, a):  # lossless (integral values)
+                return jnp.asarray(cast)
+    return jnp.asarray(a, jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("d_pad", "store"))
+def _prep_plane_pallas(c_any, q, *, d_pad: int, store: str):
+    """ONE-dispatch device prep for the fused-kernel path (each device
+    op is a ~85 ms dispatch over a tunneled TPU): f32 cast, pad rows to
+    the f32 sublane (8) and genes to d_pad — zero rows/columns carry
+    zero counts and zero q, contributing nothing through either loss
+    term — exact f32 row/total reductions BEFORE the storage-dtype
+    downcast, and the [1, D_pad] q tile."""
+    c32 = c_any.astype(jnp.float32)
+    p, d = c32.shape
+    c32 = jnp.pad(c32, ((0, -p % 8), (0, d_pad - d)))
+    total = jnp.maximum(c32.sum(dtype=jnp.float32), 1.0)
+    m = c32.sum(axis=1, keepdims=True)
+    qp = jnp.pad(q.astype(jnp.float32), (0, d_pad - q.shape[0]))[None, :]
+    return c32.astype(jnp.dtype(store)), qp, m, total
+
+
+@partial(jax.jit, static_argnames=("store",))
+def _prep_plane(c_any, *, store: str):
+    """One-dispatch device prep for the XLA path: f32 cast, exact f32
+    row masses, storage-dtype downcast."""
+    c32 = c_any.astype(jnp.float32)
+    return c32.astype(jnp.dtype(store)), c32.sum(axis=1)
 
 
 def _neg_marginal(counts_pd: np.ndarray, alpha: float) -> np.ndarray:
@@ -218,6 +276,9 @@ def fit_bge(
     the dp size with zero counts + zero mass, which contribute nothing
     through either loss term.
     """
+    from ..utils.jax_cache import ensure_compile_cache
+
+    ensure_compile_cache()
     cfg = config or NceConfig()
     h = cfg.embedding_dim
     d_full = pb_counts[0].shape[1]
@@ -245,6 +306,36 @@ def fit_bge(
             np.pad(np.asarray(pc, np.float32), ((0, 0), (0, d_pad - d)))
             for pc in pb_counts
         ]
+
+    # fused-kernel phase 1 (nce_pallas.py): loss + grads in one pass
+    # over the count plane. Auto on TPU for the dense unstratified
+    # single-device case; forcing it off-TPU runs interpret mode.
+    use_pallas = cfg.use_pallas
+    pallas_blocked = (
+        mesh is not None
+        or pb_batches is not None
+        or cfg.gene_chunk > 0
+        or h > 128
+    )
+    if use_pallas is None:
+        use_pallas = (
+            not pallas_blocked and jax.devices()[0].platform == "tpu"
+        )
+    elif use_pallas and pallas_blocked:
+        log.info("use_pallas unsupported for this mode; using XLA path")
+        use_pallas = False
+    if use_pallas:
+        from .nce_pallas import pick_tile_d
+
+        d_pad = -(-d // 128) * 128
+        itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
+        if any(
+            pick_tile_d(-(-pc.shape[0] // 8) * 8, d_pad, itemsize) is None
+            for pc in pb_counts
+        ):
+            log.info("shape exceeds the fused kernel's VMEM plan; XLA path")
+            use_pallas = False
+            d_pad = d
     # dp row padding: zero-count rows (zero mass -> zero loss terms)
     p_orig = [pc.shape[0] for pc in pb_counts]
     if mesh is not None:
@@ -286,19 +377,40 @@ def fit_bge(
         )
     store_dt = jnp.dtype(cfg.compute_dtype)
 
-    counts32 = [jnp.asarray(pc, jnp.float32) for pc in pb_counts]
-    m_j = [c.sum(axis=1) for c in counts32]
-    counts_j = [c.astype(store_dt) for c in counts32]
-    del counts32
-    if pb_batches is not None:
-        q_j = [
-            jnp.asarray(
-                _neg_marginal_stratified(pc, bt, cfg.neg_alpha)
-            ).astype(store_dt)
-            for pc, bt in zip(pb_counts, pb_batches)
+    counts_dev = [_device_counts(pc) for pc in pb_counts]
+    totals_j = None
+    if use_pallas:
+        # pb_batches is None here (pallas_blocked excludes it)
+        q_host = [
+            jnp.asarray(_neg_marginal(pc, cfg.neg_alpha)) for pc in pb_counts
         ]
+        prepped = [
+            _prep_plane_pallas(c, q, d_pad=d_pad, store=cfg.compute_dtype)
+            for c, q in zip(counts_dev, q_host)
+        ]
+        counts_j = [t[0] for t in prepped]
+        q_j = [t[1] for t in prepped]
+        m_j = [t[2] for t in prepped]
+        totals_j = [t[3] for t in prepped]
     else:
-        q_j = [jnp.asarray(_neg_marginal(pc, cfg.neg_alpha)) for pc in pb_counts]
+        prepped = [
+            _prep_plane(c, store=cfg.compute_dtype) for c in counts_dev
+        ]
+        counts_j = [t[0] for t in prepped]
+        m_j = [t[1] for t in prepped]
+        if pb_batches is not None:
+            q_j = [
+                jnp.asarray(
+                    _neg_marginal_stratified(pc, bt, cfg.neg_alpha)
+                ).astype(store_dt)
+                for pc, bt in zip(pb_counts, pb_batches)
+            ]
+        else:
+            q_j = [
+                jnp.asarray(_neg_marginal(pc, cfg.neg_alpha))
+                for pc in pb_counts
+            ]
+    del counts_dev
 
     if mesh is not None:
         # SURVEY north-star layout: rows (cells/pbs) shard over dp,
@@ -362,15 +474,61 @@ def fit_bge(
     # epochs fold into chunked scan dispatches (utils/scan_train.py)
     from ..utils.scan_train import fold_epochs
 
-    def p1_step(carry, data, _):
-        params, opt_state = carry
-        loss, grads = jax.value_and_grad(phase1_loss)(params, data)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state), loss
+    if use_pallas:
+        from .nce_pallas import nce_epoch_grads
 
-    data_j = {"counts": counts_j, "q": q_j, "m": m_j}
+        pallas_interp = jax.devices()[0].platform != "tpu"
+        n_lv = len(counts_j)
+        inv_lv = 1.0 / n_lv
+
+        def p1_step(carry, data, _):
+            params, opt_state = carry
+            loss_t = 0.0
+            gf_e = jnp.zeros_like(params["feat"].e_feat)
+            gf_b = jnp.zeros_like(params["feat"].b_feat)
+            g_axes = []
+            for i in range(n_lv):
+                li, g_ef, g_bf, g_ea, g_ba = nce_epoch_grads(
+                    params["feat"].e_feat, params["feat"].b_feat,
+                    params["axes"][i].e, params["axes"][i].b,
+                    data["counts"][i], data["q"][i], data["m"][i],
+                    k_neg=cfg.n_negatives, total=data["total"][i],
+                    ridge=cfg.ridge, d_real=d, interpret=pallas_interp,
+                )
+                loss_t = loss_t + li
+                gf_e = gf_e + g_ef
+                gf_b = gf_b + g_bf
+                g_axes.append(AxisSide(e=g_ea, b=g_ba))
+            grads = {
+                "feat": FeatSide(e_feat=gf_e * inv_lv, b_feat=gf_b * inv_lv),
+                "axes": [
+                    AxisSide(e=a.e * inv_lv, b=a.b * inv_lv) for a in g_axes
+                ],
+            }
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss_t * inv_lv
+
+        data_j = {"counts": counts_j, "q": q_j, "m": m_j, "total": totals_j}
+    else:
+
+        def p1_step(carry, data, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(phase1_loss)(params, data)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        data_j = {"counts": counts_j, "q": q_j, "m": m_j}
+    # runner reuse across fit_bge calls: the key pins every value the
+    # step closures capture beyond arg shapes/dtypes (which retrace
+    # inside jit as usual)
+    p1_key = (
+        "nce_p1", use_pallas, len(counts_j), cfg.n_negatives, cfg.ridge,
+        cfg.gene_chunk, cfg.compute_dtype, cfg.learning_rate,
+        cfg.weight_decay, d if use_pallas else None,
+        None if mesh is None else tuple(sorted(mesh.shape.items())),
+    )
     (params, opt_state), losses = fold_epochs(
-        p1_step, (params, opt_state), data_j, cfg.epochs
+        p1_step, (params, opt_state), data_j, cfg.epochs, cache_key=p1_key
     )
     p1_losses = losses[::50].tolist()
     feat = params["feat"]

@@ -24,6 +24,16 @@ import numpy as np
 
 StepFn = Callable[[Any, Any, Any], tuple[Any, Any]]
 
+# cross-call runner cache: a fresh `_run` closure per fold_epochs call
+# means every fit_* invocation re-traces and re-loads the compiled
+# program (measured ~3 s/call over the tunneled TPU even with the
+# persistent compile cache warm). Callers whose step_fn is fully
+# determined by a hashable key pass `cache_key` to reuse the first
+# call's jitted runner — the CALLER owns the contract that two step_fns
+# with the same key compute the same function (shapes/dtypes still
+# retrace inside jit as usual).
+_RUN_CACHE: dict = {}
+
 
 def fold_epochs(
     step_fn: StepFn,
@@ -33,6 +43,7 @@ def fold_epochs(
     *,
     key: Optional[jax.Array] = None,
     chunk: int = 100,
+    cache_key: Optional[tuple] = None,
 ) -> tuple[Any, np.ndarray]:
     """Run `step_fn(carry, data, key_or_None) -> (carry, loss)` for
     `n_epochs` epochs in chunked jitted scans.
@@ -42,14 +53,24 @@ def fold_epochs(
     and the full per-epoch loss trace as a numpy array (the caller
     subsamples)."""
 
-    @partial(jax.jit, static_argnames=("n",))
-    def _run(carry, data, keys, *, n):
-        def body(c, x):
-            return step_fn(c, data, x)
+    def _make_run():
+        @partial(jax.jit, static_argnames=("n",))
+        def _run(carry, data, keys, *, n):
+            def body(c, x):
+                return step_fn(c, data, x)
 
-        if keys is None:
-            return jax.lax.scan(body, carry, None, length=n)
-        return jax.lax.scan(body, carry, keys)
+            if keys is None:
+                return jax.lax.scan(body, carry, None, length=n)
+            return jax.lax.scan(body, carry, keys)
+
+        return _run
+
+    if cache_key is not None:
+        _run = _RUN_CACHE.get(cache_key)
+        if _run is None:
+            _run = _RUN_CACHE.setdefault(cache_key, _make_run())
+    else:
+        _run = _make_run()
 
     losses = []
     done = 0
