@@ -105,7 +105,8 @@ def fit_gem(
     from ..utils.scan_train import fold_epochs
 
     (params, opt_state), ls = fold_epochs(
-        gem_step, (params, opt_state), (s_j, u_j, q_s, q_u, m_s, m_u), epochs
+        gem_step, (params, opt_state), (s_j, u_j, q_s, q_u, m_s, m_u), epochs,
+        cache_key=("gem", learning_rate, n_negatives, delta_l2),
     )
     losses = ls[::50].tolist()
 
@@ -206,7 +207,9 @@ def fit_gem_encoder(
     from ..utils.scan_train import fold_epochs
 
     (params, opt_state), ls = fold_epochs(
-        enc_step, (params, opt_state), (u_log, s_j), epochs, key=key
+        enc_step, (params, opt_state), (u_log, s_j), epochs, key=key,
+        # p/d are baked into the mask-shape inside loss_fn, so they key
+        cache_key=("gem_enc", learning_rate, mask_frac, delta_l2, p, d),
     )
     losses = ls[::50].tolist()
 

@@ -88,7 +88,8 @@ def fit_fne(
     from ..utils.scan_train import fold_epochs
 
     (params, opt_state), ls = fold_epochs(
-        fne_step, (params, opt_state), (counts, q, m), epochs
+        fne_step, (params, opt_state), (counts, q, m), epochs,
+        cache_key=("fne", learning_rate, n_negatives),
     )
     losses = ls[::50].tolist()
 
