@@ -15,14 +15,12 @@ overlap the survey flags as load-bearing for the matched-read path
 from __future__ import annotations
 
 import concurrent.futures as cf
-from dataclasses import dataclass
 from typing import Callable, Iterator, Sequence
 
 import numpy as np
 import scipy.sparse as sp
 
 
-@dataclass(frozen=True)
 class CooBlock:
     """A padded COO slab of `ncols` cells, device-ready.
 
@@ -32,17 +30,42 @@ class CooBlock:
     ncols` (one past the last real cell) and `val = 0`, so a
     segment-sum with `num_segments = ncols + 1` lands all padding in a
     discard slot.
+
+    `col_ids` is LAZY: the canonical storage is `col_counts` (int32
+    [ncols] real entries per cell), from which device paths rebuild the
+    padded id vector with `jnp.repeat` in-kernel — shipping [ncols]
+    ints instead of [nnz_pad] cuts a third of the wire bytes, and this
+    host builds the expanded vector at ~100 MB/s (measured: seconds per
+    pass at 27M nnz). Legacy consumers touching `.col_ids` get the host
+    expansion, built once and cached.
     """
 
-    lb: int  # global column offset of this block
-    ncols: int  # real cells in this block
-    row_ids: np.ndarray  # int32 [nnz_pad] gene ids
-    col_ids: np.ndarray  # int32 [nnz_pad] local cell ids; ncols = padding
-    vals: np.ndarray  # float32 [nnz_pad]
+    __slots__ = ("lb", "ncols", "row_ids", "vals", "col_counts", "_col_ids")
+
+    def __init__(self, lb, ncols, row_ids, vals, col_counts, col_ids=None):
+        self.lb = lb  # global column offset of this block
+        self.ncols = ncols  # real cells in this block
+        self.row_ids = row_ids  # int32 [nnz_pad] gene ids
+        self.vals = vals  # float32 [nnz_pad]
+        self.col_counts = col_counts  # int32 [ncols] entries per cell
+        self._col_ids = col_ids
+
+    @property
+    def col_ids(self) -> np.ndarray:
+        """int32 [nnz_pad] local cell ids; `ncols` marks padding."""
+        if self._col_ids is None:
+            cap = len(self.row_ids)
+            nnz = int(self.col_counts.sum())
+            out = np.full(cap, self.ncols, dtype=np.int32)
+            out[:nnz] = np.repeat(
+                np.arange(self.ncols, dtype=np.int32), self.col_counts
+            )
+            self._col_ids = out
+        return self._col_ids
 
     @property
     def nnz(self) -> int:
-        return int((self.col_ids < self.ncols).sum())
+        return int(self.col_counts.sum())
 
 
 def bucket_size(nnz: int, quantum: int = 1 << 16) -> int:
@@ -59,18 +82,22 @@ def bucket_size(nnz: int, quantum: int = 1 << 16) -> int:
 
 
 def csc_to_coo_block(csc: sp.csc_matrix, lb: int = 0, pad_to: int | None = None) -> CooBlock:
-    """Pack a [D, B] CSC slab into a padded COO block."""
-    coo = csc.tocoo()
-    nnz = coo.nnz
+    """Pack a [D, B] CSC slab into a padded COO block (no `tocoo`
+    expansion: CSC indices ARE the row ids, and the column side rides
+    as per-cell counts — see CooBlock's lazy col_ids contract)."""
+    if not sp.issparse(csc) or csc.format != "csc":
+        csc = sp.csc_matrix(csc)
+    nnz = csc.nnz
     ncols = csc.shape[1]
     cap = pad_to if pad_to is not None else bucket_size(nnz)
-    row_ids = np.full(cap, 0, dtype=np.int32)
-    col_ids = np.full(cap, ncols, dtype=np.int32)
+    row_ids = np.zeros(cap, dtype=np.int32)
     vals = np.zeros(cap, dtype=np.float32)
-    row_ids[:nnz] = coo.row.astype(np.int32)
-    col_ids[:nnz] = coo.col.astype(np.int32)
-    vals[:nnz] = coo.data.astype(np.float32)
-    return CooBlock(lb=lb, ncols=ncols, row_ids=row_ids, col_ids=col_ids, vals=vals)
+    row_ids[:nnz] = csc.indices[:nnz].astype(np.int32, copy=False)
+    vals[:nnz] = csc.data[:nnz].astype(np.float32, copy=False)
+    col_counts = np.diff(csc.indptr).astype(np.int32)
+    return CooBlock(
+        lb=lb, ncols=ncols, row_ids=row_ids, vals=vals, col_counts=col_counts
+    )
 
 
 def visit_columns_by_block(

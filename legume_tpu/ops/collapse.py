@@ -124,32 +124,40 @@ def collect_basic_stats(
         nonlocal obs_ds, obs_db
         if not buf:
             return
-        # pad to a FULL batch with zero-value blocks: one compiled scan
-        # program per shape (remote compiles cost minutes)
-        pad = dispatch_batch - len(buf)
-        zero_r = np.zeros_like(buf[0].row_ids)
-        zero_c = np.full_like(buf[0].col_ids, buf[0].ncols)
-        zero_v = np.zeros_like(buf[0].vals)
-        zero_s = np.full(buf[0].ncols + 1, num_groups, np.int32)
-        rows = jnp.asarray(np.stack([b.row_ids for b in buf] + [zero_r] * pad))
-        cols = jnp.asarray(np.stack([b.col_ids for b in buf] + [zero_c] * pad))
-        vals = jnp.asarray(np.stack([b.vals for b in buf] + [zero_v] * pad))
-        segs = jnp.asarray(
-            np.stack([seg_of(b, groups, num_groups) for b in buf] + [zero_s] * pad)
-        )
+        g = len(buf)
+        # pad the group to the next power of two with zero-value blocks
+        # (at most log2(dispatch_batch)+1 scan programs per bucket
+        # shape; remote compiles cost minutes). Stack ON DEVICE from
+        # per-block async transfers, and ship per-cell counts instead
+        # of expanded col_ids — the host expansion + np.stack measured
+        # seconds per pass at 27M nnz (BENCH_NOTES teardown table).
+        g_pad = 1 << (g - 1).bit_length()
+        rows_l = [jnp.asarray(b.row_ids) for b in buf]
+        cnts_l = [jnp.asarray(b.col_counts) for b in buf]
+        vals_l = [jnp.asarray(b.vals) for b in buf]
+        segs_l = [jnp.asarray(seg_of(b, groups, num_groups)) for b in buf]
+        if g_pad > g:
+            pad = g_pad - g
+            rows_l += [jnp.zeros_like(rows_l[0])] * pad
+            cnts_l += [jnp.zeros_like(cnts_l[0])] * pad
+            vals_l += [jnp.zeros_like(vals_l[0])] * pad
+            segs_l += [jnp.full_like(segs_l[0], num_groups)] * pad
+        rows = jnp.stack(rows_l)
+        cnts = jnp.stack(cnts_l)
+        vals = jnp.stack(vals_l)
         obs_ds = obs_ds + sparse_ops.collapse_blocks_scan(
-            rows, cols, vals, segs, num_genes=d, num_groups=num_groups
+            rows, cnts, vals, jnp.stack(segs_l),
+            num_genes=d, num_groups=num_groups,
         )
         if obs_db is not None:
-            zero_bs = np.full(buf[0].ncols + 1, num_batches, np.int32)
-            bsegs = jnp.asarray(
-                np.stack(
-                    [seg_of(b, batches, num_batches) for b in buf]
-                    + [zero_bs] * pad
-                )
-            )
+            bsegs_l = [
+                jnp.asarray(seg_of(b, batches, num_batches)) for b in buf
+            ]
+            if g_pad > g:
+                bsegs_l += [jnp.full_like(bsegs_l[0], num_batches)] * (g_pad - g)
             obs_db = obs_db + sparse_ops.collapse_blocks_scan(
-                rows, cols, vals, bsegs, num_genes=d, num_groups=num_batches
+                rows, cnts, vals, jnp.stack(bsegs_l),
+                num_genes=d, num_groups=num_batches,
             )
         buf.clear()
 

@@ -27,6 +27,20 @@ import jax
 import jax.numpy as jnp
 
 
+def col_ids_from_counts(col_counts, *, cap: int, ncols: int):
+    """Rebuild a CooBlock's padded col_ids vector ON DEVICE from the
+    [ncols] per-cell counts (jit-traceable; `cap`/`ncols` static).
+    Padding entries land in segment `ncols`, matching the CooBlock
+    contract — shipping counts instead of ids cuts a third of the
+    host->device bytes and skips a host expansion this machine does at
+    ~100 MB/s."""
+    counts = col_counts.astype(jnp.int32)
+    ext = jnp.concatenate([counts, (cap - counts.sum())[None]])
+    return jnp.repeat(
+        jnp.arange(ncols + 1, dtype=jnp.int32), ext, total_repeat_length=cap
+    )
+
+
 @partial(jax.jit, static_argnames=("ncols",))
 def project_block(
     basis_dk: jax.Array,  # [D, K]
@@ -112,7 +126,7 @@ def block_row_stats(
 @partial(jax.jit, static_argnames=("num_genes", "num_groups"))
 def collapse_blocks_scan(
     rows_g: jax.Array,  # [G, nnz_pad]
-    cols_g: jax.Array,
+    counts_g: jax.Array,  # [G, ncols] per-cell entry counts
     vals_g: jax.Array,
     segs_g: jax.Array,  # [G, ncols + 1]
     *,
@@ -121,10 +135,14 @@ def collapse_blocks_scan(
 ) -> jax.Array:
     """Sum of `collapse_block` over a STACK of same-shape blocks in one
     dispatch (a per-block dispatch costs ~seconds over a tunneled
-    device — docs/BENCH_NOTES.md 1M-bench lesson)."""
+    device — docs/BENCH_NOTES.md 1M-bench lesson). Column ids expand
+    from per-cell counts on device (`col_ids_from_counts`)."""
+    cap = rows_g.shape[-1]
+    ncols = counts_g.shape[-1]
 
     def body(acc, inp):
-        r, c, v, s = inp
+        r, cc, v, s = inp
+        c = col_ids_from_counts(cc, cap=cap, ncols=ncols)
         return acc + collapse_block(
             r, c, v, s, num_genes=num_genes, num_groups=num_groups
         ), None
@@ -132,7 +150,7 @@ def collapse_blocks_scan(
     out, _ = jax.lax.scan(
         body,
         jnp.zeros((num_genes, num_groups), jnp.float32),
-        (rows_g, cols_g, vals_g, segs_g),
+        (rows_g, counts_g, vals_g, segs_g),
     )
     return out
 
@@ -141,17 +159,20 @@ def collapse_blocks_scan(
 def project_blocks_scan(
     basis_dk: jax.Array,
     rows_g: jax.Array,  # [G, nnz_pad]
-    cols_g: jax.Array,
+    counts_g: jax.Array,  # [G, ncols] per-cell entry counts
     vals_g: jax.Array,
     *,
     ncols: int,
 ) -> jax.Array:
     """[G, ncols, K] projections of a stack of same-shape blocks in one
-    dispatch (same launch-amortization rationale)."""
+    dispatch (same launch-amortization rationale); column ids expand
+    from per-cell counts on device."""
+    cap = rows_g.shape[-1]
 
     def body(_, inp):
-        r, c, v = inp
+        r, cc, v = inp
+        c = col_ids_from_counts(cc, cap=cap, ncols=ncols)
         return None, project_block(basis_dk, r, c, v, ncols=ncols)
 
-    _, out = jax.lax.scan(body, None, (rows_g, cols_g, vals_g))
+    _, out = jax.lax.scan(body, None, (rows_g, counts_g, vals_g))
     return out

@@ -732,70 +732,77 @@ def evaluate_latent_by_encoder(
     }
 
     @partial(jax.jit, static_argnames=("ncols",))
-    def encode_blocks(rows_g, cols_g, vals_g, null_g, *, ncols):
+    def encode_blocks(rows_g, counts_g, vals_g, null_g, *, ncols):
+        cap = rows_g.shape[-1]
+
         def body(_, inp):
-            r, c, v, nu = inp
+            r, cc, v, nu = inp
+            c = sparse_ops.col_ids_from_counts(cc, cap=cap, ncols=ncols)
             x = sparse_ops.densify_block(r, c, v, ncols=ncols, num_genes=d)
             log_z, _ = enc.apply(enc_vars, x, nu, train=False)
             return None, log_z
 
-        _, zs = jax.lax.scan(body, None, (rows_g, cols_g, vals_g, null_g))
+        _, zs = jax.lax.scan(body, None, (rows_g, counts_g, vals_g, null_g))
         return zs
 
     buf: list = []
+
+    def _stacked(buf, g_pad):
+        """Device-stacked (rows, counts, vals) with zero-block padding
+        to g_pad (host np.stack + expanded col_ids measured seconds per
+        pass on this host — BENCH_NOTES teardown table)."""
+        rows_l = [jnp.asarray(b.row_ids) for b in buf]
+        cnts_l = [jnp.asarray(b.col_counts) for b in buf]
+        vals_l = [jnp.asarray(b.vals) for b in buf]
+        pad = g_pad - len(buf)
+        if pad:
+            rows_l += [jnp.zeros_like(rows_l[0])] * pad
+            cnts_l += [jnp.zeros_like(cnts_l[0])] * pad
+            vals_l += [jnp.zeros_like(vals_l[0])] * pad
+        return jnp.stack(rows_l), jnp.stack(cnts_l), jnp.stack(vals_l)
 
     def flush():
         if not buf:
             return
         g = len(buf)
-        pad = dispatch_batch - g
+        g_pad = 1 << (g - 1).bit_length()
         ncols = buf[0].ncols
-        zero_r = np.zeros_like(buf[0].row_ids)
-        zero_c = np.full_like(buf[0].col_ids, ncols)
-        zero_v = np.zeros_like(buf[0].vals)
-        rows_g = jnp.asarray(np.stack([b.row_ids for b in buf] + [zero_r] * pad))
-        cols_g = jnp.asarray(np.stack([b.col_ids for b in buf] + [zero_c] * pad))
-        vals_g = jnp.asarray(np.stack([b.vals for b in buf] + [zero_v] * pad))
+        rows_g, cnts_g, vals_g = _stacked(buf, g_pad)
         if null_ds is not None:
             nulls = [
                 null_ds[:, groups[b.lb : b.lb + b.ncols]].T.astype(np.float32)
                 for b in buf
-            ] + [np.zeros((ncols, d), np.float32)] * pad
+            ] + [np.zeros((ncols, d), np.float32)] * (g_pad - g)
             null_g = jnp.asarray(np.stack(nulls))
         else:
-            null_g = jnp.zeros((dispatch_batch, ncols, 0), jnp.float32)
-        zs = np.asarray(encode_blocks(rows_g, cols_g, vals_g, null_g, ncols=ncols))
+            null_g = jnp.zeros((g_pad, ncols, 0), jnp.float32)
+        zs = np.asarray(encode_blocks(rows_g, cnts_g, vals_g, null_g, ncols=ncols))
         for i, b in enumerate(buf):
             out[b.lb : b.lb + b.ncols] = zs[i]
         buf.clear()
 
     @partial(jax.jit, static_argnames=("ncols",))
-    def encode_blocks_nonull(rows_g, cols_g, vals_g, *, ncols):
+    def encode_blocks_nonull(rows_g, counts_g, vals_g, *, ncols):
+        cap = rows_g.shape[-1]
+
         def body(_, inp):
-            r, c, v = inp
+            r, cc, v = inp
+            c = sparse_ops.col_ids_from_counts(cc, cap=cap, ncols=ncols)
             x = sparse_ops.densify_block(r, c, v, ncols=ncols, num_genes=d)
             log_z, _ = enc.apply(enc_vars, x, None, train=False)
             return None, log_z
 
-        _, zs = jax.lax.scan(body, None, (rows_g, cols_g, vals_g))
+        _, zs = jax.lax.scan(body, None, (rows_g, counts_g, vals_g))
         return zs
 
     def flush_nonull():
         if not buf:
             return
         g = len(buf)
-        pad = dispatch_batch - g
+        g_pad = 1 << (g - 1).bit_length()
         ncols = buf[0].ncols
-        rows_g = jnp.asarray(
-            np.stack([b.row_ids for b in buf] + [np.zeros_like(buf[0].row_ids)] * pad)
-        )
-        cols_g = jnp.asarray(
-            np.stack([b.col_ids for b in buf] + [np.full_like(buf[0].col_ids, ncols)] * pad)
-        )
-        vals_g = jnp.asarray(
-            np.stack([b.vals for b in buf] + [np.zeros_like(buf[0].vals)] * pad)
-        )
-        zs = np.asarray(encode_blocks_nonull(rows_g, cols_g, vals_g, ncols=ncols))
+        rows_g, cnts_g, vals_g = _stacked(buf, g_pad)
+        zs = np.asarray(encode_blocks_nonull(rows_g, cnts_g, vals_g, ncols=ncols))
         for i, b in enumerate(buf):
             out[b.lb : b.lb + b.ncols] = zs[i]
         buf.clear()
