@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.visitors import csc_to_coo_block
+from ..ops import sparse as sparse_ops
 from .stat import CocoaStat
 
 
@@ -149,7 +150,10 @@ def collect_cocoa_stat(
         pair_sample = np.full(c * m + 1, n_samples, np.int32)
         pair_sample[: c * m] = pb_sample[lb:ub].repeat(m)
         # y0[g, p, k] += val * coeff[pair, k] grouped by pair sample
-        y0_blk_cols = jnp.asarray(y0_blk.col_ids)
+        y0_blk_cols = sparse_ops.col_ids_from_counts(
+            jnp.asarray(y0_blk.col_counts),
+            cap=len(y0_blk.row_ids), ncols=y0_blk.ncols,
+        )
         contrib = jnp.asarray(y0_blk.vals)[:, None] * coeffs_flat[
             jnp.minimum(y0_blk_cols, c * m)
         ]  # [nnz, K]
@@ -168,7 +172,13 @@ def collect_cocoa_stat(
         q_sample[:c] = pb_sample[lb:ub]
         q_indv = np.full(c + 1, n_indv, np.int32)
         q_indv[:c] = cell_indv[lb:ub]
-        y_cols = jnp.minimum(jnp.asarray(y_blk.col_ids), c)
+        y_cols = jnp.minimum(
+            sparse_ops.col_ids_from_counts(
+                jnp.asarray(y_blk.col_counts),
+                cap=len(y_blk.row_ids), ncols=y_blk.ncols,
+            ),
+            c,
+        )
         contrib1 = jnp.asarray(y_blk.vals)[:, None] * z_active_flat[y_cols]
         flat_p = jnp.asarray(y_blk.row_ids).astype(jnp.int32) * (n_samples + 1) + jnp.asarray(
             q_sample

@@ -71,7 +71,7 @@ def compute_cell_qc(data, *, block_size: int = 8192) -> CellQcStats:
     n_genes = np.zeros(n, np.float32)
     mito_total = np.zeros(n, np.float32)
     for blk in visit_columns_by_block(data, block_size=block_size):
-        cols = jnp.asarray(blk.col_ids)
+        cols = sparse_ops.block_col_ids(blk)
         vals = jnp.asarray(blk.vals)
         t = sparse_ops.block_col_sums(cols, vals, ncols=blk.ncols)
         g = sparse_ops.block_col_sums(

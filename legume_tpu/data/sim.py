@@ -72,9 +72,26 @@ def simulate_topic(
 
     batch = rng.integers(0, b, size=n) if b > 1 else np.zeros(n, dtype=np.int64)
 
-    rate = (depth / g) * delta[:, batch] * (beta @ theta.T)  # [G, N]
-    y = rng.poisson(rate).astype(np.float32)
-    counts = sp.csc_matrix(y)
+    if n > 100_000:
+        # column-chunked draw: the dense [G, N] rate is 16 GB f64 at
+        # 1M cells (measured 23 min on this host); build sparse CSC
+        # per chunk instead. Small-n sims keep the single-draw path so
+        # existing seeds reproduce byte-identical fixtures.
+        chunks = []
+        beta32 = beta.astype(np.float32)
+        delta32 = delta.astype(np.float32)
+        theta32 = theta.astype(np.float32)
+        for lb in range(0, n, 50_000):
+            ub = min(lb + 50_000, n)
+            rate = (depth / g) * delta32[:, batch[lb:ub]] * (
+                beta32 @ theta32[lb:ub].T
+            )
+            chunks.append(sp.csc_matrix(rng.poisson(rate).astype(np.float32)))
+        counts = sp.hstack(chunks, format="csc")
+    else:
+        rate = (depth / g) * delta[:, batch] * (beta @ theta.T)  # [G, N]
+        y = rng.poisson(rate).astype(np.float32)
+        counts = sp.csc_matrix(y)
 
     return TopicSim(
         counts=counts,

@@ -90,10 +90,30 @@ def csc_to_coo_block(csc: sp.csc_matrix, lb: int = 0, pad_to: int | None = None)
     nnz = csc.nnz
     ncols = csc.shape[1]
     cap = pad_to if pad_to is not None else bucket_size(nnz)
-    row_ids = np.zeros(cap, dtype=np.int32)
-    vals = np.zeros(cap, dtype=np.float32)
-    row_ids[:nnz] = csc.indices[:nnz].astype(np.int32, copy=False)
-    vals[:nnz] = csc.data[:nnz].astype(np.float32, copy=False)
+    # narrow wire dtypes: the tunnel moves ~20 MB/s sustained, so the
+    # block bytes ARE the streaming-pass wall time at scale (1M-cell
+    # teardown, BENCH_NOTES). Row ids fit uint16 when D < 64k; count
+    # values ship uint8/uint16 when losslessly representable. Device
+    # primitives (ops/sparse.py) cast to int32/f32 at entry.
+    row_dt = np.uint16 if csc.shape[0] < 65536 else np.int32
+    row_ids = np.zeros(cap, dtype=row_dt)
+    row_ids[:nnz] = csc.indices[:nnz].astype(row_dt, copy=False)
+    data = csc.data[:nnz]
+    val_dt = np.float32
+    if data.size:
+        if data.dtype.kind in "iu":
+            mx = int(data.max())
+            if data.min() >= 0 and mx < 65536:
+                val_dt = np.uint8 if mx < 256 else np.uint16
+        elif data.dtype in (np.float32, np.float64):
+            mx = float(data.max())
+            if float(data.min()) >= 0.0 and mx < 65536.0:
+                dt = np.uint8 if mx < 256.0 else np.uint16
+                cast = data.astype(dt)
+                if np.array_equal(cast, data):  # lossless integral
+                    data, val_dt = cast, dt
+    vals = np.zeros(cap, dtype=val_dt)
+    vals[:nnz] = data.astype(val_dt, copy=False)
     col_counts = np.diff(csc.indptr).astype(np.int32)
     return CooBlock(
         lb=lb, ncols=ncols, row_ids=row_ids, vals=vals, col_counts=col_counts

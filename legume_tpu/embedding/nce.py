@@ -596,9 +596,11 @@ def fit_bge(
         key2 = jax.random.key(cfg.seed + 1)
         for blk in visit_columns_by_block(data, block_size=cfg.cell_batch):
             key2, kb = jax.random.split(key2)
+            from ..ops.sparse import block_col_ids
+
             x = densify_block(
                 jnp.asarray(blk.row_ids),
-                jnp.asarray(blk.col_ids),
+                block_col_ids(blk),
                 jnp.asarray(blk.vals),
                 ncols=blk.ncols,
                 num_genes=d_full,

@@ -81,9 +81,11 @@ def build_topk_windows(
         )
 
     for blk in visit_columns_by_block(data, block_size=block_size):
+        from ..ops.sparse import block_col_ids
+
         x = densify_block(
             jnp.asarray(blk.row_ids),
-            jnp.asarray(blk.col_ids),
+            block_col_ids(blk),
             jnp.asarray(blk.vals),
             ncols=blk.ncols,
             num_genes=d,

@@ -294,7 +294,10 @@ def collect_matched_stats(
         seg_group = np.full(c * m + 1, num_groups, np.int32)
         seg_group[: c * m] = groups[lb:ub].repeat(m)
         # weighted vals: pad col_ids index into w via clip (pad weight 0)
-        y0_cols = jnp.asarray(y0_blk.col_ids)
+        y0_cols = sparse_ops.col_ids_from_counts(
+            jnp.asarray(y0_blk.col_counts),
+            cap=len(y0_blk.row_ids), ncols=y0_blk.ncols,
+        )
         y0_w = jnp.where(
             y0_cols < c * m, w_flat[jnp.clip(y0_cols, 0, c * m - 1)], 0.0
         )
@@ -311,8 +314,12 @@ def collect_matched_stats(
         )
 
         # per-query totals for the scale: xsum / dsum (floor dsum>0 -> 1)
+        y_cols_dev = sparse_ops.col_ids_from_counts(
+            jnp.asarray(y_blk.col_counts),
+            cap=len(y_blk.row_ids), ncols=y_blk.ncols,
+        )
         xsum = sparse_ops.block_col_sums(
-            jnp.asarray(y_blk.col_ids), jnp.asarray(y_blk.vals), ncols=c
+            y_cols_dev, jnp.asarray(y_blk.vals), ncols=c
         )
         pair_query = y0_cols // m  # pair -> query (pad maps anywhere, val 0)
         pair_query = jnp.where(y0_cols < c * m, pair_query, c)
@@ -324,7 +331,7 @@ def collect_matched_stats(
         qgrp[:c] = groups[lb:ub]
         qgrp_j = jnp.asarray(qgrp)
         y_rows = jnp.asarray(y_blk.row_ids)
-        y_cols = jnp.asarray(y_blk.col_ids)
+        y_cols = y_cols_dev
         y_vals = jnp.asarray(y_blk.vals)
         y0_rows = jnp.asarray(y0_blk.row_ids)
         # pad the gene axis so every chunk shares one compiled shape

@@ -40,7 +40,7 @@ def _project_block_normed(
     basis_dk: jax.Array, row_ids, col_ids, vals, *, ncols: int
 ) -> jax.Array:
     """log1p + per-cell L2 normalization + projection, one fused pass."""
-    lv = jnp.log1p(vals)
+    lv = jnp.log1p(vals.astype(jnp.float32))
     sq = jax.ops.segment_sum(lv * lv, col_ids, num_segments=ncols + 1, indices_are_sorted=True)
     norm = jnp.maximum(jnp.sqrt(sq[:ncols]), 1e-8)  # matches 1e-8 floor (dmatrix_util.rs:775)
     contrib = basis_dk[row_ids] * lv[:, None]
@@ -57,7 +57,7 @@ def _project_block_normed_pallas(
     segment path (K=1, cheap)."""
     from .pallas_kernels import project_block_tiled
 
-    lv = np.log1p(np.asarray(vals))
+    lv = np.log1p(np.asarray(vals, np.float32))
     proj = project_block_tiled(
         np.asarray(basis_dk), np.asarray(row_ids), np.asarray(col_ids), lv,
         ncols=ncols,
@@ -155,8 +155,10 @@ def project_columns(
                     continue
                 proj, sq = project_tiles(basis_dk, tiles, interpret=interp)
                 norm = jnp.maximum(jnp.sqrt(sq), 1e-8)
-                pieces.append(np.asarray(proj / norm[:, None]))
-            proj_nk = np.concatenate(pieces, axis=0)
+                # device value; readback deferred so the next block's
+                # host IO + transfer overlap this block's kernel
+                pieces.append(proj / norm[:, None])
+            proj_nk = np.concatenate([np.asarray(p) for p in pieces], axis=0)
             return _finish_projection(
                 basis_dk, proj_nk, n, target_dim, batch_membership
             )

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnames=("cap", "ncols"))
 def col_ids_from_counts(col_counts, *, cap: int, ncols: int):
     """Rebuild a CooBlock's padded col_ids vector ON DEVICE from the
     [ncols] per-cell counts (jit-traceable; `cap`/`ncols` static).
@@ -41,6 +42,15 @@ def col_ids_from_counts(col_counts, *, cap: int, ncols: int):
     )
 
 
+def block_col_ids(blk) -> jax.Array:
+    """Device col_ids for a CooBlock: ship the [ncols] counts and
+    expand on device instead of transferring (and host-building) the
+    [nnz_pad] id vector — see CooBlock's lazy col_ids contract."""
+    return col_ids_from_counts(
+        jnp.asarray(blk.col_counts), cap=len(blk.row_ids), ncols=blk.ncols
+    )
+
+
 @partial(jax.jit, static_argnames=("ncols",))
 def project_block(
     basis_dk: jax.Array,  # [D, K]
@@ -50,7 +60,11 @@ def project_block(
     *,
     ncols: int,
 ) -> jax.Array:
-    """Projected block [ncols, K]: out[j] = sum_nz basis[row, :] * val."""
+    """Projected block [ncols, K]: out[j] = sum_nz basis[row, :] * val.
+    Accepts narrow wire dtypes (uint16 ids, uint8/16 vals) and casts
+    at entry — see csc_to_coo_block's narrow-dtype contract."""
+    row_ids = row_ids.astype(jnp.int32)
+    vals = vals.astype(jnp.float32)
     contrib = basis_dk[row_ids] * vals[:, None]  # [nnz, K]
     out = jax.ops.segment_sum(
         contrib, col_ids, num_segments=ncols + 1, indices_are_sorted=True
@@ -73,7 +87,8 @@ def collapse_block(
     `seg_of_col[-1]` must be `num_groups` (the discard slot for padding).
     Returns [num_genes, num_groups].
     """
-    seg = seg_of_col[col_ids]  # [nnz]
+    vals = vals.astype(jnp.float32)
+    seg = seg_of_col[col_ids.astype(jnp.int32)]  # [nnz]
     flat = row_ids.astype(jnp.int32) * (num_groups + 1) + seg
     sums = jax.ops.segment_sum(
         vals, flat, num_segments=num_genes * (num_groups + 1)
@@ -91,7 +106,8 @@ def densify_block(
     num_genes: int,
 ) -> jax.Array:
     """Dense [ncols, num_genes] slab (cells as rows, TPU layout)."""
-    flat = col_ids.astype(jnp.int32) * num_genes + row_ids
+    vals = vals.astype(jnp.float32)
+    flat = col_ids.astype(jnp.int32) * num_genes + row_ids.astype(jnp.int32)
     out = jax.ops.segment_sum(
         vals, flat, num_segments=(ncols + 1) * num_genes, indices_are_sorted=False
     ).reshape(ncols + 1, num_genes)
@@ -104,7 +120,8 @@ def block_col_sums(
 ) -> jax.Array:
     """Per-cell library sizes of a block [ncols]."""
     out = jax.ops.segment_sum(
-        vals, col_ids, num_segments=ncols + 1, indices_are_sorted=True
+        vals.astype(jnp.float32), col_ids.astype(jnp.int32),
+        num_segments=ncols + 1, indices_are_sorted=True,
     )
     return out[:ncols]
 
@@ -115,6 +132,8 @@ def block_row_stats(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-gene (sum, sum of squares, nnz count) of a block — the
     streaming moments HVG and NB-dispersion ride on (hvg.rs:39)."""
+    row_ids = row_ids.astype(jnp.int32)
+    vals = vals.astype(jnp.float32)
     s1 = jax.ops.segment_sum(vals, row_ids, num_segments=num_genes)
     s2 = jax.ops.segment_sum(vals * vals, row_ids, num_segments=num_genes)
     cnt = jax.ops.segment_sum(

@@ -223,7 +223,9 @@ def build_module_expression(
         if wj is not None:
             vals = vals * wj[jnp.asarray(blk.row_ids)]
         mod_ids = g2m[jnp.asarray(blk.row_ids)]
-        flat = jnp.asarray(blk.col_ids).astype(jnp.int32) * (n_modules + 1) + mod_ids
+        from ..ops.sparse import block_col_ids
+
+        flat = block_col_ids(blk) * (n_modules + 1) + mod_ids
         out = jax.ops.segment_sum(
             vals, flat, num_segments=(blk.ncols + 1) * (n_modules + 1)
         ).reshape(blk.ncols + 1, n_modules + 1)[: blk.ncols, :n_modules]

@@ -47,7 +47,7 @@ def impute_counts(
         dense = np.asarray(
             sparse_ops.densify_block(
                 jnp.asarray(blk.row_ids),
-                jnp.asarray(blk.col_ids),
+                sparse_ops.block_col_ids(blk),
                 jnp.asarray(blk.vals),
                 ncols=c * knn,
                 num_genes=d,

@@ -272,7 +272,7 @@ def score_dense_backend(
         x = np.asarray(
             sparse_ops.densify_block(
                 jnp.asarray(np.where(keep, mapped_rows, remap.d_train).astype(np.int32)),
-                jnp.asarray(blk.col_ids),
+                sparse_ops.block_col_ids(blk),
                 jnp.asarray(blk.vals),
                 ncols=blk.ncols,
                 num_genes=remap.d_train + 1,

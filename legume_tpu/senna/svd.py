@@ -77,10 +77,12 @@ def fit_svd(args: SvdArgs) -> dict:
     factors = np.zeros((n, k), np.float32)
     u_j = jnp.asarray(u)
     for blk in visit_columns_by_block(vec, block_size=args.block_size):
+        from ..ops.sparse import block_col_ids
+
         f = project_block(
             u_j,
             jnp.asarray(blk.row_ids),
-            jnp.asarray(blk.col_ids),
+            block_col_ids(blk),
             jnp.log1p(jnp.asarray(blk.vals)),
             ncols=blk.ncols,
         )
@@ -159,10 +161,12 @@ def fit_joint_svd(
         d_m = v.num_rows
         u_m = jnp.asarray(u[off : off + d_m])
         for blk in visit_columns_by_block(v, block_size=block_size):
+            from ..ops.sparse import block_col_ids
+
             f = project_block(
                 u_m,
                 jnp.asarray(blk.row_ids),
-                jnp.asarray(blk.col_ids),
+                block_col_ids(blk),
                 jnp.log1p(jnp.asarray(blk.vals)),
                 ncols=blk.ncols,
             )

@@ -99,7 +99,7 @@ def fit_vae(args: VaeArgs) -> dict:
     for blk in visit_columns_by_block(vec, block_size=args.minibatch_size * 8):
         x = np.asarray(
             sparse_ops.densify_block(
-                jnp.asarray(blk.row_ids), jnp.asarray(blk.col_ids),
+                jnp.asarray(blk.row_ids), sparse_ops.block_col_ids(blk),
                 jnp.asarray(blk.vals), ncols=blk.ncols, num_genes=d,
             )
         )

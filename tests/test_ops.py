@@ -219,3 +219,36 @@ def test_feature_coarsening_roundtrip():
     assert expanded.shape == (d, 3)
     # expanded dictionary still normalizes over fine features
     np.testing.assert_allclose(np.exp(expanded).sum(0), 1.0, rtol=1e-4)
+
+
+def test_col_ids_from_counts_matches_host_expansion():
+    """Device col-id expansion == the CooBlock lazy host property,
+    including the all-padding and empty-column edge cases."""
+    import scipy.sparse as sp
+
+    from legume_tpu.data.visitors import csc_to_coo_block
+    from legume_tpu.ops.sparse import col_ids_from_counts
+
+    rng = np.random.default_rng(3)
+    m = sp.random(30, 17, density=0.2, random_state=3, format="csc")
+    m.data[:] = rng.poisson(2.0, m.nnz) + 1
+    # force an empty column
+    m = m.tolil()
+    m[:, 5] = 0
+    m = m.tocsc()
+    blk = csc_to_coo_block(m, pad_to=256)
+
+    dev = np.asarray(
+        col_ids_from_counts(
+            jnp.asarray(blk.col_counts), cap=len(blk.row_ids), ncols=blk.ncols
+        )
+    )
+    np.testing.assert_array_equal(dev, blk.col_ids)
+    # padding lands in the discard segment
+    assert (dev[blk.nnz:] == blk.ncols).all()
+
+    # all-padding block (zero counts)
+    zero = np.asarray(
+        col_ids_from_counts(jnp.zeros(17, jnp.int32), cap=64, ncols=17)
+    )
+    assert (zero == 17).all()
