@@ -8,8 +8,15 @@ import numpy as np
 
 def _add_topic_parser(sub):
     p = sub.add_parser("topic", help="multilevel pseudobulk VAE topic model")
-    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--data-files", nargs="*", default=[],
+                   help="input backends (optional when --from is given)")
     p.add_argument("--out", required=True)
+    p.add_argument("--from", dest="from_run", default=None,
+                   help="chain data, batch files and cell->pb partition "
+                        "from a prior run's {prefix}.senna.json")
+    p.add_argument("--init-from", dest="init_from", default=None,
+                   help="warm-start encoder+decoder weights from a prior "
+                        "run's prefix (strict architecture check)")
     p.add_argument("--batch-files", nargs="+", default=None)
     p.add_argument("--n-latent-topics", "-k", type=int, default=10)
     p.add_argument("--encoder-layers", type=int, nargs="+", default=[128, 1024, 128])
@@ -18,8 +25,29 @@ def _add_topic_parser(sub):
     p.add_argument("--learning-rate", "--lr", type=float, default=0.01)
     p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument(
-        "--decoder", choices=["multinomial", "nb", "poisson", "nb-mixture"], default="nb"
+        "--decoder", default="nb",
+        help="decoder family (multinomial|nb|poisson|nb-mixture), or a "
+             "comma-separated list for joint multi-decoder training "
+             "(per-family dictionaries written as "
+             "{out}.{name}.dictionary.parquet)",
     )
+    p.add_argument("--decoder-weights", type=float, nargs="+", default=None,
+                   help="per-decoder loss weights (default: equal)")
+    p.add_argument("--adj-method", choices=["batch", "residual"], default="residual",
+                   help="null plane at eval: per-batch delta or "
+                        "per-group residual")
+    p.add_argument("--rho-prior-weight", type=float, default=0.0,
+                   help="Beta(a,b) prior weight on the nb-mixture ambient "
+                        "fraction rho (0 = off)")
+    p.add_argument("--rho-prior-alpha", type=float, default=2.0)
+    p.add_argument("--rho-prior-beta", type=float, default=18.0)
+    p.add_argument("--amort-refine-steps", type=int, default=0,
+                   help="per-cell refinement steps of the final latent "
+                        "against the frozen dictionary (0 = off)")
+    p.add_argument("--amort-refine-lr", type=float, default=0.01)
+    p.add_argument("--amort-refine-reg", type=float, default=1.0)
+    p.add_argument("--preload-data", action="store_true",
+                   help="load all columns into memory before training")
     p.add_argument("--topic-smoothing", type=float, default=1e-4)
     p.add_argument("--proj-dim", type=int, default=50)
     p.add_argument("--sort-dim", type=int, default=10)
@@ -1067,13 +1095,27 @@ def run_senna(argv):
         return
 
     if args.cmd == "topic":
+        from ..models.decoders import DECODERS
         from ..senna.topic import TopicArgs, fit_topic_model
         from ..utils.prng import DEFAULT_PROJECTION_SEED
 
+        if not args.data_files and not args.from_run:
+            raise SystemExit("topic: provide --data-files or --from <run prefix>")
+        topic_families = ("multinomial", "nb", "poisson", "nb-mixture")
+        dec_names = [s for s in args.decoder.replace(",", " ").split() if s]
+        bad = [nm for nm in dec_names if nm not in topic_families]
+        if bad or not dec_names:
+            raise SystemExit(
+                f"topic: unknown decoder {bad or args.decoder!r} "
+                f"(choose from {', '.join(topic_families)})"
+            )
+        assert set(topic_families) <= set(DECODERS)
         fit_topic_model(
             TopicArgs(
                 data_files=args.data_files,
                 out=args.out,
+                from_run=args.from_run,
+                init_from=args.init_from,
                 batch_files=args.batch_files,
                 n_latent_topics=args.n_latent_topics,
                 encoder_layers=tuple(args.encoder_layers),
@@ -1082,6 +1124,15 @@ def run_senna(argv):
                 learning_rate=args.learning_rate,
                 grad_clip=args.grad_clip,
                 decoder=args.decoder,
+                decoder_weights=args.decoder_weights,
+                adj_method=args.adj_method,
+                rho_prior_weight=args.rho_prior_weight,
+                rho_prior_alpha=args.rho_prior_alpha,
+                rho_prior_beta=args.rho_prior_beta,
+                amort_refine_steps=args.amort_refine_steps,
+                amort_refine_lr=args.amort_refine_lr,
+                amort_refine_reg=args.amort_refine_reg,
+                preload_data=args.preload_data,
                 topic_smoothing=args.topic_smoothing,
                 proj_dim=args.proj_dim,
                 sort_dim=args.sort_dim,

@@ -138,12 +138,24 @@ class PoissonTopicDecoder(nn.Module):
 
 
 class NbMixtureTopicDecoder(nn.Module):
-    """NB topic decoder with a learned ambient component: proportions
-    mix the topic reconstruction with a free per-gene ambient profile
-    (`decoder/topic.rs` NB-mixture family / `masked_etm.rs` ambient)."""
+    """NB topic decoder with a learned ambient-RNA mixture
+    (`decoder/nb_mixture.rs:13-24` generative model):
+
+      theta_n = softmax(z_n); beta = softmax-dict; alpha_d = ambient
+      rho_n   = sigmoid(a * log L_n + b)    per-SAMPLE ambient fraction
+      pi_nd   = (1 - rho_n) theta beta + rho_n alpha
+      y_nd ~ NB(L_n pi_nd, phi_d)
+
+    `rho_a` inits at -0.5, `rho_b` at 0 (nb_mixture.rs:59-62: larger
+    cells get smaller rho). Optional weighted Beta(alpha, beta) log
+    prior on rho_n adds to the llik (nb_mixture.rs:174-192), exposed on
+    the CLI as `--rho-prior-weight/alpha/beta`."""
 
     n_features: int
     n_topics: int
+    rho_prior_weight: float = 0.0
+    rho_prior_alpha: float = 2.0
+    rho_prior_beta: float = 18.0
 
     def setup(self):
         self.dictionary = _SoftmaxDictionary(self.n_features, self.n_topics)
@@ -153,19 +165,28 @@ class NbMixtureTopicDecoder(nn.Module):
         log_phi = self.param(
             "log_phi", nn.initializers.constant(0.693), (1, self.n_features)
         )
-        ambient_logit = self.param(
-            "ambient", nn.initializers.zeros, (1, self.n_features)
+        log_alpha = self.param(
+            "log_alpha", nn.initializers.zeros, (1, self.n_features)
         )
-        mix_logit = self.param("mix", nn.initializers.constant(-2.0), (1, 1))
+        rho_a = self.param("rho_a", nn.initializers.constant(-0.5), (1, 1))
+        rho_b = self.param("rho_b", nn.initializers.zeros, (1, 1))
         log_recon = _forward_log(log_z_nk, self.dictionary())
-        pi = jax.nn.sigmoid(mix_logit)
-        amb = jax.nn.softmax(ambient_logit, axis=-1)
-        recon = (1.0 - pi) * jnp.exp(log_recon) + pi * amb
+        amb = jax.nn.softmax(log_alpha, axis=-1)
         lib = jnp.sum(x_nd, axis=-1, keepdims=True)
+        rho = jax.nn.sigmoid(jnp.log(lib + 1e-8) * rho_a + rho_b)  # [N, 1]
+        recon = (1.0 - rho) * jnp.exp(log_recon) + rho * amb
         elem = losses.nb_log_likelihood_elem(x_nd, recon * lib, log_phi)
         if feature_weights is not None:
             elem = elem * feature_weights
-        return recon, jnp.sum(elem, axis=-1)
+        llik = jnp.sum(elem, axis=-1)
+        if self.rho_prior_weight > 0.0:
+            # log Beta(a,b) prior on rho_n up to its constant normalizer
+            eps = 1e-6
+            log_prior = (self.rho_prior_alpha - 1.0) * jnp.log(rho + eps) + (
+                self.rho_prior_beta - 1.0
+            ) * jnp.log(1.0 - rho + eps)
+            llik = llik + self.rho_prior_weight * log_prior[:, 0]
+        return recon, llik
 
     def get_dictionary(self) -> jax.Array:
         return self.dictionary().T

@@ -78,13 +78,16 @@ def refine_topic_proportions(
     import jax
 
     init = jax.lax.stop_gradient(log_z)
-    ld_kd = log_dict.T  # [K, D]
+    beta_kd = jnp.exp(log_dict.T)  # [K, D] simplex rows over D
     x_pos = jnp.maximum(x, 0.0)
 
     def loss_fn(logits):
         lz = jax.nn.log_softmax(logits, axis=1)
-        # log_recon[n, d] = logsumexp_k(lz[n, k] + log_dict[k, d])
-        log_recon = jax.nn.logsumexp(lz[:, :, None] + ld_kd[None], axis=1)
+        # log_recon = logsumexp_k(lz + log_dict) as ONE MXU matmul in
+        # linear space (decoders._forward_log rationale: beta columns
+        # are softmaxes over D so products stay above f32 denormals;
+        # the [N, K, D] broadcast form is 1 GB at D=34k, block N=800)
+        log_recon = jnp.log(jnp.exp(lz) @ beta_kd + 1e-30)
         llik = (x_pos * log_recon).sum(axis=1)
         l2 = ((logits - init) ** 2).sum()
         return reg * l2 - llik.mean()

@@ -62,7 +62,10 @@ class TopicArgs:
     minibatch_size: int = 100
     learning_rate: float = 0.01
     grad_clip: float = 1.0
+    # one name, or several comma/space-separated names for joint
+    # multi-decoder training on the same target (cmd.rs --decoder a,b,c)
     decoder: str = "nb"  # reference default "nbmixture"; nb/multinomial/poisson/nb-mixture
+    decoder_weights: Optional[Sequence[float]] = None  # per-decoder loss weights
     topic_smoothing: float = 1e-4
     proj_dim: int = 50
     sort_dim: int = 10
@@ -73,6 +76,27 @@ class TopicArgs:
     block_size: int = 8192
     init_from: Optional[str] = None  # warm start from a prior run's prefix
     from_run: Optional[str] = None  # inherit inputs from a {prefix}.senna.json
+
+    # which plane feeds the per-cell encoder NULL column at eval
+    # (cmd.rs AdjMethod / topic/common.rs:55-85): "residual" indexes
+    # mu_residual by pb group, "batch" indexes delta by batch label
+    adj_method: str = "residual"
+
+    # Beta prior on the NB-mixture ambient fraction rho
+    # (nb_mixture.rs:78-87; 0 = off)
+    rho_prior_weight: float = 0.0
+    rho_prior_alpha: float = 2.0
+    rho_prior_beta: float = 18.0
+
+    # inference-time per-cell refinement of the final latent against the
+    # frozen finest dictionary (refine_weighting.rs AmortRefineArgs)
+    amort_refine_steps: int = 0
+    amort_refine_lr: float = 0.01
+    amort_refine_reg: float = 1.0
+
+    # load all columns into one in-memory backend before training
+    # (cmd.rs hidden --preload-data)
+    preload_data: bool = False
     # ---- full call-stack stages (SURVEY.md section 3.1) ----------------
     # cell QC keep mask before projection (qc_lib.rs:297; off unless
     # requested, matching the reference's Option<QcConfig>)
@@ -399,6 +423,8 @@ def fit_topic_model(args: TopicArgs) -> dict:
         )
         if not args.data_files:
             args.data_files = prev.inputs.get("data_files", [])
+        if args.batch_files is None and prev.inputs.get("batch_files"):
+            args.batch_files = prev.inputs["batch_files"]
         part_path = prev.outputs.get("partition")
         if part_path and list(args.data_files) == list(
             prev.inputs.get("data_files", [])
@@ -415,6 +441,25 @@ def fit_topic_model(args: TopicArgs) -> dict:
     d = vec.num_rows
     n = vec.num_columns
     log.info("topic fit: D=%d genes, N=%d cells", d, n)
+
+    if args.preload_data:
+        # hidden --preload-data (cmd.rs): one in-memory CSC for all
+        # columns so the streaming passes skip backend decode
+        from ..data.sparse_io import MemoryBackend
+
+        mem = MemoryBackend(
+            vec.read_columns_csc(np.arange(n)),
+            row_names=vec.row_names(),
+            column_names=vec.column_names(),
+        )
+        pre = SparseIoVec()
+        pre.push(mem)
+        if vec.num_batches > 1:
+            pre.register_batches(
+                np.asarray(vec.batch_names())[vec.batch_membership()]
+            )
+        vec = pre
+        log.info("preloaded %d columns into memory", n)
 
     # cell QC keep mask before any other stage (qc_lib.rs:297 via
     # load_and_project; kept cells drive the whole pipeline + outputs)
@@ -471,14 +516,29 @@ def fit_topic_model(args: TopicArgs) -> dict:
             )
 
     encoder = LogSoftmaxEncoder(n_topics=args.n_latent_topics, layers=tuple(args.encoder_layers))
-    dec_cls = DECODERS[args.decoder]
-    decoders = [
-        dec_cls(
-            n_features=(coarsenings[i].num_coarse if coarsenings[i] is not None else d),
-            n_topics=args.n_latent_topics,
-        )
-        for i in range(len(level_data))
-    ]
+    decoder_names = [s for s in args.decoder.replace(",", " ").split() if s]
+    multi_decoder = len(decoder_names) > 1
+
+    def _make_decoder(name: str, n_feat: int):
+        kw = {}
+        if name == "nb-mixture":
+            kw = dict(
+                rho_prior_weight=args.rho_prior_weight,
+                rho_prior_alpha=args.rho_prior_alpha,
+                rho_prior_beta=args.rho_prior_beta,
+            )
+        return DECODERS[name](n_features=n_feat, n_topics=args.n_latent_topics, **kw)
+
+    decoders = []
+    for i in range(len(level_data)):
+        n_feat = coarsenings[i].num_coarse if coarsenings[i] is not None else d
+        if multi_decoder:
+            # joint multi-decoder: every family scores the SAME target,
+            # per-decoder loss weights (cmd.rs --decoder a,b,c +
+            # --decoder-weights; train_mixed_multi_decoder)
+            decoders.append([_make_decoder(nm, n_feat) for nm in decoder_names])
+        else:
+            decoders.append(_make_decoder(decoder_names[0], n_feat))
 
     # per-level NB-Fisher decoder weights (gene_weighting.rs via
     # cmd.rs:440-463 compute_nb_fisher_weights_coarsened): housekeeping
@@ -527,11 +587,18 @@ def fit_topic_model(args: TopicArgs) -> dict:
 
         def loss_hook(loss, level, aux):
             # CE(anchor, log beta) on the level's dictionary logits
-            # (anchor_prior.rs anchor_penalty_at_level)
-            logits = aux["params"][f"decoder_{level}"]["dictionary"]["dictionary"]
-            log_beta = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.mean(jnp.sum(anchor_level_weights[level] * log_beta, axis=-1))
-            return loss + lam * ce
+            # (anchor_prior.rs anchor_penalty_at_level); with multiple
+            # decoders every softmax dictionary gets the penalty
+            dec_params = aux["params"][f"decoder_{level}"]
+            plist = dec_params if isinstance(dec_params, (list, tuple)) else [dec_params]
+            for p in plist:
+                if "dictionary" not in p:
+                    continue
+                logits = p["dictionary"]["dictionary"]
+                log_beta = jax.nn.log_softmax(logits, axis=-1)
+                ce = -jnp.mean(jnp.sum(anchor_level_weights[level] * log_beta, axis=-1))
+                loss = loss + lam * ce
+            return loss
 
     cfg = TrainConfig(
         epochs=args.epochs,
@@ -549,6 +616,7 @@ def fit_topic_model(args: TopicArgs) -> dict:
     trainer = MixedTrainer(
         encoder, decoders, cfg,
         feature_weights=feature_weights, loss_hook=loss_hook,
+        decoder_weights=list(args.decoder_weights) if args.decoder_weights else None,
         mesh=mesh,
     )
 
@@ -571,9 +639,14 @@ def fit_topic_model(args: TopicArgs) -> dict:
         log.info("warm start from %s applied", args.init_from)
     else:
         # beta initializes from the anchor prior (cmd.rs:468-476): the
-        # softmax of the anchor logits reproduces the prior columns
+        # softmax of the anchor logits reproduces the prior columns.
+        # With several decoder families the params are per-decoder
+        # lists that the deep-merge overlay cannot partially address;
+        # the anchor then acts through the CE penalty only.
         init_overrides = None
-        if anchor_prior is not None:
+        if anchor_prior is not None and multi_decoder:
+            log.info("multi-decoder: anchor prior via CE penalty only")
+        if anchor_prior is not None and not multi_decoder:
             init_overrides = {
                 f"decoder_{i}": {
                     "dictionary": {
@@ -589,7 +662,36 @@ def fit_topic_model(args: TopicArgs) -> dict:
     cell_names = vec.column_names()
     gene_names = vec.row_names()
 
-    # per-cell latent: stream blocks through the encoder at eval
+    # dictionary (finest decoder; first family when several): log beta
+    # [D, K]; a coarsened decoder expands back to full D with the
+    # -ln(group size) correction (feature_coarsening.rs expand_log_dict_dk)
+    dec_params = variables["params"]["decoder_0"]
+    finest_decs = decoders[0] if multi_decoder else [decoders[0]]
+    finest_dec_params = dec_params if multi_decoder else [dec_params]
+
+    def _full_log_dict(dec, params):
+        ld = np.asarray(dec.apply({"params": params}, method="get_dictionary"))
+        return coarsenings[0].expand_log_dict_dk(ld) if coarsenings[0] is not None else ld
+
+    log_beta = _full_log_dict(finest_decs[0], finest_dec_params[0])
+    pd.DataFrame(
+        log_beta, index=gene_names, columns=[f"topic{k}" for k in range(args.n_latent_topics)]
+    ).reset_index(names="gene").to_parquet(f"{args.out}.dictionary.parquet")
+    if multi_decoder:
+        # per-family dictionaries: {out}.{name}.dictionary.parquet
+        # (cmd.rs:79-80 "With --decoder a,b,c")
+        for nm, dc, pr in zip(decoder_names, finest_decs, finest_dec_params):
+            pd.DataFrame(
+                _full_log_dict(dc, pr),
+                index=gene_names,
+                columns=[f"topic{k}" for k in range(args.n_latent_topics)],
+            ).reset_index(names="gene").to_parquet(
+                f"{args.out}.{nm}.dictionary.parquet"
+            )
+
+    # per-cell latent: stream blocks through the encoder at eval, null
+    # plane by --adj-method, optional amortization refinement against
+    # the frozen full-D dictionary
     z = evaluate_latent_by_encoder(
         vec,
         trainer,
@@ -597,6 +699,11 @@ def fit_topic_model(args: TopicArgs) -> dict:
         finest,
         levels.groups_per_level[0],
         block_size=args.minibatch_size * 8,
+        adj_method=args.adj_method,
+        refine_log_dict=log_beta if args.amort_refine_steps > 0 else None,
+        refine_steps=args.amort_refine_steps,
+        refine_lr=args.amort_refine_lr,
+        refine_reg=args.amort_refine_reg,
     )
     pd.DataFrame(
         z, index=cell_names, columns=[f"topic{k}" for k in range(args.n_latent_topics)]
@@ -610,18 +717,50 @@ def fit_topic_model(args: TopicArgs) -> dict:
         np.exp(pb_log_z), columns=[f"topic{k}" for k in range(args.n_latent_topics)]
     ).to_parquet(f"{args.out}.pb_latent.parquet")
 
-    # dictionary (finest decoder): log beta [D, K]; a coarsened decoder
-    # expands back to full D with the -ln(group size) correction
-    # (feature_coarsening.rs expand_log_dict_dk)
-    dec_params = variables["params"]["decoder_0"]
-    log_beta = np.asarray(
-        decoders[0].apply({"params": dec_params}, method="get_dictionary")
-    )
-    if coarsenings[0] is not None:
-        log_beta = coarsenings[0].expand_log_dict_dk(log_beta)
-    pd.DataFrame(
-        log_beta, index=gene_names, columns=[f"topic{k}" for k in range(args.n_latent_topics)]
-    ).reset_index(names="gene").to_parquet(f"{args.out}.dictionary.parquet")
+    # per-batch effects (cmd.rs:70 {out}.delta.parquet): posterior-mean
+    # delta [D, B] from the finest collapse when batch correction ran
+    if finest.delta is not None:
+        pd.DataFrame(
+            np.asarray(finest.delta.mean()),
+            index=gene_names,
+            columns=vec.batch_names(),
+        ).reset_index(names="gene").to_parquet(f"{args.out}.delta.parquet")
+
+    # decoder nuisance artifacts (decoder_output.rs:131; cmd.rs:74-76):
+    # per-gene NB dispersion, ambient profile + rho sigmoid coefficients
+    for nm, dc, pr in zip(
+        decoder_names, finest_decs, finest_dec_params
+    ):
+        if "log_phi" in pr:
+            phi = np.exp(np.asarray(pr["log_phi"])).ravel()
+            if coarsenings[0] is not None:
+                phi = phi[coarsenings[0].fine_to_coarse]
+            pd.DataFrame({"gene": gene_names, "dispersion": phi}).to_parquet(
+                f"{args.out}.dispersion.parquet"
+            )
+        if nm == "nb-mixture":
+            alpha = jax.nn.softmax(
+                jnp.asarray(pr["log_alpha"]).ravel()
+            )
+            alpha = np.asarray(alpha)
+            if coarsenings[0] is not None:
+                # coarse simplex -> fine: spread mass evenly in-group
+                sizes = np.bincount(
+                    coarsenings[0].fine_to_coarse, minlength=coarsenings[0].num_coarse
+                )
+                alpha = (alpha / np.maximum(sizes, 1))[coarsenings[0].fine_to_coarse]
+            pd.DataFrame({"gene": gene_names, "alpha": alpha}).to_parquet(
+                f"{args.out}.alpha.parquet"
+            )
+            pd.DataFrame(
+                {
+                    "coef": ["rho_a", "rho_b"],
+                    "value": [
+                        float(np.asarray(pr["rho_a"]).ravel()[0]),
+                        float(np.asarray(pr["rho_b"]).ravel()[0]),
+                    ],
+                }
+            ).to_parquet(f"{args.out}.rho.parquet")
 
     # traces
     pd.DataFrame({"epoch": np.arange(len(scores.llik)), "llik": scores.llik, "kl": scores.kl}).to_parquet(
@@ -664,7 +803,10 @@ def fit_topic_model(args: TopicArgs) -> dict:
 
     manifest = RunManifest(
         command="topic",
-        inputs={"data_files": list(args.data_files)},
+        inputs={
+            "data_files": list(args.data_files),
+            "batch_files": list(args.batch_files) if args.batch_files else [],
+        },
         outputs={
             "log_likelihood": f"{args.out}.log_likelihood.parquet",
             "model": f"{args.out}.model.npz",
@@ -706,18 +848,43 @@ def evaluate_latent_by_encoder(
     groups: np.ndarray,
     *,
     block_size: int = 800,
+    adj_method: str = "residual",
+    refine_log_dict: np.ndarray | None = None,
+    refine_steps: int = 0,
+    refine_lr: float = 0.01,
+    refine_reg: float = 1.0,
 ) -> np.ndarray:
     """Per-cell latent: stream dense cell blocks through the eval
-    encoder with the cell's pseudobulk batch-null column
-    (`topic/eval.rs:18-63`)."""
+    encoder with the cell's null column (`topic/eval.rs:18-63`).
+
+    `adj_method` selects the null plane + its membership axis
+    (topic/common.rs:55-85 block_membership / expand_delta_for_block):
+    "residual" indexes mu_residual [D, S] by pseudobulk group,
+    "batch" indexes delta [D, B] by the cell's batch label.
+    `refine_steps > 0` runs inference-time gradient refinement of each
+    block's logits against the frozen `refine_log_dict`
+    (refine_weighting.rs AmortRefineArgs; cmd.rs:990-1010)."""
     from ..data.visitors import visit_columns_by_block
 
     d = vec.num_rows
     n = vec.num_columns
-    null_ds = (
-        np.asarray(finest.mu_residual.mean()) if finest.mu_residual is not None else None
-    )
+    if adj_method == "batch" and finest.delta is not None:
+        null_ds = np.asarray(finest.delta.mean())  # [D, B]
+        membership = vec.batch_membership()
+    else:
+        null_ds = (
+            np.asarray(finest.mu_residual.mean())
+            if finest.mu_residual is not None
+            else None
+        )
+        membership = groups
     out = np.zeros((n, trainer.encoder.n_topics), np.float32)
+
+    refine_ld = None
+    if refine_steps > 0 and refine_log_dict is not None:
+        from .predict import refine_topic_proportions
+
+        refine_ld = jnp.asarray(refine_log_dict)
 
     # batch the densify+encode of consecutive same-shape blocks into one
     # scanned dispatch (docs/BENCH_NOTES.md dispatch lesson); flushes
@@ -740,6 +907,11 @@ def evaluate_latent_by_encoder(
             c = sparse_ops.col_ids_from_counts(cc, cap=cap, ncols=ncols)
             x = sparse_ops.densify_block(r, c, v, ncols=ncols, num_genes=d)
             log_z, _ = enc.apply(enc_vars, x, nu, train=False)
+            if refine_ld is not None:
+                log_z = refine_topic_proportions(
+                    log_z, x, refine_ld,
+                    steps=refine_steps, lr=refine_lr, reg=refine_reg,
+                )
             return None, log_z
 
         _, zs = jax.lax.scan(body, None, (rows_g, counts_g, vals_g, null_g))
@@ -770,7 +942,7 @@ def evaluate_latent_by_encoder(
         rows_g, cnts_g, vals_g = _stacked(buf, g_pad)
         if null_ds is not None:
             nulls = [
-                null_ds[:, groups[b.lb : b.lb + b.ncols]].T.astype(np.float32)
+                null_ds[:, membership[b.lb : b.lb + b.ncols]].T.astype(np.float32)
                 for b in buf
             ] + [np.zeros((ncols, d), np.float32)] * (g_pad - g)
             null_g = jnp.asarray(np.stack(nulls))
@@ -790,6 +962,11 @@ def evaluate_latent_by_encoder(
             c = sparse_ops.col_ids_from_counts(cc, cap=cap, ncols=ncols)
             x = sparse_ops.densify_block(r, c, v, ncols=ncols, num_genes=d)
             log_z, _ = enc.apply(enc_vars, x, None, train=False)
+            if refine_ld is not None:
+                log_z = refine_topic_proportions(
+                    log_z, x, refine_ld,
+                    steps=refine_steps, lr=refine_lr, reg=refine_reg,
+                )
             return None, log_z
 
         _, zs = jax.lax.scan(body, None, (rows_g, counts_g, vals_g))

@@ -280,3 +280,140 @@ def test_topic_partition_reuse_via_from(sim_backend, tmp_path):
         res1["levels"].groups_per_level, res2["levels"].groups_per_level
     ):
         np.testing.assert_array_equal(g1, g2)
+
+
+def test_topic_multi_decoder_and_nuisance_artifacts(sim_backend, tmp_path):
+    """--decoder a,b trains both families jointly on the same target
+    (cmd.rs --decoder list + --decoder-weights) and writes per-family
+    dictionaries plus the nb-mixture nuisance artifacts
+    (cmd.rs:74-80 dispersion/alpha/rho parquets)."""
+    sim, path, _ = sim_backend
+    out = str(tmp_path / "md")
+    args = TopicArgs(
+        data_files=[path], out=out, n_latent_topics=3,
+        encoder_layers=(16,), epochs=10, minibatch_size=64,
+        decoder="nb-mixture,multinomial", decoder_weights=[1.0, 0.5],
+        rho_prior_weight=10.0,
+        proj_dim=12, sort_dim=5, num_levels=2, iter_opt=5, block_size=256,
+    )
+    result = fit_topic_model(args)
+    for suffix in [
+        ".dictionary.parquet",
+        ".nb-mixture.dictionary.parquet",
+        ".multinomial.dictionary.parquet",
+        ".dispersion.parquet",
+        ".alpha.parquet",
+        ".rho.parquet",
+    ]:
+        assert Path(out + suffix).exists(), suffix
+    import pandas as pd
+
+    # ambient profile is a D-simplex; dispersion positive; rho has a/b
+    alpha = pd.read_parquet(out + ".alpha.parquet")["alpha"].to_numpy()
+    np.testing.assert_allclose(alpha.sum(), 1.0, rtol=1e-4)
+    phi = pd.read_parquet(out + ".dispersion.parquet")["dispersion"].to_numpy()
+    assert (phi > 0).all() and len(phi) == 120
+    rho = pd.read_parquet(out + ".rho.parquet")
+    assert set(rho["coef"]) == {"rho_a", "rho_b"}
+    z = result["latent"]
+    assert np.all(np.isfinite(z))
+    np.testing.assert_allclose(np.exp(z).sum(-1), 1.0, rtol=1e-3)
+
+
+def test_nb_mixture_rho_beta_prior_exact():
+    """The weighted Beta log prior adds exactly
+    w * ((a-1) log rho + (b-1) log(1-rho)) per sample
+    (nb_mixture.rs:174-192)."""
+    import jax
+    import jax.numpy as jnp
+
+    from legume_tpu.models.decoders import NbMixtureTopicDecoder
+
+    x = jnp.asarray(np.random.default_rng(0).poisson(2.0, (4, 30)).astype(np.float32))
+    log_z = jax.nn.log_softmax(jnp.zeros((4, 3)), axis=-1)
+    d0 = NbMixtureTopicDecoder(n_features=30, n_topics=3)
+    dw = NbMixtureTopicDecoder(
+        n_features=30, n_topics=3,
+        rho_prior_weight=5.0, rho_prior_alpha=2.0, rho_prior_beta=18.0,
+    )
+    params = d0.init(jax.random.key(0), log_z, x)["params"]
+    _, ll0 = d0.apply({"params": params}, log_z, x)
+    _, llw = dw.apply({"params": params}, log_z, x)
+    lib = x.sum(-1, keepdims=True)
+    rho = jax.nn.sigmoid(
+        jnp.log(lib + 1e-8) * params["rho_a"] + params["rho_b"]
+    )[:, 0]
+    expected = 5.0 * ((2.0 - 1.0) * jnp.log(rho + 1e-6)
+                      + (18.0 - 1.0) * jnp.log(1.0 - rho + 1e-6))
+    np.testing.assert_allclose(np.asarray(llw - ll0), np.asarray(expected), rtol=1e-5)
+
+
+def test_topic_adj_method_batch_and_amort_refine(tmp_path):
+    """--adj-method batch evals with the per-batch delta null
+    (topic/common.rs:55-85), writes {out}.delta.parquet, and
+    --amort-refine-steps improves the frozen-dictionary multinomial
+    llik of the final latent (refine_weighting.rs AmortRefineArgs)."""
+    import pandas as pd
+
+    from legume_tpu.senna.topic import evaluate_latent_by_encoder
+
+    sim = simulate_topic(
+        rows=80, cols=600, factors=3, batches=2,
+        pve_topic=0.7, pve_batch=0.8, depth=2000, seed=7,
+    )
+    path = write_topic_sim(sim, str(tmp_path / "ab"))
+    batch_file = tmp_path / "batches.txt"
+    batch_file.write_text("\n".join(f"b{int(b)}" for b in sim.batch) + "\n")
+    out = str(tmp_path / "fit")
+    args = TopicArgs(
+        data_files=[path], batch_files=[str(batch_file)], out=out,
+        n_latent_topics=3, encoder_layers=(16,), epochs=15,
+        minibatch_size=64, decoder="multinomial", adj_method="batch",
+        proj_dim=12, sort_dim=5, num_levels=2, iter_opt=10,
+        knn_cells=8, block_size=256,
+    )
+    result = fit_topic_model(args)
+    delta = pd.read_parquet(out + ".delta.parquet")
+    assert delta.shape == (80, 3)  # gene + two batch columns
+    assert list(delta.columns[1:]) == ["b0", "b1"]
+
+    # refinement: same trained model, latent with/without refine steps;
+    # the frozen-dictionary multinomial llik must not get worse
+    from legume_tpu.senna.topic import load_data_vec
+
+    vec = load_data_vec([path], [str(batch_file)])
+    finest = result["levels"].collapsed[0]
+    groups = result["levels"].groups_per_level[0]
+    log_beta = result["log_beta"]  # [D, K]
+
+    import legume_tpu.senna.topic as topic_mod
+
+    trainer_variables = result["variables"]
+    # rebuild a minimal trainer facade via the result's variables: reuse
+    # evaluate_latent_by_encoder with the SAME encoder the fit used
+    class _T:
+        pass
+
+    x = sim.counts.toarray().T.astype(np.float32)  # [N, D]
+
+    def multinom_llik(z_log):
+        log_recon = np.log(np.exp(z_log) @ np.exp(log_beta.T) + 1e-30)
+        return float((x * log_recon).sum() / x.sum())
+
+    from legume_tpu.models.encoders import LogSoftmaxEncoder
+    from legume_tpu.models.train import MixedTrainer, TrainConfig
+
+    enc = LogSoftmaxEncoder(n_topics=3, layers=(16,))
+    tr = MixedTrainer(enc, [], TrainConfig())
+    z_plain = evaluate_latent_by_encoder(
+        vec, tr, trainer_variables, finest, groups, block_size=256,
+        adj_method="batch",
+    )
+    z_ref = evaluate_latent_by_encoder(
+        vec, tr, trainer_variables, finest, groups, block_size=256,
+        adj_method="batch",
+        refine_log_dict=log_beta, refine_steps=5, refine_lr=0.05,
+    )
+    assert np.isfinite(z_ref).all()
+    assert multinom_llik(z_ref) >= multinom_llik(z_plain) - 1e-6
+    assert not np.allclose(z_ref, z_plain)
