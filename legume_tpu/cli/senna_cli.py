@@ -93,6 +93,20 @@ def run_senna(argv):
                    help="per-cell refinement steps against the frozen dictionary")
     p.add_argument("--refine-lr", type=float, default=0.01)
     p.add_argument("--refine-reg", type=float, default=1.0)
+    p.add_argument("--decoder-only", action="store_true",
+                   help="skip the encoder: optimize theta against the frozen "
+                        "dictionary from a uniform start")
+    p.add_argument("--delta-iters", type=int, default=0,
+                   help="TMLE refinement sweeps over the plug-in per-batch "
+                        "delta (needs --batch-files)")
+    p.add_argument("--residual-out", default=None,
+                   help="also write residual expression x/(mu*lambda) to a "
+                        "NEW sparse backend (.zarr/.h5)")
+    p.add_argument("--residual-include-delta", action="store_true",
+                   help="fold the estimated per-batch delta into the "
+                        "residual denominator")
+    p.add_argument("--residual-threshold", type=float, default=0.0,
+                   help="drop residual entries <= this value")
 
     p = sub.add_parser("clustering", help="kmeans/leiden on a latent parquet")
     p.add_argument("--latent", default=None)
@@ -264,11 +278,29 @@ def run_senna(argv):
     p.add_argument("--block-size", type=int, default=8192)
     p.add_argument("--seed", type=int, default=None)
 
-    p = sub.add_parser("impute", help="kNN-over-latent count imputation")
+    p = sub.add_parser(
+        "impute",
+        help="kNN count imputation: against a REFERENCE dataset "
+             "(--model + --reference-latent + --reference-data, "
+             "impute.rs pipeline) or self-latent smoothing (--latent)",
+    )
     p.add_argument("--data-files", nargs="+", required=True)
-    p.add_argument("--latent", required=True, help="latent parquet (topic/vae run)")
+    p.add_argument("--latent", default=None,
+                   help="self mode: this dataset's own latent parquet")
+    p.add_argument("--model", default=None,
+                   help="reference mode: trained model prefix (query cells "
+                        "project through its encoder)")
+    p.add_argument("--reference-latent", default=None,
+                   help="reference mode: the reference run's latent parquet")
+    p.add_argument("--reference-data", nargs="+", default=None,
+                   help="reference mode: data files behind --reference-latent")
+    p.add_argument("--reference-batch-files", nargs="+", default=None)
     p.add_argument("--out", required=True)
     p.add_argument("--knn", type=int, default=15)
+    p.add_argument("--knn-temperature", type=float, default=1.0,
+                   help="softmax temperature on kNN distances "
+                        "(w ~ exp(-d^2/2 tau^2))")
+    p.add_argument("--block-size", type=int, default=4096)
 
     p = sub.add_parser("fne", help="feature-network embedding from an edge list")
     p.add_argument("--edges", required=True, help="TSV: src dst [weight]")
@@ -393,10 +425,46 @@ def run_senna(argv):
         import scipy.sparse as sp
 
         from ..data.sparse_io import create_sparse_from_csc
-        from ..senna.impute import impute_counts
+        from ..senna.impute import impute_counts, impute_from_reference
         from ..senna.topic import load_data_vec
 
         vec = load_data_vec(args.data_files)
+        ref_mode = bool(args.model or args.reference_latent or args.reference_data)
+        if ref_mode:
+            if not (args.model and args.reference_latent and args.reference_data):
+                raise SystemExit(
+                    "impute reference mode needs --model, --reference-latent "
+                    "AND --reference-data"
+                )
+            # 1. project the query through the trained encoder
+            # (impute.rs:113 delegates to predict)
+            from ..senna.predict import PredictArgs, predict_model
+
+            z_new = predict_model(
+                PredictArgs(
+                    data_files=list(args.data_files), model=args.model,
+                    out=f"{args.out}.query", block_size=args.block_size,
+                )
+            )
+            ref_df = pd.read_parquet(args.reference_latent)
+            z_ref = ref_df.iloc[:, 1:].to_numpy("float32")
+            # latents store log proportions; compare in linear space
+            theta_new = np.exp(z_new) if np.all(z_new <= 0) else z_new
+            theta_ref = np.exp(z_ref) if np.all(z_ref <= 0) else z_ref
+            ref_vec = load_data_vec(args.reference_data, args.reference_batch_files)
+            imp = impute_from_reference(
+                theta_new, theta_ref, ref_vec,
+                knn=args.knn, knn_temperature=args.knn_temperature,
+                cell_block=args.block_size,
+            )
+            pd.DataFrame(
+                imp, index=vec.column_names(), columns=ref_vec.row_names()
+            ).reset_index(names="cell").to_parquet(f"{args.out}.imputed.parquet")
+            print(f"wrote {args.out}.imputed.parquet "
+                  f"({imp.shape[0]} x {imp.shape[1]})")
+            return
+        if not args.latent:
+            raise SystemExit("impute self mode needs --latent")
         z = pd.read_parquet(args.latent).iloc[:, 1:].to_numpy("float32")
         if len(z) != vec.num_columns:
             raise SystemExit(
@@ -1061,6 +1129,11 @@ def run_senna(argv):
                 refine_steps=args.refine_steps,
                 refine_lr=args.refine_lr,
                 refine_reg=args.refine_reg,
+                decoder_only=args.decoder_only,
+                delta_iters=args.delta_iters,
+                residual_out=args.residual_out,
+                residual_include_delta=args.residual_include_delta,
+                residual_threshold=args.residual_threshold,
             )
         )
         return

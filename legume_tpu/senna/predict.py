@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
@@ -115,6 +116,206 @@ class PredictArgs:
     refine_steps: int = 0
     refine_lr: float = 0.01
     refine_reg: float = 1.0
+    # decoder-only latent inference (predict.rs:288 LatentMode): skip
+    # the encoder, optimize theta against the frozen dictionary from a
+    # uniform start (steps default 100, lr default 0.05)
+    decoder_only: bool = False
+    # TMLE delta refinement sweeps over the plug-in per-batch delta
+    # (predict_tmle.rs:143 iterate_delta_dense; 0 = plug-in only)
+    delta_iters: int = 0
+    # residual-expression backend: x / (mu * lambda) per cell, entries
+    # > threshold written to a NEW .zarr/.h5 (predict.rs:1355)
+    residual_out: Optional[str] = None
+    residual_include_delta: bool = False
+    residual_threshold: float = 0.0
+
+
+# delta estimation guards (predict_common.rs:19-23)
+_DELTA_CLAMP_MIN = 0.01
+_DELTA_CLAMP_MAX = 100.0
+_DELTA_PRED_EPS = 1e-10
+
+
+def estimate_plugin_delta(
+    vec: SparseIoVec,
+    remap: GeneRemap,
+    cell_batch: np.ndarray,
+    log_dict: np.ndarray,  # [D_train, K]
+    theta_mean: np.ndarray | None,
+    *,
+    block_size: int = 4096,
+) -> np.ndarray:
+    """Plug-in per-batch delta on the TRAINING gene axis
+    (predict_common.rs:140 estimate_delta): delta[d, b] =
+    (pb_new[d, b] / lib_b) / predicted[d], predicted = theta-bar-
+    weighted dictionary marginal, clamped to [0.01, 100]."""
+    from ..data.visitors import visit_columns_by_block
+
+    d_train, k = log_dict.shape
+    n_batches = int(cell_batch.max()) + 1
+    w = (
+        theta_mean / max(float(theta_mean.sum()), 1e-12)
+        if theta_mean is not None and theta_mean.sum() > 0
+        else np.full(k, 1.0 / k, np.float32)
+    )
+    predicted = np.exp(log_dict) @ w.astype(np.float32)  # [D_train]
+    s = float(predicted.sum())
+    if s > 0:
+        predicted = predicted / s
+
+    pb = np.zeros((d_train, n_batches), np.float64)
+    row_map = np.where(remap.new_to_train >= 0, remap.new_to_train, remap.d_train)
+    for blk in visit_columns_by_block(vec, block_size=block_size):
+        mapped = row_map[np.clip(blk.row_ids, 0, len(row_map) - 1)]
+        keep = (mapped < d_train) & (blk.col_ids < blk.ncols)
+        b = cell_batch[blk.lb + blk.col_ids[keep]]
+        np.add.at(pb, (mapped[keep], b), blk.vals[keep])
+
+    delta = np.ones((d_train, n_batches), np.float32)
+    for b in range(n_batches):
+        lib = pb[:, b].sum()
+        if lib <= 0:
+            continue
+        obs_prop = pb[:, b] / lib
+        delta[:, b] = np.clip(
+            obs_prop / np.maximum(predicted, _DELTA_PRED_EPS),
+            _DELTA_CLAMP_MIN,
+            _DELTA_CLAMP_MAX,
+        ).astype(np.float32)
+    return delta
+
+
+def iterate_delta_dense(
+    n_iters: int,
+    delta: np.ndarray,  # [D_train, B]
+    vec: SparseIoVec,
+    encoder,
+    variables: dict,
+    remap: GeneRemap,
+    log_dict: np.ndarray,  # [D_train, K]
+    phi: np.ndarray | None,  # [D_train] NB dispersion or None
+    cell_batch: np.ndarray,
+    *,
+    block_size: int = 4096,
+) -> np.ndarray:
+    """TMLE delta sweeps (predict_tmle.rs:143): each iteration encodes
+    every cell with the CURRENT delta as its null column, forms the
+    per-cell predicted rate mu = lib * (theta @ exp(beta).T), and
+    re-solves delta[d, b] = sum_b w x / sum_b w mu with NB-Fisher
+    weights w = phi / (mu + phi) (uniform when phi is None)."""
+    import jax
+
+    from ..data.visitors import visit_columns_by_block
+    from ..ops import sparse as sparse_ops
+
+    d_train = log_dict.shape[0]
+    n_batches = delta.shape[1]
+    exp_beta = jnp.asarray(np.exp(log_dict))  # [D_train, K]
+    phi_j = jnp.asarray(phi) if phi is not None else None
+    enc_vars = {
+        "params": variables["params"]["encoder"],
+        "batch_stats": variables["batch_stats"]["encoder"],
+    }
+    row_map = np.where(remap.new_to_train >= 0, remap.new_to_train, remap.d_train)
+
+    @partial(jax.jit, static_argnames=("ncols",))
+    def block_sums(rows, cols, vals, null_nd, *, ncols):
+        x = sparse_ops.densify_block(
+            rows, cols, vals, ncols=ncols, num_genes=d_train + 1
+        )[:, :d_train]
+        log_z, _ = encoder.apply(enc_vars, x, null_nd, train=False)
+        theta = jnp.exp(log_z)  # [N, K]
+        lib = x.sum(axis=1, keepdims=True)
+        mu = lib * (theta @ exp_beta.T)  # [N, D_train]
+        w = phi_j / (mu + phi_j) if phi_j is not None else jnp.ones_like(mu)
+        return w * x, w * mu  # [N, D_train] each
+
+    for _ in range(max(n_iters, 0)):
+        obs = np.zeros((d_train, n_batches), np.float64)
+        pred = np.zeros((d_train, n_batches), np.float64)
+        for blk in visit_columns_by_block(vec, block_size=block_size):
+            mapped = row_map[np.clip(blk.row_ids, 0, len(row_map) - 1)]
+            b_ids = cell_batch[blk.lb : blk.lb + blk.ncols]
+            null_nd = jnp.asarray(delta[:, b_ids].T)  # [N, D_train]
+            o, p = block_sums(
+                jnp.asarray(mapped.astype(np.int32)),
+                sparse_ops.block_col_ids(blk),
+                jnp.asarray(blk.vals),
+                null_nd,
+                ncols=blk.ncols,
+            )
+            o, p = np.asarray(o, np.float64), np.asarray(p, np.float64)
+            np.add.at(obs.T, b_ids, o)
+            np.add.at(pred.T, b_ids, p)
+        delta = np.clip(
+            obs / np.maximum(pred, _DELTA_PRED_EPS),
+            _DELTA_CLAMP_MIN,
+            _DELTA_CLAMP_MAX,
+        ).astype(np.float32)
+    return delta
+
+
+def write_residual_backend(
+    args: PredictArgs,
+    vec: SparseIoVec,
+    z_nk: np.ndarray,  # [N, K] log-topic proportions
+    log_dict: np.ndarray,  # [D_train, K]
+    delta_db: np.ndarray | None,
+    remap: GeneRemap,
+    cell_batch: np.ndarray | None,
+) -> None:
+    """Residual expression backend (predict.rs:1355
+    write_residual_backend): per cell j, x_dj <- x_dj / (mu_dj l_j)
+    with l_j = sum x / sum mu over x's support and mu = exp(beta) theta
+    scattered through the gene remap (optionally times the per-batch
+    delta). Entries > threshold write to a NEW .zarr/.h5 with names."""
+    import scipy.sparse as sp
+
+    from ..data.sparse_io import create_sparse_from_csc
+
+    path = args.residual_out
+    exp_beta = np.exp(log_dict)  # [D_train, K]
+    theta = np.exp(z_nk)  # [N, K]
+    d_test = vec.num_rows
+    n = vec.num_columns
+    # new-axis gene -> train-axis gene (or -1 = absent, mu 0, pass through)
+    new_to_train = remap.new_to_train
+
+    blocks = []
+    bs = args.block_size
+    for lb in range(0, n, bs):
+        ub = min(lb + bs, n)
+        csc = vec.read_columns_csc(np.arange(lb, ub))
+        pred_dn = exp_beta @ theta[lb:ub].T  # [D_train, n_block]
+        data = csc.data.copy()
+        for jloc in range(ub - lb):
+            s, e = csc.indptr[jloc], csc.indptr[jloc + 1]
+            rows = csc.indices[s:e]
+            tr = new_to_train[rows]
+            mu = np.where(tr >= 0, pred_dn[np.maximum(tr, 0), jloc], 0.0)
+            if delta_db is not None and args.residual_include_delta and cell_batch is not None:
+                mu = mu * np.where(
+                    tr >= 0, delta_db[np.maximum(tr, 0), cell_batch[lb + jloc]], 1.0
+                )
+            x = csc.data[s:e]
+            mu_sum = float(mu.sum())
+            lam = float(x.sum()) / mu_sum if mu_sum > 0 else 1.0
+            denom = mu * lam
+            data[s:e] = np.where(denom > 0, x / np.maximum(denom, 1e-30), x)
+        out = sp.csc_matrix((data, csc.indices.copy(), csc.indptr.copy()), shape=csc.shape)
+        if args.residual_threshold > 0:
+            out.data[out.data <= args.residual_threshold] = 0.0
+            out.eliminate_zeros()
+        blocks.append(out)
+
+    residual = sp.hstack(blocks, format="csc") if blocks else sp.csc_matrix((d_test, 0))
+    backend = create_sparse_from_csc(residual, path)
+    backend.register_row_names(vec.row_names())
+    backend.register_column_names(vec.column_names())
+    log.info(
+        "wrote residual backend %s (%d x %d, %d nnz)",
+        path, d_test, n, residual.nnz,
+    )
 
 
 def predict_model(args: PredictArgs) -> np.ndarray:
@@ -155,7 +356,12 @@ def predict_model(args: PredictArgs) -> np.ndarray:
         )
 
     log_dict = None
-    if args.refine_steps > 0:
+    if (
+        args.refine_steps > 0
+        or args.decoder_only
+        or args.residual_out
+        or (cell_batch is not None and args.delta_iters > 0)
+    ):
         log_dict = _load_log_dictionary(args.model, train_genes)
 
     kind = meta.get("model_type", "topic")
@@ -177,24 +383,97 @@ def predict_model(args: PredictArgs) -> np.ndarray:
         encoder = LogSoftmaxEncoder(
             n_topics=meta["n_topics"], layers=tuple(meta["encoder_layers"])
         )
+        # per-batch delta on the training axis: plug-in estimate
+        # (predict_common.rs:140) + optional TMLE sweeps
+        # (predict_tmle.rs:143); feeds the residual backend and is
+        # written as {out}.delta.parquet
+        delta_db = None
+        if cell_batch is not None and log_dict is not None and args.delta_iters >= 0:
+            theta_mean = _load_theta_mean(args.model)
+            delta_db = estimate_plugin_delta(
+                vec, remap, cell_batch, log_dict, theta_mean,
+                block_size=args.block_size,
+            )
+            if args.delta_iters > 0:
+                phi = _load_dispersion(args.model, train_genes)
+                delta_db = iterate_delta_dense(
+                    args.delta_iters, delta_db, vec, encoder, variables,
+                    remap, log_dict, phi, cell_batch,
+                    block_size=args.block_size,
+                )
+        # decoder-only inference defaults (predict.rs:365-377)
+        refine_steps = args.refine_steps
+        refine_lr = args.refine_lr
+        if args.decoder_only:
+            if refine_steps == 0:
+                refine_steps = 100
+            if refine_lr <= 0.01:
+                refine_lr = 0.05
         z = score_dense_backend(
             vec, encoder, variables, remap, block_size=args.block_size,
             cell_batch=cell_batch, batch_profiles=batch_profiles,
-            log_dict=log_dict, refine_steps=args.refine_steps,
-            refine_lr=args.refine_lr, refine_reg=args.refine_reg,
+            log_dict=log_dict, refine_steps=refine_steps,
+            refine_lr=refine_lr, refine_reg=args.refine_reg,
+            decoder_only=args.decoder_only,
         )
         col = "topic"
+        if args.residual_out:
+            write_residual_backend(
+                args, vec, z, log_dict, delta_db, remap, cell_batch
+            )
+        if delta_db is not None:
+            pd.DataFrame(
+                delta_db,
+                index=[str(g) for g in train_genes],
+                columns=[f"batch{b}" for b in range(delta_db.shape[1])],
+            ).reset_index(names="gene").to_parquet(f"{args.out}.delta.parquet")
 
     cells = vec.column_names()
     pd.DataFrame(
         z, index=cells, columns=[f"{col}{k}" for k in range(z.shape[1])]
     ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
+    outputs = {"latent": f"{args.out}.latent.parquet"}
+    if args.residual_out:
+        outputs["residual"] = str(args.residual_out)
     RunManifest(
         command="predict",
         inputs={"data_files": list(args.data_files), "model": args.model},
-        outputs={"latent": f"{args.out}.latent.parquet"},
+        outputs=outputs,
     ).save(args.out)
     return z
+
+
+def _load_theta_mean(model_prefix: str) -> np.ndarray | None:
+    """Training topic marginal theta-bar from {model}.pb_latent.parquet
+    (stored in linear space); None -> uniform fallback."""
+    import os
+
+    import pandas as pd
+
+    path = f"{model_prefix}.pb_latent.parquet"
+    if not os.path.exists(path):
+        return None
+    df = pd.read_parquet(path)
+    cols = [c for c in df.columns if c.startswith("topic")]
+    return df[cols].to_numpy(np.float32).mean(0) if cols else None
+
+
+def _load_dispersion(model_prefix: str, train_genes) -> np.ndarray | None:
+    """Per-gene NB dispersion phi from {model}.dispersion.parquet,
+    reindexed onto the training gene order (model_metadata.rs:298)."""
+    import os
+
+    import pandas as pd
+
+    path = f"{model_prefix}.dispersion.parquet"
+    if not os.path.exists(path):
+        return None
+    df = pd.read_parquet(path).set_index("gene")
+    phi = np.full(len(train_genes), 2.0, np.float32)
+    for i, g in enumerate(train_genes):
+        if str(g) in df.index:
+            phi[i] = float(df.loc[str(g), "dispersion"])
+    return phi
 
 
 def _load_log_dictionary(model_prefix: str, train_genes) -> np.ndarray:
@@ -253,10 +532,14 @@ def score_dense_backend(
     refine_steps: int = 0,
     refine_lr: float = 0.01,
     refine_reg: float = 1.0,
+    decoder_only: bool = False,
 ) -> np.ndarray:
     """Stream blocks -> scatter counts into training gene positions ->
     encoder eval forward (predict.rs:444 `score_dense_backend`);
-    optional per-batch null stream + inference-time refinement."""
+    optional per-batch null stream + inference-time refinement.
+    `decoder_only` skips the encoder and optimizes theta against the
+    frozen dictionary from a uniform start (predict.rs:288
+    LatentMode::DecoderOnly)."""
     from ..data.visitors import visit_columns_by_block
 
     n = vec.num_columns
@@ -286,12 +569,22 @@ def score_dense_backend(
             if batch_profiles is not None
             else None
         )
-        log_z, _ = encoder.apply(enc_vars, jnp.asarray(x), null, train=False)
-        if refine_steps > 0 and ld is not None:
+        if decoder_only:
+            if ld is None:
+                raise ValueError("decoder-only inference needs the model dictionary")
+            k = ld.shape[1]
+            log_z = jnp.full((x.shape[0], k), -np.log(k), jnp.float32)
             log_z = refine_topic_proportions(
                 log_z, jnp.asarray(x), ld,
                 steps=refine_steps, lr=refine_lr, reg=refine_reg,
             )
+        else:
+            log_z, _ = encoder.apply(enc_vars, jnp.asarray(x), null, train=False)
+            if refine_steps > 0 and ld is not None:
+                log_z = refine_topic_proportions(
+                    log_z, jnp.asarray(x), ld,
+                    steps=refine_steps, lr=refine_lr, reg=refine_reg,
+                )
         if out is None:
             out = np.zeros((n, log_z.shape[1]), np.float32)
         out[blk.lb : blk.lb + blk.ncols] = np.asarray(log_z)

@@ -137,3 +137,124 @@ def test_eval_topic_refinement_improves_llik(tmp_path):
 
     l0, l1 = llik(z0), llik(z1)
     assert l1 >= l0 - 1e-3, f"refinement degraded llik: {l0:.2f} -> {l1:.2f}"
+
+
+def test_predict_decoder_only_delta_and_residual(tmp_path):
+    """predict --decoder-only / --delta-iters / --residual-out
+    (predict.rs LatentMode::DecoderOnly, predict_tmle.rs:143,
+    predict.rs:1355 write_residual_backend): decoder-only latent is a
+    finite simplex that tracks the planted topics; the TMLE delta
+    recovers the per-batch effect direction; the residual backend has
+    the input's shape and gene/cell names and nonneg entries."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sim import simulate_topic, write_topic_sim
+    from legume_tpu.data.sparse_io import open_sparse_matrix
+
+    sim = simulate_topic(
+        rows=80, cols=500, factors=3, batches=2,
+        pve_topic=0.7, pve_batch=0.8, depth=2000, seed=13,
+    )
+    path = write_topic_sim(sim, str(tmp_path / "pd"))
+    batch_file = tmp_path / "batches.txt"
+    batch_file.write_text("\n".join(f"b{int(b)}" for b in sim.batch) + "\n")
+    fit = str(tmp_path / "fit")
+    cli.main([
+        "senna", "topic", "--data-files", path, "--out", fit,
+        "-k", "3", "--encoder-layers", "16", "--epochs", "15",
+        "--minibatch-size", "64", "--num-levels", "2", "--sort-dim", "5",
+        "--proj-dim", "12", "--iter-opt", "5", "--block-size", "256",
+        "--decoder", "nb",
+    ])
+
+    out = str(tmp_path / "po")
+    res_path = str(tmp_path / "resid.zarr")
+    cli.main([
+        "senna", "predict", "--data-files", path, "--model", fit,
+        "--out", out, "--block-size", "256",
+        "--batch-files", str(batch_file),
+        "--decoder-only", "--delta-iters", "2",
+        "--residual-out", res_path, "--residual-include-delta",
+    ])
+
+    z = pd.read_parquet(out + ".latent.parquet").iloc[:, 1:].to_numpy()
+    assert np.isfinite(z).all()
+    np.testing.assert_allclose(np.exp(z).sum(1), 1.0, atol=1e-3)
+    # decoder-only latent separates the planted topics
+    theta = np.exp(z)
+    true_k = sim.theta.argmax(1)
+    cent = np.stack([theta[true_k == k].mean(0) for k in range(3)])
+    spread = np.linalg.norm(cent[:, None] - cent[None, :], axis=-1)
+    assert spread[np.triu_indices(3, 1)].mean() > 0.05
+
+    # TMLE delta tracks the simulated batch contrast in direction
+    delta = pd.read_parquet(out + ".delta.parquet")
+    est = np.log(delta[["batch0", "batch1"]].to_numpy())
+    true_c = sim.ln_delta[:, 1] - sim.ln_delta[:, 0]
+    r = np.corrcoef(true_c, est[:, 1] - est[:, 0])[0, 1]
+    assert r > 0.3, f"delta contrast correlation too low: {r:.3f}"
+
+    # residual backend round-trips with names and nonneg entries
+    resid = open_sparse_matrix(res_path)
+    assert resid.num_rows == 80 and resid.num_columns == 500
+    assert resid.row_names()[:3] == open_sparse_matrix(path).row_names()[:3]
+    block = resid.read_columns_csc(np.arange(50))
+    assert (block.data >= 0).all()
+    # division by the model's own rates recenters the residual near 1
+    assert 0.2 < float(np.median(block.data)) < 5.0
+
+
+def test_impute_reference_mode_recovers_full_profiles(tmp_path):
+    """senna impute reference mode (impute.rs pipeline): a gene-PANEL
+    query projects through the trained encoder, finds reference
+    neighbors in latent space, and the weighted-average imputation
+    recovers the full-feature profile direction of each query cell."""
+    import pandas as pd
+    import scipy.sparse as sp
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sim import simulate_topic, write_topic_sim
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+
+    sim = simulate_topic(rows=100, cols=600, factors=3, batches=1, depth=3000, seed=21)
+    ref_path = write_topic_sim(sim, str(tmp_path / "ref"))
+    fit = str(tmp_path / "fit")
+    cli.main([
+        "senna", "topic", "--data-files", ref_path, "--out", fit,
+        "-k", "3", "--encoder-layers", "16", "--epochs", "15",
+        "--minibatch-size", "64", "--num-levels", "2", "--sort-dim", "5",
+        "--proj-dim", "12", "--iter-opt", "5", "--block-size", "256",
+        "--decoder", "multinomial",
+    ])
+
+    # panel query: first 150 reference cells restricted to 40 genes
+    full = sim.counts.tocsc()
+    panel_genes = np.arange(40)
+    query = full[panel_genes[:, None], np.arange(150)[None, :]]
+    qpath = str(tmp_path / "query.zarr")
+    create_sparse_from_csc(
+        sp.csc_matrix(query), qpath,
+        [f"g{i}" for i in panel_genes], [f"q{j}" for j in range(150)],
+    )
+
+    out = str(tmp_path / "imp")
+    cli.main([
+        "senna", "impute", "--data-files", qpath, "--out", out,
+        "--model", fit, "--reference-latent", fit + ".latent.parquet",
+        "--reference-data", ref_path, "--knn", "10",
+        "--knn-temperature", "0.5", "--block-size", "256",
+    ])
+    imp = pd.read_parquet(out + ".imputed.parquet")
+    assert imp.shape == (150, 101)  # cell col + 100 reference genes
+    vals = imp.iloc[:, 1:].to_numpy()
+    assert np.isfinite(vals).all() and (vals >= 0).all()
+
+    # imputed full profiles track each query cell's TRUE full profile
+    truth = np.asarray(full[:, :150].todense()).T  # [150, 100]
+    r = [
+        np.corrcoef(vals[j], truth[j])[0, 1]
+        for j in range(150)
+        if truth[j].std() > 0 and vals[j].std() > 0
+    ]
+    assert np.mean(r) > 0.5, f"mean per-cell correlation {np.mean(r):.3f}"
