@@ -127,6 +127,20 @@ def run_senna(argv):
     p.add_argument("--batch-files", nargs="+", default=None)
     p.add_argument("--n-factors", type=int, default=20)
     p.add_argument("--block-size", type=int, default=8192)
+    p.add_argument("--column-sum-norm", type=float, default=0.0,
+                   help="normalize each cell to this total before log1p "
+                        "(0 = off)")
+    p.add_argument("--save-adjusted", action="store_true",
+                   help="write batch-adjusted counts to {out}.adjusted.zarr")
+    p.add_argument("--qc", action="store_true")
+    p.add_argument("--qc-min-total", type=float, default=0.0)
+    p.add_argument("--qc-min-genes", type=int, default=0)
+    p.add_argument("--qc-max-mito-frac", type=float, default=1.0)
+    p.add_argument("--hvg-genes", type=int, default=0,
+                   help="restrict the spectral basis to the top-N HVGs")
+    p.add_argument("--cnv", action="store_true",
+                   help="CNV side-channel on the pseudobulk planes")
+    p.add_argument("--seed", type=int, default=None)
 
     p = sub.add_parser("layout", help="2D layout of a latent parquet")
     p.add_argument("--latent", default=None)
@@ -168,10 +182,30 @@ def run_senna(argv):
 
     p = sub.add_parser("deconvolve", help="bulk deconvolution against a reference")
     p.add_argument("--bulk", required=True, help="TSV/parquet: samples x genes counts")
-    p.add_argument("--reference", required=True, help="parquet: genes x components rates")
+    p.add_argument("--reference", default=None,
+                   help="direct mode: parquet of genes x components rates")
+    p.add_argument("--from", dest="from_run", default=None,
+                   help="archetype mode: prior embedding run prefix; its "
+                        "latent clusters into measured archetype profiles "
+                        "(deconvolve/source.rs)")
+    p.add_argument("--sc-data", nargs="+", default=None,
+                   help="archetype mode: single-cell count backends "
+                        "(default: the --from run's data files)")
+    p.add_argument("--annotation", default=None,
+                   help="archetype mode: TSV cell<TAB>label (soft readout)")
+    p.add_argument("--archetypes", type=int, nargs="+", default=[200],
+                   help="target archetype counts; several granularities "
+                        "pool into ONE posterior (gibbs.rs:241)")
+    p.add_argument("--archetype-min-cells", type=int, default=10)
     p.add_argument("--out", required=True)
-    p.add_argument("--sweeps", type=int, default=300)
-    p.add_argument("--burn-in", type=int, default=100)
+    p.add_argument("--sweeps", "--draws", dest="sweeps", type=int, default=300)
+    p.add_argument("--burn-in", "--warmup", dest="burn_in", type=int, default=100)
+    p.add_argument("--thin", type=int, default=1)
+    p.add_argument("--frac-prior-shape", type=float, default=1.0)
+    p.add_argument("--frac-prior-rate", type=float, default=1.0)
+    p.add_argument("--nb-dispersion", type=float, default=10.0)
+    p.add_argument("--count-scale", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("probe", help="drift/novelty verdict for held-out latents")
     p.add_argument("--train-latent", required=True)
@@ -657,6 +691,75 @@ def run_senna(argv):
             if args.bulk.endswith(".parquet")
             else pd.read_csv(args.bulk, sep="\t", index_col=0)
         )
+        cfg = DeconvConfig(
+            n_sweeps=args.sweeps, burn_in=args.burn_in, thin=args.thin,
+            a0=args.frac_prior_shape, b0=args.frac_prior_rate,
+            nb_dispersion=args.nb_dispersion, count_scale=args.count_scale,
+            seed=args.seed,
+        )
+        if args.from_run:
+            # archetype mode (deconvolve/source.rs + archetypes.rs):
+            # cluster the prior run's cell embedding into measured
+            # sub-type profiles; pool granularities into one posterior
+            from ..senna.deconvolve import build_archetype_reference
+            from ..senna.topic import load_data_vec
+            from ..utils.manifest import RunManifest
+
+            prev = RunManifest.load(
+                args.from_run if args.from_run.endswith(".json")
+                else args.from_run + ".senna.json"
+            )
+            latent_path = prev.outputs.get("latent")
+            if latent_path is None:
+                raise SystemExit("deconvolve --from: source run has no latent")
+            zdf = pd.read_parquet(latent_path)
+            emb = zdf.iloc[:, 1:].to_numpy("float32")
+            if _np.all(emb <= 0):
+                emb = _np.exp(emb)
+            sc_files = args.sc_data or prev.inputs.get("data_files")
+            if not sc_files:
+                raise SystemExit("deconvolve --from: no --sc-data and no "
+                                 "data files in the source manifest")
+            sc_vec = load_data_vec(sc_files)
+            ann = _np.array([""] * sc_vec.num_columns, dtype=object)
+            if args.annotation:
+                adf = pd.read_csv(args.annotation, sep="\t", header=None,
+                                  names=["cell", "label"], dtype=str)
+                lut = dict(zip(adf.cell, adf.label))
+                ann = _np.array(
+                    [lut.get(str(c), "") for c in sc_vec.column_names()],
+                    dtype=object,
+                )
+            frac_means, frac_sds, memb_cols = [], [], {}
+            celltypes = None
+            for gi, n_arch in enumerate(args.archetypes):
+                ref = build_archetype_reference(
+                    sc_vec, emb, ann, n_archetypes=n_arch,
+                    min_cells=args.archetype_min_cells, seed=args.seed + gi,
+                )
+                celltypes = ref.celltype_names
+                shared = [g for g in ref.gene_names if g in bulk_df.columns]
+                gpos = {g: i for i, g in enumerate(ref.gene_names)}
+                rows = [gpos[g] for g in shared]
+                y = bulk_df[shared].to_numpy(_np.float32)
+                res = deconvolve(
+                    y, ref.mu_gm[rows], readout_mc=ref.readout, config=cfg
+                )
+                frac_means.append(res.fractions)
+                frac_sds.append(res.fractions_sd)
+                memb_cols[f"archetype_k{n_arch}"] = ref.membership
+            frac = _np.mean(frac_means, axis=0)
+            pd.DataFrame(
+                frac, index=bulk_df.index, columns=celltypes
+            ).reset_index(names="sample").to_parquet(f"{args.out}.fractions.parquet")
+            pd.DataFrame(
+                {"cell": sc_vec.column_names(), **memb_cols}
+            ).to_parquet(f"{args.out}.membership.parquet")
+            print(f"wrote {args.out}.fractions.parquet "
+                  f"({len(args.archetypes)} granularities pooled) + membership")
+            return
+        if not args.reference:
+            raise SystemExit("deconvolve: provide --reference or --from")
         ref_df = pd.read_parquet(args.reference)
         # a non-numeric first column is the gene-name index (pandas 3
         # strings are 'str' dtype, not object — test numerically)
@@ -670,9 +773,7 @@ def run_senna(argv):
         shared = [g for g in ref.index if g in bulk_df.columns]
         y = bulk_df[shared].to_numpy(_np.float32)
         mu = ref.loc[shared].to_numpy(_np.float32)
-        res = deconvolve(
-            y, mu, config=DeconvConfig(n_sweeps=args.sweeps, burn_in=args.burn_in)
-        )
+        res = deconvolve(y, mu, config=cfg)
         pd.DataFrame(
             res.fractions, index=bulk_df.index, columns=list(ref.columns)
         ).reset_index(names="sample").to_parquet(f"{args.out}.fractions.parquet")
@@ -1155,6 +1256,7 @@ def run_senna(argv):
         return
     if args.cmd == "svd":
         from ..senna.svd import SvdArgs, fit_svd
+        from ..utils.prng import DEFAULT_PROJECTION_SEED
 
         fit_svd(
             SvdArgs(
@@ -1163,6 +1265,15 @@ def run_senna(argv):
                 batch_files=args.batch_files,
                 n_factors=args.n_factors,
                 block_size=args.block_size,
+                column_sum_norm=args.column_sum_norm,
+                save_adjusted=args.save_adjusted,
+                qc=args.qc,
+                qc_min_total=args.qc_min_total,
+                qc_min_genes=args.qc_min_genes,
+                qc_max_mito_frac=args.qc_max_mito_frac,
+                hvg_genes=args.hvg_genes,
+                cnv=args.cnv,
+                seed=args.seed if args.seed is not None else DEFAULT_PROJECTION_SEED,
             )
         )
         return

@@ -39,11 +39,134 @@ ABUNDANCE_FLOOR = 1e-12  # gibbs.rs:41
 class DeconvConfig:
     n_sweeps: int = 300
     burn_in: int = 100
-    a0: float = 1.0
-    b0: float = 1.0
+    thin: int = 1
+    a0: float = 1.0  # --frac-prior-shape
+    b0: float = 1.0  # --frac-prior-rate
     nb_dispersion: float = 10.0  # r
     count_scale: float = 1.0  # tau
     seed: int = 0
+
+
+@dataclass
+class ArchetypeReference:
+    """Measured archetype profiles (deconvolve/archetypes.rs:1-15):
+    Leiden communities on the cell embedding give sub-type-resolution
+    profiles; the annotation posterior carries each community's label
+    mix into the readout instead of forcing a hard label."""
+
+    mu_gm: np.ndarray  # [D_sc, R] measured mean profiles
+    readout: np.ndarray  # [R, C] community -> cell-type posterior
+    gene_names: list
+    celltype_names: list
+    membership: np.ndarray  # [N] cell -> community (-1 = dropped)
+    n_cells: np.ndarray  # [R]
+
+
+def leiden_at_count(
+    embedding: np.ndarray, target: int, *, knn: int = 30, seed: int = 0,
+    max_bisect: int = 8,
+) -> np.ndarray:
+    """Leiden membership with ~`target` communities: binary search on
+    the resolution from 1.0 (archetypes.rs LEIDEN_RESOLUTION binary
+    search)."""
+    from ..ops.leiden import knn_adjacency, leiden_clustering
+
+    adj = knn_adjacency(embedding, k=min(knn, len(embedding) - 1))
+    lo, hi = 0.01, 100.0
+    res = 1.0
+    best = None
+    for _ in range(max_bisect):
+        memb = leiden_clustering(adj, resolution=res, seed=seed).membership
+        k = int(memb.max()) + 1
+        if best is None or abs(k - target) < abs(int(best.max()) + 1 - target):
+            best = memb
+        if k == target:
+            break
+        if k < target:
+            lo = res
+        else:
+            hi = res
+        res = float(np.sqrt(lo * hi))
+    return best
+
+
+def build_archetype_reference(
+    sc_vec,  # backend/vec: [D_sc, N] counts
+    embedding: np.ndarray,  # [N, H] cell embedding
+    annotation: np.ndarray,  # [N] string labels ('' = unannotated)
+    *,
+    n_archetypes: int = 200,
+    min_cells: int = 10,
+    knn: int = 30,
+    seed: int = 0,
+    block_size: int = 2048,
+) -> ArchetypeReference:
+    """One granularity of the empirical archetype reference
+    (archetypes.rs build): profiles are MEASURED from the counts (mean
+    per community), never reconstructed from the embedding."""
+    from ..data.visitors import visit_columns_by_block
+
+    n = sc_vec.num_columns
+    d = sc_vec.num_rows
+    if len(embedding) != n or len(annotation) != n:
+        raise ValueError("embedding/annotation rows must match sc columns")
+
+    memb = leiden_at_count(embedding, n_archetypes, knn=knn, seed=seed)
+    counts = np.bincount(memb, minlength=int(memb.max()) + 1)
+    keep = counts >= min_cells
+    remap = np.full(len(counts), -1, np.int64)
+    remap[keep] = np.arange(int(keep.sum()))
+    memb = np.where(memb >= 0, remap[memb], -1)
+    r_comp = int(keep.sum())
+    if r_comp == 0:
+        raise ValueError("no archetype community reached --archetype-min-cells")
+
+    # streaming measured profiles: sum counts per community, device path
+    sums = np.zeros((d, r_comp), np.float64)
+    seg = np.where(memb >= 0, memb, r_comp).astype(np.int32)
+    import jax.numpy as _jnp
+
+    from ..ops import sparse as sparse_ops
+
+    for blk in visit_columns_by_block(sc_vec, block_size=block_size):
+        seg_blk = np.concatenate([seg[blk.lb : blk.lb + blk.ncols], [r_comp]])
+        plane = sparse_ops.collapse_block(
+            _jnp.asarray(blk.row_ids),
+            sparse_ops.block_col_ids(blk),
+            _jnp.asarray(blk.vals),
+            seg_of_col=_jnp.asarray(seg_blk),
+            num_genes=d,
+            num_groups=r_comp,
+        )
+        sums += np.asarray(plane, np.float64)
+    n_cells = np.bincount(memb[memb >= 0], minlength=r_comp).astype(np.float32)
+    mu_gm = (sums / np.maximum(n_cells, 1.0)).astype(np.float32)
+
+    # soft readout: per-community annotation fractions
+    labels = np.asarray([str(a) for a in annotation])
+    annotated = labels != ""
+    types = sorted(set(labels[annotated]))
+    t_idx = {t: i for i, t in enumerate(types)}
+    readout = np.zeros((r_comp, max(len(types), 1)), np.float32)
+    for j in np.nonzero(annotated & (memb >= 0))[0]:
+        readout[memb[j], t_idx[labels[j]]] += 1.0
+    readout = readout / np.maximum(readout.sum(1, keepdims=True), 1e-12)
+    # unannotated communities fall back to the global label marginal
+    empty = readout.sum(1) == 0
+    if empty.any() and annotated.any():
+        marg = np.bincount(
+            [t_idx[t] for t in labels[annotated]], minlength=len(types)
+        ).astype(np.float32)
+        readout[empty] = marg / marg.sum()
+
+    return ArchetypeReference(
+        mu_gm=mu_gm,
+        readout=readout,
+        gene_names=list(sc_vec.row_names()),
+        celltype_names=list(types) if types else ["type0"],
+        membership=memb,
+        n_cells=n_cells,
+    )
 
 
 @dataclass
@@ -132,7 +255,7 @@ def deconvolve(
         return all_u
 
     key, k_c = jax.random.split(key)
-    u_draws = np.asarray(run_chain(k_c, u, eps))[cfg.burn_in :]  # [T, S, R]
+    u_draws = np.asarray(run_chain(k_c, u, eps))[cfg.burn_in :: max(cfg.thin, 1)]  # [T, S, R]
     a_j = np.asarray(a_read)
     frac_draws = (u_draws @ a_j) / np.maximum(
         u_draws.sum(-1, keepdims=True), 1e-30

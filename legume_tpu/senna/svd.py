@@ -39,6 +39,22 @@ class SvdArgs:
     knn_cells: int = 10
     iter_opt: int = 30
     block_size: int = 8192
+    # normalize each cell to this total before log1p (svd/fit.rs
+    # column_sum_norm; 0 = off)
+    column_sum_norm: float = 0.0
+    # write the batch-adjusted counts to {out}.adjusted.zarr
+    # (svd/fit.rs:149-170 triplets_adjusted_by_pseudobulk)
+    save_adjusted: bool = False
+    # cell QC keep mask before the collapse (qc_lib role)
+    qc: bool = False
+    qc_min_total: float = 0.0
+    qc_min_genes: int = 0
+    qc_max_mito_frac: float = 1.0
+    # HVG gate on the basis genes (hvg.rs role; 0 = all genes)
+    hvg_genes: int = 0
+    # CNV side-channel on the pseudobulk planes (cnv_pseudobulk.rs)
+    cnv: bool = False
+    cnv_genes_per_bin: int = 25
     seed: int = DEFAULT_PROJECTION_SEED
 
 
@@ -46,6 +62,19 @@ def fit_svd(args: SvdArgs) -> dict:
     import pandas as pd
 
     vec = load_data_vec(args.data_files, args.batch_files)
+
+    if args.qc:
+        from ..data.qc import compute_cell_qc
+
+        qs = compute_cell_qc(vec, block_size=args.block_size)
+        keep = qs.keep_mask(
+            min_total=args.qc_min_total,
+            min_genes=args.qc_min_genes,
+            max_mito_frac=args.qc_max_mito_frac,
+        )
+        log.info("svd qc: keeping %d/%d cells", int(keep.sum()), vec.num_columns)
+        vec = vec.subset_columns(keep)
+
     # single-level collapse reusing the topic loader
     targs = TopicArgs(
         data_files=args.data_files,
@@ -59,34 +88,85 @@ def fit_svd(args: SvdArgs) -> dict:
     )
     levels = load_and_collapse(vec, targs)
     finest = levels.collapsed[0]
+    groups = levels.groups_per_level[0]
     # batch-adjusted pseudobulk profile (adjusted if batches, else observed)
     mu = finest.mu_adjusted if finest.mu_adjusted is not None else finest.mu_observed
     pb_dp = np.asarray(mu.mean())  # [D, P]
 
+    # HVG gate: basis restricted to the top-variance genes; excluded
+    # rows carry zero loadings so the per-cell projection is unchanged
+    # in shape (hvg.rs gate role)
+    hvg_mask = None
+    if args.hvg_genes and args.hvg_genes < vec.num_rows:
+        from ..ops.gene_stats import select_hvg_streaming
+
+        hvg_mask = np.zeros(vec.num_rows, bool)
+        hvg_mask[select_hvg_streaming(vec, args.hvg_genes, block_size=args.block_size)] = True
+        log.info("svd hvg: basis restricted to %d genes", args.hvg_genes)
+
+    pb_for_basis = pb_dp if hvg_mask is None else pb_dp[hvg_mask]
+    if args.column_sum_norm > 0:
+        csum = pb_for_basis.sum(0, keepdims=True)
+        pb_for_basis = pb_for_basis * (
+            args.column_sum_norm / np.maximum(csum, 1e-12)
+        )
+
     # log1p-stabilized spectral basis
-    x = jnp.log1p(jnp.asarray(pb_dp))
+    x = jnp.log1p(jnp.asarray(pb_for_basis))
     k = min(args.n_factors, min(x.shape) - 1)
-    u, s, vt = rsvd(x, k, key=key_from_seed(args.seed, 23))
-    u = np.asarray(u)  # [D, k] gene basis
+    u_h, s, vt = rsvd(x, k, key=key_from_seed(args.seed, 23))
+    if hvg_mask is None:
+        u = np.asarray(u_h)  # [D, k] gene basis
+    else:
+        u = np.zeros((vec.num_rows, k), np.float32)
+        u[hvg_mask] = np.asarray(u_h)
 
     # stream cells through the basis: f_cell = U^T log1p(x_cell)
     from ..data.visitors import visit_columns_by_block
-    from ..ops.sparse import project_block
+    from ..ops.sparse import block_col_ids, project_block
 
     n = vec.num_columns
     factors = np.zeros((n, k), np.float32)
     u_j = jnp.asarray(u)
     for blk in visit_columns_by_block(vec, block_size=args.block_size):
-        from ..ops.sparse import block_col_ids
+        vals = jnp.asarray(blk.vals, jnp.float32)
+        if args.column_sum_norm > 0:
+            from ..ops.sparse import block_col_sums
 
+            cols_dev = block_col_ids(blk)
+            csums = block_col_sums(cols_dev, vals, ncols=blk.ncols)
+            scale = args.column_sum_norm / jnp.maximum(csums, 1e-12)
+            vals = vals * jnp.concatenate([scale, jnp.zeros(1)])[
+                jnp.minimum(cols_dev, blk.ncols)
+            ]
         f = project_block(
             u_j,
             jnp.asarray(blk.row_ids),
             block_col_ids(blk),
-            jnp.log1p(jnp.asarray(blk.vals)),
+            jnp.log1p(vals),
             ncols=blk.ncols,
         )
         factors[blk.lb : blk.lb + blk.ncols] = np.asarray(f)
+
+    if args.save_adjusted:
+        _write_adjusted_backend(args, vec, finest, groups)
+
+    if args.cnv:
+        from ..cocoa.cnv_call import call_cnv_on_residuals
+
+        cnv = call_cnv_on_residuals(
+            pb_dp, pb_dp.mean(1), genes_per_bin=args.cnv_genes_per_bin
+        )
+        n_pb, n_bins = cnv.states.shape
+        pd.DataFrame(
+            {
+                "pseudobulk": np.repeat(np.arange(n_pb), n_bins),
+                "bin": np.tile(np.arange(n_bins), n_pb),
+                "state": cnv.states.ravel(),
+                "log_ratio": cnv.log_ratio.ravel(),
+            }
+        ).to_parquet(f"{args.out}.cnv.parquet")
+        log.info("svd cnv side-channel: %d pbs x %d bins", n_pb, n_bins)
 
     cells = vec.column_names()
     genes = vec.row_names()
@@ -108,6 +188,44 @@ def fit_svd(args: SvdArgs) -> dict:
         },
     ).save(args.out)
     return {"factors": factors, "basis": u, "singular_values": np.asarray(s)}
+
+
+def _write_adjusted_backend(args: SvdArgs, vec, finest, groups: np.ndarray) -> None:
+    """{out}.adjusted.zarr — batch-adjusted counts (svd/fit.rs:149-170):
+    per cell j in pseudobulk group p, x_dj <- x_dj / (plane[d, p] l_j)
+    with the self-normalizing scale l_j = sum x / sum plane on x's
+    support (adjust_by_division_of_selected_inplace semantics); the
+    plane is the per-group batch flavor mu_residual (observed mean when
+    no batches)."""
+    import scipy.sparse as sp
+
+    from ..data.sparse_io import create_sparse_from_csc
+
+    plane = finest.mu_residual if finest.mu_residual is not None else finest.mu_observed
+    plane_dp = np.asarray(plane.mean())  # [D, P]
+    n = vec.num_columns
+    blocks = []
+    bs = args.block_size
+    for lb in range(0, n, bs):
+        ub = min(lb + bs, n)
+        csc = vec.read_columns_csc(np.arange(lb, ub))
+        data = csc.data.copy()
+        for jloc in range(ub - lb):
+            s_, e_ = csc.indptr[jloc], csc.indptr[jloc + 1]
+            rows = csc.indices[s_:e_]
+            mu = plane_dp[rows, groups[lb + jloc]]
+            x = csc.data[s_:e_]
+            mu_sum = float(mu.sum())
+            lam = float(x.sum()) / mu_sum if mu_sum > 0 else 1.0
+            denom = mu * lam
+            data[s_:e_] = np.where(denom > 0, x / np.maximum(denom, 1e-30), x)
+        blocks.append(
+            sp.csc_matrix((data, csc.indices.copy(), csc.indptr.copy()), shape=csc.shape)
+        )
+    adjusted = sp.hstack(blocks, format="csc") if blocks else sp.csc_matrix((vec.num_rows, 0))
+    path = f"{args.out}.adjusted.zarr"
+    create_sparse_from_csc(adjusted, path, vec.row_names(), vec.column_names())
+    log.info("wrote adjusted backend %s (%d nnz)", path, adjusted.nnz)
 
 
 def fit_joint_svd(

@@ -827,3 +827,41 @@ def test_pinto_figure_suite(spatial_sim, tmp_path):
         "--out", single,
     ])
     assert Path(single).exists()
+
+
+def test_svd_extended_flags(tmp_path):
+    """svd --save-adjusted / --hvg-genes / --column-sum-norm / --cnv
+    (svd/fit.rs:27-100): adjusted backend round-trips with the input's
+    shape; HVG-gated basis zeroes excluded gene loadings; cnv parquet
+    lands."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sim import simulate_topic, write_topic_sim
+    from legume_tpu.data.sparse_io import open_sparse_matrix
+
+    sim = simulate_topic(rows=80, cols=500, factors=3, batches=2,
+                         pve_batch=0.8, depth=2000, seed=31)
+    path = write_topic_sim(sim, str(tmp_path / "s"))
+    batch_file = tmp_path / "b.txt"
+    batch_file.write_text("\n".join(f"b{int(b)}" for b in sim.batch) + "\n")
+    out = str(tmp_path / "svd")
+    cli.main([
+        "senna", "svd", "--data-files", path,
+        "--batch-files", str(batch_file), "--out", out,
+        "--n-factors", "5", "--block-size", "256",
+        "--hvg-genes", "40", "--column-sum-norm", "1000",
+        "--save-adjusted", "--cnv",
+    ])
+    z = pd.read_parquet(out + ".latent.parquet")
+    assert z.shape == (500, 6)
+    u = pd.read_parquet(out + ".dictionary.parquet").iloc[:, 1:].to_numpy()
+    # HVG gate: exactly 40 genes carry nonzero loadings
+    assert (np.abs(u).sum(1) > 0).sum() == 40
+    adj = open_sparse_matrix(out + ".adjusted.zarr")
+    assert adj.num_rows == 80 and adj.num_columns == 500
+    blk = adj.read_columns_csc(np.arange(100))
+    assert (blk.data >= 0).all() and np.isfinite(blk.data).all()
+    # division self-normalizes: per-cell residuals center near 1
+    assert 0.2 < float(np.median(blk.data)) < 5.0
+    assert (tmp_path / "svd.cnv.parquet").exists()

@@ -71,3 +71,72 @@ def test_tempering_widens_posterior():
     assert temp.ess.min() >= full.ess.min()
     # point estimates stay consistent under tempering
     assert np.abs(temp.fractions - full.fractions).max() < 0.1
+
+
+def test_deconvolve_archetype_mode_e2e(tmp_path):
+    """senna deconvolve --from (deconvolve/source.rs + archetypes.rs):
+    Leiden communities on the prior run's latent become MEASURED
+    profiles; the annotation's soft readout pools two granularities
+    into one posterior that recovers planted bulk fractions."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sim import simulate_topic, write_topic_sim
+
+    sim = simulate_topic(rows=90, cols=700, factors=3, batches=1,
+                         pve_topic=0.9, depth=3000, seed=17)
+    path = write_topic_sim(sim, str(tmp_path / "sc"))
+    fit = str(tmp_path / "fit")
+    cli.main([
+        "senna", "topic", "--data-files", path, "--out", fit,
+        "-k", "3", "--encoder-layers", "16", "--epochs", "20",
+        "--minibatch-size", "64", "--num-levels", "2", "--sort-dim", "5",
+        "--proj-dim", "12", "--iter-opt", "5", "--block-size", "256",
+        "--decoder", "multinomial",
+    ])
+
+    # annotation = true dominant topic; bulk = planted mixtures of cells
+    true_k = sim.theta.argmax(1)
+    import legume_tpu.data.sparse_io as sio
+
+    cells = sio.open_sparse_matrix(path).column_names()
+    ann = tmp_path / "ann.tsv"
+    ann.write_text("".join(f"{c}\ttype{k}\n" for c, k in zip(cells, true_k)))
+
+    rng = np.random.default_rng(5)
+    full = sim.counts.tocsc()
+    planted = np.asarray([[0.6, 0.3, 0.1], [0.1, 0.2, 0.7], [0.34, 0.33, 0.33]])
+    bulk_rows = []
+    for s in range(3):
+        n_draw = 220
+        picks = []
+        for k in range(3):
+            pool = np.nonzero(true_k == k)[0]
+            picks.append(rng.choice(pool, int(planted[s, k] * n_draw), replace=True))
+        cols = np.concatenate(picks)
+        bulk_rows.append(np.asarray(full[:, cols].sum(1)).ravel())
+    bulk = pd.DataFrame(
+        np.stack(bulk_rows), index=[f"s{j}" for j in range(3)],
+        columns=[f"g{i}" for i in range(90)],
+    )
+    bulk_path = str(tmp_path / "bulk.tsv")
+    bulk.to_csv(bulk_path, sep="\t")
+
+    out = str(tmp_path / "dec")
+    cli.main([
+        "senna", "deconvolve", "--bulk", bulk_path, "--from", fit,
+        "--annotation", str(ann), "--archetypes", "6", "12",
+        "--archetype-min-cells", "5", "--out", out,
+        "--sweeps", "400", "--burn-in", "150", "--seed", "2",
+    ])
+    frac = pd.read_parquet(out + ".fractions.parquet")
+    cols = [c for c in frac.columns if c.startswith("type")]
+    est = frac[cols].to_numpy()
+    # fractions are simplex rows; planted composition recovered
+    np.testing.assert_allclose(est.sum(1), 1.0, atol=1e-3)
+    err = np.abs(est - planted).mean()
+    assert err < 0.15, f"mean abs fraction error {err:.3f}"
+    # membership artifact covers every cell at both granularities
+    memb = pd.read_parquet(out + ".membership.parquet")
+    assert {"archetype_k6", "archetype_k12"} <= set(memb.columns)
+    assert len(memb) == 700
