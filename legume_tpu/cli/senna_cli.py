@@ -115,10 +115,24 @@ def run_senna(argv):
     p.add_argument("--out", required=True)
     p.add_argument("--method", choices=["kmeans", "leiden", "hsblock"],
                    default="leiden")
-    p.add_argument("--hsblock-depth", type=int, default=4)
+    p.add_argument("--hsblock-depth", "--tree-depth", dest="hsblock_depth",
+                   type=int, default=4)
     p.add_argument("--n-clusters", type=int, default=10)
     p.add_argument("--knn", type=int, default=15)
     p.add_argument("--resolution", type=float, default=1.0)
+    p.add_argument("--max-iter", type=int, default=10)
+    p.add_argument("--no-degree-corrected", action="store_true",
+                   help="hsblock: plain (non-degree-corrected) SBM")
+    p.add_argument("--edge-scale", type=float, default=1.0)
+    p.add_argument("--min-cluster-size", type=int, default=1,
+                   help="clusters smaller than this unassign to -1")
+    p.add_argument("--data-files", nargs="+", default=None,
+                   help="BHC postprocess: aggregate these counts per "
+                        "cluster and write the DM Bayes-factor merge "
+                        "tree + consensus cut")
+    p.add_argument("--bhc-gamma-per-gene", type=float, default=1.0)
+    p.add_argument("--bhc-cut", type=float, default=0.0)
+    p.add_argument("--bhc-block-size", type=int, default=4096)
     p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("svd", help="streaming Nystrom rSVD embedding")
@@ -297,19 +311,31 @@ def run_senna(argv):
     p.add_argument("--support-threshold", type=float, default=0.6)
 
     p = sub.add_parser("vae", help="scVI-style Gaussian-latent VAE")
-    p.add_argument("--data-files", nargs="+", required=True)
+    p.add_argument("--data-files", nargs="*", default=[],
+                   help="input backends (optional when --from is given)")
     p.add_argument("--out", required=True)
+    p.add_argument("--from", dest="from_run", default=None,
+                   help="chain data/batch files from a prior run's manifest")
+    p.add_argument("--init-from", dest="init_from", default=None,
+                   help="warm-start weights from a prior vae run prefix")
     p.add_argument("--batch-files", nargs="+", default=None)
     p.add_argument("-k", "--n-latent", type=int, default=16)
     p.add_argument("--encoder-layers", type=int, nargs="+", default=[128, 64])
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--minibatch-size", type=int, default=100)
     p.add_argument("--learning-rate", "--lr", type=float, default=0.01)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--adj-method", choices=["batch", "residual"], default="residual")
     p.add_argument("--proj-dim", type=int, default=50)
     p.add_argument("--sort-dim", type=int, default=10)
     p.add_argument("--num-levels", type=int, default=2)
     p.add_argument("--iter-opt", type=int, default=30)
     p.add_argument("--block-size", type=int, default=8192)
+    p.add_argument("--qc", action="store_true")
+    p.add_argument("--qc-min-total", type=float, default=0.0)
+    p.add_argument("--qc-min-genes", type=int, default=0)
+    p.add_argument("--qc-max-mito-frac", type=float, default=1.0)
+    p.add_argument("--hvg-genes", type=int, default=5000)
     p.add_argument("--seed", type=int, default=None)
 
     p = sub.add_parser(
@@ -434,16 +460,27 @@ def run_senna(argv):
         from ..senna.vae import VaeArgs, fit_vae
         from ..utils.prng import DEFAULT_PROJECTION_SEED
 
+        if not args.data_files and not args.from_run:
+            raise SystemExit("vae: provide --data-files or --from <run prefix>")
         fit_vae(
             VaeArgs(
                 data_files=args.data_files,
                 out=args.out,
+                from_run=args.from_run,
+                init_from=args.init_from,
                 batch_files=args.batch_files,
                 n_latent=args.n_latent,
                 encoder_layers=tuple(args.encoder_layers),
                 epochs=args.epochs,
                 minibatch_size=args.minibatch_size,
                 learning_rate=args.learning_rate,
+                grad_clip=args.grad_clip,
+                adj_method=args.adj_method,
+                qc=args.qc,
+                qc_min_total=args.qc_min_total,
+                qc_min_genes=args.qc_min_genes,
+                qc_max_mito_frac=args.qc_max_mito_frac,
+                hvg_genes=args.hvg_genes,
                 proj_dim=args.proj_dim,
                 sort_dim=args.sort_dim,
                 num_levels=args.num_levels,
@@ -1249,10 +1286,30 @@ def run_senna(argv):
                 n_clusters=args.n_clusters,
                 knn=args.knn,
                 resolution=args.resolution,
+                max_iter=args.max_iter,
                 hsblock_depth=args.hsblock_depth,
+                degree_corrected=not args.no_degree_corrected,
+                edge_scale=args.edge_scale,
+                min_cluster_size=args.min_cluster_size,
+                data_files=args.data_files,
+                bhc_gamma_per_gene=args.bhc_gamma_per_gene,
+                bhc_cut=args.bhc_cut,
+                bhc_block_size=args.bhc_block_size,
                 seed=args.seed,
             )
         )
+        if args.from_run:
+            # record the cluster path back into the source manifest
+            # (clustering.rs:296 update_manifest_cluster_path)
+            from ..utils.manifest import RunManifest
+
+            src = (
+                args.from_run if args.from_run.endswith(".json")
+                else args.from_run + ".senna.json"
+            )
+            prev = RunManifest.load(src)
+            prev.outputs["clusters"] = f"{args.out}.clusters.parquet"
+            prev.save(src[: -len(".senna.json")])
         return
     if args.cmd == "svd":
         from ..senna.svd import SvdArgs, fit_svd

@@ -39,10 +39,13 @@ def bhc_cluster(
     alpha: float = 0.5,
     pi: float = 0.5,
     max_clusters: int | None = None,
+    cutoff: float = 0.0,
 ) -> BhcResult:
     """Greedy BHC: repeatedly merge the pair with the highest posterior
     merge odds log r = log pi + logML(merged) - log(1-pi) -
-    logML(i) - logML(j); cut where odds drop below 0."""
+    logML(i) - logML(j); cut where odds drop below `cutoff`
+    (cluster_bhc.rs ClusterBhcConfig.cutoff; 0 = the natural Bayesian
+    break point)."""
     k = profiles.shape[0]
     nodes = [profiles[i].astype(np.float64) for i in range(k)]
     ml = [_dm_marginal(p, alpha) for p in nodes]
@@ -61,7 +64,7 @@ def bhc_cluster(
                 if best is None or score > best[0]:
                     best = (score, i, j, pooled)
         score, i, j, pooled = best
-        if score < 0 and (
+        if score < cutoff and (
             max_clusters is None or len(active) <= max_clusters
         ):
             break

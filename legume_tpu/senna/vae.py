@@ -40,19 +40,54 @@ class VaeArgs:
     epochs: int = 500
     minibatch_size: int = 100
     learning_rate: float = 0.01
+    grad_clip: float = 1.0
     proj_dim: int = 50
     sort_dim: int = 10
     num_levels: int = 2
     iter_opt: int = 30
     ignore_batch: bool = False
     block_size: int = 8192
+    # manifest chaining + warm start (vae.rs from/init_from fields)
+    from_run: Optional[str] = None
+    init_from: Optional[str] = None
+    # eval null plane selection (vae.rs adj_method)
+    adj_method: str = "residual"
+    # QC keep mask + HVG sketch gate (vae.rs qc/hvg flattened args)
+    qc: bool = False
+    qc_min_total: float = 0.0
+    qc_min_genes: int = 0
+    qc_max_mito_frac: float = 1.0
+    hvg_genes: int = 5000
     seed: int = DEFAULT_PROJECTION_SEED
 
 
 def fit_vae(args: VaeArgs) -> dict:
     import pandas as pd
 
+    if args.from_run:
+        from ..utils.manifest import RunManifest as _RM
+
+        prev = _RM.load(
+            args.from_run if args.from_run.endswith(".json")
+            else args.from_run + ".senna.json"
+        )
+        if not args.data_files:
+            args.data_files = prev.inputs.get("data_files", [])
+        if args.batch_files is None and prev.inputs.get("batch_files"):
+            args.batch_files = prev.inputs["batch_files"]
+
     vec = load_data_vec(args.data_files, args.batch_files)
+    if args.qc:
+        from ..data.qc import compute_cell_qc
+
+        qs = compute_cell_qc(vec, block_size=args.block_size)
+        keep = qs.keep_mask(
+            min_total=args.qc_min_total,
+            min_genes=args.qc_min_genes,
+            max_mito_frac=args.qc_max_mito_frac,
+        )
+        log.info("vae qc: keeping %d/%d cells", int(keep.sum()), vec.num_columns)
+        vec = vec.subset_columns(keep)
     d = vec.num_rows
     topic_args = TopicArgs(
         data_files=args.data_files,
@@ -62,6 +97,7 @@ def fit_vae(args: VaeArgs) -> dict:
         iter_opt=args.iter_opt,
         ignore_batch=args.ignore_batch,
         block_size=args.block_size,
+        hvg_genes=args.hvg_genes,
         seed=args.seed,
     )
     levels = load_and_collapse(vec, topic_args)
@@ -80,20 +116,40 @@ def fit_vae(args: VaeArgs) -> dict:
             epochs=args.epochs,
             minibatch_size=args.minibatch_size,
             learning_rate=args.learning_rate,
+            grad_clip=args.grad_clip,
             topic_smoothing=0.0,  # Gaussian latent: no simplex smoothing
             seed=args.seed & 0x7FFFFFFF,
         ),
     )
-    variables, _, scores = trainer.train(level_data, key)
+    init_params = None
+    if args.init_from:
+        from .topic import load_model
+
+        meta, warm_vars, _ = load_model(args.init_from)
+        if meta.get("n_topics") != args.n_latent or meta.get("n_features") != d:
+            raise ValueError(
+                f"vae init-from architecture mismatch: {meta} vs "
+                f"H={args.n_latent}, D={d}"
+            )
+        init_params = warm_vars["params"]
+        log.info("vae warm start from %s", args.init_from)
+    variables, _, scores = trainer.train(level_data, key, init_params=init_params)
 
     # per-cell latent: stream blocks through the eval encoder
     from ..data.visitors import visit_columns_by_block
 
     finest = levels.collapsed[0]
     groups = levels.groups_per_level[0]
-    null_ds = (
-        np.asarray(finest.mu_residual.mean()) if finest.mu_residual is not None else None
-    )
+    # null plane by adj_method (topic/common.rs:55-85 convention)
+    if args.adj_method == "batch" and finest.delta is not None:
+        null_ds = np.asarray(finest.delta.mean())
+        groups = vec.batch_membership()
+    else:
+        null_ds = (
+            np.asarray(finest.mu_residual.mean())
+            if finest.mu_residual is not None
+            else None
+        )
     n = vec.num_columns
     z = np.zeros((n, args.n_latent), np.float32)
     for blk in visit_columns_by_block(vec, block_size=args.minibatch_size * 8):

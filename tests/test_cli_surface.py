@@ -865,3 +865,102 @@ def test_svd_extended_flags(tmp_path):
     # division self-normalizes: per-cell residuals center near 1
     assert 0.2 < float(np.median(blk.data)) < 5.0
     assert (tmp_path / "svd.cnv.parquet").exists()
+
+
+def test_clustering_bhc_postprocess_and_min_size(tmp_path):
+    """clustering --data-files runs the BHC postprocess over the hard
+    labels (cluster_bhc.rs): well-separated planted types produce a
+    consensus cut that keeps them apart; --min-cluster-size unassigns
+    tiny clusters to -1."""
+    import pandas as pd
+    import scipy.sparse as sp
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+
+    rng = np.random.default_rng(3)
+    d, n = 60, 300
+    true_k = np.repeat([0, 1, 2], n // 3)
+    rates = np.full((3, d), 0.5)
+    rates[0, :20] = 8.0
+    rates[1, 20:40] = 8.0
+    rates[2, 40:] = 8.0
+    counts = rng.poisson(rates[true_k]).astype(np.float32).T  # [D, N]
+    path = str(tmp_path / "c.zarr")
+    create_sparse_from_csc(
+        sp.csc_matrix(counts), path,
+        [f"g{i}" for i in range(d)], [f"c{j}" for j in range(n)],
+    )
+    # latent: noisy 2D embedding separated by type
+    z = np.log(np.stack([
+        0.8 * np.eye(3)[true_k][:, i] + 0.1 for i in range(3)
+    ], axis=1))
+    lat = str(tmp_path / "lat.parquet")
+    pd.DataFrame(
+        np.hstack([np.array([f"c{j}" for j in range(n)])[:, None], z]),
+        columns=["cell", "t0", "t1", "t2"],
+    ).astype({"t0": float, "t1": float, "t2": float}).to_parquet(lat)
+
+    out = str(tmp_path / "cl")
+    cli.main([
+        "senna", "clustering", "--latent", lat, "--out", out,
+        "--method", "leiden", "--knn", "10", "--resolution", "1.0",
+        "--min-cluster-size", "5", "--data-files", path,
+    ])
+    cl = pd.read_parquet(out + ".clusters.parquet")
+    assert (cl.cluster >= -1).all()
+    merges = pd.read_parquet(out + ".bhc.merges.parquet")
+    cut = pd.read_parquet(out + ".bhc.cut.parquet")
+    k = cl.cluster.max() + 1
+    assert len(cut) == k
+    # the three planted types stay in distinct consensus groups
+    lab = cl.cluster.to_numpy()
+    keep = lab >= 0
+    cons = cut.consensus.to_numpy()[lab[keep]]
+    # map each true type to its majority consensus id; all distinct
+    maj = [np.bincount(cons[true_k[keep] == t]).argmax() for t in range(3)]
+    assert len(set(maj)) == 3, f"consensus merged planted types: {maj}"
+    assert set(merges.columns) >= {"merge_id", "left", "right", "log_bf"}
+
+
+def test_vae_qc_adj_and_warm_start(tmp_path):
+    """vae --qc/--adj-method/--init-from/--from (vae.rs VaeArgs): the
+    warm start resumes from a saved model; --from chains inputs from
+    the manifest; qc drops the planted empty cells."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sim import simulate_topic, write_topic_sim
+
+    sim = simulate_topic(rows=60, cols=400, factors=3, batches=2,
+                         pve_batch=0.7, depth=1500, seed=41)
+    # plant 20 near-empty cells that --qc-min-total must drop
+    c = sim.counts.tolil()
+    c[:, :20] = 0
+    c[0, :20] = 1
+    sim.counts = c.tocsc()
+    path = write_topic_sim(sim, str(tmp_path / "v"))
+    batch_file = tmp_path / "b.txt"
+    batch_file.write_text("\n".join(f"b{int(b)}" for b in sim.batch) + "\n")
+    out1 = str(tmp_path / "v1")
+    cli.main([
+        "senna", "vae", "--data-files", path, "--batch-files", str(batch_file),
+        "--out", out1, "-k", "4", "--encoder-layers", "16",
+        "--epochs", "10", "--minibatch-size", "64", "--num-levels", "2",
+        "--sort-dim", "5", "--proj-dim", "12", "--iter-opt", "5",
+        "--block-size", "256", "--qc", "--qc-min-total", "10",
+        "--adj-method", "batch", "--grad-clip", "0.5",
+    ])
+    z1 = pd.read_parquet(out1 + ".latent.parquet")
+    assert len(z1) == 380  # 20 empty cells dropped by qc
+
+    out2 = str(tmp_path / "v2")
+    cli.main([
+        "senna", "vae", "--from", out1, "--init-from", out1,
+        "--out", out2, "-k", "4", "--encoder-layers", "16",
+        "--epochs", "5", "--minibatch-size", "64", "--num-levels", "2",
+        "--sort-dim", "5", "--proj-dim", "12", "--iter-opt", "5",
+        "--block-size", "256", "--qc", "--qc-min-total", "10",
+    ])
+    z2 = pd.read_parquet(out2 + ".latent.parquet")
+    assert len(z2) == 380 and np.isfinite(z2.iloc[:, 1:].to_numpy()).all()
