@@ -240,11 +240,47 @@ def run_senna(argv):
         p.add_argument("--epochs", type=int, default=100)
         p.add_argument("--minibatch-size", type=int, default=256)
         p.add_argument("--mask-frac", type=float, default=0.15)
+        p.add_argument("--mask-schedule", choices=["fixed", "uniform"],
+                       default="fixed",
+                       help="uniform samples the mask rate per minibatch in "
+                            "[--mask-rate-lo, --mask-rate-hi]")
+        p.add_argument("--mask-rate-lo", type=float, default=0.05)
+        p.add_argument("--mask-rate-hi", type=float, default=0.5)
+        p.add_argument("--masked-likelihood", choices=["nb", "multinomial"],
+                       default="nb")
+        p.add_argument("--learning-rate", "--lr", type=float, default=1e-3)
+        p.add_argument("--weight-decay", type=float, default=0.01)
+        p.add_argument("--grad-clip", type=float, default=0.0)
+        p.add_argument("--feature-embedding-l2", type=float, default=0.0,
+                       help="L2 penalty on the shared gene embedding rho")
+        p.add_argument("--kl-weight", type=float, default=1e-3,
+                       help="Gaussian-latent KL weight (masked-vae)")
+        p.add_argument("--eval-mask-fraction", type=float, default=0.0,
+                       help="held-out masked-llik eval after training "
+                            "(0 = skip); writes {out}.eval.json")
+        p.add_argument("--eval-seed", type=int, default=0)
         p.add_argument(
             "--frozen-features", default=None,
             help="feature-embedding parquet from a prior run: matching"
             " genes' rho rows load frozen (topic/freeze.rs)",
         )
+        p.add_argument(
+            "--init-feature-embedding", default=None,
+            help="feature-embedding parquet: rho initializes from it but "
+                 "stays TRAINABLE (masked_topic.rs init_feature_embedding)",
+        )
+        p.add_argument(
+            "--feature-network", default=None,
+            help="TSV gene-gene edge list: restrict top-K windows to "
+                 "network genes (masked_topic.rs feature_network)",
+        )
+        p.add_argument("--feature-network-min-degree", type=int, default=0)
+        p.add_argument("--feature-network-max-degree", type=int, default=0,
+                       help="0 = no cap")
+        p.add_argument("--no-feature-network-restrict", action="store_true",
+                       help="load the network without restricting the gene "
+                            "axis")
+        p.add_argument("--seed", type=int, default=0)
         if _name == "masked-topic":
             p.add_argument("--latent", choices=["simplex", "sbp"], default="simplex")
 
@@ -854,7 +890,33 @@ def run_senna(argv):
             "masked-sbp": "sbp",
         }[args.cmd]
         vec = load_data_vec(args.data_files)
-        data = build_topk_windows(vec, args.window)
+        gene_weights = None
+        if getattr(args, "feature_network", None):
+            # feature-network gene restriction (masked_topic.rs:473):
+            # genes outside the network (or outside the degree bounds)
+            # are excluded from the top-K windows
+            import numpy as _np
+
+            names = {str(g): i for i, g in enumerate(vec.row_names())}
+            deg = _np.zeros(vec.num_rows, _np.int64)
+            with open(args.feature_network) as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) < 2:
+                        continue
+                    a, b = names.get(parts[0]), names.get(parts[1])
+                    if a is not None and b is not None and a != b:
+                        deg[a] += 1
+                        deg[b] += 1
+            in_net = deg > 0
+            if args.feature_network_min_degree > 0:
+                in_net &= deg >= args.feature_network_min_degree
+            if args.feature_network_max_degree > 0:
+                in_net &= deg <= args.feature_network_max_degree
+            print(f"feature network: {int(in_net.sum())}/{vec.num_rows} genes kept")
+            if not args.no_feature_network_restrict:
+                gene_weights = in_net.astype(_np.float32)
+        data = build_topk_windows(vec, args.window, gene_weights=gene_weights)
         embed_dim = args.embed_dim
         frozen_init = frozen_mask = None
         if getattr(args, "frozen_features", None):
@@ -875,22 +937,58 @@ def run_senna(argv):
                 f"frozen features: {len(ff.keep_target_indices)}/{vec.num_rows}"
                 f" genes pinned (H={ff.h})"
             )
+        init_rho = None
+        if getattr(args, "init_feature_embedding", None):
+            import numpy as _np
+
+            from ..data.knowledge import load_frozen_features
+
+            ff = load_frozen_features(args.init_feature_embedding, vec.row_names())
+            embed_dim = ff.h
+            rng = _np.random.default_rng(0)
+            init_rho = 0.1 * rng.standard_normal(
+                (vec.num_rows + 1, ff.h)
+            ).astype(_np.float32)
+            init_rho[ff.keep_target_indices] = ff.e_feat
         model = MaskedTopicModel(
             n_genes=vec.num_rows,
             n_topics=args.n_latent_topics,
             embed_dim=embed_dim,
             latent=latent,
+            kl_weight=args.kl_weight,
+            masked_likelihood=args.masked_likelihood,
         )
-        variables, trace = train_masked(
+        variables, trace, eval_loss = train_masked(
             model, data,
             MaskedTrainConfig(
                 epochs=args.epochs,
                 minibatch=args.minibatch_size,
+                learning_rate=args.learning_rate,
                 mask_frac=args.mask_frac,
+                mask_schedule=args.mask_schedule,
+                mask_rate_lo=args.mask_rate_lo,
+                mask_rate_hi=args.mask_rate_hi,
+                weight_decay=args.weight_decay,
+                grad_clip=args.grad_clip,
+                feature_embedding_l2=args.feature_embedding_l2,
+                eval_mask_frac=args.eval_mask_fraction,
+                eval_seed=args.eval_seed,
+                seed=args.seed,
                 frozen_rho_init=frozen_init,
                 frozen_rho_mask=frozen_mask,
+                init_rho=init_rho,
             ),
         )
+        if eval_loss is not None:
+            import json as _json
+
+            with open(f"{args.out}.eval.json", "w") as f:
+                _json.dump(
+                    {"eval_mask_fraction": args.eval_mask_fraction,
+                     "eval_seed": args.eval_seed,
+                     "masked_eval_loss": eval_loss}, f, indent=2,
+                )
+            print(f"held-out masked eval loss: {eval_loss:.4f}")
         raw = latent == "gaussian"
         log_theta = encode_all(model, variables, data, raw_latent=raw)
         import numpy as _np

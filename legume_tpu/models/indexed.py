@@ -137,6 +137,10 @@ class MaskedTopicModel(nn.Module):
     hidden: int = 128
     latent: str = "simplex"  # simplex (masked-topic) | gaussian (masked-vae) | sbp (masked-sbp)
     kl_weight: float = 1e-3  # gaussian latent only
+    # per-gene likelihood on the masked positions
+    # (masked_topic.rs MaskedLikelihoodArg): nb = library-scaled
+    # overdispersed counts; multinomial = depth-invariant composition
+    masked_likelihood: str = "nb"
 
     def setup(self):
         self.rho = self.param(
@@ -198,14 +202,23 @@ class MaskedTopicModel(nn.Module):
             log_recon_u, slot_u.reshape(ids.shape[0], -1), axis=1
         )
 
-        # NB scoring of masked positions: mu = libsize * p_slot
-        lib = jnp.sum(vals, axis=-1, keepdims=True)
-        mu = jnp.exp(log_p_slot) * lib
-        phi = self.log_phi[ids]
-        ll_elem = losses.nb_log_likelihood_elem(vals, mu, phi)
         scored = mask & hit
-        llik = jnp.sum(jnp.where(scored, ll_elem, 0.0), axis=-1)
-        n_scored = jnp.maximum(jnp.sum(scored, axis=-1), 1)
+        if self.masked_likelihood == "multinomial":
+            # depth-invariant composition: sum_masked x log p, per-count
+            # normalized (MaskedLikelihoodArg::Multinomial)
+            ll_elem = vals * log_p_slot
+            llik = jnp.sum(jnp.where(scored, ll_elem, 0.0), axis=-1)
+            n_scored = jnp.maximum(
+                jnp.sum(jnp.where(scored, vals, 0.0), axis=-1), 1.0
+            )
+        else:
+            # NB scoring of masked positions: mu = libsize * p_slot
+            lib = jnp.sum(vals, axis=-1, keepdims=True)
+            mu = jnp.exp(log_p_slot) * lib
+            phi = self.log_phi[ids]
+            ll_elem = losses.nb_log_likelihood_elem(vals, mu, phi)
+            llik = jnp.sum(jnp.where(scored, ll_elem, 0.0), axis=-1)
+            n_scored = jnp.maximum(jnp.sum(scored, axis=-1), 1)
         loss = -(llik / n_scored)
         if self.latent == "gaussian":
             # masked-vae keeps the latent near N(0, I) (weak KL; the
@@ -225,13 +238,30 @@ class MaskedTrainConfig:
     minibatch: int = 256
     learning_rate: float = 1e-3
     mask_frac: float = 0.15
+    # mask-rate schedule (masked_topic.rs MaskScheduleArg): "fixed"
+    # uses mask_frac; "uniform" samples the rate per minibatch
+    mask_schedule: str = "fixed"
+    mask_rate_lo: float = 0.05
+    mask_rate_hi: float = 0.5
     union_size: int = 4096  # static union bound U
+    weight_decay: float = 0.01
+    grad_clip: float = 0.0  # 0 = off
+    # L2 penalty on the shared gene embedding rho
+    # (masked_topic.rs feature_embedding_l2)
+    feature_embedding_l2: float = 0.0
+    # held-out masked-llik evaluation after training
+    # (masked_topic.rs eval_mask_fraction / eval_seed; 0 = skip)
+    eval_mask_frac: float = 0.0
+    eval_seed: int = 0
     seed: int = 0
     # frozen gene embedding (topic/freeze.rs + frozen_features.rs):
     # rows of rho initialized from a prior run and HELD FIXED; rows not
     # covered by the source (mask 0) stay trainable
     frozen_rho_init: "np.ndarray | None" = None  # [n_genes + 1, H]
     frozen_rho_mask: "np.ndarray | None" = None  # [n_genes + 1] 1 = frozen
+    # rho initialized from a prior run but TRAINABLE
+    # (masked_topic.rs init_feature_embedding)
+    init_rho: "np.ndarray | None" = None  # [n_genes + 1, H]
 
 
 def train_masked(
@@ -258,7 +288,14 @@ def train_masked(
     batch_stats = variables.get("batch_stats", {})
     log_q = jnp.asarray(data.log_q)
 
-    optimizer = optax.adamw(cfg.learning_rate, weight_decay=0.01)
+    optimizer = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    if cfg.grad_clip > 0:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip), optimizer
+        )
+    if cfg.init_rho is not None and cfg.frozen_rho_init is None:
+        params = dict(params)
+        params["rho"] = jnp.asarray(cfg.init_rho, jnp.float32)
     if cfg.frozen_rho_init is not None:
         # overlay the pre-fit rows and zero their updates (row-granular
         # freeze: unmatched genes keep training)
@@ -284,8 +321,14 @@ def train_masked(
     vals_j = jnp.asarray(data.vals)
 
     def minibatch_loss(params, batch_stats, kb, ids_b, vals_b, lq):
-        k_mask, k_rep = jax.random.split(kb)
-        mask = (jax.random.uniform(k_mask, vals_b.shape) < cfg.mask_frac) & (vals_b > 0)
+        k_mask, k_rate, k_rep = jax.random.split(kb, 3)
+        if cfg.mask_schedule == "uniform":
+            rate = jax.random.uniform(
+                k_rate, (), minval=cfg.mask_rate_lo, maxval=cfg.mask_rate_hi
+            )
+        else:
+            rate = cfg.mask_frac
+        mask = (jax.random.uniform(k_mask, vals_b.shape) < rate) & (vals_b > 0)
         union = jnp.unique(ids_b.reshape(-1), size=u_cap, fill_value=d)
         valid_u = union < d
         (loss, _), mut = model.apply(
@@ -294,7 +337,10 @@ def train_masked(
             train=True, rngs_key=k_rep,
             mutable=["batch_stats"],
         )
-        return jnp.mean(loss), mut["batch_stats"]
+        loss = jnp.mean(loss)
+        if cfg.feature_embedding_l2 > 0:
+            loss = loss + cfg.feature_embedding_l2 * jnp.sum(params["rho"] ** 2)
+        return loss, mut["batch_stats"]
 
     grad_fn = jax.value_and_grad(minibatch_loss, has_aux=True)
 
@@ -335,7 +381,36 @@ def train_masked(
     )
     trace = losses.tolist()
 
-    return {"params": params, "batch_stats": batch_stats}, trace
+    eval_loss = None
+    if cfg.eval_mask_frac > 0:
+        # held-out masked scoring with a FIXED seed/rate so runs are
+        # comparable (masked_topic.rs eval_mask_fraction / eval_seed)
+        @jax.jit
+        def eval_pass(params, batch_stats):
+            def body(acc, batch):
+                ids_b, vals_b, kb = batch
+                mask = (
+                    jax.random.uniform(kb, vals_b.shape) < cfg.eval_mask_frac
+                ) & (vals_b > 0)
+                union = jnp.unique(ids_b.reshape(-1), size=u_cap, fill_value=d)
+                valid_u = union < d
+                loss, _ = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    ids_b, vals_b, union, log_q[union], valid_u, mask,
+                    train=False,
+                )
+                return acc + jnp.mean(loss), None
+
+            nb = max(n // cfg.minibatch, 1)
+            idsp = ids_j[: nb * cfg.minibatch].reshape(nb, cfg.minibatch, k)
+            valsp = vals_j[: nb * cfg.minibatch].reshape(nb, cfg.minibatch, k)
+            keys = jax.random.split(jax.random.key(cfg.eval_seed), nb)
+            total, _ = jax.lax.scan(body, 0.0, (idsp, valsp, keys))
+            return total / nb
+
+        eval_loss = float(eval_pass(params, batch_stats))
+
+    return {"params": params, "batch_stats": batch_stats}, trace, eval_loss
 
 
 def encode_all(

@@ -73,7 +73,7 @@ def fit_lc_etm(
     model = MaskedTopicModel(
         n_genes=d, n_topics=n_communities, embed_dim=embed_dim
     )
-    variables, trace = train_masked(
+    variables, trace, _eval_loss = train_masked(
         model, data_idx,
         MaskedTrainConfig(epochs=epochs, minibatch=minibatch, seed=seed & 0x7FFFFFFF),
     )

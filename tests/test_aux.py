@@ -198,7 +198,7 @@ def test_masked_topic_frozen_rho_stays_fixed(tmp_path):
     mask = np.zeros(d + 1, np.float32)
     mask[:20] = 1.0  # first 20 genes frozen
     model = MaskedTopicModel(n_genes=d, n_topics=3, embed_dim=h)
-    variables, _ = train_masked(
+    variables, _, _ = train_masked(
         model, data,
         MaskedTrainConfig(
             epochs=5, minibatch=64,

@@ -48,7 +48,7 @@ def test_masked_training_and_latent(topic_backend):
     be, topic = topic_backend
     data = build_topk_windows(be, 16, block_size=128)
     model = MaskedTopicModel(n_genes=100, n_topics=3, embed_dim=16, hidden=32)
-    variables, trace = train_masked(
+    variables, trace, _eval_loss = train_masked(
         model, data,
         MaskedTrainConfig(epochs=60, minibatch=100, learning_rate=3e-3, union_size=128),
     )
@@ -61,3 +61,62 @@ def test_masked_training_and_latent(topic_backend):
     cent = np.stack([theta[topic == t].mean(0) for t in range(3)])
     spread = np.linalg.norm(cent[:, None] - cent[None, :], axis=-1)
     assert spread[np.triu_indices(3, 1)].mean() > 0.05
+
+
+def test_masked_schedule_likelihood_and_eval(tmp_path):
+    """masked-topic extended surface (masked_topic.rs MaskScheduleArg /
+    MaskedLikelihoodArg / eval_mask_fraction / feature_network):
+    uniform schedule + multinomial likelihood train to a finite simplex
+    latent; the held-out eval writes {out}.eval.json; the feature
+    network restricts the windows to network genes."""
+    import json
+
+    import pandas as pd
+    import scipy.sparse as sp
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+
+    rng = np.random.default_rng(7)
+    d, n = 50, 300
+    base = rng.gamma(1.0, 1.0, (3, d))
+    base[0, :15] *= 6
+    base[1, 15:30] *= 6
+    base[2, 30:] *= 6
+    k_true = rng.integers(0, 3, n)
+    counts = rng.poisson(base[k_true]).astype(np.float32).T
+    path = str(tmp_path / "m.zarr")
+    create_sparse_from_csc(
+        sp.csc_matrix(counts), path,
+        [f"g{i}" for i in range(d)], [f"c{j}" for j in range(n)],
+    )
+    # network covering only the first 40 genes (ring)
+    net = tmp_path / "net.tsv"
+    net.write_text("".join(f"g{i}\tg{(i + 1) % 40}\n" for i in range(40)))
+
+    out = str(tmp_path / "mk")
+    cli.main([
+        "senna", "masked-topic", "--data-files", path, "--out", out,
+        "-k", "3", "--window", "24", "--embed-dim", "16",
+        "--epochs", "10", "--minibatch-size", "64",
+        "--mask-schedule", "uniform", "--mask-rate-lo", "0.1",
+        "--mask-rate-hi", "0.4", "--masked-likelihood", "multinomial",
+        "--feature-embedding-l2", "1e-5", "--grad-clip", "1.0",
+        "--eval-mask-fraction", "0.2", "--eval-seed", "3",
+        "--feature-network", str(net),
+    ])
+    z = pd.read_parquet(out + ".latent.parquet").iloc[:, 1:].to_numpy()
+    assert np.isfinite(z).all()
+    np.testing.assert_allclose(np.exp(z).sum(1), 1.0, atol=1e-3)
+    doc = json.loads((tmp_path / "mk.eval.json").read_text())
+    assert np.isfinite(doc["masked_eval_loss"])
+    # restriction held: no window may touch genes outside the network
+    # (windows rebuilt here the same way the CLI did)
+    from legume_tpu.data.sparse_io import open_sparse_matrix
+    from legume_tpu.models.indexed import build_topk_windows
+
+    w = np.zeros(d, np.float32)
+    w[:40] = 1.0
+    data = build_topk_windows(open_sparse_matrix(path), 24, gene_weights=w)
+    real = data.ids[data.ids < d]
+    assert real.max() < 40
