@@ -42,6 +42,10 @@ def peak_to_gene(
     lam: float = 0.1,
     num_steps: int = 600,
     knockoff_fdr: float | None = None,
+    prior_var: float = 5.0,  # SuSiE effect prior (finemap.rs:151)
+    pve_adjust: bool = True,  # winner's-curse z shrinkage (embed.rs:145)
+    ko_ridge: float = 1e-4,
+    ko_s: str = "equi",
     seed: int = 0,
 ) -> PeakGeneLinks:
     """Fine-map each gene's expression on its cis peaks."""
@@ -62,12 +66,18 @@ def peak_to_gene(
             continue
         # marginal z within the cis window
         z = (xs[:, pk] * ys[:, [gene]]).sum(0) / np.sqrt(n)
+        if pve_adjust and n > 2:
+            # winner's-curse shrinkage z * sqrt((n-1)/(z^2+n-2))
+            z = z * np.sqrt((n - 1.0) / (z * z + n - 2.0))
         # eigenspace design restricted to cis peaks
         d_reg = np.sqrt(d * d + lam)
         x_tilde = d_reg[:, None] * vt[:, pk]
         y_tilde = (vt[:, pk] @ z)[:, None] / d_reg[:, None]
         design = RssDesign(x_tilde=x_tilde.astype(np.float32), y_tilde=y_tilde.astype(np.float32))
-        out = fit_susie_rss(design, L=min(L, len(pk)), config=SgvbConfig(num_steps=num_steps, seed=seed))
+        out = fit_susie_rss(
+            design, L=min(L, len(pk)),
+            config=SgvbConfig(num_steps=num_steps, prior_var=prior_var, seed=seed),
+        )
         genes.extend([gene] * len(pk))
         peaks.extend(pk.tolist())
         pips.append(out["pip"][:, 0])
@@ -82,7 +92,9 @@ def peak_to_gene(
         # each gene on [real | knockoff] peaks; W = |beta| - |beta~|
         from ..ops.knockoff import knockoff_filter, second_order_knockoffs
 
-        xs_k = second_order_knockoffs(xs, seed=seed + 1)
+        xs_k = second_order_knockoffs(
+            xs, seed=seed + 1, eps=ko_ridge, s_method=ko_s
+        )
         w_all = np.zeros(len(eff_all))
         off = 0
         for gene, pk in cis_peaks.items():

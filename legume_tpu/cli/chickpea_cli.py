@@ -110,16 +110,63 @@ def run_chickpea(argv):
     p.add_argument("--gff", required=True, help="gene annotation (TSS)")
     p.add_argument("--out", required=True)
     p.add_argument("--cis-window", type=int, default=500_000)
-    p.add_argument("--rank", type=int, default=20, help="LD eigenspace rank")
-    p.add_argument("-L", type=int, default=3)
+    p.add_argument("--rank", "--tmle-rank", dest="rank", type=int, default=20,
+                   help="LD eigenspace / LOCO factor rank")
+    p.add_argument("-L", "--num-components", dest="L", type=int, default=3)
     p.add_argument("--steps", type=int, default=600)
-    p.add_argument("--knockoff-fdr", type=float, default=None,
+    p.add_argument("--prior-var", type=float, default=5.0,
+                   help="SuSiE effect prior variance (finemap.rs)")
+    p.add_argument("--no-pve-adjust", action="store_true",
+                   help="skip the winner's-curse z shrinkage")
+    p.add_argument("--knockoff-fdr", "--fdr", dest="knockoff_fdr",
+                   type=float, default=None,
                    help="GhostKnockoff FDR filter level (off by default)")
+    p.add_argument("--ko-ridge", type=float, default=1e-4,
+                   help="knockoff correlation ridge")
+    p.add_argument("--ko-s", choices=["equi", "me", "mvr"], default="equi",
+                   help="knockoff diag(s) construction")
     p.add_argument("--loco", "--tmle", action="store_true", dest="loco",
                    help="leave-one-chromosome-out double-ML residualization")
-    p.add_argument("--min-pip", type=float, default=0.0, help="output PIP floor")
+    p.add_argument("--tmle-atac-only", action="store_true",
+                   help="LOCO-residualize the ATAC side only")
+    p.add_argument("--min-pip", "--pip-threshold", dest="min_pip",
+                   type=float, default=0.0, help="output PIP floor")
+    p.add_argument("--pseudobulk", action="store_true",
+                   help="inputs are CELL-level backends sharing barcodes; "
+                        "collapse both to shared pseudobulks first "
+                        "(run.rs pipeline)")
+    p.add_argument("--batch-files", nargs="+", default=None,
+                   help="pseudobulk mode: per-cell batch labels (RNA order)")
+    p.add_argument("--use-adjusted", action="store_true",
+                   help="pseudobulk mode: use the batch-ADJUSTED RNA plane")
+    p.add_argument("--qc", action="store_true",
+                   help="pseudobulk mode: cell QC keep mask (both sides)")
+    p.add_argument("--qc-min-total", type=float, default=0.0)
+    p.add_argument("--proj-dim", type=int, default=50)
+    p.add_argument("--sort-dim", type=int, default=8)
+    p.add_argument("--iter-opt", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser(
+        "from-multiome",
+        help="split a 10x Multiome h5 into paired {out}.rna.zarr + "
+             "{out}.atac.zarr (+ barcode-filtered fragments)",
+    )
+    p.add_argument("h5_file")
+    p.add_argument("--out", "-o", required=True)
+    p.add_argument("--fragments", default=None,
+                   help="atac_fragments.tsv.gz to filter to matched barcodes")
     args = ap.parse_args(argv)
+
+    if args.cmd == "from-multiome":
+        from ..data.builders import from_multiome_h5
+
+        rna, atac = from_multiome_h5(
+            args.h5_file, args.out, fragments=args.fragments
+        )
+        print(f"RNA backend: {rna.num_rows} rows x {rna.num_columns} cols")
+        print(f"ATAC backend: {atac.num_rows} rows x {atac.num_columns} cols")
+        return
 
     import pandas as pd
 
@@ -134,12 +181,59 @@ def run_chickpea(argv):
         raise SystemExit(
             f"rna has {rna.num_columns} samples but atac has {atac.num_columns}"
         )
-    rna_pg = np.log1p(
-        np.asarray(rna.read_columns_csc(np.arange(rna.num_columns)).todense()).T
-    )  # [n, G]
-    atac_pp = np.log1p(
-        np.asarray(atac.read_columns_csc(np.arange(atac.num_columns)).todense()).T
-    )
+    if args.pseudobulk:
+        # cell-level mode (run.rs pipeline): QC on the RNA side applies
+        # to BOTH backends, the RNA projection partitions cells into
+        # pseudobulk groups, and both sides collapse on that partition
+        # (the RNA side batch-adjusted under --use-adjusted)
+        from ..data import SparseIoVec
+        from ..ops import collapse as _clp
+        from ..senna.topic import TopicArgs, load_and_collapse
+
+        rvec = SparseIoVec()
+        rvec.push(rna)
+        avec = SparseIoVec()
+        avec.push(atac)
+        if args.batch_files:
+            labels = []
+            for bf in args.batch_files:
+                with open(bf) as f:
+                    labels.extend(x.strip() for x in f if x.strip())
+            rvec.register_batches(labels)
+        if args.qc:
+            from ..data.qc import compute_cell_qc
+
+            qs = compute_cell_qc(rvec)
+            keep = qs.keep_mask(min_total=args.qc_min_total)
+            rvec = rvec.subset_columns(keep)
+            avec = avec.subset_columns(keep)
+            print(f"qc: keeping {int(keep.sum())} cells")
+        targs = TopicArgs(
+            proj_dim=args.proj_dim, sort_dim=args.sort_dim, num_levels=1,
+            iter_opt=args.iter_opt, seed=args.seed,
+        )
+        levels = load_and_collapse(rvec, targs)
+        finest = levels.collapsed[0]
+        groups = levels.groups_per_level[0]
+        plane = (
+            finest.mu_adjusted
+            if args.use_adjusted and finest.mu_adjusted is not None
+            else finest.mu_observed
+        )
+        rna_pg = np.log1p(np.asarray(plane.mean()).T)  # [P, G]
+        n_pb = rna_pg.shape[0]
+        astat = _clp.collect_basic_stats(avec, groups, n_pb)
+        aout = _clp.optimize(astat, num_iter=args.iter_opt)
+        atac_pp = np.log1p(np.asarray(aout.mu_observed.mean()).T)  # [P, K]
+        print(f"pseudobulk mode: {n_pb} pb samples from "
+              f"{rvec.num_columns} cells")
+    else:
+        rna_pg = np.log1p(
+            np.asarray(rna.read_columns_csc(np.arange(rna.num_columns)).todense()).T
+        )  # [n, G]
+        atac_pp = np.log1p(
+            np.asarray(atac.read_columns_csc(np.arange(atac.num_columns)).todense()).T
+        )
     gene_names = [str(g) for g in rna.row_names()]
     peak_names = [str(p) for p in atac.row_names()]
     peak_coords = parse_peak_coords(peak_names)
@@ -154,14 +248,20 @@ def run_chickpea(argv):
         tssmap = {nm: model.chrom_names[model.chrom[i]] for i, nm in enumerate(model.names)}
         gene_chrom = [tssmap.get(nm) for nm in gene_names]
         peak_chrom = [c for c, _, _ in peak_coords]
-        rna_pg, atac_pp = loco_residualize(
+        rna_res, atac_res = loco_residualize(
             rna_pg, atac_pp, gene_chrom, peak_chrom, rank=args.rank, seed=args.seed
         )
+        if args.tmle_atac_only:
+            atac_pp = atac_res  # run.rs tmle_atac_only: RNA stays raw
+        else:
+            rna_pg, atac_pp = rna_res, atac_res
 
     links = peak_to_gene(
         rna_pg, atac_pp, cis,
         rank=args.rank, L=args.L, num_steps=args.steps,
-        knockoff_fdr=args.knockoff_fdr, seed=args.seed,
+        knockoff_fdr=args.knockoff_fdr,
+        prior_var=args.prior_var, pve_adjust=not args.no_pve_adjust,
+        ko_ridge=args.ko_ridge, ko_s=args.ko_s, seed=args.seed,
     )
 
     df = pd.DataFrame(

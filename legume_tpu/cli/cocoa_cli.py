@@ -15,11 +15,27 @@ def run_cocoa(argv):
     p.add_argument("--indv", required=True, help="cell -> individual labels, one per line")
     p.add_argument("--exposure", required=True, help="individual TAB exposure table")
     p.add_argument("--topic", default=None, help="cell topic proportions parquet")
+    p.add_argument("--topic-assignment", default=None,
+                   help="hard per-cell topic labels, one per line "
+                        "(one-hot alternative to --topic)")
+    p.add_argument("--topic-proportion-value", choices=["prob", "logit"],
+                   default="prob", help="scale of the --topic matrix")
+    p.add_argument("--covariate-file", default=None,
+                   help="individual-level covariates V [I, C] tsv; enters "
+                        "the residual collider adjustment")
     p.add_argument("--n-pb-samples", type=int, default=10)
     p.add_argument("--knn", type=int, default=10)
+    p.add_argument("--proj-dim", type=int, default=30)
     p.add_argument("--iter-opt", type=int, default=100)
+    p.add_argument("--a0", type=float, default=1.0)
+    p.add_argument("--b0", type=float, default=1.0)
     p.add_argument("--permutations", type=int, default=0)
+    p.add_argument("--permutation-seed", type=int, default=None)
     p.add_argument("--no-collider-fix", action="store_true")
+    p.add_argument("--no-adjust-housekeeping", action="store_true",
+                   help="disable the NB-Fisher housekeeping attenuation "
+                        "of the sufficient stats")
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--gff", default=None,
                    help="GFF gene coordinates: run the per-(indv,topic) CNV HMM")
     p.add_argument("--cnv-ground-truth", default=None,
@@ -34,6 +50,10 @@ def run_cocoa(argv):
     p.add_argument("--indv", required=True, help="cell -> individual labels, one per line")
     p.add_argument("--out", required=True)
     p.add_argument("--iter-opt", type=int, default=30)
+    p.add_argument("--a0", type=float, default=1.0)
+    p.add_argument("--b0", type=float, default=1.0)
+    p.add_argument("--no-adjust-housekeeping", action="store_true",
+                   help="disable the NB-Fisher housekeeping attenuation")
     p.add_argument("--block-size", type=int, default=8192)
 
     p = sub.add_parser(
@@ -75,7 +95,14 @@ def run_cocoa(argv):
         stat = clp.collect_basic_stats(
             vec, groups.astype(np.int32), len(names), block_size=args.block_size
         )
-        out = clp.optimize(stat, num_iter=args.iter_opt)
+        if not args.no_adjust_housekeeping:
+            # NB-Fisher housekeeping attenuation (run_collapse.rs:140,
+            # collapse_cocoa_data.rs:16): row-scale the accumulated stats
+            from ..ops.gene_stats import nb_fisher_weights
+
+            w = nb_fisher_weights(vec, block_size=args.block_size)
+            stat.observed_sum_ds *= w[:, None]
+        out = clp.optimize(stat, num_iter=args.iter_opt, a0=args.a0, b0=args.b0)
         mu = np.asarray(out.mu_observed.mean())  # [D, I]
         pd.DataFrame(
             mu, index=vec.row_names(), columns=[str(n) for n in names]
@@ -144,14 +171,25 @@ def run_cocoa(argv):
             indv_file=args.indv,
             exposure_file=args.exposure,
             topic_file=args.topic,
+            topic_assignment_file=args.topic_assignment,
+            topic_proportion_value=args.topic_proportion_value,
+            covariate_file=args.covariate_file,
             n_pb_samples=args.n_pb_samples,
             knn=args.knn,
+            proj_dim=args.proj_dim,
             n_opt_iter=args.iter_opt,
+            a0=args.a0,
+            b0=args.b0,
             n_permutations=args.permutations,
+            permutation_seed=args.permutation_seed,
             collider_fix=not args.no_collider_fix,
+            adjust_housekeeping=not args.no_adjust_housekeeping,
             gff=args.gff,
             cnv_ground_truth=args.cnv_ground_truth,
             cnv_states=args.cnv_states,
             cnv_ref_iters=args.cnv_ref_iters,
+            **(
+                {"seed": args.seed} if args.seed is not None else {}
+            ),
         )
     )

@@ -38,12 +38,26 @@ class CocoaDiffArgs:
     indv_file: str = ""  # cell -> individual (one label per line)
     exposure_file: str = ""  # individual TAB exposure
     topic_file: Optional[str] = None  # latent parquet (cell topic proportions)
+    # hard per-cell topic labels, one per line (run_diff.rs
+    # topic_assignment_files) — one-hot alternative to --topic
+    topic_assignment_file: Optional[str] = None
+    # scale of the soft proportion matrix (run_diff.rs TopicValue)
+    topic_proportion_value: str = "prob"  # prob | logit
+    # known individual-level covariates V [I, C] tsv(.gz), fed into the
+    # residual collider adjustment (run_diff.rs covariate_file)
+    covariate_file: Optional[str] = None
     n_pb_samples: int = 10
     knn: int = 10
     n_opt_iter: int = 100
     n_permutations: int = 0
+    permutation_seed: Optional[int] = None  # defaults to seed
     proj_dim: int = 30
     collider_fix: bool = True
+    # NB-Fisher housekeeping gene attenuation of the sufficient stats
+    # (collapse_cocoa_data.rs:16; default ON like the reference)
+    adjust_housekeeping: bool = True
+    a0: float = 1.0
+    b0: float = 1.0
     # hold counts in memory across the permutation replays (the role of
     # the reference's MatchCache.y0_mat caching + --preload-data);
     # gated by nnz so 1M-cell runs keep streaming
@@ -113,20 +127,49 @@ def run_cocoa_diff(args: CocoaDiffArgs) -> dict:
     for i, name in enumerate(indv_names):
         exposure[i] = table[str(name)]
 
-    if args.topic_file:
+    if args.topic_assignment_file:
+        # hard labels -> one-hot proportions (TopicAssignment path)
+        with open(args.topic_assignment_file) as f:
+            lab = np.asarray([line.strip() for line in f if line.strip()])
+        if len(lab) != n:
+            raise ValueError(f"topic assignment lists {len(lab)} cells, data has {n}")
+        _, codes = np.unique(lab, return_inverse=True)
+        z = np.eye(int(codes.max()) + 1, dtype=np.float32)[codes]
+    elif args.topic_file:
         z = pd.read_parquet(args.topic_file).iloc[:, 1:].to_numpy(np.float32)
-        if np.all(z <= 0):
+        if args.topic_proportion_value == "logit":
+            z = np.exp(z - z.max(1, keepdims=True))
+        elif np.all(z <= 0):
             z = np.exp(z)
     else:
         z = np.ones((n, 1), np.float32)
     z = z / np.maximum(z.sum(1, keepdims=True), 1e-30)
 
+    covariates = None
+    if args.covariate_file:
+        covariates = pd.read_csv(
+            args.covariate_file, sep="\t", header=None
+        ).to_numpy(np.float64)
+        if len(covariates) != n_indv:
+            raise ValueError(
+                f"covariate file has {len(covariates)} rows, data has {n_indv} "
+                "individuals"
+            )
+
     if args.collider_fix and z.shape[1] > 1:
         z, max_shift = remove_exposure_effect_from_topic_proportions(
-            z, cell_indv, exposure
+            z, cell_indv, exposure, covariates=covariates
         )
         z = z / np.maximum(z.sum(1, keepdims=True), 1e-30)
         log.info("collider fix: max |shift| per topic %s", np.round(max_shift, 3))
+
+    gene_weights = None
+    if args.adjust_housekeeping:
+        from ..ops.gene_stats import nb_fisher_weights
+
+        gene_weights = nb_fisher_weights(vec)
+        log.info("NB-Fisher housekeeping weights on (median %.3f)",
+                 float(np.median(gene_weights)))
 
     basis, proj_kn = rp.project_columns(vec, args.proj_dim, seed=args.seed)
     proj_nk = proj_kn.T.copy()
@@ -136,21 +179,32 @@ def run_cocoa_diff(args: CocoaDiffArgs) -> dict:
 
     cache = build_match_cache(proj_nk, cell_indv, n_indv, args.knn)
     stat = collect_cocoa_stat(
-        vec, z, cell_indv, pb, n_samples, exposure, cache
+        vec, z, cell_indv, pb, n_samples, exposure, cache,
+        gene_weights=gene_weights,
     )
-    params = estimate_parameters(stat, n_opt_iter=args.n_opt_iter)
+    params = estimate_parameters(
+        stat, n_opt_iter=args.n_opt_iter, a0=args.a0, b0=args.b0
+    )
     effect = compute_exposure_contrast(params, exposure)
 
     # permutation null (run_diff.rs:341-380): replay with permuted
     # exposure assignments over individuals
     pvalue = None
     if args.n_permutations > 0:
-        rng = np.random.default_rng(args.seed & 0x7FFFFFFF)
+        perm_seed = (
+            args.permutation_seed if args.permutation_seed is not None else args.seed
+        )
+        rng = np.random.default_rng(perm_seed & 0x7FFFFFFF)
         null = np.zeros((args.n_permutations, d), np.float32)
         for t in range(args.n_permutations):
             perm = rng.permutation(exposure)
-            stat_t = collect_cocoa_stat(vec, z, cell_indv, pb, n_samples, perm, cache)
-            params_t = estimate_parameters(stat_t, n_opt_iter=args.n_opt_iter)
+            stat_t = collect_cocoa_stat(
+                vec, z, cell_indv, pb, n_samples, perm, cache,
+                gene_weights=gene_weights,
+            )
+            params_t = estimate_parameters(
+                stat_t, n_opt_iter=args.n_opt_iter, a0=args.a0, b0=args.b0
+            )
             null[t] = compute_exposure_contrast(params_t, perm)
         mu0 = null.mean(0)
         sd0 = np.maximum(null.std(0), 1e-12)

@@ -49,9 +49,10 @@ class CocoaStat:
         """Row-scale y1/y0/y1_di by NB-Fisher weights
         (collapse_cocoa_data.rs:75-84)."""
         w = np.asarray(w, np.float32)[None, :, None]
-        self.y1_sum_kdp *= w
-        self.y0_sum_kdp *= w
-        self.y1_sum_kdi *= w
+        # out-of-place: the planes may be read-only device views
+        self.y1_sum_kdp = self.y1_sum_kdp * w
+        self.y0_sum_kdp = self.y0_sum_kdp * w
+        self.y1_sum_kdi = self.y1_sum_kdi * w
 
 
 @dataclass
@@ -142,11 +143,15 @@ def remove_exposure_effect_from_topic_proportions(
     cell_topic_nk: np.ndarray,
     cell_to_individual: np.ndarray,
     individual_exposure: np.ndarray,
+    covariates: np.ndarray | None = None,  # [I, C] known individual covariates
 ) -> tuple[np.ndarray, np.ndarray]:
     """Residual collider adjustment (Hartwig 2023; stat.rs:361-412):
     scale each cell's topic proportions by exp(-(group mean - grand
-    mean)) of per-individual mean log proportions. Returns (adjusted
-    proportions, per-topic max |shift|)."""
+    mean)) of per-individual mean log proportions. With `covariates`
+    (run_diff.rs --covariate-file), the removed shift is the OLS-fitted
+    part of the per-individual logits on [1, exposure, V] minus the
+    intercept, so known confounders leave through the same gate.
+    Returns (adjusted proportions, per-topic max |shift|)."""
     z = np.asarray(cell_topic_nk, np.float64)
     c2i = np.asarray(cell_to_individual)
     n_indv = len(individual_exposure)
@@ -161,6 +166,20 @@ def remove_exposure_effect_from_topic_proportions(
     indv_logits = sums / np.maximum(counts[:, None], 1.0)
 
     groups = np.asarray(individual_exposure)
+    out = z.copy()
+    if covariates is not None:
+        v = np.asarray(covariates, np.float64)
+        if v.ndim == 1:
+            v = v[:, None]
+        design = np.column_stack(
+            [np.ones(n_indv), groups.astype(np.float64), v]
+        )
+        beta, *_ = np.linalg.lstsq(design, indv_logits, rcond=None)
+        shift_i = design[:, 1:] @ beta[1:]  # [I, K] fitted minus intercept
+        shift_i = shift_i - shift_i.mean(axis=0, keepdims=True)
+        out[ok] *= np.exp(-shift_i)[c2i[ok]]
+        return out.astype(np.float32), np.abs(shift_i).max(axis=0)
+
     n_groups = groups.max() + 1
     group_means = np.stack(
         [indv_logits[groups == g].mean(axis=0) for g in range(n_groups)]
@@ -169,6 +188,5 @@ def remove_exposure_effect_from_topic_proportions(
     shift = group_means - grand_mean  # [G, K]
     scale = np.exp(-shift)
 
-    out = z.copy()
     out[ok] *= scale[groups[c2i[ok]]]
     return out.astype(np.float32), np.abs(shift).max(axis=0)

@@ -132,6 +132,71 @@ def from_10x_h5(h5_path: str, output: str, *, genome: str | None = None) -> Spar
     return create_sparse_from_csc(csc, output, genes, cells)
 
 
+def from_multiome_h5(
+    h5_path: str, out_prefix: str, *, fragments: str | None = None
+) -> tuple[SparseBackend, SparseBackend]:
+    """10x Multiome filtered_feature_bc_matrix.h5 -> paired
+    `{out}.rna.zarr` + `{out}.atac.zarr` split on the feature_type
+    column ("Gene Expression" vs "Peaks"); optional fragments file
+    filtered to the matrix's barcodes as `{out}.fragments.tsv.gz`
+    (`chickpea from-multiome`, chickpea/src/from_multiome/mod.rs)."""
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        grp = f["matrix"] if "matrix" in f else f[list(f.keys())[0]]
+        shape = tuple(np.asarray(grp["shape"]))
+        csc = sp.csc_matrix(
+            (np.asarray(grp["data"]), np.asarray(grp["indices"]), np.asarray(grp["indptr"])),
+            shape=shape,
+        )
+        names = _h5_strings(grp["features/name"])
+        ftypes = np.asarray(_h5_strings(grp["features/feature_type"]))
+        cells = _h5_strings(grp["barcodes"])
+
+    csr = csc.tocsr()
+    rna_rows = np.nonzero(ftypes == "Gene Expression")[0]
+    atac_rows = np.nonzero(ftypes == "Peaks")[0]
+    if len(rna_rows) == 0 or len(atac_rows) == 0:
+        raise ValueError(
+            f"from-multiome: need both feature types, got "
+            f"{dict(zip(*np.unique(ftypes, return_counts=True)))}"
+        )
+    rna = create_sparse_from_csc(
+        csr[rna_rows].tocsc(), f"{out_prefix}.rna.zarr",
+        [names[i] for i in rna_rows], cells,
+    )
+    atac = create_sparse_from_csc(
+        csr[atac_rows].tocsc(), f"{out_prefix}.atac.zarr",
+        [names[i] for i in atac_rows], cells,
+    )
+    log.info(
+        "from-multiome: RNA %d x %d, ATAC %d x %d",
+        rna.num_rows, rna.num_columns, atac.num_rows, atac.num_columns,
+    )
+
+    if fragments:
+        keep = set(cells)
+        n_in = n_out = 0
+        opener = gzip.open if fragments.endswith(".gz") else open
+        with opener(fragments, "rt") as fin, gzip.open(
+            f"{out_prefix}.fragments.tsv.gz", "wt"
+        ) as fout:
+            for line in fin:
+                if line.startswith("#"):
+                    fout.write(line)
+                    continue
+                n_in += 1
+                parts = line.split("\t")
+                if len(parts) > 3 and parts[3] in keep:
+                    fout.write(line)
+                    n_out += 1
+        log.info(
+            "from-multiome: fragments filtered %d -> %d (matched barcodes)",
+            n_in, n_out,
+        )
+    return rna, atac
+
+
 def from_10x_molecule(
     h5_path: str,
     output: str,

@@ -15,7 +15,18 @@ from __future__ import annotations
 import numpy as np
 
 
-def second_order_knockoffs(x: np.ndarray, *, seed: int = 0, eps: float = 1e-4) -> np.ndarray:
+def second_order_knockoffs(
+    x: np.ndarray, *, seed: int = 0, eps: float = 1e-4, s_method: str = "equi"
+) -> np.ndarray:
+    """Gaussian second-order knockoffs. `eps` is the correlation ridge
+    (chickpea --ko-ridge); `s_method` picks the diag(s) construction
+    (chickpea --ko-s KoSMethod): "equi" equicorrelated closed form, or
+    "me" maximum-entropy s via projected gradient ascent on
+    log det(2 diag(s) - diag(s) Sigma^-1 diag(s)). "mvr" currently
+    falls back to "me" with a warning (both trade the equi ceiling for
+    per-feature s; ME is the entropy flavor)."""
+    import logging
+
     rng = np.random.default_rng(seed)
     n, p = x.shape
     xs = (x - x.mean(0)) / np.maximum(x.std(0), 1e-8)
@@ -24,6 +35,27 @@ def second_order_knockoffs(x: np.ndarray, *, seed: int = 0, eps: float = 1e-4) -
 
     lam_min = float(np.linalg.eigvalsh(s_corr)[0])
     s_diag = np.full(p, min(1.0, 2.0 * max(lam_min, 0.0)) * (1 - eps))
+    if s_method in ("me", "mvr"):
+        if s_method == "mvr":
+            logging.getLogger(__name__).warning(
+                "knockoffs: s-method 'mvr' approximated by 'me'"
+            )
+        sinv_full = np.linalg.inv(s_corr)
+        s_v = s_diag.copy()
+        hi = 2.0 * max(lam_min, 1e-8) * (1 - eps)
+        lr = 0.1 * hi
+        for _ in range(100):
+            # d/ds log det(2S - S Sinv S) with S = diag(s):
+            # grad_i = [M^-1 (2I - 2 Sinv S)]_{ii}, M = 2S - S Sinv S
+            m = 2 * np.diag(s_v) - (s_v[:, None] * sinv_full) * s_v[None, :]
+            m = (m + m.T) / 2 + 1e-10 * np.eye(p)
+            try:
+                minv = np.linalg.inv(m)
+            except np.linalg.LinAlgError:
+                break
+            grad = np.diag(minv @ (2 * np.eye(p) - 2 * sinv_full * s_v[None, :]))
+            s_v = np.clip(s_v + lr * grad, 1e-8, hi)
+        s_diag = s_v
 
     sinv = np.linalg.inv(s_corr)
     # conditional mean: X (I - Sinv diag(s)); conditional cov:

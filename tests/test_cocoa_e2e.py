@@ -210,3 +210,58 @@ def test_cocoa_cnv_gff_cli_path(tmp_path):
     assert st["gene"].tolist() == [f"g{i}" for i in range(g - 1)]  # genome order
     eff = pd.read_parquet(out + ".effect.parquet")
     assert np.isnan(eff.loc[eff["gene"] == "g29", "cnv_concordance_r"]).all()
+
+
+def test_cocoa_diff_extended_flags(tmp_path):
+    """diff --topic-assignment (hard one-hot), --covariate-file OLS
+    collider gate, --no-adjust-housekeeping (run_diff.rs surface):
+    artifacts land, causal genes still outrank nulls, and turning the
+    housekeeping weights off changes the statistic."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+
+    sim = simulate_one(
+        n_genes=60, n_indv=10, cells_per_indv=30, n_causal=10,
+        pve_exposure_gene=0.5, depth=1500, seed=3,
+    )
+    be_path = str(tmp_path / "counts.zarr")
+    create_sparse_from_csc(
+        sim.counts, be_path,
+        [f"g{i}" for i in range(60)],
+        [f"c{j}" for j in range(sim.counts.shape[1])],
+    )
+    indv_file = tmp_path / "indv.txt"
+    indv_file.write_text("\n".join(f"i{v}" for v in sim.cell_indv) + "\n")
+    exp_file = tmp_path / "exposure.tsv"
+    exp_file.write_text("".join(f"i{i}\t{x}\n" for i, x in enumerate(sim.exposure)))
+    n_cells = sim.counts.shape[1]
+    ta = tmp_path / "ta.txt"
+    ta.write_text("\n".join(f"t{j % 2}" for j in range(n_cells)) + "\n")
+    rng = np.random.default_rng(0)
+    cov = tmp_path / "cov.tsv"
+    cov.write_text("\n".join(f"{x:.4f}" for x in rng.standard_normal(10)) + "\n")
+
+    out = str(tmp_path / "d")
+    cli.main([
+        "cocoa", "diff", "--data-files", be_path,
+        "--indv", str(indv_file), "--exposure", str(exp_file),
+        "--topic-assignment", str(ta), "--covariate-file", str(cov),
+        "--out", out, "--n-pb-samples", "6", "--knn", "5",
+        "--iter-opt", "30", "--proj-dim", "12",
+    ])
+    eff = pd.read_parquet(out + ".effect.parquet")
+    assert len(eff) == 60 and np.isfinite(eff.effect).all()
+    causal = sim.causal_genes
+    assert np.abs(eff.effect[causal]).mean() > np.abs(eff.effect[~causal]).mean()
+
+    out2 = str(tmp_path / "d2")
+    cli.main([
+        "cocoa", "diff", "--data-files", be_path,
+        "--indv", str(indv_file), "--exposure", str(exp_file),
+        "--topic-assignment", str(ta), "--out", out2,
+        "--n-pb-samples", "6", "--knn", "5", "--iter-opt", "30",
+        "--proj-dim", "12", "--no-adjust-housekeeping",
+    ])
+    eff2 = pd.read_parquet(out2 + ".effect.parquet")
+    assert not np.allclose(eff.effect, eff2.effect)
