@@ -15,14 +15,29 @@ def run_pinto(argv):
     p.add_argument("--out", required=True)
     p.add_argument("--n-communities", "-k", type=int, default=10)
     p.add_argument("--knn", type=int, default=10)
-    p.add_argument("--sweeps", type=int, default=30)
-    p.add_argument("--em-sweeps", type=int, default=10,
-                   help="frozen-incidence component-EM sweeps after Gibbs")
+    p.add_argument("--sweeps", "--num-gibbs", dest="sweeps", type=int, default=30)
+    p.add_argument("--num-greedy", type=int, default=10)
+    p.add_argument("--em-sweeps", "--num-em", dest="em_sweeps", type=int, default=10,
+                   help="frozen-incidence component-EM sweeps after Gibbs "
+                        "(0 = skip the incidence phase)")
+    p.add_argument("--alpha", type=float, default=1.0,
+                   help="Dirichlet concentration over communities")
+    p.add_argument("--incidence-a", type=float, default=1.0)
+    p.add_argument("--incidence-b", type=float, default=1.0)
+    p.add_argument("--min-gene-count", type=float, default=0.0,
+                   help="genes with total count below this drop out")
+    p.add_argument("--no-fisher-weights", action="store_true",
+                   help="disable NB-Fisher housekeeping weights")
+    p.add_argument("--merge-cut", type=float, default=0.0,
+                   help="BHC consensus merge threshold (log-BF)")
     p.add_argument("--gene-network", default=None,
                    help="gene-gene edge list TSV: module-pair edge basis")
+    p.add_argument("--gene-network-allow-prefix", action="store_true")
+    p.add_argument("--gene-network-delimiter", default=None)
     p.add_argument("--snn-min-shared", type=int, default=2)
     p.add_argument("--gene-trim-min-degree", type=int, default=2)
     p.add_argument("--gene-modules-resolution", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=None)
     p = sub.add_parser("cascade", help="multilevel V-cycle link-community refinement")
     p.add_argument("--data-files", nargs="+", required=True)
     p.add_argument("--coords", required=True, help="TSV: cell x y")
@@ -355,11 +370,21 @@ def run_pinto(argv):
             n_communities=args.n_communities,
             knn=args.knn,
             n_sweeps=args.sweeps,
+            n_greedy=args.num_greedy,
             em_sweeps=args.em_sweeps,
+            alpha=args.alpha,
+            incidence_a=args.incidence_a,
+            incidence_b=args.incidence_b,
+            min_gene_count=args.min_gene_count,
+            fisher_weights=not args.no_fisher_weights,
+            merge_cut=args.merge_cut,
             gene_network=args.gene_network,
+            gene_network_allow_prefix=args.gene_network_allow_prefix,
+            gene_network_delimiter=args.gene_network_delimiter,
             snn_min_shared=args.snn_min_shared,
             gene_trim_min_degree=args.gene_trim_min_degree,
             gene_modules_resolution=args.gene_modules_resolution,
+            **({"seed": args.seed} if args.seed is not None else {}),
         )
     )
 

@@ -267,8 +267,12 @@ def fit_link_community(
     n_greedy: int = 10,
     em_sweeps: int = 10,
     alpha: float = 1.0,
+    incidence_a: float = 1.0,
+    incidence_b: float = 1.0,
     gene_weights: np.ndarray | None = None,
     gene_network: str | None = None,
+    gene_network_allow_prefix: bool = False,
+    gene_network_delimiter: str | None = None,
     snn_min_shared: int = 2,
     gene_trim_min_degree: int = 2,
     gene_modules_resolution: float = 1.0,
@@ -291,7 +295,11 @@ def fit_link_community(
             module_pair_edge_profiles,
         )
 
-        graph = GenePairGraph.from_edge_list(gene_network, data.row_names())
+        graph = GenePairGraph.from_edge_list(
+            gene_network, data.row_names(),
+            allow_prefix=gene_network_allow_prefix,
+            delimiter=gene_network_delimiter,
+        )
         if graph.num_edges == 0:
             raise ValueError(
                 "gene network matched 0 gene pairs (check name conventions)"
@@ -321,7 +329,8 @@ def fit_link_community(
     labels_np, trace = _fit_edge_labels(
         profiles, k,
         n_genes=n_feat, n_sweeps=n_sweeps, n_greedy=n_greedy,
-        alpha=alpha, seed=seed,
+        alpha=alpha, incidence_a=incidence_a, incidence_b=incidence_b,
+        seed=seed,
         edges=edges, n_cells=n, em_sweeps=em_sweeps,
     )
     prop = compute_node_membership(edges, labels_np, n, k)
@@ -358,12 +367,15 @@ def gene_community_rates(
     return ((a0 + num) / (b0 + den)[None, :]).astype(np.float32)
 
 
-def bhc_consensus(gene_rates_dk: np.ndarray) -> tuple[np.ndarray, list]:
+def bhc_consensus(
+    gene_rates_dk: np.ndarray, *, cutoff: float = 0.0
+) -> tuple[np.ndarray, list]:
     """BHC merge of community gene profiles -> consensus label per
-    community + merge trace (cluster_bhc consensus, outputs.rs)."""
+    community + merge trace (cluster_bhc consensus, outputs.rs;
+    `cutoff` = SrtLinkCommunityArgs merge_cut)."""
     from ..ops.bhc import bhc_cluster
 
-    res = bhc_cluster(gene_rates_dk.T)  # [K, D] profiles
+    res = bhc_cluster(gene_rates_dk.T, cutoff=cutoff)  # [K, D] profiles
     return np.asarray(res.labels), list(getattr(res, "merges", []))
 
 
@@ -375,8 +387,21 @@ class PintoLcArgs:
     n_communities: int = 10
     knn: int = 10
     n_sweeps: int = 30
+    n_greedy: int = 10
     em_sweeps: int = 10
+    alpha: float = 1.0  # Dirichlet concentration (SrtLinkCommunityArgs)
+    incidence_a: float = 1.0  # Poisson-Gamma incidence prior
+    incidence_b: float = 1.0
+    # genes with total count below this drop out of the edge profiles
+    # (SrtLinkCommunityArgs min_gene_count)
+    min_gene_count: float = 0.0
+    # NB-Fisher housekeeping weights on the edge profiles (default ON)
+    fisher_weights: bool = True
+    # BHC consensus merge threshold (merge_cut; log-BF >= cut merges)
+    merge_cut: float = 0.0
     gene_network: Optional[str] = None
+    gene_network_allow_prefix: bool = False
+    gene_network_delimiter: Optional[str] = None
     snn_min_shared: int = 2
     gene_trim_min_degree: int = 2
     gene_modules_resolution: float = 1.0
@@ -391,12 +416,24 @@ def run_lc(args: PintoLcArgs) -> LinkCommunityResult:
 
     vec = load_data_vec(args.data_files)
     coords = np.loadtxt(args.coord_file, usecols=(1, 2), skiprows=0)
-    w = nb_fisher_weights(vec)
+    w = nb_fisher_weights(vec) if args.fisher_weights else np.ones(vec.num_rows, np.float32)
+    if args.min_gene_count > 0:
+        from ..ops.gene_stats import streaming_gene_stats
+
+        st = streaming_gene_stats(vec)
+        low = (st.mean * st.n_cells) < args.min_gene_count
+        w = np.where(low, 0.0, w).astype(np.float32)
+        log.info("min-gene-count %g: %d/%d genes dropped",
+                 args.min_gene_count, int(low.sum()), vec.num_rows)
     res = fit_link_community(
         vec, coords,
         n_communities=args.n_communities, knn=args.knn,
-        n_sweeps=args.n_sweeps, em_sweeps=args.em_sweeps,
+        n_sweeps=args.n_sweeps, n_greedy=args.n_greedy,
+        em_sweeps=args.em_sweeps, alpha=args.alpha,
+        incidence_a=args.incidence_a, incidence_b=args.incidence_b,
         gene_weights=w, gene_network=args.gene_network,
+        gene_network_allow_prefix=args.gene_network_allow_prefix,
+        gene_network_delimiter=args.gene_network_delimiter,
         snn_min_shared=args.snn_min_shared,
         gene_trim_min_degree=args.gene_trim_min_degree,
         gene_modules_resolution=args.gene_modules_resolution,
@@ -428,7 +465,7 @@ def run_lc(args: PintoLcArgs) -> LinkCommunityResult:
         rates, index=vec.row_names(),
         columns=[f"c{i}" for i in range(rates.shape[1])],
     ).reset_index(names="gene").to_parquet(f"{args.out}.gene_community.parquet")
-    consensus, _merges = bhc_consensus(rates)
+    consensus, _merges = bhc_consensus(rates, cutoff=args.merge_cut)
     pd.DataFrame(
         {"community": np.arange(len(consensus)), "consensus": consensus}
     ).to_parquet(f"{args.out}.consensus.parquet")
