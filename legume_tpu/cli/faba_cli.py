@@ -27,8 +27,19 @@ def run_faba(argv):
         p.add_argument("--bam", required=True, help="WT/DART BAM")
         p.add_argument("--control-bam", required=True)
         p.add_argument("--output", required=True)
-        p.add_argument("--max-p", type=float, default=0.05)
-        p.add_argument("--min-alt", type=int, default=3)
+        p.add_argument("--max-p", "--pvalue-cutoff", dest="max_p",
+                       type=float, default=0.05)
+        p.add_argument("--min-alt", "--min-conversion", dest="min_alt",
+                       type=int, default=3)
+        p.add_argument("--min-coverage", type=int, default=0)
+        p.add_argument("--min-mapq", "--min-mapping-quality", dest="min_mapq",
+                       type=int, default=20)
+        p.add_argument("--error-rate", type=float, default=0.01,
+                       help="base conversion error rate eps")
+        p.add_argument("--overdispersion", type=float, default=0.05,
+                       help="beta-binomial rho")
+        p.add_argument("--snp-mask-file", default=None,
+                       help="TSV chrom<TAB>pos of known SNPs to exclude")
     p = sub.add_parser("all", help="pipeline: genes -> apa -> snp -> m6a/atoi")
     p.add_argument("--bam", required=True)
     p.add_argument("--gff", required=True)
@@ -263,8 +274,18 @@ def run_faba(argv):
         from ..faba.dartseq import run_atoi, run_dartseq
 
         runner = run_dartseq if args.cmd == "dartseq" else run_atoi
+        snp_mask = None
+        if args.snp_mask_file:
+            snp_mask = set()
+            with open(args.snp_mask_file) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        snp_mask.add((parts[0], int(parts[1])))
         res = runner(
-            args.bam, args.control_bam, max_p=args.max_p, min_alt=args.min_alt
+            args.bam, args.control_bam, max_p=args.max_p, min_alt=args.min_alt,
+            min_coverage=args.min_coverage, min_mapq=args.min_mapq,
+            eps=args.error_rate, rho=args.overdispersion, snp_mask=snp_mask,
         )
         ref_names = read_bam(args.bam).ref_names
         df = pd.DataFrame(

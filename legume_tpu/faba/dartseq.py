@@ -124,10 +124,13 @@ def run_dartseq(
     wt_bam: str,
     control_bam: str,
     *,
-    eps: float = 0.01,
-    rho: float = 0.05,
+    eps: float = 0.01,  # base error rate (DartSeqCountArgs error_rate)
+    rho: float = 0.05,  # beta-binomial overdispersion
     max_p: float = 0.05,
     min_alt: int = 3,
+    min_coverage: int = 0,  # WT coverage floor per site
+    min_mapq: int = 20,
+    snp_mask: "set[tuple[str, int]] | None" = None,  # (chrom, pos) to skip
     ref_base: int = C,
     alt_base: int = T,
     modality: str = "m6a",
@@ -151,8 +154,8 @@ def run_dartseq(
     tabs, cells_per_ch, strands = [], [], []
     ct_alt_parts = []
     for rb, ab, strand in channels:
-        tab, cells = conversion_counts(wt, ref_base=rb, alt_base=ab)
-        ct_tab, _ = conversion_counts(ctrl, ref_base=rb, alt_base=ab)
+        tab, cells = conversion_counts(wt, ref_base=rb, alt_base=ab, min_mapq=min_mapq)
+        ct_tab, _ = conversion_counts(ctrl, ref_base=rb, alt_base=ab, min_mapq=min_mapq)
         # align control conversions onto this channel's WT sites
         ct_map = {
             (int(r), int(p)): i
@@ -188,7 +191,19 @@ def run_dartseq(
         (stats["pvalue_betabinom"] < max_p)
         & (stats["pvalue_fisher"] < max_p)
         & (wt_tab.alt >= min_alt)
+        & (wt_tab.cov >= min_coverage)
     )
+    if snp_mask:
+        # known-SNP exclusion (DartSeqCountArgs snp_mask_file): a
+        # genomic variant mimics a conversion at its own position
+        masked = np.asarray(
+            [
+                (wt.ref_names[int(r)], int(p)) in snp_mask
+                for r, p in zip(wt_tab.ref_id, wt_tab.pos)
+            ]
+        )
+        called &= ~masked
+        log.info("snp mask: %d candidate sites excluded", int(masked.sum()))
     log.info("dartseq: %d candidate sites -> %d called", len(called), called.sum())
 
     # per-cell quantification at called sites (strand in the key: the

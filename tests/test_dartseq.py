@@ -142,3 +142,21 @@ def test_faba_all_pipeline(dartseq_bams, tmp_path):
 
     be = open_sparse_matrix(res.outputs["genes"])
     assert be.num_rows == 2
+
+
+def test_dartseq_snp_mask_and_coverage_floor(dartseq_bams):
+    """--snp-mask-file excludes known variant positions and
+    --min-coverage floors the WT coverage (DartSeqCountArgs
+    snp_mask_file / min_coverage)."""
+    wt_path, ct_path = dartseq_bams
+    base = run_dartseq(wt_path, ct_path, max_p=0.05, min_alt=3)
+    assert base.sites.shape[0] == 1
+    masked = run_dartseq(
+        wt_path, ct_path, max_p=0.05, min_alt=3,
+        snp_mask={("chr1", 110)},
+    )
+    assert masked.sites.shape[0] == 0
+    floored = run_dartseq(
+        wt_path, ct_path, max_p=0.05, min_alt=3, min_coverage=10**6
+    )
+    assert floored.sites.shape[0] == 0
