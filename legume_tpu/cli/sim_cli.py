@@ -19,6 +19,19 @@ def run_sim(argv):
     p.add_argument("--beta-scale", type=float, default=1.0)
     p.add_argument("--depth", type=float, default=1000.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--pve-noise", type=float, default=0.0,
+                   help="per-cell residual log-mean noise magnitude")
+    p.add_argument("--hierarchical-depth", type=int, default=None,
+                   help="binary stick-breaking tree dictionary with "
+                        "2^depth leaf topics (overrides --factors)")
+    p.add_argument("--n-housekeeping", type=int, default=0)
+    p.add_argument("--housekeeping-fold", type=float, default=10.0)
+    p.add_argument("--batch-rank", type=int, default=0,
+                   help="rank of the batch-program subspace "
+                        "(0 = iid per-gene shifts)")
+    p.add_argument("--holdout-topics", type=int, nargs="+", default=None,
+                   help="cells whose argmax topic is in this set go to a "
+                        "second {out}.holdout backend")
     p.add_argument("--output", required=True)
     p.add_argument(
         "--reference", default=None,
@@ -208,6 +221,43 @@ def run_sim(argv):
             beta_scale=args.beta_scale,
             depth=args.depth,
             seed=args.seed,
+            pve_noise=args.pve_noise,
+            hierarchical_depth=args.hierarchical_depth,
+            n_housekeeping=args.n_housekeeping,
+            housekeeping_fold=args.housekeeping_fold,
+            batch_rank=args.batch_rank,
         )
+        if args.holdout_topics:
+            # route argmax-theta cells to {out}.holdout (handlers.rs
+            # holdout_topics): ground-truth parquets stay FULL
+            from ..data.sparse_io import create_sparse_from_csc
+
+            held = np.isin(sim.theta.argmax(1), args.holdout_topics)
+            full_counts = sim.counts.tocsc()
+            hold_cols = np.nonzero(held)[0]
+            keep_cols = np.nonzero(~held)[0]
+            hold_path = args.output + ".holdout.zarr"
+            create_sparse_from_csc(
+                full_counts[:, hold_cols], hold_path,
+                sim.row_names, [sim.col_names[j] for j in hold_cols],
+            )
+            full_names = list(sim.col_names)
+            full_theta = sim.theta
+            sim.counts = full_counts[:, keep_cols]
+            sim.col_names = [full_names[j] for j in keep_cols]
+            sim.theta = full_theta[keep_cols]
+            path = write_topic_sim(sim, args.output)
+            # ground-truth prop parquet stays FULL (both backends'
+            # column names cross-reference it)
+            import pandas as pd
+
+            k = sim.beta.shape[1]
+            pd.DataFrame(
+                full_theta, index=full_names,
+                columns=[f"k{i}" for i in range(k)],
+            ).reset_index(names="cell").to_parquet(args.output + ".prop.parquet")
+            print(f"wrote backend: {path} ({len(keep_cols)} cells) + "
+                  f"{hold_path} ({len(hold_cols)} held-out cells)")
+            return
         path = write_topic_sim(sim, args.output)
         print(f"wrote backend: {path}")

@@ -43,12 +43,44 @@ def simulate_topic(
     beta_scale: float = 1.0,
     depth: float = 1000.0,
     seed: int = 42,
+    # per-cell residual log-mean noise sqrt(pve_noise)*eps
+    # (handlers.rs pve_noise; 0 = off)
+    pve_noise: float = 0.0,
+    # binary stick-breaking tree dictionary with 2^depth leaf topics
+    # (core.rs hierarchical_depth; overrides `factors`)
+    hierarchical_depth: "int | None" = None,
+    # housekeeping injection: first H genes high + topic-uniform
+    # (core.rs inject_housekeeping)
+    n_housekeeping: int = 0,
+    housekeeping_fold: float = 10.0,
+    # low-rank batch program: genes co-shift along a rank-r subspace
+    # (handlers.rs batch_rank; 0 = iid Splatter-style per-gene shifts)
+    batch_rank: int = 0,
 ) -> TopicSim:
-    """Single-modality factored counts (`data-beans-sim topic`)."""
-    rng = np.random.default_rng(seed)
-    g, n, k, b = rows, cols, factors, batches
+    """Single-modality factored counts (`data-beans-sim topic`).
 
-    u = rng.standard_normal((g, k))
+    Default knobs keep the RNG stream identical to earlier fixtures;
+    each extension consumes randomness only when switched on."""
+    rng = np.random.default_rng(seed)
+    g, n, b = rows, cols, batches
+    k = (1 << hierarchical_depth) if hierarchical_depth else factors
+
+    if hierarchical_depth:
+        # leaf log-dictionary = sum of per-node gene effects along the
+        # root->leaf path, variance-normalized per depth so total
+        # log-variance matches the flat model
+        depth_t = hierarchical_depth
+        node_u = rng.standard_normal((g, (1 << (depth_t + 1)) - 1))
+        u = np.zeros((g, k))
+        for leaf in range(k):
+            node = leaf + (1 << depth_t)  # 1-indexed heap position
+            path = []
+            while node >= 1:
+                path.append(node - 1)
+                node >>= 1
+            u[:, leaf] = node_u[:, path].sum(1) / np.sqrt(len(path))
+    else:
+        u = rng.standard_normal((g, k))
     v = rng.standard_normal((g, 1))
     log_beta = (
         beta_scale * (np.sqrt(pve_topic) * u + np.sqrt(1.0 - pve_topic) * v)
@@ -56,8 +88,23 @@ def simulate_topic(
     )
     beta = np.exp(log_beta)  # [G, K], E[beta] = 1
 
+    if n_housekeeping > 0:
+        h = min(n_housekeeping, g - 1)
+        hk_mean = housekeeping_fold * float(beta.mean())
+        hk = np.exp(
+            np.log(hk_mean) - 0.5 * 0.25**2
+            + 0.25 * rng.standard_normal(h)
+        )
+        beta[:h] = hk[:, None]  # uniform across topics per gene
+
     if b > 1:
-        z = rng.standard_normal((g, b))
+        if batch_rank > 0:
+            f = rng.standard_normal((g, batch_rank))
+            c = rng.standard_normal((batch_rank, b))
+            z = f @ c
+            z = z / np.maximum(z.std(), 1e-12)
+        else:
+            z = rng.standard_normal((g, b))
         w = rng.standard_normal((g, 1))
         ln_delta = np.sqrt(pve_batch) * z + np.sqrt(1.0 - pve_batch) * w
         ln_delta -= ln_delta.mean(axis=1, keepdims=True) + 0.0
@@ -86,10 +133,17 @@ def simulate_topic(
             rate = (depth / g) * delta32[:, batch[lb:ub]] * (
                 beta32 @ theta32[lb:ub].T
             )
+            if pve_noise > 0:
+                rate = rate * np.exp(
+                    np.sqrt(pve_noise)
+                    * rng.standard_normal(rate.shape).astype(np.float32)
+                )
             chunks.append(sp.csc_matrix(rng.poisson(rate).astype(np.float32)))
         counts = sp.hstack(chunks, format="csc")
     else:
         rate = (depth / g) * delta[:, batch] * (beta @ theta.T)  # [G, N]
+        if pve_noise > 0:
+            rate = rate * np.exp(np.sqrt(pve_noise) * rng.standard_normal(rate.shape))
         y = rng.poisson(rate).astype(np.float32)
         counts = sp.csc_matrix(y)
 

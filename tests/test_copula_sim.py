@@ -49,3 +49,36 @@ def test_copula_handles_zero_genes():
     x = np.asarray(sim.todense())
     assert x.shape == (33, 100)
     assert np.all(x[-3:] == 0)  # silent genes stay silent
+
+
+def test_sim_topic_extended_knobs_and_default_determinism():
+    """New simulate_topic knobs (handlers.rs pve_noise /
+    hierarchical_depth / n_housekeeping / batch_rank): defaults keep
+    the RNG stream byte-identical to earlier fixtures; each knob
+    changes the draw in its documented direction."""
+    from legume_tpu.data.sim import simulate_topic
+
+    a = simulate_topic(rows=50, cols=80, factors=4, batches=2, seed=9)
+    b = simulate_topic(rows=50, cols=80, factors=4, batches=2, seed=9)
+    assert (a.counts != b.counts).nnz == 0  # determinism intact
+
+    h = simulate_topic(rows=50, cols=80, factors=4, seed=9,
+                       hierarchical_depth=3)
+    assert h.beta.shape[1] == 8  # 2^3 leaves override factors
+    # sibling leaves share tree ancestry -> correlated log-dictionaries
+    lg = np.log(h.beta)
+    sib = np.corrcoef(lg[:, 0], lg[:, 1])[0, 1]
+    far = np.corrcoef(lg[:, 0], lg[:, 7])[0, 1]
+    assert sib > far
+
+    hk = simulate_topic(rows=50, cols=80, factors=4, seed=9,
+                        n_housekeeping=8, housekeeping_fold=10.0)
+    assert hk.beta[:8].std(1).max() < 1e-12  # topic-uniform rows
+    assert hk.beta[:8].mean() > 3 * hk.beta[8:].mean()
+
+    lr = simulate_topic(rows=200, cols=50, factors=4, batches=4, seed=9,
+                        pve_batch=1.0, batch_rank=2)
+    # rank-2 batch program: ln_delta spans <= 2 directions
+    s = np.linalg.svd(lr.ln_delta - lr.ln_delta.mean(1, keepdims=True),
+                      compute_uv=False)
+    assert s[2] < 1e-8 * s[0]
