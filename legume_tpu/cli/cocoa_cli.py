@@ -101,7 +101,8 @@ def run_cocoa(argv):
             from ..ops.gene_stats import nb_fisher_weights
 
             w = nb_fisher_weights(vec, block_size=args.block_size)
-            stat.observed_sum_ds *= w[:, None]
+            # out-of-place: the plane may be a read-only device view
+            stat.observed_sum_ds = stat.observed_sum_ds * w[:, None]
         out = clp.optimize(stat, num_iter=args.iter_opt, a0=args.a0, b0=args.b0)
         mu = np.asarray(out.mu_observed.mean())  # [D, I]
         pd.DataFrame(

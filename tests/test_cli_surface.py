@@ -264,9 +264,11 @@ def test_cocoa_simulate_and_collapse(tmp_path):
     for sfx in (".zarr", ".indv.txt", ".exposure.tsv", ".truth.parquet"):
         assert Path(out + sfx).exists(), sfx
     col = str(tmp_path / "clp")
+    # exact per-individual means need the housekeeping attenuation OFF
+    # (the reference also row-scales by default, run_collapse.rs:140)
     cli.run_cocoa([
         "collapse", "--data-files", f"{out}.zarr", "--indv", f"{out}.indv.txt",
-        "--out", col,
+        "--out", col, "--no-adjust-housekeeping",
     ])
     pb = pd.read_parquet(f"{col}.pseudobulk.parquet")
     assert pb.shape == (40, 7)  # gene col + 6 individuals
