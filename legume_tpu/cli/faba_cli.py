@@ -85,6 +85,20 @@ def run_faba(argv):
         p.add_argument("--output", required=True)
         p.add_argument("-d", "--embedding-dim", type=int, default=16)
         p.add_argument("--epochs", type=int, default=600)
+        if _name == "gem":
+            p.add_argument("--sequential-velocity", action="store_true",
+                           help="fit theta on the spliced track first, then "
+                                "delta with theta frozen (default: joint)")
+            p.add_argument("--lineage-dag", action="store_true",
+                           help="second training pass with a velocity-drift "
+                                "SEM residual over the oriented lineage; "
+                                "writes dag_pseudotime/dag_fate parquets")
+            p.add_argument("--lineage-smooth", action="store_true",
+                           help="smooth the velocity readout over KNN "
+                                "neighbours before orienting")
+            p.add_argument("--dense-dag", action="store_true",
+                           help="use the dense velocity-KNN graph instead "
+                                "of the MST lineage tree")
     p = sub.add_parser(
         "lineage", help="velocity-oriented principal-tree lineage over a gem fit"
     )
@@ -376,7 +390,33 @@ def run_faba(argv):
             )
         genes = sb.row_names()
         if args.cmd == "gem":
-            res = fit_gem(s, u, embedding_dim=args.embedding_dim, epochs=args.epochs)
+            if args.lineage_dag and args.posterior > 0:
+                raise SystemExit(
+                    "--lineage-dag cannot combine with --posterior: the "
+                    "posterior REPLACES phase-1 training, so there is no "
+                    "fit for the second pass to refine (gem/args.rs)"
+                )
+            res = fit_gem(
+                s, u, embedding_dim=args.embedding_dim, epochs=args.epochs,
+                sequential_velocity=args.sequential_velocity,
+                lineage_dag=args.lineage_dag,
+                lineage_smooth=args.lineage_smooth,
+                lineage_mst=not args.dense_dag,
+            )
+            if res.dag_pseudotime is not None:
+                pd.DataFrame({
+                    "cell": sb.column_names(),
+                    "pseudotime": res.dag_pseudotime,
+                }).to_parquet(f"{args.output}.dag_pseudotime.parquet")
+                pd.DataFrame(
+                    res.dag_fate,
+                    index=sb.column_names(),
+                    columns=[f"leaf{int(l)}" for l in res.dag_leaves],
+                ).reset_index(names="cell").to_parquet(
+                    f"{args.output}.dag_fate.parquet"
+                )
+                print(f"lineage DAG: {len(res.dag_edges)} edges, "
+                      f"{len(res.dag_leaves)} leaves")
             delta, emb = res.delta, res.e_feat
             vel = res.cell_velocity(u)
             w = s / np.maximum(s.sum(1, keepdims=True), 1e-9)

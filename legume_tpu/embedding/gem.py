@@ -37,6 +37,11 @@ class GemResult:
     pb_e: np.ndarray  # [P, H]
     pb_b: np.ndarray
     losses: list = field(default_factory=list)
+    # lineage-DAG readout (only when lineage_dag ran)
+    dag_edges: "np.ndarray | None" = None  # [E, 2] src -> dst
+    dag_pseudotime: "np.ndarray | None" = None  # [P] in [0, 1]
+    dag_fate: "np.ndarray | None" = None  # [P, n_leaves]
+    dag_leaves: "np.ndarray | None" = None  # leaf row indices
 
     def cell_velocity(self, unspliced_nd: np.ndarray) -> np.ndarray:
         w = unspliced_nd / np.maximum(unspliced_nd.sum(1, keepdims=True), 1e-9)
@@ -53,6 +58,18 @@ def fit_gem(
     n_negatives: float = 5.0,
     neg_alpha: float = 0.75,
     delta_l2: float = 0.01,
+    # sequential phase-2 velocity (gem/args.rs sequential_velocity):
+    # fit theta on the spliced track first, then delta with theta
+    # frozen — the DEFAULT is the joint solve
+    sequential_velocity: bool = False,
+    # lineage-DAG refinement (gem/args.rs lineage_dag): orient a
+    # velocity-KNN lineage over the rows, run a SECOND pass with a
+    # velocity-drift SEM residual, and lift pseudotime + fate
+    lineage_dag: bool = False,
+    lineage_smooth: bool = False,
+    lineage_mst: bool = True,  # dense_dag inverts this
+    lineage_knn: int = 10,
+    lineage_weight: float = 1.0,
     seed: int = 0,
 ) -> GemResult:
     p, d = spliced_pd.shape
@@ -87,28 +104,111 @@ def fit_gem(
     opt_state = optimizer.init(params)
 
     # epochs fold into chunked scan dispatches (utils/scan_train.py)
-    def _loss_data(pr, data):
+    def _loss_data(pr, data, *, freeze_theta=False, drift=None):
         s, u, qs, qu, ms, mu = data
-        ls = track_loss(s, qs, ms, pr["beta"], pr["b_s"], pr["pb_e"], pr["pb_b"])
+        beta = pr["beta"]
+        pb_e = pr["pb_e"]
+        if freeze_theta:
+            beta = jax.lax.stop_gradient(beta)
+            pb_e = jax.lax.stop_gradient(pb_e)
+        ls = track_loss(s, qs, ms, beta, pr["b_s"], pb_e, pr["pb_b"])
         lu = track_loss(
-            u, qu, mu, pr["beta"] + pr["delta"], pr["b_u"], pr["pb_e"], pr["pb_b"]
+            u, qu, mu, beta + pr["delta"], pr["b_u"], pb_e, pr["pb_b"]
         )
         reg = delta_l2 * jnp.mean(jnp.sum(pr["delta"] ** 2, axis=1))
-        return ls + lu + reg
+        loss = ls + lu + reg
+        if drift is not None:
+            # velocity-drift SEM residual (fit/mod.rs lineage pass):
+            # the SHARED feature dictionary picks up the lineage
+            # geometry — DAG edge i -> j pulls the row state
+            # e(i) = s_w[i] @ beta toward e(j) along eta * v_i
+            sw_src, sw_dst, v_src = drift
+            e_src = sw_src @ pr["beta"]
+            e_dst = sw_dst @ pr["beta"]
+            pred = e_src + pr["eta"] * v_src
+            loss = loss + lineage_weight * jnp.mean(
+                jnp.sum((e_dst - pred) ** 2, axis=1)
+            )
+        return loss
 
-    def gem_step(carry, data, _):
-        params, opt_state = carry
-        loss, grads = jax.value_and_grad(_loss_data)(params, data)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        return (optax.apply_updates(params, updates), opt_state), loss
+    from functools import partial as _partial
 
     from ..utils.scan_train import fold_epochs
 
-    (params, opt_state), ls = fold_epochs(
-        gem_step, (params, opt_state), (s_j, u_j, q_s, q_u, m_s, m_u), epochs,
-        cache_key=("gem", learning_rate, n_negatives, delta_l2),
-    )
-    losses = ls[::50].tolist()
+    def make_step(loss_fn):
+        def gem_step(carry, data, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, data)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        return gem_step
+
+    data6 = (s_j, u_j, q_s, q_u, m_s, m_u)
+    if sequential_velocity:
+        # phase A: theta/beta on the spliced track alone (delta frozen
+        # at 0 has no effect there); phase B: delta with theta frozen
+        def loss_a(pr, data):
+            s, u, qs, qu, ms, mu = data
+            return track_loss(s, qs, ms, pr["beta"], pr["b_s"], pr["pb_e"], pr["pb_b"])
+
+        (params, opt_state), ls_a = fold_epochs(
+            make_step(loss_a), (params, opt_state), data6, epochs,
+            cache_key=("gem-seq-a", learning_rate, n_negatives, delta_l2),
+        )
+        opt_state = optimizer.init(params)
+        (params, opt_state), ls_b = fold_epochs(
+            make_step(_partial(_loss_data, freeze_theta=True)),
+            (params, opt_state), data6, epochs,
+            cache_key=("gem-seq-b", learning_rate, n_negatives, delta_l2),
+        )
+        ls = np.concatenate([np.asarray(ls_a), np.asarray(ls_b)])
+    else:
+        (params, opt_state), ls = fold_epochs(
+            make_step(_loss_data), (params, opt_state), data6, epochs,
+            cache_key=("gem", learning_rate, n_negatives, delta_l2),
+        )
+    losses = np.asarray(ls)[::50].tolist()
+
+    dag_edges = dag_pt = dag_fate = dag_leaves = None
+    if lineage_dag:
+        # orient the lineage over rows in the CELL-state frame
+        # e(i) = s_w[i] @ beta with the future-minus-present velocity
+        # v(i) = u_w[i] @ (beta + delta) - e(i); refit with the drift
+        # residual, re-orient on the refined dictionary, then lift
+        # pseudotime + fate
+        s_w = (spliced_pd / np.maximum(spliced_pd.sum(1, keepdims=True), 1e-9)).astype(np.float32)
+        u_w = (unspliced_pd / np.maximum(unspliced_pd.sum(1, keepdims=True), 1e-9)).astype(np.float32)
+        for _pass in range(2):
+            beta_np = np.asarray(params["beta"])
+            delta_np = np.asarray(params["delta"])
+            e_np = s_w @ beta_np
+            v_np = u_w @ (beta_np + delta_np) - e_np
+            if lineage_smooth:
+                from ..ops.knn import knn_search
+
+                _, idx = knn_search(e_np, e_np, min(lineage_knn, p - 1))
+                v_np = v_np[idx].mean(1)
+            dag_edges, phi = _velocity_dag(
+                e_np, v_np, knn=min(lineage_knn, p - 1), mst=lineage_mst
+            )
+            if _pass == 1:
+                break
+            params = dict(params)
+            params["eta"] = jnp.asarray(1.0)
+            opt_state = optimizer.init(params)
+            drift = (
+                jnp.asarray(s_w[dag_edges[:, 0]]),
+                jnp.asarray(s_w[dag_edges[:, 1]]),
+                jnp.asarray(v_np[dag_edges[:, 0]]),
+            )
+            (params, opt_state), ls2 = fold_epochs(
+                make_step(_partial(_loss_data, drift=drift)),
+                (params, opt_state), data6, epochs,
+                cache_key=None,
+            )
+            losses += np.asarray(ls2)[::50].tolist()
+        dag_pt, dag_fate, dag_leaves = _dag_readout(dag_edges, p, phi)
 
     return GemResult(
         e_feat=np.asarray(params["beta"]),
@@ -118,7 +218,89 @@ def fit_gem(
         pb_e=np.asarray(params["pb_e"]),
         pb_b=np.asarray(params["pb_b"]),
         losses=losses,
+        dag_edges=dag_edges,
+        dag_pseudotime=dag_pt,
+        dag_fate=dag_fate,
+        dag_leaves=dag_leaves,
     )
+
+
+def _velocity_dag(
+    e_np: np.ndarray, v_np: np.ndarray, *, knn: int, mst: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Velocity-oriented lineage edges over the embedding rows
+    (gem/run.rs lineage graph). Edge orientation integrates the LOCAL
+    velocity projections into a GLOBAL potential phi — least squares on
+    phi_b - phi_a ~ 0.5 (v_a + v_b) . (e_b - e_a) over the kNN edges —
+    so one noisy row cannot flip a whole branch; edges then point
+    uphill in phi. `mst` keeps the minimum spanning tree (the
+    reference's default lineage tree), else the dense graph."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import minimum_spanning_tree
+    from scipy.sparse.linalg import lsqr
+
+    from ..ops.knn import knn_search
+
+    p = len(e_np)
+    dist, idx = knn_search(e_np, e_np, min(knn + 1, p - 1))
+    pairs = {}
+    for i in range(p):
+        for jj, dd in zip(idx[i], dist[i]):
+            j = int(jj)
+            if j != i:
+                pairs[(min(i, j), max(i, j))] = float(dd)
+    und = np.asarray(sorted(pairs), np.int64)
+    # potential from local projections (gauge: mean phi = 0)
+    d_ab = e_np[und[:, 1]] - e_np[und[:, 0]]
+    proj = 0.5 * ((v_np[und[:, 0]] + v_np[und[:, 1]]) * d_ab).sum(1)
+    ne = len(und)
+    rows = np.repeat(np.arange(ne), 2)
+    cols = und.reshape(-1)
+    vals = np.tile([-1.0, 1.0], ne)
+    a_mat = sp.csr_matrix(
+        (np.concatenate([vals, np.full(p, 1e-3)]),
+         (np.concatenate([rows, np.full(p, ne)]),
+          np.concatenate([cols, np.arange(p)]))),
+        shape=(ne + 1, p),
+    )
+    phi = lsqr(a_mat, np.concatenate([proj, np.zeros(1)]))[0]
+    if mst:
+        g = sp.csr_matrix(
+            (np.maximum(list(pairs.values()), 1e-9),
+             (und[:, 0], und[:, 1])),
+            shape=(p, p),
+        )
+        tree = minimum_spanning_tree(g).tocoo()
+        cand = np.stack([tree.row, tree.col], 1)
+    else:
+        cand = und
+    edges = np.where(
+        (phi[cand[:, 1]] >= phi[cand[:, 0]])[:, None],
+        cand, cand[:, ::-1],
+    )
+    return edges.astype(np.int64), phi
+
+
+def _dag_readout(edges: np.ndarray, p: int, phi: np.ndarray) -> tuple:
+    """Pseudotime = the min-max-normalized velocity potential phi (the
+    globally integrated signal; per-edge depth counting breaks on a
+    single mis-oriented tree edge) + fate = reachable-leaf distribution
+    via equal-split forward walks over the oriented edges."""
+    pt = (phi - phi.min()) / max(float(phi.max() - phi.min()), 1e-12)
+    adj: list[list[int]] = [[] for _ in range(p)]
+    for a, b in edges:
+        adj[int(a)].append(int(b))
+    leaves = np.asarray([i for i in range(p) if not adj[i]], np.int64)
+    leaf_pos = {int(l): li for li, l in enumerate(leaves)}
+    fate = np.zeros((p, max(len(leaves), 1)), np.float64)
+    for l in leaves:
+        fate[l, leaf_pos[int(l)]] = 1.0
+    # propagate fate backward in reverse-potential order
+    order = np.argsort(-phi)
+    for a in order:
+        if adj[a]:
+            fate[a] = np.mean([fate[b] for b in adj[a]], axis=0)
+    return pt.astype(np.float32), fate.astype(np.float32), leaves
 
 
 # ----------------------------------------------------------------------------

@@ -149,3 +149,37 @@ def test_faba_gem_posterior_cli(tmp_path):
     assert {"delta_pip", "beta_pip", "identified", "delta_norm"} <= set(dp.columns)
     assert dp["identified"].all()  # every gene has spliced counts here
     assert dp["delta_pip"].between(0, 1).all()
+
+
+def test_gem_lineage_dag_and_sequential(tmp_path):
+    """--lineage-dag second pass + pseudotime/fate lift and
+    --sequential-velocity (gem/args.rs TrainArgs): a planted linear
+    trajectory's DAG pseudotime tracks the true stage order; the
+    sequential fit still recovers the velocity direction."""
+    rng = np.random.default_rng(3)
+    p, d, h = 60, 40, 6
+    # linear trajectory: stage t in [0,1); spliced profile drifts with t,
+    # unspliced leads it (velocity points forward)
+    t = np.sort(rng.uniform(0, 1, p))
+    prog = np.linspace(0, 1, d)
+    s = rng.poisson(40 * np.exp(-((prog[None] - t[:, None]) ** 2) / 0.02)) * 1.0
+    u = rng.poisson(40 * np.exp(-((prog[None] - t[:, None] - 0.08) ** 2) / 0.02)) * 1.0
+
+    from legume_tpu.embedding.gem import fit_gem
+
+    res = fit_gem(
+        s, u, embedding_dim=h, epochs=300, lineage_dag=True,
+        lineage_knn=8, seed=0,
+    )
+    assert res.dag_pseudotime is not None and res.dag_fate is not None
+    # pseudotime correlates with the true stage (sign-free)
+    r = np.corrcoef(res.dag_pseudotime, t)[0, 1]
+    assert abs(r) > 0.6, f"pseudotime |r|={abs(r):.2f}"
+    np.testing.assert_allclose(res.dag_fate.sum(1), 1.0, atol=1e-5)
+
+    seq = fit_gem(
+        s, u, embedding_dim=h, epochs=300, sequential_velocity=True, seed=0,
+    )
+    # the velocity offset still separates leading (unspliced-ahead)
+    # genes: delta norms finite and nonzero
+    assert np.isfinite(seq.delta).all() and np.linalg.norm(seq.delta) > 0
