@@ -64,6 +64,11 @@ def run_sim(argv):
     p.add_argument("--factors", type=int, default=5)
     p.add_argument("--depth", type=float, default=1500.0)
     p.add_argument("--seed", type=int, default=13)
+    p.add_argument("--n-causal-per-gene", type=int, default=1)
+    p.add_argument("--linked-gene-fraction", type=float, default=1.0,
+                   help="fraction of genes WITH a cis driver")
+    p.add_argument("--pve-cis", type=float, default=1.0,
+                   help="cis share of a linked gene's rate profile")
     p.add_argument("--output", required=True)
     p = sub.add_parser("bulk", help="Dirichlet-mixed bulk samples from single cells")
     p.add_argument("--backend", required=True, help="single-cell backend to mix")
@@ -107,6 +112,9 @@ def run_sim(argv):
         sim = simulate_multiome(
             genes=args.genes, peaks=args.peaks, cols=args.cols,
             factors=args.factors, depth=args.depth, seed=args.seed,
+            n_causal_per_gene=args.n_causal_per_gene,
+            linked_gene_fraction=args.linked_gene_fraction,
+            pve_cis=args.pve_cis,
         )
         # synthetic genome: peaks tile one chromosome at 2 kb spacing;
         # gene g's TSS sits inside its driving peak so the cis window
@@ -126,15 +134,26 @@ def run_sim(argv):
         )
         with open(f"{args.output}.genes.gff", "w") as f:
             for g in range(args.genes):
-                tss = 1 + int(sim.peak_to_gene[g]) * spacing + 250
+                # linked genes sit inside their FIRST driving peak's
+                # window; unlinked genes land at a random position
+                anchor = (
+                    int(sim.peak_to_gene[g, 0])
+                    if sim.linked[g]
+                    else int(np.random.default_rng(args.seed + g).integers(args.peaks))
+                )
+                tss = 1 + anchor * spacing + 250
                 f.write(
                     f"chrS\tsim\tgene\t{tss}\t{tss + 1000}\t.\t+\t.\t"
                     f"ID=gene:{gene_names[g]};Name={gene_names[g]}\n"
                 )
-        pd.DataFrame(
-            {"gene": gene_names,
-             "peak": [peak_names[p] for p in sim.peak_to_gene]}
-        ).to_parquet(f"{args.output}.truth.parquet")
+        rows = []
+        for g in range(args.genes):
+            for p in sim.peak_to_gene[g]:
+                if p >= 0:
+                    rows.append({"gene": gene_names[g], "peak": peak_names[int(p)]})
+        pd.DataFrame(rows, columns=["gene", "peak"]).to_parquet(
+            f"{args.output}.truth.parquet"
+        )
         print(
             f"wrote {args.output}.rna.zarr / .atac.zarr / .genes.gff / .truth.parquet"
         )

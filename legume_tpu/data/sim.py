@@ -202,7 +202,8 @@ class MultiomeSim:
     rna: sp.csc_matrix  # [G, N]
     atac: sp.csc_matrix  # [P, N]
     theta: np.ndarray
-    peak_to_gene: np.ndarray  # [G] driving peak index
+    peak_to_gene: np.ndarray  # [G, C] driving peak indices (-1 = none)
+    linked: np.ndarray  # [G] bool: gene has any cis driver
 
 
 def simulate_multiome(
@@ -211,6 +212,13 @@ def simulate_multiome(
     cols: int = 600,
     factors: int = 5,
     depth: float = 1500.0,
+    depth_atac: "float | None" = None,  # defaults to depth
+    # causal structure (MultiomeArgs): several driving peaks per linked
+    # gene, a fraction of genes with NO cis driver, and a cis-PVE
+    # mixing the peak-driven rate with a free topic rate
+    n_causal_per_gene: int = 1,
+    linked_gene_fraction: float = 1.0,
+    pve_cis: float = 1.0,
     seed: int = 13,
 ) -> MultiomeSim:
     """Paired ATAC + RNA with peak-gene ground truth
@@ -222,12 +230,21 @@ def simulate_multiome(
     atac = mm.counts[0]
     theta = mm.theta
     beta_p = mm.betas[0]  # [P, K]
-    # each gene driven by one peak's activity
-    p2g = rng.integers(0, peaks, genes)
-    beta_g = beta_p[p2g] * np.exp(0.2 * rng.standard_normal((genes, factors)))
+    c = max(n_causal_per_gene, 1)
+    p2g = rng.integers(0, peaks, (genes, c))
+    linked = rng.uniform(size=genes) < linked_gene_fraction
+    p2g[~linked] = -1
+    # cis component: mean of the driving peaks' topic profiles;
+    # trans/free component: an independent factored profile
+    cis = beta_p[np.maximum(p2g, 0)].mean(axis=1)  # [G, K]
+    free = np.exp(0.5 * rng.standard_normal((genes, factors)))
+    w_cis = np.where(linked, pve_cis, 0.0)[:, None]
+    beta_g = (w_cis * cis + (1.0 - w_cis) * free) * np.exp(
+        0.2 * rng.standard_normal((genes, factors))
+    )
     lam = (depth / genes) * (beta_g @ theta.T)
     rna = sp.csc_matrix(rng.poisson(lam).astype(np.float32))
-    return MultiomeSim(rna=rna, atac=atac, theta=theta, peak_to_gene=p2g)
+    return MultiomeSim(rna=rna, atac=atac, theta=theta, peak_to_gene=p2g, linked=linked)
 
 
 def simulate_bulk(

@@ -27,8 +27,17 @@ def test_multiome_sim_peak_gene_truth():
     mo = simulate_multiome(genes=50, peaks=120, cols=80, factors=3)
     assert mo.rna.shape == (50, 80)
     assert mo.atac.shape == (120, 80)
-    assert mo.peak_to_gene.shape == (50,)
+    assert mo.peak_to_gene.shape == (50, 1)
     assert mo.peak_to_gene.max() < 120
+    # causal-structure knobs (MultiomeArgs): multiple drivers, partial
+    # linkage, and a cis-PVE below 1 still yield valid ground truth
+    mo2 = simulate_multiome(
+        genes=50, peaks=120, cols=80, factors=3,
+        n_causal_per_gene=3, linked_gene_fraction=0.6, pve_cis=0.7,
+    )
+    assert mo2.peak_to_gene.shape == (50, 3)
+    assert 0 < mo2.linked.sum() < 50
+    assert (mo2.peak_to_gene[~mo2.linked] == -1).all()
 
 
 def test_bulk_sim_mixes_profiles():
