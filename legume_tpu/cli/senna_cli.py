@@ -181,9 +181,37 @@ def run_senna(argv):
     )
 
     p = sub.add_parser("plot", help="scatter a layout colored by clusters")
-    p.add_argument("--layout", required=True, help="layout/latent parquet")
+    p.add_argument("--layout", default=None, help="layout/latent parquet")
+    p.add_argument("--from", dest="from_run", default=None,
+                   help="prior run prefix: layout/latent + clusters resolve "
+                        "from its manifest")
     p.add_argument("--clusters", default=None, help="clusters parquet")
-    p.add_argument("--out", required=True, help="output image (.png/.svg/.pdf)")
+    p.add_argument("--colour-by", "--color-by", dest="colour_by",
+                   choices=["cluster", "topic", "pseudotime", "annotation"],
+                   default="cluster")
+    p.add_argument("--topics", type=int, nargs="+", default=None,
+                   help="colour-by topic: which topic columns (default: argmax)")
+    p.add_argument("--annotation", default=None,
+                   help="TSV/parquet cell,label for colour-by annotation")
+    p.add_argument("--pseudotime", default=None,
+                   help="pseudotime parquet for colour-by pseudotime")
+    p.add_argument("--width", type=float, default=6.0)
+    p.add_argument("--height", type=float, default=5.0)
+    p.add_argument("--dpi", type=int, default=150)
+    p.add_argument("--point-size", type=float, default=3.0)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--hull", action="store_true",
+                   help="convex hulls around each cluster")
+    p.add_argument("--hull-coverage", type=float, default=0.9)
+    p.add_argument("--hull-fill-alpha", type=float, default=0.15)
+    p.add_argument("--no-labels", action="store_true",
+                   help="legend instead of centroid label text")
+    p.add_argument("--label-font-size", type=float, default=8.0)
+    p.add_argument("--svg", action="store_true", help="also write .svg")
+    p.add_argument("--png", action="store_true", help="also write .png")
+    p.add_argument("--no-pdf", action="store_true")
+    p.add_argument("--out", required=True,
+                   help="output path or prefix (formats via --svg/--png/--no-pdf)")
 
     p = sub.add_parser("plot-topic", help="structure bars + top genes per topic")
     p.add_argument("--latent", default=None, help="log topic proportions parquet")
@@ -1335,21 +1363,88 @@ def run_senna(argv):
         print(msg)
         return
     if args.cmd == "plot":
+        import numpy as _np
         import pandas as pd
 
-        from ..utils.plot import scatter_by_label
+        from ..utils.plot import scatter_figure
 
-        lay = pd.read_parquet(args.layout)
+        layout_path = args.layout
+        clusters_path = args.clusters
+        if args.from_run:
+            from ..utils.manifest import RunManifest
+
+            prev = RunManifest.load(
+                args.from_run if args.from_run.endswith(".json")
+                else args.from_run + ".senna.json"
+            )
+            layout_path = layout_path or prev.outputs.get(
+                "layout", prev.outputs.get("latent")
+            )
+            clusters_path = clusters_path or prev.outputs.get("clusters")
+        if not layout_path:
+            raise SystemExit("plot: provide --layout or --from <run prefix>")
+        lay = pd.read_parquet(layout_path)
         coords = lay.iloc[:, 1:3].to_numpy("float32")
-        if args.clusters:
-            cl = pd.read_parquet(args.clusters)
-            labels = cl.iloc[:, 1].to_numpy()
-        else:
-            import numpy as _np
 
-            labels = _np.zeros(len(coords), int)
-        scatter_by_label(coords, labels, args.out)
-        print(f"wrote {args.out}")
+        labels = values = None
+        if args.colour_by == "pseudotime":
+            if not args.pseudotime:
+                raise SystemExit("colour-by pseudotime needs --pseudotime")
+            pt = pd.read_parquet(args.pseudotime)
+            col = "pseudotime" if "pseudotime" in pt.columns else pt.columns[1]
+            values = pt[col].to_numpy("float32")
+        elif args.colour_by == "topic":
+            z = lay.iloc[:, 1:].to_numpy("float32")
+            if _np.all(z <= 0):
+                z = _np.exp(z)
+            if args.topics and len(args.topics) == 1:
+                values = z[:, args.topics[0]]
+            else:
+                cols = args.topics if args.topics else range(z.shape[1])
+                labels = _np.asarray([f"t{int(k)}" for k in _np.asarray(
+                    [list(cols)[i] for i in z[:, list(cols)].argmax(1)]
+                )])
+        elif args.colour_by == "annotation":
+            if not args.annotation:
+                raise SystemExit("colour-by annotation needs --annotation")
+            ann = (
+                pd.read_parquet(args.annotation)
+                if args.annotation.endswith(".parquet")
+                else pd.read_csv(args.annotation, sep="\t", header=None,
+                                 names=["cell", "label"])
+            )
+            lut = dict(zip(ann.iloc[:, 0].astype(str), ann.iloc[:, 1]))
+            labels = _np.asarray(
+                [str(lut.get(str(c), "NA")) for c in lay.iloc[:, 0]]
+            )
+        elif clusters_path:
+            cl = pd.read_parquet(clusters_path)
+            labels = cl.iloc[:, 1].to_numpy()
+
+        # output formats (scatter.rs svg/png/no_pdf convention)
+        base = args.out
+        for ext in (".png", ".svg", ".pdf"):
+            if base.endswith(ext):
+                base = base[: -len(ext)]
+        formats = []
+        if args.png or args.out.endswith(".png"):
+            formats.append(base + ".png")
+        if args.svg or args.out.endswith(".svg"):
+            formats.append(base + ".svg")
+        if not args.no_pdf and (args.out.endswith(".pdf") or not formats):
+            formats.append(base + ".pdf" if not args.out.endswith((".png", ".svg")) else args.out)
+        if not formats:
+            formats = [base + ".png"]
+        scatter_figure(
+            coords, formats, labels=labels, values=values,
+            width=args.width, height=args.height, dpi=args.dpi,
+            point_size=args.point_size, alpha=args.alpha,
+            hull=args.hull, hull_coverage=args.hull_coverage,
+            hull_fill_alpha=args.hull_fill_alpha,
+            show_labels=not args.no_labels,
+            label_font_size=args.label_font_size,
+        )
+        print(f"wrote {' '.join(formats)}")
         return
 
     if args.cmd in ("predict", "eval-topic"):

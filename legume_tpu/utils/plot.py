@@ -475,3 +475,80 @@ def lr_overlay(
     fig.tight_layout()
     fig.savefig(out, bbox_inches="tight")
     plt.close(fig)
+
+
+def scatter_figure(
+    coords: np.ndarray,  # [N, 2]
+    outputs: list,  # file paths (one per requested format)
+    *,
+    labels: "np.ndarray | None" = None,  # discrete colors + legend
+    values: "np.ndarray | None" = None,  # continuous colormap
+    title: str = "",
+    width: float = 6.0,
+    height: float = 5.0,
+    dpi: int = 150,
+    point_size: float = 3.0,
+    alpha: float = 1.0,
+    hull: bool = False,
+    hull_coverage: float = 0.9,
+    hull_fill_alpha: float = 0.15,
+    show_labels: bool = True,
+    label_font_size: float = 8.0,
+):
+    """Full-surface embedding scatter (plot/scatter.rs PlotArgs role):
+    discrete labels OR a continuous value channel, optional per-cluster
+    convex hulls over the central coverage fraction, optional centroid
+    label text, multi-format output."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(width, height), dpi=dpi)
+    if values is not None:
+        sc = ax.scatter(
+            coords[:, 0], coords[:, 1], s=point_size, c=np.asarray(values),
+            cmap="viridis", alpha=alpha, linewidths=0,
+        )
+        fig.colorbar(sc, ax=ax, shrink=0.8)
+    else:
+        lab = np.zeros(len(coords), int) if labels is None else np.asarray(labels)
+        uniq = np.unique(lab)
+        for i, lv in enumerate(uniq):
+            m = lab == lv
+            color = PALETTE[i % len(PALETTE)]
+            ax.scatter(
+                coords[m, 0], coords[m, 1], s=point_size, color=color,
+                alpha=alpha, label=str(lv), linewidths=0,
+            )
+            if hull and m.sum() >= 4:
+                from scipy.spatial import ConvexHull
+
+                pts = coords[m]
+                ctr = pts.mean(0)
+                d = np.linalg.norm(pts - ctr, axis=1)
+                keep = pts[d <= np.quantile(d, hull_coverage)]
+                if len(keep) >= 3:
+                    try:
+                        h = ConvexHull(keep)
+                        poly = keep[h.vertices]
+                        ax.fill(
+                            poly[:, 0], poly[:, 1], facecolor=color,
+                            alpha=hull_fill_alpha, edgecolor=color, lw=1.0,
+                        )
+                    except Exception:
+                        pass
+            if show_labels and labels is not None:
+                ctr = coords[m].mean(0)
+                ax.text(
+                    ctr[0], ctr[1], str(lv), fontsize=label_font_size,
+                    ha="center", va="center", weight="bold",
+                )
+        if labels is not None and len(uniq) <= 15 and not show_labels:
+            ax.legend(markerscale=4, fontsize=7, frameon=False)
+    ax.set_title(title)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+    fig.tight_layout()
+    for out in outputs:
+        fig.savefig(out, dpi=dpi)
+    plt.close(fig)
+    return outputs

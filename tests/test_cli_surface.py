@@ -966,3 +966,42 @@ def test_vae_qc_adj_and_warm_start(tmp_path):
     ])
     z2 = pd.read_parquet(out2 + ".latent.parquet")
     assert len(z2) == 380 and np.isfinite(z2.iloc[:, 1:].to_numpy()).all()
+
+
+def test_senna_plot_full_surface(tmp_path):
+    """senna plot PlotArgs parity (plot/scatter.rs): colour-by
+    cluster/topic/pseudotime/annotation, hulls, centroid labels,
+    multi-format output."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+
+    rng = np.random.default_rng(0)
+    n = 200
+    lab = rng.integers(0, 3, n)
+    coords = rng.standard_normal((n, 2)) + 4 * np.eye(3)[lab][:, :2]
+    z = np.log(0.8 * np.eye(3)[lab] + 0.1)
+    lay = tmp_path / "lay.parquet"
+    pd.DataFrame(
+        {"cell": [f"c{j}" for j in range(n)],
+         "t0": z[:, 0], "t1": z[:, 1], "t2": z[:, 2]}
+    ).to_parquet(lay)
+    cl = tmp_path / "cl.parquet"
+    pd.DataFrame(
+        {"cell": [f"c{j}" for j in range(n)], "cluster": lab}
+    ).to_parquet(cl)
+    pt = tmp_path / "pt.parquet"
+    pd.DataFrame(
+        {"cell": [f"c{j}" for j in range(n)], "pseudotime": rng.uniform(0, 1, n)}
+    ).to_parquet(pt)
+
+    out = str(tmp_path / "fig")
+    cli.main(["senna", "plot", "--layout", str(lay), "--clusters", str(cl),
+              "--out", out, "--hull", "--png", "--svg", "--no-pdf"])
+    assert Path(out + ".png").exists() and Path(out + ".svg").exists()
+    assert not Path(out + ".pdf").exists()
+    cli.main(["senna", "plot", "--layout", str(lay), "--colour-by", "topic",
+              "--out", out + "_t.png"])
+    cli.main(["senna", "plot", "--layout", str(lay), "--colour-by", "pseudotime",
+              "--pseudotime", str(pt), "--out", out + "_p.png"])
+    assert Path(out + "_t.png").exists() and Path(out + "_p.png").exists()
