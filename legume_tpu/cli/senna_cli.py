@@ -1266,6 +1266,25 @@ def run_senna(argv):
         pd.DataFrame(
             {"cell": df.iloc[:, 0], "x": emb[:, 0], "y": emb[:, 1]}
         ).to_parquet(f"{args.out}.layout.parquet")
+        from ..utils.manifest import RunManifest
+
+        RunManifest(
+            command="layout",
+            inputs={"latent": args.latent},
+            outputs={"layout": f"{args.out}.layout.parquet"},
+            params={"method": args.method},
+        ).save(args.out)
+        if args.from_run:
+            # record the layout back into the source manifest so
+            # `senna plot --from` picks it up (main.rs:607 manifest
+            # layout.cell_coords update)
+            src_path = (
+                args.from_run if args.from_run.endswith(".json")
+                else args.from_run + ".senna.json"
+            )
+            prev = RunManifest.load(src_path)
+            prev.outputs["layout"] = f"{args.out}.layout.parquet"
+            prev.save(src_path[: -len(".senna.json")])
         print(f"wrote {args.out}.layout.parquet")
         return
     if args.cmd == "pseudotime":
