@@ -41,6 +41,9 @@ def run_cocoa(argv):
     p.add_argument("--cnv-ground-truth", default=None,
                    help="simulation alternative to --gff: TSV gene_idx/chr/pos")
     p.add_argument("--cnv-states", type=int, default=3)
+    p.add_argument("--cnv-gmm-k-max", type=int, default=0,
+                   help=">0: kmeans-BIC selects the HMM state count in "
+                        "3..k_max (cnv kmeans_init.rs)")
     p.add_argument("--cnv-ref-iters", type=int, default=2)
 
     p = sub.add_parser(
@@ -188,6 +191,7 @@ def run_cocoa(argv):
             gff=args.gff,
             cnv_ground_truth=args.cnv_ground_truth,
             cnv_states=args.cnv_states,
+            cnv_gmm_k_max=args.cnv_gmm_k_max,
             cnv_ref_iters=args.cnv_ref_iters,
             **(
                 {"seed": args.seed} if args.seed is not None else {}

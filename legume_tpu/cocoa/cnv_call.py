@@ -193,6 +193,7 @@ def call_per_sample_cnv(
     topic_names: list,
     *,
     n_states: int = 3,
+    gmm_k_max: int = 0,  # >0: kmeans-BIC selects K in 3..k_max
     ref_iters: int = 2,
     ref_frac: float = 0.34,
     n_iter: int = 20,
@@ -209,7 +210,14 @@ def call_per_sample_cnv(
     k_topics, _, n_indv = log_tau_kdi.shape
     tau_ord = log_tau_kdi[:, order.ordered, :]  # [K, G, I]
     g = tau_ord.shape[1]
-    if n_states == 3:
+    if gmm_k_max >= 3:
+        # kmeans+BIC state-count selection on the centered deviations
+        # (cnv/src/kmeans_init.rs via CnvArgs cnv_gmm_k_max)
+        dev = tau_ord - tau_ord.mean(axis=2, keepdims=True)
+        params = CnvHmmParams.from_kmeans_bic(
+            dev.reshape(-1), k_range=tuple(range(3, gmm_k_max + 1)), seed=seed
+        )
+    elif n_states == 3:
         params = CnvHmmParams.default_3state()
     else:
         span = np.linspace(-1.0, 1.0, n_states)

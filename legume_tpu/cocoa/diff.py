@@ -68,6 +68,7 @@ class CocoaDiffArgs:
     gff: Optional[str] = None
     cnv_ground_truth: Optional[str] = None
     cnv_states: int = 3
+    cnv_gmm_k_max: int = 0  # >0: kmeans-BIC selects the state count
     cnv_ref_iters: int = 2
     seed: int = DEFAULT_PROJECTION_SEED
 
@@ -241,7 +242,8 @@ def run_cocoa_diff(args: CocoaDiffArgs) -> dict:
         topic_names = [f"topic{k}" for k in range(log_tau.shape[0])]
         cnv_run = call_per_sample_cnv(
             log_tau, order, [str(n) for n in indv_names], topic_names,
-            n_states=args.cnv_states, ref_iters=args.cnv_ref_iters,
+            n_states=args.cnv_states, gmm_k_max=args.cnv_gmm_k_max,
+            ref_iters=args.cnv_ref_iters,
             seed=args.seed & 0x7FFFFFFF,
         )
         gene_ord = [genes[i] for i in order.ordered]

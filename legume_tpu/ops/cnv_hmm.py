@@ -47,6 +47,38 @@ class CnvHmmParams:
         """{del, neutral, gain} (hmm.rs:90)."""
         return cls.new(np.asarray([-0.5, 0.0, 0.3]))
 
+    @classmethod
+    def from_kmeans_bic(
+        cls,
+        values: np.ndarray,
+        k_range=(3, 5, 6),
+        *,
+        transition_prob: float = 1e-4,
+        seed: int = 0,
+    ) -> "CnvHmmParams":
+        """Seed the state means from the marginal signal distribution:
+        hard-assignment 1D kmeans per candidate K, soft Gaussian-
+        mixture log-likelihood at the kmeans stats, BIC with
+        p = 3K - 1 free params, smallest BIC wins; components sort by
+        mean and the one nearest 0 becomes neutral
+        (cnv/src/kmeans_init.rs cluster_stats_kmeans/select_kmeans_k/
+        sort_components)."""
+        v = np.asarray(values, np.float64).ravel()
+        n = len(v)
+        best = None
+        for k in k_range:
+            if k <= 1 or k > n:
+                continue
+            means, variances, weights, ll = _kmeans_component_stats(v, k, seed)
+            p = 3 * k - 1
+            bic = -2.0 * ll + p * np.log(max(n, 1))
+            if best is None or bic < best[0]:
+                best = (bic, means)
+        if best is None:
+            return cls.default_3state()
+        means = np.sort(best[1])
+        return cls.new(means.astype(np.float32), transition_prob=transition_prob)
+
     @property
     def n_states(self):
         return len(self.emission_means)
@@ -172,3 +204,30 @@ def fit_em(
 
     alpha, sigma, post = em(y)
     return np.asarray(alpha), np.asarray(sigma), np.asarray(post)
+
+
+def _kmeans_component_stats(v: np.ndarray, k: int, seed: int):
+    """1D kmeans component fit (kmeans_init.rs cluster_stats_kmeans):
+    hard-assignment kmeans seeds (means, variances, weights); the
+    returned log-likelihood is the SOFT Gaussian-mixture value at
+    those stats (tighter BIC, avoids favouring extreme K)."""
+    from .kmeans import kmeans as _kmeans
+
+    _, labels = _kmeans(v[:, None].astype(np.float32), k, seed=seed)
+    means = np.zeros(k)
+    variances = np.full(k, 1e-4)
+    weights = np.zeros(k)
+    for j in range(k):
+        m = labels == j
+        if m.any():
+            means[j] = v[m].mean()
+            variances[j] = max(float(v[m].var()), 1e-4)
+            weights[j] = m.mean()
+    log_p = (
+        np.log(np.maximum(weights, 1e-30))[None, :]
+        - 0.5 * ((v[:, None] - means[None, :]) ** 2 / variances[None, :]
+                 + np.log(2 * np.pi * variances[None, :]))
+    )
+    mx = log_p.max(1, keepdims=True)
+    ll = float((mx[:, 0] + np.log(np.exp(log_p - mx).sum(1))).sum())
+    return means, variances, weights, ll

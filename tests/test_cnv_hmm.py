@@ -45,3 +45,30 @@ def test_em_estimates_scale(track):
     # posterior argmax tracks the truth for the clean sample
     acc = (post[0].argmax(1) == states).mean()
     assert acc > 0.9
+
+
+def test_kmeans_bic_state_selection():
+    """CnvHmmParams.from_kmeans_bic (kmeans_init.rs): three
+    well-separated CN levels select K=3 from {3,5,6} with the neutral
+    component pinned near 0; the seeded HMM still segments the planted
+    amplification."""
+    rng = np.random.default_rng(0)
+    y = np.concatenate([
+        rng.normal(-0.6, 0.05, 400),
+        rng.normal(0.0, 0.05, 1200),
+        rng.normal(0.45, 0.05, 400),
+    ])
+    params = CnvHmmParams.from_kmeans_bic(y, k_range=(3, 5, 6))
+    assert params.n_states == 3
+    assert abs(params.emission_means[np.argmax(params.log_pi)]) < 0.1
+
+    # segment a planted gain with the seeded params
+    sig = np.zeros(300)
+    sig[100:160] = 0.45
+    obs = sig + rng.normal(0, 0.05, 300)
+    res = infer_sample(params, obs)
+    gain_state = int(np.argmax(params.emission_means))
+    path = res.viterbi_path
+    inside = (path[100:160] == gain_state).mean()
+    outside = (path[:100] == gain_state).mean()
+    assert inside > 0.9 and outside < 0.05
