@@ -221,6 +221,15 @@ def run_senna(argv):
     p.add_argument("--clusters", default=None, help="order cells by these labels")
     p.add_argument("--dictionary", default=None, help="{out}.dictionary.parquet")
     p.add_argument("--top-genes", type=int, default=10)
+    p.add_argument("--group-by", default=None,
+                   help="per-cell group labels (file, one per line, or "
+                        "parquet/TSV cell,label): one structure panel per "
+                        "group (plot-topic long_about: one bar panel per "
+                        "batch)")
+    p.add_argument("--no-struct", action="store_true",
+                   help="skip the structure-bar panels")
+    p.add_argument("--no-dict", action="store_true",
+                   help="skip the dictionary hinton/top-genes outputs")
 
     p = sub.add_parser("deconvolve", help="bulk deconvolution against a reference")
     p.add_argument("--bulk", required=True, help="TSV/parquet: samples x genes counts")
@@ -1347,8 +1356,49 @@ def run_senna(argv):
                 pd.read_parquet(args.clusters).columns[0]
             )
             order_by = cl.reindex(df.iloc[:, 0]).iloc[:, 0].to_numpy()
-        structure_bars(theta, args.out, order_by=order_by, title="topic proportions")
-        msg = f"wrote {args.out}"
+        msg = "wrote"
+        if not args.no_struct:
+            if args.group_by:
+                # one structure panel per group (per-batch panels)
+                gp = args.group_by
+                if gp.endswith(".parquet"):
+                    gdf = pd.read_parquet(gp)
+                    lut = dict(zip(gdf.iloc[:, 0].astype(str), gdf.iloc[:, 1]))
+                    groups = _np.asarray(
+                        [str(lut.get(str(c), "NA")) for c in df.iloc[:, 0]]
+                    )
+                else:
+                    with open(gp) as f:
+                        lines = [x.strip() for x in f if x.strip()]
+                    if lines and "\t" in lines[0]:
+                        lut = dict(x.split("\t")[:2] for x in lines)
+                        groups = _np.asarray(
+                            [str(lut.get(str(c), "NA")) for c in df.iloc[:, 0]]
+                        )
+                    else:
+                        groups = _np.asarray(lines)
+                base = args.out
+                for ext in (".png", ".svg", ".pdf"):
+                    if base.endswith(ext):
+                        base, sfx = base[: -len(ext)], ext
+                        break
+                else:
+                    sfx = ".png"
+                for g in _np.unique(groups):
+                    m = groups == g
+                    ob = order_by[m] if order_by is not None else None
+                    structure_bars(
+                        theta[m], f"{base}.{g}{sfx}", order_by=ob,
+                        title=f"topic proportions — {g} ({int(m.sum())} cells)",
+                    )
+                msg += f" {base}.<group>{sfx}"
+            else:
+                structure_bars(
+                    theta, args.out, order_by=order_by, title="topic proportions"
+                )
+                msg += f" {args.out}"
+        if args.dictionary and args.no_dict:
+            args.dictionary = None
         if args.dictionary:
             dic = pd.read_parquet(args.dictionary)
             genes = dic.iloc[:, 0].astype(str).to_numpy()
