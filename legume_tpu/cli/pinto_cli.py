@@ -37,6 +37,11 @@ def run_pinto(argv):
     p.add_argument("--snn-min-shared", type=int, default=2)
     p.add_argument("--gene-trim-min-degree", type=int, default=2)
     p.add_argument("--gene-modules-resolution", type=float, default=1.0)
+    p.add_argument("--batch-files", nargs="+", default=None,
+                   help="per-cell section labels: the per-batch gene "
+                        "flavor divides out of the edge profiles")
+    p.add_argument("--qc", action="store_true")
+    p.add_argument("--qc-min-total", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=None)
     p = sub.add_parser("cascade", help="multilevel V-cycle link-community refinement")
     p.add_argument("--data-files", nargs="+", required=True)
@@ -384,6 +389,9 @@ def run_pinto(argv):
             snn_min_shared=args.snn_min_shared,
             gene_trim_min_degree=args.gene_trim_min_degree,
             gene_modules_resolution=args.gene_modules_resolution,
+            batch_files=args.batch_files,
+            qc=args.qc,
+            qc_min_total=args.qc_min_total,
             **({"seed": args.seed} if args.seed is not None else {}),
         )
     )

@@ -52,11 +52,16 @@ def spatial_knn_edges(coords: np.ndarray, k: int = 10, *, chunk: int = 4096) -> 
 
 
 def edge_profiles(
-    data, edges: np.ndarray, *, gene_weights: np.ndarray | None = None, block: int = 50_000
+    data, edges: np.ndarray, *, gene_weights: np.ndarray | None = None,
+    batch_scale: "tuple[np.ndarray, np.ndarray] | None" = None,
+    block: int = 50_000,
 ) -> sp.csr_matrix:
     """Sparse [E, D] edge profiles x_e = y_src + y_dst, streamed in
     column blocks so the full [D, N] matrix never materializes
-    (Xenium-scale inputs; VERDICT round-1 weak item 3)."""
+    (Xenium-scale inputs; VERDICT round-1 weak item 3).
+    `batch_scale = (delta_gb [D, B], membership [N])` divides each
+    cell's counts by its section/batch gene flavor before profiling
+    (SrtInputArgs batch_files + EstimateBatchArgs role)."""
     d = data.num_rows
     n = data.num_columns
     src, dst = edges[:, 0], edges[:, 1]
@@ -64,6 +69,13 @@ def edge_profiles(
     for lb in range(0, n, block):
         ub = min(lb + block, n)
         csc = data.read_columns_csc(np.arange(lb, ub)).tocsc()
+        if batch_scale is not None:
+            delta_gb, memb = batch_scale
+            csc = csc.tocsc(copy=True)
+            inv = 1.0 / np.maximum(delta_gb, 1e-6)
+            for jloc in range(ub - lb):
+                s_, e_ = csc.indptr[jloc], csc.indptr[jloc + 1]
+                csc.data[s_:e_] *= inv[csc.indices[s_:e_], memb[lb + jloc]]
         if gene_weights is not None:
             csc = sp.diags(gene_weights) @ csc
         y = csc.T.tocsr()  # [B, D]
@@ -270,6 +282,7 @@ def fit_link_community(
     incidence_a: float = 1.0,
     incidence_b: float = 1.0,
     gene_weights: np.ndarray | None = None,
+    batch_scale: "tuple[np.ndarray, np.ndarray] | None" = None,
     gene_network: str | None = None,
     gene_network_allow_prefix: bool = False,
     gene_network_delimiter: str | None = None,
@@ -318,7 +331,9 @@ def fit_link_community(
         profiles = module_pair_edge_profiles(module_expr, cell_totals, edges, basis)
         n_feat = basis.n_pairs
     else:
-        profiles = edge_profiles(data, edges, gene_weights=gene_weights)
+        profiles = edge_profiles(
+            data, edges, gene_weights=gene_weights, batch_scale=batch_scale
+        )
         n_feat = d
     e = profiles.shape[0]
     log.info(
@@ -397,6 +412,12 @@ class PintoLcArgs:
     min_gene_count: float = 0.0
     # NB-Fisher housekeeping weights on the edge profiles (default ON)
     fisher_weights: bool = True
+    # per-cell section/batch labels; the per-batch gene flavor divides
+    # out of the edge profiles (SrtInputArgs batch_files)
+    batch_files: "Optional[Sequence[str]]" = None
+    # cell QC keep mask before the spatial graph (SrtInputArgs qc)
+    qc: bool = False
+    qc_min_total: float = 0.0
     # BHC consensus merge threshold (merge_cut; log-BF >= cut merges)
     merge_cut: float = 0.0
     gene_network: Optional[str] = None
@@ -414,8 +435,33 @@ def run_lc(args: PintoLcArgs) -> LinkCommunityResult:
     from ..ops.gene_stats import nb_fisher_weights
     from ..senna.topic import load_data_vec
 
-    vec = load_data_vec(args.data_files)
+    vec = load_data_vec(args.data_files, args.batch_files)
     coords = np.loadtxt(args.coord_file, usecols=(1, 2), skiprows=0)
+    if args.qc:
+        from ..data.qc import compute_cell_qc
+
+        qs = compute_cell_qc(vec)
+        keep = qs.keep_mask(min_total=args.qc_min_total)
+        vec = vec.subset_columns(keep)
+        coords = coords[keep]
+        log.info("pinto qc: keeping %d cells", int(keep.sum()))
+    batch_scale = None
+    if args.batch_files and vec.num_batches > 1:
+        # per-batch gene flavor from batch pseudobulk means vs the
+        # global mean (EstimateBatchArgs role), clamped like the
+        # reference delta guards
+        from ..ops import collapse as _clp
+
+        memb = vec.batch_membership()
+        stat = _clp.collect_basic_stats(vec, memb.astype(np.int32), vec.num_batches)
+        pb = np.asarray(stat.observed_sum_ds, np.float64)  # [D, B]
+        prop = pb / np.maximum(pb.sum(0, keepdims=True), 1e-12)
+        global_prop = pb.sum(1) / max(pb.sum(), 1e-12)
+        delta_gb = np.clip(
+            prop / np.maximum(global_prop[:, None], 1e-12), 0.1, 10.0
+        ).astype(np.float32)
+        batch_scale = (delta_gb, memb)
+        log.info("pinto batch correction over %d sections", vec.num_batches)
     w = nb_fisher_weights(vec) if args.fisher_weights else np.ones(vec.num_rows, np.float32)
     if args.min_gene_count > 0:
         from ..ops.gene_stats import streaming_gene_stats
@@ -431,7 +477,8 @@ def run_lc(args: PintoLcArgs) -> LinkCommunityResult:
         n_sweeps=args.n_sweeps, n_greedy=args.n_greedy,
         em_sweeps=args.em_sweeps, alpha=args.alpha,
         incidence_a=args.incidence_a, incidence_b=args.incidence_b,
-        gene_weights=w, gene_network=args.gene_network,
+        gene_weights=w, batch_scale=batch_scale,
+        gene_network=args.gene_network,
         gene_network_allow_prefix=args.gene_network_allow_prefix,
         gene_network_delimiter=args.gene_network_delimiter,
         snn_min_shared=args.snn_min_shared,

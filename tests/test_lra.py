@@ -52,3 +52,65 @@ def test_morans_i_signs():
     i_vals = morans_i(np.stack([smooth, noise], 1), w)
     assert i_vals[0] > 0.5
     assert abs(i_vals[1]) < 0.15
+
+
+def test_pinto_lc_batch_correction_and_qc(tmp_path):
+    """pinto lc --batch-files/--qc (SrtInputArgs): a planted per-
+    section gene flavor stops dominating the link communities once the
+    batch correction divides it out; qc drops near-empty cells."""
+    import scipy.sparse as sp
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+
+    rng = np.random.default_rng(5)
+    d, n = 40, 300
+    # two spatial domains (left/right) with distinct programs...
+    x = rng.uniform(0, 10, n)
+    y = rng.uniform(0, 10, n)
+    domain = (x > 5).astype(int)
+    rates = np.full((2, d), 0.5)
+    rates[0, :15] = 6.0
+    rates[1, 15:30] = 6.0
+    counts = rng.poisson(rates[domain]).astype(np.float32)
+    # ...and an ORTHOGONAL section batch doubling the last 10 genes
+    batch = (y > 5).astype(int)
+    counts[batch == 1][:, 30:] *= 1.0  # placeholder, apply below
+    counts[:, 30:] = counts[:, 30:] * np.where(batch[:, None] == 1, 4.0, 1.0)
+    # plant 10 near-empty cells for qc
+    counts[:10] = 0
+    counts[:10, 0] = 1
+    path = str(tmp_path / "c.zarr")
+    create_sparse_from_csc(
+        sp.csc_matrix(counts.T), path,
+        [f"g{i}" for i in range(d)], [f"c{j}" for j in range(n)],
+    )
+    coord = tmp_path / "xy.tsv"
+    coord.write_text("".join(f"c{j}\t{x[j]:.3f}\t{y[j]:.3f}\n" for j in range(n)))
+    bf = tmp_path / "b.txt"
+    bf.write_text("\n".join(f"s{int(b)}" for b in batch) + "\n")
+
+    out = str(tmp_path / "lc")
+    cli.main([
+        "pinto", "lc", "--data-files", path, "--coords", str(coord),
+        "--out", out, "-k", "2", "--knn", "6", "--sweeps", "10",
+        "--em-sweeps", "3", "--batch-files", str(bf),
+        "--qc", "--qc-min-total", "5", "--seed", "2",
+    ])
+    import pandas as pd
+
+    prop = pd.read_parquet(out + ".propensity.parquet")
+    assert len(prop) == 290  # qc dropped the 10 planted empties
+    # communities align with the DOMAIN (x), not the section batch (y)
+    kept = np.ones(n, bool)
+    kept[:10] = False
+    lab = prop[["c0", "c1"]].to_numpy().argmax(1)
+
+    def agree(a, b):
+        m = (a == b).mean()
+        return max(m, 1 - m)
+
+    dom_agree = agree(lab, domain[kept])
+    bat_agree = agree(lab, batch[kept])
+    assert dom_agree > bat_agree, (dom_agree, bat_agree)
+    assert dom_agree > 0.75, dom_agree
