@@ -16,12 +16,24 @@ def run_beans(argv):
     p.add_argument("--output", required=True)
     p.add_argument("--streaming", action="store_true",
                    help="force the bounded-memory external-sort path")
+    p.add_argument("--do-squeeze", action="store_true",
+                   help="drop rows/cols below the nnz cutoffs after build")
+    p.add_argument("--row-nnz-cutoff", type=int, default=1)
+    p.add_argument("--column-nnz-cutoff", type=int, default=1)
     p = sub.add_parser("from-h5ad", help="build from AnnData .h5ad")
     p.add_argument("--h5ad", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--do-squeeze", action="store_true",
+                   help="drop rows/cols below the nnz cutoffs after build")
+    p.add_argument("--row-nnz-cutoff", type=int, default=1)
+    p.add_argument("--column-nnz-cutoff", type=int, default=1)
     p = sub.add_parser("from-10x-matrix", help="build from CellRanger .h5")
     p.add_argument("--h5", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--do-squeeze", action="store_true",
+                   help="drop rows/cols below the nnz cutoffs after build")
+    p.add_argument("--row-nnz-cutoff", type=int, default=1)
+    p.add_argument("--column-nnz-cutoff", type=int, default=1)
     p = sub.add_parser("from-10x-molecule", help="build from molecule_info.h5")
     p.add_argument("--h5", required=True)
     p.add_argument("--output", required=True)
@@ -81,10 +93,14 @@ def run_beans(argv):
     p.add_argument("backend")
     p.add_argument("--output", required=True)
     p.add_argument("--min-row-total", type=float, default=1.0)
-    p = sub.add_parser("subsample", help="uniform column subsample")
+    p = sub.add_parser("subsample", help="uniform cell and/or gene subsample")
     p.add_argument("backend")
     p.add_argument("--output", required=True)
-    p.add_argument("-n", "--n-columns", type=int, required=True)
+    p.add_argument("-n", "--n-columns", "--cells", dest="n_columns",
+                   type=int, default=None)
+    p.add_argument("--cell-frac", type=float, default=None)
+    p.add_argument("--genes", type=int, default=None)
+    p.add_argument("--gene-frac", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     p = sub.add_parser("subset", help="subset columns and/or rows by name file")
     p.add_argument("backend")
@@ -106,9 +122,25 @@ def run_beans(argv):
     p = sub.add_parser("qc", help="cell QC stats + keep mask")
     p.add_argument("backend")
     p.add_argument("--output", required=True)
-    p.add_argument("--min-total", type=float, default=0)
-    p.add_argument("--min-genes", type=int, default=0)
+    p.add_argument("--min-total", "--qc-min-counts", dest="min_total",
+                   type=float, default=0)
+    p.add_argument("--min-genes", "--qc-min-cell-nnz", dest="min_genes",
+                   type=int, default=0)
     p.add_argument("--max-mito-frac", type=float, default=1.0)
+    p.add_argument("--mads", type=float, default=5.0,
+                   help="MAD fence width on log totals/genes (qc_mads)")
+    p.add_argument("--no-mad-on-counts", action="store_true")
+    p.add_argument("--no-mad-on-genes", action="store_true")
+    p.add_argument("--mito-pattern", default=None,
+                   help="regex for mito genes (default: MT- prefixes)")
+    p.add_argument("--ribo-pattern", default=None,
+                   help="regex for ribo genes (enables ribo_frac)")
+    p.add_argument("--max-ribo-frac", type=float, default=1.0)
+    p.add_argument("--feature-min-cells", type=int, default=0,
+                   help="also write a gene keep list: genes expressed "
+                        "in >= this many cells")
+    p.add_argument("--report", action="store_true",
+                   help="write {output}.qc.report.json summary")
     p = sub.add_parser("info", help="backend shape and nnz")
     p.add_argument("backend")
     p = sub.add_parser("histogram", help="ASCII histogram of per-cell totals")
@@ -145,21 +177,35 @@ def run_beans(argv):
         print(f"median total: {np.median(qc.total):.0f}")
         return
 
+    def _maybe_squeeze(be):
+        if getattr(args, "do_squeeze", False):
+            from ..data.builders import apply_build_squeeze
+
+            be = apply_build_squeeze(
+                be, args.output,
+                row_nnz_cutoff=args.row_nnz_cutoff,
+                column_nnz_cutoff=args.column_nnz_cutoff,
+            )
+        return be
+
     if args.cmd == "from-mtx":
         from ..data.builders import from_mtx
 
-        from_mtx(args.mtx, args.output, rows_file=args.rows, cols_file=args.cols,
-                 streaming=args.streaming or None)
+        be = from_mtx(args.mtx, args.output, rows_file=args.rows, cols_file=args.cols,
+                      streaming=args.streaming or None)
+        _maybe_squeeze(be)
         print(f"wrote backend: {args.output}")
     elif args.cmd == "from-h5ad":
         from ..data.builders import from_h5ad
 
-        from_h5ad(args.h5ad, args.output)
+        be = from_h5ad(args.h5ad, args.output)
+        _maybe_squeeze(be)
         print(f"wrote backend: {args.output}")
     elif args.cmd == "from-10x-matrix":
         from ..data.builders import from_10x_h5
 
-        from_10x_h5(args.h5, args.output)
+        be = from_10x_h5(args.h5, args.output)
+        _maybe_squeeze(be)
         print(f"wrote backend: {args.output}")
     elif args.cmd == "align":
         from ..data.builders import align_backends
@@ -182,7 +228,18 @@ def run_beans(argv):
     elif args.cmd == "subsample":
         from ..data.builders import subsample_backend
 
-        subsample_backend(args.backend, args.output, args.n_columns, seed=args.seed)
+        if (
+            args.n_columns is None and args.cell_frac is None
+            and args.genes is None and args.gene_frac is None
+        ):
+            raise SystemExit(
+                "subsample: provide --cells/--cell-frac and/or --genes/--gene-frac"
+            )
+        subsample_backend(
+            args.backend, args.output, args.n_columns,
+            cell_frac=args.cell_frac, n_genes=args.genes,
+            gene_frac=args.gene_frac, seed=args.seed,
+        )
         print(f"wrote backend: {args.output}")
     elif args.cmd == "subset":
 
@@ -249,22 +306,42 @@ def run_beans(argv):
         from ..data.qc import compute_cell_qc
 
         be = open_sparse_matrix(args.backend)
-        qc = compute_cell_qc(be)
+        qc = compute_cell_qc(
+            be, mito_pattern=args.mito_pattern, ribo_pattern=args.ribo_pattern
+        )
         keep = qc.keep_mask(
             min_total=args.min_total,
             min_genes=args.min_genes,
             max_mito_frac=args.max_mito_frac,
+            max_ribo_frac=args.max_ribo_frac,
+            nmads=args.mads,
+            mad_on_counts=not args.no_mad_on_counts,
+            mad_on_genes=not args.no_mad_on_genes,
         )
-        pd.DataFrame(
-            {
-                "cell": be.column_names(),
-                "total": qc.total,
-                "n_genes": qc.n_genes,
-                "mito_frac": qc.mito_frac,
-                "keep": keep,
-            }
-        ).to_parquet(f"{args.output}.qc.parquet")
-        print(f"wrote {args.output}.qc.parquet ({keep.sum()}/{len(keep)} kept)")
+        cols = {
+            "cell": be.column_names(),
+            "total": qc.total,
+            "n_genes": qc.n_genes,
+            "mito_frac": qc.mito_frac,
+            "keep": keep,
+        }
+        if qc.ribo_frac is not None:
+            cols["ribo_frac"] = qc.ribo_frac
+        pd.DataFrame(cols).to_parquet(f"{args.output}.qc.parquet")
+        extra = ""
+        if args.feature_min_cells > 0:
+            fmask = qc.feature_keep_mask(args.feature_min_cells)
+            pd.DataFrame(
+                {"gene": be.row_names(), "cells_expressing": qc.feature_cells,
+                 "keep": fmask}
+            ).to_parquet(f"{args.output}.qc.features.parquet")
+            extra = f", {int(fmask.sum())}/{len(fmask)} genes kept"
+        if args.report:
+            import json as _json
+
+            with open(f"{args.output}.qc.report.json", "w") as f:
+                _json.dump(qc.report(), f, indent=2)
+        print(f"wrote {args.output}.qc.parquet ({keep.sum()}/{len(keep)} kept{extra})")
     elif args.cmd == "info":
         be = open_sparse_matrix(args.backend)
         print(f"rows: {be.num_rows}\ncols: {be.num_columns}\nnnz: {be.num_nonzeros}")

@@ -682,25 +682,80 @@ def reorder_backend(
 
 
 def squeeze_backend(
-    backend_path: str, output: str, *, min_row_total: float = 1.0
+    backend_path: str, output: str, *, min_row_total: float = 1.0,
+    row_nnz_cutoff: int = 0, column_nnz_cutoff: int = 0,
 ) -> SparseBackend:
-    """Drop all-(near-)zero feature rows (`data-beans squeeze`)."""
+    """Drop near-zero rows and (optionally) columns (`data-beans
+    squeeze`; RunSqueezeArgs row/column_nnz_cutoff)."""
     be = open_sparse_matrix(backend_path)
     csc = be.read_columns_csc(np.arange(be.num_columns))
     totals = np.asarray(csc.sum(axis=1)).ravel()
-    keep = np.nonzero(totals >= min_row_total)[0]
-    return subset_backend(backend_path, output, rows=keep)
+    row_nnz = np.asarray((csc != 0).sum(axis=1)).ravel()
+    keep_rows = np.nonzero(
+        (totals >= min_row_total) & (row_nnz >= row_nnz_cutoff)
+    )[0]
+    keep_cols = None
+    if column_nnz_cutoff > 0:
+        col_nnz = np.asarray((csc != 0).sum(axis=0)).ravel()
+        keep_cols = np.nonzero(col_nnz >= column_nnz_cutoff)[0]
+    return subset_backend(
+        backend_path, output, rows=keep_rows, columns=keep_cols
+    )
+
+
+def apply_build_squeeze(
+    backend: SparseBackend, output: str,
+    *, row_nnz_cutoff: int, column_nnz_cutoff: int,
+) -> SparseBackend:
+    """Post-build squeeze shared by every from-* builder (the
+    reference's do_squeeze + nnz cutoffs trio on FromMtx/FromH5ad/
+    From10x/FromFragments args): rewrites `output` in place with rows/
+    columns below the nnz cutoffs dropped."""
+    import shutil
+    import tempfile
+
+    src_path = output
+    tmp = tempfile.mkdtemp(prefix="squeeze_") + "/t.zarr"
+    out_be = squeeze_backend(
+        src_path, tmp, min_row_total=0.0,
+        row_nnz_cutoff=row_nnz_cutoff, column_nnz_cutoff=column_nnz_cutoff,
+    )
+    shutil.rmtree(src_path, ignore_errors=True)
+    if Path(src_path).exists():
+        Path(src_path).unlink()
+    shutil.move(tmp, src_path)
+    log.info(
+        "build squeeze: %d rows x %d cols kept",
+        out_be.num_rows, out_be.num_columns,
+    )
+    return open_sparse_matrix(src_path)
 
 
 def subsample_backend(
-    backend_path: str, output: str, n_columns: int, *, seed: int = 0
+    backend_path: str, output: str, n_columns: "int | None" = None, *,
+    cell_frac: "float | None" = None,
+    n_genes: "int | None" = None,
+    gene_frac: "float | None" = None,
+    seed: int = 0,
 ) -> SparseBackend:
-    """Uniform column subsample (`data-beans subsample`)."""
+    """Uniform cell and/or gene subsample (`data-beans subsample`:
+    SubsampleArgs cells/cell_frac/genes/gene_frac)."""
     be = open_sparse_matrix(backend_path)
     rng = np.random.default_rng(seed)
-    n = min(n_columns, be.num_columns)
-    cols = np.sort(rng.choice(be.num_columns, n, replace=False))
-    return subset_backend(backend_path, output, columns=cols)
+    cols = rows = None
+    n_target = n_columns
+    if n_target is None and cell_frac is not None:
+        n_target = int(round(cell_frac * be.num_columns))
+    if n_target is not None:
+        n = min(max(n_target, 1), be.num_columns)
+        cols = np.sort(rng.choice(be.num_columns, n, replace=False))
+    g_target = n_genes
+    if g_target is None and gene_frac is not None:
+        g_target = int(round(gene_frac * be.num_rows))
+    if g_target is not None:
+        g = min(max(g_target, 1), be.num_rows)
+        rows = np.sort(rng.choice(be.num_rows, g, replace=False))
+    return subset_backend(backend_path, output, columns=cols, rows=rows)
 
 
 def backend_stat(backend_path: str) -> dict:

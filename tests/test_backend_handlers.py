@@ -57,3 +57,65 @@ def test_squeeze_subsample_stat(tmp_path):
     assert st["nrow"] == 4 and st["ncol"] == 6
     assert st["zero_rows"] == 2
     assert st["total"] == 13.0
+
+
+def test_builder_squeeze_qc_extensions_and_gene_subsample(tmp_path):
+    """data-beans surface extensions (QcArgs / SubsampleArgs /
+    do_squeeze trio): builder squeeze drops sub-cutoff rows/cols; qc
+    exposes ribo pattern + feature keep list + report; subsample takes
+    fractions on both axes."""
+    import json
+
+    import pandas as pd
+    import scipy.sparse as sp
+    from pathlib import Path
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sparse_io import create_sparse_from_csc, open_sparse_matrix
+
+    rng = np.random.default_rng(0)
+    d, n = 30, 80
+    m = rng.poisson(2.0, (d, n)).astype(np.float32)
+    m[5] = 0  # dead gene
+    m[:, 7] = 0  # dead cell
+    names = [f"g{i}" for i in range(d)]
+    names[0] = "MT-CO1"
+    names[1] = "RPL3"
+    # write an mtx triple
+    mtx = tmp_path / "m.mtx"
+    coo = sp.coo_matrix(m)
+    with open(mtx, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{d} {n} {coo.nnz}\n")
+        for r, c, v in zip(coo.row, coo.col, coo.data):
+            f.write(f"{r + 1} {c + 1} {v}\n")
+    rows = tmp_path / "rows.txt"
+    rows.write_text("\n".join(names) + "\n")
+    out = str(tmp_path / "b.zarr")
+    cli.run_beans([
+        "from-mtx", "--mtx", str(mtx), "--rows", str(rows), "--output", out,
+        "--do-squeeze", "--row-nnz-cutoff", "1", "--column-nnz-cutoff", "1",
+    ])
+    be = open_sparse_matrix(out)
+    assert be.num_rows == d - 1 and be.num_columns == n - 1
+
+    qc_out = str(tmp_path / "q")
+    cli.run_beans([
+        "qc", out, "--output", qc_out, "--ribo-pattern", "^RPL",
+        "--feature-min-cells", "5", "--report", "--mads", "4",
+    ])
+    qdf = pd.read_parquet(qc_out + ".qc.parquet")
+    assert "ribo_frac" in qdf.columns and qdf.ribo_frac.max() > 0
+    fdf = pd.read_parquet(qc_out + ".qc.features.parquet")
+    assert fdf.keep.sum() > 0
+    rep = json.loads(Path(qc_out + ".qc.report.json").read_text())
+    assert "median_ribo_frac" in rep
+
+    sub = str(tmp_path / "s.zarr")
+    cli.run_beans([
+        "subsample", out, "--output", sub,
+        "--cell-frac", "0.5", "--gene-frac", "0.5",
+    ])
+    sb = open_sparse_matrix(sub)
+    assert sb.num_columns == round(0.5 * (n - 1))
+    assert sb.num_rows == round(0.5 * (d - 1))
