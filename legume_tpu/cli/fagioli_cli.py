@@ -15,6 +15,14 @@ def run_fagioli(argv):
     p.add_argument("--out", required=True)
     p.add_argument("-L", type=int, default=5)
     p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--max-rank", dest="max_rank", type=int, default=None,
+                   help="LD eigenspace rank cap")
+    p.add_argument("--lambda", dest="lam", type=float, default=0.1,
+                   help="LD ridge")
+    p.add_argument("--no-ldsc-intercept", action="store_true",
+                   help="disable per-block LDSC intercept z correction")
+    p.add_argument("--no-pve-adjust", action="store_true",
+                   help="disable the winner's-curse z shrinkage")
     p.add_argument(
         "--multilevel", action="store_true",
         help="hierarchical block/within-block selection (LD-blocked)",
@@ -409,6 +417,9 @@ def run_fagioli(argv):
             df["z"].to_numpy(), geno, L=args.L,
             config=SgvbConfig(num_steps=args.steps),
             multilevel=args.multilevel,
+            rank=args.max_rank, lam=args.lam,
+            ldsc_intercept=not args.no_ldsc_intercept,
+            pve_adjust=not args.no_pve_adjust,
         )
         pd.DataFrame(
             {"variant": df.iloc[:, 0], "pip": out["pip"],

@@ -77,6 +77,8 @@ def map_sumstat(
     L: int = 5,
     rank: Optional[int] = None,
     lam: float = 0.1,
+    ldsc_intercept: bool = True,
+    pve_adjust: bool = True,
     config: SgvbConfig | None = None,
     multilevel: bool = False,
     block_size: int | None = None,
@@ -86,7 +88,10 @@ def map_sumstat(
     ``multilevel`` switches the variational family to the hierarchical
     block/within-block selection softmax over positional LD blocks
     (fit_sumstat_sgvb.rs multilevel option)."""
-    design = RssDesign.from_genotypes(ref_genotypes, z, rank=rank, lam=lam)
+    design = RssDesign.from_genotypes(
+        ref_genotypes, z, rank=rank, lam=lam,
+        ldsc_intercept=ldsc_intercept, pve_adjust=pve_adjust,
+    )
     if multilevel:
         from ..models.sgvb import contiguous_ld_blocks, fit_regression, gaussian_llik
 
@@ -134,6 +139,8 @@ def fit_sumstat_mcmc(
     *,
     rank: Optional[int] = None,
     lam: float = 0.1,
+    ldsc_intercept: bool = True,
+    pve_adjust: bool = True,
     prior_sd: float = 0.3,
     num_samples: int = 1000,
     burn_in: int = 200,
@@ -153,7 +160,10 @@ def fit_sumstat_mcmc(
     from ..ops.mcmc import ess as ess_diag
     from ..ops.mcmc import run_ess_chains, split_rhat
 
-    design = RssDesign.from_genotypes(ref_genotypes, z, rank=rank, lam=lam)
+    design = RssDesign.from_genotypes(
+        ref_genotypes, z, rank=rank, lam=lam,
+        ldsc_intercept=ldsc_intercept, pve_adjust=pve_adjust,
+    )
     x_t = jnp.asarray(design.x_tilde)  # [r, p]
     y_t = jnp.asarray(design.y_tilde[:, 0])
 
@@ -192,6 +202,8 @@ def fit_sumstat_sgvb(
     L: int = 5,
     rank: Optional[int] = None,
     lam: float = 0.1,
+    ldsc_intercept: bool = True,
+    pve_adjust: bool = True,
     config=None,
     block_size: Optional[int] = None,
 ) -> dict:
@@ -215,7 +227,10 @@ def fit_sumstat_sgvb(
 
     grid = list(prior_vars) if prior_vars else [0.01, 0.1, 1.0]
     cfg = config or SgvbConfig(num_steps=1000)
-    design = RssDesign.from_genotypes(ref_genotypes, z, rank=rank, lam=lam)
+    design = RssDesign.from_genotypes(
+        ref_genotypes, z, rank=rank, lam=lam,
+        ldsc_intercept=ldsc_intercept, pve_adjust=pve_adjust,
+    )
     if prior_type == "ash":
         if model not in ("spike-slab",):
             log.info(

@@ -415,16 +415,40 @@ class RssDesign:
     y_tilde: np.ndarray  # [K, T] = Dreg^-1 V' z
 
     @classmethod
-    def from_genotypes(cls, x_geno: np.ndarray, z: np.ndarray, *, rank: int | None = None, lam: float = 0.1):
-        """SVD of X/sqrt(n) -> R = V D^2 V'; Dreg = sqrt(D^2 + lam)."""
+    def from_genotypes(
+        cls, x_geno: np.ndarray, z: np.ndarray, *,
+        rank: int | None = None, lam: float = 0.1,
+        ldsc_intercept: bool = True,
+        pve_adjust: bool = True,
+    ):
+        """SVD of X/sqrt(n) -> R = V D^2 V'; Dreg = sqrt(D^2 + lam).
+
+        `ldsc_intercept` estimates the per-trait confounding intercept
+        a from E[(V'z)^2_k] = h d^2_k + a (rss_svd.rs:110-152, clamped
+        >= 1, no deflation) and rescales z by 1/sqrt(a) when inflated.
+        `pve_adjust` applies the winner's-curse shrinkage
+        z * sqrt((n-1)/(z^2+n-2)) (common.rs no_pve_adjust gate)."""
         n, p = x_geno.shape
         xs = (x_geno - x_geno.mean(0)) / np.maximum(x_geno.std(0), 1e-8)
         u, d, vt = np.linalg.svd(xs / np.sqrt(n), full_matrices=False)
         if rank is not None:
             d, vt = d[:rank], vt[:rank]
+        z = np.atleast_2d(np.asarray(z, np.float64).T).T  # [p, T]
+        if pve_adjust and n > 2:
+            z = z * np.sqrt((n - 1.0) / (z * z + n - 2.0))
+        if ldsc_intercept and len(d) > 2:
+            d_sq = d * d
+            y_raw = vt @ z  # [K, T]
+            mean_x = d_sq.mean()
+            var_x = ((d_sq - mean_x) ** 2).sum()
+            y2 = y_raw**2  # [K, T]
+            mean_y = y2.mean(0)
+            cov = ((d_sq - mean_x)[:, None] * (y2 - mean_y[None, :])).sum(0)
+            slope = np.where(np.abs(var_x) > 1e-12, cov / var_x, 0.0)
+            intercept = np.maximum(mean_y - slope * mean_x, 1.0)  # [T]
+            z = z / np.sqrt(intercept)[None, :]
         d_reg = np.sqrt(d * d + lam)
         x_tilde = d_reg[:, None] * vt  # [K, p]
-        z = np.atleast_2d(np.asarray(z, np.float64).T).T  # [p, T]
         y_tilde = (vt @ z) / d_reg[:, None]  # [K, T]
         return cls(x_tilde=x_tilde.astype(np.float32), y_tilde=y_tilde.astype(np.float32))
 

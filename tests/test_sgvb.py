@@ -6,6 +6,7 @@ import pytest
 
 from legume_tpu.fagioli.sumstat import map_sumstat, simulate_sumstat
 from legume_tpu.models.sgvb import (
+    RssDesign,
     SgvbConfig,
     fit_regression,
     gaussian_llik,
@@ -263,3 +264,36 @@ def test_sparse_regression_mcmc_recovers_support():
     # signs and rough magnitudes recovered
     assert res.beta_mean[2] > 0.5 and res.beta_mean[7] < -0.3
     assert np.isfinite(res.rhat) and res.ess > 5
+
+
+def test_rss_ldsc_intercept_and_pve_adjust():
+    """RssDesign confounding controls (rss_svd.rs:110-152 + common.rs
+    no_pve_adjust): inflated z-scores (z ~ N(0, R + a I), a > 1) are
+    deflated back toward the intercept-free scale; clean z-scores stay
+    untouched (intercept clamps at 1, no deflation)."""
+    rng = np.random.default_rng(0)
+    n, p = 400, 120
+    x = rng.standard_normal((n, p)) @ np.linalg.cholesky(
+        0.5 * np.eye(p) + 0.5
+    ).T
+    xs = (x - x.mean(0)) / x.std(0)
+    r = (xs.T @ xs) / n
+    a_true = 2.5  # confounding inflation
+    z = rng.multivariate_normal(np.zeros(p), r + a_true * np.eye(p))
+
+    d_on = RssDesign.from_genotypes(x, z, ldsc_intercept=True, pve_adjust=False)
+    d_off = RssDesign.from_genotypes(x, z, ldsc_intercept=False, pve_adjust=False)
+    # corrected y_tilde shrinks by ~sqrt(a): energy ratio near 1/a
+    ratio = float((d_on.y_tilde**2).sum() / (d_off.y_tilde**2).sum())
+    assert 1.0 / a_true * 0.5 < ratio < 0.85, ratio
+
+    # clean z: intercept clamps at 1 -> no change
+    z0 = rng.multivariate_normal(np.zeros(p), r)
+    c_on = RssDesign.from_genotypes(x, z0, ldsc_intercept=True, pve_adjust=False)
+    c_off = RssDesign.from_genotypes(x, z0, ldsc_intercept=False, pve_adjust=False)
+    r0 = float((c_on.y_tilde**2).sum() / (c_off.y_tilde**2).sum())
+    assert r0 > 0.9, r0
+
+    # pve adjust shrinks large z more than small z
+    d_pve = RssDesign.from_genotypes(x, z, ldsc_intercept=False, pve_adjust=True)
+    assert float((d_pve.y_tilde**2).sum()) < float((d_off.y_tilde**2).sum())
