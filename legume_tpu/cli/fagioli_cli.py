@@ -23,6 +23,9 @@ def run_fagioli(argv):
                    help="disable per-block LDSC intercept z correction")
     p.add_argument("--no-pve-adjust", action="store_true",
                    help="disable the winner's-curse z shrinkage")
+    p.add_argument("--ld-block-file", default=None,
+                   help="TSV variant<TAB>block_id: user LD blocks for "
+                        "--multilevel (default: contiguous auto-blocks)")
     p.add_argument(
         "--multilevel", action="store_true",
         help="hierarchical block/within-block selection (LD-blocked)",
@@ -413,10 +416,18 @@ def run_fagioli(argv):
 
         df = pd.read_csv(args.zscores, sep="\t")
         geno = np.load(args.geno)
+        ld_blocks = None
+        if args.ld_block_file:
+            bdf = pd.read_csv(args.ld_block_file, sep="\t", header=None,
+                              names=["variant", "block"], dtype=str)
+            lut = dict(zip(bdf.variant, bdf.block))
+            labs = [lut.get(str(v), "?") for v in df.iloc[:, 0]]
+            _, ld_blocks = np.unique(np.asarray(labs), return_inverse=True)
         out = map_sumstat(
             df["z"].to_numpy(), geno, L=args.L,
             config=SgvbConfig(num_steps=args.steps),
             multilevel=args.multilevel,
+            ld_blocks=ld_blocks,
             rank=args.max_rank, lam=args.lam,
             ldsc_intercept=not args.no_ldsc_intercept,
             pve_adjust=not args.no_pve_adjust,

@@ -82,12 +82,15 @@ def map_sumstat(
     config: SgvbConfig | None = None,
     multilevel: bool = False,
     block_size: int | None = None,
+    ld_blocks: "np.ndarray | None" = None,  # [p] block id per variant
 ) -> dict:
     """SuSiE-RSS fine-mapping: returns pip [p], alpha [L, p], effects.
 
     ``multilevel`` switches the variational family to the hierarchical
     block/within-block selection softmax over positional LD blocks
-    (fit_sumstat_sgvb.rs multilevel option)."""
+    (fit_sumstat_sgvb.rs multilevel option); ``ld_blocks`` overrides
+    the contiguous auto-blocking with user block ids
+    (CommonSumstatArgs ld_block_file)."""
     design = RssDesign.from_genotypes(
         ref_genotypes, z, rank=rank, lam=lam,
         ldsc_intercept=ldsc_intercept, pve_adjust=pve_adjust,
@@ -103,7 +106,11 @@ def map_sumstat(
             L=L,
             llik=gaussian_llik,
             config=config,
-            groups=contiguous_ld_blocks(p, block_size),
+            groups=(
+                np.asarray(ld_blocks, np.int32)
+                if ld_blocks is not None
+                else contiguous_ld_blocks(p, block_size)
+            ),
         )
     else:
         out = fit_susie_rss(design, L=L, config=config)
