@@ -171,8 +171,16 @@ def run_senna(argv):
     p.add_argument("--from", dest="from_run", default=None,
                    help="prefix of a prior run: inputs resolve from its manifest")
     p.add_argument("--out", required=True)
-    p.add_argument("--n-nodes", type=int, default=50)
+    p.add_argument("--n-nodes", "--n-centroids", dest="n_nodes",
+                   type=int, default=50)
     p.add_argument("--root-cell", type=int, default=None)
+    p.add_argument("--root-node", type=int, default=None,
+                   help="explicit tree node id as the root")
+    p.add_argument("--gamma", "--lam", dest="lam", type=float, default=1.0,
+                   help="tree smoothness weight")
+    p.add_argument("--sigma", type=float, default=0.1,
+                   help="soft-assignment bandwidth")
+    p.add_argument("--max-iter", type=int, default=30)
     p.add_argument(
         "--velocity",
         default=None,
@@ -1324,7 +1332,11 @@ def run_senna(argv):
                 }
             )
         else:
-            pg = fit_pt(z, n_nodes=args.n_nodes, root_cell=args.root_cell)
+            pg = fit_pt(
+                z, n_nodes=args.n_nodes, root_cell=args.root_cell,
+                root_node=args.root_node, lam=args.lam, sigma=args.sigma,
+                n_iter=args.max_iter,
+            )
             out_df = pd.DataFrame(
                 {
                     "cell": df.iloc[:, 0],

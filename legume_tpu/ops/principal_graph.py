@@ -81,21 +81,27 @@ def pseudotime(
     *,
     n_nodes: int = 50,
     root_cell: int | None = None,
+    root_node: int | None = None,  # PseudotimeArgs root_node
     lam: float = 1.0,
+    sigma: float = 0.1,
     n_iter: int = 30,
     seed: int = 0,
 ) -> PrincipalGraph:
     """Fit the tree, root it, and order cells (`senna pseudotime`;
     branching.rs branch labels at degree >= 3 vertices)."""
-    nodes, adj = fit_principal_tree(x, n_nodes, lam=lam, n_iter=n_iter, seed=seed)
+    nodes, adj = fit_principal_tree(
+        x, n_nodes, lam=lam, sigma=sigma, n_iter=n_iter, seed=seed
+    )
     k = nodes.shape[0]
 
     d2 = ((np.asarray(x)[:, None] - nodes[None]) ** 2).sum(-1)
     cell_to_node = d2.argmin(1)
 
-    # root: node nearest the requested root cell, else a tree leaf
+    # root: explicit node id > node nearest the root cell > a tree leaf
     deg = adj.sum(1)
-    if root_cell is not None:
+    if root_node is not None:
+        root = int(root_node) % k
+    elif root_cell is not None:
         root = int(cell_to_node[root_cell])
     else:
         leaves = np.nonzero(deg <= 1)[0]
