@@ -138,6 +138,12 @@ def run_faba(argv):
     p.add_argument("--backend", required=True, help="site x cell counts backend")
     p.add_argument("--clusters", required=True, help="clusters parquet")
     p.add_argument("--markers", required=True, help="GMT marker sets")
+    p.add_argument("--min-score", type=float, default=0.0,
+                   help="below this marker z the cluster stays UNASSIGNED")
+    p.add_argument("--n-boot", type=int, default=0,
+                   help="panel stability bootstrap draws (AnnotateArgs "
+                        "no_bootstrap_markers inverse; 0 = off)")
+    p.add_argument("--min-support", type=float, default=0.6)
     p.add_argument("--output", required=True)
 
     p = sub.add_parser("docs", help="print embedded method write-ups")
@@ -252,10 +258,21 @@ def run_faba(argv):
         # faba features follow gene/modality/channel; match markers on
         # the gene part of the row name (feature_name.rs convention)
         genes = [str(n).split(":")[0].split("/")[0] for n in be.row_names()]
-        names, scores = annotate_by_markers(profiles, genes, read_gmt(args.markers))
-        pd.DataFrame(
-            {"cluster": uniq, "annotation": names, "score": scores.max(1)}
-        ).to_parquet(f"{args.output}.annotation.parquet")
+        sets = read_gmt(args.markers)
+        names, scores = annotate_by_markers(
+            profiles, genes, sets, min_score=args.min_score
+        )
+        table = {"cluster": uniq, "annotation": names, "score": scores.max(1)}
+        if args.n_boot > 0:
+            from ..ops.enrichment import marker_bootstrap
+
+            bs = marker_bootstrap(
+                profiles, genes, sets, n_boot=args.n_boot,
+                support_threshold=args.min_support,
+            )
+            table["annotation"] = bs["annotation"]
+            table["cluster_label_support"] = bs["cluster_label_support"]
+        pd.DataFrame(table).to_parquet(f"{args.output}.annotation.parquet")
         print(f"wrote {args.output}.annotation.parquet")
         return
 
