@@ -266,9 +266,26 @@ def run_senna(argv):
     p.add_argument("--count-scale", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
 
-    p = sub.add_parser("probe", help="drift/novelty verdict for held-out latents")
-    p.add_argument("--train-latent", required=True)
-    p.add_argument("--heldout-latent", required=True)
+    p = sub.add_parser(
+        "probe",
+        help="drift probe: model-based conformal fit null (--model + "
+             "--calibration, probe.rs) or latent drift (--train-latent)",
+    )
+    p.add_argument("--data-files", nargs="+", default=None,
+                   help="model mode: query backends to probe")
+    p.add_argument("--model", default=None,
+                   help="model mode: trained topic-model prefix")
+    p.add_argument("--calibration", default=None,
+                   help="model mode: in-distribution backend defining the null")
+    p.add_argument("--alpha", type=float, default=0.05,
+                   help="null tail probability = per-cell FP rate")
+    p.add_argument("--minibatch-size", type=int, default=2048)
+    p.add_argument("--counterfactual", action="store_true",
+                   help="first-order benefit/forgetting along the pull "
+                        "direction (no training; magnitudes only)")
+    p.add_argument("--cf-seed", type=int, default=42)
+    p.add_argument("--train-latent", default=None)
+    p.add_argument("--heldout-latent", default=None)
     p.add_argument("--out", required=True)
 
     for _name, _help in [
@@ -900,6 +917,50 @@ def run_senna(argv):
     if args.cmd == "probe":
         import pandas as pd
 
+        if args.model:
+            # model-based conformal probe (probe.rs)
+            import json as _json
+
+            from ..senna.probe import probe_model
+
+            if not (args.data_files and args.calibration):
+                raise SystemExit(
+                    "probe model mode needs --data-files AND --calibration"
+                )
+            res = probe_model(
+                args.model, args.data_files, args.calibration,
+                alpha=args.alpha, block_size=args.minibatch_size,
+                counterfactual=args.counterfactual, cf_seed=args.cf_seed,
+            )
+            pd.DataFrame(
+                {"fit": res.q_fit, "flagged": res.q_fit < res.threshold}
+            ).to_parquet(f"{args.out}.probe.fit.parquet")
+            doc = {
+                "verdict": res.verdict,
+                "flag_rate": res.flag_rate,
+                "binom_p": res.binom_p,
+                "threshold": res.threshold,
+                "alpha": args.alpha,
+            }
+            if res.counterfactual is not None:
+                doc["counterfactual"] = res.counterfactual
+            with open(f"{args.out}.probe.json", "w") as f:
+                _json.dump(doc, f, indent=2)
+            print(_json.dumps({k: v for k, v in doc.items()
+                               if k != "counterfactual"}))
+            if res.counterfactual:
+                cfd = res.counterfactual
+                print(
+                    f"counterfactual: benefit={cfd['benefit']:+.4e} "
+                    f"forgetting={cfd['forgetting']:+.4e} "
+                    f"||g||={cfd['pull_norm']:.4e}"
+                )
+            return
+        if not (args.train_latent and args.heldout_latent):
+            raise SystemExit(
+                "probe: provide --model/--calibration/--data-files or "
+                "--train-latent/--heldout-latent"
+            )
         from ..senna.impute import probe_latent
 
         tr = pd.read_parquet(args.train_latent).iloc[:, 1:].to_numpy("float32")

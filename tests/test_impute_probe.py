@@ -1,6 +1,7 @@
 """senna impute + probe tests."""
 
 import numpy as np
+from pathlib import Path
 import scipy.sparse as sp
 
 from legume_tpu.data.sparse_io import MemoryBackend
@@ -258,3 +259,78 @@ def test_impute_reference_mode_recovers_full_profiles(tmp_path):
         if truth[j].std() > 0 and vals[j].std() > 0
     ]
     assert np.mean(r) > 0.5, f"mean per-cell correlation {np.mean(r):.3f}"
+
+
+def test_probe_model_conformal_and_counterfactual(tmp_path):
+    """senna probe model mode (probe.rs): in-distribution query reads
+    covered; an out-of-distribution query (shuffled gene programs)
+    reads novel with a high flag rate; --counterfactual reports a
+    LARGER benefit for the novel batch than the covered one (updating
+    helps more when the model does not explain the cells)."""
+    import json
+
+    import pandas as pd
+    import scipy.sparse as sp
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sim import simulate_topic, write_topic_sim
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+
+    # ONE generative model; columns split into train / calibration /
+    # covered-query so the null and query share the dictionary
+    sim = simulate_topic(rows=60, cols=1400, factors=3, batches=1,
+                         pve_topic=0.8, depth=2000, seed=23)
+    full = sim.counts.tocsc()
+    gnames = [f"g{i}" for i in range(60)]
+
+    def _write(cols, prefix, names):
+        p = str(tmp_path / f"{prefix}.zarr")
+        create_sparse_from_csc(full[:, cols], p, gnames, names)
+        return p
+
+    path = _write(np.arange(800), "tr", [f"t{j}" for j in range(800)])
+    fit = str(tmp_path / "fit")
+    cli.main([
+        "senna", "topic", "--data-files", path, "--out", fit,
+        "-k", "3", "--encoder-layers", "16", "--epochs", "15",
+        "--minibatch-size", "64", "--num-levels", "2", "--sort-dim", "5",
+        "--proj-dim", "12", "--iter-opt", "5", "--block-size", "256",
+        "--decoder", "multinomial",
+    ])
+    cal = _write(np.arange(800, 1100), "cal", [f"c{j}" for j in range(300)])
+    cov = _write(np.arange(1100, 1400), "cov", [f"v{j}" for j in range(300)])
+    # novel query: rows permuted -> programs the dictionary never saw
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(60)
+    nov_counts = full[:, 1100:1400].tocsr()[perm].tocsc()
+    nov = str(tmp_path / "nov.zarr")
+    create_sparse_from_csc(
+        nov_counts, nov, gnames, [f"q{j}" for j in range(300)],
+    )
+
+    out_c = str(tmp_path / "pc")
+    cli.main([
+        "senna", "probe", "--data-files", cov, "--model", fit,
+        "--calibration", cal, "--out", out_c, "--counterfactual",
+    ])
+    doc_c = json.loads(Path(out_c + ".probe.json").read_text())
+    out_n = str(tmp_path / "pn")
+    cli.main([
+        "senna", "probe", "--data-files", nov, "--model", fit,
+        "--calibration", cal, "--out", out_n, "--counterfactual",
+    ])
+    doc_n = json.loads(Path(out_n + ".probe.json").read_text())
+
+    assert doc_c["verdict"] == "covered", doc_c
+    assert doc_n["verdict"] == "novel", doc_n
+    assert doc_n["flag_rate"] > doc_c["flag_rate"] + 0.2
+    # the novel batch pulls the dictionary harder than the covered one
+    # (the reference reports magnitudes, no decision rule on this axis)
+    assert (doc_n["counterfactual"]["pull_norm"]
+            > doc_c["counterfactual"]["pull_norm"])
+    for doc in (doc_c, doc_n):
+        cfd = doc["counterfactual"]
+        assert np.isfinite(cfd["benefit"]) and np.isfinite(cfd["forgetting"])
+        assert len(cfd["pull_norm_per_topic"]) == 3
+    fitdf = pd.read_parquet(out_n + ".probe.fit.parquet")
+    assert len(fitdf) == 300
