@@ -468,17 +468,31 @@ def run_senna(argv):
     p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser(
-        "resolve-embedding-space",
-        help="Procrustes-align feature/cell embeddings across runs",
+        "resolve-embedding-space", aliases=["rest"],
+        help="recast a topic run into a shared cell+gene metric space "
+             "(--from, resolve_embedding_space.rs) or Procrustes-align "
+             "runs (--runs)",
     )
+    p.add_argument("--from", dest="from_run", default=None,
+                   help="finished topic run prefix: freeze its theta and "
+                        "learn the shared cell+gene H-space against the "
+                        "raw counts")
+    p.add_argument("--data-files", nargs="+", default=None,
+                   help="counts behind --from (default: its manifest)")
+    p.add_argument("--embedding-dim", "-d", type=int, default=None,
+                   help="H (default: the run's topic count)")
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--learning-rate", "--lr", type=float, default=0.05)
+    p.add_argument("--num-negatives", type=float, default=5.0)
     p.add_argument(
-        "--runs", nargs="+", required=True,
-        help="run prefixes; each needs {prefix}.feature_embedding.parquet"
-        " (optionally {prefix}.latent.parquet)",
+        "--runs", nargs="+", default=None,
+        help="Procrustes mode: run prefixes; each needs "
+        "{prefix}.feature_embedding.parquet",
     )
     p.add_argument("--out", required=True)
     p.add_argument("--reference", type=int, default=0, help="index of the anchor run")
     p.add_argument("--no-scale", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("joint-topic", help="multi-modality topic model (shared cells)")
     p.add_argument(
@@ -663,9 +677,66 @@ def run_senna(argv):
         ).reset_index(names="node").to_parquet(f"{args.out}.embedding.parquet")
         print(f"wrote {args.out}.embedding.parquet ({len(res.names)} nodes)")
         return
-    if args.cmd == "resolve-embedding-space":
+    if args.cmd in ("resolve-embedding-space", "rest"):
         import pandas as pd
 
+        if args.from_run:
+            # reference semantics: frozen-theta NCE co-embedding
+            # (resolve_embedding_space.rs)
+            import numpy as _np
+
+            from ..embedding.resolve import rest_fit
+            from ..senna.topic import load_data_vec
+            from ..utils.manifest import RunManifest
+
+            prev = RunManifest.load(
+                args.from_run if args.from_run.endswith(".json")
+                else args.from_run + ".senna.json"
+            )
+            lat = prev.outputs.get("latent")
+            if lat is None:
+                raise SystemExit("rest --from: source run has no latent")
+            zdf = pd.read_parquet(lat)
+            theta = zdf.iloc[:, 1:].to_numpy("float32")
+            if _np.all(theta <= 0):
+                theta = _np.exp(theta)
+            theta = theta / _np.maximum(theta.sum(1, keepdims=True), 1e-30)
+            files = args.data_files or prev.inputs.get("data_files")
+            if not files:
+                raise SystemExit("rest --from: no data files found")
+            vec = load_data_vec(files)
+            res = rest_fit(
+                theta, vec, embedding_dim=args.embedding_dim,
+                epochs=args.epochs, learning_rate=args.learning_rate,
+                n_negatives=args.num_negatives, seed=args.seed,
+            )
+            h = res["cell_embedding"].shape[1]
+            pd.DataFrame(
+                res["cell_embedding"], index=zdf.iloc[:, 0],
+                columns=[f"h{i}" for i in range(h)],
+            ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
+            pd.DataFrame(
+                res["feature_embedding"], index=vec.row_names(),
+                columns=[f"h{i}" for i in range(h)],
+            ).reset_index(names="gene").to_parquet(
+                f"{args.out}.feature_embedding.parquet"
+            )
+            pd.DataFrame(
+                res["topic_embedding"],
+                columns=[f"h{i}" for i in range(h)],
+            ).to_parquet(f"{args.out}.topic_embedding.parquet")
+            RunManifest(
+                command="resolve-embedding-space",
+                inputs={"from": args.from_run, "data_files": list(files)},
+                outputs={
+                    "latent": f"{args.out}.latent.parquet",
+                    "feature_embedding": f"{args.out}.feature_embedding.parquet",
+                },
+            ).save(args.out)
+            print(f"wrote {args.out}.latent/.feature_embedding/.topic_embedding")
+            return
+        if not args.runs:
+            raise SystemExit("rest: provide --from <run> or --runs <prefixes>")
         from ..embedding.resolve import resolve_embedding_spaces
 
         runs = []

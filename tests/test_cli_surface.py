@@ -1005,3 +1005,48 @@ def test_senna_plot_full_surface(tmp_path):
     cli.main(["senna", "plot", "--layout", str(lay), "--colour-by", "pseudotime",
               "--pseudotime", str(pt), "--out", out + "_p.png"])
     assert Path(out + "_t.png").exists() and Path(out + "_p.png").exists()
+
+
+def test_rest_frozen_theta_coembedding(tmp_path):
+    """resolve-embedding-space --from (resolve_embedding_space.rs):
+    frozen-theta NCE learns a shared cell+gene space; marker genes of a
+    topic land nearer that topic's cells than other cells (the
+    annotate-by-projection contract), with genes co-embedded onto the
+    cell manifold."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sim import simulate_topic, write_topic_sim
+
+    sim = simulate_topic(rows=60, cols=500, factors=3, batches=1,
+                         pve_topic=0.85, depth=2500, seed=29)
+    path = write_topic_sim(sim, str(tmp_path / "r"))
+    fit = str(tmp_path / "fit")
+    cli.main([
+        "senna", "topic", "--data-files", path, "--out", fit,
+        "-k", "3", "--encoder-layers", "16", "--epochs", "20",
+        "--minibatch-size", "64", "--num-levels", "2", "--sort-dim", "5",
+        "--proj-dim", "12", "--iter-opt", "5", "--block-size", "256",
+        "--decoder", "multinomial",
+    ])
+    out = str(tmp_path / "rest")
+    cli.main([
+        "senna", "rest", "--from", fit, "--out", out,
+        "-d", "8", "--epochs", "300", "--seed", "1",
+    ])
+    z = pd.read_parquet(out + ".latent.parquet").iloc[:, 1:].to_numpy()
+    g = pd.read_parquet(out + ".feature_embedding.parquet").iloc[:, 1:].to_numpy()
+    assert z.shape == (500, 8) and g.shape == (60, 8)
+    assert np.isfinite(z).all() and np.isfinite(g).all()
+
+    # contract: a topic's top gene sits nearer that topic's cells
+    true_k = sim.theta.argmax(1)
+    beta = sim.beta  # [G, K]
+    ok = 0
+    for k in range(3):
+        top_gene = int(beta[:, k].argmax())
+        d_all = np.linalg.norm(z - g[top_gene], axis=1)
+        own = d_all[true_k == k].mean()
+        other = d_all[true_k != k].mean()
+        ok += own < other
+    assert ok >= 2, f"only {ok}/3 marker genes land near their topic"
