@@ -527,11 +527,24 @@ def run_senna(argv):
     p.add_argument("--seed", type=int, default=None)
 
     p = sub.add_parser(
-        "annotate-by-projection", help="kNN label transfer from a reference latent"
+        "annotate-by-projection",
+        help="marker projection into a co-embedding (--from rest run + "
+             "--markers, annotate args.rs) or kNN label transfer "
+             "(--train-latent)",
     )
-    p.add_argument("--train-latent", required=True)
-    p.add_argument("--train-clusters", required=True, help="clusters parquet")
-    p.add_argument("--latent", required=True, help="held-out latent parquet")
+    p.add_argument("--from", dest="from_run", default=None,
+                   help="rest/bge run prefix with feature_embedding + "
+                        "latent: markers project into the shared space")
+    p.add_argument("--markers", default=None, help="GMT marker sets")
+    p.add_argument("--no-idf", action="store_true",
+                   help="skip the inverse-panel-frequency marker weighting")
+    p.add_argument("--assign-mad", type=float, default=3.0,
+                   help="cells further than this many MADs from every "
+                        "label centroid stay UNASSIGNED (assign_qc)")
+    p.add_argument("--no-assign-qc", action="store_true")
+    p.add_argument("--train-latent", default=None)
+    p.add_argument("--train-clusters", default=None, help="clusters parquet")
+    p.add_argument("--latent", default=None, help="held-out latent parquet")
     p.add_argument("--out", required=True)
     p.add_argument("--knn", type=int, default=15)
 
@@ -834,6 +847,75 @@ def run_senna(argv):
 
         from ..ops.knn import knn_search
 
+        if args.from_run:
+            # marker projection into the shared cell+gene space
+            # (annotate/args.rs marker-projection path): each label's
+            # score is the IDF-weighted mean similarity of the cell to
+            # the label's marker-gene embeddings
+            import numpy as _np
+
+            from ..data.knowledge import read_gmt
+            from ..utils.manifest import RunManifest
+
+            if not args.markers:
+                raise SystemExit("annotate-by-projection --from needs --markers")
+            prev = RunManifest.load(
+                args.from_run if args.from_run.endswith(".json")
+                else args.from_run + ".senna.json"
+            )
+            fe = pd.read_parquet(prev.outputs["feature_embedding"])
+            ce = pd.read_parquet(prev.outputs["latent"])
+            genes = {str(g).lower(): i for i, g in enumerate(fe.iloc[:, 0])}
+            g_emb = fe.iloc[:, 1:].to_numpy("float32")
+            z = ce.iloc[:, 1:].to_numpy("float32")
+            zn = z / _np.maximum(_np.linalg.norm(z, axis=1, keepdims=True), 1e-9)
+            gn = g_emb / _np.maximum(
+                _np.linalg.norm(g_emb, axis=1, keepdims=True), 1e-9
+            )
+            sets = read_gmt(args.markers)
+            # IDF: markers shared by many panels discriminate less
+            counts = {}
+            for label, gl in sets.items():
+                for g in gl:
+                    counts[str(g).lower()] = counts.get(str(g).lower(), 0) + 1
+            n_panels = max(len(sets), 1)
+            scores = _np.full((len(z), len(sets)), -_np.inf, _np.float32)
+            labels = list(sets)
+            for li, label in enumerate(labels):
+                idxs, wts = [], []
+                for g in sets[label]:
+                    j = genes.get(str(g).lower())
+                    if j is not None:
+                        idxs.append(j)
+                        w = 1.0 if args.no_idf else _np.log1p(
+                            n_panels / counts[str(g).lower()]
+                        )
+                        wts.append(w)
+                if not idxs:
+                    continue
+                w = _np.asarray(wts, _np.float32)
+                sim = zn @ gn[_np.asarray(idxs)].T  # [N, M]
+                scores[:, li] = (sim * w[None, :]).sum(1) / w.sum()
+            best = scores.argmax(1)
+            ann = _np.asarray(labels)[best]
+            conf = scores[_np.arange(len(z)), best]
+            if not args.no_assign_qc:
+                # MAD fence on the winning score (assign_mad)
+                med = _np.median(conf)
+                mad = _np.median(_np.abs(conf - med)) * 1.4826
+                low = conf < med - args.assign_mad * max(mad, 1e-9)
+                ann = _np.where(low, "UNASSIGNED", ann)
+            pd.DataFrame(
+                {"cell": ce.iloc[:, 0], "annotation": ann, "score": conf}
+            ).to_parquet(f"{args.out}.annotation.parquet")
+            print(f"wrote {args.out}.annotation.parquet "
+                  f"({(_np.asarray(ann) != 'UNASSIGNED').sum()}/{len(ann)} assigned)")
+            return
+        if not (args.train_latent and args.train_clusters and args.latent):
+            raise SystemExit(
+                "annotate-by-projection: provide --from/--markers or "
+                "--train-latent/--train-clusters/--latent"
+            )
         tr = pd.read_parquet(args.train_latent)
         ho = pd.read_parquet(args.latent)
         cl = pd.read_parquet(args.train_clusters)

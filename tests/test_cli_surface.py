@@ -1050,3 +1050,49 @@ def test_rest_frozen_theta_coembedding(tmp_path):
         other = d_all[true_k != k].mean()
         ok += own < other
     assert ok >= 2, f"only {ok}/3 marker genes land near their topic"
+
+
+def test_annotate_by_projection_marker_mode(tmp_path):
+    """annotate-by-projection --from + --markers (annotate/args.rs
+    marker-projection): markers project into the rest co-embedding and
+    each planted topic's cells pick up their own marker label."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sim import simulate_topic, write_topic_sim
+
+    sim = simulate_topic(rows=60, cols=500, factors=3, batches=1,
+                         pve_topic=0.85, depth=2500, seed=33)
+    path = write_topic_sim(sim, str(tmp_path / "a"))
+    fit = str(tmp_path / "fit")
+    cli.main([
+        "senna", "topic", "--data-files", path, "--out", fit,
+        "-k", "3", "--encoder-layers", "16", "--epochs", "20",
+        "--minibatch-size", "64", "--num-levels", "2", "--sort-dim", "5",
+        "--proj-dim", "12", "--iter-opt", "5", "--block-size", "256",
+        "--decoder", "multinomial",
+    ])
+    rest = str(tmp_path / "rest")
+    cli.main(["senna", "rest", "--from", fit, "--out", rest,
+              "-d", "8", "--epochs", "300", "--seed", "1"])
+    # marker panel: top 5 genes per true topic
+    gmt = tmp_path / "m.gmt"
+    lines = []
+    for k in range(3):
+        top = np.argsort(-sim.beta[:, k])[:5]
+        lines.append(f"type{k}\tna\t" + "\t".join(f"g{i}" for i in top))
+    gmt.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "ann")
+    cli.main([
+        "senna", "annotate-by-projection", "--from", rest,
+        "--markers", str(gmt), "--out", out,
+    ])
+    ann = pd.read_parquet(out + ".annotation.parquet")
+    true_k = sim.theta.argmax(1)
+    assigned = ann.annotation.to_numpy() != "UNASSIGNED"
+    acc = (
+        ann.annotation.to_numpy()[assigned]
+        == np.asarray([f"type{k}" for k in true_k])[assigned]
+    ).mean()
+    assert assigned.mean() > 0.7
+    assert acc > 0.6, f"marker-projection accuracy {acc:.2f}"
