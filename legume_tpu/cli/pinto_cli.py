@@ -89,8 +89,13 @@ def run_pinto(argv):
     p.add_argument("--knn", type=int, default=8)
 
     p = sub.add_parser("prop", help="edge-latent re-clustering (kmeans/leiden)")
-    p.add_argument("--data-files", nargs="+", required=True)
-    p.add_argument("--coords", required=True, help="TSV: cell x y")
+    p.add_argument("--data-files", nargs="+", default=None)
+    p.add_argument("--coords", default=None, help="TSV: cell x y")
+    p.add_argument("--latent", "-z", default=None,
+                   help="edge latent parquet from `pinto dsvd` "
+                        "({out}.pair_factors.parquet with src/dst columns): "
+                        "cluster THAT instead of re-deriving from counts "
+                        "(SrtPropensityArgs latent_data_file)")
     p.add_argument("--out", required=True)
     p.add_argument("--method", choices=["kmeans", "leiden"], default="kmeans")
     p.add_argument("-k", "--n-clusters", type=int, default=10)
@@ -178,6 +183,37 @@ def run_pinto(argv):
     if args.cmd == "prop":
         import pandas as pd
 
+        if args.latent:
+            # dsvd -> prop chain (SrtPropensityArgs): cluster the PAIR
+            # latent, lift node propensity from edge labels
+            from ..ops.kmeans import kmeans
+            from ..ops.leiden import knn_adjacency, leiden_clustering
+            from ..pinto.lc import compute_node_membership
+
+            df = pd.read_parquet(args.latent)
+            edges = df[["src", "dst"]].to_numpy(np.int64)
+            z = df.drop(columns=["src", "dst"]).to_numpy(np.float32)
+            if args.method == "leiden":
+                adj = knn_adjacency(z, k=args.knn)
+                labels = leiden_clustering(
+                    adj, resolution=args.resolution, seed=seed
+                ).membership
+            else:
+                _, labels = kmeans(z, args.n_clusters, seed=seed)
+            n_cells = int(edges.max()) + 1
+            k = int(np.max(labels)) + 1
+            prop = compute_node_membership(edges, np.asarray(labels), n_cells, k)
+            pd.DataFrame(
+                {"src": edges[:, 0], "dst": edges[:, 1], "community": labels}
+            ).to_parquet(f"{args.out}.edges.parquet")
+            pd.DataFrame(
+                prop, columns=[f"c{j}" for j in range(prop.shape[1])]
+            ).reset_index(names="cell").to_parquet(f"{args.out}.propensity.parquet")
+            print(f"wrote {args.out}.edges.parquet + .propensity.parquet "
+                  f"({k} communities from the pair latent)")
+            return
+        if not (args.data_files and args.coords):
+            raise SystemExit("prop: provide --latent or --data-files + --coords")
         from ..pinto.prop import edge_prop_clustering
         from ..senna.topic import load_data_vec
 
