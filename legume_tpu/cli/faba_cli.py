@@ -113,6 +113,14 @@ def run_faba(argv):
     p.add_argument("--branches", required=True, help="parquet: cell, branch|pseudotime")
     p.add_argument("--output", required=True)
     p.add_argument("--exposure", default=None, help="optional coverage backend")
+    p.add_argument("--n-bins", type=int, default=8,
+                   help="pseudotime windows (AssocArgs n_bins)")
+    p.add_argument("--min-total-coverage", type=float, default=0.0,
+                   help="sites with fewer total counts drop out")
+    p.add_argument("--min-cells", type=int, default=0,
+                   help="sites expressed in fewer cells drop out")
+    p.add_argument("--fdr-alpha", type=float, default=0.0,
+                   help=">0: add a BH significant column at this level")
     p = sub.add_parser("apa", help="alternative polyadenylation site usage")
     p.add_argument("--bam", required=True)
     p.add_argument("--gff", required=True)
@@ -524,6 +532,13 @@ def run_faba(argv):
         counts = np.asarray(
             be.read_columns_csc(np.arange(be.num_columns)).todense()
         )  # [S, N]
+        site_names = list(be.row_names())
+        keep_sites = (counts.sum(1) >= args.min_total_coverage) & (
+            (counts > 0).sum(1) >= args.min_cells
+        )
+        if not keep_sites.all():
+            counts = counts[keep_sites]
+            site_names = [s for s, k in zip(site_names, keep_sites) if k]
         cells = be.column_names()
         lab = pd.read_parquet(args.branches).set_index(
             pd.read_parquet(args.branches).columns[0]
@@ -541,7 +556,7 @@ def run_faba(argv):
             out = dyn_assoc(counts, exposure, lab[branch_col].to_numpy())
             df = pd.DataFrame(
                 {
-                    "site": be.row_names(),
+                    "site": site_names,
                     "branch": out["branch"],
                     "log_fold_change": out["log_fold_change"],
                     "z": out["z"],
@@ -551,15 +566,23 @@ def run_faba(argv):
             )
         else:
             pt_col = "pseudotime" if "pseudotime" in lab.columns else lab.columns[0]
-            out = dyn_assoc_pseudotime(counts, exposure, lab[pt_col].to_numpy())
+            out = dyn_assoc_pseudotime(
+                counts, exposure, lab[pt_col].to_numpy(),
+                n_windows=args.n_bins,
+            )
             df = pd.DataFrame(
                 {
-                    "site": be.row_names(),
+                    "site": site_names,
                     "slope": out["slope"],
                     "z": out["z"],
                     "pvalue": out["pvalue"],
                 }
             )
+        if args.fdr_alpha > 0:
+            from ..ops.enrichment import bh_fdr
+
+            df["qvalue"] = bh_fdr(df["pvalue"].to_numpy())
+            df["significant"] = df["qvalue"] <= args.fdr_alpha
         df.to_parquet(f"{args.output}.assoc.parquet")
         print(f"wrote {args.output}.assoc.parquet ({len(df)} sites)")
     elif args.cmd in ("pileup", "inspect"):
