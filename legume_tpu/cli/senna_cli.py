@@ -404,9 +404,21 @@ def run_senna(argv):
     p.add_argument("--clusters", required=True, help="clusters parquet")
     p.add_argument("--markers", required=True, help="GMT marker sets")
     p.add_argument("--out", required=True)
-    p.add_argument("--bootstrap", type=int, default=0,
+    p.add_argument("--bootstrap", "--n-boot", dest="bootstrap",
+                   type=int, default=0,
                    help="panel stability bootstrap draws (0 = off)")
-    p.add_argument("--support-threshold", type=float, default=0.6)
+    p.add_argument("--support-threshold", "--min-support",
+                   dest="support_threshold", type=float, default=0.6)
+    p.add_argument("--min-score", type=float, default=0.0,
+                   help="below this marker z the cluster stays UNASSIGNED")
+    p.add_argument("--min-markers", type=int, default=0,
+                   help="panels matching fewer genes drop out")
+    p.add_argument("--min-gene-set", type=int, default=0)
+    p.add_argument("--max-gene-set", type=int, default=0, help="0 = no cap")
+    p.add_argument("--num-perm", type=int, default=0,
+                   help="gene-label permutation null: adds perm_z/perm_p "
+                        "columns (AnnotateArgs num_perm)")
+    p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("vae", help="scVI-style Gaussian-latent VAE")
     p.add_argument("--data-files", nargs="*", default=[],
@@ -1453,8 +1465,41 @@ def run_senna(argv):
                 _np.asarray(vec.read_columns_csc(cells).mean(axis=1)).ravel()
             )
         sets = read_gmt(args.markers)
-        names, scores = annotate_by_markers(profiles, vec.row_names(), sets)
+        # panel filters (AnnotateArgs min_markers / min/max_gene_set)
+        gene_pool = {str(g).lower() for g in vec.row_names()}
+        kept_sets = {}
+        for label, gl in sets.items():
+            if args.min_gene_set and len(gl) < args.min_gene_set:
+                continue
+            if args.max_gene_set and len(gl) > args.max_gene_set:
+                continue
+            matched = sum(str(g).lower() in gene_pool for g in gl)
+            if args.min_markers and matched < args.min_markers:
+                continue
+            kept_sets[label] = gl
+        if not kept_sets:
+            raise SystemExit("annotate: no marker panel survives the filters")
+        sets = kept_sets
+        names, scores = annotate_by_markers(
+            profiles, vec.row_names(), sets, min_score=args.min_score
+        )
         table = {"cluster": uniq, "annotation": names, "score": scores.max(1)}
+        if args.num_perm > 0:
+            # gene-label permutation null on the winning score
+            rng = _np.random.default_rng(args.seed)
+            gene_list = list(vec.row_names())
+            null = _np.zeros((args.num_perm, len(uniq)))
+            for t in range(args.num_perm):
+                perm_genes = [gene_list[i] for i in rng.permutation(len(gene_list))]
+                _, s_t = annotate_by_markers(profiles, perm_genes, sets)
+                null[t] = s_t.max(1)
+            mu0 = null.mean(0)
+            sd0 = _np.maximum(null.std(0), 1e-9)
+            perm_z = (scores.max(1) - mu0) / sd0
+            from scipy.stats import norm as _norm
+
+            table["perm_z"] = perm_z
+            table["perm_p"] = _norm.sf(perm_z)
         if args.bootstrap > 0:
             from ..ops.enrichment import marker_bootstrap
 
