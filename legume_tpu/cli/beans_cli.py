@@ -116,6 +116,10 @@ def run_beans(argv):
     p = sub.add_parser("to-h5ad", help="export AnnData .h5ad")
     p.add_argument("backend")
     p.add_argument("--output", required=True)
+    p.add_argument("--obs", default=None,
+                   help="TSV/parquet keyed by cell: extra obs columns")
+    p.add_argument("--var", default=None,
+                   help="TSV/parquet keyed by gene: extra var columns")
     p = sub.add_parser("merge-backend", help="merge backends column-wise")
     p.add_argument("backends", nargs="+")
     p.add_argument("--output", required=True)
@@ -293,7 +297,7 @@ def run_beans(argv):
     elif args.cmd == "to-h5ad":
         from ..data.builders import to_h5ad
 
-        to_h5ad(args.backend, args.output)
+        to_h5ad(args.backend, args.output, obs_file=args.obs, var_file=args.var)
         print(f"wrote {args.output}")
     elif args.cmd == "merge-backend":
         from ..data.builders import merge_backends

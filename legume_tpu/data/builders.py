@@ -589,12 +589,33 @@ def to_mtx(backend_path: str, out_prefix: str):
         f.write("\n".join(be.column_names()) + "\n")
 
 
-def to_h5ad(backend_path: str, out_path: str):
-    """Minimal scanpy-readable AnnData export (`data-beans to-h5ad`)."""
+def to_h5ad(
+    backend_path: str, out_path: str,
+    *, obs_file: str | None = None, var_file: str | None = None,
+):
+    """Minimal scanpy-readable AnnData export (`data-beans to-h5ad`;
+    ToH5adArgs obs/var: optional TSV/parquet tables joined onto the
+    cell/gene index as extra columns)."""
     import h5py
 
     be = open_sparse_matrix(backend_path)
     csr = be.read_columns_csc(np.arange(be.num_columns)).T.tocsr()  # [cells, genes]
+
+    def _extra_table(path, index_names):
+        if path is None:
+            return None
+        import pandas as pd
+
+        df = (
+            pd.read_parquet(path)
+            if str(path).endswith(".parquet")
+            else pd.read_csv(path, sep="\t")
+        )
+        df = df.set_index(df.columns[0])
+        return df.reindex([str(x) for x in index_names])
+
+    obs_extra = _extra_table(obs_file, be.column_names())
+    var_extra = _extra_table(var_file, be.row_names())
     with h5py.File(out_path, "w") as f:
         x = f.create_group("X")
         x.attrs["encoding-type"] = "csr_matrix"
@@ -603,13 +624,29 @@ def to_h5ad(backend_path: str, out_path: str):
         x.create_dataset("data", data=csr.data.astype(np.float32))
         x.create_dataset("indices", data=csr.indices.astype(np.int32))
         x.create_dataset("indptr", data=csr.indptr.astype(np.int32))
-        for key, names in (("obs", be.column_names()), ("var", be.row_names())):
+        for key, names, extra in (
+            ("obs", be.column_names(), obs_extra),
+            ("var", be.row_names(), var_extra),
+        ):
             g = f.create_group(key)
             g.attrs["_index"] = "_index"
             g.attrs["encoding-type"] = "dataframe"
             g.attrs["encoding-version"] = "0.2.0"
-            g.attrs["column-order"] = np.asarray([], dtype="S1")
+            cols = [] if extra is None else [str(c) for c in extra.columns]
+            g.attrs["column-order"] = np.asarray(cols, dtype=h5py.string_dtype())
             g.create_dataset("_index", data=np.asarray(names, dtype=h5py.string_dtype()))
+            if extra is not None:
+                for c in extra.columns:
+                    vals = extra[c].to_numpy()
+                    if vals.dtype.kind in "OUS":
+                        g.create_dataset(
+                            str(c),
+                            data=np.asarray(
+                                [str(v) for v in vals], dtype=h5py.string_dtype()
+                            ),
+                        )
+                    else:
+                        g.create_dataset(str(c), data=vals.astype(np.float64))
 
 
 def subset_backend(
