@@ -127,7 +127,12 @@ def run_faba(argv):
     p.add_argument("--output", required=True)
     p.add_argument("--min-mapq", type=int, default=20)
     p.add_argument("--peak-window", type=int, default=30)
-    p.add_argument("--min-reads", type=int, default=5)
+    p.add_argument("--min-reads", "--min-coverage", dest="min_reads",
+                   type=int, default=5)
+    p.add_argument("--polya-min-tail-length", type=int, default=0,
+                   help="keep only reads with an untemplated A/T soft-clip "
+                        "tail of at least this length (0 = all reads)")
+    p.add_argument("--polya-max-non-a-or-t", type=int, default=2)
 
     p = sub.add_parser("snp", help="pileup genotyper on BAM mismatches")
     p.add_argument("--bam", required=True)
@@ -198,6 +203,8 @@ def run_faba(argv):
             args.bam, args.gff,
             min_mapq=args.min_mapq, peak_window=args.peak_window,
             min_reads=args.min_reads,
+            polya_min_tail_length=args.polya_min_tail_length,
+            polya_max_non_at=args.polya_max_non_a_or_t,
         )
         if apa.counts.shape[0]:
             create_sparse_from_csc(

@@ -55,10 +55,23 @@ def run_apa(
     min_mapq: int = 20,
     peak_window: int = 30,
     min_reads: int = 5,
+    # polyA-tail gate (CountApaArgs polya_min_tail_length /
+    # polya_max_non_a_or_t): keep only reads whose terminal soft clip
+    # carries an untemplated A/T run of at least this length with at
+    # most `max_non_at` non-A/T bases. 0 = no gating (every read).
+    polya_min_tail_length: int = 0,
+    polya_max_non_at: int = 2,
 ) -> ApaResult:
     recs = read_bam(bam_path)
     model = parse_gff_genes(gff_path)
     keep = (recs.mapq >= min_mapq) & (recs.cb_id >= 0) & ((recs.flag & 0x904) == 0)
+    if polya_min_tail_length > 0 and recs.tail_len is not None:
+        t_len = recs.tail_len.astype(np.int64)
+        hits = np.round(recs.tail_frac.astype(np.float64) / 255.0 * t_len)
+        polya = (t_len >= polya_min_tail_length) & (
+            (t_len - hits) <= polya_max_non_at
+        )
+        keep &= polya
     gene = assign_reads_to_genes(
         recs.ref_id[keep], recs.pos[keep], recs.end_pos[keep], recs.ref_names, model
     )

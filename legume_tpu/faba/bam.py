@@ -61,6 +61,13 @@ def _load():
               (np.int32, np.int32, np.int32, np.uint16, np.uint8, np.int64,
                np.int64, np.uint8)),
         ]
+        lib.bam_next_chunk3.restype = ctypes.c_long
+        lib.bam_next_chunk3.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            *(np.ctypeslib.ndpointer(dt, flags="C_CONTIGUOUS") for dt in
+              (np.int32, np.int32, np.int32, np.uint16, np.uint8, np.int64,
+               np.int64, np.uint8, np.uint16, np.uint8)),
+        ]
         lib.bam_take_mismatches.restype = ctypes.c_long
         lib.bam_take_mismatches.argtypes = [
             ctypes.c_void_p, ctypes.c_long,
@@ -90,6 +97,10 @@ class BamRecords:
     ref_names: list[str]
     barcodes: list[str]
     has_skip: np.ndarray | None = None  # uint8: CIGAR N op (spliced junction)
+    # polyA-tail evidence (bam_next_chunk3): terminal soft-clip length
+    # + its A/T fraction scaled by 255
+    tail_len: np.ndarray | None = None  # uint16
+    tail_frac: np.ndarray | None = None  # uint8
     # reference mismatches from MD tags (dartseq/editing paths)
     mm_ref_id: np.ndarray | None = None
     mm_pos: np.ndarray | None = None
@@ -109,7 +120,8 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
         refs = [lib.bam_ref_name(h, i).decode() for i in range(lib.bam_num_refs(h))]
         cols = {
             k: []
-            for k in ("ref_id", "pos", "end_pos", "flag", "mapq", "cb", "umi", "skip")
+            for k in ("ref_id", "pos", "end_pos", "flag", "mapq", "cb", "umi",
+                      "skip", "tail_len", "tail_frac")
         }
         while True:
             rid = np.empty(chunk, np.int32)
@@ -120,7 +132,11 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
             cb = np.empty(chunk, np.int64)
             umi = np.empty(chunk, np.int64)
             skip = np.empty(chunk, np.uint8)
-            n = lib.bam_next_chunk2(h, chunk, rid, pos, end, flag, mapq, cb, umi, skip)
+            t_len = np.empty(chunk, np.uint16)
+            t_frac = np.empty(chunk, np.uint8)
+            n = lib.bam_next_chunk3(
+                h, chunk, rid, pos, end, flag, mapq, cb, umi, skip, t_len, t_frac
+            )
             if n < 0:
                 raise IOError(f"BAM parse error in {path}")
             if n == 0:
@@ -133,6 +149,8 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
             cols["cb"].append(cb[:n].copy())
             cols["umi"].append(umi[:n].copy())
             cols["skip"].append(skip[:n].copy())
+            cols["tail_len"].append(t_len[:n].copy())
+            cols["tail_frac"].append(t_frac[:n].copy())
         mms = {k: [] for k in ("rid", "pos", "rb", "ab", "cb", "umi")}
         while True:
             rid = np.empty(chunk, np.int32)
@@ -171,6 +189,8 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
         ref_names=refs,
         barcodes=barcodes,
         has_skip=cat("skip").astype(np.uint8),
+        tail_len=cat("tail_len").astype(np.uint16),
+        tail_frac=cat("tail_frac").astype(np.uint8),
         mm_ref_id=catm("rid", np.int32),
         mm_pos=catm("pos", np.int32),
         mm_ref_base=catm("rb", np.uint8),

@@ -275,9 +275,16 @@ int bam_ref_len(void* h, int i) { return ((BamFile*)h)->ref_lens[i]; }
 // Stream up to `cap` records into parallel arrays. Returns the count
 // (0 at EOF, -1 on parse error). end_pos is pos + reference span from
 // CIGAR (M/D/N/=/X consume reference).
-long bam_next_chunk2(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,
+//
+// bam_next_chunk3 additionally emits polyA-tail evidence per record
+// (CountApaArgs polya_* role): the terminal soft-clip length at each
+// read end and the A-fraction (right clip) / T-fraction (left clip,
+// the reverse-strand complement) of those clipped bases, scaled by
+// 255. Untemplated A runs past the cleavage site land in the terminal
+// S op, so tail_len/tail_frac gate genuine polyA-site reads.
+long bam_next_chunk3(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,
                      uint16_t* flag, uint8_t* mapq, int64_t* cb_id, int64_t* umi_id,
-                     uint8_t* has_skip) {
+                     uint8_t* has_skip, uint16_t* tail_len, uint8_t* tail_frac) {
     auto* b = (BamFile*)h;
     long n = 0;
     while (n < cap) {
@@ -319,6 +326,39 @@ long bam_next_chunk2(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* 
             }
         }
         const uint8_t* seq4 = cigar + 4 * n_cigar;
+        // terminal soft clips + their A/T content (seq4 nibbles:
+        // A=1, C=2, G=4, T=8)
+        uint16_t t_len = 0;
+        uint8_t t_frac = 0;
+        if (tail_len && n_cigar > 0 && l_seq > 0) {
+            uint32_t op_first, op_last;
+            std::memcpy(&op_first, cigar, 4);
+            std::memcpy(&op_last, cigar + 4 * (n_cigar - 1), 4);
+            auto nib = [&](int32_t i) -> uint8_t {
+                uint8_t byte = seq4[i / 2];
+                return (i % 2 == 0) ? (byte >> 4) : (byte & 0xf);
+            };
+            long hits = 0;
+            uint32_t len = 0;
+            if ((op_last & 0xf) == 4) {  // right soft clip: count A
+                len = op_last >> 4;
+                if ((int64_t)len > l_seq) len = (uint32_t)l_seq;
+                for (uint32_t i = 0; i < len; i++)
+                    if (nib(l_seq - 1 - (int32_t)i) == 1) hits++;
+            }
+            uint32_t llen = 0;
+            long lhits = 0;
+            if ((op_first & 0xf) == 4) {  // left soft clip: count T
+                llen = op_first >> 4;
+                if ((int64_t)llen > l_seq) llen = (uint32_t)l_seq;
+                for (uint32_t i = 0; i < llen; i++)
+                    if (nib((int32_t)i) == 8) lhits++;
+            }
+            // keep the LONGER candidate tail of the two ends
+            if (llen > len) { len = llen; hits = lhits; }
+            t_len = (uint16_t)std::min<uint32_t>(len, 65535);
+            t_frac = len ? (uint8_t)((255 * hits) / len) : 0;
+        }
         const uint8_t* tags = cigar + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
         const uint8_t* end = b->rec.data() + block_size;
         std::string cbv, umiv, mdv;
@@ -335,9 +375,17 @@ long bam_next_chunk2(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* 
         cb_id[n] = cbi;
         umi_id[n] = umii;
         has_skip[n] = skip;
+        if (tail_len) { tail_len[n] = t_len; tail_frac[n] = t_frac; }
         n++;
     }
     return n;
+}
+
+long bam_next_chunk2(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,
+                     uint16_t* flag, uint8_t* mapq, int64_t* cb_id, int64_t* umi_id,
+                     uint8_t* has_skip) {
+    return bam_next_chunk3(h, cap, ref_id, pos, end_pos, flag, mapq, cb_id, umi_id,
+                           has_skip, nullptr, nullptr);
 }
 
 long bam_next_chunk(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,

@@ -79,3 +79,35 @@ def test_snp_genotyper(tmp_path):
     assert by_pos.get(110) == "0/1", by_pos
     assert by_pos.get(310) == "1/1", by_pos
     assert 510 not in by_pos  # noise filtered
+
+
+def test_apa_polya_tail_gate(tmp_path):
+    """--polya-min-tail-length (CountApaArgs polya_* role): reads with
+    untemplated soft-clip A tails pass the gate; internal-priming reads
+    without a tail drop, removing their spurious PAS peak."""
+    from legume_tpu.faba.apa import run_apa
+    from legume_tpu.faba.bam import write_bam
+
+    reads = []
+    # true PAS at ~200: 30M + 10S all-A tails
+    for i in range(8):
+        reads.append(dict(
+            name=f"t{i}", ref_id=0, pos=170, seq="C" * 30 + "A" * 10,
+            cigar="30M10S", cb=f"cell{i % 2}", ub=f"u{i}",
+        ))
+    # internal priming at ~420: plain 30M, no tail
+    for i in range(8):
+        reads.append(dict(
+            name=f"n{i}", ref_id=0, pos=390, seq="C" * 30,
+            cigar="30M", cb=f"cell{i % 2}", ub=f"v{i}",
+        ))
+    bam = str(tmp_path / "r.bam")
+    write_bam(bam, [("chr1", 10000)], reads)
+    gff = tmp_path / "g.gff"
+    gff.write_text("chr1\tx\tgene\t100\t600\t.\t+\t.\tgene_name=G1\n")
+
+    ungated = run_apa(bam, str(gff), min_reads=4)
+    gated = run_apa(bam, str(gff), min_reads=4, polya_min_tail_length=5)
+    assert len(ungated.site_names) == 2
+    assert len(gated.site_names) == 1
+    assert "@200" in gated.site_names[0]
