@@ -290,8 +290,13 @@ def train_masked(
 
     optimizer = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
     if cfg.grad_clip > 0:
+        # non-finite-safe clip (candle-util grad_clip_nonfinite.rs
+        # regression: an Inf gradient must SKIP the step, not launder
+        # Inf * 0 = NaN into the parameters)
+        from .train import clip_by_global_norm_nonfinite_guard
+
         optimizer = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip), optimizer
+            clip_by_global_norm_nonfinite_guard(cfg.grad_clip), optimizer
         )
     if cfg.init_rho is not None and cfg.frozen_rho_init is None:
         params = dict(params)

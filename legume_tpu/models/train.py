@@ -93,13 +93,12 @@ def clip_by_global_norm_nonfinite_guard(max_norm: float) -> optax.GradientTransf
         )
         return updates, state
 
-    return init_fn, update_fn
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
-    init_fn, update_fn = clip_by_global_norm_nonfinite_guard(config.grad_clip)
     return optax.chain(
-        optax.GradientTransformation(init_fn, update_fn),
+        clip_by_global_norm_nonfinite_guard(config.grad_clip),
         optax.adamw(config.learning_rate, weight_decay=config.weight_decay),
     )
 

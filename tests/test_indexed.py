@@ -120,3 +120,32 @@ def test_masked_schedule_likelihood_and_eval(tmp_path):
     data = build_topk_windows(open_sparse_matrix(path), 24, gene_weights=w)
     real = data.ids[data.ids < d]
     assert real.max() < 40
+
+
+def test_masked_grad_clip_never_launders_nan():
+    """grad_clip_nonfinite.rs regression at the optax level: an Inf
+    gradient through the guarded clip skips the step and leaves the
+    parameters finite; the unguarded optax clip would write NaN."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from legume_tpu.models.train import clip_by_global_norm_nonfinite_guard
+
+    opt = optax.chain(
+        clip_by_global_norm_nonfinite_guard(1.0),
+        optax.adamw(0.01),
+    )
+    params = {"w": jnp.asarray([3.0, -1.0])}
+    state = opt.init(params)
+
+    def loss(p):
+        return jnp.sum((p["w"] * 1e20) ** 2)  # overflows the norm
+
+    grads = jax.grad(loss)(params)
+    assert not bool(jnp.isfinite(jnp.linalg.norm(grads["w"])))
+    updates, state = opt.update(grads, state, params)
+    new_params = optax.apply_updates(params, updates)
+    assert bool(jnp.isfinite(new_params["w"]).all())
+    # the guarded step is a no-op update direction (zeros through adam)
+    assert float(jnp.abs(new_params["w"] - params["w"]).max()) < 0.02
