@@ -42,6 +42,8 @@ def run_pinto(argv):
                         "flavor divides out of the edge profiles")
     p.add_argument("--qc", action="store_true")
     p.add_argument("--qc-min-total", type=float, default=0.0)
+    p.add_argument("--reciprocal", action="store_true",
+                   help="keep only mutual spatial kNN pairs")
     p.add_argument("--seed", type=int, default=None)
     p = sub.add_parser("cascade", help="multilevel V-cycle link-community refinement")
     p.add_argument("--data-files", nargs="+", required=True)
@@ -428,6 +430,7 @@ def run_pinto(argv):
             batch_files=args.batch_files,
             qc=args.qc,
             qc_min_total=args.qc_min_total,
+            reciprocal=args.reciprocal,
             **({"seed": args.seed} if args.seed is not None else {}),
         )
     )

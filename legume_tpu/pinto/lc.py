@@ -37,15 +37,23 @@ from ..utils.prng import DEFAULT_PROJECTION_SEED
 log = logging.getLogger(__name__)
 
 
-def spatial_knn_edges(coords: np.ndarray, k: int = 10, *, chunk: int = 4096) -> np.ndarray:
+def spatial_knn_edges(
+    coords: np.ndarray, k: int = 10, *, reciprocal: bool = False, chunk: int = 4096
+) -> np.ndarray:
     """Undirected edge list [E, 2] from a spatial kNN graph
-    (`srt_pipeline.rs` preprocess; kNN on device)."""
+    (`srt_pipeline.rs` preprocess; kNN on device). `reciprocal` keeps
+    only MUTUAL neighbor pairs (SrtCellPairsArgs reciprocal), which
+    prunes asymmetric long-range edges in uneven-density tissue."""
     from ..ops.knn import knn_within
 
     _, idx = knn_within(coords.astype(np.float32), k, chunk=chunk)
     n = coords.shape[0]
     src = np.repeat(np.arange(n), idx.shape[1])
     dst = idx.ravel()
+    if reciprocal:
+        directed = set(zip(src.tolist(), dst.tolist()))
+        keep = np.asarray([(int(b), int(a)) in directed for a, b in zip(src, dst)])
+        src, dst = src[keep], dst[keep]
     a, b = np.minimum(src, dst), np.maximum(src, dst)
     edges = np.unique(np.stack([a, b], 1), axis=0)
     return edges[edges[:, 0] != edges[:, 1]]
@@ -289,13 +297,14 @@ def fit_link_community(
     snn_min_shared: int = 2,
     gene_trim_min_degree: int = 2,
     gene_modules_resolution: float = 1.0,
+    reciprocal: bool = False,
     seed: int = DEFAULT_PROJECTION_SEED,
 ) -> LinkCommunityResult:
     n = data.num_columns
     d = data.num_rows
     k = n_communities
 
-    edges = spatial_knn_edges(coords, knn)
+    edges = spatial_knn_edges(coords, knn, reciprocal=reciprocal)
     if gene_network:
         # module-pair edge basis (fit.rs:80-137): gene network -> SNN
         # augment -> k-core trim -> Leiden modules -> pair features
@@ -426,6 +435,8 @@ class PintoLcArgs:
     snn_min_shared: int = 2
     gene_trim_min_degree: int = 2
     gene_modules_resolution: float = 1.0
+    # mutual-kNN spatial edges only (SrtCellPairsArgs reciprocal)
+    reciprocal: bool = False
     seed: int = DEFAULT_PROJECTION_SEED
 
 
@@ -484,6 +495,7 @@ def run_lc(args: PintoLcArgs) -> LinkCommunityResult:
         snn_min_shared=args.snn_min_shared,
         gene_trim_min_degree=args.gene_trim_min_degree,
         gene_modules_resolution=args.gene_modules_resolution,
+        reciprocal=args.reciprocal,
         seed=args.seed,
     )
     cells = vec.column_names()
