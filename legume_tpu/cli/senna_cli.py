@@ -396,6 +396,10 @@ def run_senna(argv):
     p.add_argument("--out", required=True)
     p.add_argument("--top-frac", type=float, default=0.1)
     p.add_argument("--alpha", type=float, default=0.05)
+    p.add_argument("--by", choices=["ora", "module-score"], default="ora",
+                   help="module-score adds the descriptive cross-cluster "
+                        "contrast table (ontology_enrich.rs "
+                        "ontology_module_score)")
 
     p = sub.add_parser(
         "annotate-by-enrichment", help="marker-panel cluster annotation"
@@ -1436,6 +1440,21 @@ def run_senna(argv):
             )
         ont = parse_obo(args.obo)
         term_genes = read_gaf(args.gaf, ont)
+        if args.by == "module-score":
+            from ..ops.enrichment import ontology_module_score
+
+            ms = ontology_module_score(
+                profiles.T, term_genes, gene_names=vec.row_names()
+            )
+            pd.DataFrame(
+                ms["effect_kt"],
+                index=[str(u) for u in uniq],
+                columns=[str(t) for t in ms["terms"]],
+            ).reset_index(names="cluster").to_parquet(
+                f"{args.out}.module_score.parquet"
+            )
+            print(f"wrote {args.out}.module_score.parquet "
+                  f"({len(ms['terms'])} terms x {len(uniq)} clusters)")
         res = annotate_ontology(
             profiles, vec.row_names(), term_genes, ont,
             top_frac=args.top_frac, alpha=args.alpha, term_names=ont.terms,

@@ -477,3 +477,55 @@ def label_cells(
         for i, b in enumerate(best)
     ]
     return post, labels, conf.astype(np.float32)
+
+
+def ontology_module_score(
+    profile_gk: np.ndarray,  # [G, K] cluster expression profiles
+    terms: dict,  # name -> list of gene INDICES (or names via gene_names)
+    universe: "np.ndarray | None" = None,
+    *,
+    gene_names: "list | None" = None,
+) -> dict:
+    """Descriptive GO/GMT module score with a cross-cluster contrast
+    (enrichment/src/ontology_enrich.rs:88-153): per cluster, the term
+    score is mean log-CP10K of member genes minus the non-member mean;
+    the term's cross-cluster MEDIAN subtracts out, so a signature high
+    in EVERY cluster (housekeeping/common) cancels to ~0 while a
+    cluster-specific one survives. Returns {"effect_kt" [K, T],
+    "terms" [T]}."""
+    prof = np.asarray(profile_gk, np.float64)
+    g, k = prof.shape
+    if k < 2:
+        raise ValueError("need >= 2 clusters to contrast")
+    if universe is None:
+        universe = np.arange(g)
+    universe = np.asarray(universe)
+    # log CP10K per cluster over the background universe
+    sub = prof[universe]
+    tot = np.maximum(sub.sum(0, keepdims=True), 1e-12)
+    lge = np.log1p(1e4 * sub / tot)  # [n_bg, K]
+    pos_of = {int(u): i for i, u in enumerate(universe)}
+
+    name_to_idx = None
+    if gene_names is not None:
+        name_to_idx = {str(n).lower(): i for i, n in enumerate(gene_names)}
+
+    names = list(terms)
+    effect = np.zeros((k, len(names)))
+    n_bg = len(universe)
+    total_k = lge.sum(0)  # [K]
+    for ti, name in enumerate(names):
+        members = terms[name]
+        if name_to_idx is not None:
+            idxs = [name_to_idx.get(str(m).lower()) for m in members]
+            idxs = [i for i in idxs if i is not None]
+        else:
+            idxs = [int(m) for m in members]
+        bg_idx = [pos_of[i] for i in idxs if i in pos_of]
+        m = len(bg_idx)
+        if m < 1 or n_bg - m < 1:
+            continue
+        sum_in = lge[bg_idx].sum(0)  # [K]
+        s = sum_in / m - (total_k - sum_in) / (n_bg - m)
+        effect[:, ti] = s - np.median(s)
+    return {"effect_kt": effect, "terms": names}

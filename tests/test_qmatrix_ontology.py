@@ -117,3 +117,29 @@ def test_qmatrix_cli_cell_labels(tmp_path):
     assert (ca["annotation"][:30] == "TypeA").mean() > 0.9
     assert (ca["annotation"][30:] == "TypeB").mean() > 0.9
     assert ca["confidence"].between(0, 1).all()
+
+
+def test_ontology_module_score_cancels_common_signature():
+    """ontology_module_score (ontology_enrich.rs:88-153 + its
+    integration test): unique blocks discriminate their own cluster;
+    a block high in EVERY cluster contrasts to ~0."""
+    from legume_tpu.ops.enrichment import ontology_module_score
+
+    g, k = 200, 3
+    prof = np.ones((g, k))
+    prof[0:20, 0] = 50.0    # A -> k0
+    prof[20:40, 1] = 50.0   # B -> k1
+    prof[40:60, :] = 50.0   # C -> all (common)
+    prof[60:80, 2] = 50.0   # D -> k2
+    terms = {
+        "A": list(range(0, 20)),
+        "B": list(range(20, 40)),
+        "C": list(range(40, 60)),
+        "D": list(range(60, 80)),
+    }
+    out = ontology_module_score(prof, terms)
+    d = out["effect_kt"]  # [3, 4]
+    assert d[0, 0] > 0.5 and d[0, 0] > d[1, 0] + 1.0
+    assert d[1, 1] > 0.5 and d[1, 1] > d[0, 1] + 1.0
+    assert np.abs(d[:, 2]).max() < 1e-3  # common signature cancels
+    assert d[2, 3] > 0.5
