@@ -133,6 +133,9 @@ def run_faba(argv):
                    help="keep only reads with an untemplated A/T soft-clip "
                         "tail of at least this length (0 = all reads)")
     p.add_argument("--polya-max-non-a-or-t", type=int, default=2)
+    p.add_argument("--compute-pdui", action="store_true",
+                   help="also write per-(gene, cell) PDUI triplets "
+                        "(distal usage fraction; CountApaArgs compute_pdui)")
 
     p = sub.add_parser("snp", help="pileup genotyper on BAM mismatches")
     p.add_argument("--bam", required=True)
@@ -210,6 +213,14 @@ def run_faba(argv):
             create_sparse_from_csc(
                 apa.counts, f"{args.output}.zarr", apa.site_names, apa.barcodes
             )
+        if args.compute_pdui:
+            from ..faba.apa import compute_pdui
+
+            gg, cc2, vv = compute_pdui(apa)
+            pd.DataFrame(
+                {"gene": gg, "cell": cc2, "pdui": vv}
+            ).to_parquet(f"{args.output}.pdui.parquet")
+            print(f"wrote {args.output}.pdui.parquet ({len(vv)} gene-cell pairs)")
         pd.DataFrame(
             {"gene": list(apa.distal_index),
              "distal_usage": list(apa.distal_index.values())}

@@ -127,3 +127,36 @@ def run_apa(
         barcodes=recs.barcodes,
         distal_index=distal_index,
     )
+
+
+def compute_pdui(apa: "ApaResult") -> "tuple[list, list, np.ndarray]":
+    """Per-(gene, cell) PDUI = distal / (proximal + distal) over the
+    called PAS sites (CountApaArgs compute_pdui / apa_em_pdui role):
+    the most distal site's molecules over the covered total. Returns
+    (genes, cells, pdui) triplets for pairs with any APA coverage."""
+    import re
+
+    gene_of = [re.split(r"/apa/", s)[0] for s in apa.site_names]
+    order_of = [int(re.search(r"pas(\d+)@", s).group(1)) for s in apa.site_names]
+    csr = apa.counts.tocsr()
+    genes_out, cells_out, vals_out = [], [], []
+    import collections
+
+    sites_by_gene = collections.defaultdict(list)
+    for si, (g, o) in enumerate(zip(gene_of, order_of)):
+        sites_by_gene[g].append((o, si))
+    for g, site_list in sites_by_gene.items():
+        if len(site_list) < 2:
+            continue
+        site_list.sort()
+        idx = [si for _, si in site_list]
+        block = np.asarray(csr[idx].todense())  # [S_g, n_cells]
+        tot = block.sum(0)
+        covered = np.nonzero(tot > 0)[0]
+        if not len(covered):
+            continue
+        pdui = block[-1, covered] / tot[covered]
+        genes_out.extend([g] * len(covered))
+        cells_out.extend(apa.barcodes[j] for j in covered)
+        vals_out.extend(pdui.tolist())
+    return genes_out, cells_out, np.asarray(vals_out, np.float32)

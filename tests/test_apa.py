@@ -111,3 +111,32 @@ def test_apa_polya_tail_gate(tmp_path):
     assert len(ungated.site_names) == 2
     assert len(gated.site_names) == 1
     assert "@200" in gated.site_names[0]
+
+
+def test_apa_pdui_triplets(tmp_path):
+    """compute_pdui: per-(gene, cell) distal usage fractions from the
+    called PAS sites (CountApaArgs compute_pdui role)."""
+    from legume_tpu.faba.apa import compute_pdui, run_apa
+    from legume_tpu.faba.bam import write_bam
+
+    reads = []
+    # cell0 reads mostly proximal (~200); cell1 mostly distal (~400)
+    for i in range(10):
+        reads.append(dict(name=f"p{i}", ref_id=0, pos=170, seq="C" * 30,
+                          cigar="30M", cb="cell0", ub=f"u{i}"))
+    for i in range(2):
+        reads.append(dict(name=f"px{i}", ref_id=0, pos=370, seq="C" * 30,
+                          cigar="30M", cb="cell0", ub=f"w{i}"))
+    for i in range(10):
+        reads.append(dict(name=f"d{i}", ref_id=0, pos=370, seq="C" * 30,
+                          cigar="30M", cb="cell1", ub=f"v{i}"))
+    bam = str(tmp_path / "r.bam")
+    write_bam(bam, [("chr1", 10000)], reads)
+    gff = tmp_path / "g.gff"
+    gff.write_text("chr1\tx\tgene\t100\t600\t.\t+\t.\tgene_name=G1\n")
+
+    apa = run_apa(bam, str(gff), min_reads=2)
+    genes, cells, pdui = compute_pdui(apa)
+    tab = dict(zip(zip(genes, cells), pdui))
+    assert tab[("G1", "cell0")] < 0.3
+    assert tab[("G1", "cell1")] > 0.9
