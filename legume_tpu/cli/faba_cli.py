@@ -133,6 +133,9 @@ def run_faba(argv):
                    help="keep only reads with an untemplated A/T soft-clip "
                         "tail of at least this length (0 = all reads)")
     p.add_argument("--polya-max-non-a-or-t", type=int, default=2)
+    p.add_argument("--utr-bed", default=None,
+                   help="BED of 3'UTR intervals: molecules ending outside "
+                        "any UTR drop before peak calling")
     p.add_argument("--compute-pdui", action="store_true",
                    help="also write per-(gene, cell) PDUI triplets "
                         "(distal usage fraction; CountApaArgs compute_pdui)")
@@ -208,6 +211,7 @@ def run_faba(argv):
             min_reads=args.min_reads,
             polya_min_tail_length=args.polya_min_tail_length,
             polya_max_non_at=args.polya_max_non_a_or_t,
+            utr_bed=args.utr_bed,
         )
         if apa.counts.shape[0]:
             create_sparse_from_csc(

@@ -61,6 +61,9 @@ def run_apa(
     # most `max_non_at` non-A/T bases. 0 = no gating (every read).
     polya_min_tail_length: int = 0,
     polya_max_non_at: int = 2,
+    # BED of 3'UTR intervals: molecules whose 3' end falls outside any
+    # UTR drop before peak calling (CountApaArgs utr_bed)
+    utr_bed: "str | None" = None,
 ) -> ApaResult:
     recs = read_bam(bam_path)
     model = parse_gff_genes(gff_path)
@@ -81,6 +84,39 @@ def run_apa(
     umi = recs.umi_id[keep]
     ok = gene >= 0
     gene, end, start, cb, umi = gene[ok], end[ok], start[ok], cb[ok], umi[ok]
+
+    if utr_bed:
+        utr = {}
+        with open(utr_bed) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    utr.setdefault(parts[0], []).append(
+                        (int(parts[1]), int(parts[2]))
+                    )
+        rid_kept = recs.ref_id[keep][ok]
+        tp_all = np.where(
+            np.asarray([model.strand[g] > 0 for g in gene]), end, start
+        )
+        in_utr = np.zeros(len(gene), bool)
+        for chrom, ivs in utr.items():
+            try:
+                rid = recs.ref_names.index(chrom)
+            except ValueError:
+                continue
+            m_c = rid_kept == rid
+            if not m_c.any():
+                continue
+            ivs_arr = np.asarray(sorted(ivs))
+            pos_c = tp_all[m_c]
+            j = np.searchsorted(ivs_arr[:, 0], pos_c, side="right") - 1
+            ok_iv = (j >= 0) & (pos_c <= ivs_arr[np.maximum(j, 0), 1])
+            in_utr[np.nonzero(m_c)[0][ok_iv]] = True
+        gene, end, start, cb, umi = (
+            gene[in_utr], end[in_utr], start[in_utr], cb[in_utr], umi[in_utr]
+        )
+        log.info("utr filter: %d/%d molecules inside 3'UTRs",
+                 int(in_utr.sum()), len(in_utr))
 
     # (cell, umi, gene) dedup keeps ONE 3' end per molecule
     tbl = np.stack([cb, umi, gene])

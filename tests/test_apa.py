@@ -140,3 +140,29 @@ def test_apa_pdui_triplets(tmp_path):
     tab = dict(zip(zip(genes, cells), pdui))
     assert tab[("G1", "cell0")] < 0.3
     assert tab[("G1", "cell1")] > 0.9
+
+
+def test_apa_utr_bed_filter(tmp_path):
+    """--utr-bed: molecules whose 3' end falls outside every UTR
+    interval drop before peak calling (CountApaArgs utr_bed)."""
+    from legume_tpu.faba.apa import run_apa
+    from legume_tpu.faba.bam import write_bam
+
+    reads = []
+    for i in range(6):  # inside the UTR window
+        reads.append(dict(name=f"a{i}", ref_id=0, pos=170, seq="C" * 30,
+                          cigar="30M", cb="c0", ub=f"u{i}"))
+    for i in range(6):  # outside any UTR
+        reads.append(dict(name=f"b{i}", ref_id=0, pos=370, seq="C" * 30,
+                          cigar="30M", cb="c0", ub=f"v{i}"))
+    bam = str(tmp_path / "r.bam")
+    write_bam(bam, [("chr1", 10000)], reads)
+    gff = tmp_path / "g.gff"
+    gff.write_text("chr1\tx\tgene\t100\t600\t.\t+\t.\tgene_name=G1\n")
+    bed = tmp_path / "utr.bed"
+    bed.write_text("chr1\t150\t250\n")
+
+    full = run_apa(bam, str(gff), min_reads=3)
+    utr = run_apa(bam, str(gff), min_reads=3, utr_bed=str(bed))
+    assert len(full.site_names) == 2
+    assert len(utr.site_names) == 1 and "@200" in utr.site_names[0]
