@@ -85,6 +85,13 @@ def run_faba(argv):
         p.add_argument("--output", required=True)
         p.add_argument("-d", "--embedding-dim", type=int, default=16)
         p.add_argument("--epochs", type=int, default=600)
+        p.add_argument("--learning-rate", "--lr", type=float, default=None,
+                       help="default: 0.02 (gem) / 0.01 (gem-encoder)")
+        p.add_argument("--delta-l2", type=float, default=0.01,
+                       help="L2 on the velocity offset delta")
+        if _name == "gem-encoder":
+            p.add_argument("--mask-fraction", type=float, default=0.2,
+                           help="BERT-style masked-gene fraction")
         if _name == "gem":
             p.add_argument("--sequential-velocity", action="store_true",
                            help="fit theta on the spliced track first, then "
@@ -445,6 +452,8 @@ def run_faba(argv):
                 )
             res = fit_gem(
                 s, u, embedding_dim=args.embedding_dim, epochs=args.epochs,
+                learning_rate=args.learning_rate or 0.02,
+                delta_l2=args.delta_l2,
                 sequential_velocity=args.sequential_velocity,
                 lineage_dag=args.lineage_dag,
                 lineage_smooth=args.lineage_smooth,
@@ -490,7 +499,9 @@ def run_faba(argv):
                 )
         else:
             res = fit_gem_encoder(
-                s, u, latent_dim=args.embedding_dim, epochs=args.epochs
+                s, u, latent_dim=args.embedding_dim, epochs=args.epochs,
+                learning_rate=args.learning_rate or 0.01,
+                mask_frac=args.mask_fraction, delta_l2=args.delta_l2,
             )
             delta, emb = res.delta, res.rho
             vel = res.cell_velocity(u)
