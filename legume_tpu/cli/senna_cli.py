@@ -331,6 +331,17 @@ def run_senna(argv):
             help="feature-embedding parquet: rho initializes from it but "
                  "stays TRAINABLE (masked_topic.rs init_feature_embedding)",
         )
+        p.add_argument("--batch-files", nargs="+", default=None,
+                       help="per-cell batch labels: a collapse-derived "
+                            "null plane feeds the encoder's second pool "
+                            "(MaskedTopicArgs batch_files)")
+        p.add_argument("--adj-method", choices=["batch", "residual"],
+                       default="residual",
+                       help="null plane: per-batch delta or per-group "
+                            "residual (topic/common.rs:55-85)")
+        p.add_argument("--sort-dim", type=int, default=6,
+                       help="null-plane collapse partition depth")
+        p.add_argument("--iter-opt", type=int, default=10)
         p.add_argument(
             "--feature-network", default=None,
             help="TSV gene-gene edge list: restrict top-K windows to "
@@ -1164,7 +1175,37 @@ def run_senna(argv):
             "masked-vae": "gaussian",
             "masked-sbp": "sbp",
         }[args.cmd]
-        vec = load_data_vec(args.data_files)
+        vec = load_data_vec(args.data_files, args.batch_files)
+        null_plane = null_membership = None
+        if args.batch_files:
+            # batch-null stream: single-level collapse supplies the
+            # adj_method plane restricted later to each window
+            import numpy as _np
+
+            from ..senna.topic import TopicArgs as _TArgs
+            from ..senna.topic import load_and_collapse as _collapse
+
+            lv = _collapse(
+                vec,
+                _TArgs(num_levels=1, sort_dim=args.sort_dim,
+                       iter_opt=args.iter_opt),
+            )
+            fin = lv.collapsed[0]
+            if args.adj_method == "batch" and fin.delta is not None:
+                plane = _np.asarray(fin.delta.mean())  # [D, B]
+                null_membership = vec.batch_membership()
+            elif fin.mu_residual is not None:
+                plane = _np.asarray(fin.mu_residual.mean())  # [D, S]
+                null_membership = lv.groups_per_level[0]
+            else:
+                plane = None
+            if plane is not None:
+                null_plane = _np.zeros(
+                    (vec.num_rows + 1, plane.shape[1]), _np.float32
+                )
+                null_plane[:-1] = plane  # pad gene row stays zero
+                print(f"masked null stream: {args.adj_method} plane "
+                      f"[{plane.shape[0]} x {plane.shape[1]}]")
         gene_weights = None
         if getattr(args, "feature_network", None):
             # feature-network gene restriction (masked_topic.rs:473):
@@ -1252,6 +1293,8 @@ def run_senna(argv):
                 frozen_rho_init=frozen_init,
                 frozen_rho_mask=frozen_mask,
                 init_rho=init_rho,
+                null_plane=null_plane,
+                null_membership=null_membership,
             ),
         )
         if eval_loss is not None:
@@ -1265,7 +1308,10 @@ def run_senna(argv):
                 )
             print(f"held-out masked eval loss: {eval_loss:.4f}")
         raw = latent == "gaussian"
-        log_theta = encode_all(model, variables, data, raw_latent=raw)
+        log_theta = encode_all(
+            model, variables, data, raw_latent=raw,
+            null_plane=null_plane, null_membership=null_membership,
+        )
         import numpy as _np
 
         col = "z" if raw else "topic"

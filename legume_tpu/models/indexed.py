@@ -108,18 +108,27 @@ def build_topk_windows(
 class IndexedEmbeddingEncoder(nn.Module):
     """Pools rho[ids] * normalized values -> latent head
     (`encoder/indexed.rs`). `rho` is passed in (shared with the
-    decoder, the ETM tie)."""
+    decoder, the ETM tie). `null_vals` (optional, [B, K]) is the
+    batch-null stream restricted to the window genes (the masked
+    trainers' adj_method x0 input): it pools through the same rho and
+    concatenates, so the head sees observed-vs-null jointly."""
 
     n_topics: int
     hidden: int
 
     @nn.compact
-    def __call__(self, rho_dh, ids, vals, *, train: bool):
+    def __call__(self, rho_dh, ids, vals, *, train: bool, null_vals=None):
         # anscombe-stabilized values, per-window normalized
         a = anscombe_lite(vals)
         a = a / jnp.maximum(jnp.sum(a, axis=-1, keepdims=True), 1e-6)
         emb = rho_dh[ids]  # [B, K, H] (pad row = zeros appended by caller)
         pooled = jnp.einsum("bk,bkh->bh", a, emb)
+        if null_vals is not None:
+            a0 = anscombe_lite(null_vals)
+            a0 = a0 / jnp.maximum(jnp.sum(a0, axis=-1, keepdims=True), 1e-6)
+            pooled = jnp.concatenate(
+                [pooled, jnp.einsum("bk,bkh->bh", a0, emb)], axis=-1
+            )
         h = nn.relu(nn.Dense(self.hidden)(pooled))
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-4)(h)
         z_mean = jnp.clip(nn.Dense(self.n_topics)(h), -8.0, 8.0)
@@ -158,8 +167,8 @@ class MaskedTopicModel(nn.Module):
             # maps it to mixture weights for the union reconstruction
             self.theta_readout = nn.Dense(self.n_topics, name="theta_readout")
 
-    def encode(self, ids, vals, *, train: bool):
-        return self.encoder(self.rho, ids, vals, train=train)
+    def encode(self, ids, vals, *, train: bool, null_vals=None):
+        return self.encoder(self.rho, ids, vals, train=train, null_vals=null_vals)
 
     def latent_log_simplex(self, z):
         if self.latent == "sbp":
@@ -176,13 +185,13 @@ class MaskedTopicModel(nn.Module):
         w_ku = jnp.where(valid_u[None, :], w_ku, -1e30)
         return jax.nn.log_softmax(w_ku, axis=-1)
 
-    def __call__(self, ids, vals, union_ids, log_q_u, valid_u, mask, *, train: bool, rngs_key=None):
+    def __call__(self, ids, vals, union_ids, log_q_u, valid_u, mask, *, train: bool, rngs_key=None, null_vals=None):
         """Masked imputation objective (train_masked, masked_topic.rs:647):
         encode from the UNMASKED window positions, score the MASKED
         positions under the union softmax reconstruction. Returns
         (per-cell loss, log_theta)."""
         keep_vals = jnp.where(mask, 0.0, vals)
-        z_mean, z_lnvar = self.encode(ids, keep_vals, train=train)
+        z_mean, z_lnvar = self.encode(ids, keep_vals, train=train, null_vals=null_vals)
         if train and rngs_key is not None:
             z = losses.gaussian_reparameterize(rngs_key, z_mean, z_lnvar, True)
         else:
@@ -262,6 +271,11 @@ class MaskedTrainConfig:
     # rho initialized from a prior run but TRAINABLE
     # (masked_topic.rs init_feature_embedding)
     init_rho: "np.ndarray | None" = None  # [n_genes + 1, H]
+    # batch-null stream (MaskedTopicArgs batch_files + adj_method):
+    # plane [n_genes + 1, M] indexed per cell by membership [N]; the
+    # window-restricted null values feed the encoder's second pool
+    null_plane: "np.ndarray | None" = None
+    null_membership: "np.ndarray | None" = None
 
 
 def train_masked(
@@ -279,10 +293,16 @@ def train_masked(
     ids0 = jnp.asarray(data.ids[: cfg.minibatch])
     vals0 = jnp.asarray(data.vals[: cfg.minibatch])
     union0 = jnp.arange(u_cap, dtype=jnp.int32)
+    use_null = cfg.null_plane is not None and cfg.null_membership is not None
+    null_plane_j = jnp.asarray(cfg.null_plane, jnp.float32) if use_null else None
+    memb_j = (
+        jnp.asarray(np.asarray(cfg.null_membership, np.int32)) if use_null else None
+    )
     variables = model.init(
         {"params": k_init, "reparam": k_init},
         ids0, vals0, union0, jnp.zeros(u_cap), jnp.ones(u_cap, bool),
         jnp.zeros_like(vals0, bool), train=True, rngs_key=k_init,
+        null_vals=(jnp.zeros_like(vals0) if use_null else None),
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -325,7 +345,7 @@ def train_masked(
     ids_j = jnp.asarray(data.ids)
     vals_j = jnp.asarray(data.vals)
 
-    def minibatch_loss(params, batch_stats, kb, ids_b, vals_b, lq):
+    def minibatch_loss(params, batch_stats, kb, ids_b, vals_b, lq, memb_b):
         k_mask, k_rate, k_rep = jax.random.split(kb, 3)
         if cfg.mask_schedule == "uniform":
             rate = jax.random.uniform(
@@ -336,11 +356,14 @@ def train_masked(
         mask = (jax.random.uniform(k_mask, vals_b.shape) < rate) & (vals_b > 0)
         union = jnp.unique(ids_b.reshape(-1), size=u_cap, fill_value=d)
         valid_u = union < d
+        null_b = (
+            null_plane_j[ids_b, memb_b[:, None]] if use_null else None
+        )
         (loss, _), mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
             ids_b, vals_b, union, lq[union], valid_u, mask,
             train=True, rngs_key=k_rep,
-            mutable=["batch_stats"],
+            mutable=["batch_stats"], null_vals=null_b,
         )
         loss = jnp.mean(loss)
         if cfg.feature_embedding_l2 > 0:
@@ -354,15 +377,19 @@ def train_masked(
     # id/value planes into the compiled program (the nce.py payload
     # lesson), and a per-epoch float(loss) readback costs a device
     # round-trip per epoch over a tunneled TPU
+    memb_full = (
+        memb_j if use_null else jnp.zeros(n, jnp.int32)
+    )
+
     def one_epoch(carry, data, ek):
         params, batch_stats, opt_state = carry
-        ids_a, vals_a, lq = data
+        ids_a, vals_a, lq, memb_a = data
 
         def step(carry, batch):
             params, batch_stats, opt_state = carry
-            ids_b, vals_b, kb = batch
+            ids_b, vals_b, memb_b, kb = batch
             (loss, new_bs), grads = grad_fn(
-                params, batch_stats, kb, ids_b, vals_b, lq
+                params, batch_stats, kb, ids_b, vals_b, lq, memb_b
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -372,9 +399,10 @@ def train_masked(
         perm = jax.random.permutation(kperm, n)[: num_mb * cfg.minibatch]
         idsp = ids_a[perm].reshape(num_mb, cfg.minibatch, k)
         valsp = vals_a[perm].reshape(num_mb, cfg.minibatch, k)
+        membp = memb_a[perm].reshape(num_mb, cfg.minibatch)
         keys = jax.random.split(kscan, num_mb)
         (params, batch_stats, opt_state), losses_mb = jax.lax.scan(
-            step, (params, batch_stats, opt_state), (idsp, valsp, keys)
+            step, (params, batch_stats, opt_state), (idsp, valsp, membp, keys)
         )
         return (params, batch_stats, opt_state), losses_mb.mean()
 
@@ -382,7 +410,7 @@ def train_masked(
 
     (params, batch_stats, opt_state), losses = fold_epochs(
         one_epoch, (params, batch_stats, opt_state),
-        (ids_j, vals_j, log_q), cfg.epochs, key=key, chunk=10,
+        (ids_j, vals_j, log_q, memb_full), cfg.epochs, key=key, chunk=10,
     )
     trace = losses.tolist()
 
@@ -393,24 +421,28 @@ def train_masked(
         @jax.jit
         def eval_pass(params, batch_stats):
             def body(acc, batch):
-                ids_b, vals_b, kb = batch
+                ids_b, vals_b, memb_b, kb = batch
                 mask = (
                     jax.random.uniform(kb, vals_b.shape) < cfg.eval_mask_frac
                 ) & (vals_b > 0)
                 union = jnp.unique(ids_b.reshape(-1), size=u_cap, fill_value=d)
                 valid_u = union < d
+                null_b = (
+                    null_plane_j[ids_b, memb_b[:, None]] if use_null else None
+                )
                 loss, _ = model.apply(
                     {"params": params, "batch_stats": batch_stats},
                     ids_b, vals_b, union, log_q[union], valid_u, mask,
-                    train=False,
+                    train=False, null_vals=null_b,
                 )
                 return acc + jnp.mean(loss), None
 
             nb = max(n // cfg.minibatch, 1)
             idsp = ids_j[: nb * cfg.minibatch].reshape(nb, cfg.minibatch, k)
             valsp = vals_j[: nb * cfg.minibatch].reshape(nb, cfg.minibatch, k)
+            membp = memb_full[: nb * cfg.minibatch].reshape(nb, cfg.minibatch)
             keys = jax.random.split(jax.random.key(cfg.eval_seed), nb)
-            total, _ = jax.lax.scan(body, 0.0, (idsp, valsp, keys))
+            total, _ = jax.lax.scan(body, 0.0, (idsp, valsp, membp, keys))
             return total / nb
 
         eval_loss = float(eval_pass(params, batch_stats))
@@ -425,16 +457,23 @@ def encode_all(
     *,
     batch: int = 4096,
     raw_latent: bool = False,
+    null_plane: "np.ndarray | None" = None,
+    null_membership: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Eval-mode log-topic proportions (or, with ``raw_latent``, the
     Gaussian latent means — the masked-vae output) for every cell."""
     n = data.ids.shape[0]
     out = None
+    use_null = null_plane is not None and null_membership is not None
+    plane_j = jnp.asarray(null_plane, jnp.float32) if use_null else None
+    memb = np.asarray(null_membership, np.int32) if use_null else None
 
     @jax.jit
-    def enc(ids_b, vals_b):
+    def enc(ids_b, vals_b, memb_b):
+        null_b = plane_j[ids_b, memb_b[:, None]] if use_null else None
         z_mean, _ = model.apply(
-            variables, ids_b, vals_b, train=False, method=MaskedTopicModel.encode
+            variables, ids_b, vals_b, train=False, null_vals=null_b,
+            method=MaskedTopicModel.encode,
         )
         if raw_latent:
             return z_mean
@@ -444,7 +483,10 @@ def encode_all(
 
     for lb in range(0, n, batch):
         ub = min(lb + batch, n)
-        z = enc(jnp.asarray(data.ids[lb:ub]), jnp.asarray(data.vals[lb:ub]))
+        mb = (
+            jnp.asarray(memb[lb:ub]) if use_null else jnp.zeros(ub - lb, jnp.int32)
+        )
+        z = enc(jnp.asarray(data.ids[lb:ub]), jnp.asarray(data.vals[lb:ub]), mb)
         if out is None:
             out = np.zeros((n, z.shape[1]), np.float32)
         out[lb:ub] = np.asarray(z)

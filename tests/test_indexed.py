@@ -149,3 +149,33 @@ def test_masked_grad_clip_never_launders_nan():
     assert bool(jnp.isfinite(new_params["w"]).all())
     # the guarded step is a no-op update direction (zeros through adam)
     assert float(jnp.abs(new_params["w"] - params["w"]).max()) < 0.02
+
+
+def test_masked_batch_null_stream(tmp_path):
+    """masked-topic --batch-files (MaskedTopicArgs batch_files +
+    adj_method): the collapse-derived null plane feeds the encoder's
+    second pool; training runs end-to-end and the latent stays a
+    finite simplex under both adj methods."""
+    import pandas as pd
+    import scipy.sparse as sp
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sim import simulate_topic, write_topic_sim
+
+    sim = simulate_topic(rows=50, cols=300, factors=3, batches=2,
+                         pve_batch=0.8, depth=1500, seed=45)
+    path = write_topic_sim(sim, str(tmp_path / "m"))
+    bf = tmp_path / "b.txt"
+    bf.write_text("\n".join(f"b{int(b)}" for b in sim.batch) + "\n")
+    for adj in ("batch", "residual"):
+        out = str(tmp_path / f"mk_{adj}")
+        cli.main([
+            "senna", "masked-topic", "--data-files", path, "--out", out,
+            "-k", "3", "--window", "24", "--embed-dim", "16",
+            "--epochs", "8", "--minibatch-size", "64",
+            "--batch-files", str(bf), "--adj-method", adj,
+            "--sort-dim", "4", "--iter-opt", "5",
+        ])
+        z = pd.read_parquet(out + ".latent.parquet").iloc[:, 1:].to_numpy()
+        assert np.isfinite(z).all()
+        np.testing.assert_allclose(np.exp(z).sum(1), 1.0, atol=1e-3)
