@@ -367,7 +367,13 @@ def train_masked(
         )
         loss = jnp.mean(loss)
         if cfg.feature_embedding_l2 > 0:
-            loss = loss + cfg.feature_embedding_l2 * jnp.sum(params["rho"] ** 2)
+            # lambda * mean_g ||rho_g||^2 — row-count independent, row-NORM
+            # dependent (graph-embedding-util/tests/embedding_ridge.rs:
+            # the mean-over-all-elements form diluted the gradient H-fold
+            # and measured as indistinguishable from lambda = 0)
+            loss = loss + cfg.feature_embedding_l2 * jnp.mean(
+                jnp.sum(params["rho"] ** 2, axis=1)
+            )
         return loss, mut["batch_stats"]
 
     grad_fn = jax.value_and_grad(minibatch_loss, has_aux=True)

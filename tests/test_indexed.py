@@ -179,3 +179,23 @@ def test_masked_batch_null_stream(tmp_path):
         z = pd.read_parquet(out + ".latent.parquet").iloc[:, 1:].to_numpy()
         assert np.isfinite(z).all()
         np.testing.assert_allclose(np.exp(z).sum(1), 1.0, atol=1e-3)
+
+
+def test_feature_embedding_ridge_reduction():
+    """embedding_ridge.rs pins: the ridge is lambda * mean_g ||rho_g||^2
+    — independent of the ROW count, dependent on the row NORM (the
+    mean-over-all-elements form diluted the gradient H-fold)."""
+    import jax.numpy as jnp
+
+    def ridge(rho, lam=1.0):
+        return lam * jnp.mean(jnp.sum(rho**2, axis=1))
+
+    h, c = 8, 0.5
+    small = jnp.full((10, h), c)
+    big = jnp.full((1000, h), c)
+    # closed form lambda * H * c^2; row count drops out
+    assert np.isclose(float(ridge(small)), h * c * c)
+    assert np.isclose(float(ridge(small)), float(ridge(big)))
+    # doubling H doubles the penalty (row-norm dependence)
+    wide = jnp.full((10, 2 * h), c)
+    assert np.isclose(float(ridge(wide)), 2 * float(ridge(small)))
