@@ -374,6 +374,10 @@ def run_senna(argv):
                    help="HVG feature QC before the fit (feature_qc.rs)")
     p.add_argument("--hvg-min-excess", type=float, default=0.0)
     p.add_argument("--min-nnz-rows", type=float, default=0.0)
+    p.add_argument("--skip-etm", action="store_true",
+                   help="skip the post-training SIMBA co-embed + "
+                        "cluster-seeded ETM layout; keep the raw rho "
+                        "feature embedding")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="phase-1 [P,D]-plane compute dtype; bfloat16 "
@@ -1389,8 +1393,57 @@ def run_senna(argv):
             pb_batches=pb_batches, cell_batches=cell_batches,
             mesh=mesh,
         )
+        e_feat_out = res.e_feat
+        if not args.skip_etm:
+            # post-training (bge/mod.rs:717-760): ONE Leiden clustering
+            # of the cell embedding seeds BOTH the SIMBA co-embed (gene
+            # -> softmax-over-cells average of cell embeddings,
+            # OVERRIDING feature_embedding like the reference — raw rho
+            # survives only under --skip-etm) and the ETM topic layout
+            # ({out}.dictionary/.topic_latent in topic conventions)
+            from ..ops.leiden import knn_adjacency, leiden_clustering
+
+            adj = knn_adjacency(res.e_cell, k=15)
+            lab = leiden_clustering(adj, resolution=1.0, seed=0).membership
+            k_top = int(lab.max()) + 1
+            # SIMBA co-embed
+            s_gc = res.e_feat @ res.e_cell.T  # [D, N]
+            w = _np.exp(s_gc - s_gc.max(1, keepdims=True))
+            w = w / _np.maximum(w.sum(1, keepdims=True), 1e-30)
+            e_feat_out = (w @ res.e_cell).astype(_np.float32)
+            # cluster-seeded ETM layout
+            cent = _np.stack(
+                [res.e_cell[lab == t].mean(0) for t in range(k_top)]
+            )  # [K, H]
+            log_theta = _np.log(
+                _np.maximum(
+                    _np.exp(
+                        res.e_cell @ cent.T
+                        - (res.e_cell @ cent.T).max(1, keepdims=True)
+                    ), 1e-30
+                )
+            )
+            log_theta = log_theta - _np.log(
+                _np.exp(log_theta).sum(1, keepdims=True)
+            )
+            s_kd = cent @ res.e_feat.T  # [K, D]
+            log_beta = s_kd - s_kd.max(1, keepdims=True)
+            log_beta = log_beta - _np.log(
+                _np.exp(log_beta).sum(1, keepdims=True)
+            )
+            pd.DataFrame(
+                log_beta.T, index=vec.row_names(),
+                columns=[f"topic{t}" for t in range(k_top)],
+            ).reset_index(names="gene").to_parquet(f"{args.out}.dictionary.parquet")
+            pd.DataFrame(
+                log_theta, index=vec.column_names(),
+                columns=[f"topic{t}" for t in range(k_top)],
+            ).reset_index(names="cell").to_parquet(
+                f"{args.out}.topic_latent.parquet"
+            )
+            print(f"ETM layout: {k_top} cluster-seeded topics")
         pd.DataFrame(
-            res.e_feat, index=vec.row_names(),
+            e_feat_out, index=vec.row_names(),
             columns=[f"h{i}" for i in range(args.embed_dim)],
         ).reset_index(names="gene").to_parquet(f"{args.out}.feature_embedding.parquet")
         pd.DataFrame(
@@ -1401,6 +1454,9 @@ def run_senna(argv):
             "latent": f"{args.out}.latent.parquet",
             "feature_embedding": f"{args.out}.feature_embedding.parquet",
         }
+        if not args.skip_etm:
+            outputs["dictionary"] = f"{args.out}.dictionary.parquet"
+            outputs["topic_latent"] = f"{args.out}.topic_latent.parquet"
         if args.posterior > 0:
             from ..embedding.posterior import pb_gibbs
 
