@@ -374,6 +374,11 @@ def run_senna(argv):
                    help="HVG feature QC before the fit (feature_qc.rs)")
     p.add_argument("--hvg-min-excess", type=float, default=0.0)
     p.add_argument("--min-nnz-rows", type=float, default=0.0)
+    p.add_argument("--num-topics", type=int, default=0,
+                   help="target ETM topic count (0 = Leiden-resolved)")
+    p.add_argument("--phase1-cells-per-pb", type=int, default=0,
+                   help="choose the pseudobulk depth so groups average "
+                        "about this many cells (overrides --sort-dim)")
     p.add_argument("--skip-etm", action="store_true",
                    help="skip the post-training SIMBA co-embed + "
                         "cluster-seeded ETM layout; keep the raw rho "
@@ -1356,8 +1361,22 @@ def run_senna(argv):
         from ..utils.manifest import RunManifest
 
         vec = load_data_vec(args.data_files, batch_files=args.batch_files)
+        sort_dim = args.sort_dim
+        if args.phase1_cells_per_pb > 0:
+            # 2^d groups averaging ~target cells (BgeArgs
+            # phase1_cells_per_pb role)
+            import math as _math
+
+            sort_dim = max(
+                1,
+                int(_math.ceil(_math.log2(
+                    max(vec.num_columns / args.phase1_cells_per_pb, 2)
+                ))),
+            )
+            print(f"phase1: sort-dim {sort_dim} "
+                  f"(~{vec.num_columns // (1 << sort_dim)} cells/pb)")
         _, proj = _rp.project_columns(vec, args.proj_dim)
-        codes = _rp.binary_sort_columns(proj, args.sort_dim)
+        codes = _rp.binary_sort_columns(proj, sort_dim)
         groups, s = _rp.compact_group_codes(codes)
         pb_batches = cell_batches = None
         if vec.num_batches > 1:
@@ -1403,8 +1422,13 @@ def run_senna(argv):
             # ({out}.dictionary/.topic_latent in topic conventions)
             from ..ops.leiden import knn_adjacency, leiden_clustering
 
-            adj = knn_adjacency(res.e_cell, k=15)
-            lab = leiden_clustering(adj, resolution=1.0, seed=0).membership
+            if args.num_topics > 0:
+                from ..senna.deconvolve import leiden_at_count
+
+                lab = leiden_at_count(res.e_cell, args.num_topics, knn=15)
+            else:
+                adj = knn_adjacency(res.e_cell, k=15)
+                lab = leiden_clustering(adj, resolution=1.0, seed=0).membership
             k_top = int(lab.max()) + 1
             # SIMBA co-embed
             s_gc = res.e_feat @ res.e_cell.T  # [D, N]
