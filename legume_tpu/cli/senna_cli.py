@@ -374,6 +374,12 @@ def run_senna(argv):
                    help="HVG feature QC before the fit (feature_qc.rs)")
     p.add_argument("--hvg-min-excess", type=float, default=0.0)
     p.add_argument("--min-nnz-rows", type=float, default=0.0)
+    p.add_argument("--multiome", action="store_true",
+                   help="two data files = paired RNA + ATAC on shared "
+                        "cells; features stack with peaks scaled by "
+                        "--bridge-weight (BgeArgs multiome)")
+    p.add_argument("--bridge-weight", type=float, default=1.0,
+                   help="relative count mass of the second modality")
     p.add_argument("--num-topics", type=int, default=0,
                    help="target ETM topic count (0 = Leiden-resolved)")
     p.add_argument("--phase1-cells-per-pb", type=int, default=0,
@@ -1360,7 +1366,44 @@ def run_senna(argv):
         from ..senna.topic import load_data_vec
         from ..utils.manifest import RunManifest
 
-        vec = load_data_vec(args.data_files, batch_files=args.batch_files)
+        if args.multiome:
+            # paired RNA+ATAC: stack feature axes on the SHARED cells,
+            # the second modality's counts scaled by the bridge weight
+            # (cross-modality co-occurrence flows through the shared
+            # cell side of the NCE)
+            import scipy.sparse as _sp
+
+            from ..data import SparseIoVec as _Vec
+            from ..data.sparse_io import MemoryBackend as _Mem
+            from ..data.sparse_io import open_sparse_matrix as _open
+
+            if len(args.data_files) != 2:
+                raise SystemExit("--multiome needs exactly 2 data files (rna atac)")
+            rna_be = _open(args.data_files[0])
+            atac_be = _open(args.data_files[1])
+            if rna_be.num_columns != atac_be.num_columns:
+                raise SystemExit("multiome modalities must share cells")
+            n_all = rna_be.num_columns
+            rna_m = rna_be.read_columns_csc(np.arange(n_all))
+            atac_m = atac_be.read_columns_csc(np.arange(n_all)) * args.bridge_weight
+            names = [f"rna:{g}" for g in rna_be.row_names()] + [
+                f"atac:{p_}" for p_ in atac_be.row_names()
+            ]
+            stacked = _Mem(
+                _sp.vstack([rna_m, atac_m]).tocsc(), names, rna_be.column_names()
+            )
+            vec = _Vec()
+            vec.push(stacked)
+            if args.batch_files:
+                labels = []
+                for bf in args.batch_files:
+                    with open(bf) as f:
+                        labels.extend(x.strip() for x in f if x.strip())
+                vec.register_batches(labels)
+            print(f"multiome: {rna_be.num_rows} genes + {atac_be.num_rows} "
+                  f"peaks (bridge {args.bridge_weight})")
+        else:
+            vec = load_data_vec(args.data_files, batch_files=args.batch_files)
         sort_dim = args.sort_dim
         if args.phase1_cells_per_pb > 0:
             # 2^d groups averaging ~target cells (BgeArgs
