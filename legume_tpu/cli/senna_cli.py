@@ -507,6 +507,12 @@ def run_senna(argv):
     p.add_argument("--out", required=True)
     p.add_argument("-d", "--embedding-dim", type=int, default=32)
     p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--learning-rate", "--lr", type=float, default=0.05)
+    p.add_argument("--num-negatives", type=float, default=5.0,
+                   help="expected negatives per positive edge unit "
+                        "(EXACT expectation, not samples)")
+    p.add_argument("--neg-alpha", type=float, default=0.75,
+                   help="marginal^alpha negative distribution")
     p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser(
@@ -725,6 +731,8 @@ def run_senna(argv):
         res = fit_fne(
             edges, embedding_dim=args.embedding_dim,
             epochs=args.epochs, seed=args.seed,
+            learning_rate=args.learning_rate,
+            n_negatives=args.num_negatives, neg_alpha=args.neg_alpha,
         )
         pd.DataFrame(
             res.embedding, index=[str(n) for n in res.names],
