@@ -410,6 +410,11 @@ def run_senna(argv):
     p.add_argument("--latent", default=None,
                    help="cell topic proportions parquet: also writes per-cell "
                         "labels via theta . Q (cellproj)")
+    p.add_argument("--q-temperature", type=float, default=1.0,
+                   help="softmax temperature of the normalized Q lens "
+                        "(q_matrix.rs build_q_matrix)")
+    p.add_argument("--fdr-alpha", type=float, default=0.05,
+                   help="survival gate for the Q lens")
     p.add_argument("--min-confidence", type=float, default=0.0)
 
     p = sub.add_parser(
@@ -1595,7 +1600,23 @@ def run_senna(argv):
         pd.DataFrame(out["q"], index=out["labels"], columns=topics).reset_index(
             names="gene_set"
         ).to_parquet(f"{args.out}.qvalues.parquet")
-        print(f"wrote {args.out}.qmatrix.parquet and {args.out}.qvalues.parquet")
+        # normalized Q lens (q_matrix.rs build_q_matrix): per TOPIC, the
+        # surviving (q < alpha, es > 0) labels softmax at 1/temperature;
+        # topics with nothing surviving stay a zero column
+        beta = 1.0 / max(args.q_temperature, 1e-6)
+        z = out["z"]  # [n_sets, K]
+        surv = (out["q"] < args.fdr_alpha) & (z > 0)
+        qsm = _np.zeros_like(z)
+        for kk in range(z.shape[1]):
+            m = surv[:, kk]
+            if m.any():
+                v = z[m, kk] * beta
+                e = _np.exp(v - v.max())
+                qsm[m, kk] = e / e.sum()
+        pd.DataFrame(qsm, index=out["labels"], columns=topics).reset_index(
+            names="gene_set"
+        ).to_parquet(f"{args.out}.qsoftmax.parquet")
+        print(f"wrote {args.out}.qmatrix/.qvalues/.qsoftmax parquet")
         return
     if args.cmd == "annotate-ontology":
         import numpy as _np
