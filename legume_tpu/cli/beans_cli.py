@@ -334,9 +334,14 @@ def run_beans(argv):
         pd.DataFrame(cols).to_parquet(f"{args.output}.qc.parquet")
         extra = ""
         if args.feature_min_cells > 0:
-            fmask = qc.feature_keep_mask(args.feature_min_cells)
+            # count support among KEPT cells only (qc_feature_min_cells
+            # contract: debris-only support must not pass the gene gate)
+            from ..data.qc import feature_cells_kept
+
+            fc = feature_cells_kept(be, keep)
+            fmask = fc >= args.feature_min_cells
             pd.DataFrame(
-                {"gene": be.row_names(), "cells_expressing": qc.feature_cells,
+                {"gene": be.row_names(), "cells_expressing": fc,
                  "keep": fmask}
             ).to_parquet(f"{args.output}.qc.features.parquet")
             extra = f", {int(fmask.sum())}/{len(fmask)} genes kept"

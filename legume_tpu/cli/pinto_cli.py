@@ -195,6 +195,17 @@ def run_pinto(argv):
             df = pd.read_parquet(args.latent)
             edges = df[["src", "dst"]].to_numpy(np.int64)
             z = df.drop(columns=["src", "dst"]).to_numpy(np.float32)
+            # cell names/count from the dsvd sidecar: sizing by
+            # edges.max()+1 silently drops trailing cells no edge touches
+            import os as _os
+
+            cells_txt = args.latent.replace(
+                ".pair_factors.parquet", ".cells.txt"
+            )
+            cell_names = None
+            if _os.path.exists(cells_txt):
+                with open(cells_txt) as f:
+                    cell_names = [x.strip() for x in f if x.strip()]
             if args.method == "leiden":
                 adj = knn_adjacency(z, k=args.knn)
                 labels = leiden_clustering(
@@ -202,15 +213,20 @@ def run_pinto(argv):
                 ).membership
             else:
                 _, labels = kmeans(z, args.n_clusters, seed=seed)
-            n_cells = int(edges.max()) + 1
+            n_cells = len(cell_names) if cell_names else int(edges.max()) + 1
+            if cell_names is None:
+                print("warning: no .cells.txt next to the pair latent; "
+                      "propensity rows are positional 0..max-edge-id")
             k = int(np.max(labels)) + 1
             prop = compute_node_membership(edges, np.asarray(labels), n_cells, k)
             pd.DataFrame(
                 {"src": edges[:, 0], "dst": edges[:, 1], "community": labels}
             ).to_parquet(f"{args.out}.edges.parquet")
-            pd.DataFrame(
+            pdf = pd.DataFrame(
                 prop, columns=[f"c{j}" for j in range(prop.shape[1])]
-            ).reset_index(names="cell").to_parquet(f"{args.out}.propensity.parquet")
+            )
+            pdf.insert(0, "cell", cell_names if cell_names else np.arange(n_cells))
+            pdf.to_parquet(f"{args.out}.propensity.parquet")
             print(f"wrote {args.out}.edges.parquet + .propensity.parquet "
                   f"({k} communities from the pair latent)")
             return
@@ -252,6 +268,8 @@ def run_pinto(argv):
         df.insert(0, "src", edges[:, 0])
         df.insert(1, "dst", edges[:, 1])
         df.to_parquet(f"{args.out}.pair_factors.parquet")
+        with open(f"{args.out}.cells.txt", "w") as f:
+            f.write("\n".join(str(c) for c in vec.column_names()) + "\n")
         genes = vec.row_names()
         pd.DataFrame(
             shared.T, index=genes,

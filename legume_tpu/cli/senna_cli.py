@@ -6,6 +6,18 @@ import argparse
 import numpy as np
 
 
+
+
+def _manifest_prefix(path: str) -> str:
+    """Run prefix from a --from value: strips .senna.json (or .json)
+    instead of slicing a fixed width off arbitrary names."""
+    if path.endswith(".senna.json"):
+        return path[: -len(".senna.json")]
+    if path.endswith(".json"):
+        return path[: -len(".json")]
+    return path
+
+
 def _add_topic_parser(sub):
     p = sub.add_parser("topic", help="multilevel pseudobulk VAE topic model")
     p.add_argument("--data-files", nargs="*", default=[],
@@ -1777,7 +1789,7 @@ def run_senna(argv):
             )
             prev = RunManifest.load(src_path)
             prev.outputs["layout"] = f"{args.out}.layout.parquet"
-            prev.save(src_path[: -len(".senna.json")])
+            prev.save(_manifest_prefix(src_path))
         print(f"wrote {args.out}.layout.parquet")
         return
     if args.cmd == "pseudotime":
@@ -2059,7 +2071,7 @@ def run_senna(argv):
             )
             prev = RunManifest.load(src)
             prev.outputs["clusters"] = f"{args.out}.clusters.parquet"
-            prev.save(src[: -len(".senna.json")])
+            prev.save(_manifest_prefix(src))
         return
     if args.cmd == "svd":
         from ..senna.svd import SvdArgs, fit_svd

@@ -265,6 +265,7 @@ def run_sim(argv):
             sim.counts = full_counts[:, keep_cols]
             sim.col_names = [full_names[j] for j in keep_cols]
             sim.theta = full_theta[keep_cols]
+            sim.batch = sim.batch[keep_cols]  # keep batch.gz aligned
             path = write_topic_sim(sim, args.output)
             # ground-truth prop parquet stays FULL (both backends'
             # column names cross-reference it)

@@ -752,7 +752,8 @@ def apply_build_squeeze(
     import tempfile
 
     src_path = output
-    tmp = tempfile.mkdtemp(prefix="squeeze_") + "/t.zarr"
+    ext = ".h5" if str(output).endswith(".h5") else ".zarr"
+    tmp = tempfile.mkdtemp(prefix="squeeze_") + "/t" + ext
     out_be = squeeze_backend(
         src_path, tmp, min_row_total=0.0,
         row_nnz_cutoff=row_nnz_cutoff, column_nnz_cutoff=column_nnz_cutoff,

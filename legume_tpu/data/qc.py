@@ -63,8 +63,9 @@ class CellQcStats:
         return keep
 
     def feature_keep_mask(self, min_cells: int = 0) -> "np.ndarray | None":
-        """Gene-side keep rule (qc_lib.rs qc_feature_min_cells): genes
-        expressed in at least `min_cells` kept cells."""
+        """Gene-side keep rule over ALL streamed cells; for the
+        kept-cells contract (qc_feature_min_cells) use
+        `feature_cells_kept` with the keep mask."""
         if self.feature_cells is None:
             return None
         return self.feature_cells >= min_cells
@@ -87,6 +88,8 @@ def compute_cell_qc(
     block_size: int = 8192,
     mito_pattern: "str | None" = None,  # regex (qc_lib.rs qc_mito_pattern)
     ribo_pattern: "str | None" = None,  # regex (qc_ribo_pattern)
+    with_feature_cells: bool = False,  # extra per-gene pass; only
+    # `data-beans qc --feature-min-cells` consumes it
 ) -> CellQcStats:
     import re
 
@@ -119,10 +122,11 @@ def compute_cell_qc(
         g = sparse_ops.block_col_sums(cols, nz, ncols=blk.ncols)
         total[blk.lb : blk.lb + blk.ncols] = np.asarray(t)
         n_genes[blk.lb : blk.lb + blk.ncols] = np.asarray(g)
-        _, _, cnt = sparse_ops.block_row_stats(
-            jnp.asarray(blk.row_ids), vals, num_genes=d
-        )
-        feature_cells += np.asarray(cnt, np.float64)
+        if with_feature_cells:
+            _, _, cnt = sparse_ops.block_row_stats(
+                jnp.asarray(blk.row_ids), vals, num_genes=d
+            )
+            feature_cells += np.asarray(cnt, np.float64)
         if len(mito_ids):
             is_mito = jnp.asarray(mito)[jnp.asarray(blk.row_ids).astype(jnp.int32)]
             mt = sparse_ops.block_col_sums(
@@ -142,5 +146,31 @@ def compute_cell_qc(
         ribo_frac=(
             ribo_total / np.maximum(total, 1.0) if ribo_total is not None else None
         ),
-        feature_cells=feature_cells,
+        feature_cells=feature_cells if with_feature_cells else None,
     )
+
+
+def feature_cells_kept(
+    data, keep: np.ndarray, *, block_size: int = 8192
+) -> np.ndarray:
+    """[D] cells expressing each gene among the KEPT cells only — the
+    qc_lib.rs qc_feature_min_cells contract (a gene supported only by
+    discarded debris cells must NOT pass the gene gate)."""
+    d = data.num_rows
+    keep = np.asarray(keep, bool)
+    out = np.zeros(d, np.float64)
+    for blk in visit_columns_by_block(data, block_size=block_size):
+        kcol = jnp.asarray(
+            np.concatenate([keep[blk.lb : blk.lb + blk.ncols], [False]])
+        )
+        cols = sparse_ops.block_col_ids(blk)
+        nz = jnp.where(
+            kcol[jnp.minimum(cols, blk.ncols)],
+            (jnp.asarray(blk.vals) != 0).astype(jnp.float32),
+            0.0,
+        )
+        _, _, cnt = sparse_ops.block_row_stats(
+            jnp.asarray(blk.row_ids), nz, num_genes=d
+        )
+        out += np.asarray(cnt, np.float64)
+    return out

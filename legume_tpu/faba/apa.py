@@ -107,7 +107,16 @@ def run_apa(
             m_c = rid_kept == rid
             if not m_c.any():
                 continue
-            ivs_arr = np.asarray(sorted(ivs))
+            # merge overlapping intervals first: the largest-start-<=pos
+            # candidate alone misses positions inside an earlier
+            # containing interval
+            merged = []
+            for s0, e0 in sorted(ivs):
+                if merged and s0 <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e0))
+                else:
+                    merged.append((s0, e0))
+            ivs_arr = np.asarray(merged)
             pos_c = tp_all[m_c]
             j = np.searchsorted(ivs_arr[:, 0], pos_c, side="right") - 1
             ok_iv = (j >= 0) & (pos_c <= ivs_arr[np.maximum(j, 0), 1])

@@ -142,9 +142,22 @@ def build_archetype_reference(
     n_cells = np.bincount(memb[memb >= 0], minlength=r_comp).astype(np.float32)
     mu_gm = (sums / np.maximum(n_cells, 1.0)).astype(np.float32)
 
-    # soft readout: per-community annotation fractions
+    # soft readout: per-community annotation fractions; with NO
+    # annotations at all the readout falls back to identity (each
+    # archetype reports as itself) instead of a silent all-zero matrix
     labels = np.asarray([str(a) for a in annotation])
     annotated = labels != ""
+    if not annotated.any():
+        n_cells = np.bincount(memb[memb >= 0], minlength=r_comp).astype(np.float32)
+        sums_mean = (sums / np.maximum(n_cells, 1.0)).astype(np.float32)
+        return ArchetypeReference(
+            mu_gm=sums_mean,
+            readout=np.eye(r_comp, dtype=np.float32),
+            gene_names=list(sc_vec.row_names()),
+            celltype_names=[f"archetype{r}" for r in range(r_comp)],
+            membership=memb,
+            n_cells=n_cells,
+        )
     types = sorted(set(labels[annotated]))
     t_idx = {t: i for i, t in enumerate(types)}
     readout = np.zeros((r_comp, max(len(types), 1)), np.float32)

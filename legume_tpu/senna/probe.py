@@ -44,32 +44,40 @@ class ModelProbeResult:
 def _dense_fit_scores(vec, encoder, variables, remap, log_dict, *, block_size=2048):
     """Per-cell multinomial fit llik/count under the frozen dictionary
     (probe.rs per_cell_fit): theta from the encoder at eval, scored on
-    the training gene axis."""
+    the training gene axis. Counts densify one `block_size` slab at a
+    time — only [B, D_train] lives at once, never [N, D_train]."""
     from .predict import score_dense_backend
 
     z = score_dense_backend(
         vec, encoder, variables, remap, block_size=block_size
     )  # [N, K] log proportions
-    x = _dense_counts(vec, remap)  # [N, D_train]
-    log_recon = np.log(np.exp(z) @ np.exp(log_dict.T) + 1e-30)
-    llik = (x * log_recon).sum(1)
-    tot = x.sum(1)
-    return np.where(tot > 0, llik / np.maximum(tot, 1.0), 0.0), z, x
+    n = vec.num_columns
+    fit = np.zeros(n, np.float32)
+    dict_t = np.exp(log_dict.T)  # [K, D_train]
+    for lo in range(0, n, block_size):
+        idx = np.arange(lo, min(lo + block_size, n))
+        x = _dense_counts(vec, remap, idx)  # [B, D_train]
+        log_recon = np.log(np.exp(z[idx]) @ dict_t + 1e-30)
+        llik = (x * log_recon).sum(1)
+        tot = x.sum(1)
+        fit[idx] = np.where(tot > 0, llik / np.maximum(tot, 1.0), 0.0)
+    return fit, z
 
 
-def _dense_counts(vec, remap) -> np.ndarray:
-    """[N, D_train] counts scattered onto the training gene axis."""
+def _dense_counts(vec, remap, idx=None) -> np.ndarray:
+    """[len(idx), D_train] counts scattered onto the training gene axis."""
     import scipy.sparse as sp
 
-    n = vec.num_columns
-    csc = vec.read_columns_csc(np.arange(n))
+    if idx is None:
+        idx = np.arange(vec.num_columns)
+    csc = vec.read_columns_csc(np.asarray(idx))
     row_map = np.where(remap.new_to_train >= 0, remap.new_to_train, remap.d_train)
     mapped = row_map[csc.tocoo().row]
     coo = csc.tocoo()
     keep = mapped < remap.d_train
     out = sp.coo_matrix(
         (coo.data[keep], (coo.col[keep], mapped[keep])),
-        shape=(n, remap.d_train),
+        shape=(len(idx), remap.d_train),
     ).toarray()
     return np.asarray(out, np.float32)
 
@@ -102,10 +110,10 @@ def probe_model(
     q_remap = build_gene_remap(train_genes, qvec.row_names())
     c_remap = build_gene_remap(train_genes, cvec.row_names())
 
-    q_fit, q_z, q_x = _dense_fit_scores(
+    q_fit, q_z = _dense_fit_scores(
         qvec, encoder, variables, q_remap, log_dict, block_size=block_size
     )
-    cal_fit, c_z, c_x = _dense_fit_scores(
+    cal_fit, c_z = _dense_fit_scores(
         cvec, encoder, variables, c_remap, log_dict, block_size=block_size
     )
 
@@ -122,7 +130,9 @@ def probe_model(
 
     cf = None
     if counterfactual:
-        cf = _counterfactual(q_z, q_x, c_z, c_x, log_dict, seed=cf_seed)
+        cf = _counterfactual(
+            q_z, qvec, q_remap, c_z, cvec, c_remap, log_dict, seed=cf_seed
+        )
     return ModelProbeResult(
         verdict=verdict,
         flag_rate=rate,
@@ -134,19 +144,29 @@ def probe_model(
     )
 
 
-def _counterfactual(q_z, q_x, c_z, c_x, log_dict, *, seed: int) -> dict:
+def _counterfactual(
+    q_z, qvec, q_remap, c_z, cvec, c_remap, log_dict,
+    *, seed: int, max_cells_per_half: int = 4096,
+) -> dict:
     """First-order benefit/forgetting (counterfactual.rs via
     probe.rs:96-117): fit halves build the pull direction
     g = grad(query) - grad(calib) on the dictionary logits; eval halves
-    read the directional derivative of per-cell fit along g."""
+    read the directional derivative of per-cell fit along g. Each half
+    is subsampled to `max_cells_per_half` so only four bounded
+    [<=cap, D_train] slabs densify, never the full backends."""
     rng = np.random.default_rng(seed)
 
     def halves(n):
         perm = rng.permutation(n)
-        return perm[: n // 2], perm[n // 2 :]
+        a, b = perm[: n // 2], perm[n // 2 :]
+        return a[:max_cells_per_half], b[:max_cells_per_half]
 
-    qf, qe = halves(len(q_x))
-    cf_, ce = halves(len(c_x))
+    qf, qe = halves(len(q_z))
+    cf_, ce = halves(len(c_z))
+    q_x = {"fit": _dense_counts(qvec, q_remap, qf),
+           "eval": _dense_counts(qvec, q_remap, qe)}
+    c_x = {"fit": _dense_counts(cvec, c_remap, cf_),
+           "eval": _dense_counts(cvec, c_remap, ce)}
 
     ld = jnp.asarray(log_dict)  # [D, K]
 
@@ -157,8 +177,8 @@ def _counterfactual(q_z, q_x, c_z, c_x, log_dict, *, seed: int) -> dict:
         tot = jnp.maximum(jnp.asarray(x).sum(1), 1.0)
         return ((jnp.asarray(x) * log_recon).sum(1) / tot).mean()
 
-    g_q = jax.grad(total_fit)(ld, q_z[qf], q_x[qf])
-    g_c = jax.grad(total_fit)(ld, c_z[cf_], c_x[cf_])
+    g_q = jax.grad(total_fit)(ld, q_z[qf], q_x["fit"])
+    g_c = jax.grad(total_fit)(ld, c_z[cf_], c_x["fit"])
     g = g_q - g_c
     pull = float(jnp.linalg.norm(g))
     g_unit = g / jnp.maximum(pull, 1e-30)
@@ -178,8 +198,8 @@ def _counterfactual(q_z, q_x, c_z, c_x, log_dict, *, seed: int) -> dict:
         tot = jnp.maximum(jnp.asarray(x).sum(1), 1.0)
         return (jnp.asarray(x) * log_recon).sum(1) / tot
 
-    benefit, b_se = dir_stats(q_z[qe], q_x[qe])
-    forget_gain, f_se = dir_stats(c_z[ce], c_x[ce])
+    benefit, b_se = dir_stats(q_z[qe], q_x["eval"])
+    forget_gain, f_se = dir_stats(c_z[ce], c_x["eval"])
     forgetting = -forget_gain  # fit LOST on the reference along g
     per_topic = np.asarray(jnp.linalg.norm(g, axis=0))
     log.info(

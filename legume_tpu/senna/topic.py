@@ -728,15 +728,19 @@ def fit_topic_model(args: TopicArgs) -> dict:
 
     # decoder nuisance artifacts (decoder_output.rs:131; cmd.rs:74-76):
     # per-gene NB dispersion, ambient profile + rho sigmoid coefficients
+    multi_family = len(decoder_names) > 1
     for nm, dc, pr in zip(
         decoder_names, finest_decs, finest_dec_params
     ):
+        # with several decoder families, suffix artifacts by family so
+        # the last family doesn't silently overwrite the others
+        tag = f".{nm}" if multi_family else ""
         if "log_phi" in pr:
             phi = np.exp(np.asarray(pr["log_phi"])).ravel()
             if coarsenings[0] is not None:
                 phi = phi[coarsenings[0].fine_to_coarse]
             pd.DataFrame({"gene": gene_names, "dispersion": phi}).to_parquet(
-                f"{args.out}.dispersion.parquet"
+                f"{args.out}{tag}.dispersion.parquet"
             )
         if nm == "nb-mixture":
             alpha = jax.nn.softmax(
@@ -750,7 +754,7 @@ def fit_topic_model(args: TopicArgs) -> dict:
                 )
                 alpha = (alpha / np.maximum(sizes, 1))[coarsenings[0].fine_to_coarse]
             pd.DataFrame({"gene": gene_names, "alpha": alpha}).to_parquet(
-                f"{args.out}.alpha.parquet"
+                f"{args.out}{tag}.alpha.parquet"
             )
             pd.DataFrame(
                 {
@@ -760,7 +764,7 @@ def fit_topic_model(args: TopicArgs) -> dict:
                         float(np.asarray(pr["rho_b"]).ravel()[0]),
                     ],
                 }
-            ).to_parquet(f"{args.out}.rho.parquet")
+            ).to_parquet(f"{args.out}{tag}.rho.parquet")
 
     # traces
     pd.DataFrame({"epoch": np.arange(len(scores.llik)), "llik": scores.llik, "kl": scores.kl}).to_parquet(

@@ -434,6 +434,18 @@ def test_pinto_dsvd_and_cage(spatial_sim):
     assert {"src", "dst"} <= set(pf.columns) and np.isfinite(
         pf.iloc[:, 2:].to_numpy()
     ).all()
+    # dsvd leaves a .cells.txt sidecar; prop --latent uses it so every
+    # cell gets a NAMED propensity row even with no incident edge
+    assert Path(f"{out}.cells.txt").exists()
+    prop_out = str(tmp / "dsvd_prop")
+    cli.run_pinto([
+        "prop", "--latent", f"{out}.pair_factors.parquet",
+        "--out", prop_out, "--method", "kmeans", "-k", "3",
+    ])
+    prop = pd.read_parquet(f"{prop_out}.propensity.parquet")
+    cells = [c.strip() for c in open(f"{out}.cells.txt") if c.strip()]
+    assert prop.shape[0] == len(cells) == 144
+    assert list(prop["cell"]) == cells
     cage = str(tmp / "cage")
     cli.run_pinto([
         "cage", "--data-files", path, "--coords", coords, "--out", cage,

@@ -297,23 +297,27 @@ def test_topic_multi_decoder_and_nuisance_artifacts(sim_backend, tmp_path):
         proj_dim=12, sort_dim=5, num_levels=2, iter_opt=5, block_size=256,
     )
     result = fit_topic_model(args)
+    # multi-family runs suffix nuisance artifacts by family so one
+    # family's parquet never overwrites another's
     for suffix in [
         ".dictionary.parquet",
         ".nb-mixture.dictionary.parquet",
         ".multinomial.dictionary.parquet",
-        ".dispersion.parquet",
-        ".alpha.parquet",
-        ".rho.parquet",
+        ".nb-mixture.dispersion.parquet",
+        ".nb-mixture.alpha.parquet",
+        ".nb-mixture.rho.parquet",
     ]:
         assert Path(out + suffix).exists(), suffix
     import pandas as pd
 
     # ambient profile is a D-simplex; dispersion positive; rho has a/b
-    alpha = pd.read_parquet(out + ".alpha.parquet")["alpha"].to_numpy()
+    alpha = pd.read_parquet(out + ".nb-mixture.alpha.parquet")["alpha"].to_numpy()
     np.testing.assert_allclose(alpha.sum(), 1.0, rtol=1e-4)
-    phi = pd.read_parquet(out + ".dispersion.parquet")["dispersion"].to_numpy()
+    phi = pd.read_parquet(
+        out + ".nb-mixture.dispersion.parquet"
+    )["dispersion"].to_numpy()
     assert (phi > 0).all() and len(phi) == 120
-    rho = pd.read_parquet(out + ".rho.parquet")
+    rho = pd.read_parquet(out + ".nb-mixture.rho.parquet")
     assert set(rho["coef"]) == {"rho_a", "rho_b"}
     z = result["latent"]
     assert np.all(np.isfinite(z))
