@@ -43,6 +43,30 @@ def run_beans(argv):
     p.add_argument("--output", required=True)
     p.add_argument("--feature-col", default="feature_name")
     p.add_argument("--cell-col", default="cell_id")
+    p = sub.add_parser(
+        "from-zarr",
+        help="build from a raw CSC/CSR zarr store (Xenium "
+             "cell_feature_matrix.zarr[.zip]); field paths as in the "
+             "reference's from-zarr",
+    )
+    p.add_argument("zarr_file")
+    p.add_argument("--output", "-o", required=True)
+    p.add_argument("--data-field", "-d", default="/cell_features/data")
+    p.add_argument("--indices-field", "-i", default="/cell_features/indices")
+    p.add_argument("--indptr-field", "-p", default="/cell_features/indptr")
+    p.add_argument("--pointer-type", "-t", choices=["row", "column"],
+                   default="row",
+                   help="what indptr runs over: row = CSR, column = CSC")
+    p.add_argument("--row-id-field", "-r", default="/cell_features/feature_ids")
+    p.add_argument("--row-name-field", "-n", default="/cell_features/feature_keys")
+    p.add_argument("--row-type-field", "-f", default="/cell_features/feature_types")
+    p.add_argument("--select-row-type", default="gene,peak",
+                   help="comma patterns; ANY case-insensitive substring match keeps the row")
+    p.add_argument("--remove-row-type", default="aggregate")
+    p.add_argument("--column-name-field", "-c", default="/cell_features/cell_id")
+    p.add_argument("--do-squeeze", action="store_true")
+    p.add_argument("--row-nnz-cutoff", type=int, default=1)
+    p.add_argument("--column-nnz-cutoff", type=int, default=1)
     p = sub.add_parser("from-fragments", help="ATAC fragments -> tile/peak counts")
     p.add_argument("--fragments", required=True)
     p.add_argument("--output", required=True)
@@ -279,6 +303,26 @@ def run_beans(argv):
         from_triplets_table(
             args.table, args.output,
             feature_col=args.feature_col, cell_col=args.cell_col,
+        )
+        print(f"wrote backend: {args.output}")
+    elif args.cmd == "from-zarr":
+        from ..data.builders import from_zarr_store
+
+        from_zarr_store(
+            args.zarr_file, args.output,
+            data_field=args.data_field,
+            indices_field=args.indices_field,
+            indptr_field=args.indptr_field,
+            pointer_type=args.pointer_type,
+            row_id_field=args.row_id_field,
+            row_name_field=args.row_name_field,
+            row_type_field=args.row_type_field,
+            select_row_type=args.select_row_type,
+            remove_row_type=args.remove_row_type,
+            column_name_field=args.column_name_field,
+            do_squeeze=args.do_squeeze,
+            row_nnz_cutoff=args.row_nnz_cutoff,
+            column_nnz_cutoff=args.column_nnz_cutoff,
         )
         print(f"wrote backend: {args.output}")
     elif args.cmd == "from-fragments":

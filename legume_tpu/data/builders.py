@@ -282,6 +282,90 @@ def from_triplets_table(
 _STREAM_BYTES = 256 << 20
 
 
+def from_zarr_store(
+    zarr_file: str,
+    output: str,
+    *,
+    data_field: str = "/cell_features/data",
+    indices_field: str = "/cell_features/indices",
+    indptr_field: str = "/cell_features/indptr",
+    pointer_type: str = "row",
+    row_id_field: str = "/cell_features/feature_ids",
+    row_name_field: str = "/cell_features/feature_keys",
+    row_type_field: str = "/cell_features/feature_types",
+    select_row_type: str = "gene,peak",
+    remove_row_type: str = "aggregate",
+    column_name_field: str = "/cell_features/cell_id",
+    do_squeeze: bool = False,
+    row_nnz_cutoff: int = 1,
+    column_nnz_cutoff: int = 1,
+) -> SparseBackend:
+    """Build a backend from a raw CSC/CSR zarr store, e.g. 10x Xenium's
+    ``cell_feature_matrix.zarr.zip`` (`data-beans from-zarr`,
+    handlers/builders/from_zarr.rs:129-260). `pointer_type` says what
+    the indptr runs over: "row" = CSR pointers (row-major), "column" =
+    CSC. Row-type select/remove patterns are case-insensitive
+    substrings; a row is kept if its type contains ANY select pattern
+    and NO remove pattern."""
+    from .zarr_raw import read_zarr_numeric, read_zarr_strings
+
+    values = np.asarray(read_zarr_numeric(zarr_file, data_field), np.float32)
+    indices = np.asarray(read_zarr_numeric(zarr_file, indices_field), np.int64)
+    indptr = np.asarray(read_zarr_numeric(zarr_file, indptr_field), np.int64)
+    minor_dim = int(indices.max()) + 1 if len(indices) else 0
+    major_dim = len(indptr) - 1
+    if pointer_type == "row":  # CSR: rows major, columns minor
+        mat = sp.csr_matrix(
+            (values, indices, indptr), shape=(major_dim, minor_dim)
+        ).tocsc()
+    else:  # CSC: columns major, rows minor
+        mat = sp.csc_matrix(
+            (values, indices, indptr), shape=(minor_dim, major_dim)
+        )
+    n_rows, n_cols = mat.shape
+
+    def _names(field, n, label):
+        got = read_zarr_strings(zarr_file, field) if field else None
+        if got is not None and len(got) >= n:
+            return [str(x) for x in got[:n]]
+        if got is not None:
+            log.warning("%s: %d names for %d %s; using positions",
+                        field, len(got), n, label)
+        return [str(i) for i in range(n)]
+
+    row_names = _names(row_name_field, n_rows, "rows")
+    row_ids = _names(row_id_field, n_rows, "rows")
+    if row_names == [str(i) for i in range(n_rows)] and row_ids != row_names:
+        row_names = row_ids
+    col_names = _names(column_name_field, n_cols, "columns")
+
+    # row-type filter (from_zarr.rs select_row_type / remove_row_type)
+    from .zarr_raw import read_zarr_strings as _rs
+
+    row_types = _rs(zarr_file, row_type_field) if row_type_field else None
+    if row_types is not None and len(row_types) >= n_rows:
+        sel = [p.strip().lower() for p in select_row_type.split(",") if p.strip()]
+        rem = [p.strip().lower() for p in remove_row_type.split(",") if p.strip()]
+        keep = np.asarray([
+            any(p in t.lower() for p in sel) and not any(p in t.lower() for p in rem)
+            for t in row_types[:n_rows]
+        ])
+        if not keep.all():
+            log.info("row-type filter keeps %d/%d rows", int(keep.sum()), n_rows)
+            mat = mat[keep]
+            row_names = [n for n, k in zip(row_names, keep) if k]
+
+    if do_squeeze:
+        rk = np.asarray((mat != 0).sum(1)).ravel() >= row_nnz_cutoff
+        ck = np.asarray((mat != 0).sum(0)).ravel() >= column_nnz_cutoff
+        mat = mat[rk][:, ck]
+        row_names = [n for n, k in zip(row_names, rk) if k]
+        col_names = [n for n, k in zip(col_names, ck) if k]
+        log.info("squeeze: %s -> %s", (len(rk), len(ck)), mat.shape)
+
+    return create_sparse_from_csc(mat.tocsc(), output, row_names, col_names)
+
+
 def from_mtx(
     mtx: str,
     output: str,

@@ -119,3 +119,77 @@ def test_builder_squeeze_qc_extensions_and_gene_subsample(tmp_path):
     sb = open_sparse_matrix(sub)
     assert sb.num_columns == round(0.5 * (n - 1))
     assert sb.num_rows == round(0.5 * (d - 1))
+
+
+def test_from_zarr_raw_store(tmp_path):
+    """`data-beans from-zarr` ingests a raw CSR zarr-v2 store (the
+    Xenium cell_feature_matrix layout): numeric chunks via
+    tensorstore, names from group attrs, row-type select/remove
+    filter, and the .zarr.zip archive path (from_zarr.rs:129-260)."""
+    import json
+    import os
+    import zipfile
+
+    import tensorstore as ts
+
+    from legume_tpu.cli import main as cli
+
+    rng = np.random.default_rng(0)
+    dense = rng.poisson(1.0, (6, 9)).astype(np.float32)
+    dense[4] = 0  # an "aggregate" row the filter should drop anyway
+    csr = sp.csr_matrix(dense)
+    store = str(tmp_path / "cfm.zarr")
+
+    def put(field, arr, dtype):
+        spec = {
+            "driver": "zarr",
+            "kvstore": {"driver": "file", "path": f"{store}/{field}"},
+            "metadata": {
+                "shape": list(arr.shape),
+                "chunks": list(arr.shape),
+                "dtype": dtype,
+                "compressor": {"id": "zlib", "level": 5},
+            },
+            "create": True,
+        }
+        ts.open(spec).result()[...] = arr
+
+    put("cell_features/data", csr.data.astype(np.float32), "<f4")
+    put("cell_features/indices", csr.indices.astype(np.uint32), "<u4")
+    put("cell_features/indptr", csr.indptr.astype(np.uint32), "<u4")
+    genes = [f"g{i}" for i in range(6)]
+    types = ["Gene Expression"] * 4 + ["Aggregate counts", "Gene Expression"]
+    with open(f"{store}/cell_features/.zattrs", "w") as f:
+        json.dump(
+            {"feature_keys": genes, "feature_ids": genes,
+             "feature_types": types}, f,
+        )
+    # Xenium packed cell ids: [N, 2] uint32 -> "aaaaaaah-1" style
+    ids = np.stack([np.arange(9, dtype=np.uint32),
+                    np.ones(9, np.uint32)], 1)
+    put("cell_features/cell_id", ids, "<u4")
+
+    out = str(tmp_path / "built.zarr")
+    cli.run_beans(["from-zarr", store, "--output", out])
+    be = open_sparse_matrix(out)
+    # row 4 (Aggregate) dropped by the default remove pattern
+    assert be.num_rows == 5 and be.num_columns == 9
+    assert be.row_names() == ["g0", "g1", "g2", "g3", "g5"]
+    assert be.column_names()[0] == "aaaaaaaa-1"
+    keep = [0, 1, 2, 3, 5]
+    np.testing.assert_allclose(
+        np.asarray(be.read_columns_csc(np.arange(9)).todense()),
+        dense[keep],
+    )
+
+    # the same store as a .zarr.zip archive
+    zpath = str(tmp_path / "cfm.zarr.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(store):
+            for fn in files:
+                p = os.path.join(root, fn)
+                zf.write(p, os.path.relpath(p, store))
+    out2 = str(tmp_path / "built2.zarr")
+    cli.run_beans(["from-zarr", zpath, "--output", out2])
+    be2 = open_sparse_matrix(out2)
+    assert be2.num_rows == 5 and be2.row_names() == be.row_names()
