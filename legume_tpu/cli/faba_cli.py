@@ -189,8 +189,12 @@ def run_faba(argv):
                    default="pseudotime")
     p.add_argument("--annot", default=None,
                    help="cell,label parquet (required for --color-by label)")
-    p.add_argument("--layout", choices=["phate", "umap", "tsne"],
+    p.add_argument("--layout", choices=["phate", "umap", "tumap", "tsne"],
                    default="phate")
+    p.add_argument("--layout-pcs", type=int, default=50,
+                   help="PCs carrying the umap/tumap kNN graph + SGD init, "
+                        "leading (mean) axis dropped; 0 = raw latent + "
+                        "random init (lineage/args.rs layout_pcs)")
     p.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -762,7 +766,11 @@ def _run_faba_plot(args):
     else:
         from ..ops.umap import umap
 
-        coords = umap(z, seed=args.seed)
+        coords = umap(
+            z, seed=args.seed,
+            kernel="tumap" if args.layout == "tumap" else "umap",
+            pcs=min(args.layout_pcs, max(z.shape[1] - 1, 0)),
+        )
     coords = np.asarray(coords, np.float32)
 
     # node positions in layout space: mean layout coords of the cells nearest

@@ -173,10 +173,14 @@ def run_senna(argv):
     p.add_argument("--from", dest="from_run", default=None,
                    help="prefix of a prior run: inputs resolve from its manifest")
     p.add_argument("--out", required=True)
-    p.add_argument("--method", choices=["umap", "tsne", "phate"], default="umap")
+    p.add_argument("--method", choices=["umap", "tumap", "tsne", "phate"],
+                   default="umap")
     p.add_argument("--n-neighbors", type=int, default=15)
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--perplexity", type=float, default=30.0, help="tsne only")
+    p.add_argument("--pcs", type=int, default=0,
+                   help="umap/tumap: run the kNN graph + SGD init on this "
+                        "many PC scores (leading mean axis dropped); 0 = raw")
 
     p = sub.add_parser("pseudotime", help="principal-graph pseudotime")
     p.add_argument("--latent", default=None)
@@ -1767,7 +1771,11 @@ def run_senna(argv):
 
             emb = phate(z, knn=args.n_neighbors, n_iter=args.epochs)
         else:
-            emb = umap(z, n_neighbors=args.n_neighbors, n_epochs=args.epochs)
+            emb = umap(
+                z, n_neighbors=args.n_neighbors, n_epochs=args.epochs,
+                kernel="tumap" if args.method == "tumap" else "umap",
+                pcs=min(args.pcs, max(z.shape[1] - 1, 0)),
+            )
         pd.DataFrame(
             {"cell": df.iloc[:, 0], "x": emb[:, 0], "y": emb[:, 1]}
         ).to_parquet(f"{args.out}.layout.parquet")

@@ -17,6 +17,52 @@ import jax.numpy as jnp
 import numpy as np
 
 
+INIT_SCALE = 10.0  # pca.rs INIT_SCALE: UMAP SGD clamps steps at +-4
+_JITTER_FRAC = 1e-4  # uwot scale_and_jitter
+
+
+def pc_scores(x: np.ndarray, rank: int, skip: int = 1) -> np.ndarray:
+    """Principal-component scores with the `skip` leading axes dropped
+    (matrix-util pca.rs:47 `pc_scores`). No centering pass: on the
+    nonnegative rows this pipeline lays out (topic simplices,
+    unit-normalized latents) every row loads positively on the first
+    singular vector, so that axis IS the mean profile — dropping it
+    de-means without materializing a centered copy. Pass skip=0 for
+    already-centered data."""
+    x = np.asarray(x, np.float32)
+    want = min(rank + skip, min(x.shape))
+    if rank <= 0 or want <= skip:
+        raise ValueError(
+            f"no components left: {x.shape} data, rank={rank}, skip={skip}"
+        )
+    u, s, _ = np.linalg.svd(x, full_matrices=False)
+    keep = min(u.shape[1] - skip, rank)
+    return u[:, skip : skip + keep] * s[skip : skip + keep]
+
+
+def init_2d_from_scores(scores: np.ndarray, seed: int = 0) -> np.ndarray:
+    """[N, 2] SGD init from the leading two PC scores, rescaled so the
+    largest |coordinate| is INIT_SCALE, plus a small jitter
+    (pca.rs `init_2d_from_scores`). The jitter matters: two points at
+    identical scores sit at exactly zero distance where the attractive
+    gradient vanishes and the repulsive one has no direction — the
+    pair could never separate."""
+    rng = np.random.default_rng(seed)
+    if scores.shape[1] < 2:
+        return rng.uniform(-INIT_SCALE, INIT_SCALE, (scores.shape[0], 2)).astype(
+            np.float32
+        )
+    emb = np.asarray(scores[:, :2], np.float32)
+    m = np.abs(emb).max()
+    if m < 1e-8:
+        return rng.uniform(-INIT_SCALE, INIT_SCALE, (scores.shape[0], 2)).astype(
+            np.float32
+        )
+    emb = emb / m * INIT_SCALE
+    emb += rng.normal(0.0, _JITTER_FRAC * INIT_SCALE, emb.shape)
+    return emb.astype(np.float32)
+
+
 def _fit_ab(min_dist: float, spread: float) -> tuple[float, float]:
     """Least-squares fit of the (a, b) rational curve to the target
     membership function (standard UMAP procedure)."""
@@ -107,16 +153,28 @@ def umap(
     n_epochs: int = 200,
     batch: int = 4096,
     seed: int = 0,
+    kernel: str = "umap",
+    pcs: int = 0,
 ) -> np.ndarray:
-    """2D UMAP embedding of [N, D] points."""
-    n = x.shape[0]
-    src, dst, w = fuzzy_edges(x, n_neighbors)
-    a, b = _fit_ab(min_dist, spread)
+    """2D UMAP embedding of [N, D] points.
 
-    # spectral-ish init: PCA of the input
-    xc = x - x.mean(0)
-    u, s, vt = np.linalg.svd(xc, full_matrices=False)
-    emb0 = (u[:, :2] * s[:2]) / max(s[0], 1e-8) * 10.0
+    kernel="tumap" uses the uwot::tumap a=b=1 kernel 1/(1+d^2)
+    (umap.rs:54): more spread, and the layout faba's lineage view runs
+    (lineage/layout.rs:126). pcs>0 builds BOTH the kNN graph and the
+    SGD init on `pc_scores(x, pcs, skip=1)` — neighbours on X_pca and
+    a PCA seed, with the nonnegative mean axis dropped
+    (lineage/layout.rs:94-99)."""
+    n = x.shape[0]
+    if pcs > 0:
+        graph_feats = pc_scores(x, pcs, 1)
+        emb0 = init_2d_from_scores(graph_feats, seed)
+    else:
+        graph_feats = x
+        xc = x - x.mean(0)
+        u, s, vt = np.linalg.svd(xc, full_matrices=False)
+        emb0 = init_2d_from_scores(u[:, :2] * s[:2], seed)
+    src, dst, w = fuzzy_edges(np.asarray(graph_feats, np.float32), n_neighbors)
+    a, b = (1.0, 1.0) if kernel == "tumap" else _fit_ab(min_dist, spread)
 
     probs = w / w.sum()
     n_steps = max(1, n_epochs * max(len(src) // batch, 1))

@@ -18,7 +18,7 @@ from legume_tpu.ops.gene_stats import (
     select_hvg_streaming,
     streaming_gene_stats,
 )
-from legume_tpu.ops.umap import umap
+from legume_tpu.ops.umap import init_2d_from_scores, pc_scores, umap
 
 
 def test_cell_qc_stats():
@@ -285,3 +285,39 @@ def test_label_cells_projection():
     assert labels == ["A", "B", UNASSIGNED_LABEL]
     assert conf[0] > 0.9 and conf[2] == 0.0
     np.testing.assert_allclose(post.sum(1)[:2], 1.0)
+
+
+def test_pc_scores_uncentered_skip_matches_centered():
+    """matrix-util pca/tests.rs pattern: on nonnegative rows, the
+    uncentered SVD's leading axis carries the mean profile, so
+    `pc_scores(x, k, skip=1)` spans the same directions as explicit
+    centering with skip=0."""
+    rng = np.random.default_rng(3)
+    x = rng.dirichlet([2, 2, 2, 2, 2], 200).astype(np.float32)
+    dropped = pc_scores(x, 2, 1)
+    explicit = pc_scores(x - x.mean(0), 2, 0)
+    # same subspace up to sign/rotation: canonical correlations ~ 1
+    qa, _ = np.linalg.qr(dropped)
+    qb, _ = np.linalg.qr(explicit)
+    sv = np.linalg.svd(qa.T @ qb, compute_uv=False)
+    assert sv.min() > 0.95, sv
+    with np.testing.assert_raises(ValueError):
+        pc_scores(x, 0, 1)
+
+
+def test_tumap_pcs_layout_separates_and_jitters():
+    """t-UMAP kernel (a=b=1) with PC graph/init (lineage/layout.rs:94-126):
+    separates planted simplex clusters, and the init jitter keeps
+    duplicate points apart."""
+    rng = np.random.default_rng(0)
+    a = rng.dirichlet([8, 1, 1, 1], 120)
+    b = rng.dirichlet([1, 1, 8, 1], 120)
+    x = np.vstack([a, b]).astype(np.float32)
+    emb = umap(x, kernel="tumap", pcs=3, n_epochs=60, seed=1)
+    gap = np.linalg.norm(emb[:120].mean(0) - emb[120:].mean(0))
+    within = max(emb[:120].std(), emb[120:].std())
+    assert np.isfinite(emb).all() and gap / within > 1.5
+    # duplicate rows get distinct init coordinates (pca.rs JITTER_FRAC)
+    dup = np.ones((5, 3), np.float32)
+    init = init_2d_from_scores(dup, seed=0)
+    assert len({tuple(r) for r in np.round(init, 9).tolist()}) == 5
