@@ -17,7 +17,16 @@ import jax.numpy as jnp
 from ..ops.transforms import anscombe_residual
 from . import losses
 
-CLAMP = 8.0  # encoder/softmax.rs:61-62
+CLAMP = 8.0  # nn/soft_clamp.rs MASKED_LOGIT_CLAMP
+
+
+def soft_clamp(x, c: float = CLAMP):
+    """Bound to (-c, c) WITHOUT killing the gradient: c*tanh(x/c)
+    (nn/soft_clamp.rs). A hard clip has exactly zero gradient outside
+    its range; the reference measured 99.6% of cells pinned at +8 with
+    the encoder frozen while the llik trace kept improving — the soft
+    bound keeps edge units recoverable."""
+    return c * jnp.tanh(x / c)
 
 
 class _GaussianTrunk(nn.Module):
@@ -40,8 +49,8 @@ class _GaussianTrunk(nn.Module):
         for layer in self.fc:
             h = nn.relu(layer(h))
         h = self.bn_z(h, use_running_average=not train)
-        mean = jnp.clip(self.z_mean(h), -CLAMP, CLAMP)
-        lnvar = jnp.clip(self.z_lnvar(h), -CLAMP, CLAMP)
+        mean = soft_clamp(self.z_mean(h))
+        lnvar = soft_clamp(self.z_lnvar(h))
         return mean, lnvar
 
 

@@ -131,8 +131,11 @@ class IndexedEmbeddingEncoder(nn.Module):
             )
         h = nn.relu(nn.Dense(self.hidden)(pooled))
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-4)(h)
-        z_mean = jnp.clip(nn.Dense(self.n_topics)(h), -8.0, 8.0)
-        z_lnvar = jnp.clip(nn.Dense(self.n_topics)(h), -8.0, 8.0)
+        # soft bound (nn/soft_clamp.rs): hard clip froze edge units
+        from .encoders import soft_clamp
+
+        z_mean = soft_clamp(nn.Dense(self.n_topics)(h))
+        z_lnvar = soft_clamp(nn.Dense(self.n_topics)(h))
         return z_mean, z_lnvar
 
 

@@ -97,3 +97,23 @@ def test_plots_write_files(tmp_path):
     spatial_hex(coords, rng.random(200), str(tmp_path / "hex.pdf"))
     for f in ["sc.png", "bars.svg", "hex.pdf"]:
         assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_soft_clamp_keeps_gradient_alive():
+    """nn/soft_clamp.rs: c*tanh(x/c) bounds to (-c, c) but keeps a
+    nonzero gradient where a hard clip would be exactly flat, so a
+    logit driven past the bound can still recover."""
+    import jax
+    import jax.numpy as jnp
+
+    from legume_tpu.models.encoders import CLAMP, soft_clamp
+
+    xs = jnp.asarray([-12.0, -8.5, 0.0, 8.5, 12.0])
+    ys = soft_clamp(xs)
+    assert (jnp.abs(ys) < CLAMP).all()
+    g_soft = jax.vmap(jax.grad(soft_clamp))(xs)
+    g_hard = jax.vmap(jax.grad(lambda x: jnp.clip(x, -CLAMP, CLAMP)))(xs)
+    assert (g_soft > 0).all()          # alive everywhere in range
+    assert g_hard[0] == 0 and g_hard[-1] == 0  # hard clip is dead there
+    # near zero the bound is ~identity
+    assert abs(float(soft_clamp(jnp.asarray(0.5))) - 0.5) < 0.01
