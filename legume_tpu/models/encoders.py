@@ -88,6 +88,71 @@ class LogSoftmaxEncoder(nn.Module):
         return self.trunk(x_nd, x0_nd, feature_mean, train=train)
 
 
+class LogSoftmaxJointEncoder(nn.Module):
+    """Multi-modality softmax encoder (`encoder/joint_softmax.rs:8-110`):
+    one Gaussian trunk PER modality slice of the concatenated input,
+    then the modality latents and KLs SUM — product-of-experts-style
+    fusion that keeps a wide modality from drowning a narrow one, with
+    per-modality BatchNorm statistics. API-compatible with
+    `LogSoftmaxEncoder` on the concatenated [N, sum(D_m)] input."""
+
+    n_topics: int
+    layers: Sequence[int]
+    n_features: Sequence[int]  # per-modality feature dims, in input order
+
+    def setup(self):
+        self.trunks = [
+            _GaussianTrunk(self.n_topics, self.layers, name=f"mod{m}")
+            for m in range(len(self.n_features))
+        ]
+
+    def _slices(self):
+        off = 0
+        for d in self.n_features:
+            yield off, off + d
+            off += d
+
+    def _modality_params(self, x_nd, x0_nd, feature_mean, *, train):
+        out = []
+        for (lo, hi), trunk in zip(self._slices(), self.trunks):
+            x0_m = x0_nd[..., lo:hi] if x0_nd is not None else None
+            mu_m = feature_mean[..., lo:hi] if feature_mean is not None else None
+            out.append(trunk(x_nd[..., lo:hi], x0_m, mu_m, train=train))
+        return out
+
+    def __call__(
+        self,
+        x_nd: jax.Array,
+        x0_nd: Optional[jax.Array] = None,
+        feature_mean: Optional[jax.Array] = None,
+        *,
+        train: bool,
+    ) -> tuple[jax.Array, jax.Array]:
+        params = self._modality_params(x_nd, x0_nd, feature_mean, train=train)
+        zs, kls = [], []
+        for m, (z_mean, z_lnvar) in enumerate(params):
+            if train:
+                z = losses.gaussian_reparameterize(
+                    self.make_rng("reparam"), z_mean, z_lnvar, True
+                )
+            else:
+                z = z_mean
+            zs.append(z)
+            kls.append(losses.gaussian_kl(z_mean, z_lnvar))
+        z = sum(zs)
+        log_prob = jax.nn.log_softmax(z, axis=-1)
+        return log_prob, sum(kls)
+
+    def latent_gaussian_params(self, x_nd, x0_nd=None, feature_mean=None, *, train: bool = False):
+        params = self._modality_params(x_nd, x0_nd, feature_mean, train=train)
+        mean = sum(p[0] for p in params)
+        # z is a sum of independent Gaussians: variances add
+        lnvar = jax.scipy.special.logsumexp(
+            jnp.stack([p[1] for p in params]), axis=0
+        )
+        return mean, lnvar
+
+
 class _IafLayer(nn.Module):
     """One inverse-autoregressive-flow step (Kingma et al. 2016):
     masked autoregressive (m, s) nets; z' = sigma * z + (1 - sigma) * m

@@ -18,7 +18,6 @@ import jax
 import numpy as np
 
 from ..models.decoders import DECODERS
-from ..models.encoders import LogSoftmaxEncoder
 from ..models.train import LevelData, MixedTrainer, TrainConfig
 from ..ops import collapse as clp
 from ..ops import random_projection as rp
@@ -71,7 +70,15 @@ def fit_joint_topic(modalities: Sequence, args: JointTopicArgs) -> dict:
         slices.append((off, off + d))
         off += d
 
-    enc = LogSoftmaxEncoder(n_topics=args.n_topics, layers=tuple(args.encoder_layers))
+    # per-modality trunks with summed latents (joint_softmax.rs:8-110),
+    # NOT one trunk over the concatenation: per-modality BatchNorm keeps
+    # a wide modality from dominating a narrow one
+    from ..models.encoders import LogSoftmaxJointEncoder
+
+    enc = LogSoftmaxJointEncoder(
+        n_topics=args.n_topics, layers=tuple(args.encoder_layers),
+        n_features=tuple(dims),
+    )
     if args.decoder == "delta":
         # shared-feature-axis modalities: one base dictionary + chain
         # deltas (decoder/delta_topic.rs) instead of per-modality slices

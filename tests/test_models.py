@@ -227,3 +227,35 @@ def test_bipartite_decoder_likelihoods():
         scores, llik = dec.apply(variables, log_z, x)
         assert scores.shape == (n, d)
         assert np.isfinite(np.asarray(llik)).all(), fam
+
+
+def test_joint_encoder_per_modality_trunks():
+    """LogSoftmaxJointEncoder (joint_softmax.rs:8-110): separate trunk
+    per modality slice, latents and KLs sum. Check shapes, simplex
+    output, and that each modality's parameters exist independently."""
+    import jax
+    import jax.numpy as jnp
+
+    from legume_tpu.models.encoders import LogSoftmaxJointEncoder
+
+    enc = LogSoftmaxJointEncoder(n_topics=4, layers=(16,), n_features=(30, 5))
+    x = jnp.asarray(np.random.default_rng(0).poisson(2.0, (12, 35)), jnp.float32)
+    variables = enc.init(
+        {"params": jax.random.key(0), "reparam": jax.random.key(1)},
+        x, train=True,
+    )
+    mods = variables["params"]
+    assert "mod0" in mods and "mod1" in mods
+    (log_z, kl), _ = enc.apply(
+        variables, x, train=True,
+        rngs={"reparam": jax.random.key(2)},
+        mutable=["batch_stats"],
+    )
+    assert log_z.shape == (12, 4) and np.isfinite(np.asarray(log_z)).all()
+    np.testing.assert_allclose(np.exp(np.asarray(log_z)).sum(1), 1.0, rtol=1e-4)
+    assert kl.shape == (12,) and float(kl.mean()) >= 0.0
+    # eval heads: variances ADD across modalities (not lnvars)
+    mu, lnvar = enc.apply(
+        variables, x, train=False, method=enc.latent_gaussian_params
+    )
+    assert mu.shape == (12, 4) and np.isfinite(np.asarray(lnvar)).all()
