@@ -315,6 +315,12 @@ def run_senna(argv):
         p.add_argument("-k", "--n-latent-topics", type=int, default=10)
         p.add_argument("--window", type=int, default=128, help="top-K genes per cell")
         p.add_argument("--embed-dim", type=int, default=64)
+        p.add_argument("--gene-modules", type=int, default=0,
+                       help="learned gene-module pooling branch: M "
+                            "centroids over the embedding space append "
+                            "per-module level+coverage to the encoder "
+                            "input (0 = off; encoder/indexed.rs "
+                            "n_gene_modules)")
         p.add_argument("--epochs", type=int, default=100)
         p.add_argument("--minibatch-size", type=int, default=256)
         p.add_argument("--mask-frac", type=float, default=0.15)
@@ -1317,6 +1323,7 @@ def run_senna(argv):
             latent=latent,
             kl_weight=args.kl_weight,
             masked_likelihood=args.masked_likelihood,
+            n_gene_modules=args.gene_modules,
         )
         variables, trace, eval_loss = train_masked(
             model, data,
@@ -1375,6 +1382,7 @@ def run_senna(argv):
                 "window": args.window,
                 "embed_dim": embed_dim,
                 "latent": latent,
+                "gene_modules": args.gene_modules,
             },
         )
         RunManifest(

@@ -105,22 +105,47 @@ def build_topk_windows(
 # ----------------------------------------------------------------------------
 
 
+# Softmax temperature for gene-module membership (encoder/indexed.rs
+# MODULE_TEMP). Membership logits are COSINE similarities in [-1, 1], so
+# this constant alone sets sharpness on a fixed, interpretable scale;
+# deliberately not a CLI knob.
+_MODULE_TEMP = 0.1
+
+# Floor on per-module coverage when used as a divisor
+# (encoder/indexed.rs EPS_COVERAGE): bounds du/dnumerator at 1/eps. Only
+# binds for modules a cell effectively did not observe, where the level
+# carries no information anyway.
+_EPS_COVERAGE = 1e-2
+
+
 class IndexedEmbeddingEncoder(nn.Module):
     """Pools rho[ids] * normalized values -> latent head
     (`encoder/indexed.rs`). `rho` is passed in (shared with the
     decoder, the ETM tie). `null_vals` (optional, [B, K]) is the
     batch-null stream restricted to the window genes (the masked
     trainers' adj_method x0 input): it pools through the same rho and
-    concatenates, so the head sees observed-vs-null jointly."""
+    concatenates, so the head sees observed-vs-null jointly.
+
+    `n_gene_modules > 0` enables the gene-module pooling branch
+    (encoder/indexed.rs module_pool): M learned centroids over the
+    embedding space; per-cell per-module level u (coverage-floored
+    membership-weighted mean of the value gate) and coverage cov
+    (membership mass over observed slots) append as [log u, log1p cov]
+    — 2M extra FC inputs. Pooling within a learned group yields a
+    statistic that survives when individual interchangeable genes
+    (paralogues, co-regulated program members) drop out of a panel.
+    At M = 0 the branch adds no parameter and the FC input width is
+    unchanged."""
 
     n_topics: int
     hidden: int
+    n_gene_modules: int = 0
 
     @nn.compact
     def __call__(self, rho_dh, ids, vals, *, train: bool, null_vals=None):
         # anscombe-stabilized values, per-window normalized
-        a = anscombe_lite(vals)
-        a = a / jnp.maximum(jnp.sum(a, axis=-1, keepdims=True), 1e-6)
+        a_raw = anscombe_lite(vals)
+        a = a_raw / jnp.maximum(jnp.sum(a_raw, axis=-1, keepdims=True), 1e-6)
         emb = rho_dh[ids]  # [B, K, H] (pad row = zeros appended by caller)
         pooled = jnp.einsum("bk,bkh->bh", a, emb)
         if null_vals is not None:
@@ -129,6 +154,42 @@ class IndexedEmbeddingEncoder(nn.Module):
             pooled = jnp.concatenate(
                 [pooled, jnp.einsum("bk,bkh->bh", a0, emb)], axis=-1
             )
+        if self.n_gene_modules > 0:
+            # cosine (not dot): magnitude is the channel by which one
+            # centroid swallows every gene, and bounded logits are what
+            # make the fixed temperature meaningful
+            centroids = self.param(
+                "module_centroids",
+                nn.initializers.normal(0.1),
+                (rho_dh.shape[1], self.n_gene_modules),
+            )  # [H, M]
+            visible = vals > 0.0  # pads and masked slots carry 0
+            e_n = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8
+            )
+            c_n = centroids / jnp.maximum(
+                jnp.linalg.norm(centroids, axis=0, keepdims=True), 1e-8
+            )
+            mem = jax.nn.softmax(
+                jnp.einsum("bkh,hm->bkm", e_n, c_n) / _MODULE_TEMP, axis=-1
+            )
+            mem_vis = mem * visible[..., None]  # [B, K, M]
+            cov = jnp.sum(mem_vis, axis=1)  # [B, M]
+            # floored-coverage division: a mean over the members that
+            # WERE captured, so losing members costs variance, not level
+            u = jnp.einsum("bkm,bk->bm", mem_vis, a_raw) / jnp.maximum(
+                cov, _EPS_COVERAGE
+            )
+            has_visible = jnp.any(visible, axis=-1, keepdims=True).astype(
+                pooled.dtype
+            )
+            # plain log, NOT centered: a downstream linear layer can
+            # already form any log-ratio; cov's absolute level IS the
+            # reliability signal
+            feats = jnp.concatenate(
+                [jnp.log(u + 1e-6), jnp.log1p(cov)], axis=-1
+            )  # [B, 2M]
+            pooled = jnp.concatenate([pooled, feats * has_visible], axis=-1)
         h = nn.relu(nn.Dense(self.hidden)(pooled))
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-4)(h)
         # soft bound (nn/soft_clamp.rs): hard clip froze edge units
@@ -149,6 +210,9 @@ class MaskedTopicModel(nn.Module):
     hidden: int = 128
     latent: str = "simplex"  # simplex (masked-topic) | gaussian (masked-vae) | sbp (masked-sbp)
     kl_weight: float = 1e-3  # gaussian latent only
+    # learned gene-module pooling branch (0 = off; encoder/indexed.rs
+    # n_gene_modules): 2M extra encoder inputs, one [H, M] parameter
+    n_gene_modules: int = 0
     # per-gene likelihood on the masked positions
     # (masked_topic.rs MaskedLikelihoodArg): nb = library-scaled
     # overdispersed counts; multinomial = depth-invariant composition
@@ -164,7 +228,9 @@ class MaskedTopicModel(nn.Module):
         self.log_phi = self.param(
             "log_phi", nn.initializers.constant(0.693), (self.n_genes + 1,)
         )
-        self.encoder = IndexedEmbeddingEncoder(self.n_topics, self.hidden)
+        self.encoder = IndexedEmbeddingEncoder(
+            self.n_topics, self.hidden, n_gene_modules=self.n_gene_modules
+        )
         if self.latent == "gaussian":
             # masked-vae: latent is a free Gaussian; a learned readout
             # maps it to mixture weights for the union reconstruction

@@ -622,6 +622,7 @@ def score_masked_backend(vec, meta: dict, variables: dict, remap: GeneRemap) -> 
         n_topics=int(meta["n_topics"]),
         embed_dim=int(meta.get("embed_dim", 64)),
         latent=meta.get("latent", "simplex"),
+        n_gene_modules=int(meta.get("gene_modules", 0)),
     )
     raw = meta.get("latent") == "gaussian"
     return encode_all(model, variables, data, raw_latent=raw)

@@ -199,3 +199,74 @@ def test_feature_embedding_ridge_reduction():
     # doubling H doubles the penalty (row-norm dependence)
     wide = jnp.full((10, 2 * h), c)
     assert np.isclose(float(ridge(wide)), 2 * float(ridge(small)))
+
+
+def test_gene_modules_zero_leaves_params_unchanged(topic_backend):
+    """M = 0 must register no var and leave the param tree byte-identical
+    to a build without the branch (encoder/indexed.rs:713 contract)."""
+    import jax
+
+    be, _ = topic_backend
+    data = build_topk_windows(be, 16, block_size=128)
+    base = MaskedTopicModel(n_genes=100, n_topics=3, embed_dim=16, hidden=32)
+    zero = MaskedTopicModel(
+        n_genes=100, n_topics=3, embed_dim=16, hidden=32, n_gene_modules=0
+    )
+    import jax.numpy as jnp
+
+    ids0 = jnp.asarray(data.ids[:8])
+    vals0 = jnp.asarray(data.vals[:8])
+    union0 = jnp.arange(64, dtype=jnp.int32)
+    k = jax.random.key(0)
+    args = (ids0, vals0, union0, jnp.zeros(64), jnp.ones(64, bool),
+            jnp.zeros_like(vals0, bool))
+    v_base = base.init({"params": k, "reparam": k}, *args, train=True, rngs_key=k)
+    v_zero = zero.init({"params": k, "reparam": k}, *args, train=True, rngs_key=k)
+    flat_b = jax.tree_util.tree_leaves_with_path(v_base["params"])
+    flat_z = jax.tree_util.tree_leaves_with_path(v_zero["params"])
+    assert [p for p, _ in flat_b] == [p for p, _ in flat_z]
+    for (_, a), (_, b) in zip(flat_b, flat_z):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gene_modules_branch_trains_and_is_member_invariant(topic_backend):
+    """With M > 0 the branch registers one [H, M] var, training still
+    converges, and the module features are (near-)invariant to WHICH of
+    two interchangeable genes a cell observed — the branch's purpose
+    (encoder/indexed.rs module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from legume_tpu.models.indexed import IndexedEmbeddingEncoder
+
+    be, _ = topic_backend
+    data = build_topk_windows(be, 16, block_size=128)
+    model = MaskedTopicModel(
+        n_genes=100, n_topics=3, embed_dim=16, hidden=32, n_gene_modules=4
+    )
+    variables, trace, _ = train_masked(
+        model, data,
+        MaskedTrainConfig(epochs=40, minibatch=100, learning_rate=3e-3,
+                          union_size=128),
+    )
+    assert "module_centroids" in variables["params"]["encoder"]
+    assert variables["params"]["encoder"]["module_centroids"].shape == (16, 4)
+    assert trace[-1] < trace[0]
+    log_theta = encode_all(model, variables, data)
+    assert np.all(np.isfinite(log_theta))
+
+    # member-dropout invariance: two genes with IDENTICAL embeddings are
+    # interchangeable; a cell seeing only gene 0 vs only gene 1 (same
+    # count) must produce the same module-branch features, hence the
+    # same encoder output
+    enc = IndexedEmbeddingEncoder(n_topics=3, hidden=32, n_gene_modules=4)
+    rho = jax.random.normal(jax.random.key(1), (101, 16)) * 0.3
+    rho = rho.at[1].set(rho[0])  # genes 0 and 1 interchangeable
+    k = 6
+    ids_a = jnp.full((1, k), 100, jnp.int32).at[0, 0].set(0)
+    ids_b = jnp.full((1, k), 100, jnp.int32).at[0, 0].set(1)
+    vals = jnp.zeros((1, k)).at[0, 0].set(7.0)
+    v = enc.init(jax.random.key(2), rho, ids_a, vals, train=False)
+    za, _ = enc.apply(v, rho, ids_a, vals, train=False)
+    zb, _ = enc.apply(v, rho, ids_b, vals, train=False)
+    np.testing.assert_allclose(np.asarray(za), np.asarray(zb), atol=1e-5)
