@@ -6,12 +6,92 @@ import argparse
 import numpy as np
 
 
+def _add_panel_args(p):
+    """Shared LD-reference-panel input + individual filtering
+    (summary_stats/common.rs:110-151: --keep/--remove/--max-individuals,
+    like plink --keep)."""
+    p.add_argument("--geno", default=None, help="reference genotype .npy [n, p]")
+    p.add_argument("--plink", default=None,
+                   help="PLINK prefix for the LD reference panel "
+                        "(alternative to --geno; enables ID filters)")
+    p.add_argument("--keep", default=None,
+                   help="keep only these individuals: file (one per line, "
+                        "'FID IID' or 'IID', # skipped, .gz ok) or "
+                        "comma-separated IIDs")
+    p.add_argument("--remove", default=None,
+                   help="remove these individuals (same formats as --keep)")
+    p.add_argument("--max-individuals", type=int, default=None,
+                   help="subsample the panel to at most N individuals")
+
+
+def _parse_individual_ids(val):
+    """File path (one individual per line, last column is the IID,
+    # comments, .gz supported) or comma-separated IID list."""
+    import gzip
+    import os
+
+    ids = set()
+    if os.path.exists(val):
+        op = gzip.open if val.endswith(".gz") else open
+        with op(val, "rt") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                ids.add(line.split()[-1])
+    else:
+        ids.update(x for x in val.split(",") if x)
+    return ids
+
+
+def _load_panel(args):
+    """Load the LD reference panel from --geno or --plink, apply
+    --keep/--remove/--max-individuals, mean-impute missing dosages."""
+    if getattr(args, "plink", None):
+        from ..fagioli.plink import read_plink
+
+        pk = read_plink(args.plink)
+        geno, samples = pk.genotypes, pk.sample_ids
+    elif getattr(args, "geno", None):
+        geno = np.load(args.geno)
+        samples = [str(i) for i in range(geno.shape[0])]
+    else:
+        raise SystemExit(f"{args.cmd}: provide --geno or --plink")
+    if args.keep and args.remove:
+        raise SystemExit("--keep conflicts with --remove")
+    n0 = geno.shape[0]
+    if args.keep:
+        ids = _parse_individual_ids(args.keep)
+        idx = [i for i, s in enumerate(samples) if s in ids]
+        geno = geno[idx]
+        print(f"kept {len(idx)}/{n0} individuals (--keep)")
+    elif args.remove:
+        ids = _parse_individual_ids(args.remove)
+        idx = [i for i, s in enumerate(samples) if s not in ids]
+        geno = geno[idx]
+        print(f"removed {n0 - len(idx)}/{n0} individuals (--remove)")
+    if args.max_individuals and geno.shape[0] > args.max_individuals:
+        rng = np.random.default_rng(0)
+        idx = np.sort(rng.choice(geno.shape[0], args.max_individuals,
+                                 replace=False))
+        geno = geno[idx]
+        print(f"subsampled panel to {geno.shape[0]} individuals")
+    if geno.shape[0] < 2:
+        raise SystemExit("reference panel has fewer than 2 individuals")
+    if np.isnan(geno).any():
+        col_mean = np.nanmean(geno, axis=0)
+        ii, jj = np.nonzero(np.isnan(geno))
+        geno = geno.copy()
+        geno[ii, jj] = col_mean[jj]
+    return np.asarray(geno, np.float32)
+
+
 def run_fagioli(argv):
     ap = argparse.ArgumentParser(prog="fagioli", description="genetics fine-mapping")
     sub = ap.add_subparsers(dest="cmd", required=True)
     p = sub.add_parser("map-sumstat", help="SuSiE-RSS fine-mapping from z-scores")
     p.add_argument("--zscores", required=True, help="TSV: variant z")
-    p.add_argument("--geno", required=True, help="reference genotype .npy [n, p]")
+    _add_panel_args(p)
     p.add_argument("--out", required=True)
     p.add_argument("-L", type=int, default=5)
     p.add_argument("--steps", type=int, default=1500)
@@ -35,7 +115,7 @@ def run_fagioli(argv):
         help="SGVB fine-mapping: model family + prior grid/ash",
     )
     p.add_argument("--zscores", required=True, help="TSV: variant z")
-    p.add_argument("--geno", required=True, help="reference genotype .npy [n, p]")
+    _add_panel_args(p)
     p.add_argument("--out", required=True)
     p.add_argument("--model", default="susie",
                    choices=["susie", "bisusie", "spike-slab", "ml-susie"])
@@ -47,14 +127,14 @@ def run_fagioli(argv):
     p.add_argument("--steps", type=int, default=1000)
     p = sub.add_parser("fit-prs-susie", help="sparse PRS weights via SuSiE")
     p.add_argument("--zscores", required=True, help="TSV: variant z")
-    p.add_argument("--geno", required=True, help="LD reference .npy [n, p]")
+    _add_panel_args(p)
     p.add_argument("--out", required=True)
     p.add_argument("-L", type=int, default=10)
     p.add_argument("--score-geno", default=None, help=".npy panel to score")
     p.add_argument("--steps", type=int, default=1500)
     p = sub.add_parser("fit-sumstat-mcmc", help="ESS posterior over RSS effects")
     p.add_argument("--zscores", required=True)
-    p.add_argument("--geno", required=True)
+    _add_panel_args(p)
     p.add_argument("--out", required=True)
     p.add_argument("--samples", type=int, default=1000)
     p.add_argument("--burn-in", type=int, default=200)
@@ -356,7 +436,7 @@ def run_fagioli(argv):
         from ..models.sgvb import SgvbConfig
 
         df = pd.read_csv(args.zscores, sep="\t")
-        geno = np.load(args.geno)
+        geno = _load_panel(args)
         score = np.load(args.score_geno) if args.score_geno else None
         out = fit_prs(
             df["z"].to_numpy(), geno, L=args.L, score_genotypes=score,
@@ -376,7 +456,7 @@ def run_fagioli(argv):
         from ..fagioli.sumstat import fit_sumstat_mcmc
 
         df = pd.read_csv(args.zscores, sep="\t")
-        geno = np.load(args.geno)
+        geno = _load_panel(args)
         out = fit_sumstat_mcmc(
             df["z"].to_numpy(), geno,
             num_samples=args.samples, burn_in=args.burn_in,
@@ -395,7 +475,7 @@ def run_fagioli(argv):
         from ..models.sgvb import SgvbConfig
 
         df = pd.read_csv(args.zscores, sep="\t")
-        geno = np.load(args.geno)
+        geno = _load_panel(args)
         out = fit_sumstat_sgvb(
             df["z"].to_numpy(), geno,
             model=args.model, prior_type=args.prior_type,
@@ -415,7 +495,7 @@ def run_fagioli(argv):
         from ..models.sgvb import SgvbConfig
 
         df = pd.read_csv(args.zscores, sep="\t")
-        geno = np.load(args.geno)
+        geno = _load_panel(args)
         ld_blocks = None
         if args.ld_block_file:
             bdf = pd.read_csv(args.ld_block_file, sep="\t", header=None,

@@ -1108,3 +1108,53 @@ def test_annotate_by_projection_marker_mode(tmp_path):
     ).mean()
     assert assigned.mean() > 0.7
     assert acc > 0.6, f"marker-projection accuracy {acc:.2f}"
+
+
+def test_fagioli_panel_keep_remove_filters(tmp_path, capsys):
+    """--keep/--remove/--max-individuals panel filtering on a PLINK LD
+    reference (summary_stats/common.rs:317-345)."""
+    from legume_tpu.fagioli.plink import write_plink
+
+    out = str(tmp_path / "ss")
+    cli.run_fagioli(["sim-sumstat", "--out", out, "--n", "400", "--p", "25",
+                     "--n-causal", "2", "--seed", "3"])
+    geno = np.load(f"{out}.geno.npy")
+    pref = str(tmp_path / "panel")
+    write_plink(pref, geno, sample_ids=[f"ind{i}" for i in range(geno.shape[0])])
+
+    keep_file = tmp_path / "keep.txt"
+    keep_file.write_text(
+        "# comment line\n"
+        + "\n".join(f"fam{i} ind{i}" for i in range(0, 300))
+        + "\n"
+    )
+    fit = str(tmp_path / "fit")
+    cli.run_fagioli([
+        "map-sumstat", "--zscores", f"{out}.sumstat.tsv", "--plink", pref,
+        "--keep", str(keep_file), "--out", fit, "--steps", "300", "-L", "3",
+    ])
+    got = capsys.readouterr().out
+    assert "kept 300/400 individuals (--keep)" in got
+    res = pd.read_parquet(f"{fit}.finemap.parquet")
+    assert len(res) == 25 and np.isfinite(res["pip"]).all()
+
+    # --remove with a comma list, + --max-individuals subsample
+    fit2 = str(tmp_path / "fit2")
+    cli.run_fagioli([
+        "map-sumstat", "--zscores", f"{out}.sumstat.tsv", "--plink", pref,
+        "--remove", "ind0,ind1,ind2", "--max-individuals", "200",
+        "--out", fit2, "--steps", "300", "-L", "3",
+    ])
+    got = capsys.readouterr().out
+    assert "removed 3/400 individuals (--remove)" in got
+    assert "subsampled panel to 200 individuals" in got
+    assert pd.read_parquet(f"{fit2}.finemap.parquet").shape[0] == 25
+
+    # --keep conflicts with --remove
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.run_fagioli([
+            "map-sumstat", "--zscores", f"{out}.sumstat.tsv", "--plink", pref,
+            "--keep", "ind0", "--remove", "ind1", "--out", fit2,
+        ])
