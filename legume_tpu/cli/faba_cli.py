@@ -40,6 +40,30 @@ def run_faba(argv):
                        help="beta-binomial rho")
         p.add_argument("--snp-mask-file", default=None,
                        help="TSV chrom<TAB>pos of known SNPs to exclude")
+        # per-gene 1D Gaussian mixture of sites (editing/mixture.rs;
+        # default ON in the reference when a gene model is available)
+        p.add_argument("--gff", default=None,
+                       help="gene model for the per-gene site mixture "
+                            "(components on transcript-relative positions)")
+        p.add_argument("--no-mixture", action="store_true",
+                       help="disable mixture component calling even with --gff")
+        p.add_argument("--mixture-min-sites", type=int, default=3)
+        p.add_argument("--mixture-max-k", type=int, default=5)
+        p.add_argument("--mixture-bandwidth", "--mixture-initial-sigma",
+                       dest="mixture_bandwidth", type=float, default=0.0,
+                       help="component-calling bandwidth in nt; 0 = estimate "
+                            "from within-gene site spacing (cluster-aware for "
+                            "atoi)")
+        p.add_argument("--mixture-weight", choices=["posterior", "converted"],
+                       default="posterior",
+                       help="observation weight: Beta-posterior effective "
+                            "count n*(c+a)/(n+a+b) (default) or raw converted "
+                            "count")
+        p.add_argument("--mixture-prior-alpha", type=float, default=1.0)
+        p.add_argument("--mixture-prior-beta", type=float, default=1.0)
+        p.add_argument("--drop-single-component", action="store_true",
+                       help="drop genes whose fit keeps one component (no "
+                            "relative signal)")
     p = sub.add_parser("all", help="pipeline: genes -> apa -> snp -> m6a/atoi")
     p.add_argument("--bam", required=True)
     p.add_argument("--gff", required=True)
@@ -374,6 +398,49 @@ def run_faba(argv):
             create_sparse_from_csc(
                 res.cell_counts, f"{args.output}.zarr", res.site_names, res.barcodes
             )
+        if args.gff and not args.no_mixture and res.cell_counts.shape[0]:
+            from ..faba.genes import parse_gff_exons, parse_gff_genes
+            from ..faba.mixture import MixtureParams, run_mixture
+
+            model = parse_gff_genes(args.gff)
+            exons = parse_gff_exons(args.gff, model)
+            cov = None
+            if args.mixture_weight == "posterior":
+                from ..faba.dartseq import per_cell_coverage_at_sites
+
+                cov = per_cell_coverage_at_sites(
+                    read_bam(args.bam), res.sites[:, 0], res.sites[:, 1],
+                    len(res.barcodes), min_mapq=args.min_mapq,
+                )
+            modality = "m6a" if args.cmd == "dartseq" else "atoi"
+            mat, names, components, bw = run_mixture(
+                res.cell_counts, res.sites[:, 0], res.sites[:, 1], res.strand,
+                ref_names, model, exons,
+                modality=modality,
+                params=MixtureParams(
+                    min_sites=args.mixture_min_sites,
+                    max_k=args.mixture_max_k,
+                    bandwidth=args.mixture_bandwidth,
+                    drop_single_component=args.drop_single_component,
+                ),
+                weight_mode=args.mixture_weight,
+                prior_alpha=args.mixture_prior_alpha,
+                prior_beta=args.mixture_prior_beta,
+                cell_coverage=cov,
+            )
+            comp_path = f"{args.output}.{modality}_components.parquet"
+            components.to_parquet(comp_path)
+            if mat is not None:
+                create_sparse_from_csc(
+                    mat, f"{args.output}.mixture.zarr", names, res.barcodes
+                )
+                print(
+                    f"wrote {args.output}.mixture.zarr "
+                    f"({len(names)} components, bandwidth {bw:.1f} nt) + "
+                    f"{comp_path}"
+                )
+            else:
+                print(f"mixture: no gene met min-sites; wrote empty {comp_path}")
         print(f"wrote {args.output}.sites.parquet ({len(df)} sites)")
     elif args.cmd == "all":
         from ..faba.pipeline import run_all

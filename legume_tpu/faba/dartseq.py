@@ -107,6 +107,41 @@ def coverage_at_sites(
     return cov
 
 
+def per_cell_coverage_at_sites(
+    recs, site_rid: np.ndarray, site_pos: np.ndarray, n_cells: int,
+    *, min_mapq: int = 20,
+) -> sp.csc_matrix:
+    """Deduped per-(site, cell) read coverage [S, cells] — the binomial
+    denominator n for the mixture's Beta-posterior observation weights
+    (`editing/pipeline.rs` ConversionData converted+unconverted)."""
+    keep = (recs.mapq >= min_mapq) & ((recs.flag & 0x904) == 0)
+    r_rid = recs.ref_id[keep]
+    r_pos = recs.pos[keep]
+    r_end = recs.end_pos[keep]
+    r_cb = recs.cb_id[keep]
+    r_umi = recs.umi_id[keep]
+    if len(r_rid):
+        first = _dedup([r_rid, r_pos, r_cb, r_umi])
+        r_rid, r_pos, r_end, r_cb = (
+            r_rid[first], r_pos[first], r_end[first], r_cb[first]
+        )
+    rows, cols, vals = [], [], []
+    for s in range(len(site_pos)):
+        hit = (r_rid == site_rid[s]) & (r_pos <= site_pos[s]) & (site_pos[s] < r_end)
+        cb = r_cb[hit]
+        cb = cb[cb >= 0]
+        if len(cb):
+            counts = np.bincount(cb, minlength=n_cells)
+            nz = np.nonzero(counts)[0]
+            rows.extend([s] * len(nz))
+            cols.extend(nz.tolist())
+            vals.extend(counts[nz].tolist())
+    return sp.coo_matrix(
+        (np.asarray(vals, np.float32), (rows, cols)),
+        shape=(len(site_pos), n_cells),
+    ).tocsc()
+
+
 @dataclass
 class DartseqResult:
     sites: "np.ndarray"  # [S, 2] (ref_id, pos) of called sites

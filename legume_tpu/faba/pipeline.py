@@ -64,6 +64,12 @@ def run_all(
         outputs["snp"] = f"{out}.snp.parquet"
 
     if control_bam:
+        from .bam import read_bam
+        from .genes import parse_gff_exons, parse_gff_genes
+        from .mixture import run_mixture
+
+        model = parse_gff_genes(gff)
+        exons = parse_gff_exons(gff, model)
         for name, runner in (("m6a", run_dartseq), ("atoi", run_atoi)):
             res = runner(bam, control_bam)
             if res.cell_counts.shape[0]:
@@ -71,6 +77,22 @@ def run_all(
                     res.cell_counts, f"{out}.{name}.zarr", res.site_names, res.barcodes
                 )
                 outputs[name] = f"{out}.{name}.zarr"
+                # per-gene site mixture rides the pipeline's gene model
+                # (mixture_pipeline.rs runs by default inside run_m6a);
+                # converted weights: the per-cell coverage pass is the
+                # standalone command's opt-in posterior refinement
+                modality = "m6a" if runner is run_dartseq else "atoi"
+                mat, names_mix, components, _bw = run_mixture(
+                    res.cell_counts, res.sites[:, 0], res.sites[:, 1],
+                    res.strand, read_bam(bam).ref_names, model, exons,
+                    modality=modality, weight_mode="converted",
+                )
+                if mat is not None:
+                    create_sparse_from_csc(
+                        mat, f"{out}.{name}_mixture.zarr", names_mix, res.barcodes
+                    )
+                    components.to_parquet(f"{out}.{name}_components.parquet")
+                    outputs[f"{name}_mixture"] = f"{out}.{name}_mixture.zarr"
 
     RunManifest(
         command="faba-all",
