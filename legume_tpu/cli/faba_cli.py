@@ -64,6 +64,14 @@ def run_faba(argv):
         p.add_argument("--drop-single-component", action="store_true",
                        help="drop genes whose fit keeps one component (no "
                             "relative signal)")
+        if _name == "dartseq":
+            p.add_argument("--genome", default=None,
+                           help="genome FASTA: restrict called sites to the "
+                                "DART RAC motif ([AG]AC forward / GTY "
+                                "reverse; editing/sifter.rs)")
+            p.add_argument("--no-check-r-site", action="store_true",
+                           help="relax the motif to .AC / GT. (drop the "
+                                "[AG] R-site requirement)")
     p = sub.add_parser("all", help="pipeline: genes -> apa -> snp -> m6a/atoi")
     p.add_argument("--bam", required=True)
     p.add_argument("--gff", required=True)
@@ -384,6 +392,18 @@ def run_faba(argv):
             eps=args.error_rate, rho=args.overdispersion, snp_mask=snp_mask,
         )
         ref_names = read_bam(args.bam).ref_names
+        if args.cmd == "dartseq" and getattr(args, "genome", None):
+            from ..faba.context import read_fasta
+            from ..faba.dartseq import filter_sites, m6a_motif_mask
+
+            keep = m6a_motif_mask(
+                read_fasta(args.genome), ref_names,
+                res.sites[:, 0], res.sites[:, 1], res.strand,
+                check_r_site=not args.no_check_r_site,
+            )
+            n0 = len(keep)
+            res = filter_sites(res, keep)
+            print(f"RAC motif gate: {n0} called sites -> {int(keep.sum())}")
         df = pd.DataFrame(
             {
                 "chrom": [ref_names[r] for r in res.sites[:, 0]],

@@ -107,6 +107,54 @@ def coverage_at_sites(
     return cov
 
 
+def m6a_motif_mask(
+    seqs: dict[str, str],
+    ref_names: list[str],
+    site_rid: np.ndarray,
+    site_pos: np.ndarray,
+    site_strand: np.ndarray,
+    *,
+    check_r_site: bool = True,
+) -> np.ndarray:
+    """DART m6A motif rule (`editing/sifter.rs:51-83`): the conversion C
+    sits in RAC on the forward strand ([AG] A C), observed as GTY on the
+    reverse (G T [CT]); `check_r_site=False` relaxes both to `.AC` /
+    `GT.`. Positions off the contig or non-ACGT fail the match."""
+    keep = np.zeros(len(site_pos), bool)
+    for s in range(len(site_pos)):
+        seq = seqs.get(ref_names[int(site_rid[s])])
+        if seq is None:
+            continue
+        p = int(site_pos[s])
+        at = lambda k: seq[p + k] if 0 <= p + k < len(seq) else "N"  # noqa: E731
+        if str(site_strand[s]) == "+":
+            keep[s] = (
+                at(0) == "C"
+                and at(-1) == "A"
+                and (not check_r_site or at(-2) in "AG")
+            )
+        else:
+            keep[s] = (
+                at(0) == "G"
+                and at(1) == "T"
+                and (not check_r_site or at(2) in "CT")
+            )
+    return keep
+
+
+def filter_sites(res: "DartseqResult", mask: np.ndarray) -> "DartseqResult":
+    """Row-filter a result (site axis) — used by the motif gate."""
+    idx = np.nonzero(mask)[0]
+    return DartseqResult(
+        sites=res.sites[idx],
+        stats={k: v[idx] for k, v in res.stats.items()},
+        cell_counts=res.cell_counts[idx],
+        site_names=[res.site_names[i] for i in idx],
+        barcodes=res.barcodes,
+        strand=None if res.strand is None else res.strand[idx],
+    )
+
+
 def per_cell_coverage_at_sites(
     recs, site_rid: np.ndarray, site_pos: np.ndarray, n_cells: int,
     *, min_mapq: int = 20,

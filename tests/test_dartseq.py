@@ -160,3 +160,45 @@ def test_dartseq_snp_mask_and_coverage_floor(dartseq_bams):
         wt_path, ct_path, max_p=0.05, min_alt=3, min_coverage=10**6
     )
     assert floored.sites.shape[0] == 0
+
+
+def test_dartseq_rac_motif_gate(tmp_path):
+    """--genome restricts called sites to the DART RAC motif
+    (editing/sifter.rs:67-83); --no-check-r-site relaxes [AG] at -2."""
+    import pandas as pd
+
+    from legume_tpu.cli.main import run_faba
+
+    rng = np.random.default_rng(0)
+    cells = ["cellA", "cellB"]
+    wt, ct = [], []
+    # two strong sites at 110 and 410
+    for tag, pos in [("a", 100), ("b", 400)]:
+        wt += _reads_for_site(f"{tag}_", pos, n_conv=12, n_ref=8,
+                              cells=cells, rng=rng)
+        ct += _reads_for_site(f"c{tag}_", pos, n_conv=0, n_ref=20,
+                              cells=cells, rng=rng)
+    wt_path, ct_path = str(tmp_path / "wt.bam"), str(tmp_path / "ct.bam")
+    write_bam(wt_path, [("chr1", 10000)], wt)
+    write_bam(ct_path, [("chr1", 10000)], ct)
+
+    # genome: RAC (GAC) around site 110, TAC around site 410 — the
+    # second passes only when the R-site check is relaxed
+    seq = list("T" * 1000)
+    seq[108:111] = list("GAC")
+    seq[408:411] = list("TAC")
+    fasta = str(tmp_path / "genome.fa")
+    with open(fasta, "w") as f:
+        f.write(">chr1\n" + "".join(seq) + "\n")
+
+    out = str(tmp_path / "strict")
+    run_faba(["dartseq", "--bam", wt_path, "--control-bam", ct_path,
+              "--output", out, "--genome", fasta])
+    strict = pd.read_parquet(f"{out}.sites.parquet")
+    assert strict["pos"].tolist() == [110]
+
+    out2 = str(tmp_path / "relaxed")
+    run_faba(["dartseq", "--bam", wt_path, "--control-bam", ct_path,
+              "--output", out2, "--genome", fasta, "--no-check-r-site"])
+    relaxed = pd.read_parquet(f"{out2}.sites.parquet")
+    assert sorted(relaxed["pos"].tolist()) == [110, 410]
