@@ -34,6 +34,9 @@ def run_faba(argv):
         p.add_argument("--min-coverage", type=int, default=0)
         p.add_argument("--min-mapq", "--min-mapping-quality", dest="min_mapq",
                        type=int, default=20)
+        p.add_argument("--min-base-quality", type=int, default=20,
+                       help="phred floor at the conversion base "
+                            "(dna_stat_map.rs default 20)")
         p.add_argument("--error-rate", type=float, default=0.01,
                        help="base conversion error rate eps")
         p.add_argument("--overdispersion", type=float, default=0.05,
@@ -389,6 +392,7 @@ def run_faba(argv):
         res = runner(
             args.bam, args.control_bam, max_p=args.max_p, min_alt=args.min_alt,
             min_coverage=args.min_coverage, min_mapq=args.min_mapq,
+            min_baseq=args.min_base_quality,
             eps=args.error_rate, rho=args.overdispersion, snp_mask=snp_mask,
         )
         ref_names = read_bam(args.bam).ref_names

@@ -72,7 +72,8 @@ def _load():
         lib.bam_take_mismatches.argtypes = [
             ctypes.c_void_p, ctypes.c_long,
             *(np.ctypeslib.ndpointer(dt, flags="C_CONTIGUOUS") for dt in
-              (np.int32, np.int32, np.uint8, np.uint8, np.int64, np.int64)),
+              (np.int32, np.int32, np.uint8, np.uint8, np.int64, np.int64,
+               np.uint8)),
         ]
         lib.bam_num_barcodes.restype = ctypes.c_long
         lib.bam_num_barcodes.argtypes = [ctypes.c_void_p]
@@ -108,6 +109,7 @@ class BamRecords:
     mm_read_base: np.ndarray | None = None
     mm_cb_id: np.ndarray | None = None
     mm_umi_id: np.ndarray | None = None
+    mm_base_qual: np.ndarray | None = None  # phred at the read base
 
 
 def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
@@ -151,7 +153,7 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
             cols["skip"].append(skip[:n].copy())
             cols["tail_len"].append(t_len[:n].copy())
             cols["tail_frac"].append(t_frac[:n].copy())
-        mms = {k: [] for k in ("rid", "pos", "rb", "ab", "cb", "umi")}
+        mms = {k: [] for k in ("rid", "pos", "rb", "ab", "cb", "umi", "bq")}
         while True:
             rid = np.empty(chunk, np.int32)
             pos = np.empty(chunk, np.int32)
@@ -159,7 +161,8 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
             ab = np.empty(chunk, np.uint8)
             cb = np.empty(chunk, np.int64)
             umi = np.empty(chunk, np.int64)
-            nm = lib.bam_take_mismatches(h, chunk, rid, pos, rb, ab, cb, umi)
+            bq = np.empty(chunk, np.uint8)
+            nm = lib.bam_take_mismatches(h, chunk, rid, pos, rb, ab, cb, umi, bq)
             if nm == 0:
                 break
             mms["rid"].append(rid[:nm].copy())
@@ -168,6 +171,7 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
             mms["ab"].append(ab[:nm].copy())
             mms["cb"].append(cb[:nm].copy())
             mms["umi"].append(umi[:nm].copy())
+            mms["bq"].append(bq[:nm].copy())
         barcodes = [lib.bam_barcode(h, i).decode() for i in range(lib.bam_num_barcodes(h))]
     finally:
         lib.bam_close(h)
@@ -197,6 +201,7 @@ def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
         mm_read_base=catm("ab", np.uint8),
         mm_cb_id=catm("cb", np.int64),
         mm_umi_id=catm("umi", np.int64),
+        mm_base_qual=catm("bq", np.uint8),
     )
 
 
@@ -252,7 +257,7 @@ def write_bam(
             hi = _SEQ_CODE.get(seq[i], 15) << 4
             lo = _SEQ_CODE.get(seq[i + 1], 15) if i + 1 < len(seq) else 0
             seq_packed.append(hi | lo)
-        qual = bytes([30] * len(seq))
+        qual = bytes([int(r.get("qual", 30))] * len(seq))
         tags = b""
         if "cb" in r:
             tags += b"CBZ" + r["cb"].encode() + b"\x00"

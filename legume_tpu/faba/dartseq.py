@@ -47,10 +47,16 @@ def _dedup(keys: list[np.ndarray]) -> np.ndarray:
 
 
 def conversion_counts(
-    recs, *, ref_base: int = C, alt_base: int = T, min_mapq: int = 20
+    recs, *, ref_base: int = C, alt_base: int = T, min_mapq: int = 20,
+    min_baseq: int = 0,
 ) -> tuple[SiteTable, dict]:
-    """Per-site converted/coverage counts with (cell, UMI, site) dedup."""
+    """Per-site converted/coverage counts with (cell, UMI, site) dedup.
+    `min_baseq` drops conversions whose read base is below the phred
+    floor (sequencing errors mimic conversions; `dna_stat_map.rs:71`
+    defaults this to 20)."""
     mm_keep = (recs.mm_ref_base == ref_base) & (recs.mm_read_base == alt_base)
+    if min_baseq > 0 and recs.mm_base_qual is not None and len(recs.mm_base_qual):
+        mm_keep &= recs.mm_base_qual >= min_baseq
     rid = recs.mm_ref_id[mm_keep]
     pos = recs.mm_pos[mm_keep]
     cb = recs.mm_cb_id[mm_keep]
@@ -213,6 +219,7 @@ def run_dartseq(
     min_alt: int = 3,
     min_coverage: int = 0,  # WT coverage floor per site
     min_mapq: int = 20,
+    min_baseq: int = 20,  # phred floor at the conversion base
     snp_mask: "set[tuple[str, int]] | None" = None,  # (chrom, pos) to skip
     ref_base: int = C,
     alt_base: int = T,
@@ -237,8 +244,12 @@ def run_dartseq(
     tabs, cells_per_ch, strands = [], [], []
     ct_alt_parts = []
     for rb, ab, strand in channels:
-        tab, cells = conversion_counts(wt, ref_base=rb, alt_base=ab, min_mapq=min_mapq)
-        ct_tab, _ = conversion_counts(ctrl, ref_base=rb, alt_base=ab, min_mapq=min_mapq)
+        tab, cells = conversion_counts(
+            wt, ref_base=rb, alt_base=ab, min_mapq=min_mapq, min_baseq=min_baseq
+        )
+        ct_tab, _ = conversion_counts(
+            ctrl, ref_base=rb, alt_base=ab, min_mapq=min_mapq, min_baseq=min_baseq
+        )
         # align control conversions onto this channel's WT sites
         ct_map = {
             (int(r), int(p)): i

@@ -125,6 +125,7 @@ struct Mismatch {
     char read_base;
     int64_t cb_id;
     int64_t umi_id;
+    uint8_t base_qual;  // phred at the read base (0xff = missing)
 };
 
 struct BamFile {
@@ -205,8 +206,9 @@ constexpr char SEQ_CHARS[] = "=ACMGRSVTWYHKDBN";
 // `seq4` is the 4-bit packed SEQ. Only M/=/X ops consume both axes;
 // insertions/clips consume the read, deletions consume MD's ^-runs.
 void extract_mismatches(BamFile* b, int32_t rid, int32_t pos, const uint8_t* cigar,
-                        int n_cigar, const uint8_t* seq4, int32_t l_seq,
-                        const std::string& md, int64_t cb_id, int64_t umi_id) {
+                        int n_cigar, const uint8_t* seq4, const uint8_t* qual,
+                        int32_t l_seq, const std::string& md, int64_t cb_id,
+                        int64_t umi_id) {
     // read offset of each aligned (reference-consuming) base, in order
     std::vector<int32_t> aligned_read_off;
     int32_t roff = 0;
@@ -248,7 +250,8 @@ void extract_mismatches(BamFile* b, int32_t rid, int32_t pos, const uint8_t* cig
                 uint8_t code = (ro % 2 == 0) ? (seq4[ro / 2] >> 4) : (seq4[ro / 2] & 0xf);
                 char read_base = SEQ_CHARS[code];
                 b->mismatches.push_back(Mismatch{
-                    rid, pos + (int32_t)ai + deleted, ref_base, read_base, cb_id, umi_id});
+                    rid, pos + (int32_t)ai + deleted, ref_base, read_base, cb_id,
+                    umi_id, qual[ro]});
             }
             ai++;
         }
@@ -366,7 +369,8 @@ long bam_next_chunk3(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* 
         if (find_z_tag(tags, end, "CB", &cbv)) cbi = b->cb.intern(cbv);
         if (find_z_tag(tags, end, "UB", &umiv)) umii = b->umi.intern(umiv);
         if (find_z_tag(tags, end, "MD", &mdv) && !mdv.empty())
-            extract_mismatches(b, rid, rpos, cigar, n_cigar, seq4, l_seq, mdv, cbi, umii);
+            extract_mismatches(b, rid, rpos, cigar, n_cigar, seq4,
+                               seq4 + (l_seq + 1) / 2, l_seq, mdv, cbi, umii);
         ref_id[n] = rid;
         pos[n] = rpos;
         end_pos[n] = rpos + span;
@@ -399,7 +403,7 @@ long bam_next_chunk(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* e
 // returns the count. ref/read bases as ASCII codes.
 long bam_take_mismatches(void* h, long cap, int32_t* ref_id, int32_t* pos,
                          uint8_t* ref_base, uint8_t* read_base,
-                         int64_t* cb_id, int64_t* umi_id) {
+                         int64_t* cb_id, int64_t* umi_id, uint8_t* base_qual) {
     auto* b = (BamFile*)h;
     long n = (long)std::min<size_t>(cap, b->mismatches.size());
     for (long i = 0; i < n; i++) {
@@ -410,6 +414,7 @@ long bam_take_mismatches(void* h, long cap, int32_t* ref_id, int32_t* pos,
         read_base[i] = (uint8_t)m.read_base;
         cb_id[i] = m.cb_id;
         umi_id[i] = m.umi_id;
+        base_qual[i] = m.base_qual;
     }
     b->mismatches.erase(b->mismatches.begin(), b->mismatches.begin() + n);
     return n;

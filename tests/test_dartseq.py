@@ -202,3 +202,24 @@ def test_dartseq_rac_motif_gate(tmp_path):
               "--output", out2, "--genome", fasta, "--no-check-r-site"])
     relaxed = pd.read_parquet(f"{out2}.sites.parquet")
     assert sorted(relaxed["pos"].tolist()) == [110, 410]
+
+
+def test_dartseq_min_base_quality(tmp_path):
+    """Low-phred conversions are sequencing errors: the default floor
+    (20, dna_stat_map.rs) drops a site whose alt reads carry q=5."""
+    rng = np.random.default_rng(0)
+    cells = ["cellA", "cellB"]
+    wt = _reads_for_site("a_", 100, n_conv=12, n_ref=8, cells=cells, rng=rng)
+    low = _reads_for_site("b_", 400, n_conv=12, n_ref=8, cells=cells, rng=rng)
+    for r in low:
+        r["qual"] = 5
+    ct = _reads_for_site("ca_", 100, n_conv=0, n_ref=20, cells=cells, rng=rng)
+    ct += _reads_for_site("cb_", 400, n_conv=0, n_ref=20, cells=cells, rng=rng)
+    wt_path, ct_path = str(tmp_path / "wt.bam"), str(tmp_path / "ct.bam")
+    write_bam(wt_path, [("chr1", 10000)], wt + low)
+    write_bam(ct_path, [("chr1", 10000)], ct)
+
+    res = run_dartseq(wt_path, ct_path)
+    assert res.sites[:, 1].tolist() == [110]
+    res0 = run_dartseq(wt_path, ct_path, min_baseq=0)
+    assert sorted(res0.sites[:, 1].tolist()) == [110, 410]
