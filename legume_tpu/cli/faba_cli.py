@@ -43,6 +43,9 @@ def run_faba(argv):
                        help="beta-binomial rho")
         p.add_argument("--snp-mask-file", default=None,
                        help="TSV chrom<TAB>pos of known SNPs to exclude")
+        p.add_argument("--valid-cells", default=None,
+                       help="file of called cell barcodes (one per line): "
+                            "reads from other cells are ambient and excluded")
         # per-gene 1D Gaussian mixture of sites (editing/mixture.rs;
         # default ON in the reference when a gene model is available)
         p.add_argument("--gff", default=None,
@@ -389,10 +392,14 @@ def run_faba(argv):
                     parts = line.split()
                     if len(parts) >= 2:
                         snp_mask.add((parts[0], int(parts[1])))
+        valid_cells = None
+        if args.valid_cells:
+            with open(args.valid_cells) as f:
+                valid_cells = {line.strip() for line in f if line.strip()}
         res = runner(
             args.bam, args.control_bam, max_p=args.max_p, min_alt=args.min_alt,
             min_coverage=args.min_coverage, min_mapq=args.min_mapq,
-            min_baseq=args.min_base_quality,
+            min_baseq=args.min_base_quality, valid_cells=valid_cells,
             eps=args.error_rate, rho=args.overdispersion, snp_mask=snp_mask,
         )
         ref_names = read_bam(args.bam).ref_names

@@ -113,6 +113,32 @@ def coverage_at_sites(
     return cov
 
 
+def filter_cells(recs, valid: "set[str]"):
+    """Restrict a BamRecords to reads/mismatches from the given cell
+    barcodes (`--valid-cells`, m6a/run.rs): everything outside the
+    called-cell set is ambient and must not enter site tests or
+    quantification."""
+    import dataclasses
+
+    keep_id = np.asarray([b in valid for b in recs.barcodes], bool)
+    if keep_id.size == 0:
+        read_keep = np.zeros(len(recs.cb_id), bool)
+        mm_keep = np.zeros(len(recs.mm_cb_id), bool)
+    else:
+        read_keep = (recs.cb_id >= 0) & keep_id[np.maximum(recs.cb_id, 0)]
+        mm_keep = (recs.mm_cb_id >= 0) & keep_id[np.maximum(recs.mm_cb_id, 0)]
+    fields = {}
+    for f in dataclasses.fields(recs):
+        v = getattr(recs, f.name)
+        if not isinstance(v, np.ndarray):
+            fields[f.name] = v
+        elif f.name.startswith("mm_"):
+            fields[f.name] = v[mm_keep]
+        else:
+            fields[f.name] = v[read_keep]
+    return type(recs)(**fields)
+
+
 def m6a_motif_mask(
     seqs: dict[str, str],
     ref_names: list[str],
@@ -220,6 +246,7 @@ def run_dartseq(
     min_coverage: int = 0,  # WT coverage floor per site
     min_mapq: int = 20,
     min_baseq: int = 20,  # phred floor at the conversion base
+    valid_cells: "set[str] | None" = None,  # called-cell allow-list
     snp_mask: "set[tuple[str, int]] | None" = None,  # (chrom, pos) to skip
     ref_base: int = C,
     alt_base: int = T,
@@ -235,6 +262,9 @@ def run_dartseq(
     are called rather than silently discarded."""
     wt = read_bam(wt_bam)
     ctrl = read_bam(control_bam)
+    if valid_cells is not None:
+        wt = filter_cells(wt, valid_cells)
+        ctrl = filter_cells(ctrl, valid_cells)
     # plus-strand channel as given; minus-strand conversions appear
     # complemented in reference space
     channels = [

@@ -223,3 +223,24 @@ def test_dartseq_min_base_quality(tmp_path):
     assert res.sites[:, 1].tolist() == [110]
     res0 = run_dartseq(wt_path, ct_path, min_baseq=0)
     assert sorted(res0.sites[:, 1].tolist()) == [110, 410]
+
+
+def test_dartseq_valid_cells_filter(tmp_path):
+    """--valid-cells: reads from uncalled barcodes are ambient and do
+    not enter site tests or quantification."""
+    rng = np.random.default_rng(0)
+    # cellC carries ALL the conversions; restricting to A/B kills the site
+    wt = _reads_for_site("a_", 100, n_conv=12, n_ref=8,
+                         cells=["cellC"], rng=rng)
+    wt += _reads_for_site("b_", 100, n_conv=0, n_ref=10,
+                          cells=["cellA", "cellB"], rng=rng)
+    ct = _reads_for_site("ca_", 100, n_conv=0, n_ref=20,
+                         cells=["cellA", "cellB", "cellC"], rng=rng)
+    wt_path, ct_path = str(tmp_path / "wt.bam"), str(tmp_path / "ct.bam")
+    write_bam(wt_path, [("chr1", 10000)], wt)
+    write_bam(ct_path, [("chr1", 10000)], ct)
+
+    full = run_dartseq(wt_path, ct_path)
+    assert full.sites[:, 1].tolist() == [110]
+    gated = run_dartseq(wt_path, ct_path, valid_cells={"cellA", "cellB"})
+    assert len(gated.sites) == 0
