@@ -71,6 +71,20 @@ def run_faba(argv):
                        help="drop genes whose fit keeps one component (no "
                             "relative signal)")
         if _name == "dartseq":
+            p.add_argument("--detect-atoi", action="store_true",
+                           help="run the A-to-I contrast first and mask m6A "
+                                "candidates whose RAC/GTY triplet overlaps an "
+                                "edited site (writes {out}.atoi_mask.sites."
+                                "parquet)")
+            p.add_argument("--atoi-pvalue", type=float, default=0.05,
+                           help="p-value cutoff for the A-to-I mask pass "
+                                "(separate from the m6A --max-p)")
+            p.add_argument("--atoi-min-conversion", type=int, default=5)
+            p.add_argument("--atoi-min-coverage", type=int, default=10)
+            p.add_argument("--atoi-mask", default=None,
+                           help="pre-computed A-to-I sites parquet (from "
+                                "`faba atoi` or --detect-atoi) used as the "
+                                "confounder mask")
             p.add_argument("--genome", default=None,
                            help="genome FASTA: restrict called sites to the "
                                 "DART RAC motif ([AG]AC forward / GTY "
@@ -403,6 +417,35 @@ def run_faba(argv):
             eps=args.error_rate, rho=args.overdispersion, snp_mask=snp_mask,
         )
         ref_names = read_bam(args.bam).ref_names
+        if args.cmd == "dartseq" and (
+            getattr(args, "detect_atoi", False) or getattr(args, "atoi_mask", None)
+        ):
+            from ..faba.dartseq import atoi_confounder_mask, filter_sites, run_atoi
+
+            if args.atoi_mask:
+                adf = pd.read_parquet(args.atoi_mask)
+                atoi_sites = set(zip(adf["chrom"].astype(str), adf["pos"].astype(int)))
+            else:
+                ares = run_atoi(
+                    args.bam, args.control_bam, max_p=args.atoi_pvalue,
+                    min_alt=args.atoi_min_conversion,
+                    min_coverage=args.atoi_min_coverage, min_mapq=args.min_mapq,
+                    min_baseq=args.min_base_quality, valid_cells=valid_cells,
+                    snp_mask=snp_mask,
+                )
+                adf = pd.DataFrame({
+                    "chrom": [ref_names[r] for r in ares.sites[:, 0]],
+                    "pos": ares.sites[:, 1],
+                    "strand": ares.strand,
+                })
+                adf.to_parquet(f"{args.output}.atoi_mask.sites.parquet")
+                atoi_sites = set(zip(adf["chrom"].astype(str), adf["pos"].astype(int)))
+            clear = atoi_confounder_mask(
+                res.sites[:, 0], res.sites[:, 1], res.strand, ref_names, atoi_sites
+            )
+            print(f"A-to-I confounder mask: {len(clear)} m6A candidates -> "
+                  f"{int(clear.sum())} ({len(atoi_sites)} edited sites)")
+            res = filter_sites(res, clear)
         if args.cmd == "dartseq" and getattr(args, "genome", None):
             from ..faba.context import read_fasta
             from ..faba.dartseq import filter_sites, m6a_motif_mask

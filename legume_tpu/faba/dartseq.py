@@ -113,6 +113,28 @@ def coverage_at_sites(
     return cov
 
 
+def atoi_confounder_mask(
+    site_rid: np.ndarray,
+    site_pos: np.ndarray,
+    site_strand: np.ndarray,
+    ref_names: list[str],
+    atoi_sites: "set[tuple[str, int]]",
+) -> np.ndarray:
+    """True where an m6A candidate is CLEAR of A-to-I editing
+    (`--detect-atoi` / `--atoi-mask`, m6a/run.rs:321-360): a candidate
+    is masked when any A-to-I site overlaps its RAC/GTY triplet —
+    [pos-2, pos] on the forward strand (R A C, conversion at the C),
+    [pos, pos+2] on the reverse (G T Y, conversion at the G)."""
+    keep = np.ones(len(site_pos), bool)
+    for s in range(len(site_pos)):
+        chrom = ref_names[int(site_rid[s])]
+        p = int(site_pos[s])
+        span = range(p - 2, p + 1) if str(site_strand[s]) == "+" else range(p, p + 3)
+        if any((chrom, q) in atoi_sites for q in span):
+            keep[s] = False
+    return keep
+
+
 def filter_cells(recs, valid: "set[str]"):
     """Restrict a BamRecords to reads/mismatches from the given cell
     barcodes (`--valid-cells`, m6a/run.rs): everything outside the

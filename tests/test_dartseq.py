@@ -244,3 +244,63 @@ def test_dartseq_valid_cells_filter(tmp_path):
     assert full.sites[:, 1].tolist() == [110]
     gated = run_dartseq(wt_path, ct_path, valid_cells={"cellA", "cellB"})
     assert len(gated.sites) == 0
+
+
+def _atoi_reads(prefix, pos, n_edit, n_ref, cells, site_off=9, read_len=40):
+    """Reads with an A->G edit at pos+site_off (A-to-I in reference space)."""
+    reads = []
+    for i in range(n_edit + n_ref):
+        edit = i < n_edit
+        md = f"{site_off}A{read_len - site_off - 1}" if edit else f"{read_len}"
+        seq = list("A" * read_len)
+        if edit:
+            seq[site_off] = "G"
+        reads.append(dict(
+            name=f"{prefix}{i}", ref_id=0, pos=pos, seq="".join(seq),
+            cigar=f"{read_len}M", cb=cells[i % len(cells)],
+            ub=f"u{prefix}{i}", md=md,
+        ))
+    return reads
+
+
+def test_dartseq_detect_atoi_confounder_mask(tmp_path):
+    """--detect-atoi: an A->G edit inside the RAC triplet (at pos-1 of
+    the called C) masks the m6A candidate as an A-to-I confounder."""
+    import pandas as pd
+
+    from legume_tpu.cli.main import run_faba
+
+    rng = np.random.default_rng(0)
+    cells = ["cellA", "cellB"]
+    # m6A-like site at 110 + A->G editing at 109 (the triplet's A)
+    wt = _reads_for_site("a_", 100, n_conv=12, n_ref=8, cells=cells, rng=rng)
+    wt += _atoi_reads("e_", 100, n_edit=8, n_ref=4, cells=cells)
+    # clean m6A site at 410, no editing nearby
+    wt += _reads_for_site("b_", 400, n_conv=12, n_ref=8, cells=cells, rng=rng)
+    ct = _reads_for_site("ca_", 100, n_conv=0, n_ref=20, cells=cells, rng=rng)
+    ct += _reads_for_site("cb_", 400, n_conv=0, n_ref=20, cells=cells, rng=rng)
+    wt_path, ct_path = str(tmp_path / "wt.bam"), str(tmp_path / "ct.bam")
+    write_bam(wt_path, [("chr1", 10000)], wt)
+    write_bam(ct_path, [("chr1", 10000)], ct)
+
+    out = str(tmp_path / "plain")
+    run_faba(["dartseq", "--bam", wt_path, "--control-bam", ct_path,
+              "--output", out])
+    plain = pd.read_parquet(f"{out}.sites.parquet")
+    assert sorted(plain["pos"].tolist()) == [110, 410]
+
+    out2 = str(tmp_path / "masked")
+    run_faba(["dartseq", "--bam", wt_path, "--control-bam", ct_path,
+              "--output", out2, "--detect-atoi"])
+    masked = pd.read_parquet(f"{out2}.sites.parquet")
+    assert masked["pos"].tolist() == [410]
+    amask = pd.read_parquet(f"{out2}.atoi_mask.sites.parquet")
+    assert 109 in amask["pos"].tolist()
+
+    # the emitted mask parquet round-trips through --atoi-mask
+    out3 = str(tmp_path / "pre")
+    run_faba(["dartseq", "--bam", wt_path, "--control-bam", ct_path,
+              "--output", out3, "--atoi-mask",
+              f"{out2}.atoi_mask.sites.parquet"])
+    pre = pd.read_parquet(f"{out3}.sites.parquet")
+    assert pre["pos"].tolist() == [410]
