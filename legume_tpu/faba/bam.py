@@ -112,6 +112,21 @@ class BamRecords:
     mm_base_qual: np.ndarray | None = None  # phred at the read base
 
 
+def read_bam_ref_names(path: str) -> list[str]:
+    """Header-only contig-name read — opens the BAM, reads the
+    reference dictionary, and closes without streaming any records
+    (the full parse including mismatch extraction costs seconds per
+    pass; callers that only need `ref_names` should use this)."""
+    lib = _load()
+    h = lib.bam_open(str(path).encode())
+    if not h:
+        raise IOError(f"cannot open BAM: {path}")
+    try:
+        return [lib.bam_ref_name(h, i).decode() for i in range(lib.bam_num_refs(h))]
+    finally:
+        lib.bam_close(h)
+
+
 def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
     """Stream the whole BAM into columnar arrays."""
     lib = _load()

@@ -46,6 +46,43 @@ def _dedup(keys: list[np.ndarray]) -> np.ndarray:
     return first
 
 
+def _multi_arange(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Concatenated arange(lo[i], hi[i]) for all i, vectorized."""
+    counts = (hi - lo).astype(np.int64)
+    tot = int(counts.sum())
+    if tot == 0:
+        return np.empty(0, np.int64)
+    offsets = np.cumsum(counts) - counts
+    return np.arange(tot) - np.repeat(offsets, counts) + np.repeat(lo, counts)
+
+
+def _site_coverage(
+    r_rid: np.ndarray,
+    r_pos: np.ndarray,
+    r_end: np.ndarray,
+    site_rid: np.ndarray,
+    site_pos: np.ndarray,
+) -> np.ndarray:
+    """Interval-stabbing count per site: reads with start <= pos < end,
+    per contig. cov(p) = #(start <= p) - #(end <= p) via two sorted
+    searchsorted passes — O((R+S) log R), no per-site scan."""
+    cov = np.zeros(len(site_pos), np.float64)
+    if not len(r_rid) or not len(site_pos):
+        return cov
+    for rid in np.unique(site_rid):
+        rsel = r_rid == rid
+        if not rsel.any():
+            continue
+        starts = np.sort(r_pos[rsel])
+        ends = np.sort(r_end[rsel])
+        ssel = site_rid == rid
+        p = site_pos[ssel]
+        cov[ssel] = np.searchsorted(starts, p, side="right") - np.searchsorted(
+            ends, p, side="right"
+        )
+    return cov
+
+
 def conversion_counts(
     recs, *, ref_base: int = C, alt_base: int = T, min_mapq: int = 20,
     min_baseq: int = 0,
@@ -54,9 +91,11 @@ def conversion_counts(
     `min_baseq` drops conversions whose read base is below the phred
     floor (sequencing errors mimic conversions; `dna_stat_map.rs:71`
     defaults this to 20)."""
-    mm_keep = (recs.mm_ref_base == ref_base) & (recs.mm_read_base == alt_base)
+    conv = (recs.mm_ref_base == ref_base) & (recs.mm_read_base == alt_base)
+    lowq = np.zeros(len(conv), bool)
     if min_baseq > 0 and recs.mm_base_qual is not None and len(recs.mm_base_qual):
-        mm_keep &= recs.mm_base_qual >= min_baseq
+        lowq = conv & (recs.mm_base_qual < min_baseq)
+    mm_keep = conv & ~lowq
     rid = recs.mm_ref_id[mm_keep]
     pos = recs.mm_pos[mm_keep]
     cb = recs.mm_cb_id[mm_keep]
@@ -80,10 +119,29 @@ def conversion_counts(
     if len(r_rid):
         first = _dedup([r_rid, r_pos, r_cb, r_umi])
         r_rid, r_pos, r_end = r_rid[first], r_pos[first], r_end[first]
-    cov = np.zeros(n_sites, np.float64)
-    for s in range(n_sites):
-        srid, spos = site_keys[0, s], site_keys[1, s]
-        cov[s] = np.sum((r_rid == srid) & (r_pos <= spos) & (spos < r_end))
+    cov = _site_coverage(r_rid, r_pos, r_end, site_keys[0], site_keys[1])
+
+    # low-qual conversion bases are excluded from the coverage
+    # denominator too, matching the reference's per-base phred gating
+    # (`dna_stat_map.rs:272` skips the base entirely, so it neither
+    # converts nor counts as unconverted coverage)
+    if lowq.any() and n_sites:
+        lq_rid = recs.mm_ref_id[lowq]
+        lq_pos = recs.mm_pos[lowq]
+        lq_cb = recs.mm_cb_id[lowq]
+        lq_umi = recs.mm_umi_id[lowq]
+        first = _dedup([lq_rid, lq_pos, lq_cb, lq_umi])
+        lq_rid, lq_pos = lq_rid[first], lq_pos[first]
+        lut = {
+            (int(r), int(p)): i
+            for i, (r, p) in enumerate(zip(site_keys[0], site_keys[1]))
+        }
+        lq_count = np.zeros(n_sites, np.float64)
+        for r, p in zip(lq_rid, lq_pos):
+            i = lut.get((int(r), int(p)))
+            if i is not None:
+                lq_count[i] += 1.0
+        cov = np.maximum(cov - lq_count, alt)
 
     table = SiteTable(ref_id=site_keys[0], pos=site_keys[1], alt=alt, cov=cov)
     per_cell = {"rid": rid, "pos": pos, "cb": cb}
@@ -105,12 +163,7 @@ def coverage_at_sites(
     if len(r_rid):
         first = _dedup([r_rid, r_pos, r_cb, r_umi])
         r_rid, r_pos, r_end = r_rid[first], r_pos[first], r_end[first]
-    cov = np.zeros(len(site_pos), np.float64)
-    for s in range(len(site_pos)):
-        cov[s] = np.sum(
-            (r_rid == site_rid[s]) & (r_pos <= site_pos[s]) & (site_pos[s] < r_end)
-        )
-    return cov
+    return _site_coverage(r_rid, r_pos, r_end, site_rid, site_pos)
 
 
 def atoi_confounder_mask(
@@ -227,19 +280,35 @@ def per_cell_coverage_at_sites(
         r_rid, r_pos, r_end, r_cb = (
             r_rid[first], r_pos[first], r_end[first], r_cb[first]
         )
-    rows, cols, vals = [], [], []
-    for s in range(len(site_pos)):
-        hit = (r_rid == site_rid[s]) & (r_pos <= site_pos[s]) & (site_pos[s] < r_end)
-        cb = r_cb[hit]
-        cb = cb[cb >= 0]
-        if len(cb):
-            counts = np.bincount(cb, minlength=n_cells)
-            nz = np.nonzero(counts)[0]
-            rows.extend([s] * len(nz))
-            cols.extend(nz.tolist())
-            vals.extend(counts[nz].tolist())
+    # vectorized interval join: sites sorted per contig; each read's
+    # covered sites form a contiguous [lo, hi) range in that order, so
+    # (site, cell) pairs come from one searchsorted pair + multi-arange
+    # (no per-site scan). Duplicate pairs are summed by coo_matrix.
+    has_cb = r_cb >= 0
+    r_rid, r_pos, r_end, r_cb = (
+        r_rid[has_cb], r_pos[has_cb], r_end[has_cb], r_cb[has_cb]
+    )
+    rows_parts: list[np.ndarray] = []
+    cols_parts: list[np.ndarray] = []
+    if len(r_rid) and len(site_pos):
+        for rid in np.unique(site_rid):
+            ssel = np.nonzero(site_rid == rid)[0]
+            order = np.argsort(site_pos[ssel], kind="stable")
+            s_idx = ssel[order]
+            s_pos = site_pos[s_idx]
+            rsel = r_rid == rid
+            if not rsel.any():
+                continue
+            starts, ends, cbs = r_pos[rsel], r_end[rsel], r_cb[rsel]
+            lo = np.searchsorted(s_pos, starts, side="left")
+            hi = np.searchsorted(s_pos, ends, side="left")
+            hi = np.maximum(hi, lo)
+            rows_parts.append(s_idx[_multi_arange(lo, hi)])
+            cols_parts.append(np.repeat(cbs, hi - lo))
+    rows = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
+    cols = np.concatenate(cols_parts) if cols_parts else np.empty(0, np.int64)
     return sp.coo_matrix(
-        (np.asarray(vals, np.float32), (rows, cols)),
+        (np.ones(len(rows), np.float32), (rows, cols)),
         shape=(len(site_pos), n_cells),
     ).tocsc()
 

@@ -316,7 +316,12 @@ def assign_sites_to_genes(
             ivs, offs, total = _exon_view(g)
             j = np.searchsorted(ivs[:, 0], pos, side="right") - 1
             if j < 0 or pos >= ivs[j, 1]:
-                break  # intronic: no transcript position — drop, don't nudge
+                # intronic in THIS gene: keep scanning — the site may be
+                # exonic in another overlapping same-strand gene (the
+                # reference keys observations by the discovery-time gene,
+                # so such sites survive there); drop only when no
+                # overlapping gene yields a transcript position
+                continue
             r = offs[j] + (pos - ivs[j, 0])
             if want == -1:
                 r = total - 1 - r
@@ -413,9 +418,15 @@ def run_mixture(
     vals_out: list[float] = []
     names: list[str] = []
     ann: list[dict] = []
-    # gene order fixed by sorted gene index, matching the reference's
-    # sorted gene_entries (`mixture_pipeline.rs:180-186`)
-    for i, g in enumerate(genes):
+    # gene order fixed by sorted gene NAME, matching the reference's
+    # gene_entries sort on GeneId (`mixture_pipeline.rs:180-186`) —
+    # numeric GFF index order differs whenever the GFF isn't
+    # name-sorted, and row order is part of the output format
+    name_order = sorted(
+        range(len(genes)), key=lambda i: str(model.names[int(genes[i])])
+    )
+    for i in name_order:
+        g = genes[i]
         lo, hi = bounds[i], bounds[i + 1]
         gene_length = float(obs_glen[lo])  # constant within a gene
         fit = fit_gene_mixture(

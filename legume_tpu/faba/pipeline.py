@@ -64,12 +64,15 @@ def run_all(
         outputs["snp"] = f"{out}.snp.parquet"
 
     if control_bam:
-        from .bam import read_bam
+        from .bam import read_bam_ref_names
         from .genes import parse_gff_exons, parse_gff_genes
         from .mixture import run_mixture
 
         model = parse_gff_genes(gff)
         exons = parse_gff_exons(gff, model)
+        # contig names read once from the header (a full read_bam here
+        # would re-parse all records + mismatches once per modality)
+        bam_ref_names = read_bam_ref_names(bam)
         for name, runner in (("m6a", run_dartseq), ("atoi", run_atoi)):
             res = runner(bam, control_bam)
             if res.cell_counts.shape[0]:
@@ -84,7 +87,7 @@ def run_all(
                 modality = "m6a" if runner is run_dartseq else "atoi"
                 mat, names_mix, components, _bw = run_mixture(
                     res.cell_counts, res.sites[:, 0], res.sites[:, 1],
-                    res.strand, read_bam(bam).ref_names, model, exons,
+                    res.strand, bam_ref_names, model, exons,
                     modality=modality, weight_mode="converted",
                 )
                 if mat is not None:
