@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""ELBO-parity harness for the BASELINE "≥10x at matching ELBO"
+criterion (BASELINE.md; VERDICT r2 item 2). Two modes:
+
+1. `--fixture DIR` — compares against a DRIVER-PROVIDED reference run:
+   DIR must hold a backend (`*.zarr` / `*.zarr.zip` / `*.h5`) written
+   by the Rust engine, the reference's `*log_likelihood.parquet` trace
+   from `senna topic` on that backend, and optionally `config.json`
+   with the flags used ({"k", "epochs", "minibatch_size",
+   "encoder_layers", "num_levels", "extra_args": [...]}).
+   This script runs OUR `senna topic` CLI with the matching config on
+   the SAME backend and emits the tolerance-band comparison.
+
+2. `--oracle` — no fixture needed: simulates BASELINE config 1
+   (10k cells x 2k genes topic counts), trains both the JAX engine and
+   the torch-CPU oracle (`legume_tpu/models/oracle.py` — the reference
+   engine's exact `vae/topic.rs:107-145` math) on identical level
+   data, and emits the engine-agreement band.
+
+Output: ONE JSON line
+  {"mode", "engine_llik", "ref_llik", "rel_gap", "within_band",
+   "band", ...}
+`within_band` is the parity verdict: |engine - ref| / |ref| < band
+on the converged per-count log-likelihood (mean of final 10 epochs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _tail_mean(values, n=10):
+    import numpy as np
+
+    v = np.asarray(values, float)
+    v = v[np.isfinite(v)]
+    return float(v[-n:].mean()) if len(v) else float("nan")
+
+
+def run_fixture(fixture: str, band: float, workdir: str | None) -> dict:
+    import pandas as pd
+
+    backends = sorted(
+        glob.glob(os.path.join(fixture, "*.zarr"))
+        + glob.glob(os.path.join(fixture, "*.zarr.zip"))
+        + glob.glob(os.path.join(fixture, "*.h5"))
+    )
+    traces = sorted(glob.glob(os.path.join(fixture, "*log_likelihood.parquet")))
+    if not backends or not traces:
+        raise SystemExit(
+            f"fixture dir {fixture!r} needs a backend (*.zarr|*.zarr.zip|*.h5) "
+            f"and a reference *log_likelihood.parquet "
+            f"(found backends={backends}, traces={traces})"
+        )
+    cfg_path = os.path.join(fixture, "config.json")
+    cfg = json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
+
+    out_dir = workdir or tempfile.mkdtemp(prefix="parity_")
+    out = os.path.join(out_dir, "fit")
+    argv = [
+        sys.executable, "-m", "legume_tpu.cli.main", "senna", "topic",
+        "--data-files", *backends, "--out", out,
+        "-k", str(cfg.get("k", 10)),
+        "--epochs", str(cfg.get("epochs", 100)),
+        "--minibatch-size", str(cfg.get("minibatch_size", 256)),
+        "--encoder-layers", *[str(x) for x in cfg.get("encoder_layers", [128, 64])],
+        "--num-levels", str(cfg.get("num_levels", 1)),
+    ] + [str(a) for a in cfg.get("extra_args", [])]
+    t0 = time.time()
+    subprocess.run(argv, check=True)
+    wall = time.time() - t0
+
+    ours = pd.read_parquet(f"{out}.log_likelihood.parquet")
+    ref = pd.read_parquet(traces[0])
+    ref_col = "llik" if "llik" in ref.columns else ref.columns[-1]
+    engine_llik = _tail_mean(ours["llik"])
+    ref_llik = _tail_mean(ref[ref_col])
+    rel = abs(engine_llik - ref_llik) / max(abs(ref_llik), 1e-12)
+    return {
+        "mode": "fixture",
+        "fixture": fixture,
+        "backend": backends[0],
+        "engine_llik": engine_llik,
+        "ref_llik": ref_llik,
+        "rel_gap": rel,
+        "band": band,
+        "within_band": bool(rel < band),
+        "engine_wall_s": round(wall, 2),
+        "config": cfg,
+    }
+
+
+def run_oracle(rows: int, cols: int, k: int, epochs: int, band: float, seed: int) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from legume_tpu.data.sim import simulate_topic
+    from legume_tpu.models.decoders import MultinomTopicDecoder
+    from legume_tpu.models.encoders import LogSoftmaxEncoder
+    from legume_tpu.models.oracle import oracle_train_mixed
+    from legume_tpu.models.train import LevelData, MixedTrainer, TrainConfig
+
+    # BASELINE config 1: 10k cells x 2k genes (rows=genes, cols=cells)
+    sim = simulate_topic(
+        rows=cols, cols=rows, factors=k, batches=1, depth=3000, seed=seed
+    )
+    y = np.asarray(sim.counts.todense()).T.astype(np.float32)  # [cells, genes]
+    layers, mb, lr = (128, 64), 256, 2e-3
+
+    enc = LogSoftmaxEncoder(n_topics=k, layers=layers)
+    dec = MultinomTopicDecoder(n_features=y.shape[1], n_topics=k)
+    cfg = TrainConfig(epochs=epochs, minibatch_size=mb, learning_rate=lr, seed=seed)
+    t0 = time.time()
+    trainer = MixedTrainer(enc, [dec], cfg)
+    _, _, scores = trainer.train([LevelData(input=y, input_null=None)])
+    engine_wall = time.time() - t0
+    engine_llik = _tail_mean(scores.llik)
+
+    t0 = time.time()
+    _, oracle_scores = oracle_train_mixed(
+        [(y, None, None)],
+        n_topics=k, layers=layers, epochs=epochs,
+        minibatch_size=mb, learning_rate=lr, seed=seed,
+    )
+    oracle_wall = time.time() - t0
+    oracle_llik = _tail_mean(oracle_scores.llik)
+
+    rel = abs(engine_llik - oracle_llik) / max(abs(oracle_llik), 1e-12)
+    return {
+        "mode": "oracle",
+        "shape": [rows, cols],
+        "k": k,
+        "epochs": epochs,
+        "engine_llik": engine_llik,
+        "ref_llik": oracle_llik,
+        "rel_gap": rel,
+        "band": band,
+        "within_band": bool(rel < band),
+        "engine_wall_s": round(engine_wall, 2),
+        "oracle_wall_s": round(oracle_wall, 2),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--fixture", help="driver-provided reference fixture dir")
+    ap.add_argument("--oracle", action="store_true",
+                    help="engine vs torch oracle on a BASELINE-config-1 sim")
+    ap.add_argument("--rows", type=int, default=10_000, help="cells (oracle mode)")
+    ap.add_argument("--cols", type=int, default=2_000, help="genes (oracle mode)")
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--band", type=float, default=0.02,
+                    help="relative tolerance on converged per-count llik")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--workdir", help="keep fixture-mode outputs here")
+    args = ap.parse_args()
+
+    if args.fixture:
+        result = run_fixture(args.fixture, args.band, args.workdir)
+    elif args.oracle:
+        result = run_oracle(args.rows, args.cols, args.k, args.epochs,
+                            args.band, args.seed)
+    else:
+        ap.error("pass --fixture DIR or --oracle")
+    print(json.dumps(result))
+    return 0 if result["within_band"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
