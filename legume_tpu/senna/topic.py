@@ -275,7 +275,8 @@ def refine_hierarchy_maps(
 
 
 def load_and_collapse(
-    vec: SparseIoVec, args: TopicArgs, *, partition: dict | None = None
+    vec: SparseIoVec, args: TopicArgs, *, partition: dict | None = None,
+    timings: dict | None = None,
 ) -> CollapsedLevels:
     """Projection + binary sort + partition refinement + multilevel
     collapse (topic/common.rs:419 `load_and_collapse`; stages per
@@ -285,6 +286,9 @@ def load_and_collapse(
     `topic/common.rs:404-419`) supplies `fine_groups` + `level_maps`
     and SKIPS binary sort + DC-Poisson refinement; the projection still
     runs (the matched-stat kNN needs cell coordinates)."""
+    import time as _time
+
+    timings = timings if timings is not None else {}
     batches = vec.batch_membership()
     num_batches = vec.num_batches if not args.ignore_batch else 1
     d = vec.num_rows
@@ -298,6 +302,7 @@ def load_and_collapse(
         row_weights = hvg_row_weights(vec, args.hvg_genes, block_size=args.block_size)
         log.info("hvg: projection sketch gated to %d genes", int(row_weights.sum()))
 
+    _t0 = _time.time()
     basis, proj_kn = rp.project_columns(
         vec,
         max(args.proj_dim, args.n_latent_topics),
@@ -306,8 +311,10 @@ def load_and_collapse(
         row_weights=row_weights,
         seed=args.seed,
     )
+    timings["projection_s"] = round(_time.time() - _t0, 2)
 
     level_dims = compute_level_sort_dims(args.sort_dim, args.num_levels)
+    _t0 = _time.time()
 
     if partition is not None:
         # cell->pb partition reuse (topic/common.rs:404-419): no sort,
@@ -344,6 +351,9 @@ def load_and_collapse(
                 _, f2c = np.unique(uniq_codes & mask, return_inverse=True)
                 level_maps.append(f2c.astype(np.int32))
 
+    timings["sort_refine_s"] = round(_time.time() - _t0, 2)
+
+    _t0 = _time.time()
     collapsed = []
     groups_per_level = []
     num_groups_per_level = []
@@ -383,6 +393,8 @@ def load_and_collapse(
         groups_per_level.append(groups_l)
         num_groups_per_level.append(s_l)
 
+    timings["collapse_s"] = round(_time.time() - _t0, 2)
+
     return CollapsedLevels(
         collapsed=collapsed,
         groups_per_level=groups_per_level,
@@ -411,8 +423,12 @@ def sample_collapsed_data(
 
 def fit_topic_model(args: TopicArgs) -> dict:
     """End-to-end `senna topic` (cmd.rs:273)."""
+    import time as _time
+
     import pandas as pd
 
+    timings: dict[str, float] = {}
+    _t_all = _time.time()
     partition = None
     if args.from_run:
         # --from inheritance: prefill inputs from a prior run's manifest
@@ -485,7 +501,7 @@ def fit_topic_model(args: TopicArgs) -> dict:
         vec = vec.subset_columns(keep)
         n = vec.num_columns
 
-    levels = load_and_collapse(vec, args, partition=partition)
+    levels = load_and_collapse(vec, args, partition=partition, timings=timings)
     key = jax.random.key(args.seed & 0x7FFFFFFF)
     key, *level_keys = jax.random.split(key, 1 + len(levels.collapsed))
     level_data = [
@@ -620,6 +636,7 @@ def fit_topic_model(args: TopicArgs) -> dict:
         mesh=mesh,
     )
 
+    _t_train = _time.time()
     if args.init_from:
         # warm start: strict architecture check before loading
         # (topic/warm_start.rs:18-40)
@@ -657,6 +674,8 @@ def fit_topic_model(args: TopicArgs) -> dict:
             }
         variables, _, scores = trainer.train(level_data, key, init_params=init_overrides)
 
+    timings["train_s"] = round(_time.time() - _t_train, 2)
+
     # ---- outputs -------------------------------------------------------
     finest = levels.collapsed[0]
     cell_names = vec.column_names()
@@ -692,6 +711,7 @@ def fit_topic_model(args: TopicArgs) -> dict:
     # per-cell latent: stream blocks through the encoder at eval, null
     # plane by --adj-method, optional amortization refinement against
     # the frozen full-D dictionary
+    _t_eval = _time.time()
     z = evaluate_latent_by_encoder(
         vec,
         trainer,
@@ -705,6 +725,7 @@ def fit_topic_model(args: TopicArgs) -> dict:
         refine_lr=args.amort_refine_lr,
         refine_reg=args.amort_refine_reg,
     )
+    timings["cell_eval_s"] = round(_time.time() - _t_eval, 2)
     pd.DataFrame(
         z, index=cell_names, columns=[f"topic{k}" for k in range(args.n_latent_topics)]
     ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
@@ -818,6 +839,8 @@ def fit_topic_model(args: TopicArgs) -> dict:
         },
         params=dataclasses.asdict(args),
     )
+    timings["total_s"] = round(_time.time() - _t_all, 2)
+    manifest.timings = timings
     manifest.record_artifact(
         "latent", f"{args.out}.latent.parquet", "cell_latent",
         ArtifactScale.detect(z, axis=1),

@@ -75,6 +75,10 @@ class RunManifest:
     # per-output artifact metadata: name -> {"kind", "scale"}
     # (run_manifest.rs artifact-kind bookkeeping)
     artifacts: dict[str, dict[str, str]] = field(default_factory=dict)
+    # wall-clock stage breakdown in seconds (the reference exposes this
+    # through progress bars; persisting it makes runs benchmarkable —
+    # scaling_bench.py --cli-* reads it back)
+    timings: dict[str, float] = field(default_factory=dict)
     engine: str = "legume-tpu"
 
     def record_artifact(self, name: str, path: str, kind: str, scale: str):
@@ -98,5 +102,6 @@ class RunManifest:
             outputs=doc.get("outputs", {}),
             params=doc.get("params", {}),
             artifacts=doc.get("artifacts", {}),
+            timings=doc.get("timings", {}),
             engine=doc.get("engine", ""),
         )
