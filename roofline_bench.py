@@ -155,5 +155,55 @@ def main():
     print(json.dumps(results))
 
 
+def tiled_dtype_bench():
+    """Time the tiled Pallas projection kernel with f32 vs bf16 basis
+    planes at the production shape — the roofline push (the kernel's
+    dominant HBM traffic is one [TILE_G, K] basis tile per chunk;
+    bf16 halves it). One JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from legume_tpu.ops.pallas_kernels import (
+        TILE_C, TILE_G, prepare_tiles, tiled_call,
+    )
+    from legume_tpu.utils.jax_cache import ensure_compile_cache
+
+    ensure_compile_cache()
+    rng = np.random.default_rng(0)
+    d_genes, kdim, nnz, ncols = 34_008, 64, 1 << 23, 8192
+    rows = rng.integers(0, d_genes, nnz).astype(np.int64)
+    cols = np.sort(rng.integers(0, ncols, nnz)).astype(np.int64)
+    vals = rng.random(nnz).astype(np.float32)
+    tiles = prepare_tiles(rows, cols, vals, ncols=ncols)
+    k_pad = 128
+    d_pad = -(-d_genes // TILE_G) * TILE_G
+    n_ct = -(-ncols // TILE_C)
+    basis = rng.standard_normal((d_pad, k_pad)).astype(np.float32)
+    args = tuple(
+        jnp.asarray(tiles[k]) for k in ("gi", "cj", "new", "lr", "lc", "vv")
+    )
+    out = {"n_chunks": int(tiles["gi"].shape[0]), "nnz": nnz}
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        bp = jnp.asarray(basis.astype(dt))
+        t, r = timed(
+            lambda *a: tiled_call(*a, bp, n_ct=n_ct, k_pad=k_pad), *args, n=20
+        )
+        out[f"tiled_{name}_ms"] = round(t * 1e3, 2)
+        basis_bytes = tiles["gi"].shape[0] * TILE_G * k_pad * (4 if name == "f32" else 2)
+        out[f"tiled_{name}_basis_GBps"] = round(basis_bytes / t / 1e9, 1)
+        if name == "f32":
+            ref = np.asarray(r)
+        else:
+            rel = np.abs(np.asarray(r, np.float32) - ref) / (np.abs(ref) + 1e-3)
+            out["bf16_max_rel_err"] = float(rel.max())
+    out["speedup_bf16"] = round(out["tiled_f32_ms"] / out["tiled_bf16_ms"], 2)
+    out["device"] = str(jax.devices()[0])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__" and "--tiled" in sys.argv:
+    tiled_dtype_bench()
+    sys.exit(0)
+
 if __name__ == "__main__":
     main()
