@@ -272,3 +272,10 @@ class ColumnSubsetVec:
     def column_blocks(self, block_size: int) -> list[tuple[int, int]]:
         n = self.num_columns
         return [(lb, min(lb + block_size, n)) for lb in range(0, n, block_size)]
+
+    def subset_columns(self, keep: np.ndarray) -> "ColumnSubsetVec":
+        """Compose subsets (QC mask then a per-process column range):
+        the indices flatten onto the base so reads stay one hop."""
+        keep = np.asarray(keep)
+        idx = np.nonzero(keep)[0] if keep.dtype == bool else keep
+        return ColumnSubsetVec(self._base, self._idx[idx.astype(np.int64)])

@@ -244,6 +244,7 @@ def collect_matched_stats(
     cell_block: int = 1024,
     gene_chunk: int = 4096,
     stat: CollapsedStat | None = None,
+    query_range: tuple[int, int] | None = None,
 ) -> CollapsedStat:
     """Counterfactual matched sufficient statistics
     (collect_matched_stat_visitor, stats.rs:26-107).
@@ -259,6 +260,11 @@ def collect_matched_stats(
 
     Matching is exact device top-k (ops.knn), not HNSW — deterministic
     with no seed plumbing.
+
+    `query_range=(lb, ub)` restricts the QUERY cells to a column range
+    (the multi-process split: each host owns its queries' per-cell
+    work; partner columns still read globally — kNN matches live on
+    arbitrary shards). Partial planes sum across hosts afterwards.
     """
     from .knn import matched_neighbors_across_batches
 
@@ -276,8 +282,9 @@ def collect_matched_stats(
     residual = jnp.zeros((d, num_groups), jnp.float32)
 
     n = data.num_columns
-    for lb in range(0, n, cell_block):
-        ub = min(lb + cell_block, n)
+    q_lb, q_ub = query_range if query_range is not None else (0, n)
+    for lb in range(q_lb, q_ub, cell_block):
+        ub = min(lb + cell_block, q_ub)
         c = ub - lb
         w = np.asarray(
             _matched_weights(jnp.asarray(m_dist[lb:ub]), jnp.asarray(m_valid[lb:ub]))

@@ -110,6 +110,26 @@ def streaming_gene_stats(data, *, block_size: int = 8192) -> GeneStreamStats:
     return GeneStreamStats(mean=mean, var=np.maximum(var, 0.0), pi=pi, n_cells=n)
 
 
+def reduce_gene_stats(local: "GeneStreamStats", reduce_sums) -> "GeneStreamStats":
+    """Merge per-shard gene moments across hosts: rebuild the raw sums
+    (s1 = mean*n, s2 = (var+mean^2)*n, cnt = pi*n), sum them with the
+    caller's collective (`DistContext.reduce_sums`), and re-derive the
+    global moments — exact, not an average of averages."""
+    n = max(local.n_cells, 1)
+    s1 = local.mean * n
+    s2 = (local.var + local.mean * local.mean) * n
+    cnt = local.pi * n
+    s1, s2, cnt, ntot = reduce_sums(
+        s1, s2, cnt, np.asarray([float(local.n_cells)], np.float64)
+    )
+    n_glob = max(float(ntot[0]), 1.0)
+    mean = s1 / n_glob
+    var = np.maximum(s2 / n_glob - mean * mean, 0.0)
+    return GeneStreamStats(
+        mean=mean, var=var, pi=cnt / n_glob, n_cells=int(round(float(ntot[0])))
+    )
+
+
 def select_hvg_by_stats(means, vars_, n_genes: int) -> np.ndarray:
     """Top-N indices by excess dispersion, ascending order
     (hvg.rs:80-101)."""
@@ -127,21 +147,30 @@ def select_hvg_streaming(data, n_genes: int, *, block_size: int = 8192) -> np.nd
     return select_hvg_by_stats(stats.mean, stats.var, n_genes)
 
 
-def hvg_row_weights(data, n_genes: int, *, block_size: int = 8192) -> np.ndarray:
+def hvg_row_weights(
+    data, n_genes: int, *, block_size: int = 8192,
+    stats: GeneStreamStats | None = None,
+) -> np.ndarray:
     """0/1 row weights gating the projection basis (senna semantics:
-    HVG only weights the sketch, every gene still trains; hvg.rs long_help)."""
+    HVG only weights the sketch, every gene still trains; hvg.rs long_help).
+    `stats` injects precomputed (possibly cross-host-reduced) moments."""
     d = data.num_rows
     if n_genes == 0 or n_genes >= d:
         return np.ones(d, np.float32)
     w = np.zeros(d, np.float32)
-    w[select_hvg_streaming(data, n_genes, block_size=block_size)] = 1.0
+    if stats is None:
+        stats = streaming_gene_stats(data, block_size=block_size)
+    w[select_hvg_by_stats(stats.mean, stats.var, n_genes)] = 1.0
     return w
 
 
-def nb_fisher_weights(data, *, block_size: int = 8192) -> np.ndarray:
+def nb_fisher_weights(
+    data, *, block_size: int = 8192, stats: GeneStreamStats | None = None
+) -> np.ndarray:
     """Per-gene NB-Fisher loss weights from the streaming moments
     (`gene_weighting.rs` / `compute_nb_fisher_weights`, cmd.rs:440-463)."""
-    stats = streaming_gene_stats(data, block_size=block_size)
+    if stats is None:
+        stats = streaming_gene_stats(data, block_size=block_size)
     trend = DispersionTrend.fit(stats.mean, stats.var)
     avg_s = float(stats.mean.sum())  # mean library size proxy per cell
     return trend.fisher_weights(stats.pi, stats.mean, max(avg_s, 1.0)).astype(np.float32)

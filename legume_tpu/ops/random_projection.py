@@ -114,9 +114,16 @@ def project_columns(
     batch_membership: np.ndarray | None = None,
     row_weights: np.ndarray | None = None,
     seed: int = DEFAULT_PROJECTION_SEED,
+    raw: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns `(basis_dk [D, K], proj_kn [K, N])` like the reference's
-    `RandColProjOut` (random_projection.rs:24-27)."""
+    `RandColProjOut` (random_projection.rs:24-27).
+
+    `raw=True` returns `(basis_dk, proj_nk [N, K])` BEFORE batch
+    centering / cell standardization — the multihost path projects
+    each process's column shard raw, allgathers, then applies
+    `finish_projection` on the global ensemble (the centering moments
+    are global statistics)."""
     d = data.num_rows
     n = data.num_columns
     key = key_from_seed(seed)
@@ -158,6 +165,8 @@ def project_columns(
                 # host IO + transfer overlap this block's kernel
                 pieces.append(proj / norm[:, None])
             proj_nk = np.concatenate([np.asarray(p) for p in pieces], axis=0)
+            if raw:
+                return np.asarray(basis_dk), proj_nk
             return _finish_projection(
                 basis_dk, proj_nk, n, target_dim, batch_membership
             )
@@ -229,7 +238,21 @@ def project_columns(
         if mats
         else np.zeros((0, target_dim), np.float32)
     )
+    if raw:
+        return np.asarray(basis_dk), proj_nk
     return _finish_projection(basis_dk, proj_nk, n, target_dim, batch_membership)
+
+
+def finish_projection(
+    basis_dk, proj_nk, batch_membership=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Public finisher for `project_columns(raw=True)` pieces after a
+    cross-process allgather: batch centering + per-cell
+    standardization over the GLOBAL ensemble."""
+    return _finish_projection(
+        np.asarray(basis_dk), np.asarray(proj_nk), proj_nk.shape[0],
+        proj_nk.shape[1], batch_membership,
+    )
 
 
 def _find_tile_cache(data, block_size: int):

@@ -310,6 +310,111 @@ def collapse_observed_multihost(
     return np.asarray(out)
 
 
+class DistContext:
+    """Process-level sharding context for the streaming pipeline.
+
+    The whole `senna topic` call stack (SURVEY.md section 3.1) runs
+    under one of these when `jax.distributed` is live: each process
+    streams ONLY its own nnz-balanced contiguous column (cell) range
+    through projection / QC / stat collection / latent eval, and the
+    tiny cross-process syncs are explicit —
+
+    - `allgather_rows`: per-cell planes (raw projection, latents)
+      concatenate in process order so every host sees the global
+      ensemble (the binary sort + centering moments are global
+      statistics);
+    - `reduce_sums` / `reduce_stat`: [D, S] sufficient-statistic
+      planes sum across processes (the psum of the north-star layout).
+
+    The matched-stat pass is the one deliberate exception to read
+    isolation: kNN partners live on arbitrary shards, so each process
+    reads its OWN queries' partner columns wherever they are (zarr on
+    shared storage); the per-query work — the expensive part — still
+    splits evenly.
+    """
+
+    def __init__(self, process_index: int, process_count: int):
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+
+    @classmethod
+    def detect(cls) -> "DistContext | None":
+        """A live context iff jax runs multi-process."""
+        if jax.process_count() > 1:
+            return cls(jax.process_index(), jax.process_count())
+        return None
+
+    @property
+    def primary(self) -> bool:
+        return self.process_index == 0
+
+    # -- column plan ---------------------------------------------------
+
+    def column_bounds(self, vec) -> np.ndarray:
+        """Per-PROCESS contiguous nnz-balanced bounds [P+1]."""
+        return plan_column_shards(column_nnz(vec), self.process_count)
+
+    def local_range(self, bounds: np.ndarray) -> tuple[int, int]:
+        return int(bounds[self.process_index]), int(bounds[self.process_index + 1])
+
+    def local_view(self, vec, bounds: np.ndarray):
+        """This process's column-range view (a contiguous
+        `ColumnSubsetVec`: reads stay inside the local range)."""
+        lb, ub = self.local_range(bounds)
+        keep = np.zeros(vec.num_columns, bool)
+        keep[lb:ub] = True
+        return vec.subset_columns(keep)
+
+    # -- collectives -----------------------------------------------------
+
+    def allgather_rows(self, local: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+        """Concatenate per-process row blocks into the global [N, ...]
+        array on every process (pad to the max shard, gather, slice)."""
+        from jax.experimental import multihost_utils as mhu
+
+        local = np.asarray(local)
+        widths = np.diff(bounds)
+        lb, ub = self.local_range(bounds)
+        assert local.shape[0] == ub - lb, (local.shape, lb, ub)
+        max_w = max(int(widths.max()), 1)
+        padded = np.zeros((max_w,) + local.shape[1:], local.dtype)
+        padded[: local.shape[0]] = local
+        stacked = np.asarray(mhu.process_allgather(padded))  # [P, max_w, ...]
+        return np.concatenate(
+            [stacked[p, : widths[p]] for p in range(self.process_count)], axis=0
+        )
+
+    def reduce_sums(self, *arrays: np.ndarray) -> list[np.ndarray]:
+        """Elementwise sum of same-shaped per-process partials."""
+        from jax.experimental import multihost_utils as mhu
+
+        out = []
+        for a in arrays:
+            a = np.asarray(a)
+            g = np.asarray(mhu.process_allgather(a))  # [P, ...]
+            out.append(g.sum(axis=0).astype(a.dtype))
+        return out
+
+    def reduce_stat(self, stat):
+        """Sum every plane of a `CollapsedStat` across processes."""
+        (
+            stat.observed_sum_ds,
+            stat.imputed_sum_ds,
+            stat.residual_sum_ds,
+            stat.size_s,
+            stat.observed_sum_db,
+            stat.n_bs,
+        ) = self.reduce_sums(
+            stat.observed_sum_ds,
+            stat.imputed_sum_ds,
+            stat.residual_sum_ds,
+            stat.size_s,
+            stat.observed_sum_db,
+            stat.n_bs,
+        )
+        return stat
+
+
 def shard_coo_by_cells(
     csc, groups: np.ndarray, n_shards: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -276,7 +276,7 @@ def refine_hierarchy_maps(
 
 def load_and_collapse(
     vec: SparseIoVec, args: TopicArgs, *, partition: dict | None = None,
-    timings: dict | None = None,
+    timings: dict | None = None, dist=None,
 ) -> CollapsedLevels:
     """Projection + binary sort + partition refinement + multilevel
     collapse (topic/common.rs:419 `load_and_collapse`; stages per
@@ -285,7 +285,13 @@ def load_and_collapse(
     `partition` (from a prior run's `{out}.partition.npz` via `--from`,
     `topic/common.rs:404-419`) supplies `fine_groups` + `level_maps`
     and SKIPS binary sort + DC-Poisson refinement; the projection still
-    runs (the matched-stat kNN needs cell coordinates)."""
+    runs (the matched-stat kNN needs cell coordinates).
+
+    `dist` (a `parallel.multihost.DistContext`) runs every streaming
+    pass over THIS PROCESS's nnz-balanced column range only, merging
+    the global statistics explicitly: raw projections allgather before
+    the (global) centering + binary sort, sufficient-statistic planes
+    psum (SURVEY.md section 2.7 layout over the full section 3.1 stack)."""
     import time as _time
 
     timings = timings if timings is not None else {}
@@ -293,24 +299,61 @@ def load_and_collapse(
     num_batches = vec.num_batches if not args.ignore_batch else 1
     d = vec.num_rows
 
+    view, bounds, lb, ub = vec, None, 0, vec.num_columns
+    if dist is not None:
+        bounds = dist.column_bounds(vec)
+        lb, ub = dist.local_range(bounds)
+        view = dist.local_view(vec, bounds)
+        log.info(
+            "distributed load_and_collapse: process %d/%d owns cells [%d, %d)",
+            dist.process_index, dist.process_count, lb, ub,
+        )
+
     # HVG gate on the projection sketch only (hvg.rs long_help: every
     # gene still trains)
     row_weights = None
     if args.hvg_genes and args.hvg_genes < d:
         from ..ops.gene_stats import hvg_row_weights
 
-        row_weights = hvg_row_weights(vec, args.hvg_genes, block_size=args.block_size)
+        stats = None
+        if dist is not None:
+            from ..ops.gene_stats import reduce_gene_stats, streaming_gene_stats
+
+            stats = reduce_gene_stats(
+                streaming_gene_stats(view, block_size=args.block_size),
+                dist.reduce_sums,
+            )
+        row_weights = hvg_row_weights(
+            vec, args.hvg_genes, block_size=args.block_size, stats=stats
+        )
         log.info("hvg: projection sketch gated to %d genes", int(row_weights.sum()))
 
     _t0 = _time.time()
-    basis, proj_kn = rp.project_columns(
-        vec,
-        max(args.proj_dim, args.n_latent_topics),
-        block_size=args.block_size,
-        batch_membership=batches if num_batches > 1 else None,
-        row_weights=row_weights,
-        seed=args.seed,
-    )
+    if dist is None:
+        basis, proj_kn = rp.project_columns(
+            vec,
+            max(args.proj_dim, args.n_latent_topics),
+            block_size=args.block_size,
+            batch_membership=batches if num_batches > 1 else None,
+            row_weights=row_weights,
+            seed=args.seed,
+        )
+    else:
+        # raw local shard projection (the basis is seed-deterministic,
+        # identical on every host) -> allgather -> GLOBAL batch
+        # centering + per-cell standardization
+        basis, raw_local = rp.project_columns(
+            view,
+            max(args.proj_dim, args.n_latent_topics),
+            block_size=args.block_size,
+            row_weights=row_weights,
+            seed=args.seed,
+            raw=True,
+        )
+        raw_full = dist.allgather_rows(raw_local, bounds)
+        basis, proj_kn = rp.finish_projection(
+            basis, raw_full, batches if num_batches > 1 else None
+        )
     timings["projection_s"] = round(_time.time() - _t0, 2)
 
     level_dims = compute_level_sort_dims(args.sort_dim, args.num_levels)
@@ -364,24 +407,46 @@ def load_and_collapse(
         if stats_fine is None:
             groups_l, s_l = fine_groups, s_fine
             stat_l = clp.collect_basic_stats(
-                vec,
-                groups_l,
+                view if dist is not None else vec,
+                groups_l[lb:ub] if dist is not None else groups_l,
                 s_l,
                 num_batches=num_batches,
-                batches=batches,
+                batches=batches[lb:ub] if dist is not None else batches,
                 block_size=args.block_size,
             )
+            if dist is not None:
+                stat_l = dist.reduce_stat(stat_l)
             if num_batches > 1:
-                stat_l = clp.collect_matched_stats(
-                    vec,
-                    groups_l,
-                    s_l,
-                    batches,
-                    num_batches,
-                    proj_kn.T.copy(),
-                    knn=args.knn_cells,
-                    stat=stat_l,
-                )
+                if dist is None:
+                    stat_l = clp.collect_matched_stats(
+                        vec,
+                        groups_l,
+                        s_l,
+                        batches,
+                        num_batches,
+                        proj_kn.T.copy(),
+                        knn=args.knn_cells,
+                        stat=stat_l,
+                    )
+                else:
+                    # local queries only (partners read globally); the
+                    # partial imputed/residual planes sum across hosts
+                    # onto the already-reduced basic stats
+                    part = clp.collect_matched_stats(
+                        vec,
+                        groups_l,
+                        s_l,
+                        batches,
+                        num_batches,
+                        proj_kn.T.copy(),
+                        knn=args.knn_cells,
+                        query_range=(lb, ub),
+                    )
+                    imputed, residual = dist.reduce_sums(
+                        part.imputed_sum_ds, part.residual_sum_ds
+                    )
+                    stat_l.imputed_sum_ds += imputed
+                    stat_l.residual_sum_ds += residual
             stats_fine = stat_l
         else:
             f2c = level_maps[li]
@@ -458,6 +523,20 @@ def fit_topic_model(args: TopicArgs) -> dict:
     n = vec.num_columns
     log.info("topic fit: D=%d genes, N=%d cells", d, n)
 
+    # multi-process execution (SURVEY.md section 2.7): live whenever
+    # `jax.distributed` initialized (cli/main.py via LEGUME_COORDINATOR
+    # / LEGUME_DISTRIBUTED). Streaming passes split by cell range;
+    # file outputs write once, from process 0.
+    from ..parallel.multihost import DistContext
+
+    dist = DistContext.detect()
+    primary = dist is None or dist.primary
+    if dist is not None:
+        log.info(
+            "topic fit distributed over %d processes (this is %d)",
+            dist.process_count, dist.process_index,
+        )
+
     if args.preload_data:
         # hidden --preload-data (cmd.rs): one in-memory CSC for all
         # columns so the streaming passes skip backend decode
@@ -480,28 +559,44 @@ def fit_topic_model(args: TopicArgs) -> dict:
     # cell QC keep mask before any other stage (qc_lib.rs:297 via
     # load_and_project; kept cells drive the whole pipeline + outputs)
     if args.qc:
-        from ..data.qc import compute_cell_qc
+        from ..data.qc import CellQcStats, compute_cell_qc
 
-        qc_stats = compute_cell_qc(vec, block_size=args.block_size)
+        if dist is None:
+            qc_stats = compute_cell_qc(vec, block_size=args.block_size)
+        else:
+            # per-shard scan; the per-cell fields allgather so every
+            # host applies the identical (global-MAD) keep mask
+            qb = dist.column_bounds(vec)
+            qc_local = compute_cell_qc(
+                dist.local_view(vec, qb), block_size=args.block_size
+            )
+            qc_stats = CellQcStats(
+                total=dist.allgather_rows(qc_local.total, qb),
+                n_genes=dist.allgather_rows(qc_local.n_genes, qb),
+                mito_frac=dist.allgather_rows(qc_local.mito_frac, qb),
+            )
         keep = qc_stats.keep_mask(
             min_total=args.qc_min_total,
             min_genes=args.qc_min_genes,
             max_mito_frac=args.qc_max_mito_frac,
         )
-        pd.DataFrame(
-            {
-                "cell": vec.column_names(),
-                "total": qc_stats.total,
-                "n_genes": qc_stats.n_genes,
-                "mito_frac": qc_stats.mito_frac,
-                "keep": keep,
-            }
-        ).to_parquet(f"{args.out}.qc.parquet")
+        if primary:
+            pd.DataFrame(
+                {
+                    "cell": vec.column_names(),
+                    "total": qc_stats.total,
+                    "n_genes": qc_stats.n_genes,
+                    "mito_frac": qc_stats.mito_frac,
+                    "keep": keep,
+                }
+            ).to_parquet(f"{args.out}.qc.parquet")
         log.info("qc: keeping %d/%d cells", int(keep.sum()), n)
         vec = vec.subset_columns(keep)
         n = vec.num_columns
 
-    levels = load_and_collapse(vec, args, partition=partition, timings=timings)
+    levels = load_and_collapse(
+        vec, args, partition=partition, timings=timings, dist=dist
+    )
     key = jax.random.key(args.seed & 0x7FFFFFFF)
     key, *level_keys = jax.random.split(key, 1 + len(levels.collapsed))
     level_data = [
@@ -563,7 +658,18 @@ def fit_topic_model(args: TopicArgs) -> dict:
     if args.gene_weighting == "nb-fisher":
         from ..ops.gene_stats import nb_fisher_weights
 
-        fw_full = nb_fisher_weights(vec, block_size=args.block_size)
+        fw_stats = None
+        if dist is not None:
+            from ..ops.gene_stats import reduce_gene_stats, streaming_gene_stats
+
+            fb = dist.column_bounds(vec)
+            fw_stats = reduce_gene_stats(
+                streaming_gene_stats(
+                    dist.local_view(vec, fb), block_size=args.block_size
+                ),
+                dist.reduce_sums,
+            )
+        fw_full = nb_fisher_weights(vec, block_size=args.block_size, stats=fw_stats)
         for i, fc in enumerate(coarsenings):
             if fc is None:
                 feature_weights[i] = fw_full
@@ -625,7 +731,11 @@ def fit_topic_model(args: TopicArgs) -> dict:
         seed=args.seed & 0x7FFFFFFF,
     )
     mesh = None
-    if args.data_parallel and jax.device_count() > 1:
+    if (args.data_parallel or dist is not None) and jax.device_count() > 1:
+        # under jax.distributed the mesh spans every process's devices:
+        # the SGD rows dp-shard globally and XLA's grad psums ride the
+        # inter-host links (the trainer's device_put accepts the
+        # replicated host arrays from each process)
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
@@ -676,6 +786,12 @@ def fit_topic_model(args: TopicArgs) -> dict:
 
     timings["train_s"] = round(_time.time() - _t_train, 2)
 
+    if dist is not None:
+        # the trained params are fully replicated over the global mesh;
+        # pull them to host numpy so the downstream eval jits stay
+        # process-local (each host encodes DIFFERENT cell shards)
+        variables = jax.tree.map(lambda x: np.asarray(x), variables)
+
     # ---- outputs -------------------------------------------------------
     finest = levels.collapsed[0]
     cell_names = vec.column_names()
@@ -693,10 +809,11 @@ def fit_topic_model(args: TopicArgs) -> dict:
         return coarsenings[0].expand_log_dict_dk(ld) if coarsenings[0] is not None else ld
 
     log_beta = _full_log_dict(finest_decs[0], finest_dec_params[0])
-    pd.DataFrame(
-        log_beta, index=gene_names, columns=[f"topic{k}" for k in range(args.n_latent_topics)]
-    ).reset_index(names="gene").to_parquet(f"{args.out}.dictionary.parquet")
-    if multi_decoder:
+    if primary:
+        pd.DataFrame(
+            log_beta, index=gene_names, columns=[f"topic{k}" for k in range(args.n_latent_topics)]
+        ).reset_index(names="gene").to_parquet(f"{args.out}.dictionary.parquet")
+    if multi_decoder and primary:
         # per-family dictionaries: {out}.{name}.dictionary.parquet
         # (cmd.rs:79-80 "With --decoder a,b,c")
         for nm, dc, pr in zip(decoder_names, finest_decs, finest_dec_params):
@@ -712,12 +829,7 @@ def fit_topic_model(args: TopicArgs) -> dict:
     # plane by --adj-method, optional amortization refinement against
     # the frozen full-D dictionary
     _t_eval = _time.time()
-    z = evaluate_latent_by_encoder(
-        vec,
-        trainer,
-        variables,
-        finest,
-        levels.groups_per_level[0],
+    eval_kwargs = dict(
         block_size=args.minibatch_size * 8,
         adj_method=args.adj_method,
         refine_log_dict=log_beta if args.amort_refine_steps > 0 else None,
@@ -725,22 +837,40 @@ def fit_topic_model(args: TopicArgs) -> dict:
         refine_lr=args.amort_refine_lr,
         refine_reg=args.amort_refine_reg,
     )
+    if dist is None:
+        z = evaluate_latent_by_encoder(
+            vec, trainer, variables, finest, levels.groups_per_level[0],
+            **eval_kwargs,
+        )
+    else:
+        # each process encodes only its own cell range; the per-cell
+        # latents allgather so the outputs (and the returned z) match
+        # the single-process run exactly
+        eb = dist.column_bounds(vec)
+        elb, eub = dist.local_range(eb)
+        z_local = evaluate_latent_by_encoder(
+            dist.local_view(vec, eb), trainer, variables, finest,
+            levels.groups_per_level[0][elb:eub], **eval_kwargs,
+        )
+        z = dist.allgather_rows(z_local, eb)
     timings["cell_eval_s"] = round(_time.time() - _t_eval, 2)
-    pd.DataFrame(
-        z, index=cell_names, columns=[f"topic{k}" for k in range(args.n_latent_topics)]
-    ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
+    if primary:
+        pd.DataFrame(
+            z, index=cell_names, columns=[f"topic{k}" for k in range(args.n_latent_topics)]
+        ).reset_index(names="cell").to_parquet(f"{args.out}.latent.parquet")
 
     # pseudobulk latent (finest level)
     pb_input = level_data[0].input
     pb_null = level_data[0].input_null
     pb_log_z = trainer.encode(variables, pb_input, pb_null)
-    pd.DataFrame(
-        np.exp(pb_log_z), columns=[f"topic{k}" for k in range(args.n_latent_topics)]
-    ).to_parquet(f"{args.out}.pb_latent.parquet")
+    if primary:
+        pd.DataFrame(
+            np.exp(pb_log_z), columns=[f"topic{k}" for k in range(args.n_latent_topics)]
+        ).to_parquet(f"{args.out}.pb_latent.parquet")
 
     # per-batch effects (cmd.rs:70 {out}.delta.parquet): posterior-mean
     # delta [D, B] from the finest collapse when batch correction ran
-    if finest.delta is not None:
+    if finest.delta is not None and primary:
         pd.DataFrame(
             np.asarray(finest.delta.mean()),
             index=gene_names,
@@ -752,7 +882,7 @@ def fit_topic_model(args: TopicArgs) -> dict:
     multi_family = len(decoder_names) > 1
     for nm, dc, pr in zip(
         decoder_names, finest_decs, finest_dec_params
-    ):
+    ) if primary else ():
         # with several decoder families, suffix artifacts by family so
         # the last family doesn't silently overwrite the others
         tag = f".{nm}" if multi_family else ""
@@ -788,13 +918,14 @@ def fit_topic_model(args: TopicArgs) -> dict:
             ).to_parquet(f"{args.out}{tag}.rho.parquet")
 
     # traces
-    pd.DataFrame({"epoch": np.arange(len(scores.llik)), "llik": scores.llik, "kl": scores.kl}).to_parquet(
-        f"{args.out}.log_likelihood.parquet"
-    )
+    if primary:
+        pd.DataFrame({"epoch": np.arange(len(scores.llik)), "llik": scores.llik, "kl": scores.kl}).to_parquet(
+            f"{args.out}.log_likelihood.parquet"
+        )
 
     # CNV side-channel (cmd.rs:536-556): per-pseudobulk copy-number
     # states from the adjusted means vs their cross-pb shared profile
-    if args.cnv:
+    if args.cnv and primary:
         from ..cocoa.cnv_call import call_cnv_on_residuals
 
         # adjusted means when batch correction ran, observed otherwise
@@ -814,15 +945,17 @@ def fit_topic_model(args: TopicArgs) -> dict:
         ).to_parquet(f"{args.out}.cnv.parquet")
         log.info("cnv side-channel: %d pbs x %d bins", n_pb, n_bins)
 
-    save_model(args.out, variables, args, d, gene_names)
+    if primary:
+        save_model(args.out, variables, args, d, gene_names)
 
     # cell->pb partition for `--from` reuse (topic/common.rs:404-419)
     part_path = f"{args.out}.partition.npz"
-    np.savez(
-        part_path,
-        fine_groups=levels.groups_per_level[0].astype(np.int32),
-        **{f"map{i:02d}": m.astype(np.int32) for i, m in enumerate(levels.level_maps)},
-    )
+    if primary:
+        np.savez(
+            part_path,
+            fine_groups=levels.groups_per_level[0].astype(np.int32),
+            **{f"map{i:02d}": m.astype(np.int32) for i, m in enumerate(levels.level_maps)},
+        )
 
     from ..utils.manifest import ArtifactScale
 
@@ -856,7 +989,8 @@ def fit_topic_model(args: TopicArgs) -> dict:
     manifest.record_artifact(
         "partition", part_path, "cell_pb_partition", ArtifactScale.SIGNED
     )
-    manifest.save(args.out)
+    if primary:
+        manifest.save(args.out)
 
     return {
         "scores": scores,
