@@ -173,7 +173,7 @@ def run_senna(argv):
     p.add_argument("--from", dest="from_run", default=None,
                    help="prefix of a prior run: inputs resolve from its manifest")
     p.add_argument("--out", required=True)
-    p.add_argument("--method", choices=["umap", "tumap", "tsne", "phate"],
+    p.add_argument("--method", choices=["umap", "tumap", "tsne", "phate", "tree"],
                    default="umap")
     p.add_argument("--n-neighbors", type=int, default=15)
     p.add_argument("--epochs", type=int, default=200)
@@ -181,6 +181,11 @@ def run_senna(argv):
     p.add_argument("--pcs", type=int, default=0,
                    help="umap/tumap: run the kNN graph + SGD init on this "
                         "many PC scores (leading mean axis dropped); 0 = raw")
+    p.add_argument("--tree-jitter", type=float, default=0.08,
+                   help="tree method: per-cell perpendicular jitter as a "
+                        "fraction of edge length (0 = cells stack on the "
+                        "line; fit_layout_tree.rs tree_jitter)")
+    p.add_argument("--tree-jitter-seed", type=int, default=42)
 
     p = sub.add_parser("pseudotime", help="principal-graph pseudotime")
     p.add_argument("--latent", default=None)
@@ -651,8 +656,12 @@ def run_senna(argv):
             and "dictionary" in prev.outputs
         ):
             args.dictionary = prev.outputs["dictionary"]
-    if args.cmd in ("clustering", "layout", "pseudotime", "plot-topic") and not getattr(
-        args, "latent", None
+    if (
+        args.cmd in ("clustering", "layout", "pseudotime", "plot-topic")
+        and not getattr(args, "latent", None)
+        # layout tree resolves its latent from the PSEUDOTIME manifest's
+        # inputs (the pt run records no outputs.latent of its own)
+        and not (args.cmd == "layout" and args.method == "tree" and args.from_run)
     ):
         raise SystemExit(f"{args.cmd}: provide --latent or --from <run prefix>")
 
@@ -1754,6 +1763,81 @@ def run_senna(argv):
         print(f"wrote {args.out}.annotation.parquet")
         return
 
+    if args.cmd == "layout" and args.method == "tree":
+        # Reingold-Tilford tree layout from a pseudotime run's principal
+        # graph (`senna layout tree`, fit_layout_tree.rs:55): y is
+        # geodesic pseudotime, x is sibling order; cells lerp along
+        # their projected edge with perpendicular jitter.
+        import pandas as pd
+
+        from ..ops.principal_graph import (
+            place_cells_on_tree,
+            project_cells_to_edges,
+            reingold_tilford_layout,
+        )
+        from ..utils.manifest import ArtifactScale, RunManifest
+
+        if not args.from_run:
+            raise SystemExit(
+                "layout tree: provide --from <pseudotime run prefix> "
+                "(run `senna pseudotime` first)"
+            )
+        src_path = (
+            args.from_run if args.from_run.endswith(".json")
+            else args.from_run + ".senna.json"
+        )
+        manifest = RunManifest.load(src_path)
+        nodes_p = manifest.outputs.get("pt_nodes_latent")
+        edges_p = manifest.outputs.get("pt_edges")
+        root = manifest.params.get("root_node")
+        if nodes_p is None or edges_p is None or root is None:
+            raise SystemExit(
+                f"layout tree: {src_path} has no principal-graph entries — "
+                "re-run `senna pseudotime` (a --velocity lineage run has "
+                "no tree to lay out)"
+            )
+        latent_p = args.latent or manifest.inputs.get("latent")
+        df = pd.read_parquet(latent_p)
+        z = df.iloc[:, 1:].to_numpy("float32")
+        if ArtifactScale.detect(z, axis=1) == ArtifactScale.LOG_SIMPLEX_COLUMNS:
+            z = np.exp(z)
+        nodes = pd.read_parquet(nodes_p).iloc[:, 1:].to_numpy("float32")
+        edf = pd.read_parquet(edges_p)
+        edges = edf[["from", "to"]].to_numpy(np.int64)
+        weights = edf["weight"].to_numpy(np.float32)
+
+        node_xy = reingold_tilford_layout(nodes, edges, weights, int(root))
+        n_finite = int(np.isfinite(node_xy).all(1).sum())
+        if n_finite == 0:
+            raise SystemExit(
+                "layout tree: no finite nodes — the principal graph is "
+                "disconnected from the root"
+            )
+        print(f"tree layout: {n_finite} reachable nodes, root = node {root}")
+        e_star, t_star = project_cells_to_edges(z, nodes, edges)
+        cell_xy = place_cells_on_tree(
+            edges, node_xy, e_star, t_star,
+            jitter_frac=args.tree_jitter, seed=args.tree_jitter_seed,
+        )
+
+        cc_path = f"{args.out}.tree_layout.cell_coords.parquet"
+        pd.DataFrame(
+            {"cell": df.iloc[:, 0], "x": cell_xy[:, 0], "y": cell_xy[:, 1]}
+        ).to_parquet(cc_path)
+        n2_path = f"{args.out}.tree_layout.nodes_2d.parquet"
+        pd.DataFrame(
+            {
+                "node": [f"node_{i}" for i in range(len(node_xy))],
+                "x": node_xy[:, 0],
+                "y": node_xy[:, 1],
+            }
+        ).to_parquet(n2_path)
+        manifest.outputs["tree_cell_coords"] = cc_path
+        manifest.outputs["tree_nodes_2d"] = n2_path
+        manifest.save(_manifest_prefix(src_path))
+        print(f"wrote {cc_path}")
+        return
+
     if args.cmd == "layout":
         import pandas as pd
 
@@ -1849,7 +1933,35 @@ def run_senna(argv):
                     "node": pg.cell_to_node,
                 }
             )
+            # persist the principal graph for `senna layout tree`
+            # (run_manifest.rs pseudotime.{nodes_latent, edges,
+            # root_node}; fit_layout_tree.rs reads them back)
+            from ..ops.principal_graph import edge_list_from_adjacency
+
+            e_ft, e_w = edge_list_from_adjacency(pg.nodes, pg.edges)
+            pd.DataFrame(
+                pg.nodes,
+                columns=[f"dim{i}" for i in range(pg.nodes.shape[1])],
+            ).reset_index(names="node").to_parquet(
+                f"{args.out}.nodes_latent.parquet"
+            )
+            pd.DataFrame(
+                {"from": e_ft[:, 0], "to": e_ft[:, 1], "weight": e_w}
+            ).to_parquet(f"{args.out}.edges.parquet")
+        from ..utils.manifest import RunManifest as _RM
+
         out_df.to_parquet(f"{args.out}.pseudotime.parquet")
+        manifest = _RM(
+            command="pseudotime",
+            inputs={"latent": args.latent},
+            outputs={"pseudotime": f"{args.out}.pseudotime.parquet"},
+            params={"n_nodes": args.n_nodes},
+        )
+        if args.velocity is None:
+            manifest.outputs["pt_nodes_latent"] = f"{args.out}.nodes_latent.parquet"
+            manifest.outputs["pt_edges"] = f"{args.out}.edges.parquet"
+            manifest.params["root_node"] = int(pg.root)
+        manifest.save(args.out)
         print(f"wrote {args.out}.pseudotime.parquet")
         return
     if args.cmd == "plot-topic":

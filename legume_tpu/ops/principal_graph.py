@@ -30,6 +30,7 @@ class PrincipalGraph:
     cell_to_node: np.ndarray  # [N]
     pseudotime: np.ndarray  # [N]
     branch: np.ndarray  # [N] branch labels
+    root: int = 0  # tree root node id (layout tree re-roots from this)
 
 
 @jax.jit
@@ -132,4 +133,148 @@ def pseudotime(
         cell_to_node=cell_to_node,
         pseudotime=(pt / max(pt.max(), 1e-12)).astype(np.float32),
         branch=branch,
+        root=int(root),
     )
+
+
+# ----------------------------------------------------------------------------
+# Reingold-Tilford tree layout (`senna layout tree`; tree_layout.rs)
+# ----------------------------------------------------------------------------
+
+
+def edge_list_from_adjacency(
+    nodes: np.ndarray, adj: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Upper-triangle (from, to) pairs [E, 2] + Euclidean weights [E]."""
+    a, b = np.nonzero(np.triu(np.asarray(adj) > 0, 1))
+    w = np.sqrt(((nodes[a] - nodes[b]) ** 2).sum(-1)).astype(np.float32)
+    return np.stack([a, b], axis=1).astype(np.int64), w
+
+
+def project_cells_to_edges(
+    x: np.ndarray, nodes: np.ndarray, edges: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest point on any tree edge per cell: `(nearest_edge [N],
+    t [N])` with t in [0, 1] along edges[e] = (j, k)
+    (principal_graph.rs `project_cells_to_graph`). Dense [N, E]
+    device math — E is tens of segments."""
+    x = jnp.asarray(x, jnp.float32)
+    p0 = jnp.asarray(nodes[edges[:, 0]], jnp.float32)  # [E, d]
+    p1 = jnp.asarray(nodes[edges[:, 1]], jnp.float32)
+    seg = p1 - p0  # [E, d]
+    len2 = jnp.maximum((seg * seg).sum(-1), 1e-12)  # [E]
+    # t*[n, e] = clip(<x_n - p0_e, seg_e> / |seg_e|^2)
+    t = jnp.clip(
+        (x @ seg.T - (p0 * seg).sum(-1)[None, :]) / len2[None, :], 0.0, 1.0
+    )  # [N, E]
+    proj = p0[None, :, :] + t[:, :, None] * seg[None, :, :]  # [N, E, d]
+    d2 = ((x[:, None, :] - proj) ** 2).sum(-1)  # [N, E]
+    e_star = jnp.argmin(d2, axis=1)
+    t_star = jnp.take_along_axis(t, e_star[:, None], axis=1)[:, 0]
+    return np.asarray(e_star), np.asarray(t_star)
+
+
+def reingold_tilford_layout(
+    nodes: np.ndarray,
+    edges: np.ndarray,
+    weights: np.ndarray,
+    root: int,
+) -> np.ndarray:
+    """[K, 2] node positions: y = geodesic pseudotime from the root
+    along tree edges, x = Reingold-Tilford placement (post-order leaf
+    slots; internal nodes at their children's mean). NaN for nodes
+    unreachable from the root (tree_layout.rs:38-77)."""
+    k = nodes.shape[0]
+    xy = np.full((k, 2), np.nan, np.float32)
+    if k == 0:
+        return xy
+    adj: list[list[int]] = [[] for _ in range(k)]
+    for (a, b) in np.asarray(edges):
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+
+    # BFS-rooted orientation; children in sorted id order (:56-60)
+    from collections import deque
+
+    parent = np.full(k, -1, np.int64)
+    seen = np.zeros(k, bool)
+    seen[root] = True
+    order = []
+    q = deque([int(root)])
+    while q:
+        u = q.popleft()
+        order.append(u)
+        for v in adj[u]:
+            if not seen[v]:
+                seen[v] = True
+                parent[v] = u
+                q.append(v)
+    children: list[list[int]] = [[] for _ in range(k)]
+    for v in order:
+        if v != root and parent[v] >= 0:
+            children[parent[v]].append(v)
+    for c in children:
+        c.sort()
+
+    # post-order x: iterative (a deep unbranched tree would blow the
+    # recursion limit the reference's rt_recurse tolerates)
+    x = np.full(k, np.nan, np.float32)
+    next_leaf = 0.0
+    stack: list[tuple[int, bool]] = [(int(root), False)]
+    while stack:
+        node, expanded = stack.pop()
+        kids = children[node]
+        if not kids:
+            x[node] = next_leaf
+            next_leaf += 1.0
+            continue
+        if expanded:
+            x[node] = np.mean([x[c] for c in kids])
+        else:
+            stack.append((node, True))
+            stack.extend((c, False) for c in reversed(kids))
+
+    # y: geodesic distance over edge weights
+    w = sp.csr_matrix(
+        (
+            np.concatenate([weights, weights]).astype(np.float64),
+            (
+                np.concatenate([edges[:, 0], edges[:, 1]]),
+                np.concatenate([edges[:, 1], edges[:, 0]]),
+            ),
+        ),
+        shape=(k, k),
+    )
+    y = shortest_path(w, indices=int(root))
+    ok = np.isfinite(x) & np.isfinite(y)
+    xy[ok, 0] = x[ok]
+    xy[ok, 1] = y[ok].astype(np.float32)
+    return xy
+
+
+def place_cells_on_tree(
+    edges: np.ndarray,
+    node_xy: np.ndarray,
+    nearest_edge: np.ndarray,
+    t: np.ndarray,
+    *,
+    jitter_frac: float = 0.08,
+    seed: int = 42,
+) -> np.ndarray:
+    """[N, 2] cell positions: lerp along the assigned edge's 2D layout
+    plus perpendicular Gaussian jitter scaled by edge length
+    (tree_layout.rs:126-173). Cells on root-unreachable edges are NaN."""
+    e = np.asarray(edges)[np.asarray(nearest_edge)]
+    p0 = node_xy[e[:, 0]]  # [N, 2]
+    p1 = node_xy[e[:, 1]]
+    tt = np.clip(np.asarray(t, np.float32), 0.0, 1.0)[:, None]
+    pos = p0 + tt * (p1 - p0)
+    frac = float(np.clip(jitter_frac, 0.0, 0.5))
+    if frac > 0.0:
+        seg = p1 - p0
+        length = np.sqrt((seg**2).sum(-1, keepdims=True))
+        perp = np.stack([-seg[:, 1], seg[:, 0]], axis=1) / np.maximum(length, 1e-8)
+        rng = np.random.default_rng(seed)
+        s = rng.normal(0.0, 1.0, (len(pos), 1)).astype(np.float32) * frac * length
+        pos = np.where(length > 1e-8, pos + perp * s, pos)
+    return pos.astype(np.float32)
