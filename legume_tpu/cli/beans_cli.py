@@ -98,9 +98,16 @@ def run_beans(argv):
     p.add_argument("backend")
     p.add_argument("--rows", required=True, help="file: one row name per line")
     p.add_argument("--output", required=True)
-    p = sub.add_parser("convert", help="convert backend format (zarr <-> h5)")
+    p = sub.add_parser(
+        "convert",
+        help="convert backend format (zarr <-> h5 <-> zarr.zip)",
+    )
     p.add_argument("backend")
-    p.add_argument("--output", required=True, help=".zarr dir or .h5 file")
+    p.add_argument("--output", required=True,
+                   help=".zarr dir, .zarr.zip archive, or .h5 file")
+    p.add_argument("--zip", action="store_true",
+                   help="archive a zarr target as {output}.zarr.zip "
+                        "(main.rs convert --no-zip inverse; ignored for h5)")
     p = sub.add_parser(
         "tile-cache", help="prebucket Pallas SpMM tiles next to the backend"
     )
@@ -457,5 +464,10 @@ def run_beans(argv):
     elif args.cmd == "convert":
         from ..data.builders import convert_backend
 
-        be = convert_backend(args.backend, args.output)
-        print(f"wrote backend: {args.output} (nnz {be.num_nonzeros})")
+        out = args.output
+        if args.zip and not out.endswith((".h5", ".hdf5", ".zarr.zip")):
+            # apply_zip_flag semantics (zarr_io.rs:100): zarr-ify the
+            # bare/.zarr name; an hdf5 target is left untouched
+            out = (out[:-5] if out.endswith(".zarr") else out) + ".zarr.zip"
+        be = convert_backend(args.backend, out)
+        print(f"wrote backend: {out} (nnz {be.num_nonzeros})")

@@ -963,15 +963,25 @@ def convert_backend(
     zarr <-> h5): format picked from the output extension. Zarr targets
     stream column slabs through StreamingCscWriter (bounded memory);
     h5 targets assemble in memory."""
-    from .sparse_io import StreamingCscWriter, _backend_kind
+    from .sparse_io import StreamingCscWriter, _backend_kind, finalize_zarr_zip
 
     be = open_sparse_matrix(backend_path)
-    if _backend_kind(str(output)) == "h5":
+    output = str(output)
+    if _backend_kind(output) == "h5":
         csc = be.read_columns_csc(np.arange(be.num_columns))
         return create_sparse_from_csc(
             csc, output, be.row_names(), be.column_names()
         )
-    w = StreamingCscWriter(output, be.num_rows, row_names=be.row_names())
+    # `.zarr.zip` targets stream into a working directory and archive
+    # it afterwards (zarr_io.rs prepare_output/finalize_output)
+    is_zip = output.endswith(".zarr.zip")
+    work = output + ".working" if is_zip else output
+    w = StreamingCscWriter(work, be.num_rows, row_names=be.row_names())
     for lb, ub in be.column_block_sizes(block_size):
         w.append(be.read_column_range_csc(lb, ub))
-    return w.finalize(column_names=be.column_names())
+    out_be = w.finalize(column_names=be.column_names())
+    if is_zip:
+        del out_be
+        finalize_zarr_zip(work, output)
+        return open_sparse_matrix(output)
+    return out_be

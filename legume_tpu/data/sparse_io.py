@@ -498,6 +498,14 @@ def create_sparse_from_csc(
     column_names: Sequence[str] | None = None,
 ) -> SparseBackend:
     path = str(path)
+    if path.endswith(".zarr.zip"):
+        # write into a sibling working directory, then archive it
+        # (the reference's prepare_output/finalize_output pair,
+        # zarr_io.rs:120-151)
+        work = path + ".working"
+        create_sparse_from_csc(csc, work, row_names, column_names)
+        finalize_zarr_zip(work, path)
+        return open_sparse_matrix(path)
     kind = _backend_kind(path)
     backend: _CompressedFileBackend
     if kind == "h5":
@@ -689,6 +697,31 @@ def open_sparse_matrix(path: str | os.PathLike) -> SparseBackend:
     if _backend_kind(path) == "h5":
         return H5Backend(path)
     return ZarrBackend(path)
+
+
+def finalize_zarr_zip(working_dir: str, zip_path: str) -> str:
+    """Archive a working `.zarr` directory as a `.zarr.zip` store
+    (zarr_io.rs:139 `finalize_zarr_output`). Entries live under a
+    `<stem>/` prefix — `foo.zarr.zip` nests `foo.zarr/...` — matching
+    the layout `detect_zip_zarr_prefix` (zarr_io.rs:30) probes first,
+    so archives round-trip with the reference engine. Chunk payloads
+    are STORED, not deflated: they're already codec-compressed, and a
+    stored entry keeps random-access reads (the zip-store adapter's
+    whole point) cheap."""
+    import shutil
+    import zipfile
+
+    working = Path(working_dir)
+    stem = Path(zip_path).name
+    stem = stem[: -len(".zip")] if stem.endswith(".zip") else stem
+    if Path(zip_path).exists():
+        Path(zip_path).unlink()
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for p in sorted(working.rglob("*")):
+            if p.is_file():
+                zf.write(p, f"{stem}/{p.relative_to(working)}")
+    shutil.rmtree(working)
+    return zip_path
 
 
 def _extract_zarr_zip(path: str) -> str:

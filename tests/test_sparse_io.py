@@ -205,3 +205,56 @@ def test_open_zarr_zip_archive(tmp_path):
     # second open reuses the extraction (marker newer than archive)
     be2 = open_sparse_matrix(str(zpath))
     assert be2.num_nonzeros == be.num_nonzeros
+
+
+def test_zarr_zip_writes(tmp_path):
+    """First-class `.zarr.zip` WRITES (zarr_io.rs:139
+    finalize_zarr_output): create_sparse_from_csc and `data-beans
+    convert --zip` both produce archives with the reference's
+    `<stem>/` entry prefix, round-tripping through open_sparse_matrix."""
+    import zipfile
+
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import create_sparse_from_csc, open_sparse_matrix
+
+    rng = np.random.default_rng(3)
+    csc = sp.random(12, 30, 0.4, format="csc", random_state=2, dtype=np.float32)
+    zpath = tmp_path / "w.zarr.zip"
+    be = create_sparse_from_csc(
+        csc, str(zpath), [f"g{i}" for i in range(12)], [f"c{j}" for j in range(30)]
+    )
+    assert zpath.exists() and not (tmp_path / "w.zarr.zip.working").exists()
+    # entries nest under the stem prefix the reference probes first
+    with zipfile.ZipFile(zpath) as zf:
+        names = zf.namelist()
+    assert all(n.startswith("w.zarr/") for n in names), names[:5]
+    np.testing.assert_allclose(
+        np.asarray(be.read_columns_csc(np.arange(30)).todense()),
+        csc.toarray(), rtol=1e-6,
+    )
+
+    # CLI: convert a directory store to an archive via --zip
+    from legume_tpu.cli import main as cli
+
+    zdir = tmp_path / "d.zarr"
+    create_sparse_from_csc(csc, str(zdir), [f"g{i}" for i in range(12)],
+                           [f"c{j}" for j in range(30)])
+    out = tmp_path / "conv.zarr"
+    cli.run_beans(["convert", str(zdir), "--output", str(out), "--zip"])
+    arch = tmp_path / "conv.zarr.zip"
+    assert arch.exists()
+    be2 = open_sparse_matrix(str(arch))
+    np.testing.assert_allclose(
+        np.asarray(be2.read_columns_csc(np.arange(30)).todense()),
+        csc.toarray(), rtol=1e-6,
+    )
+    assert be2.row_names() == [f"g{i}" for i in range(12)]
+    # and back: archive -> h5
+    h5 = tmp_path / "back.h5"
+    cli.run_beans(["convert", str(arch), "--output", str(h5)])
+    be3 = open_sparse_matrix(str(h5))
+    np.testing.assert_allclose(
+        np.asarray(be3.read_columns_csc(np.arange(30)).todense()),
+        csc.toarray(), rtol=1e-6,
+    )
