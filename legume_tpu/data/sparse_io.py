@@ -86,6 +86,45 @@ def _zarr3_open(path: str, key: str):
     return ts.open(_zarr3_spec(path, key)).result()
 
 
+def write_zarr_group_metadata(
+    path: str, attributes: dict | None = None, *, key: str = ""
+):
+    """Zarr v3 GROUP metadata (`zarr.json`) at `path/key`. The
+    reference's opener reads the matrix shape from ROOT-GROUP
+    attributes — `Group::open(store, "/")` then `attributes()["nrow"]`
+    etc. (`sparse_backend/zarr.rs:500-524`) — and bails without them,
+    so every store we write carries them (`initialize_backend` +
+    `record_mtx_shape`, zarr.rs:611-650)."""
+    doc: dict = {"zarr_format": 3, "node_type": "group"}
+    if attributes:
+        doc["attributes"] = attributes
+    target = Path(path) / key.lstrip("/") / "zarr.json" if key else Path(path) / "zarr.json"
+    target.parent.mkdir(parents=True, exist_ok=True)
+    target.write_text(json.dumps(doc, indent=1))
+
+
+def read_zarr_group_attributes(path: str, key: str = "") -> dict | None:
+    target = Path(path) / key.lstrip("/") / "zarr.json" if key else Path(path) / "zarr.json"
+    if not target.exists():
+        return None
+    try:
+        doc = json.loads(target.read_text())
+    except Exception:
+        return None
+    if doc.get("node_type") != "group":
+        return None
+    return doc.get("attributes", {})
+
+
+def _write_zarr_shape_metadata(path: str, d: int, n: int, nnz: int):
+    """Root + subgroup group nodes with the reference's shape attrs."""
+    write_zarr_group_metadata(
+        path, {"nrow": int(d), "ncol": int(n), "nnz": int(nnz)}
+    )
+    write_zarr_group_metadata(path, key="by_column")
+    write_zarr_group_metadata(path, key="by_row")
+
+
 def _names_path(path: str, key: str) -> Path:
     return Path(path) / f"{key}.names.txt"
 
@@ -265,18 +304,32 @@ class _CompressedFileBackend(SparseBackend):
         self._write_array("by_row/data", csr.data.astype(np.float32), "float32")
         self._write_array("by_row/indices", csr.indices.astype(np.uint64), "uint64")
         self._write_array("by_row/indptr", csr.indptr.astype(np.uint64), "uint64")
+        self._write_shape_metadata(d, n, int(csc.nnz))
         self._shape = (d, n, int(csc.nnz))
         self._col_indptr = csc.indptr.astype(np.int64)
         self._row_indptr = csr.indptr.astype(np.int64)
+
+    def _write_shape_metadata(self, d: int, n: int, nnz: int):
+        """Format-specific shape bookkeeping beyond the size arrays
+        (zarr: the reference's ROOT-GROUP attributes)."""
+
+    def _read_shape_metadata(self) -> tuple[int, int, int] | None:
+        return None
 
     # -- reading ----------------------------------------------------------
 
     def _load_shape(self):
         if self._shape is None:
-            d = int(self._read_array("nrow")[0])
-            n = int(self._read_array("ncol")[0])
-            z = int(self._read_array("nnz")[0])
-            self._shape = (d, n, z)
+            # root-group attributes first (the ONLY place a store
+            # written by the reference engine records its shape,
+            # zarr.rs:611-650); our own stores also carry size arrays
+            shape = self._read_shape_metadata()
+            if shape is None:
+                d = int(self._read_array("nrow")[0])
+                n = int(self._read_array("ncol")[0])
+                z = int(self._read_array("nnz")[0])
+                shape = (d, n, z)
+            self._shape = shape
         return self._shape
 
     @property
@@ -415,6 +468,15 @@ class ZarrBackend(_CompressedFileBackend):
 
         write_string_array(self.path, key, [str(n) for n in names])
         _write_names(self.path, key, names)
+
+    def _write_shape_metadata(self, d, n, nnz):
+        _write_zarr_shape_metadata(self.path, d, n, nnz)
+
+    def _read_shape_metadata(self):
+        attrs = read_zarr_group_attributes(self.path)
+        if attrs and all(k in attrs for k in ("nrow", "ncol", "nnz")):
+            return (int(attrs["nrow"]), int(attrs["ncol"]), int(attrs["nnz"]))
+        return None
 
 
 class H5Backend(_CompressedFileBackend):
@@ -595,6 +657,7 @@ class StreamingCscWriter:
         _zarr3_write(self.path, "nrow", np.asarray([self.n_rows], np.uint64), "uint64")
         _zarr3_write(self.path, "ncol", np.asarray([self._n_cols], np.uint64), "uint64")
         _zarr3_write(self.path, "nnz", np.asarray([self._nnz], np.uint64), "uint64")
+        _write_zarr_shape_metadata(self.path, self.n_rows, self._n_cols, self._nnz)
 
         # ---- by_column: one sequential pass over the slabs ---------------
         data_st = self._create("by_column/data", self._nnz, "float32")
@@ -741,9 +804,16 @@ def _extract_zarr_zip(path: str) -> str:
             zf.extractall(dest)
         marker.touch()
     # archives may nest the store under a single top-level dir; the
-    # store root is recognizable by its "nrow" array
-    if not (dest / "nrow").exists():
+    # store root is recognizable by its "nrow" array (our stores) or a
+    # root group zarr.json carrying the shape attrs (reference stores)
+    def _is_root(p: Path) -> bool:
+        if (p / "nrow").exists():
+            return True
+        attrs = read_zarr_group_attributes(str(p))
+        return bool(attrs) and "nrow" in attrs
+
+    if not _is_root(dest):
         for d in dest.iterdir():
-            if d.is_dir() and (d / "nrow").exists():
+            if d.is_dir() and _is_root(d):
                 return str(d)
     return str(dest)
