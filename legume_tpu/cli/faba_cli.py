@@ -180,6 +180,14 @@ def run_faba(argv):
                    help="sites expressed in fewer cells drop out")
     p.add_argument("--fdr-alpha", type=float, default=0.0,
                    help=">0: add a BH significant column at this level")
+    p.add_argument("--trend-method", choices=["bayes", "quasi", "binomial"],
+                   default="bayes",
+                   help="within-branch trend estimator (AssocArgs "
+                        "trend_method): bayes = Gamma-Poisson windows, "
+                        "quasi/binomial = IRLS spline GAM with F / "
+                        "deviance-LRT test (assoc/gam.rs:194)")
+    p.add_argument("--n-knots", type=int, default=5,
+                   help="GAM spline knots (quasi/binomial only)")
     p = sub.add_parser(
         "apa",
         help="alternative polyadenylation site usage "
@@ -769,14 +777,78 @@ def run_faba(argv):
             pd.read_parquet(args.branches).columns[0]
         )
         lab = lab.reindex(cells)
+        exposure_sm = None  # per-(site, cell) trials when row-aligned
         if args.exposure:
             ex_be = open_sparse_matrix(args.exposure)
-            exposure = np.asarray(
+            ex_mat = np.asarray(
                 ex_be.read_columns_csc(np.arange(ex_be.num_columns)).todense()
-            ).sum(0)
+            )
+            if ex_mat.shape[0] == len(keep_sites):
+                # site-aligned coverage backend: keep the per-site rows
+                # for the GAM's binomial denominators (trend.rs bd.n)
+                exposure_sm = ex_mat[keep_sites]
+            exposure = ex_mat.sum(0)
         else:
             exposure = counts.sum(0) + 1.0
         branch_col = next((c for c in ("branch", "state") if c in lab.columns), None)
+
+        if args.trend_method != "bayes":
+            # frequentist within-branch spline GAM (assoc/gam.rs via
+            # trend.rs): per-branch when a branch column exists, one
+            # whole-trajectory fit otherwise
+            from ..faba.gam import gam_association_batch
+
+            if "pseudotime" not in lab.columns:
+                raise SystemExit(
+                    "dyn-assoc --trend-method quasi|binomial needs a "
+                    "pseudotime column in --branches"
+                )
+            x_all = lab["pseudotime"].to_numpy(np.float64)
+            n_all = (
+                exposure_sm
+                if exposure_sm is not None
+                else np.broadcast_to(exposure[None, :], counts.shape)
+            )
+            branch_labels = (
+                lab[branch_col].to_numpy()
+                if branch_col is not None
+                else np.zeros(len(x_all), np.int64)
+            )
+            rows = []
+            for b in np.unique(branch_labels):
+                sel = (branch_labels == b) & np.isfinite(x_all)
+                fit = gam_association_batch(
+                    counts[:, sel], n_all[:, sel], x_all[sel],
+                    n_knots=args.n_knots,
+                    overdispersion=args.trend_method == "quasi",
+                )
+                if fit is None:
+                    continue
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "site": site_names,
+                            "branch": b,
+                            "n_cells": fit["n_obs"],
+                            "stat": fit["stat"],
+                            "effect": fit["effect"],
+                            "dispersion": fit["dispersion"],
+                            "pvalue": fit["pvalue"],
+                        }
+                    )[fit["ok"]]
+                )
+            if not rows:
+                raise SystemExit("dyn-assoc: no branch supports a spline fit")
+            df = pd.concat(rows, ignore_index=True)
+            if args.fdr_alpha > 0:
+                from ..ops.enrichment import bh_fdr
+
+                df["qvalue"] = bh_fdr(df["pvalue"].to_numpy())
+                df["significant"] = df["qvalue"] <= args.fdr_alpha
+            df.to_parquet(f"{args.output}.assoc.parquet")
+            print(f"wrote {args.output}.assoc.parquet ({len(df)} trends)")
+            return
+
         if branch_col is not None:
             out = dyn_assoc(counts, exposure, lab[branch_col].to_numpy())
             df = pd.DataFrame(
