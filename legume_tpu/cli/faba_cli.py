@@ -67,6 +67,49 @@ def run_faba(argv):
                             "count")
         p.add_argument("--mixture-prior-alpha", type=float, default=1.0)
         p.add_argument("--mixture-prior-beta", type=float, default=1.0)
+        p.add_argument("--cell-barcode-tag", default="CB",
+                       help="BAM Z tag carrying the cell barcode "
+                            "(DartSeqCountArgs cell_barcode_tag)")
+        p.add_argument("--umi-tag", default="UB",
+                       help="BAM Z tag carrying the UMI")
+        p.add_argument("--site-min-cells", type=int, default=0,
+                       help="called sites detected in fewer cells drop "
+                            "from the site matrix; the gene-level outputs "
+                            "are unaffected (run.rs site_min_cells)")
+        p.add_argument("--output-bed-file", action="store_true",
+                       help="also write per-(site, cell) conversion rows "
+                            "as {output}.bed.gz (editing/bed_output.rs)")
+        p.add_argument("--cell-membership", default=None,
+                       help="TSV mapping barcodes to cell types")
+        p.add_argument("--membership-barcode-col", type=int, default=0,
+                       help="0-based barcode column in --cell-membership")
+        p.add_argument("--membership-celltype-col", type=int, default=1,
+                       help="0-based cell-type column in --cell-membership")
+        p.add_argument("--exact-barcode-match", action="store_true",
+                       help="disable suffix-tolerant ('-1') barcode matching")
+        p.add_argument("--output-cell-types", action="store_true",
+                       help="append the matched cell type to BED rows "
+                            "(needs --cell-membership)")
+        # barcode QC / cell calling (cell_qc/mod.rs CellQcArgs); needs
+        # --gff for the gene-count matrix the caller runs on
+        p.add_argument("--cell-filter",
+                       choices=["empty-drops", "ord-mag", "min-counts", "nnz"],
+                       default="nnz",
+                       help="cell-calling method on the gene counts "
+                            "(reference default: empty-drops; nnz here "
+                            "keeps the raw superset unless asked)")
+        p.add_argument("--expected-cells", type=int, default=3000,
+                       help="OrdMag recovered-cell estimate")
+        p.add_argument("--cell-min-umis", type=int, default=500,
+                       help="min-counts threshold / EmptyDrops candidate floor")
+        p.add_argument("--cell-fdr", type=float, default=0.01,
+                       help="EmptyDrops BH FDR cutoff")
+        p.add_argument("--cell-sims", type=int, default=10_000,
+                       help="EmptyDrops Monte-Carlo iterations")
+        p.add_argument("--ambient-lo", type=int, default=45_000,
+                       help="EmptyDrops ambient window lower rank bound")
+        p.add_argument("--ambient-hi", type=int, default=90_000,
+                       help="EmptyDrops ambient window upper rank bound")
         p.add_argument("--drop-single-component", action="store_true",
                        help="drop genes whose fit keeps one component (no "
                             "relative signal)")
@@ -465,13 +508,53 @@ def run_faba(argv):
         if args.valid_cells:
             with open(args.valid_cells) as f:
                 valid_cells = {line.strip() for line in f if line.strip()}
+        if args.cell_filter != "nnz":
+            # barcode QC on the gene-count matrix (cell_qc/mod.rs via
+            # the quant stage); the called set gates the site pipeline
+            # like an implicit --valid-cells
+            if not args.gff:
+                raise SystemExit(
+                    f"{args.cmd} --cell-filter {args.cell_filter} needs "
+                    "--gff (cell calling runs on gene counts)"
+                )
+            from ..faba.cell_calling import CellCallParams, call_cells
+            from ..faba.genes import count_genes
+
+            gcounts, _genes, gbarcodes = count_genes(
+                args.bam, args.gff, min_mapq=args.min_mapq,
+                cb_tag=args.cell_barcode_tag, umi_tag=args.umi_tag,
+            )
+            keep_cells = call_cells(
+                gcounts,
+                CellCallParams(
+                    filter=args.cell_filter,
+                    min_counts=args.cell_min_umis,
+                    expected_cells=args.expected_cells,
+                    ed_fdr=args.cell_fdr,
+                    ed_n_sims=args.cell_sims,
+                    ed_ambient_lo=args.ambient_lo,
+                    ed_ambient_hi=args.ambient_hi,
+                    ed_min_umis=args.cell_min_umis,
+                ),
+            )
+            called = {b for b, k in zip(gbarcodes, keep_cells) if k}
+            with open(f"{args.output}.called_cells.txt", "w") as f:
+                f.write("\n".join(sorted(called)) + "\n")
+            print(
+                f"cell calling ({args.cell_filter}): "
+                f"{len(called)}/{len(gbarcodes)} barcodes kept"
+            )
+            valid_cells = called if valid_cells is None else (valid_cells & called)
         res = runner(
             args.bam, args.control_bam, max_p=args.max_p, min_alt=args.min_alt,
             min_coverage=args.min_coverage, min_mapq=args.min_mapq,
             min_baseq=args.min_base_quality, valid_cells=valid_cells,
             eps=args.error_rate, rho=args.overdispersion, snp_mask=snp_mask,
+            cb_tag=args.cell_barcode_tag, umi_tag=args.umi_tag,
         )
-        ref_names = read_bam(args.bam).ref_names
+        from ..faba.bam import read_bam_ref_names
+
+        ref_names = read_bam_ref_names(args.bam)
         if args.cmd == "dartseq" and (
             getattr(args, "detect_atoi", False) or getattr(args, "atoi_mask", None)
         ):
@@ -513,6 +596,20 @@ def run_faba(argv):
             n0 = len(keep)
             res = filter_sites(res, keep)
             print(f"RAC motif gate: {n0} called sites -> {int(keep.sum())}")
+        if args.site_min_cells > 0 and res.cell_counts.shape[0]:
+            # site-axis sparsity gate (run.rs site_min_cells): the site
+            # matrix drops sparse sites; the sites table keeps them
+            from ..faba.dartseq import filter_sites as _fs
+
+            ncells_per_site = np.asarray(
+                (res.cell_counts > 0).sum(axis=1)
+            ).ravel()
+            keep_s = ncells_per_site >= args.site_min_cells
+            print(
+                f"site-min-cells {args.site_min_cells}: "
+                f"{len(keep_s)} sites -> {int(keep_s.sum())}"
+            )
+            res = _fs(res, keep_s)
         df = pd.DataFrame(
             {
                 "chrom": [ref_names[r] for r in res.sites[:, 0]],
@@ -527,6 +624,70 @@ def run_faba(argv):
             create_sparse_from_csc(
                 res.cell_counts, f"{args.output}.zarr", res.site_names, res.barcodes
             )
+        if args.output_bed_file and res.cell_counts.shape[0]:
+            # per-(site, cell) conversion rows, bgzip-compatible gzip
+            # (editing/bed_output.rs write_bed: chrom start stop strand
+            # gene converted unconverted barcode site_pos [cell_type]);
+            # row order is total — (site, barcode) — by construction
+            import gzip as _gzip
+
+            from ..faba.cell_calling import load_cell_membership, match_barcode
+            from ..faba.dartseq import per_cell_coverage_at_sites
+
+            membership = None
+            if args.cell_membership:
+                membership = load_cell_membership(
+                    args.cell_membership,
+                    barcode_col=args.membership_barcode_col,
+                    celltype_col=args.membership_celltype_col,
+                )
+            gene_of_site = ["."] * len(res.site_names)
+            if args.gff:
+                from ..faba.genes import assign_reads_to_genes, parse_gff_genes
+
+                _model = parse_gff_genes(args.gff)
+                gids = assign_reads_to_genes(
+                    res.sites[:, 0], res.sites[:, 1], res.sites[:, 1] + 1,
+                    ref_names, _model,
+                )
+                gene_of_site = [
+                    _model.names[g] if g >= 0 else "." for g in gids
+                ]
+            cov_sc = per_cell_coverage_at_sites(
+                read_bam(args.bam, cb_tag=args.cell_barcode_tag,
+                         umi_tag=args.umi_tag),
+                res.sites[:, 0], res.sites[:, 1], len(res.barcodes),
+                min_mapq=args.min_mapq,
+            ).tocsr()
+            conv = res.cell_counts.tocsr()
+            bed_path = f"{args.output}.bed.gz"
+            with _gzip.open(bed_path, "wt") as f:
+                for si in range(conv.shape[0]):
+                    row = conv.getrow(si).tocoo()
+                    order = np.argsort(
+                        [res.barcodes[c] for c in row.col], kind="stable"
+                    )
+                    chrom = ref_names[res.sites[si, 0]]
+                    pos = int(res.sites[si, 1])
+                    strand = res.strand[si] if res.strand is not None else "."
+                    for oi in order:
+                        cb_i = int(row.col[oi])
+                        cb = res.barcodes[cb_i]
+                        converted = int(row.data[oi])
+                        cov = int(cov_sc[si, cb_i])
+                        cols = [
+                            chrom, pos, pos + 1, strand, gene_of_site[si],
+                            converted, max(cov - converted, 0), cb, pos,
+                        ]
+                        if args.output_cell_types and membership is not None:
+                            cols.append(
+                                match_barcode(
+                                    membership, cb,
+                                    exact=args.exact_barcode_match,
+                                ) or "unknown"
+                            )
+                        f.write("\t".join(str(c) for c in cols) + "\n")
+            print(f"wrote {bed_path}")
         if args.gff and not args.no_mixture and res.cell_counts.shape[0]:
             from ..faba.genes import parse_gff_exons, parse_gff_genes
             from ..faba.mixture import MixtureParams, run_mixture

@@ -80,6 +80,10 @@ def _load():
         lib.bam_barcode.restype = ctypes.c_char_p
         lib.bam_barcode.argtypes = [ctypes.c_void_p, ctypes.c_long]
         lib.bam_close.argtypes = [ctypes.c_void_p]
+        lib.bam_set_tags.restype = None
+        lib.bam_set_tags.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+        ]
         _lib = lib
     return _lib
 
@@ -127,12 +131,18 @@ def read_bam_ref_names(path: str) -> list[str]:
         lib.bam_close(h)
 
 
-def read_bam(path: str, *, chunk: int = 1 << 16) -> BamRecords:
-    """Stream the whole BAM into columnar arrays."""
+def read_bam(
+    path: str, *, chunk: int = 1 << 16, cb_tag: str = "CB", umi_tag: str = "UB"
+) -> BamRecords:
+    """Stream the whole BAM into columnar arrays. `cb_tag`/`umi_tag`
+    select the barcode Z tags (DartSeqCountArgs cell_barcode_tag;
+    10x defaults)."""
     lib = _load()
     h = lib.bam_open(str(path).encode())
     if not h:
         raise IOError(f"cannot open BAM: {path}")
+    if cb_tag != "CB" or umi_tag != "UB":
+        lib.bam_set_tags(h, cb_tag.encode(), umi_tag.encode())
     try:
         refs = [lib.bam_ref_name(h, i).decode() for i in range(lib.bam_num_refs(h))]
         cols = {
@@ -247,9 +257,13 @@ def write_bam(
     path: str,
     refs: list[tuple[str, int]],
     reads: list[dict],
+    *,
+    cb_tag: str = "CB",
+    umi_tag: str = "UB",
 ):
     """Write an aligned BAM. Each read dict: {name, ref_id, pos, seq,
-    cigar (e.g. '50M'), cb, ub, mapq?, flag?}."""
+    cigar (e.g. '50M'), cb, ub, mapq?, flag?}. `cb_tag`/`umi_tag`
+    rename the barcode Z tags (testing non-10x tag layouts)."""
     import re
 
     out = bytearray()
@@ -275,9 +289,9 @@ def write_bam(
         qual = bytes([int(r.get("qual", 30))] * len(seq))
         tags = b""
         if "cb" in r:
-            tags += b"CBZ" + r["cb"].encode() + b"\x00"
+            tags += cb_tag.encode()[:2] + b"Z" + r["cb"].encode() + b"\x00"
         if "ub" in r:
-            tags += b"UBZ" + r["ub"].encode() + b"\x00"
+            tags += umi_tag.encode()[:2] + b"Z" + r["ub"].encode() + b"\x00"
         if "md" in r:
             tags += b"MDZ" + r["md"].encode() + b"\x00"
         rec = struct.pack(

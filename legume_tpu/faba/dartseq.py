@@ -342,6 +342,8 @@ def run_dartseq(
     ref_base: int = C,
     alt_base: int = T,
     modality: str = "m6a",
+    cb_tag: str = "CB",  # DartSeqCountArgs cell_barcode_tag
+    umi_tag: str = "UB",
 ) -> DartseqResult:
     """C->T by default (dartseq m6A); `faba atoi` calls this with
     A->G (`ref_base=A, alt_base=G, modality="atoi"`) — the editing
@@ -351,8 +353,8 @@ def run_dartseq(
     space (G->A for dartseq, T->C for atoi); both channels are scanned
     and the merged table is tested site-by-site, so minus-strand sites
     are called rather than silently discarded."""
-    wt = read_bam(wt_bam)
-    ctrl = read_bam(control_bam)
+    wt = read_bam(wt_bam, cb_tag=cb_tag, umi_tag=umi_tag)
+    ctrl = read_bam(control_bam, cb_tag=cb_tag, umi_tag=umi_tag)
     if valid_cells is not None:
         wt = filter_cells(wt, valid_cells)
         ctrl = filter_cells(ctrl, valid_cells)

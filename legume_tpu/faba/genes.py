@@ -212,9 +212,11 @@ def count_genes(
     *,
     min_mapq: int = 20,
     dedup_umi: bool = True,
+    cb_tag: str = "CB",
+    umi_tag: str = "UB",
 ) -> tuple[sp.csc_matrix, list[str], list[str]]:
     """(counts [genes x cells], gene_names, barcodes)."""
-    recs = read_bam(bam_path)
+    recs = read_bam(bam_path, cb_tag=cb_tag, umi_tag=umi_tag)
     model = parse_gff_genes(gff_path)
     keep = (recs.mapq >= min_mapq) & (recs.cb_id >= 0) & ((recs.flag & 0x904) == 0)
     gene = assign_reads_to_genes(

@@ -134,6 +134,10 @@ struct BamFile {
     std::vector<int32_t> ref_lens;
     Interner cb;   // cell barcodes
     Interner umi;  // UMIs
+    // configurable Z-tag names (10x defaults; DartSeqCountArgs
+    // cell_barcode_tag lets Smart-seq-style BAMs point elsewhere)
+    char cb_tag[3] = {'C', 'B', 0};
+    char umi_tag[3] = {'U', 'B', 0};
     std::vector<uint8_t> rec;  // scratch record buffer
     std::vector<Mismatch> mismatches;  // drained by bam_take_mismatches
 
@@ -271,6 +275,14 @@ void* bam_open(const char* path) {
     return b;
 }
 
+void bam_set_tags(void* h, const char* cb_tag, const char* umi_tag) {
+    // must be called before the first bam_next_chunk* (interning starts
+    // then); two-character Z tags only, extra characters ignored
+    auto* b = (BamFile*)h;
+    if (cb_tag && cb_tag[0] && cb_tag[1]) { b->cb_tag[0] = cb_tag[0]; b->cb_tag[1] = cb_tag[1]; }
+    if (umi_tag && umi_tag[0] && umi_tag[1]) { b->umi_tag[0] = umi_tag[0]; b->umi_tag[1] = umi_tag[1]; }
+}
+
 int bam_num_refs(void* h) { return (int)((BamFile*)h)->ref_names.size(); }
 const char* bam_ref_name(void* h, int i) { return ((BamFile*)h)->ref_names[i].c_str(); }
 int bam_ref_len(void* h, int i) { return ((BamFile*)h)->ref_lens[i]; }
@@ -366,8 +378,8 @@ long bam_next_chunk3(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* 
         const uint8_t* end = b->rec.data() + block_size;
         std::string cbv, umiv, mdv;
         int64_t cbi = -1, umii = -1;
-        if (find_z_tag(tags, end, "CB", &cbv)) cbi = b->cb.intern(cbv);
-        if (find_z_tag(tags, end, "UB", &umiv)) umii = b->umi.intern(umiv);
+        if (find_z_tag(tags, end, b->cb_tag, &cbv)) cbi = b->cb.intern(cbv);
+        if (find_z_tag(tags, end, b->umi_tag, &umiv)) umii = b->umi.intern(umiv);
         if (find_z_tag(tags, end, "MD", &mdv) && !mdv.empty())
             extract_mismatches(b, rid, rpos, cigar, n_cigar, seq4,
                                seq4 + (l_seq + 1) / 2, l_seq, mdv, cbi, umii);
