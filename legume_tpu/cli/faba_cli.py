@@ -6,6 +6,37 @@ import argparse
 import numpy as np
 
 
+def _add_gene_qc_args(p):
+    """Gene-expression + mitochondrial QC knobs, flattened into every
+    subcommand that quantifies genes (m6a/run.rs:450-489 +
+    quant/mod.rs MitoQcArgs). The reference runs gene QC BY DEFAULT;
+    here it is opt-in via --gene-qc (tiny fixtures would otherwise be
+    emptied by the 10-cell floors) — a declared divergence."""
+    p.add_argument("--gene-qc", action="store_true",
+                   help="run gene/cell expression QC before downstream "
+                        "steps (the reference's default; see "
+                        "--skip-gene-qc)")
+    p.add_argument("--skip-gene-qc", action="store_true",
+                   help="explicitly skip gene expression QC "
+                        "(reference-compatible no-op when --gene-qc "
+                        "is absent)")
+    p.add_argument("--gene-min-cells", type=int, default=10,
+                   help="min cells with nonzero expression per gene")
+    p.add_argument("--gene-min-counts", type=int, default=0,
+                   help="min total UMI per gene (0 disables)")
+    p.add_argument("--cell-min-genes", type=int, default=10,
+                   help="min genes detected per cell")
+    p.add_argument("--mito-chr", default="chrM,chrMT,MT,M",
+                   help="mitochondrial chromosome names (comma-separated, "
+                        "case-insensitive GFF seqname match)")
+    p.add_argument("--keep-mito", action="store_true",
+                   help="keep mitochondrial genes in the quantified set")
+    p.add_argument("--max-mito-frac", type=float, default=0.0,
+                   help="max MT fraction per cell (>0 fixed; 0 = elbow)")
+    p.add_argument("--no-mito-cell-qc", action="store_true",
+                   help="report MT%% only, drop no cells")
+
+
 def run_faba(argv):
     ap = argparse.ArgumentParser(prog="faba", description="BAM feature extraction")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -15,6 +46,7 @@ def run_faba(argv):
     p.add_argument("--output", required=True)
     p.add_argument("--min-mapq", type=int, default=20)
     p.add_argument("--no-dedup", action="store_true")
+    _add_gene_qc_args(p)
     p.add_argument(
         "--splice", action="store_true",
         help="emit spliced + unspliced backends (velocity input)",
@@ -22,7 +54,7 @@ def run_faba(argv):
     for _name, _help in [
         ("dartseq", "m6A C->T WT-vs-control site calling"),
         ("atoi", "A-to-I (A->G) editing site calling"),
-    ]:
+    ]:  # gene-QC args join below (after the shared editing flags)
         p = sub.add_parser(_name, help=_help)
         p.add_argument("--bam", required=True, help="WT/DART BAM")
         p.add_argument("--control-bam", required=True)
@@ -110,6 +142,7 @@ def run_faba(argv):
                        help="EmptyDrops ambient window lower rank bound")
         p.add_argument("--ambient-hi", type=int, default=90_000,
                        help="EmptyDrops ambient window upper rank bound")
+        _add_gene_qc_args(p)
         p.add_argument("--drop-single-component", action="store_true",
                        help="drop genes whose fit keeps one component (no "
                             "relative signal)")
@@ -486,6 +519,42 @@ def run_faba(argv):
         counts, genes, barcodes = count_genes(
             args.bam, args.gff, min_mapq=args.min_mapq, dedup_umi=not args.no_dedup
         )
+        if args.gene_qc and not args.skip_gene_qc:
+            import pandas as pd
+
+            from ..faba.cell_calling import gene_qc_masks, mito_qc
+            from ..faba.genes import parse_gff_genes
+
+            model = parse_gff_genes(args.gff)
+            gene_chroms = [model.chrom_names[i] for i in model.chrom]
+            mito_gene, mt_frac, mito_cell = mito_qc(
+                counts, gene_chroms, mito_chr=args.mito_chr,
+                keep_mito=args.keep_mito, max_mito_frac=args.max_mito_frac,
+                no_mito_cell_qc=args.no_mito_cell_qc,
+            )
+            gk, ck = gene_qc_masks(
+                counts, gene_min_cells=args.gene_min_cells,
+                gene_min_counts=args.gene_min_counts,
+                cell_min_genes=args.cell_min_genes,
+            )
+            gk &= mito_gene
+            ck &= mito_cell
+            pd.DataFrame(
+                {
+                    "cell": barcodes,
+                    "total": np.asarray(counts.sum(axis=0)).ravel(),
+                    "n_genes": np.asarray((counts > 0).sum(axis=0)).ravel(),
+                    "mito_frac": mt_frac,
+                    "keep": ck,
+                }
+            ).to_parquet(f"{args.output}.cell_qc.parquet")
+            print(
+                f"gene qc: {int(gk.sum())}/{len(genes)} genes, "
+                f"{int(ck.sum())}/{len(barcodes)} cells kept"
+            )
+            counts = counts[gk][:, ck]
+            genes = [g for g, k in zip(genes, gk) if k]
+            barcodes = [b for b, k in zip(barcodes, ck) if k]
         create_sparse_from_csc(counts, args.output, genes, barcodes)
         print(f"wrote backend: {args.output} ({counts.shape[0]} genes x {counts.shape[1]} cells)")
     elif args.cmd in ("dartseq", "atoi"):
@@ -508,40 +577,65 @@ def run_faba(argv):
         if args.valid_cells:
             with open(args.valid_cells) as f:
                 valid_cells = {line.strip() for line in f if line.strip()}
-        if args.cell_filter != "nnz":
+        run_gene_qc = args.gene_qc and not args.skip_gene_qc
+        if args.cell_filter != "nnz" or run_gene_qc:
             # barcode QC on the gene-count matrix (cell_qc/mod.rs via
-            # the quant stage); the called set gates the site pipeline
-            # like an implicit --valid-cells
+            # the quant stage) + gene-expression/mito cell QC; the
+            # surviving set gates the site pipeline like an implicit
+            # --valid-cells. One gene-count pass serves both.
             if not args.gff:
                 raise SystemExit(
-                    f"{args.cmd} --cell-filter {args.cell_filter} needs "
-                    "--gff (cell calling runs on gene counts)"
+                    f"{args.cmd} --cell-filter/--gene-qc needs --gff "
+                    "(both run on gene counts)"
                 )
-            from ..faba.cell_calling import CellCallParams, call_cells
-            from ..faba.genes import count_genes
+            from ..faba.cell_calling import (
+                CellCallParams,
+                call_cells,
+                gene_qc_masks,
+                mito_qc,
+            )
+            from ..faba.genes import count_genes, parse_gff_genes
 
             gcounts, _genes, gbarcodes = count_genes(
                 args.bam, args.gff, min_mapq=args.min_mapq,
                 cb_tag=args.cell_barcode_tag, umi_tag=args.umi_tag,
             )
-            keep_cells = call_cells(
-                gcounts,
-                CellCallParams(
-                    filter=args.cell_filter,
-                    min_counts=args.cell_min_umis,
-                    expected_cells=args.expected_cells,
-                    ed_fdr=args.cell_fdr,
-                    ed_n_sims=args.cell_sims,
-                    ed_ambient_lo=args.ambient_lo,
-                    ed_ambient_hi=args.ambient_hi,
-                    ed_min_umis=args.cell_min_umis,
-                ),
-            )
+            keep_cells = np.ones(len(gbarcodes), bool)
+            if args.cell_filter != "nnz":
+                keep_cells &= call_cells(
+                    gcounts,
+                    CellCallParams(
+                        filter=args.cell_filter,
+                        min_counts=args.cell_min_umis,
+                        expected_cells=args.expected_cells,
+                        ed_fdr=args.cell_fdr,
+                        ed_n_sims=args.cell_sims,
+                        ed_ambient_lo=args.ambient_lo,
+                        ed_ambient_hi=args.ambient_hi,
+                        ed_min_umis=args.cell_min_umis,
+                    ),
+                )
+            if run_gene_qc:
+                model = parse_gff_genes(args.gff)
+                gene_chroms = [model.chrom_names[i] for i in model.chrom]
+                _gk, ck = gene_qc_masks(
+                    gcounts, gene_min_cells=args.gene_min_cells,
+                    gene_min_counts=args.gene_min_counts,
+                    cell_min_genes=args.cell_min_genes,
+                )
+                _mg, _frac, mito_cell = mito_qc(
+                    gcounts, gene_chroms, mito_chr=args.mito_chr,
+                    keep_mito=args.keep_mito,
+                    max_mito_frac=args.max_mito_frac,
+                    no_mito_cell_qc=args.no_mito_cell_qc,
+                )
+                keep_cells &= ck & mito_cell
             called = {b for b, k in zip(gbarcodes, keep_cells) if k}
             with open(f"{args.output}.called_cells.txt", "w") as f:
                 f.write("\n".join(sorted(called)) + "\n")
             print(
-                f"cell calling ({args.cell_filter}): "
+                f"cell qc ({args.cell_filter}"
+                f"{', gene-qc' if run_gene_qc else ''}): "
                 f"{len(called)}/{len(gbarcodes)} barcodes kept"
             )
             valid_cells = called if valid_cells is None else (valid_cells & called)

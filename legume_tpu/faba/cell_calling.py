@@ -197,6 +197,76 @@ def empty_drops_pvalues(
     return (1.0 + le) / (p.ed_n_sims + 1.0)
 
 
+def mito_elbow_cutoff(sorted_fracs: np.ndarray) -> float | None:
+    """Data-driven MT%% cutoff: the point of the ascending per-cell
+    MT-fraction curve farthest from its chord (quant/mod.rs:1040-1076).
+    None when the distribution can't support one (<50 cells, flat, or
+    an elbow in the lower half — over-filtering guard)."""
+    f = np.asarray(sorted_fracs, np.float64)
+    n = len(f)
+    if n < 50:
+        return None
+    span = f[-1] - f[0]
+    if span <= 1e-9:
+        return None
+    x = np.arange(n) / (n - 1)
+    y = (f - f[0]) / span
+    best_i = int(np.argmax(np.abs(x - y)))
+    if best_i < n // 2:
+        return None
+    return float(f[best_i])
+
+
+def gene_qc_masks(
+    counts: sp.spmatrix,  # [G, C]
+    *,
+    gene_min_cells: int = 10,
+    gene_min_counts: int = 0,
+    cell_min_genes: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(gene_keep [G], cell_keep [C]) expression-QC masks
+    (quant/mod.rs passing_genes_from_stats:416-428 + the cell
+    nnz floor:386-391)."""
+    csc = counts.tocsc()
+    nnz_per_gene = np.asarray((csc > 0).sum(axis=1)).ravel()
+    total_per_gene = np.asarray(csc.sum(axis=1)).ravel()
+    gene_keep = nnz_per_gene >= gene_min_cells
+    if gene_min_counts > 0:
+        gene_keep &= total_per_gene >= gene_min_counts
+    genes_per_cell = np.asarray((csc > 0).sum(axis=0)).ravel()
+    cell_keep = genes_per_cell >= cell_min_genes
+    return gene_keep, cell_keep
+
+
+def mito_qc(
+    counts: sp.spmatrix,  # [G, C]
+    gene_chroms: list[str],  # chromosome name per gene
+    *,
+    mito_chr: str = "chrM,chrMT,MT,M",
+    keep_mito: bool = False,
+    max_mito_frac: float = 0.0,
+    no_mito_cell_qc: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mito_gene_mask [G], mt_frac [C], cell_keep [C]) — genes on the
+    mito chromosomes drop from the quantified set unless `keep_mito`;
+    cells above the MT-fraction cutoff (fixed when `max_mito_frac` > 0,
+    else the elbow) drop unless `no_mito_cell_qc`
+    (quant/mod.rs MitoQcArgs:781-830, case-insensitive seqname match)."""
+    chrs = {c.strip().lower() for c in mito_chr.split(",") if c.strip()}
+    is_mito = np.asarray([str(c).lower() in chrs for c in gene_chroms])
+    csc = counts.tocsc()
+    totals = np.asarray(csc.sum(axis=0)).ravel()
+    mt = np.asarray(csc[is_mito].sum(axis=0)).ravel() if is_mito.any() else np.zeros_like(totals)
+    frac = np.where(totals > 0, mt / np.maximum(totals, 1e-12), 0.0)
+    cell_keep = np.ones(csc.shape[1], bool)
+    if not no_mito_cell_qc:
+        cutoff = max_mito_frac if max_mito_frac > 0 else mito_elbow_cutoff(np.sort(frac))
+        if cutoff is not None and cutoff > 0:
+            cell_keep = frac <= cutoff
+    gene_mask = np.ones(csc.shape[0], bool) if keep_mito else ~is_mito
+    return gene_mask, frac, cell_keep
+
+
 def load_cell_membership(
     path: str, *, barcode_col: int = 0, celltype_col: int = 1
 ) -> dict[str, str]:

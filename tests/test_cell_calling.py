@@ -190,3 +190,108 @@ def test_dartseq_cli_cell_filter_bed_and_tags(tmp_path):
     # barcodes sorted within the site block (deterministic output)
     cbs = [r[7] for r in rows if r[1] == "110"]
     assert cbs == sorted(cbs)
+
+
+def test_mito_elbow_cutoff():
+    from legume_tpu.faba.cell_calling import mito_elbow_cutoff
+
+    # bulk of cells at ~2% MT, burst tail climbing to 60%
+    fr = np.concatenate([
+        np.linspace(0.0, 0.04, 180), np.linspace(0.1, 0.6, 20)
+    ])
+    cut = mito_elbow_cutoff(np.sort(fr))
+    assert cut is not None and 0.03 <= cut <= 0.35
+    # flat distribution / tiny n -> None
+    assert mito_elbow_cutoff(np.full(100, 0.01)) is None
+    assert mito_elbow_cutoff(np.linspace(0, 1, 20)) is None
+
+
+def test_gene_qc_masks():
+    from legume_tpu.faba.cell_calling import gene_qc_masks
+
+    rng = np.random.default_rng(2)
+    x = rng.poisson(1.0, (30, 50))
+    x[5] = 0  # dead gene
+    x[:, 7] = 0  # dead cell
+    gk, ck = gene_qc_masks(
+        sp.csc_matrix(x.astype(np.float32)),
+        gene_min_cells=5, gene_min_counts=10, cell_min_genes=5,
+    )
+    assert not gk[5] and not ck[7]
+    assert gk.sum() >= 25 and ck.sum() >= 45
+
+
+def test_faba_genes_cli_gene_qc(tmp_path):
+    """`faba genes --gene-qc`: mito genes excluded from the quantified
+    set, cell_qc parquet written, expression floors applied."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.faba.bam import write_bam
+
+    cells = [f"c{i}" for i in range(6)]
+    reads = []
+    # gene on chr1 covered in all cells; gene on chrM covered too
+    for i in range(40):
+        reads.append(dict(name=f"a{i}", ref_id=0, pos=100 + (i % 7),
+                          seq="A" * 30, cigar="30M", cb=cells[i % 6],
+                          ub=f"ua{i}", md="30"))
+    for i in range(12):
+        reads.append(dict(name=f"m{i}", ref_id=1, pos=50, seq="A" * 30,
+                          cigar="30M", cb=cells[i % 6], ub=f"um{i}", md="30"))
+    bam = str(tmp_path / "r.bam")
+    write_bam(bam, [("chr1", 5000), ("chrM", 2000)], reads)
+    gff = tmp_path / "g.gff"
+    gff.write_text(
+        'chr1\ts\tgene\t1\t4000\t.\t+\t.\tgene_id "NUC"; gene_name "NUC";\n'
+        'chrM\ts\tgene\t1\t1500\t.\t+\t.\tgene_id "MTG"; gene_name "MTG";\n'
+    )
+    out = str(tmp_path / "g.zarr")
+    cli.run_faba([
+        "genes", "--bam", bam, "--gff", str(gff), "--output", out,
+        "--gene-qc", "--gene-min-cells", "2", "--cell-min-genes", "1",
+        "--no-mito-cell-qc",
+    ])
+    from legume_tpu.data.sparse_io import open_sparse_matrix
+
+    be = open_sparse_matrix(out)
+    assert be.row_names() == ["NUC"]  # chrM gene excluded
+    qc = pd.read_parquet(out + ".cell_qc.parquet")
+    assert len(qc) == 6 and (qc["mito_frac"] > 0).all()
+    # --keep-mito retains the chrM gene
+    out2 = str(tmp_path / "g2.zarr")
+    cli.run_faba([
+        "genes", "--bam", bam, "--gff", str(gff), "--output", out2,
+        "--gene-qc", "--gene-min-cells", "2", "--cell-min-genes", "1",
+        "--keep-mito", "--no-mito-cell-qc",
+    ])
+    assert set(open_sparse_matrix(out2).row_names()) == {"NUC", "MTG"}
+
+
+def test_dartseq_gene_qc_gates_cells(tmp_path):
+    """dartseq --gene-qc: a cell detected in too few genes drops from
+    the site pipeline (cell-min-genes floor on the gene counts)."""
+    from legume_tpu.cli import main as cli
+    from legume_tpu.faba.bam import write_bam
+
+    cells = ["cellA", "cellB", "cellC"]
+    wt = _site_reads("s1_", 100, 14, 8, cells)
+    # cellGhost appears only outside any gene -> 0 genes detected
+    wt += [dict(name="g0", ref_id=0, pos=4000, seq="A" * 30, cigar="30M",
+                cb="cellGhost", ub="ug0", md="30")]
+    ct = _site_reads("c1_", 100, 1, 20, cells)
+    gff = tmp_path / "g.gff"
+    gff.write_text(
+        'chr1\ts\tgene\t1\t3000\t.\t+\t.\tgene_id "G1"; gene_name "G1";\n'
+    )
+    wt_p, ct_p = str(tmp_path / "wt.bam"), str(tmp_path / "ct.bam")
+    write_bam(wt_p, [("chr1", 10000)], wt)
+    write_bam(ct_p, [("chr1", 10000)], ct)
+    out = str(tmp_path / "dq")
+    cli.run_faba([
+        "dartseq", "--bam", wt_p, "--control-bam", ct_p, "--output", out,
+        "--gff", str(gff), "--no-mixture",
+        "--gene-qc", "--gene-min-cells", "1", "--cell-min-genes", "1",
+    ])
+    called = (tmp_path / "dq.called_cells.txt").read_text().split()
+    assert "cellGhost" not in called and "cellA" in called
