@@ -26,10 +26,18 @@ Prints one JSON line per arm plus a summary line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+if "--cpu" in sys.argv or os.environ.get("LEGUME_CPU") == "1":
+    # pin BEFORE any jax import: the session sitecustomize appends the
+    # axon TPU backend regardless of JAX_PLATFORMS (verify-skill gotcha)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def simulate_labeled(
