@@ -42,10 +42,13 @@ if "--cpu" in sys.argv or os.environ.get("LEGUME_CPU") == "1":
 
 def simulate_labeled(
     rng, *, n_cells: int, n_genes: int, n_types: int, n_informative: int,
-    depth: int = 2000,
+    depth: int = 400,
 ):
     """Cell-type mixture where only `n_informative` genes separate the
-    types (the BM1 story: a sparse dictionary inside a wide panel)."""
+    types (the BM1 story: a sparse dictionary inside a wide panel).
+    Shallow depth + per-(cell, gene) Gamma overdispersion put the
+    baseline purity in the reference table's ~0.6-0.8 regime — at a
+    purity ceiling every arm saturates and the gate question vanishes."""
     labels = rng.integers(0, n_types, n_cells)
     base = rng.gamma(0.5, 1.0, n_genes)
     base /= base.sum()
@@ -55,13 +58,26 @@ def simulate_labeled(
         bump = rng.gamma(2.0, 1.0, n_informative) * (
             rng.random(n_informative) < 0.3
         )
-        profiles[t, info] = base[info] * (1.0 + 6.0 * bump)
+        profiles[t, info] = base[info] * (1.0 + 2.5 * bump)
     profiles /= profiles.sum(1, keepdims=True)
     depths = rng.integers(depth // 2, depth * 2, n_cells)
-    x = np.stack(
-        [rng.multinomial(depths[i], profiles[labels[i]]) for i in range(n_cells)]
-    ).astype(np.float32)
+    x = np.empty((n_cells, n_genes), np.float32)
+    for i in range(n_cells):
+        rate = profiles[labels[i]] * rng.gamma(0.7, 1.0 / 0.7, n_genes)
+        rate /= rate.sum()
+        x[i] = rng.multinomial(depths[i], rate)
     return x, labels, info
+
+
+def participation_ratio(m: np.ndarray) -> float:
+    """Effective genes per dim: (sum w)^2 / sum w^2 of each column's
+    squared loadings, averaged over dims (the reference table's
+    'eff #genes/dim' sparsity diagnostic)."""
+    w = np.asarray(m, np.float64) ** 2
+    num = w.sum(0) ** 2
+    den = (w**2).sum(0)
+    ok = den > 0
+    return float((num[ok] / den[ok]).mean()) if ok.any() else 0.0
 
 
 def knn_purity(emb: np.ndarray, labels: np.ndarray, k: int = 30) -> float:
@@ -87,17 +103,9 @@ def run_once(seed: int, *, n_cells, n_genes, n_types, h, sweeps, epochs):
         rng, n_cells=n_cells, n_genes=n_genes, n_types=n_types,
         n_informative=max(n_genes // 20, 40),
     )
-    # pseudobulks: random within-type groups (the collapse stage's role)
-    groups = np.full(n_cells, -1)
-    gid = 0
-    for t in range(n_types):
-        cells = np.nonzero(labels == t)[0]
-        rng.shuffle(cells)
-        for blk in np.array_split(cells, max(len(cells) // 20, 1)):
-            groups[blk] = gid
-            gid += 1
-    pb = np.zeros((gid, n_genes), np.float32)
-    np.add.at(pb, groups, x)
+    # anchors = cells (the BM1 measurement ran the posterior over the
+    # 2,627 cells directly, not coarser pseudobulks)
+    pb = x
 
     res = fit_bge(
         [pb], config=NceConfig(embedding_dim=h, epochs=epochs, seed=seed)
@@ -108,21 +116,29 @@ def run_once(seed: int, *, n_cells, n_genes, n_types, h, sweeps, epochs):
         burnin=max(sweeps // 4, 2), seed=seed,
     )
 
+    # arm matrices (plans/posterior-feature-gate.md:64-70):
+    # e_feat_mean IS the held mean E[z*beta] = pip (.) slab-mean, so
+    # the pip arm uses it directly; Bern(pip) draws one mask over the
+    # CONDITIONAL slab mean E[beta | z=1] = E[z*beta]/pip
     rng_z = np.random.default_rng(seed + 1)
+    slab = post.e_feat_mean / np.maximum(post.pip, 0.05)
     norms = np.linalg.norm(post.e_feat_mean, axis=1)
     soft = np.exp(norms - norms.max())
     soft = soft / soft.sum() * len(norms)  # mean-1 soft weights
     arms = {
         "plain_sgd": res.e_feat,
-        "pip_beta": post.pip * post.e_feat_mean,
-        "bern_pip": (rng_z.random(post.pip.shape) < post.pip)
-        * post.e_feat_mean,
-        "softmax_gate": soft[:, None] * post.e_feat_mean,
+        "pip_beta": post.e_feat_mean,
+        "bern_pip": (rng_z.random(post.pip.shape) < post.pip) * slab,
+        "softmax_gate": soft[:, None] * slab,
     }
     xl = np.log1p(x)
     xl /= np.maximum(np.linalg.norm(xl, axis=1, keepdims=True), 1e-8)
     return {
-        name: knn_purity(xl @ m, labels, k=30) for name, m in arms.items()
+        name: {
+            "purity": knn_purity(xl @ m, labels, k=30),
+            "eff_genes_per_dim": round(participation_ratio(m), 1),
+        }
+        for name, m in arms.items()
     }
 
 
@@ -141,15 +157,17 @@ def main():
     per_seed = [run_once(s, **shape) for s in seeds]
     out = {}
     for arm in per_seed[0]:
-        vals = np.asarray([r[arm] for r in per_seed])
+        vals = np.asarray([r[arm]["purity"] for r in per_seed])
+        effs = np.asarray([r[arm]["eff_genes_per_dim"] for r in per_seed])
         out[arm] = {"mean": round(float(vals.mean()), 4),
                     "sd": round(float(vals.std()), 4)}
         print(json.dumps({"metric": f"knn_purity_{arm}",
                           "value": out[arm]["mean"],
-                          "unit": "purity@k30", "sd": out[arm]["sd"]}))
+                          "unit": "purity@k30", "sd": out[arm]["sd"],
+                          "eff_genes_per_dim": round(float(effs.mean()), 1)}))
     # paired contrast, the table's headline
     diff = np.asarray(
-        [r["pip_beta"] - r["plain_sgd"] for r in per_seed]
+        [r["pip_beta"]["purity"] - r["plain_sgd"]["purity"] for r in per_seed]
     )
     print(json.dumps({
         "metric": "knn_purity_pip_minus_plain",
