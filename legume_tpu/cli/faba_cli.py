@@ -143,6 +143,32 @@ def run_faba(argv):
         p.add_argument("--ambient-hi", type=int, default=90_000,
                        help="EmptyDrops ambient window upper rank bound")
         _add_gene_qc_args(p)
+        # null-cell scan (editing/cell_activity.rs CellScanArgs):
+        # expression QC can't see the fusion enzyme, so this scores
+        # each WT cell's editing activity against depth-matched control
+        # cells and keeps the competent ones
+        p.add_argument("--cell-scan", action="store_true",
+                       help="call editing-competent cells against the "
+                            "control arm before site discovery; the kept "
+                            "set gates the matrices too (the reference "
+                            "quantifies null cells unless "
+                            "--quantify-competent-only — declared "
+                            "divergence)")
+        p.add_argument("--cell-scan-tolerance", type=float, default=None,
+                       help="how much the DISCARDED pool may still edit, "
+                            "as a multiple of the control (default 1.0 = "
+                            "the parameter-free cut)")
+        p.add_argument("--cell-scan-control-tail", type=float, default=0.0,
+                       help="cut on the control's own scale instead: keep "
+                            "cells above this upper-tail fraction of "
+                            "depth-matched control cells")
+        p.add_argument("--cell-scan-min-coverage", type=int, default=50,
+                       help="min candidate-site coverage to score a cell")
+        p.add_argument("--reader-genes", default=None,
+                       help="diagnostic: comma-separated m6A reader genes "
+                            "summarized per kept/dropped cell (needs --gff)")
+        p.add_argument("--writer-genes", default=None,
+                       help="diagnostic: m6A writer/eraser genes, same")
         p.add_argument("--drop-single-component", action="store_true",
                        help="drop genes whose fit keeps one component (no "
                             "relative signal)")
@@ -639,10 +665,92 @@ def run_faba(argv):
                 f"{len(called)}/{len(gbarcodes)} barcodes kept"
             )
             valid_cells = called if valid_cells is None else (valid_cells & called)
+        if args.cell_scan:
+            # null-cell scan: score WT cells' genome-wide conversion
+            # activity against depth-matched control cells and keep the
+            # editing-competent set (cell_activity.rs call_and_report)
+            import json as _json
+
+            from ..faba.cell_activity import call_competent_cells
+            from ..faba.dartseq import A, C, G, T, editing_activity_tallies
+
+            wt_recs = read_bam(
+                args.bam, cb_tag=args.cell_barcode_tag, umi_tag=args.umi_tag
+            )
+            ct_recs = read_bam(
+                args.control_bam, cb_tag=args.cell_barcode_tag,
+                umi_tag=args.umi_tag,
+            )
+            rb, ab = (C, T) if args.cmd == "dartseq" else (A, G)
+            wt_e, wt_n, ct_e, ct_n = editing_activity_tallies(
+                wt_recs, ct_recs, ref_base=rb, alt_base=ab,
+                min_mapq=args.min_mapq, min_baseq=args.min_base_quality,
+            )
+            call = call_competent_cells(
+                wt_e, wt_n, ct_e, ct_n,
+                min_coverage=args.cell_scan_min_coverage,
+                reject_tolerance=(
+                    args.cell_scan_tolerance
+                    if args.cell_scan_tolerance is not None
+                    else 1.0
+                ),
+                control_tail=args.cell_scan_control_tail,
+            )
+            competent = {
+                wt_recs.barcodes[i] for i in np.nonzero(call.keep)[0]
+            }
+            report = {
+                "n_scored": call.n_scored,
+                "n_kept": len(competent),
+                "kept_frac": round(call.kept_frac, 4),
+                "selected_rate": call.selected_rate,
+                "rejected_rate": call.rejected_rate,
+                "control_rate": call.control_rate,
+                "rejected_over_control": call.rejected_over_control,
+                "control_percentile": call.control_percentile,
+            }
+            if (args.reader_genes or args.writer_genes) and args.gff:
+                # diagnostic only (cell_activity.rs log_family_expression):
+                # median per-cell expression of the listed genes in the
+                # kept vs dropped pools
+                from ..faba.genes import count_genes
+
+                gcounts2, genes2, gb2 = count_genes(
+                    args.bam, args.gff, min_mapq=args.min_mapq,
+                    cb_tag=args.cell_barcode_tag, umi_tag=args.umi_tag,
+                )
+                kept_ix = [i for i, b in enumerate(gb2) if b in competent]
+                drop_ix = [i for i, b in enumerate(gb2) if b not in competent]
+                gl = {g.lower(): i for i, g in enumerate(genes2)}
+                for fam, arg in (("reader", args.reader_genes),
+                                 ("writer", args.writer_genes)):
+                    if not arg:
+                        continue
+                    ids = [gl[g.strip().lower()] for g in arg.split(",")
+                           if g.strip().lower() in gl]
+                    if not ids:
+                        continue
+                    dense = np.asarray(gcounts2[ids].todense())
+                    report[f"{fam}_median_kept"] = float(
+                        np.median(dense[:, kept_ix].sum(0)) if kept_ix else 0.0
+                    )
+                    report[f"{fam}_median_dropped"] = float(
+                        np.median(dense[:, drop_ix].sum(0)) if drop_ix else 0.0
+                    )
+            with open(f"{args.output}.cell_scan.json", "w") as f:
+                _json.dump(report, f, indent=1)
+            print(
+                f"cell scan: kept {len(competent)}/{call.n_scored} scored "
+                f"cells (rejected/control = {call.rejected_over_control:.2f})"
+            )
+            scan_cells = competent
+        else:
+            scan_cells = None
         res = runner(
             args.bam, args.control_bam, max_p=args.max_p, min_alt=args.min_alt,
             min_coverage=args.min_coverage, min_mapq=args.min_mapq,
             min_baseq=args.min_base_quality, valid_cells=valid_cells,
+            wt_cells=scan_cells,
             eps=args.error_rate, rho=args.overdispersion, snp_mask=snp_mask,
             cb_tag=args.cell_barcode_tag, umi_tag=args.umi_tag,
         )

@@ -166,6 +166,48 @@ def coverage_at_sites(
     return _site_coverage(r_rid, r_pos, r_end, site_rid, site_pos)
 
 
+def editing_activity_tallies(
+    wt, ctrl, *, ref_base: int, alt_base: int,
+    min_mapq: int = 20, min_baseq: int = 20,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-cell genome-wide editing activity for the null-cell scan
+    (`--cell-scan`; editing/cell_activity.rs CellActivity): for each
+    arm, (edited, covered) per cell aggregated over the UNION of both
+    arms' candidate conversion positions, both strand channels —
+    the shared candidate set keeps the two arms' rates comparable."""
+    nw, nc = len(wt.barcodes), len(ctrl.barcodes)
+    wt_e, wt_n = np.zeros(nw), np.zeros(nw)
+    ct_e, ct_n = np.zeros(nc), np.zeros(nc)
+    channels = [
+        (ref_base, alt_base),
+        (_COMPLEMENT[ref_base], _COMPLEMENT[alt_base]),
+    ]
+    for rb, ab in channels:
+        tw, cw = conversion_counts(
+            wt, ref_base=rb, alt_base=ab, min_mapq=min_mapq, min_baseq=min_baseq
+        )
+        tc, cc = conversion_counts(
+            ctrl, ref_base=rb, alt_base=ab, min_mapq=min_mapq, min_baseq=min_baseq
+        )
+        rid = np.concatenate([tw.ref_id, tc.ref_id])
+        pos = np.concatenate([tw.pos, tc.pos])
+        if not len(rid):
+            continue
+        uniq = np.unique(np.stack([rid, pos]), axis=1)
+        for recs, e_acc, n_acc, cells, n_cells in (
+            (wt, wt_e, wt_n, cw, nw),
+            (ctrl, ct_e, ct_n, cc, nc),
+        ):
+            cb = np.asarray(cells["cb"])
+            ok = cb >= 0
+            np.add.at(e_acc, cb[ok].astype(np.int64), 1.0)
+            cov = per_cell_coverage_at_sites(
+                recs, uniq[0], uniq[1], n_cells, min_mapq=min_mapq
+            )
+            n_acc += np.asarray(cov.sum(axis=0)).ravel()
+    return wt_e, wt_n, ct_e, ct_n
+
+
 def atoi_confounder_mask(
     site_rid: np.ndarray,
     site_pos: np.ndarray,
@@ -338,6 +380,9 @@ def run_dartseq(
     min_mapq: int = 20,
     min_baseq: int = 20,  # phred floor at the conversion base
     valid_cells: "set[str] | None" = None,  # called-cell allow-list
+    wt_cells: "set[str] | None" = None,  # WT-ONLY gate (the --cell-scan
+    # competent set: control barcodes are a different library, so the
+    # scan's selection must not empty the control arm)
     snp_mask: "set[tuple[str, int]] | None" = None,  # (chrom, pos) to skip
     ref_base: int = C,
     alt_base: int = T,
@@ -358,6 +403,8 @@ def run_dartseq(
     if valid_cells is not None:
         wt = filter_cells(wt, valid_cells)
         ctrl = filter_cells(ctrl, valid_cells)
+    if wt_cells is not None:
+        wt = filter_cells(wt, wt_cells)
     # plus-strand channel as given; minus-strand conversions appear
     # complemented in reference space
     channels = [
