@@ -388,12 +388,60 @@ def run_faba(argv):
                    help="simple-mode per-(gene, cell) PDUI parquet "
                         "(round-2 behavior; mixture writes channel matrices)")
 
-    p = sub.add_parser("snp", help="pileup genotyper on BAM mismatches")
-    p.add_argument("--bam", required=True)
-    p.add_argument("--output", required=True)
-    p.add_argument("--min-depth", type=int, default=8)
-    p.add_argument("--min-alt", type=int, default=2)
-    p.add_argument("--min-qual", type=float, default=20.0)
+    p = sub.add_parser(
+        "snp",
+        help="cellSNP-lite-style pileup genotyper (snp/run.rs SnpArgs)",
+    )
+    p.add_argument("--bam", required=True,
+                   help="comma-separated coordinate-sorted BAMs (merged pileup)")
+    p.add_argument("--output", required=True,
+                   help="output DIRECTORY: snp_sites.parquet + "
+                        "snp_sites.vcf.gz + snp_mask.parquet "
+                        "[+ {batch}_baf.zarr]")
+    p.add_argument("-f", "--genome", default=None,
+                   help="reference FASTA (optional here: the MD-tag "
+                        "mismatch stream carries ref bases; validates "
+                        "ref alleles + VCF contigs when given)")
+    p.add_argument("--known-snps", default=None,
+                   help="VCF(.gz) or snp_sites.parquet; force-called "
+                        "regardless of alt evidence")
+    p.add_argument("-g", "--gff", default=None,
+                   help="gene model; gates sites to gene bodies and "
+                        "enables the per-cell BAF matrices")
+    p.add_argument("--cell-barcode-tag", default="CB")
+    p.add_argument("--umi-tag", default="UB")
+    p.add_argument("--no-umi-dedup", action="store_true")
+    p.add_argument("--bulk", action="store_true",
+                   help="genotype calls only, no per-cell output")
+    p.add_argument("--skip-discovery", action="store_true",
+                   help="known sites only")
+    p.add_argument("--min-coverage", type=int, default=10,
+                   help="de novo discovery depth gate")
+    p.add_argument("--min-alt-count", type=int, default=3)
+    p.add_argument("--min-alt-freq", type=float, default=0.1)
+    p.add_argument("--min-depth", type=int, default=5,
+                   help="genotype-calling depth gate")
+    p.add_argument("--min-gq", type=float, default=20.0)
+    p.add_argument("--base-error-rate", "--error-rate",
+                   dest="base_error_rate", type=float, default=0.01)
+    p.add_argument("--min-base-quality", type=int, default=20)
+    p.add_argument("--min-mapping-quality", type=int, default=20)
+    p.add_argument("--use-base-quality", dest="use_base_quality",
+                   action="store_true", default=True,
+                   help="Li 2011 per-base quality GLs on alt "
+                        "observations (default; see MIGRATION.md)")
+    p.add_argument("--no-use-base-quality", dest="use_base_quality",
+                   action="store_false")
+    p.add_argument("--min-vaf", type=float, default=None,
+                   help="germline-like VAF gate on the SNP mask "
+                        "(het in [v,1-v], hom-alt >= 1-v)")
+    p.add_argument("--gene-type", default=None,
+                   help="GFF biotype filter (e.g. protein_coding)")
+    p.add_argument("--backend", choices=["zarr", "hdf5"], default="zarr",
+                   help="per-cell BAF matrix backend")
+    p.add_argument("--zip", action="store_true",
+                   help="archive BAF matrices as .zarr.zip (reference "
+                        "default; opt-in here — declared divergence)")
 
     p = sub.add_parser("depth", help="per-cell coverage over BED regions")
     p.add_argument("--bam", required=True)
@@ -455,27 +503,40 @@ def run_faba(argv):
         _run_apa_cmd(args)
         return
     if args.cmd == "snp":
-        import pandas as pd
+        from ..faba.snp import GenotypeParams, run_snp
 
-        from ..faba.snp import call_snps
-
-        snps = call_snps(
-            args.bam, min_depth=args.min_depth,
-            min_alt=args.min_alt, min_qual=args.min_qual,
+        sites = run_snp(
+            args.bam.split(","),
+            args.output,
+            genome=args.genome,
+            known_snps=args.known_snps,
+            gff=args.gff,
+            params=GenotypeParams(
+                min_depth=args.min_depth,
+                min_gq=args.min_gq,
+                base_error_rate=args.base_error_rate,
+                min_coverage=args.min_coverage,
+                min_alt_count=args.min_alt_count,
+                min_alt_freq=args.min_alt_freq,
+            ),
+            cell_barcode_tag=args.cell_barcode_tag,
+            umi_tag=args.umi_tag,
+            no_umi_dedup=args.no_umi_dedup,
+            use_base_quality=args.use_base_quality,
+            min_base_quality=args.min_base_quality,
+            min_mapping_quality=args.min_mapping_quality,
+            bulk=args.bulk,
+            skip_discovery=args.skip_discovery,
+            min_vaf=args.min_vaf,
+            gene_type=args.gene_type,
+            backend=args.backend,
+            zip_output=args.zip,
         )
-        pd.DataFrame(
-            {
-                "chrom": [snps.ref_names[r] for r in snps.ref_id],
-                "pos": snps.pos,
-                "ref": snps.ref_base,
-                "alt": snps.alt_base,
-                "genotype": snps.genotype,
-                "depth": snps.depth,
-                "alt_depth": snps.alt_depth,
-                "qual": snps.qual,
-            }
-        ).to_parquet(f"{args.output}.snp.parquet")
-        print(f"wrote {args.output}.snp.parquet ({len(snps.pos)} sites)")
+        n_called = int((sites.genotype != 3).sum())
+        print(
+            f"wrote {args.output}/snp_sites.parquet "
+            f"({len(sites)} sites, {n_called} called)"
+        )
         return
     if args.cmd == "depth":
         from ..data.sparse_io import create_sparse_from_csc

@@ -131,6 +131,22 @@ def read_bam_ref_names(path: str) -> list[str]:
         lib.bam_close(h)
 
 
+def read_bam_contigs(path: str) -> list[tuple[str, int]]:
+    """Header-only (contig name, length) pairs — the BAM reference
+    dictionary carries lengths, so VCF contig headers need no .fai."""
+    lib = _load()
+    h = lib.bam_open(str(path).encode())
+    if not h:
+        raise IOError(f"cannot open BAM: {path}")
+    try:
+        return [
+            (lib.bam_ref_name(h, i).decode(), int(lib.bam_ref_len(h, i)))
+            for i in range(lib.bam_num_refs(h))
+        ]
+    finally:
+        lib.bam_close(h)
+
+
 def read_bam(
     path: str, *, chunk: int = 1 << 16, cb_tag: str = "CB", umi_tag: str = "UB"
 ) -> BamRecords:

@@ -34,12 +34,17 @@ class GeneModel:
     chrom_names: list[str]
 
 
-def parse_gff_genes(path: str, *, feature: str = "gene") -> GeneModel:
-    """Minimal GFF3/GTF gene extractor (gff.rs parity for the gene map)."""
+def parse_gff_genes(
+    path: str, *, feature: str = "gene", gene_type: str | None = None
+) -> GeneModel:
+    """Minimal GFF3/GTF gene extractor (gff.rs parity for the gene map).
+    `gene_type` filters on the biotype attribute
+    (gene_biotype/gene_type/biotype — gff.rs GeneType matching)."""
     opener = gzip.open if str(path).endswith(".gz") else open
     names, chroms, starts, ends, strands = [], [], [], [], []
     name_re = re.compile(r'(?:gene_name[= "]+|Name=)([\w.\-]+)')
     id_re = re.compile(r'(?:gene_id[= "]+|ID=(?:gene:)?)([\w.\-]+)')
+    type_re = re.compile(r'(?:gene_biotype|gene_type|biotype)[= "]+([\w.\-]+)')
     with opener(path, "rt") as f:
         for line in f:
             if line.startswith("#"):
@@ -48,6 +53,10 @@ def parse_gff_genes(path: str, *, feature: str = "gene") -> GeneModel:
             if len(parts) < 9 or parts[2] != feature:
                 continue
             attr = parts[8]
+            if gene_type is not None:
+                tm = type_re.search(attr)
+                if tm is None or tm.group(1) != gene_type:
+                    continue
             m = name_re.search(attr) or id_re.search(attr)
             if not m:
                 continue

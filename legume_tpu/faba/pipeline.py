@@ -31,9 +31,25 @@ def run_all(
     from .apa import run_apa
     from .dartseq import run_atoi, run_dartseq
     from .genes import count_genes
-    from .snp import call_snps
+    from .snp import GenotypeParams, run_snp
 
     outputs = {}
+
+    # SNP genotyping runs FIRST so its mask feeds the editing stages
+    # (faba/src/pipeline/: run_snp_pipeline's returned mask gates the
+    # m6a/atoi conversion calls)
+    snp_dir = f"{out}.snp"
+    sites = run_snp(
+        [bam], snp_dir, gff=gff, bulk=True,
+        params=GenotypeParams(min_coverage=8, min_alt_count=2),
+        min_mapping_quality=min_mapq, min_base_quality=0,
+    )
+    snp_mask = None
+    if len(sites):
+        outputs["snp"] = f"{snp_dir}/snp_sites.parquet"
+        from .snp import build_snp_mask
+
+        snp_mask = set(build_snp_mask(sites, 20.0, None)) or None
 
     counts, genes, barcodes = count_genes(bam, gff, min_mapq=min_mapq)
     create_sparse_from_csc(counts, f"{out}.genes.zarr", genes, barcodes)
@@ -46,23 +62,6 @@ def run_all(
         )
         outputs["apa"] = f"{out}.apa.zarr"
 
-    snps = call_snps(bam)
-    if len(snps.pos):
-        import pandas as pd
-
-        pd.DataFrame(
-            {
-                "chrom": [snps.ref_names[r] for r in snps.ref_id],
-                "pos": snps.pos,
-                "ref": snps.ref_base,
-                "alt": snps.alt_base,
-                "genotype": snps.genotype,
-                "depth": snps.depth,
-                "qual": snps.qual,
-            }
-        ).to_parquet(f"{out}.snp.parquet")
-        outputs["snp"] = f"{out}.snp.parquet"
-
     if control_bam:
         from .bam import read_bam_ref_names
         from .genes import parse_gff_exons, parse_gff_genes
@@ -74,7 +73,7 @@ def run_all(
         # would re-parse all records + mismatches once per modality)
         bam_ref_names = read_bam_ref_names(bam)
         for name, runner in (("m6a", run_dartseq), ("atoi", run_atoi)):
-            res = runner(bam, control_bam)
+            res = runner(bam, control_bam, snp_mask=snp_mask)
             if res.cell_counts.shape[0]:
                 create_sparse_from_csc(
                     res.cell_counts, f"{out}.{name}.zarr", res.site_names, res.barcodes

@@ -89,16 +89,28 @@ def test_faba_snp_standalone(standalone_bam):
     out = f"{tmp}/snp"
     cli.run_faba([
         "snp", "--bam", bam, "--output", out, "--min-depth", "8",
-        "--min-alt", "2",
+        "--min-alt-count", "2", "--min-coverage", "8", "--bulk",
     ])
-    snps = pd.read_parquet(f"{out}.snp.parquet")
+    snps = pd.read_parquet(f"{out}/snp_sites.parquet")
     assert len(snps) == 1
     site = snps.iloc[0]
-    assert site["chrom"] == "chr1" and int(site["pos"]) == 2010
-    assert site["ref"] == "C" and site["alt"] == "T"
+    assert site["chr"] == "chr1" and int(site["pos"]) == 2010
+    assert site["ref_allele"] == "C" and site["alt_allele"] == "T"
     assert site["genotype"] == "0/1"  # VAF 0.5
-    assert int(site["alt_depth"]) == 6 and int(site["depth"]) == 12
-    assert float(site["qual"]) >= 20.0
+    # A/T/G/C base counts: 6 T (alt) + 6 C (ref)
+    assert int(site["count_t"]) == 6 and int(site["count_c"]) == 6
+    assert float(site["gq"]) >= 20.0
+    # het site enters the mask; VCF carries the same call
+    mask = pd.read_parquet(f"{out}/snp_mask.parquet")
+    assert list(zip(mask["chrom"], mask["pos"])) == [("chr1", 2010)]
+    import gzip
+
+    with gzip.open(f"{out}/snp_sites.vcf.gz", "rt") as f:
+        lines = [ln for ln in f if not ln.startswith("#")]
+    assert len(lines) == 1
+    fields = lines[0].split("\t")
+    assert fields[0] == "chr1" and int(fields[1]) == 2011  # 1-based
+    assert fields[9].startswith("0/1:")
 
 
 def test_faba_depth_standalone(standalone_bam):
