@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import argparse
+import os
+
 import numpy as np
 
 
@@ -261,13 +263,82 @@ def run_faba(argv):
                            help="use the dense velocity-KNN graph instead "
                                 "of the MST lineage tree")
     p = sub.add_parser(
-        "lineage", help="velocity-oriented principal-tree lineage over a gem fit"
+        "lineage",
+        help="velocity-informed forest lineage over a gem fit "
+             "(lineage/args.rs LineageArgs)",
     )
-    p.add_argument("--latent", required=True, help="{gem}.latent.parquet")
-    p.add_argument("--velocity", required=True, help="{gem}.velocity.parquet")
-    p.add_argument("--out", required=True)
-    p.add_argument("--n-nodes", type=int, default=30)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-f", "--from", dest="frm", default=None,
+                   help="gem / gem-encoder / topic output prefix")
+    p.add_argument("-o", "--out", default=None,
+                   help="output prefix (default: the gem prefix)")
+    # legacy explicit-file pair (round-2 surface), still honored
+    p.add_argument("--latent", default=None, help="explicit θ parquet "
+                   "(legacy alternative to --from)")
+    p.add_argument("--velocity", default=None, help="explicit δ parquet")
+    p.add_argument("--n-centroids", "--n-nodes", dest="n_centroids",
+                   type=int, default=None,
+                   help="MST centroids K (default min(cells/10, 200))")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--kmeans-iter", type=int, default=100)
+    p.add_argument("--theta-from",
+                   choices=["auto", "cell-embedding", "latent"],
+                   default="auto",
+                   help="which table supplies θ (auto: a log-θ simplex "
+                        "latent when detected, else the cell embedding)")
+    p.add_argument("--latent-geometry",
+                   choices=["auto", "cosine", "euclidean", "hellinger"],
+                   default="auto",
+                   help="fit/layout metric (auto: hellinger on a "
+                        "simplex, cosine on an embedding)")
+    p.add_argument("--cluster-space",
+                   choices=["identity", "nascent", "concat"],
+                   default="identity",
+                   help="grouping features: θ, θ+δ, or [θ̂|δ̂]")
+    p.add_argument("--no-edge-direction", action="store_true",
+                   help="skip the per-edge velocity test; forest = "
+                        "the geometric MST")
+    p.add_argument("--no-orient-velocity", action="store_true",
+                   help="ignore velocity entirely")
+    p.add_argument("--edge-cand-knn", type=int, default=4)
+    p.add_argument("--edge-direction-n-boot", type=int, default=200)
+    p.add_argument("--edge-direction-n-perm", type=int, default=500)
+    p.add_argument("--edge-alpha", type=float, default=0.05)
+    p.add_argument("--edge-min-cells", type=int, default=2)
+    p.add_argument("--root-affinity", type=float, default=None,
+                   help="forest granularity tau_root (default: median "
+                        "arc weight)")
+    p.add_argument("--root-type", default=None,
+                   help="root at this cell type's best node (needs "
+                        "--markers)")
+    p.add_argument("--root-from-gem", action="store_true",
+                   help="root at gem's velocity-DAG source "
+                        "({from}.dag_pseudotime.parquet)")
+    p.add_argument("--root-node", type=int, default=None)
+    p.add_argument("--root-cell", default=None)
+    p.add_argument("--curve-bandwidth", type=float, default=0.0)
+    p.add_argument("--curve-resolution", type=int, default=100)
+    p.add_argument("--max-iter", type=int, default=15)
+    p.add_argument("--tol", type=float, default=1e-3)
+    p.add_argument("--markers", default=None,
+                   help="gene<TAB>celltype TSV (or GMT) naming nodes "
+                        "by cell type")
+    p.add_argument("--marker-num-perm", type=int, default=500)
+    p.add_argument("--marker-obo", default=None)
+    p.add_argument("--marker-label-cl", default=None)
+    p.add_argument("--no-bootstrap-markers", action="store_true")
+    p.add_argument("--marker-n-boot", type=int, default=200)
+    p.add_argument("--marker-min-support", type=float, default=0.5)
+    p.add_argument("--layout", choices=["none", "phate", "umap"],
+                   default="phate")
+    p.add_argument("--layout-space",
+                   choices=["identity", "nascent", "concat"],
+                   default="identity")
+    p.add_argument("--layout-pcs", type=int, default=20)
+    p.add_argument("--velocity-aware-layout",
+                   choices=["auto", "on", "off"], default="auto")
+    p.add_argument("--phate-knn", type=int, default=15)
+    p.add_argument("--phate-t", type=int, default=0)
+    p.add_argument("--phate-landmarks", type=int, default=2000)
 
     p = sub.add_parser("dyn-assoc", help="between-branch Bayesian modality contrast")
     p.add_argument("--backend", required=True, help="site x cell counts backend")
@@ -478,8 +549,11 @@ def run_faba(argv):
                    default="pseudotime")
     p.add_argument("--annot", default=None,
                    help="cell,label parquet (required for --color-by label)")
-    p.add_argument("--layout", choices=["phate", "umap", "tumap", "tsne"],
-                   default="phate")
+    p.add_argument("--layout",
+                   choices=["auto", "phate", "umap", "tumap", "tsne"],
+                   default="auto",
+                   help="auto reuses {from}.cells_2d.parquet when the "
+                        "lineage run already laid out (else tumap)")
     p.add_argument("--layout-pcs", type=int, default=50,
                    help="PCs carrying the umap/tumap kNN graph + SGD init, "
                         "leading (mean) axis dropped; 0 = raw latent + "
@@ -1152,32 +1226,60 @@ def run_faba(argv):
     elif args.cmd == "lineage":
         import pandas as pd
 
-        from ..embedding.lineage import velocity_oriented_lineage
+        from ..faba.lineage_run import run_lineage
 
-        zdf = pd.read_parquet(args.latent)
-        vdf = pd.read_parquet(args.velocity)
-        cells = zdf.iloc[:, 0].to_numpy()
-        z = zdf.iloc[:, 1:].to_numpy(np.float32)
-        vel = vdf.iloc[:, 1:].to_numpy(np.float32)
-        lin = velocity_oriented_lineage(
-            z, vel, n_nodes=args.n_nodes, seed=args.seed
+        if args.frm is None and args.latent is None:
+            raise SystemExit("faba lineage: need --from PREFIX (or the "
+                             "legacy --latent/--velocity pair)")
+        theta = vel = cells = None
+        prefix = args.frm
+        if args.latent is not None:
+            zdf = pd.read_parquet(args.latent)
+            cells = zdf.iloc[:, 0].astype(str).tolist()
+            theta = zdf.iloc[:, 1:].to_numpy(np.float32)
+            if args.velocity is not None:
+                vel = pd.read_parquet(args.velocity).iloc[:, 1:].to_numpy(
+                    np.float32)
+            prefix = prefix or os.path.splitext(args.latent)[0]
+        res = run_lineage(
+            prefix, args.out,
+            theta=theta, velocity=vel, cell_names=cells,
+            theta_from=args.theta_from,
+            latent_geometry=args.latent_geometry,
+            n_centroids=args.n_centroids, seed=args.seed,
+            kmeans_iter=args.kmeans_iter,
+            cluster_space=args.cluster_space,
+            no_edge_direction=args.no_edge_direction,
+            no_orient_velocity=args.no_orient_velocity,
+            edge_cand_knn=args.edge_cand_knn,
+            edge_direction_n_boot=args.edge_direction_n_boot,
+            edge_direction_n_perm=args.edge_direction_n_perm,
+            edge_alpha=args.edge_alpha,
+            edge_min_cells=args.edge_min_cells,
+            root_affinity=args.root_affinity,
+            root_type=args.root_type,
+            root_from_gem=args.root_from_gem,
+            root_node=args.root_node, root_cell=args.root_cell,
+            curve_bandwidth=args.curve_bandwidth,
+            curve_resolution=args.curve_resolution,
+            max_iter=args.max_iter, tol=args.tol,
+            markers=args.markers,
+            marker_num_perm=args.marker_num_perm,
+            marker_obo=args.marker_obo,
+            marker_label_cl=args.marker_label_cl,
+            no_bootstrap_markers=args.no_bootstrap_markers,
+            marker_n_boot=args.marker_n_boot,
+            marker_min_support=args.marker_min_support,
+            layout=args.layout, layout_space=args.layout_space,
+            layout_pcs=args.layout_pcs,
+            velocity_aware_layout=args.velocity_aware_layout,
+            phate_knn=args.phate_knn, phate_t=args.phate_t,
+            phate_landmarks=args.phate_landmarks,
         )
-        pd.DataFrame({
-            "cell": cells,
-            "pseudotime": lin.pseudotime,
-            "consistency": lin.consistency,
-        }).to_parquet(f"{args.out}.pseudotime.parquet")
-        nodes_df = pd.DataFrame(
-            lin.nodes, columns=[f"h{j}" for j in range(lin.nodes.shape[1])]
-        ).reset_index(names="node")
-        nodes_df["is_root"] = nodes_df["node"] == lin.root_node
-        nodes_df.to_parquet(f"{args.out}.lineage_nodes.parquet")
-        pd.DataFrame(
-            {"src": lin.edges[:, 0], "dst": lin.edges[:, 1]}
-        ).to_parquet(f"{args.out}.lineage_edges.parquet")
         print(
-            f"wrote {args.out}.pseudotime/.lineage_nodes/.lineage_edges parquet "
-            f"(root node {lin.root_node})"
+            f"lineage: {res['n_trees']} tree(s), {res['n_lineages']} "
+            f"lineage(s), {res['edges_called']}/{res['edges_total']} edges "
+            f"oriented, roots {res['roots']}"
         )
     elif args.cmd == "dyn-assoc":
         import pandas as pd
@@ -1575,9 +1677,12 @@ def _run_apa_cmd(args):
 
 
 def _run_faba_plot(args):
-    """`faba plot`: render {from}.pseudotime/.lineage_nodes/.lineage_edges
-    over a 2D layout of the cell latent (reference `faba/src/plot/mod.rs`
-    role; matplotlib instead of the SVG layer stack)."""
+    """`faba plot`: render a lineage fit — {from}.pseudotime + the
+    forest backbone — over a 2D layout of the cell latent (reference
+    `faba/src/plot/mod.rs` role; matplotlib instead of the SVG layer
+    stack). Reads the reference-schema tables ({from}.nodes/.edges/
+    .trees, and {from}.cells_2d when the lineage already laid out);
+    falls back to the legacy .lineage_nodes/.lineage_edges pair."""
     import pandas as pd
 
     from ..utils.plot import trajectory_figure
@@ -1587,14 +1692,35 @@ def _run_faba_plot(args):
     z = zdf.iloc[:, 1:].to_numpy(np.float32)
     pt = pd.read_parquet(f"{args.frm}.pseudotime.parquet")
     pt = pt.set_index(pt.columns[0]).reindex(cells)
-    nodes_df = pd.read_parquet(f"{args.frm}.lineage_nodes.parquet")
-    hcols = [c for c in nodes_df.columns if c.startswith("h")]
-    nodes = nodes_df[hcols].to_numpy(np.float32)
-    root = int(nodes_df.index[nodes_df["is_root"].to_numpy()][0]) \
-        if "is_root" in nodes_df else 0
-    edges_df = pd.read_parquet(f"{args.frm}.lineage_edges.parquet")
-    edges = edges_df[["src", "dst"]].to_numpy(np.int64)
+    if os.path.exists(f"{args.frm}.nodes.parquet"):
+        nodes_df = pd.read_parquet(f"{args.frm}.nodes.parquet")
+        nodes = nodes_df[
+            [c for c in nodes_df.columns if c.startswith("T")]
+        ].to_numpy(np.float32)
+        edges_df = pd.read_parquet(f"{args.frm}.edges.parquet")
+        sel = edges_df[edges_df["selected"] > 0]
+        edges = sel[["from", "to"]].to_numpy(np.float32).astype(np.int64)
+        trees = pd.read_parquet(f"{args.frm}.trees.parquet")
+        root = int(trees["root"].iloc[0])
+    else:  # legacy round-2 outputs
+        nodes_df = pd.read_parquet(f"{args.frm}.lineage_nodes.parquet")
+        hcols = [c for c in nodes_df.columns if c.startswith("h")]
+        nodes = nodes_df[hcols].to_numpy(np.float32)
+        root = int(nodes_df.index[nodes_df["is_root"].to_numpy()][0]) \
+            if "is_root" in nodes_df else 0
+        edges_df = pd.read_parquet(f"{args.frm}.lineage_edges.parquet")
+        edges = edges_df[["src", "dst"]].to_numpy(np.int64)
 
+    if os.path.exists(f"{args.frm}.cells_2d.parquet") and args.layout == "auto":
+        xy = pd.read_parquet(f"{args.frm}.cells_2d.parquet")
+        coords = xy.set_index(xy.columns[0]).reindex(cells)[
+            ["x", "y"]].to_numpy(np.float32)
+        nxy = pd.read_parquet(f"{args.frm}.nodes_2d.parquet")
+        node_xy = nxy[["x", "y"]].to_numpy(np.float32)
+        _finish_faba_plot(args, coords, node_xy, edges, root, pt, cells)
+        return
+    if args.layout == "auto":
+        args.layout = "tumap"
     if args.layout == "phate":
         from ..ops.layouts import phate
 
@@ -1625,6 +1751,14 @@ def _run_faba_plot(args):
             node_xy[m] = coords[sel].mean(0)
         else:  # empty node: nearest single cell
             node_xy[m] = coords[d2[:, m].argmin()]
+
+    _finish_faba_plot(args, coords, node_xy, edges, root, pt, cells)
+
+
+def _finish_faba_plot(args, coords, node_xy, edges, root, pt, cells):
+    import pandas as pd
+
+    from ..utils.plot import trajectory_figure
 
     labels = None
     color = None
