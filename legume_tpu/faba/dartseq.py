@@ -464,7 +464,8 @@ def run_dartseq(
             [
                 (wt.ref_names[int(r)], int(p)) in snp_mask
                 for r, p in zip(wt_tab.ref_id, wt_tab.pos)
-            ]
+            ],
+            dtype=bool,
         )
         called &= ~masked
         log.info("snp mask: %d candidate sites excluded", int(masked.sum()))

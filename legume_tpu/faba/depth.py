@@ -80,3 +80,49 @@ def depth_per_region(
         shape=(len(bed.name), len(recs.barcodes)),
     ).tocsc()
     return counts, list(bed.name), recs.barcodes
+
+
+def depth_matrix_uniform(
+    bam_path: str,
+    *,
+    resolution_bp: int,
+    min_mapq: int = 20,
+    cb_tag: str = "CB",
+) -> tuple[sp.csc_matrix, list, list]:
+    """Per-cell depth over UNIFORM genome tiles (PipelineArgs
+    depth_resolution_kb, read_depth/run.rs role): contigs come from
+    the BAM header, rows are `{chr}:{start}-{end}` tiles, entries are
+    deduped molecule counts whose alignment start falls in the tile."""
+    from .bam import read_bam, read_bam_contigs
+
+    recs = read_bam(bam_path, cb_tag=cb_tag)
+    contigs = read_bam_contigs(bam_path)
+    keep = (
+        (recs.mapq >= min_mapq) & (recs.cb_id >= 0)
+        & ((recs.flag & 0x904) == 0)
+    )
+    rid = recs.ref_id[keep]
+    pos = recs.pos[keep]
+    cb = recs.cb_id[keep]
+    umi = recs.umi_id[keep]
+    tbl = np.stack([rid, pos, cb, umi])
+    _, first = np.unique(tbl, axis=1, return_index=True)
+    rid, pos, cb = rid[first], pos[first], cb[first]
+
+    # global tile index: per-contig offsets into one row axis
+    n_tiles = [max((ln + resolution_bp - 1) // resolution_bp, 1)
+               for _, ln in contigs]
+    offset = np.concatenate([[0], np.cumsum(n_tiles)])
+    names = [
+        f"{name}:{t * resolution_bp}-{min((t + 1) * resolution_bp, ln)}"
+        for (name, ln), nt in zip(contigs, n_tiles)
+        for t in range(nt)
+    ]
+    tile = offset[rid] + np.minimum(
+        pos // resolution_bp, np.asarray(n_tiles)[rid] - 1
+    )
+    counts = sp.coo_matrix(
+        (np.ones(len(tile), np.float32), (tile, cb)),
+        shape=(int(offset[-1]), len(recs.barcodes)),
+    ).tocsc()
+    return counts, names, recs.barcodes
