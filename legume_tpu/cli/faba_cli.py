@@ -42,16 +42,36 @@ def _add_gene_qc_args(p):
 def run_faba(argv):
     ap = argparse.ArgumentParser(prog="faba", description="BAM feature extraction")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    p = sub.add_parser("genes", help="per-cell gene counts from BAM")
-    p.add_argument("--bam", required=True)
+    p = sub.add_parser(
+        "genes",
+        help="per-cell gene counts from BAM (gene_count/run.rs "
+             "GeneCountArgs)",
+    )
+    p.add_argument("--bam", required=True,
+                   help="BAM(s), comma-separated (multi-sample runs "
+                        "write {out}.{batch}.* per batch)")
     p.add_argument("--gff", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--min-mapq", type=int, default=20)
-    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--no-dedup", "--no-umi-dedup", dest="no_dedup",
+                   action="store_true")
+    p.add_argument("--cell-barcode-tag", default="CB")
+    p.add_argument("--umi-tag", default="UB")
+    p.add_argument("--gene-type", default=None,
+                   help="GFF biotype filter (empty = all biotypes)")
+    p.add_argument("--row-nnz-cutoff", type=int, default=0,
+                   help="drop genes with fewer non-zero cells")
+    p.add_argument("--column-nnz-cutoff", type=int, default=0,
+                   help="drop cells with fewer non-zero genes")
+    p.add_argument("--backend", choices=["zarr", "hdf5"], default="zarr")
+    p.add_argument("--zip", action="store_true",
+                   help="archive outputs as .zarr.zip (the reference "
+                        "default; opt-in here)")
     _add_gene_qc_args(p)
     p.add_argument(
         "--splice", action="store_true",
-        help="emit spliced + unspliced backends (velocity input)",
+        help="emit spliced + unspliced backends (velocity input; the "
+             "reference separates by default — declared divergence)",
     )
     for _name, _help in [
         ("dartseq", "m6A C->T WT-vs-control site calling"),
@@ -261,32 +281,110 @@ def run_faba(argv):
     p.add_argument("--gene-min-cells", type=int, default=10)
     p.add_argument("--gene-min-counts", type=int, default=10)
     p.add_argument("--cell-min-genes", type=int, default=10)
-    p = sub.add_parser("pwm", help="sequence-context PWM around called sites")
-    p.add_argument("--sites", required=True, help="parquet with chrom,pos[,strand]")
-    p.add_argument("--fasta", required=True)
-    p.add_argument("--output", required=True)
-    p.add_argument("--flank", type=int, default=5)
-    p = sub.add_parser("metagene", help="site density over normalized gene coords")
-    p.add_argument("--sites", required=True, help="parquet with chrom,pos")
-    p.add_argument("--gff", required=True)
-    p.add_argument("--output", required=True)
-    p.add_argument("--bins", type=int, default=50)
+    p = sub.add_parser(
+        "pwm",
+        help="sequence-context PWM around called sites "
+             "(site_analysis/scan_pwm.rs ScanPwmArgs)",
+    )
+    p.add_argument("-s", "--sites", required=True,
+                   help="parquet with chrom,pos[,strand]")
+    p.add_argument("-f", "--fasta", "--genome", dest="fasta",
+                   required=True)
+    p.add_argument("-o", "--output", required=True,
+                   help="output prefix; also accepts a .tsv/.tsv.gz "
+                        "path for the reference TSV layout")
+    p.add_argument("--flank", "--window", dest="flank", type=int,
+                   default=5, help="+/- bp collected around each site")
+    p.add_argument("--source", choices=["reference", "reads"],
+                   default="reference",
+                   help="base frequencies from the FASTA context or "
+                        "from the reads covering each position")
+    p.add_argument("--bam", default=None,
+                   help="BAM(s), comma-separated (required for "
+                        "--source reads)")
+    p = sub.add_parser(
+        "metagene",
+        help="MetaPlotR tripartite 5'UTR/CDS/3'UTR metagene "
+             "(site_analysis/metagene.rs MetageneArgs)",
+    )
+    p.add_argument("-s", "--sites", required=True,
+                   help="site parquet (from dartseq/atoi/apa output)")
+    p.add_argument("-g", "--gff", required=True)
+    p.add_argument("-o", "--output", required=True,
+                   help="TSV path (a .parquet twin is written too)")
+    p.add_argument("--bins", type=int, default=200,
+                   help="total bins across 5'UTR+CDS+3'UTR, split in "
+                        "proportion to the site-weighted medians")
+    p.add_argument("--isoform", choices=["longest", "all"],
+                   default="longest",
+                   help="longest spliced coding isoform per gene "
+                        "(MetaPlotR) or every coding transcript")
+    p.add_argument("--ncrna", action="store_true",
+                   help="also profile non-coding genes (own [0,1] track)")
+    p.add_argument("--distances", default=None,
+                   help="also write MetaPlotR's per-site distance "
+                        "table (TSV) here")
+    p.add_argument("--print", dest="print_hist", action="store_true",
+                   help="print the ASCII histogram to stderr")
+    p.add_argument("--max-width", type=int, default=60)
+    p.add_argument("--gene-type", default=None,
+                   help="GFF biotype filter")
+    p.add_argument("--body", action="store_true",
+                   help="legacy round-2 mode: uniform gene-body bins "
+                        "(writes {out}.metagene.parquet only)")
     p = sub.add_parser(
         "pileup", aliases=["inspect"],
-        help="base composition around sites; --miami renders the figure mode",
+        help="gene/region pileup of faba matrices (PileupArgs); "
+             "--bam+--sites = base composition; --miami = figure mode",
     )
-    p.add_argument("--bam", required=True)
-    p.add_argument("--sites", required=True, help="parquet with chrom,pos")
-    p.add_argument("--output", required=True)
+    p.add_argument("--bam", default=None,
+                   help="BAM(s): base-composition mode, or the "
+                        "read-depth track of --miami")
+    p.add_argument("--sites", default=None,
+                   help="site-level parquet (composition mode, or the "
+                        "second track of the matrix mode)")
+    p.add_argument("--output", default=None,
+                   help="TSV path (matrix mode) / parquet prefix "
+                        "(composition mode)")
     p.add_argument("--flank", type=int, default=2)
     p.add_argument("--fasta", default=None)
+    # matrix-track mode (the reference's original ASCII/TSV pileup)
+    p.add_argument("--data", default=None,
+                   help="sparse matrix backend(s) from faba output, "
+                        "comma-separated (matrix-track mode)")
+    p.add_argument("--genes", default=None,
+                   help="comma-separated gene symbols (needs --gff to "
+                        "resolve spans — row names key by locus here)")
+    p.add_argument("--regions", default=None,
+                   help="comma-separated chr:lb-ub regions")
+    p.add_argument("--signal", choices=["sum", "nnz", "log10-sum"],
+                   default="sum",
+                   help="per-position aggregation over cells")
+    p.add_argument("--site-signal",
+                   choices=["count", "wt-coverage", "mut-coverage",
+                            "neglog10pv"],
+                   default="count",
+                   help="signal for the --sites second track")
+    p.add_argument("--bins", type=int, default=80,
+                   help="bins along the selected span")
+    p.add_argument("--plot-height", type=int, default=12,
+                   help="ASCII plot height in rows (per track)")
+    p.add_argument("--quiet", "--no-plot", dest="quiet",
+                   action="store_true", help="suppress the ASCII plot")
+    p.add_argument("--modalities", default=None,
+                   help="restrict matrix rows to these modalities "
+                        "(e.g. m6a,atoi)")
+    # figure (miami) mode
     p.add_argument("--miami", default=None,
                    help="figure out-path (.pdf/.svg/.png): sites up, gene "
                         "model middle, mirrored depth down")
     p.add_argument("--region", default=None, help="chr:lb-ub (miami mode)")
-    p.add_argument("--gff", default=None, help="gene model track (miami mode)")
+    p.add_argument("--gff", default=None,
+                   help="gene model (miami track; resolves --genes)")
     p.add_argument("--cell-membership", default=None,
                    help="TSV cell TAB type: one depth panel per cell type")
+    p.add_argument("--membership-barcode-col", type=int, default=0)
+    p.add_argument("--membership-celltype-col", type=int, default=1)
     for _name, _help in [
         ("gem", "geodesic embedding + motion (NCE, velocity delta)"),
         ("gem-encoder", "masked generative sibling (u+delta->s)"),
@@ -573,11 +671,25 @@ def run_faba(argv):
                    help="archive BAF matrices as .zarr.zip (reference "
                         "default; opt-in here — declared divergence)")
 
-    p = sub.add_parser("depth", help="per-cell coverage over BED regions")
-    p.add_argument("--bam", required=True)
-    p.add_argument("--bed", required=True)
+    p = sub.add_parser(
+        "depth",
+        help="per-cell coverage over BED regions or uniform tiles "
+             "(read_depth/run.rs ReadDepthArgs)",
+    )
+    p.add_argument("--bam", required=True,
+                   help="BAM(s), comma-separated")
+    p.add_argument("--bed", default=None,
+                   help="BED regions (alternative to --resolution-kb)")
+    p.add_argument("--resolution-kb", type=float, default=None,
+                   help="uniform genome tiles at this resolution "
+                        "(the reference's bin mode)")
     p.add_argument("--output", required=True)
     p.add_argument("--min-mapq", type=int, default=20)
+    p.add_argument("--cell-barcode-tag", default="CB")
+    p.add_argument("--row-nnz-cutoff", type=int, default=0)
+    p.add_argument("--column-nnz-cutoff", type=int, default=0)
+    p.add_argument("--backend", choices=["zarr", "hdf5"], default="zarr")
+    p.add_argument("--zip", action="store_true")
 
     p = sub.add_parser(
         "annotate",
@@ -729,14 +841,47 @@ def run_faba(argv):
         return
     if args.cmd == "depth":
         from ..data.sparse_io import create_sparse_from_csc
-        from ..faba.depth import depth_per_region, read_bed
-
-        bed = read_bed(args.bed)
-        cov, names, barcodes = depth_per_region(
-            args.bam, bed, min_mapq=args.min_mapq
+        from ..faba.depth import (
+            depth_matrix_uniform,
+            depth_per_region,
+            read_bed,
         )
-        create_sparse_from_csc(cov, f"{args.output}.zarr", names, barcodes)
-        print(f"wrote backend: {args.output}.zarr ({cov.shape[0]} regions)")
+
+        if (args.bed is None) == (args.resolution_kb is None):
+            raise SystemExit(
+                "faba depth: give exactly one of --bed or --resolution-kb"
+            )
+        sfx = ".h5" if args.backend == "hdf5" else (
+            ".zarr.zip" if args.zip else ".zarr")
+        bam_list = args.bam.split(",")
+        for bam_path in bam_list:
+            tag = (
+                "" if len(bam_list) == 1
+                else "." + os.path.splitext(os.path.basename(bam_path))[0]
+            )
+            if args.bed is not None:
+                cov, names, barcodes = depth_per_region(
+                    bam_path, read_bed(args.bed), min_mapq=args.min_mapq
+                )
+            else:
+                cov, names, barcodes = depth_matrix_uniform(
+                    bam_path,
+                    resolution_bp=int(args.resolution_kb * 1000),
+                    min_mapq=args.min_mapq,
+                    cb_tag=args.cell_barcode_tag,
+                )
+            if args.row_nnz_cutoff > 0 or args.column_nnz_cutoff > 0:
+                csc = cov.tocsc()
+                rk = np.asarray((csc > 0).sum(axis=1)).ravel() \
+                    >= args.row_nnz_cutoff
+                ck = np.asarray((csc > 0).sum(axis=0)).ravel() \
+                    >= args.column_nnz_cutoff
+                cov = csc[rk][:, ck]
+                names = [n for n, k in zip(names, rk) if k]
+                barcodes = [b for b, k in zip(barcodes, ck) if k]
+            out_path = f"{args.output}{tag}{sfx}"
+            create_sparse_from_csc(cov, out_path, names, barcodes)
+            print(f"wrote backend: {out_path} ({cov.shape[0]} rows)")
         return
     if args.cmd == "annotate":
         import pandas as pd
@@ -781,62 +926,16 @@ def run_faba(argv):
         return
 
     if args.cmd == "genes":
-        from ..data.sparse_io import create_sparse_from_csc
-        from ..faba.genes import count_genes, count_genes_spliced
-
-        if args.splice:
-            s, u, genes, barcodes = count_genes_spliced(
-                args.bam, args.gff,
-                min_mapq=args.min_mapq, dedup_umi=not args.no_dedup,
+        bam_list = args.bam.split(",")
+        gsfx = ".h5" if args.backend == "hdf5" else (
+            ".zarr.zip" if args.zip else "")
+        for bam_path in bam_list:
+            tag = (
+                "" if len(bam_list) == 1
+                else "." + os.path.splitext(os.path.basename(bam_path))[0]
             )
-            create_sparse_from_csc(s, f"{args.output}.spliced", genes, barcodes)
-            create_sparse_from_csc(u, f"{args.output}.unspliced", genes, barcodes)
-            print(
-                f"wrote backends: {args.output}.spliced / .unspliced "
-                f"({s.nnz} spliced, {u.nnz} unspliced entries)"
-            )
-            return
-        counts, genes, barcodes = count_genes(
-            args.bam, args.gff, min_mapq=args.min_mapq, dedup_umi=not args.no_dedup
-        )
-        if args.gene_qc and not args.skip_gene_qc:
-            import pandas as pd
-
-            from ..faba.cell_calling import gene_qc_masks, mito_qc
-            from ..faba.genes import parse_gff_genes
-
-            model = parse_gff_genes(args.gff)
-            gene_chroms = [model.chrom_names[i] for i in model.chrom]
-            mito_gene, mt_frac, mito_cell = mito_qc(
-                counts, gene_chroms, mito_chr=args.mito_chr,
-                keep_mito=args.keep_mito, max_mito_frac=args.max_mito_frac,
-                no_mito_cell_qc=args.no_mito_cell_qc,
-            )
-            gk, ck = gene_qc_masks(
-                counts, gene_min_cells=args.gene_min_cells,
-                gene_min_counts=args.gene_min_counts,
-                cell_min_genes=args.cell_min_genes,
-            )
-            gk &= mito_gene
-            ck &= mito_cell
-            pd.DataFrame(
-                {
-                    "cell": barcodes,
-                    "total": np.asarray(counts.sum(axis=0)).ravel(),
-                    "n_genes": np.asarray((counts > 0).sum(axis=0)).ravel(),
-                    "mito_frac": mt_frac,
-                    "keep": ck,
-                }
-            ).to_parquet(f"{args.output}.cell_qc.parquet")
-            print(
-                f"gene qc: {int(gk.sum())}/{len(genes)} genes, "
-                f"{int(ck.sum())}/{len(barcodes)} cells kept"
-            )
-            counts = counts[gk][:, ck]
-            genes = [g for g, k in zip(genes, gk) if k]
-            barcodes = [b for b, k in zip(barcodes, ck) if k]
-        create_sparse_from_csc(counts, args.output, genes, barcodes)
-        print(f"wrote backend: {args.output} ({counts.shape[0]} genes x {counts.shape[1]} cells)")
+            _run_genes_one(args, bam_path, f"{args.output}{tag}", gsfx)
+        return
     elif args.cmd in ("dartseq", "atoi"):
         import pandas as pd
 
@@ -1233,46 +1332,104 @@ def run_faba(argv):
 
         import pandas as pd
 
-        from ..faba.context import pwm_at_sites, read_fasta
+        from ..faba.context import pwm_at_sites, pwm_from_reads, read_fasta
 
         df = pd.read_parquet(args.sites)
         strand = df["strand"].to_numpy() if "strand" in df else None
-        pwm = pwm_at_sites(
-            read_fasta(args.fasta), df["chrom"].tolist(),
-            df["pos"].to_numpy(), flank=args.flank, strand=strand,
+        strand = (
+            np.where(np.asarray(strand).astype(str) == "-", -1, 1)
+            if strand is not None and strand.dtype == object else strand
         )
+        fasta = read_fasta(args.fasta)
+        if args.source == "reads":
+            if not args.bam:
+                raise SystemExit("--source reads needs --bam")
+            pwm = pwm_from_reads(
+                args.bam.split(","), fasta,
+                df["chrom"].astype(str).to_numpy(object),
+                df["pos"].to_numpy(np.int64),
+                flank=args.flank, strand=strand,
+            )
+        else:
+            pwm = pwm_at_sites(
+                fasta, df["chrom"].tolist(),
+                df["pos"].to_numpy(), flank=args.flank, strand=strand,
+            )
         out = pd.DataFrame(pwm.freqs, columns=list("ACGT"))
         out["offset"] = np.arange(-args.flank, args.flank + 1)
         out["info_bits"] = pwm.info_bits
-        out.to_parquet(f"{args.output}.pwm.parquet")
+        if args.output.endswith((".tsv", ".tsv.gz")):
+            out.to_csv(args.output, sep="\t", index=False)
+            out_path = args.output
+        else:
+            out_path = f"{args.output}.pwm.parquet"
+            out.to_parquet(out_path)
         print(
             _json.dumps(
                 {"consensus": pwm.consensus, "n_sites": pwm.n_sites,
-                 "out": f"{args.output}.pwm.parquet"}
+                 "source": args.source, "out": out_path}
             )
         )
     elif args.cmd == "metagene":
         import pandas as pd
 
-        from ..faba.context import metagene_profile
-        from ..faba.genes import parse_gff_genes
-
         df = pd.read_parquet(args.sites)
-        model = parse_gff_genes(args.gff)
-        chroms = sorted(set(df["chrom"].astype(str)))
-        cidx = {c: i for i, c in enumerate(chroms)}
-        prof = metagene_profile(
-            model, chroms,
-            df["chrom"].map(cidx).to_numpy(), df["pos"].to_numpy(),
-            bins=args.bins,
+        if args.body:
+            from ..faba.context import metagene_profile
+            from ..faba.genes import parse_gff_genes
+
+            model = parse_gff_genes(args.gff, gene_type=args.gene_type)
+            chroms = sorted(set(df["chrom"].astype(str)))
+            cidx = {c: i for i, c in enumerate(chroms)}
+            prof = metagene_profile(
+                model, chroms,
+                df["chrom"].map(cidx).to_numpy(), df["pos"].to_numpy(),
+                bins=args.bins,
+            )
+            pd.DataFrame(
+                {"bin": prof["bin_centers"], "density": prof["density"],
+                 "count": prof["counts"]}
+            ).to_parquet(f"{args.output}.metagene.parquet")
+            print(
+                f"wrote {args.output}.metagene.parquet "
+                f"({prof['n_assigned']}/{len(df)} sites in genes)"
+            )
+            return
+        import sys
+
+        from ..faba.metagene import (
+            ascii_histogram,
+            metagene_metaplotr,
+            parse_gff_transcripts,
         )
-        pd.DataFrame(
-            {"bin": prof["bin_centers"], "density": prof["density"],
-             "count": prof["counts"]}
-        ).to_parquet(f"{args.output}.metagene.parquet")
+
+        models, ncrna = parse_gff_transcripts(
+            args.gff, gene_type=args.gene_type
+        )
+        res = metagene_metaplotr(
+            models, ncrna,
+            df["chrom"].astype(str).to_numpy(object),
+            df["pos"].to_numpy(np.int64),
+            bins=args.bins, isoform=args.isoform,
+            include_ncrna=args.ncrna,
+        )
+        out_df = pd.DataFrame(res["rows"]).rename(
+            columns={"feature": "#feature"})
+        out_df.to_csv(args.output, sep="\t", index=False)
+        base = args.output.removesuffix(".tsv").removesuffix(".gz")
+        out_df.to_parquet(f"{base}.metagene.parquet")
+        if args.distances:
+            pd.DataFrame(res["distances"]).to_csv(
+                args.distances, sep="\t", index=False)
+        if args.print_hist:
+            print(ascii_histogram(res["rows"],
+                                  max_width=args.max_width),
+                  file=sys.stderr)
+        m5, mc, m3 = res["median_sizes"]
         print(
-            f"wrote {args.output}.metagene.parquet "
-            f"({prof['n_assigned']}/{len(df)} sites in genes)"
+            f"wrote {args.output} ({res['n_sites_placed']}/{len(df)} "
+            f"sites placed; median 5'UTR/CDS/3'UTR = "
+            f"{m5:.0f}/{mc:.0f}/{m3:.0f} nt; bins {res['region_bins']})"
         )
     elif args.cmd in ("gem", "gem-encoder"):
         import pandas as pd
@@ -1593,6 +1750,15 @@ def run_faba(argv):
     elif args.cmd in ("pileup", "inspect"):
         import pandas as pd
 
+        if args.data:
+            _run_faba_pileup_tracks(args)
+            return
+        if not args.miami and not (args.bam and args.sites and args.output):
+            raise SystemExit(
+                "pileup: give --data (matrix-track mode), --miami "
+                "(figure mode), or --bam/--sites/--output "
+                "(base-composition mode)"
+            )
         if args.miami:
             from ..faba.bam import read_bam
             from ..utils.plot import miami_pileup
@@ -1627,11 +1793,13 @@ def run_faba(argv):
             facet_names = None
             if args.cell_membership:
                 memb = {}
+                bc_col = args.membership_barcode_col
+                ty_col = args.membership_celltype_col
                 with open(args.cell_membership) as f:
                     for ln in f:
                         parts = ln.split()
-                        if len(parts) >= 2:
-                            memb[parts[0]] = parts[1]
+                        if len(parts) > max(bc_col, ty_col):
+                            memb[parts[bc_col]] = parts[ty_col]
                 facet_names = sorted(set(memb.values()))
                 fidx = {t: i for i, t in enumerate(facet_names)}
                 cb_facet = np.full(len(reads.barcodes), -1, np.int64)
@@ -1856,6 +2024,238 @@ def _run_apa_cmd(args):
         f"wrote {args.output}.zarr ({apa.counts.shape[0]} PAS sites) "
         f"+ .distal.parquet"
     )
+
+
+def _run_genes_one(args, bam_path, out_prefix, gsfx):
+    """One batch of `faba genes` (gene_count/run.rs per-BAM loop):
+    count, optional gene/mito QC, nnz cutoffs, backend write."""
+    from ..data.sparse_io import create_sparse_from_csc
+    from ..faba.genes import count_genes, count_genes_spliced
+
+    if args.splice:
+        s, u, genes, barcodes = count_genes_spliced(
+            bam_path, args.gff,
+            min_mapq=args.min_mapq, dedup_umi=not args.no_dedup,
+        )
+        create_sparse_from_csc(
+            s, f"{out_prefix}.spliced{gsfx}", genes, barcodes)
+        create_sparse_from_csc(
+            u, f"{out_prefix}.unspliced{gsfx}", genes, barcodes)
+        print(
+            f"wrote backends: {out_prefix}.spliced / .unspliced "
+            f"({s.nnz} spliced, {u.nnz} unspliced entries)"
+        )
+        return
+    counts, genes, barcodes = count_genes(
+        bam_path, args.gff, min_mapq=args.min_mapq,
+        dedup_umi=not args.no_dedup, gene_type=args.gene_type,
+        cb_tag=args.cell_barcode_tag, umi_tag=args.umi_tag,
+    )
+    if args.gene_qc and not args.skip_gene_qc:
+        import pandas as pd
+
+        from ..faba.cell_calling import gene_qc_masks, mito_qc
+        from ..faba.genes import parse_gff_genes
+
+        model = parse_gff_genes(args.gff, gene_type=args.gene_type)
+        gene_chroms = [model.chrom_names[i] for i in model.chrom]
+        mito_gene, mt_frac, mito_cell = mito_qc(
+            counts, gene_chroms, mito_chr=args.mito_chr,
+            keep_mito=args.keep_mito, max_mito_frac=args.max_mito_frac,
+            no_mito_cell_qc=args.no_mito_cell_qc,
+        )
+        gk, ck = gene_qc_masks(
+            counts, gene_min_cells=args.gene_min_cells,
+            gene_min_counts=args.gene_min_counts,
+            cell_min_genes=args.cell_min_genes,
+        )
+        gk &= mito_gene
+        ck &= mito_cell
+        pd.DataFrame(
+            {
+                "cell": barcodes,
+                "total": np.asarray(counts.sum(axis=0)).ravel(),
+                "n_genes": np.asarray((counts > 0).sum(axis=0)).ravel(),
+                "mito_frac": mt_frac,
+                "keep": ck,
+            }
+        ).to_parquet(f"{out_prefix}.cell_qc.parquet")
+        print(
+            f"gene qc: {int(gk.sum())}/{len(genes)} genes, "
+            f"{int(ck.sum())}/{len(barcodes)} cells kept"
+        )
+        counts = counts[gk][:, ck]
+        genes = [g for g, k in zip(genes, gk) if k]
+        barcodes = [b for b, k in zip(barcodes, ck) if k]
+    if args.row_nnz_cutoff > 0 or args.column_nnz_cutoff > 0:
+        # output squeeze (GeneCountArgs row/column nnz cutoffs)
+        csc = counts.tocsc()
+        gk = np.asarray((csc > 0).sum(axis=1)).ravel() >= args.row_nnz_cutoff
+        ck = np.asarray((csc > 0).sum(axis=0)).ravel() >= args.column_nnz_cutoff
+        counts = csc[gk][:, ck]
+        genes = [g for g, k in zip(genes, gk) if k]
+        barcodes = [b for b, k in zip(barcodes, ck) if k]
+    create_sparse_from_csc(counts, f"{out_prefix}{gsfx}", genes, barcodes)
+    print(f"wrote backend: {out_prefix}{gsfx} "
+          f"({counts.shape[0]} genes x {counts.shape[1]} cells)")
+
+
+def _run_faba_pileup_tracks(args):
+    """`faba pileup --data`: the reference's original matrix-track
+    pileup (pileup.rs run_pileup, non-figure path): select positions
+    from the backends' locus-keyed rows by gene span or region,
+    aggregate per position (`--signal`), bin along the span, print the
+    ASCII histogram and/or write the TSV. An optional `--sites`
+    parquet adds the second track (`--site-signal`)."""
+    import pandas as pd
+
+    from ..data.sparse_io import open_sparse_matrix
+
+    if not args.genes and not args.regions:
+        raise SystemExit("pileup --data needs --genes or --regions")
+    spans = []  # (chrom, lb, ub, label)
+    if args.regions:
+        for reg in args.regions.split(","):
+            chrom, rng = reg.rsplit(":", 1)
+            lb, ub = (int(x) for x in rng.replace(",", "").split("-"))
+            spans.append((chrom, lb, ub, reg))
+    if args.genes:
+        if not args.gff:
+            raise SystemExit(
+                "pileup --genes needs --gff: matrix rows key by locus "
+                "({chr}:{pos}/...), so gene symbols resolve via the "
+                "gene model (declared divergence from the reference's "
+                "gene-keyed rows)"
+            )
+        from ..faba.genes import parse_gff_genes
+
+        model = parse_gff_genes(args.gff)
+        want = {g.strip() for g in args.genes.split(",")}
+        for gi, name in enumerate(model.names):
+            if name in want:
+                spans.append((
+                    model.chrom_names[int(model.chrom[gi])],
+                    int(model.start[gi]), int(model.end[gi]), name,
+                ))
+                want.discard(name)
+        if want:
+            raise SystemExit(f"genes not in the GFF: {sorted(want)}")
+
+    mods = (
+        {m.strip().lower() for m in args.modalities.split(",")}
+        if args.modalities else None
+    )
+    # gather (pos, value) per span from every backend
+    positions, values = [], []
+    for path in args.data.split(","):
+        be = open_sparse_matrix(path)
+        names = be.row_names()
+        rows = []
+        metas = []
+        for ri, name in enumerate(names):
+            head, *rest = str(name).split("/")
+            if mods is not None and not any(
+                r.lower() in mods for r in rest
+            ):
+                continue
+            if ":" not in head:
+                continue
+            chrom, _, ptxt = head.rpartition(":")
+            try:
+                pos = int(ptxt)
+            except ValueError:
+                continue
+            for sc, lb, ub, label in spans:
+                if chrom == sc and lb <= pos <= ub:
+                    rows.append(ri)
+                    metas.append((pos, label))
+                    break
+        if not rows:
+            continue
+        sub = be.read_columns_csc(np.arange(be.num_columns))[rows]
+        row_sum = np.asarray(sub.sum(axis=1)).ravel()
+        row_nnz = np.asarray((sub > 0).sum(axis=1)).ravel()
+        for (pos, label), s, nz in zip(metas, row_sum, row_nnz):
+            v = {
+                "sum": s, "nnz": nz, "log10-sum": np.log10(1.0 + s)
+            }[args.signal]
+            positions.append(pos)
+            values.append(v)
+    positions = np.asarray(positions, np.int64)
+    values = np.asarray(values, np.float64)
+
+    lo = min(lb for _, lb, _, _ in spans)
+    hi = max(ub for _, _, ub, _ in spans)
+    nb = min(args.bins, max(len(np.unique(positions)), 1))
+    edges = np.linspace(lo, hi + 1, nb + 1)
+    tracks = []
+    if len(positions):
+        idx = np.clip(np.searchsorted(edges, positions, "right") - 1,
+                      0, nb - 1)
+        hist = np.zeros(nb)
+        np.add.at(hist, idx, values)
+        tracks.append(("matrix", args.signal, hist))
+    if args.sites:
+        df = pd.read_parquet(args.sites)
+        insel = np.zeros(len(df), bool)
+        ch = df["chrom"].astype(str).to_numpy()
+        pp = df["pos"].to_numpy()
+        for sc, lb, ub, _ in spans:
+            insel |= (ch == sc) & (pp >= lb) & (pp <= ub)
+        sel = df[insel]
+        col = {
+            "count": None,
+            "wt-coverage": next(
+                (c for c in sel.columns if "cov" in c.lower()
+                 or c in ("wt_coverage", "coverage")), None),
+            "mut-coverage": next(
+                (c for c in sel.columns if "alt" in c.lower()
+                 or "mut" in c.lower() or "converted" in c.lower()),
+                None),
+            "neglog10pv": next(
+                (c for c in sel.columns if "pvalue" in c.lower()
+                 or c == "p"), None),
+        }[args.site_signal]
+        sv = (
+            np.ones(len(sel)) if col is None
+            else (-np.log10(np.maximum(sel[col].to_numpy(float), 1e-300))
+                  if args.site_signal == "neglog10pv"
+                  else sel[col].to_numpy(float))
+        )
+        idx = np.clip(
+            np.searchsorted(edges, sel["pos"].to_numpy(), "right") - 1,
+            0, nb - 1,
+        )
+        hist = np.zeros(nb)
+        np.add.at(hist, idx, sv)
+        tracks.append(("sites", args.site_signal, hist))
+    if not tracks:
+        raise SystemExit("pileup: no matrix rows or sites in the "
+                         "selected span")
+
+    if not args.quiet:
+        for label, signal, hist in tracks:
+            peak = hist.max() or 1.0
+            h = args.plot_height
+            print(f"# {label} ({signal}) over {lo}-{hi}")
+            for level in range(h, 0, -1):
+                line = "".join(
+                    "#" if hist[b] / peak * h >= level - 0.5 else " "
+                    for b in range(nb)
+                )
+                print(f"{'':>2}|{line}")
+            print(f"  +{'-' * nb}")
+    if args.output:
+        out_rows = []
+        for label, signal, hist in tracks:
+            for b in range(nb):
+                out_rows.append({
+                    "track": label, "signal": signal, "bin": b,
+                    "lb": edges[b], "ub": edges[b + 1],
+                    "value": hist[b],
+                })
+        pd.DataFrame(out_rows).to_csv(args.output, sep="\t", index=False)
+        print(f"wrote pileup TSV to {args.output}")
 
 
 def _run_faba_annotate(args):

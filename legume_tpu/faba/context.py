@@ -213,3 +213,95 @@ def metagene_profile(
     if value is not None:
         out["mean_value"] = vsum / np.maximum(hist, 1.0)
     return out
+
+
+def pwm_from_reads(
+    bam_paths: list,
+    fasta: dict,
+    chrom,
+    pos: np.ndarray,
+    *,
+    flank: int = 5,
+    strand: np.ndarray | None = None,
+    min_mapq: int = 20,
+    pseudocount: float = 0.5,
+) -> Pwm:
+    """PWM from READ evidence around each site (`scan_pwm.rs
+    FreqSource::Reads`): at every (site, offset) position, mismatching
+    reads contribute their read base (MD-tag stream) and matching
+    coverage contributes the reference base. DIVERGENCE: the columnar
+    reader streams read bases only at mismatches, so the FASTA is
+    required here to attribute the matching coverage (the reference
+    reads it back from each alignment)."""
+    from .bam import read_bam
+    from .dartseq import coverage_at_sites
+
+    w = 2 * flank + 1
+    counts = np.full((w, 4), pseudocount)
+    offsets = np.arange(-flank, flank + 1)
+    strand = (
+        np.ones(len(pos), np.int8) if strand is None
+        else np.asarray(strand)
+    )
+    # window slot per (site, offset), mirrored on the minus strand
+    n_sites_used = 0
+    for bam in bam_paths:
+        recs = read_bam(bam)
+        name_to_rid = {n: i for i, n in enumerate(recs.ref_names)}
+        rid = np.asarray(
+            [name_to_rid.get(str(c), -1) for c in chrom], np.int64
+        )
+        ok = rid >= 0
+        if not ok.any():
+            continue
+        n_sites_used = max(n_sites_used, int(ok.sum()))
+        # [S, W] query positions
+        q_pos = pos[ok, None] + offsets[None, :]
+        q_rid = np.repeat(rid[ok], w)
+        q_flat = q_pos.ravel()
+        cov = coverage_at_sites(
+            recs, q_rid, q_flat, min_mapq=min_mapq
+        ).astype(np.int64).reshape(-1, w)
+        # mismatch tallies per base at each (site, offset)
+        mm_counts = np.zeros((cov.shape[0], w, 4), np.int64)
+        if recs.mm_pos is not None and len(recs.mm_pos):
+            key_mm = recs.mm_ref_id.astype(np.int64) * (1 << 40) \
+                + recs.mm_pos.astype(np.int64)
+            order = np.argsort(key_mm, kind="stable")
+            key_q = q_rid * (1 << 40) + q_flat
+            for bi, b in enumerate(b"ACGT"):
+                sel = recs.mm_read_base[order] == b
+                ks = key_mm[order][sel]
+                lo = np.searchsorted(ks, key_q)
+                hi = np.searchsorted(ks, key_q, side="right")
+                mm_counts[:, :, bi] = (hi - lo).reshape(-1, w)
+        ref_extra = np.maximum(cov - mm_counts.sum(-1), 0)
+        # attribute matching coverage to the FASTA reference base
+        site_idx = np.nonzero(ok)[0]
+        for si, gi in enumerate(site_idx):
+            seq = fasta.get(str(chrom[gi]))
+            rev = strand[gi] < 0
+            for oi, off in enumerate(offsets):
+                p = int(pos[gi]) + int(off)
+                col = np.array(
+                    [mm_counts[si, oi, 0], mm_counts[si, oi, 1],
+                     mm_counts[si, oi, 2], mm_counts[si, oi, 3]],
+                    np.float64,
+                )
+                if seq is not None and 0 <= p < len(seq):
+                    bi = _BASE_IDX.get(ord(seq[p].upper()))
+                    if bi is not None:
+                        col[bi] += ref_extra[si, oi]
+                if rev:
+                    col = col[::-1]  # A<->T, C<->G complement
+                    slot = w - 1 - oi
+                else:
+                    slot = oi
+                counts[slot] += col
+    freqs = counts / np.maximum(counts.sum(1, keepdims=True), 1e-12)
+    info = np.log2(4.0) + (
+        freqs * np.log2(np.maximum(freqs, 1e-12))
+    ).sum(1)
+    consensus = "".join(BASES[j] for j in freqs.argmax(1))
+    return Pwm(counts=counts, freqs=freqs, info_bits=info,
+               consensus=consensus, n_sites=n_sites_used)

@@ -223,10 +223,11 @@ def count_genes(
     dedup_umi: bool = True,
     cb_tag: str = "CB",
     umi_tag: str = "UB",
+    gene_type: "str | None" = None,
 ) -> tuple[sp.csc_matrix, list[str], list[str]]:
     """(counts [genes x cells], gene_names, barcodes)."""
     recs = read_bam(bam_path, cb_tag=cb_tag, umi_tag=umi_tag)
-    model = parse_gff_genes(gff_path)
+    model = parse_gff_genes(gff_path, gene_type=gene_type)
     keep = (recs.mapq >= min_mapq) & (recs.cb_id >= 0) & ((recs.flag & 0x904) == 0)
     gene = assign_reads_to_genes(
         recs.ref_id[keep], recs.pos[keep], recs.end_pos[keep], recs.ref_names, model
