@@ -393,19 +393,54 @@ def run_faba(argv):
         p.add_argument("--posterior", type=int, default=0,
                        help="gem only: two-gate Gibbs sweeps over the fit "
                             "(0 = off); writes delta_posterior.parquet")
-        p.add_argument("--spliced", required=True, help="spliced pb backend")
-        p.add_argument("--unspliced", required=True, help="unspliced pb backend")
+        p.add_argument("--spliced", required=True,
+                       help="spliced backend (pb-level, or cell-level "
+                            "with --raw)")
+        p.add_argument("--unspliced", required=True,
+                       help="unspliced backend (same granularity)")
         p.add_argument("--output", required=True)
         p.add_argument("-d", "--embedding-dim", type=int, default=16)
-        p.add_argument("--epochs", type=int, default=600)
+        p.add_argument("--epochs", "-i", type=int, default=600)
         p.add_argument("--learning-rate", "--lr", type=float, default=None,
                        help="default: 0.02 (gem) / 0.01 (gem-encoder)")
         p.add_argument("--delta-l2", type=float, default=0.01,
-                       help="L2 on the velocity offset delta")
+                       help="L2 on the velocity offset delta "
+                            "(gem/args.rs ModelArgs)")
+        p.add_argument("--weight-decay", type=float, default=0.0,
+                       help="AdamW decoupled weight decay (0 = Adam)")
+        p.add_argument("--grad-clip", type=float, default=0.0,
+                       help="global-norm gradient clip (0 = off)")
+        p.add_argument("--seed", type=int, default=0)
+        # CollapseArgs: run the pseudobulk collapse in-command on
+        # CELL-level inputs (the reference gem always collapses;
+        # pb-level inputs stay the no-flag behavior here)
+        p.add_argument("--raw", action="store_true",
+                       help="inputs are cell-level: hash cells into "
+                            "pseudobulks first (CollapseArgs)")
+        p.add_argument("--sort-dim", type=int, default=8,
+                       help="[--raw] binary sketch bits (<= 2^bits pbs)")
+        p.add_argument("--proj-dim", type=int, default=16,
+                       help="[--raw] random-projection dimension")
+        p.add_argument("--n-hvg", type=int, default=0,
+                       help="[--raw] gate the projection sketch to the "
+                            "top-N variable genes (every gene still "
+                            "trains; hvg.rs)")
+        p.add_argument("--block-size", type=int, default=2048)
         if _name == "gem-encoder":
             p.add_argument("--mask-fraction", type=float, default=0.2,
                            help="BERT-style masked-gene fraction")
         if _name == "gem":
+            p.add_argument("--nce-objective",
+                           choices=["logistic", "softmax"],
+                           default="logistic",
+                           help="phase-1 objective: binary NCE vs the "
+                                "unigram noise, or the exact softmax "
+                                "over the pb gene axis")
+            p.add_argument("--ibp-alpha", type=float, default=2.0,
+                           help="[--posterior] truncated-IBP "
+                                "concentration of the gate ladder")
+            p.add_argument("--half-cauchy-scale", type=float, default=1.0,
+                           help="[--posterior] slab scale")
             p.add_argument("--sequential-velocity", action="store_true",
                            help="fit theta on the spliced track first, then "
                                 "delta with theta frozen (default: joint)")
@@ -497,10 +532,38 @@ def run_faba(argv):
     p.add_argument("--phate-t", type=int, default=0)
     p.add_argument("--phate-landmarks", type=int, default=2000)
 
-    p = sub.add_parser("dyn-assoc", help="between-branch Bayesian modality contrast")
-    p.add_argument("--backend", required=True, help="site x cell counts backend")
-    p.add_argument("--branches", required=True, help="parquet: cell, branch|pseudotime")
-    p.add_argument("--output", required=True)
+    p = sub.add_parser(
+        "dyn-assoc",
+        help="between-branch Bayesian modality contrast "
+             "(assoc/run.rs AssocArgs)",
+    )
+    p.add_argument("--backend", "--sites-backend", dest="backend",
+                   required=True,
+                   help="site x cell counts backend(s), comma-separated "
+                        "(rows concatenate)")
+    p.add_argument("-f", "--from", dest="frm", default=None,
+                   help="lineage prefix: reads {from}.pseudotime.parquet "
+                        "as --branches")
+    p.add_argument("--branches", default=None,
+                   help="parquet: cell, branch|pseudotime (alternative "
+                        "to --from)")
+    p.add_argument("--output", default=None,
+                   help="output prefix (default: the lineage prefix)")
+    p.add_argument("--modality", default=None,
+                   help="restrict rows to this modality channel "
+                        "(e.g. m6a, atoi)")
+    p.add_argument("--seed", type=int, default=42,
+                   help="accepted for parity; the contrast here is "
+                        "closed-form conjugate, not a sampler")
+    p.add_argument("--posterior-prior-sd", "--prior-sd",
+                   dest="prior_sd", type=float, default=1.0,
+                   help="effect-scale prior: maps onto the Gamma "
+                        "pseudo-counts a0=b0=1/sd^2 (the reference's "
+                        "ESS sampler prior sd; declared mapping)")
+    p.add_argument("--cell-membership", default=None,
+                   help="cell<TAB>cell_type TSV: adds the per-type "
+                        "contrast report {out}.assoc.celltype.parquet")
+    p.add_argument("--no-celltype", action="store_true")
     p.add_argument("--exposure", default=None, help="optional coverage backend")
     p.add_argument("--n-bins", type=int, default=8,
                    help="pseudotime windows (AssocArgs n_bins)")
@@ -772,10 +835,34 @@ def run_faba(argv):
                    help="cell latent parquet (the gem fit the lineage used)")
     p.add_argument("-o", "--out", default=None,
                    help="figure path (default {from}.plot.pdf)")
-    p.add_argument("--color-by", choices=["pseudotime", "label"],
-                   default="pseudotime")
+    p.add_argument("--color-by",
+                   choices=["pseudotime", "label", "celltype"],
+                   default="pseudotime",
+                   help="celltype reads the lineage's own node calls "
+                        "({from}.trajectory_annotation.parquet)")
     p.add_argument("--annot", default=None,
                    help="cell,label parquet (required for --color-by label)")
+    p.add_argument("--pt-ramp", choices=["sqrt", "linear", "rank"],
+                   default="sqrt",
+                   help="non-linear remap of the pseudotime ramp")
+    p.add_argument("--width", type=float, default=9.0)
+    p.add_argument("--height", type=float, default=8.0)
+    p.add_argument("--dpi", type=int, default=150)
+    p.add_argument("--point-size", type=float, default=3.0)
+    p.add_argument("--alpha", type=float, default=0.7)
+    p.add_argument("--label-font-size", type=float, default=8.0)
+    p.add_argument("--velocity-scale", type=float, default=0.5,
+                   help="scale on the velocity-field arrow length")
+    p.add_argument("--no-velocity-field", action="store_true")
+    p.add_argument("--backbone", choices=["auto", "curves", "tree"],
+                   default="auto",
+                   help="auto draws the Slingshot curves when "
+                        "{from}.curves_2d.parquet exists, else the tree")
+    p.add_argument("--no-type-labels", action="store_true",
+                   help="skip the node cell-type annotations")
+    p.add_argument("--show-unassigned", action="store_true")
+    p.add_argument("--svg", action="store_true",
+                   help="also emit the SVG next to the main output")
     p.add_argument("--layout",
                    choices=["auto", "phate", "umap", "tumap", "tsne"],
                    default="auto",
@@ -1449,6 +1536,42 @@ def run_faba(argv):
                 "share genes and columns"
             )
         genes = sb.row_names()
+        pb_names = sb.column_names()
+        if args.raw:
+            # CollapseArgs path: hash cells into pseudobulks on the
+            # SPLICED sketch, aggregate BOTH tracks by the same
+            # partition (gem/run.rs collapse stage; one grouping so
+            # theta and delta read the same populations)
+            from ..ops import random_projection as rp
+
+            row_weights = None
+            if args.n_hvg and args.n_hvg < len(genes):
+                from ..ops.gene_stats import hvg_row_weights
+
+                row_weights = hvg_row_weights(
+                    sb, args.n_hvg, block_size=args.block_size
+                )
+            _, proj = rp.project_columns(
+                sb, args.proj_dim, block_size=args.block_size,
+                row_weights=row_weights, seed=args.seed,
+            )
+            codes = rp.binary_sort_columns(
+                proj, args.sort_dim, seed=args.seed
+            )
+            _, groups = np.unique(codes, return_inverse=True)
+            n_pb = int(groups.max()) + 1
+            onehot = np.zeros((len(groups), n_pb), np.float32)
+            onehot[np.arange(len(groups)), groups] = 1.0
+            s = onehot.T @ s
+            u = onehot.T @ u
+            pb_names = [f"pb{j}" for j in range(n_pb)]
+            np.savez(
+                f"{args.output}.partition.npz",
+                fine_groups=groups.astype(np.int32),
+            )
+            print(f"collapse: {len(groups)} cells -> {n_pb} pseudobulks "
+                  f"(sort_dim={args.sort_dim}); wrote "
+                  f"{args.output}.partition.npz")
         if args.cmd == "gem":
             if args.lineage_dag and args.posterior > 0:
                 raise SystemExit(
@@ -1460,19 +1583,23 @@ def run_faba(argv):
                 s, u, embedding_dim=args.embedding_dim, epochs=args.epochs,
                 learning_rate=args.learning_rate or 0.02,
                 delta_l2=args.delta_l2,
+                objective=args.nce_objective,
+                weight_decay=args.weight_decay,
+                grad_clip=args.grad_clip,
                 sequential_velocity=args.sequential_velocity,
                 lineage_dag=args.lineage_dag,
                 lineage_smooth=args.lineage_smooth,
                 lineage_mst=not args.dense_dag,
+                seed=args.seed,
             )
             if res.dag_pseudotime is not None:
                 pd.DataFrame({
-                    "cell": sb.column_names(),
+                    "cell": pb_names,
                     "pseudotime": res.dag_pseudotime,
                 }).to_parquet(f"{args.output}.dag_pseudotime.parquet")
                 pd.DataFrame(
                     res.dag_fate,
-                    index=sb.column_names(),
+                    index=pb_names,
                     columns=[f"leaf{int(l)}" for l in res.dag_leaves],
                 ).reset_index(names="cell").to_parquet(
                     f"{args.output}.dag_fate.parquet"
@@ -1491,6 +1618,9 @@ def run_faba(argv):
                     res.b_feat_s, res.b_feat_u, res.pb_e, res.pb_b,
                     n_sweeps=args.posterior,
                     burnin=max(args.posterior // 4, 2),
+                    stick_alpha=args.ibp_alpha,
+                    half_cauchy_scale=args.half_cauchy_scale,
+                    seed=args.seed,
                 )
                 pd.DataFrame({
                     "gene": genes,
@@ -1508,6 +1638,8 @@ def run_faba(argv):
                 s, u, latent_dim=args.embedding_dim, epochs=args.epochs,
                 learning_rate=args.learning_rate or 0.01,
                 mask_frac=args.mask_fraction, delta_l2=args.delta_l2,
+                weight_decay=args.weight_decay,
+                grad_clip=args.grad_clip, seed=args.seed,
             )
             delta, emb = res.delta, res.rho
             vel = res.cell_velocity(u)
@@ -1516,7 +1648,7 @@ def run_faba(argv):
             emb, index=genes, columns=[f"h{j}" for j in range(emb.shape[1])]
         ).reset_index(names="gene").to_parquet(f"{args.output}.gene_embedding.parquet")
         out_v = pd.DataFrame(
-            vel, index=sb.column_names(),
+            vel, index=pb_names,
             columns=[f"v{j}" for j in range(vel.shape[1])],
         ).reset_index(names="cell")
         out_v.to_parquet(f"{args.output}.velocity.parquet")
@@ -1524,7 +1656,7 @@ def run_faba(argv):
             {"gene": genes, "velocity_norm": np.linalg.norm(delta, axis=1)}
         ).to_parquet(f"{args.output}.gene_velocity.parquet")
         cell_df = pd.DataFrame(
-            cell_emb, index=sb.column_names(),
+            cell_emb, index=pb_names,
             columns=[f"h{j}" for j in range(cell_emb.shape[1])],
         ).reset_index(names="cell")
         cell_df.to_parquet(f"{args.output}.latent.parquet")
@@ -1626,22 +1758,45 @@ def run_faba(argv):
         from ..data.sparse_io import open_sparse_matrix
         from ..faba.assoc import dyn_assoc, dyn_assoc_pseudotime
 
-        be = open_sparse_matrix(args.backend)
-        counts = np.asarray(
-            be.read_columns_csc(np.arange(be.num_columns)).todense()
-        )  # [S, N]
-        site_names = list(be.row_names())
+        if args.branches is None and args.frm is None:
+            raise SystemExit("dyn-assoc: need --from PREFIX or --branches")
+        branches_path = args.branches or f"{args.frm}.pseudotime.parquet"
+        out_prefix = args.output or args.frm
+        if out_prefix is None:
+            raise SystemExit("dyn-assoc: need --output (or --from)")
+        args.output = out_prefix
+        # multi-backend: rows concatenate over one shared cell axis
+        counts_parts, site_names, cells = [], [], None
+        for path in args.backend.split(","):
+            be = open_sparse_matrix(path)
+            mat = np.asarray(
+                be.read_columns_csc(np.arange(be.num_columns)).todense()
+            )
+            names = list(be.row_names())
+            if args.modality:
+                keep = [
+                    i for i, nme in enumerate(names)
+                    if f"/{args.modality.lower()}/" in f"/{str(nme).lower()}/"
+                ]
+                mat = mat[keep]
+                names = [names[i] for i in keep]
+            if cells is None:
+                cells = be.column_names()
+            elif list(be.column_names()) != list(cells):
+                raise SystemExit(
+                    f"dyn-assoc: {path} has a different cell axis"
+                )
+            counts_parts.append(mat)
+            site_names += names
+        counts = np.concatenate(counts_parts, axis=0)  # [S, N]
         keep_sites = (counts.sum(1) >= args.min_total_coverage) & (
             (counts > 0).sum(1) >= args.min_cells
         )
         if not keep_sites.all():
             counts = counts[keep_sites]
             site_names = [s for s, k in zip(site_names, keep_sites) if k]
-        cells = be.column_names()
-        lab = pd.read_parquet(args.branches).set_index(
-            pd.read_parquet(args.branches).columns[0]
-        )
-        lab = lab.reindex(cells)
+        lab = pd.read_parquet(branches_path)
+        lab = lab.set_index(lab.columns[0]).reindex(cells)
         exposure_sm = None  # per-(site, cell) trials when row-aligned
         if args.exposure:
             ex_be = open_sparse_matrix(args.exposure)
@@ -1714,8 +1869,11 @@ def run_faba(argv):
             print(f"wrote {args.output}.assoc.parquet ({len(df)} trends)")
             return
 
+        a0 = b0 = 1.0 / max(args.prior_sd, 1e-3) ** 2
         if branch_col is not None:
-            out = dyn_assoc(counts, exposure, lab[branch_col].to_numpy())
+            out = dyn_assoc(
+                counts, exposure, lab[branch_col].to_numpy(), a0=a0, b0=b0
+            )
             df = pd.DataFrame(
                 {
                     "site": site_names,
@@ -1726,6 +1884,40 @@ def run_faba(argv):
                     "pvalue": out["pvalue"],
                 }
             )
+            if args.cell_membership and not args.no_celltype:
+                # cell-type-level report (AssocArgs cell_membership):
+                # the same branch contrast restricted to each type's
+                # cells, one table row per (site, cell_type)
+                memb = {}
+                with open(args.cell_membership) as f:
+                    for ln in f:
+                        parts = ln.split()
+                        if len(parts) >= 2:
+                            memb[parts[0]] = parts[1]
+                ct = np.asarray(
+                    [memb.get(str(c), "") for c in cells], object
+                )
+                blab = lab[branch_col].to_numpy()
+                ct_rows = []
+                for t in sorted(set(ct) - {""}):
+                    sel = ct == t
+                    if len(np.unique(blab[sel])) < 2 or sel.sum() < 4:
+                        continue
+                    o = dyn_assoc(
+                        counts[:, sel], exposure[sel], blab[sel],
+                        a0=a0, b0=b0,
+                    )
+                    ct_rows.append(pd.DataFrame({
+                        "site": site_names, "cell_type": t,
+                        "branch": o["branch"],
+                        "log_fold_change": o["log_fold_change"],
+                        "z": o["z"], "pvalue": o["pvalue"],
+                    }))
+                if ct_rows:
+                    pd.concat(ct_rows, ignore_index=True).to_parquet(
+                        f"{args.output}.assoc.celltype.parquet"
+                    )
+                    print(f"wrote {args.output}.assoc.celltype.parquet")
         else:
             pt_col = "pseudotime" if "pseudotime" in lab.columns else lab.columns[0]
             out = dyn_assoc_pseudotime(
@@ -2556,13 +2748,86 @@ def _finish_faba_plot(args, coords, node_xy, edges, root, pt, cells):
         an = pd.read_parquet(args.annot)
         an = an.set_index(an.columns[0]).reindex(cells)
         labels = an.iloc[:, 0].fillna("NA").astype(str).to_numpy()
+    elif args.color_by == "celltype":
+        # the lineage's own node calls, carried to cells via their
+        # nearest node (plot/mod.rs coarse-label colouring)
+        ta_path = f"{args.frm}.trajectory_annotation.parquet"
+        if not os.path.exists(ta_path):
+            raise SystemExit(
+                "--color-by celltype needs the lineage run's --markers "
+                f"outputs ({ta_path})"
+            )
+        ta = pd.read_parquet(ta_path)
+        node_of = _nearest_node_of_cells(args, coords, node_xy, cells)
+        labels = ta["cell_type"].to_numpy(object)[node_of]
+        if not args.show_unassigned:
+            keep = labels != "unassigned"
+            coords, labels = coords[keep], labels[keep]
     else:
-        color = pt.iloc[:, 0].to_numpy(np.float32)
+        ramp = pt.iloc[:, 0].to_numpy(np.float32)
+        if args.pt_ramp == "sqrt":
+            lo = np.nanmin(ramp) if np.isfinite(ramp).any() else 0.0
+            color = np.sqrt(np.maximum(ramp - lo, 0.0))
+        elif args.pt_ramp == "rank":
+            order = np.argsort(np.nan_to_num(ramp))
+            color = np.empty(len(ramp), np.float32)
+            color[order] = np.arange(len(ramp), dtype=np.float32)
+        else:
+            color = ramp
+
+    curves = curve_w = arrows = node_labels = None
+    if args.backbone != "tree" and os.path.exists(
+        f"{args.frm}.curves_2d.parquet"
+    ):
+        cdf = pd.read_parquet(f"{args.frm}.curves_2d.parquet")
+        curves = [
+            g[["x", "y"]].to_numpy(np.float32)
+            for _, g in cdf.groupby("lineage", sort=True)
+        ]
+        wpath = f"{args.frm}.cell_lineage_weights.parquet"
+        if os.path.exists(wpath):
+            w = pd.read_parquet(wpath)
+            curve_w = w.iloc[:, 1:].to_numpy(np.float64).sum(0)[
+                : len(curves)]
+    if not args.no_velocity_field and os.path.exists(
+        f"{args.frm}.velocity_grid_2d.parquet"
+    ):
+        arrows = pd.read_parquet(
+            f"{args.frm}.velocity_grid_2d.parquet"
+        ).to_numpy(np.float32)
+    if not args.no_type_labels and os.path.exists(
+        f"{args.frm}.trajectory_annotation.parquet"
+    ):
+        ta = pd.read_parquet(f"{args.frm}.trajectory_annotation.parquet")
+        # one label per TYPE at its best node (plot/mod.rs default)
+        node_labels = []
+        best: dict = {}
+        for ni, (ct, conf) in enumerate(
+            zip(ta["cell_type"], ta.get("confidence", [0.0] * len(ta)))
+        ):
+            if str(ct) == "unassigned":
+                continue
+            if ct not in best or conf > best[ct][1]:
+                best[ct] = (ni, conf)
+        node_labels = [(ni, ct) for ct, (ni, _) in best.items()]
 
     out = args.out or f"{args.frm}.plot.pdf"
     trajectory_figure(
         coords, node_xy, edges, root, out,
         color=color, labels=labels,
         title=f"lineage: {args.frm.rsplit('/', 1)[-1]}",
+        point_size=args.point_size, alpha=args.alpha,
+        width=args.width, height=args.height, dpi=args.dpi,
+        label_font_size=args.label_font_size,
+        curves=curves, curve_weights=curve_w,
+        arrows=arrows, velocity_scale=args.velocity_scale,
+        node_labels=node_labels, also_svg=args.svg,
     )
     print(f"wrote {out}")
+
+
+def _nearest_node_of_cells(args, coords, node_xy, cells):
+    """Cell -> nearest trajectory node in LAYOUT space (for the
+    celltype colouring; the lineage's own labels live on nodes)."""
+    d2 = ((coords[:, None, :] - node_xy[None, :, :]) ** 2).sum(-1)
+    return d2.argmin(1)

@@ -58,6 +58,14 @@ def fit_gem(
     n_negatives: float = 5.0,
     neg_alpha: float = 0.75,
     delta_l2: float = 0.01,
+    # phase-1 objective (gem/args.rs nce_objective): `logistic` is the
+    # binary NCE against the unigram noise; `softmax` scores the full
+    # gene axis per pb (exact multinomial likelihood — the pb gene
+    # axis is small enough that no sampling is needed here)
+    objective: str = "logistic",
+    # AdamW knobs (gem/args.rs TrainArgs weight_decay / grad_clip)
+    weight_decay: float = 0.0,
+    grad_clip: float = 0.0,
     # sequential phase-2 velocity (gem/args.rs sequential_velocity):
     # fit theta on the spliced track first, then delta with theta
     # frozen — the DEFAULT is the joint solve
@@ -96,11 +104,21 @@ def fit_gem(
 
     def track_loss(counts, q, m, feat, bias, pb_e, pb_b):
         scores = pb_e @ feat.T + bias[None, :] + pb_b[:, None]
+        if objective == "softmax":
+            logp = jax.nn.log_softmax(scores, axis=1)
+            return -(counts * logp).sum() / jnp.maximum(counts.sum(), 1.0)
         pos = counts * log_sigmoid(scores)
         neg = (n_negatives * m[:, None] * q[None, :]) * log_sigmoid(-scores)
         return -(pos.sum() + neg.sum()) / jnp.maximum(counts.sum(), 1.0)
 
-    optimizer = optax.adam(learning_rate)
+    optimizer = (
+        optax.adamw(learning_rate, weight_decay=weight_decay)
+        if weight_decay > 0 else optax.adam(learning_rate)
+    )
+    if grad_clip > 0:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(grad_clip), optimizer
+        )
     opt_state = optimizer.init(params)
 
     # epochs fold into chunked scan dispatches (utils/scan_train.py)
@@ -139,7 +157,7 @@ def fit_gem(
         def gem_step(carry, data, _):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(loss_fn)(params, data)
-            updates, opt_state = optimizer.update(grads, opt_state)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), loss
 
         return gem_step
@@ -154,19 +172,19 @@ def fit_gem(
 
         (params, opt_state), ls_a = fold_epochs(
             make_step(loss_a), (params, opt_state), data6, epochs,
-            cache_key=("gem-seq-a", learning_rate, n_negatives, delta_l2),
+            cache_key=("gem-seq-a", learning_rate, n_negatives, delta_l2, objective, weight_decay, grad_clip),
         )
         opt_state = optimizer.init(params)
         (params, opt_state), ls_b = fold_epochs(
             make_step(_partial(_loss_data, freeze_theta=True)),
             (params, opt_state), data6, epochs,
-            cache_key=("gem-seq-b", learning_rate, n_negatives, delta_l2),
+            cache_key=("gem-seq-b", learning_rate, n_negatives, delta_l2, objective, weight_decay, grad_clip),
         )
         ls = np.concatenate([np.asarray(ls_a), np.asarray(ls_b)])
     else:
         (params, opt_state), ls = fold_epochs(
             make_step(_loss_data), (params, opt_state), data6, epochs,
-            cache_key=("gem", learning_rate, n_negatives, delta_l2),
+            cache_key=("gem", learning_rate, n_negatives, delta_l2, objective, weight_decay, grad_clip),
         )
     losses = np.asarray(ls)[::50].tolist()
 
@@ -337,6 +355,8 @@ def fit_gem_encoder(
     learning_rate: float = 0.01,
     mask_frac: float = 0.2,
     delta_l2: float = 0.01,
+    weight_decay: float = 0.0,
+    grad_clip: float = 0.0,
     seed: int = 0,
 ) -> GemEncoderResult:
     """Masked generative sibling of gem (`faba gem-encoder`,
@@ -376,14 +396,21 @@ def fit_gem_encoder(
         reg = delta_l2 * jnp.mean(jnp.sum(pr["delta"] ** 2, axis=1))
         return -ll + reg
 
-    optimizer = optax.adam(learning_rate)
+    optimizer = (
+        optax.adamw(learning_rate, weight_decay=weight_decay)
+        if weight_decay > 0 else optax.adam(learning_rate)
+    )
+    if grad_clip > 0:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(grad_clip), optimizer
+        )
     opt_state = optimizer.init(params)
 
     # chunked epoch scan with per-epoch mask keys (utils/scan_train.py)
     def enc_step(carry, data, km):
         params, opt_state = carry
         loss, grads = jax.value_and_grad(loss_fn)(params, data, km)
-        updates, opt_state = optimizer.update(grads, opt_state)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), loss
 
     from ..utils.scan_train import fold_epochs
@@ -391,7 +418,7 @@ def fit_gem_encoder(
     (params, opt_state), ls = fold_epochs(
         enc_step, (params, opt_state), (u_log, s_j), epochs, key=key,
         # p/d are baked into the mask-shape inside loss_fn, so they key
-        cache_key=("gem_enc", learning_rate, mask_frac, delta_l2, p, d),
+        cache_key=("gem_enc", learning_rate, mask_frac, delta_l2, p, d, weight_decay, grad_clip),
     )
     losses = ls[::50].tolist()
 

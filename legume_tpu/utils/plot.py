@@ -353,17 +353,33 @@ def trajectory_figure(
     labels: np.ndarray | None = None,   # discrete per-cell (annotation)
     title: str = "",
     point_size: float = 4.0,
+    alpha: float = 0.8,
+    width: float = 6.5,
+    height: float = 5.5,
+    dpi: int = 150,
+    label_font_size: float = 8.0,
+    # Slingshot curves in layout space (plot/mod.rs backbone=curves):
+    # list of [R, 2] point arrays + optional per-curve stroke weights
+    curves: list | None = None,
+    curve_weights: np.ndarray | None = None,
+    # velocity field arrows [G, 4] = (x, y, dx, dy)
+    arrows: np.ndarray | None = None,
+    velocity_scale: float = 0.5,
+    # (node_index, text) annotations at trajectory nodes
+    node_labels: list | None = None,
+    also_svg: bool = False,
 ):
     """Annotated trajectory over a 2D embedding (faba plot).
 
     Reference role: `faba/src/plot/mod.rs` — cells as a scatter layer,
-    principal-tree edges and nodes as a dark overlay, the root starred,
-    legend (discrete labels) or colorbar (pseudotime) on the side.  One
+    principal curves / MST edges + nodes as a dark overlay, the root
+    starred, the gridded velocity field on top, node cell-type labels,
+    legend (discrete labels) or colorbar (pseudotime) on the side. One
     matplotlib figure instead of the reference's SVG layer stack; the
     artifact kinds (pdf/png/svg by extension) match.
     """
     plt = _mpl()
-    fig, ax = plt.subplots(figsize=(6.5, 5.5), dpi=150)
+    fig, ax = plt.subplots(figsize=(width, height), dpi=dpi)
     if labels is not None:
         labels = np.asarray(labels)
         uniq = np.unique(labels)
@@ -371,30 +387,61 @@ def trajectory_figure(
             m = labels == lab
             ax.scatter(coords[m, 0], coords[m, 1], s=point_size,
                        color=PALETTE[i % len(PALETTE)], label=str(lab),
-                       linewidths=0, alpha=0.8)
+                       linewidths=0, alpha=alpha)
         if len(uniq) <= 15:
             ax.legend(markerscale=4, fontsize=7, frameon=False,
                       loc="center left", bbox_to_anchor=(1.0, 0.5))
     else:
         c = np.asarray(color, np.float32) if color is not None else None
         sc = ax.scatter(coords[:, 0], coords[:, 1], s=point_size, c=c,
-                        cmap="viridis", linewidths=0, alpha=0.8)
+                        cmap="viridis", linewidths=0, alpha=alpha)
         if c is not None:
             fig.colorbar(sc, ax=ax, shrink=0.8, label="pseudotime")
-    for a, b in np.asarray(edges, np.int64):
-        ax.plot([node_xy[a, 0], node_xy[b, 0]],
-                [node_xy[a, 1], node_xy[b, 1]],
-                color="#222222", lw=1.4, zorder=3)
+    if curves:
+        # stroke width scales with cell usage (plot/mod.rs curve_width)
+        w = (np.sqrt(np.asarray(curve_weights, np.float64))
+             if curve_weights is not None
+             else np.ones(len(curves)))
+        w = 1.0 + 2.5 * w / max(w.max(), 1e-9)
+        for li, pts in enumerate(curves):
+            pts = np.asarray(pts)
+            ax.plot(pts[:, 0], pts[:, 1], color="#222222",
+                    lw=float(w[li]), zorder=3)
+    else:
+        for a, b in np.asarray(edges, np.int64).reshape(-1, 2):
+            ax.plot([node_xy[a, 0], node_xy[b, 0]],
+                    [node_xy[a, 1], node_xy[b, 1]],
+                    color="#222222", lw=1.4, zorder=3)
     ax.scatter(node_xy[:, 0], node_xy[:, 1], s=18, color="#222222",
                zorder=4, linewidths=0)
     ax.scatter([node_xy[root_node, 0]], [node_xy[root_node, 1]], s=220,
                marker="*", color="#E15759", edgecolors="black",
                linewidths=0.8, zorder=5)
+    if arrows is not None and len(arrows):
+        arrows = np.asarray(arrows, np.float64)
+        ax.quiver(
+            arrows[:, 0], arrows[:, 1],
+            arrows[:, 2] * velocity_scale, arrows[:, 3] * velocity_scale,
+            angles="xy", scale_units="xy", scale=1.0,
+            width=0.003, color="#333333", alpha=0.85, zorder=6,
+        )
+    if node_labels:
+        for ni, text in node_labels:
+            ax.annotate(
+                str(text), node_xy[int(ni)], fontsize=label_font_size,
+                fontweight="bold", zorder=7,
+                xytext=(3, 3), textcoords="offset points",
+                bbox=dict(boxstyle="round,pad=0.15", fc="white",
+                          ec="none", alpha=0.7),
+            )
     ax.set_title(title)
     ax.set_xticks([])
     ax.set_yticks([])
     fig.tight_layout()
     fig.savefig(out, bbox_inches="tight")
+    if also_svg and not str(out).endswith(".svg"):
+        fig.savefig(str(out).rsplit(".", 1)[0] + ".svg",
+                    bbox_inches="tight")
     plt.close(fig)
 
 

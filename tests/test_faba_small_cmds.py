@@ -264,3 +264,74 @@ def test_depth_resolution_mode(tmp_path):
     assert dense.sum() == 5
     with pytest.raises(SystemExit, match="exactly one"):
         cli.run_faba(["depth", "--bam", bam, "--output", out])
+
+
+def test_gem_raw_collapse_and_knobs(tmp_path):
+    """gem --raw: in-command pseudobulk collapse (CollapseArgs) plus
+    the softmax objective / AdamW knobs."""
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+
+    rng = np.random.default_rng(0)
+    d, n = 25, 150
+    base = rng.gamma(2.0, 2.0, (d, n))
+    s = rng.poisson(base * 3.0).astype(np.float32)
+    u = rng.poisson(base * 1.0).astype(np.float32)
+    genes = [f"g{i}" for i in range(d)]
+    cells = [f"c{j}" for j in range(n)]
+    create_sparse_from_csc(sp.csc_matrix(s), str(tmp_path / "s.zarr"),
+                           genes, cells)
+    create_sparse_from_csc(sp.csc_matrix(u), str(tmp_path / "u.zarr"),
+                           genes, cells)
+    out = str(tmp_path / "g")
+    cli.run_faba([
+        "gem", "--spliced", str(tmp_path / "s.zarr"),
+        "--unspliced", str(tmp_path / "u.zarr"), "--output", out,
+        "--raw", "--sort-dim", "4", "--proj-dim", "8", "--n-hvg", "15",
+        "--epochs", "40", "--nce-objective", "softmax",
+        "--weight-decay", "0.01", "--grad-clip", "1.0", "--seed", "1",
+    ])
+    lat = pd.read_parquet(f"{out}.latent.parquet")
+    assert 1 < len(lat) <= 16  # <= 2^sort_dim pseudobulks
+    part = np.load(f"{out}.partition.npz")
+    assert len(part["fine_groups"]) == n
+
+
+def test_dyn_assoc_from_prefix_modality_celltype(tmp_path):
+    """dyn-assoc --from/--modality/--cell-membership surface."""
+    import scipy.sparse as sp
+
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+
+    rng = np.random.default_rng(0)
+    n = 120
+    branch = np.repeat([0, 1], n // 2)
+    # site 0 (m6a): branch-1 enriched; site 1 (atoi): flat
+    counts = np.vstack([
+        rng.poisson(np.where(branch == 1, 8.0, 1.0)),
+        rng.poisson(np.full(n, 3.0)),
+    ]).astype(np.float32)
+    rows = ["chr1:100/m6a/CT", "chr1:200/atoi/AG"]
+    cells = [f"c{j}" for j in range(n)]
+    be = str(tmp_path / "sites.zarr")
+    create_sparse_from_csc(sp.csc_matrix(counts), be, rows, cells)
+    pd.DataFrame({
+        "cell": cells, "pseudotime": np.linspace(0, 1, n),
+        "branch": branch,
+    }).to_parquet(tmp_path / "lin.pseudotime.parquet")
+    memb = tmp_path / "ct.tsv"
+    memb.write_text("".join(
+        f"c{j}\t{'T' if j % 2 else 'B'}\n" for j in range(n)
+    ))
+    cli.run_faba([
+        "dyn-assoc", "--backend", be, "--from", str(tmp_path / "lin"),
+        "--modality", "m6a", "--cell-membership", str(memb),
+        "--fdr-alpha", "0.05",
+    ])
+    res = pd.read_parquet(tmp_path / "lin.assoc.parquet")
+    assert len(res) == 1 and res["site"].iloc[0].startswith("chr1:100")
+    assert bool(res["significant"].iloc[0])
+    ct = pd.read_parquet(tmp_path / "lin.assoc.celltype.parquet")
+    assert set(ct["cell_type"]) == {"B", "T"}
+    assert (ct["z"].abs() > 2).all()  # the effect holds within types

@@ -405,3 +405,54 @@ def test_lineage_cli_surface(y_trajectory, tmp_path):
     assert (tmp_path / "cli.curves.parquet").exists()
     curves = pd.read_parquet(tmp_path / "cli.curves.parquet")
     assert list(curves.columns[:3]) == ["lineage", "grid", "lambda"]
+
+
+def test_plot_full_surface(y_trajectory, tmp_path):
+    """faba plot renders the lineage's curves/arrows/type labels with
+    the PlotArgs knobs (plot/mod.rs surface)."""
+    from pathlib import Path
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.faba.lineage_run import run_lineage
+
+    theta, vel = y_trajectory
+    cells = [f"c{i}" for i in range(len(theta))]
+    lat = tmp_path / "q.latent.parquet"
+    pd.DataFrame(theta, columns=["h0", "h1"]).assign(cell=cells).set_index(
+        "cell").reset_index().to_parquet(lat)
+    pd.DataFrame(vel, columns=["v0", "v1"]).assign(cell=cells).set_index(
+        "cell").reset_index().to_parquet(tmp_path / "q.velocity.parquet")
+    genes = [f"g{i}" for i in range(20)]
+    gene_emb = np.vstack([
+        np.tile([1, 0], (10, 1)), np.tile([0, 1], (10, 1))
+    ]).astype(np.float32) + 0.05
+    pd.DataFrame(gene_emb, columns=["h0", "h1"]).assign(
+        gene=genes).set_index("gene").reset_index().to_parquet(
+        tmp_path / "q.gene_embedding.parquet")
+    mk = tmp_path / "mk.tsv"
+    mk.write_text("".join(
+        [f"g{i}\tEarly\n" for i in range(10)]
+        + [f"g{i}\tLate\n" for i in range(10, 20)]
+    ))
+    run_lineage(
+        str(tmp_path / "q"), str(tmp_path / "q"), n_centroids=10, seed=1,
+        latent_geometry="euclidean", layout="phate", phate_landmarks=60,
+        curve_resolution=25, edge_direction_n_boot=50,
+        edge_direction_n_perm=100, markers=str(mk), marker_num_perm=30,
+        marker_n_boot=10, marker_min_support=0.2,
+    )
+    out = str(tmp_path / "fig.pdf")
+    cli.run_faba([
+        "plot", "-f", str(tmp_path / "q"), "--latent", str(lat),
+        "-o", out, "--color-by", "celltype", "--svg",
+        "--velocity-scale", "0.8", "--width", "7", "--height", "6",
+        "--pt-ramp", "rank",
+    ])
+    assert Path(out).exists() and Path(str(tmp_path / "fig.svg")).exists()
+    # pseudotime ramp variant over the reused layout
+    cli.run_faba([
+        "plot", "-f", str(tmp_path / "q"), "--latent", str(lat),
+        "-o", str(tmp_path / "pt.png"), "--pt-ramp", "sqrt",
+        "--no-type-labels", "--no-velocity-field", "--backbone", "tree",
+    ])
+    assert Path(tmp_path / "pt.png").exists()
