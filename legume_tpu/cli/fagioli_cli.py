@@ -177,12 +177,24 @@ def run_fagioli(argv):
         help="cell-type-resolved SGVB eQTL (soft membership, cis windows)",
     )
     p.add_argument("--backend", required=True, help="gene x cell counts backend")
-    p.add_argument("--indv", required=True, help="cell -> individual labels, one per line")
+    p.add_argument("--indv", default=None,
+                   help="cell -> individual labels, one per line")
+    p.add_argument("--annot", default=None,
+                   help="cell annotations TSV[.gz]: cell, individual"
+                        "[, celltype] (FitQtlSgvbArgs annotations)")
     p.add_argument("--geno", default=None, help=".npy [n_indv, p] dosages")
     p.add_argument("--plink", default=None, help="PLINK prefix (.bed/.bim/.fam)")
+    p.add_argument("--chromosome", default=None,
+                   help="restrict PLINK variants to this chromosome")
+    p.add_argument("--left-bound", type=int, default=None)
+    p.add_argument("--right-bound", type=int, default=None)
+    p.add_argument("--max-individuals", type=int, default=None,
+                   help="subsample individuals from the genotype panel")
     p.add_argument("--celltypes", default=None,
                    help="per-cell labels TSV (hard) or membership parquet (soft)")
     p.add_argument("--gff", default=None, help="gene coordinates: cis-window mode")
+    p.add_argument("--gene-bed", default=None,
+                   help="BED gene coords (chr start end gene[, name[, strand]])")
     p.add_argument("--cis-window", type=int, default=1000000)
     p.add_argument("--model", default="susie",
                    choices=["susie", "bisusie", "spike-slab", "ml-susie"])
@@ -190,9 +202,27 @@ def run_fagioli(argv):
     p.add_argument("--prior-var", type=float, nargs="+", default=[0.01, 0.1, 1.0])
     p.add_argument("--min-weight", type=float, default=2.0,
                    help="min effective cells per (indv, celltype) pair")
+    p.add_argument("--a0", type=float, default=1.0,
+                   help="Gamma prior shape for the Poisson-Gamma pb")
+    p.add_argument("--b0", type=float, default=1.0)
     p.add_argument("-L", type=int, default=3)
-    p.add_argument("--steps", type=int, default=600)
-    p.add_argument("--out", required=True)
+    p.add_argument("--steps", "--num-iterations", dest="steps",
+                   type=int, default=600)
+    p.add_argument("--mc-samples", type=int, default=8,
+                   help="Monte Carlo samples per SGVB gradient step")
+    p.add_argument("--learning-rate", type=float, default=0.02)
+    p.add_argument("--empirical-bayes", action="store_true",
+                   help="pool the prior-variance grid ELBOs across "
+                        "genes and pick one variance (single prior only)")
+    p.add_argument("--composition-covariates", action="store_true",
+                   help="residualize cell-type composition fractions "
+                        "out of the pseudobulk log-rates")
+    p.add_argument("--covariates", default=None,
+                   help="TSV/CSV covariate file(s), comma-separated: "
+                        "individual_id + numeric columns")
+    p.add_argument("--out", required=True,
+                   help="prefix: {out}.qtl.parquet + "
+                        "{out}.results.bed.gz + {out}.parameters.json")
     p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("sim-mediation", help="X -> M -> Y mediation fixture")
@@ -316,8 +346,38 @@ def run_fagioli(argv):
         counts = np.asarray(
             be.read_columns_csc(np.arange(be.num_columns)).todense()
         )
-        with open(args.indv) as f:
-            labels = np.asarray([ln.strip() for ln in f if ln.strip()])
+        annot_ct = None
+        if args.annot:
+            # cell annotations table (cell, individual[, celltype]) —
+            # the reference's input shape; rows align by cell name
+            import gzip as _gzip
+
+            opener = _gzip.open if args.annot.endswith(".gz") else open
+            lut, lut_ct = {}, {}
+            with opener(args.annot, "rt") as f:
+                for ln in f:
+                    parts = ln.split()
+                    if len(parts) >= 2 and parts[0] != "cell":
+                        lut[parts[0]] = parts[1]
+                        if len(parts) >= 3:
+                            lut_ct[parts[0]] = parts[2]
+            cells_ax = [str(x) for x in be.column_names()]
+            missing = [x for x in cells_ax if x not in lut]
+            if missing:
+                raise SystemExit(
+                    f"fit-qtl-sgvb: {len(missing)} cells absent from "
+                    f"--annot (e.g. {missing[0]})"
+                )
+            labels = np.asarray([lut[x] for x in cells_ax])
+            if lut_ct:
+                annot_ct = np.asarray(
+                    [lut_ct.get(x, "NA") for x in cells_ax]
+                )
+        elif args.indv:
+            with open(args.indv) as f:
+                labels = np.asarray([ln.strip() for ln in f if ln.strip()])
+        else:
+            raise SystemExit("fit-qtl-sgvb: provide --annot or --indv")
         indv_names, cell_indv = np.unique(labels, return_inverse=True)
         if args.plink:
             from ..fagioli.plink import read_plink
@@ -326,13 +386,55 @@ def run_fagioli(argv):
             geno = pk.genotypes
             var_pos = pk.pos
             var_names = pk.variant_ids
+            # align the panel's sample rows with the (sorted-unique)
+            # individual labels — PLINK .fam order is arbitrary, and
+            # np.unique's lexicographic order is NOT it (I10 < I2)
+            sample_of = {str(s): r for r, s in enumerate(pk.sample_ids)}
+            missing = [n for n in indv_names if str(n) not in sample_of]
+            if missing:
+                raise SystemExit(
+                    f"fit-qtl-sgvb: {len(missing)} individuals absent "
+                    f"from the PLINK panel (e.g. {missing[0]})"
+                )
+            geno = geno[[sample_of[str(n)] for n in indv_names]]
+            vkeep = np.ones(geno.shape[1], bool)
+            if args.chromosome is not None and pk.chrom is not None:
+                vkeep &= np.asarray(
+                    [str(cc) == args.chromosome for cc in pk.chrom]
+                )
+            if args.left_bound is not None:
+                vkeep &= var_pos >= args.left_bound
+            if args.right_bound is not None:
+                vkeep &= var_pos <= args.right_bound
+            if not vkeep.all():
+                geno = geno[:, vkeep]
+                var_pos = var_pos[vkeep]
+                var_names = [n for n, k in zip(var_names, vkeep) if k]
         elif args.geno:
             geno = np.load(args.geno)
             var_pos = None
             var_names = [f"v{j}" for j in range(geno.shape[1])]
         else:
             raise SystemExit("fit-qtl-sgvb: provide --geno or --plink")
+        if args.max_individuals and geno.shape[0] > args.max_individuals:
+            rng_sub = np.random.default_rng(args.seed)
+            keep_i = np.sort(rng_sub.choice(
+                geno.shape[0], args.max_individuals, replace=False))
+            geno = geno[keep_i]
+            kept = {int(i) for i in keep_i}
+            cell_keep = np.asarray([int(i) in kept for i in cell_indv])
+            remap = {int(i): r for r, i in enumerate(keep_i)}
+            counts = counts[:, cell_keep]
+            cell_indv = np.asarray(
+                [remap[int(i)] for i in cell_indv[cell_keep]])
+            indv_names = [indv_names[int(i)] for i in keep_i]
+            if annot_ct is not None:
+                annot_ct = annot_ct[cell_keep]
         membership = ct_names = None
+        if annot_ct is not None and not args.celltypes:
+            uniq, inv = np.unique(annot_ct, return_inverse=True)
+            ct_names = [str(u) for u in uniq]
+            membership = np.eye(len(uniq), dtype=np.float32)[inv]
         if args.celltypes:
             if args.celltypes.endswith(".parquet"):
                 mdf = pd.read_parquet(args.celltypes)
@@ -357,21 +459,90 @@ def run_fagioli(argv):
                     tss[gi] = (
                         model_g.start[j] if model_g.strand[j] > 0 else model_g.end[j]
                     )
+        elif args.gene_bed and var_pos is not None:
+            # BED gene coords (FitQtlSgvbArgs gene_bed): chr start end
+            # gene [name [strand]]; TSS = start (+) / end (-)
+            where_bed = {}
+            with open(args.gene_bed) as f:
+                for ln in f:
+                    parts = ln.split()
+                    if len(parts) >= 4:
+                        strand = parts[5] if len(parts) >= 6 else "+"
+                        where_bed[parts[3]] = (
+                            int(parts[1]) if strand != "-" else int(parts[2])
+                        )
+            tss = np.full(be.num_rows, -10**12, np.int64)
+            for gi, gname in enumerate(be.row_names()):
+                if str(gname) in where_bed:
+                    tss[gi] = where_bed[str(gname)]
+        cov_i = None
+        if args.covariates:
+            mats = []
+            for path in args.covariates.split(","):
+                cdf = (
+                    pd.read_parquet(path) if path.endswith(".parquet")
+                    else pd.read_csv(
+                        path, sep="," if path.endswith(".csv") else "\t")
+                )
+                cdf = cdf.set_index(cdf.columns[0]).reindex(
+                    [str(x) for x in indv_names])
+                mats.append(cdf.select_dtypes("number").to_numpy(
+                    np.float64))
+            cov_i = np.nan_to_num(np.concatenate(mats, axis=1))
         rows = fit_qtl_sgvb(
             counts, cell_indv, geno,
             membership_nc=membership, celltype_names=ct_names,
             model=args.model, prior_type=args.prior_type,
             prior_vars=args.prior_var, L=args.L, num_steps=args.steps,
-            min_weight=args.min_weight,
+            min_weight=args.min_weight, a0=args.a0, b0=args.b0,
+            learning_rate=args.learning_rate, mc_samples=args.mc_samples,
+            covariates_i=cov_i,
+            composition_covariates=args.composition_covariates,
+            empirical_bayes=args.empirical_bayes,
             gene_tss=tss, var_pos=var_pos, cis_window=args.cis_window,
             seed=args.seed,
         )
         genes = be.row_names()
         df = pd.DataFrame(rows)
         df["gene"] = [genes[int(i)] for i in df["gene"]]
+        vpos_of = (
+            {j: int(p) for j, p in enumerate(var_pos)}
+            if var_pos is not None else {}
+        )
+        df["pos"] = [vpos_of.get(int(j), -1) for j in df["variant"]]
         df["variant"] = [var_names[int(j)] for j in df["variant"]]
         df.to_parquet(args.out + ".qtl.parquet")
-        print(f"wrote {args.out}.qtl.parquet ({len(df)} tests)")
+        # reference artifacts (fit_qtl_sgvb.rs output contract):
+        # {out}.results.bed.gz + {out}.parameters.json
+        import gzip as _gzip
+        import json as _json
+
+        with _gzip.open(args.out + ".results.bed.gz", "wt") as f:
+            f.write("#chr\tstart\tend\tgene\tcelltype\tvariant\tpip"
+                    "\teffect\n")
+            for r in df.itertuples(index=False):
+                pos = int(r.pos) if r.pos >= 0 else 0
+                f.write(
+                    f"{args.chromosome or '.'}\t{pos}\t{pos + 1}\t"
+                    f"{r.gene}\t{r.celltype}\t{r.variant}\t"
+                    f"{r.pip:.6g}\t{r.effect:.6g}\n"
+                )
+        with open(args.out + ".parameters.json", "w") as f:
+            _json.dump(
+                {"model": args.model, "prior_type": args.prior_type,
+                 "prior_variances": args.prior_var, "L": args.L,
+                 "num_iterations": args.steps,
+                 "mc_samples": args.mc_samples,
+                 "learning_rate": args.learning_rate,
+                 "empirical_bayes": args.empirical_bayes,
+                 "cis_window": args.cis_window, "a0": args.a0,
+                 "b0": args.b0, "min_weight": args.min_weight,
+                 "seed": args.seed}, f, indent=1,
+            )
+        print(
+            f"wrote {args.out}.qtl.parquet + .results.bed.gz + "
+            f".parameters.json ({len(df)} tests)"
+        )
         return
 
     if args.cmd == "fit-regression":

@@ -168,6 +168,19 @@ def fit_qtl_sgvb(
     cis_window: int = 1_000_000,
     a0: float = 1.0,
     b0: float = 1.0,
+    learning_rate: float = 0.02,
+    mc_samples: int = 8,
+    # per-individual covariates [I, K], residualized out of the
+    # pseudobulk log-rates before the fit (fit_qtl_sgvb.rs covariates)
+    covariates_i: np.ndarray | None = None,
+    # append the per-individual cell-type composition fractions to the
+    # covariates (fit_qtl_sgvb.rs composition_covariates)
+    composition_covariates: bool = False,
+    # cross-gene empirical Bayes on the prior-variance grid
+    # (fit_qtl_sgvb.rs empirical_bayes): pool every gene's grid ELBOs,
+    # pick ONE variance, report each gene's fit at it — a gene no
+    # longer wins a huge prior just because its own noisy ELBO did
+    empirical_bayes: bool = False,
     seed: int = 0,
 ) -> dict:
     """Per-(celltype, gene) SGVB eQTL fine-mapping on membership-weighted
@@ -176,6 +189,7 @@ def fit_qtl_sgvb(
     filter on (indv, celltype) pairs."""
     from ..models.sgvb import (
         SgvbConfig,
+        fit_regression,
         fit_regression_ash,
         fit_regression_grid,
         weighted_gaussian_llik,
@@ -195,8 +209,27 @@ def fit_qtl_sgvb(
     )
     gs = np.nan_to_num(gs)
 
-    rows = {"celltype": [], "gene": [], "variant": [], "pip": [], "effect": []}
+    # covariate design: user tables + optional composition fractions,
+    # residualized out of y per individual subset below
+    cov = None
+    if covariates_i is not None:
+        cov = np.asarray(covariates_i, np.float64)
+    if composition_covariates and c > 1:
+        frac = eff.T / np.maximum(eff.sum(0)[:, None], 1e-9)  # [I, C]
+        cov = frac if cov is None else np.concatenate([cov, frac], 1)
+
+    def residualize(y, keep_i):
+        if cov is None:
+            return y
+        z = cov[keep_i]
+        z = np.concatenate([np.ones((len(z), 1)), z], 1)
+        beta, *_ = np.linalg.lstsq(z, y, rcond=None)
+        return y - z @ beta
+
+    rows = {"celltype": [], "gene": [], "variant": [], "pip": [],
+            "effect": [], "prior_var": []}
     g = counts_gn.shape[0]
+    eb_stash = []  # (meta, per-variance fits) for the EB second pass
     for ci in range(c):
         keep_i = np.flatnonzero(eff[ci] >= min_weight)
         if keep_i.size < 3:
@@ -212,24 +245,60 @@ def fit_qtl_sgvb(
                 continue
             x = gs[np.ix_(keep_i, cols)]
             y = log_mu[ci, gi, keep_i]
-            y = (y - y.mean())[:, None]
+            y = residualize((y - y.mean())[:, None], keep_i)
             w = prec[ci, gi, keep_i][:, None]
             w = w / max(w.mean(), 1e-9)
-            cfg = SgvbConfig(num_steps=num_steps, learning_rate=0.02, seed=seed)
+            cfg = SgvbConfig(
+                num_steps=num_steps, learning_rate=learning_rate,
+                num_samples=mc_samples, seed=seed,
+            )
             llik = lambda yy, ee, w=w: weighted_gaussian_llik(yy, ee, w)
             if prior_type == "ash":
                 out = fit_regression_ash(
                     x, y, prior_vars=grid, llik=llik, config=cfg
                 )
+                out["prior_var"] = float("nan")
+            elif empirical_bayes:
+                import dataclasses as _dc
+
+                fits = [
+                    fit_regression(
+                        x, y, family=model, L=L, llik=llik,
+                        config=_dc.replace(cfg, prior_var=float(v)),
+                    )
+                    for v in grid
+                ]
+                eb_stash.append((names[ci], gi, cols, fits))
+                continue
             else:
                 out = fit_regression_grid(
                     x, y, prior_vars=grid, family=model, L=L,
                     llik=llik, config=cfg,
                 )
-            pip = np.asarray(out["pip"]).reshape(-1)
-            rows["celltype"].extend([names[ci]] * cols.size)
-            rows["gene"].extend([gi] * cols.size)
-            rows["variant"].extend(cols.tolist())
-            rows["pip"].extend(pip.tolist())
-            rows["effect"].extend(out["theta_mean"][:, 0].tolist())
+            _emit(rows, names[ci], gi, cols, out)
+    if eb_stash:
+        pooled = np.zeros(len(grid))
+        for _, _, _, fits in eb_stash:
+            pooled += np.asarray([f["elbo"] for f in fits])
+        v_star = int(np.argmax(pooled))
+        log.info(
+            "empirical Bayes: pooled grid ELBOs over %d fits pick "
+            "prior_var=%g", len(eb_stash), grid[v_star],
+        )
+        for ct, gi, cols, fits in eb_stash:
+            out = dict(fits[v_star])
+            out["prior_var"] = float(grid[v_star])
+            _emit(rows, ct, gi, cols, out)
     return rows
+
+
+def _emit(rows, ct, gi, cols, out):
+    pip = np.asarray(out["pip"]).reshape(-1)
+    rows["celltype"].extend([ct] * len(cols))
+    rows["gene"].extend([gi] * len(cols))
+    rows["variant"].extend(np.asarray(cols).tolist())
+    rows["pip"].extend(pip.tolist())
+    rows["effect"].extend(np.asarray(out["theta_mean"])[:, 0].tolist())
+    rows["prior_var"].extend(
+        [float(out.get("prior_var", float("nan")))] * len(cols)
+    )

@@ -77,3 +77,79 @@ def test_fit_qtl_sgvb_celltype_specific_effect(tmp_path):
     # rank check too: causal tops the carrier cell type
     sub = df[(df.celltype == "a") & (df.gene == 0)]
     assert int(sub.loc[sub["pip"].idxmax(), "variant"]) == causal
+
+
+def test_fit_qtl_sgvb_full_cli_surface(tmp_path):
+    """fit-qtl-sgvb CLI: --annot (cell,individual,celltype), PLINK
+    bounds + --max-individuals, --empirical-bayes, covariates, the
+    bed.gz + parameters.json output contract (FitQtlSgvbArgs)."""
+    import json
+
+    import pandas as pd
+    import scipy.sparse as sp
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sparse_io import create_sparse_from_csc
+    from legume_tpu.fagioli.plink import write_plink
+
+    rng = np.random.default_rng(5)
+    g, i, p, cpi = 3, 50, 12, 16
+    maf = rng.uniform(0.2, 0.5, p)
+    geno = rng.binomial(2, maf[None, :], size=(i, p)).astype(np.float64)
+    gs = (geno - geno.mean(0)) / np.maximum(geno.std(0), 1e-8)
+    cell_indv = np.repeat(np.arange(i), cpi)
+    n = len(cell_indv)
+    causal = 4
+    log_mu = np.zeros((g, n))
+    log_mu[0] += 1.0 * gs[cell_indv, causal]
+    counts = rng.poisson(30.0 * np.exp(np.clip(log_mu, -6, 6))).astype(
+        np.float32)
+    genes = [f"G{k}" for k in range(g)]
+    cells = [f"c{j}" for j in range(n)]
+    be = str(tmp_path / "counts.zarr")
+    create_sparse_from_csc(sp.csc_matrix(counts), be, genes, cells)
+    write_plink(str(tmp_path / "panel"), geno,
+                variant_ids=[f"rs{j}" for j in range(p)],
+                sample_ids=[f"I{k}" for k in range(i)])
+    annot = tmp_path / "annot.tsv"
+    annot.write_text("".join(
+        f"c{j}\tI{cell_indv[j]}\t{'A' if j % 2 else 'B'}\n"
+        for j in range(n)
+    ))
+    cov = tmp_path / "cov.tsv"
+    cov.write_text("indv\tage\n" + "".join(
+        f"I{k}\t{30 + k % 7}\n" for k in range(i)))
+    out = str(tmp_path / "fit")
+    cli.run_fagioli([
+        "fit-qtl-sgvb", "--backend", be, "--annot", str(annot),
+        "--plink", str(tmp_path / "panel"), "--out", out,
+        "--steps", "300", "--empirical-bayes",
+        "--prior-var", "0.01", "0.3",
+        "--covariates", str(cov), "--composition-covariates",
+        "--min-weight", "1", "--seed", "0",
+    ])
+    df = pd.read_parquet(f"{out}.qtl.parquet")
+    # annot's celltype column becomes the (hard) membership
+    assert set(df["celltype"]) == {"A", "B"}
+    # EB picks ONE prior variance for every fit
+    assert df["prior_var"].nunique() == 1
+    # the causal variant tops gene 0's pip in both types
+    for ct in ("A", "B"):
+        sub = df[(df["gene"] == "G0") & (df["celltype"] == ct)]
+        assert sub.set_index("variant")["pip"].idxmax() == f"rs{causal}"
+    params = json.load(open(f"{out}.parameters.json"))
+    assert params["empirical_bayes"] and params["model"] == "susie"
+    import gzip
+
+    with gzip.open(f"{out}.results.bed.gz", "rt") as f:
+        lines = f.read().splitlines()
+    assert lines[0].startswith("#chr") and len(lines) == len(df) + 1
+
+    # --max-individuals subsamples the panel (smoke: runs + shrinks)
+    cli.run_fagioli([
+        "fit-qtl-sgvb", "--backend", be, "--annot", str(annot),
+        "--plink", str(tmp_path / "panel"), "--out",
+        str(tmp_path / "sub"), "--steps", "120",
+        "--max-individuals", "30", "--min-weight", "1",
+    ])
+    assert (tmp_path / "sub.qtl.parquet").exists()
