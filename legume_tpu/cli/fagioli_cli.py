@@ -153,14 +153,53 @@ def run_fagioli(argv):
     p.add_argument("--block-size", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
 
-    p = sub.add_parser("sim-qtl", help="single-cell eQTL generative model")
-    p.add_argument("--out", required=True)
-    p.add_argument("--genes", type=int, default=40)
-    p.add_argument("--indv", type=int, default=60)
-    p.add_argument("--cells-per-indv", type=int, default=25)
-    p.add_argument("--variants", type=int, default=50)
-    p.add_argument("--frac-egenes", type=float, default=0.5)
-    p.add_argument("--effect-sd", type=float, default=0.5)
+    p = sub.add_parser(
+        "sim-qtl",
+        help="single-cell eQTL generative model (sim_qtl.rs SimQtlArgs)",
+    )
+    p.add_argument("--out", required=True,
+                   help="prefix: counts backend + annotations + truth")
+    p.add_argument("--plink", "--bed-prefix", dest="plink", default=None,
+                   help="simulate from a REAL genotype panel")
+    p.add_argument("--chromosome", default=None)
+    p.add_argument("--left-bound", type=int, default=None)
+    p.add_argument("--right-bound", type=int, default=None)
+    p.add_argument("--max-individuals", type=int, default=None)
+    p.add_argument("--gff", default=None,
+                   help="gene coords: cis-window causal placement "
+                        "(overrides --genes)")
+    p.add_argument("--cis-window", type=int, default=1000000)
+    p.add_argument("--genes", "--num-genes", dest="genes",
+                   type=int, default=40)
+    p.add_argument("--indv", type=int, default=60,
+                   help="synthetic panel size (ignored with --plink)")
+    p.add_argument("--variants", type=int, default=50,
+                   help="synthetic panel variants (ignored with --plink)")
+    p.add_argument("--num-cell-types", type=int, default=5)
+    p.add_argument("--num-factors", type=int, default=5)
+    p.add_argument("--gene-loading-std", type=float, default=0.5)
+    p.add_argument("--factor-score-std", type=float, default=0.5)
+    p.add_argument("--frac-egenes", "--eqtl-gene-proportion",
+                   dest="frac_egenes", type=float, default=0.5)
+    p.add_argument("--shared-eqtl-proportion", type=float, default=0.5)
+    p.add_argument("--independent-eqtl-proportion", type=float,
+                   default=0.5)
+    p.add_argument("--num-shared-causal-per-gene", type=int, default=1)
+    p.add_argument("--num-independent-causal-per-gene", type=int,
+                   default=1)
+    p.add_argument("--genetic-variance", type=float, default=0.3)
+    p.add_argument("--pve-cell-type", type=float, default=0.3)
+    p.add_argument("--mean-cells-per-individual", "--cells-per-indv",
+                   dest="cells_per_indv", type=float, default=25)
+    p.add_argument("--depth-per-cell", type=float, default=2000.0)
+    p.add_argument("--dirichlet-alpha", default=None,
+                   help="comma-separated cell-type fractions prior")
+    p.add_argument("--backend", choices=["zarr", "hdf5"], default="zarr")
+    p.add_argument("--legacy", action="store_true",
+                   help="round-2 single-celltype generator "
+                        "(.npz truth outputs)")
+    p.add_argument("--effect-sd", type=float, default=0.5,
+                   help="[--legacy] effect size sd")
     p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("map-qtl", help="per-gene SuSiE eQTL fine-mapping")
@@ -267,27 +306,121 @@ def run_fagioli(argv):
         import scipy.sparse as sp
 
         from ..data.sparse_io import create_sparse_from_csc
-        from ..fagioli.qtl import simulate_qtl
 
-        sim = simulate_qtl(
-            n_genes=args.genes, n_indv=args.indv,
-            cells_per_indv=args.cells_per_indv, n_variants=args.variants,
-            frac_egenes=args.frac_egenes, effect_sd=args.effect_sd,
+        if args.legacy:
+            from ..fagioli.qtl import simulate_qtl
+
+            sim = simulate_qtl(
+                n_genes=args.genes, n_indv=args.indv,
+                cells_per_indv=int(args.cells_per_indv),
+                n_variants=args.variants,
+                frac_egenes=args.frac_egenes, effect_sd=args.effect_sd,
+                seed=args.seed,
+            )
+            create_sparse_from_csc(
+                sp.csc_matrix(sim.counts), f"{args.out}.zarr",
+                [f"g{i}" for i in range(args.genes)],
+                [f"cell{j}" for j in range(sim.counts.shape[1])],
+            )
+            np.save(args.out + ".geno.npy", sim.genotypes)
+            with open(f"{args.out}.indv.txt", "w") as f:
+                f.write("\n".join(f"i{v:04d}" for v in sim.cell_indv) + "\n")
+            pd.DataFrame(
+                {"gene": [f"g{i}" for i in range(args.genes)],
+                 "causal_variant": sim.causal_variant, "beta": sim.beta}
+            ).to_parquet(f"{args.out}.truth.parquet")
+            print(f"wrote {args.out}.zarr + .geno.npy + .indv.txt + "
+                  ".truth.parquet")
+            return
+
+        from ..fagioli.qtl import simulate_qtl_full
+
+        rng = np.random.default_rng(args.seed)
+        gene_names = [f"g{i}" for i in range(args.genes)]
+        gene_tss = None
+        var_pos = None
+        if args.plink:
+            from ..fagioli.plink import read_plink
+
+            pk = read_plink(args.plink)
+            geno, var_pos = pk.genotypes, pk.pos
+            vkeep = np.ones(geno.shape[1], bool)
+            if args.chromosome is not None and pk.chrom is not None:
+                vkeep &= np.asarray(
+                    [str(cc) == args.chromosome for cc in pk.chrom])
+            if args.left_bound is not None:
+                vkeep &= var_pos >= args.left_bound
+            if args.right_bound is not None:
+                vkeep &= var_pos <= args.right_bound
+            geno, var_pos = geno[:, vkeep], var_pos[vkeep]
+            indv_ids = list(pk.sample_ids)
+        else:
+            maf = rng.uniform(0.1, 0.5, args.variants)
+            geno = rng.binomial(
+                2, maf[None, :], size=(args.indv, args.variants)
+            ).astype(np.float64)
+            indv_ids = [f"i{v:04d}" for v in range(args.indv)]
+            np.save(args.out + ".geno.npy", geno)
+        if args.max_individuals and geno.shape[0] > args.max_individuals:
+            keep_i = np.sort(rng.choice(
+                geno.shape[0], args.max_individuals, replace=False))
+            geno = geno[keep_i]
+            indv_ids = [indv_ids[int(i)] for i in keep_i]
+        if args.gff and var_pos is not None:
+            from ..faba.genes import parse_gff_genes
+
+            model_g = parse_gff_genes(args.gff)
+            gene_names = list(model_g.names)
+            gene_tss = np.where(
+                model_g.strand > 0, model_g.start, model_g.end
+            ).astype(np.int64)
+        out = simulate_qtl_full(
+            geno, var_pos,
+            n_genes=len(gene_names), gene_tss=gene_tss,
+            n_cell_types=args.num_cell_types,
+            n_factors=args.num_factors,
+            gene_loading_std=args.gene_loading_std,
+            factor_score_std=args.factor_score_std,
+            eqtl_gene_proportion=args.frac_egenes,
+            shared_eqtl_proportion=args.shared_eqtl_proportion,
+            independent_eqtl_proportion=args.independent_eqtl_proportion,
+            n_shared_causal=args.num_shared_causal_per_gene,
+            n_independent_causal=args.num_independent_causal_per_gene,
+            genetic_variance=args.genetic_variance,
+            cis_window=args.cis_window,
+            pve_cell_type=args.pve_cell_type,
+            mean_cells_per_individual=args.cells_per_indv,
+            depth_per_cell=args.depth_per_cell,
+            dirichlet_alpha=(
+                [float(x) for x in args.dirichlet_alpha.split(",")]
+                if args.dirichlet_alpha else None
+            ),
             seed=args.seed,
         )
+        n_cells = out["counts"].shape[1]
+        cells = [f"cell{j}" for j in range(n_cells)]
+        sfx = ".h5" if args.backend == "hdf5" else ".zarr"
         create_sparse_from_csc(
-            sp.csc_matrix(sim.counts), f"{args.out}.zarr",
-            [f"g{i}" for i in range(args.genes)],
-            [f"cell{j}" for j in range(sim.counts.shape[1])],
+            sp.csc_matrix(out["counts"]), f"{args.out}{sfx}",
+            gene_names, cells,
         )
-        np.save(args.out + ".geno.npy", sim.genotypes)
-        with open(f"{args.out}.indv.txt", "w") as f:
-            f.write("\n".join(f"i{v:04d}" for v in sim.cell_indv) + "\n")
+        # reference-shape cell annotations (cell, individual, celltype)
+        pd.DataFrame({
+            "cell": cells,
+            "individual": [indv_ids[int(i)] for i in out["cell_indv"]],
+            "celltype": [f"ct{int(t)}" for t in out["cell_type"]],
+        }).to_csv(f"{args.out}.annotations.tsv.gz", sep="\t",
+                  index=False, header=False)
         pd.DataFrame(
-            {"gene": [f"g{i}" for i in range(args.genes)],
-             "causal_variant": sim.causal_variant, "beta": sim.beta}
-        ).to_parquet(f"{args.out}.truth.parquet")
-        print(f"wrote {args.out}.zarr + .geno.npy + .indv.txt + .truth.parquet")
+            out["truth"],
+            columns=["gene", "celltype", "variant", "beta", "kind"],
+        ).assign(gene=lambda d: [gene_names[int(i)] for i in d["gene"]]
+                 ).to_parquet(f"{args.out}.truth.parquet")
+        print(
+            f"wrote {args.out}{sfx} ({len(gene_names)} genes x "
+            f"{n_cells} cells, {len(out['truth'])} causal entries) + "
+            ".annotations.tsv.gz + .truth.parquet"
+        )
         return
     if args.cmd == "map-qtl":
         from ..data.sparse_io import open_sparse_matrix

@@ -302,3 +302,127 @@ def _emit(rows, ct, gi, cols, out):
     rows["prior_var"].extend(
         [float(out.get("prior_var", float("nan")))] * len(cols)
     )
+
+
+def simulate_qtl_full(
+    genotypes: np.ndarray,  # [I, P] dosages (PLINK panel or synthetic)
+    var_pos: "np.ndarray | None" = None,
+    *,
+    n_genes: int = 50,
+    gene_tss: "np.ndarray | None" = None,  # [G] bp (cis mode)
+    n_cell_types: int = 5,
+    n_factors: int = 5,
+    gene_loading_std: float = 0.5,
+    factor_score_std: float = 0.5,
+    eqtl_gene_proportion: float = 0.5,
+    shared_eqtl_proportion: float = 0.5,
+    independent_eqtl_proportion: float = 0.5,
+    n_shared_causal: int = 1,
+    n_independent_causal: int = 1,
+    genetic_variance: float = 0.3,
+    cis_window: int = 1_000_000,
+    pve_cell_type: float = 0.3,
+    mean_cells_per_individual: float = 50.0,
+    depth_per_cell: float = 2000.0,
+    dirichlet_alpha: "list | None" = None,
+    seed: int = 42,
+) -> dict:
+    """Reference-style single-cell eQTL generator (`sim_qtl.rs`):
+
+      log-rate[g, cell] = mu_g + sqrt(pve_ct) * ct_effect[g, ct(cell)]
+                        + factor model (loadings @ scores[indv])
+                        + genetic term (shared + cell-type-specific
+                          causal variants, scaled to `genetic_variance`
+                          of the per-gene variance)
+      counts ~ Multinomial(depth_per_cell, softmax over genes) per cell
+      cells per individual ~ Poisson(mean_cells_per_individual),
+      cell types ~ Dirichlet(alpha)-weighted categorical per individual.
+
+    Returns counts [G, N], cell_indv, cell_type, truth tables."""
+    rng = np.random.default_rng(seed)
+    n_indv, p = genotypes.shape
+    gs = np.nan_to_num(
+        (genotypes - np.nanmean(genotypes, 0))
+        / np.maximum(np.nanstd(genotypes, 0), 1e-8)
+    )
+
+    # cells per individual + cell types
+    n_cells_i = rng.poisson(mean_cells_per_individual, n_indv).clip(min=1)
+    cell_indv = np.repeat(np.arange(n_indv), n_cells_i)
+    n = len(cell_indv)
+    alpha = (
+        np.asarray(dirichlet_alpha, np.float64)
+        if dirichlet_alpha else np.ones(n_cell_types)
+    )
+    frac_i = rng.dirichlet(alpha, n_indv)  # [I, C]
+    cell_type = np.concatenate([
+        rng.choice(n_cell_types, k, p=frac_i[i])
+        for i, k in enumerate(n_cells_i)
+    ])
+
+    # eQTL architecture: shared + cell-type-specific causal variants
+    is_egene = rng.uniform(size=n_genes) < eqtl_gene_proportion
+    truth = []
+    genetic_i = np.zeros((n_genes, n_cell_types, n_indv))
+    for gi in range(n_genes):
+        if not is_egene[gi]:
+            continue
+        if gene_tss is not None and var_pos is not None:
+            cand = np.flatnonzero(
+                np.abs(var_pos - gene_tss[gi]) <= cis_window
+            )
+        else:
+            cand = np.arange(p)
+        if cand.size == 0:
+            continue
+        if rng.uniform() < shared_eqtl_proportion:
+            for v in rng.choice(cand, min(n_shared_causal, cand.size),
+                                replace=False):
+                b = rng.normal()
+                genetic_i[gi, :, :] += b * gs[:, v][None, :]
+                truth.append((gi, -1, int(v), float(b), "shared"))
+        if rng.uniform() < independent_eqtl_proportion:
+            for v in rng.choice(cand,
+                                min(n_independent_causal, cand.size),
+                                replace=False):
+                ct = int(rng.integers(n_cell_types))
+                b = rng.normal()
+                genetic_i[gi, ct, :] += b * gs[:, v]
+                truth.append((gi, ct, int(v), float(b), "independent"))
+
+    # factor model for gene-gene correlation across individuals
+    loadings = rng.normal(0, gene_loading_std, (n_genes, n_factors))
+    scores = rng.normal(0, factor_score_std, (n_factors, n_indv))
+    indiv_term = loadings @ scores  # [G, I]
+    ct_effect = rng.normal(0, 1.0, (n_genes, n_cell_types))
+    mu_g = rng.normal(0, 0.5, n_genes)
+
+    non_gen = (
+        np.sqrt(pve_cell_type) * ct_effect[:, cell_type]
+        + np.sqrt(1 - pve_cell_type) * indiv_term[:, cell_indv]
+    )  # [G, N]
+    gen_cells = genetic_i[:, cell_type, cell_indv]  # [G, N]
+    # per-gene heritability: scale the genetic term so it explains
+    # `genetic_variance` of each eQTL gene's log-rate variance
+    # (sim_qtl.rs genetic_variance)
+    gvar = gen_cells.var(1)
+    rvar = non_gen.var(1)
+    scale = np.where(
+        gvar > 1e-12,
+        np.sqrt(genetic_variance / max(1 - genetic_variance, 1e-6)
+                * np.maximum(rvar, 1e-12) / np.maximum(gvar, 1e-12)),
+        0.0,
+    )
+    log_rate = mu_g[:, None] + non_gen + scale[:, None] * gen_cells
+    # per-cell multinomial at the given depth over the gene softmax
+    prob = np.exp(log_rate - log_rate.max(0, keepdims=True))
+    prob /= prob.sum(0, keepdims=True)
+    counts = np.stack([
+        rng.multinomial(int(rng.poisson(depth_per_cell)), prob[:, j])
+        for j in range(n)
+    ], axis=1).astype(np.float32)
+    return {
+        "counts": counts, "cell_indv": cell_indv,
+        "cell_type": cell_type,
+        "truth": truth, "frac_i": frac_i,
+    }

@@ -153,3 +153,47 @@ def test_fit_qtl_sgvb_full_cli_surface(tmp_path):
         "--max-individuals", "30", "--min-weight", "1",
     ])
     assert (tmp_path / "sub.qtl.parquet").exists()
+
+
+def test_sim_qtl_full_roundtrip(tmp_path):
+    """sim-qtl (full generator) -> fit-qtl-sgvb recovers a shared
+    causal variant (SimQtlArgs surface + the --annot handoff)."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+    from legume_tpu.data.sparse_io import open_sparse_matrix
+
+    out = str(tmp_path / "sim")
+    cli.run_fagioli([
+        "sim-qtl", "--out", out, "--genes", "6", "--indv", "50",
+        "--variants", "15", "--num-cell-types", "2",
+        "--frac-egenes", "1.0", "--shared-eqtl-proportion", "1.0",
+        "--independent-eqtl-proportion", "0.0",
+        "--genetic-variance", "0.6", "--cells-per-indv", "20",
+        "--depth-per-cell", "3000", "--seed", "3",
+    ])
+    be = open_sparse_matrix(f"{out}.zarr")
+    truth = pd.read_parquet(f"{out}.truth.parquet")
+    assert be.num_rows == 6 and len(truth) == 6
+    assert set(truth["kind"]) == {"shared"}
+    annot = pd.read_csv(f"{out}.annotations.tsv.gz", sep="\t",
+                        header=None)
+    assert annot.shape[1] == 3 and len(annot) == be.num_columns
+
+    fit_out = str(tmp_path / "fit")
+    cli.run_fagioli([
+        "fit-qtl-sgvb", "--backend", f"{out}.zarr",
+        "--annot", f"{out}.annotations.tsv.gz",
+        "--geno", f"{out}.geno.npy", "--out", fit_out,
+        "--steps", "300", "--min-weight", "1",
+    ])
+    res = pd.read_parquet(f"{fit_out}.qtl.parquet")
+    # per (gene, celltype): the truth variant should top the pip for
+    # most genes (shared effect, strong h2)
+    hits = 0
+    want = dict(zip(truth["gene"], truth["variant"]))
+    for (gene, ct), sub in res.groupby(["gene", "celltype"]):
+        top = int(sub.loc[sub["pip"].idxmax(), "variant"].lstrip("v"))
+        hits += top == want[gene]
+    n_tests = res.groupby(["gene", "celltype"]).ngroups
+    assert hits >= int(0.6 * n_tests), (hits, n_tests)
