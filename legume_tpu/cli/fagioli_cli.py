@@ -22,6 +22,10 @@ def _add_panel_args(p):
                    help="remove these individuals (same formats as --keep)")
     p.add_argument("--max-individuals", type=int, default=None,
                    help="subsample the panel to at most N individuals")
+    p.add_argument("--chromosome", default=None,
+                   help="restrict PLINK panel variants to this chromosome")
+    p.add_argument("--left-bound", type=int, default=None)
+    p.add_argument("--right-bound", type=int, default=None)
 
 
 def _parse_individual_ids(val):
@@ -45,13 +49,37 @@ def _parse_individual_ids(val):
 
 
 def _load_panel(args):
+    """Back-compat: the dosage matrix alone."""
+    return _load_panel_full(args)[0]
+
+
+def _load_panel_full(args):
     """Load the LD reference panel from --geno or --plink, apply
-    --keep/--remove/--max-individuals, mean-impute missing dosages."""
+    --keep/--remove/--max-individuals and the --chromosome/--left-bound
+    /--right-bound variant filters, mean-impute missing dosages.
+    Returns (geno, var_pos | None, var_names | None)."""
+    var_pos = var_names = None
     if getattr(args, "plink", None):
         from ..fagioli.plink import read_plink
 
         pk = read_plink(args.plink)
         geno, samples = pk.genotypes, pk.sample_ids
+        var_pos, var_names = pk.pos, list(pk.variant_ids)
+        vkeep = np.ones(geno.shape[1], bool)
+        if getattr(args, "chromosome", None) is not None \
+                and pk.chrom is not None:
+            vkeep &= np.asarray(
+                [str(cc) == args.chromosome for cc in pk.chrom])
+        if getattr(args, "left_bound", None) is not None:
+            vkeep &= var_pos >= args.left_bound
+        if getattr(args, "right_bound", None) is not None:
+            vkeep &= var_pos <= args.right_bound
+        if not vkeep.all():
+            geno = geno[:, vkeep]
+            var_pos = var_pos[vkeep]
+            var_names = [n for n, k in zip(var_names, vkeep) if k]
+            print(f"panel: {int(vkeep.sum())}/{len(vkeep)} variants in "
+                  "the chromosome/bound window")
     elif getattr(args, "geno", None):
         geno = np.load(args.geno)
         samples = [str(i) for i in range(geno.shape[0])]
@@ -83,7 +111,50 @@ def _load_panel(args):
         ii, jj = np.nonzero(np.isnan(geno))
         geno = geno.copy()
         geno[ii, jj] = col_mean[jj]
-    return np.asarray(geno, np.float32)
+    return np.asarray(geno, np.float32), var_pos, var_names
+
+
+def _read_zscores(args, var_names):
+    """Summary statistics as a DataFrame with `variant` + `z` columns
+    (CommonSumstatArgs sumstats): plain TSV (variant, z) or the
+    reference's BED-like `.sumstats.bed[.gz]` (chr, start, end,
+    variant, z — header optional). With a PLINK panel, rows align to
+    the panel's variant ids (order-independent; missing = error)."""
+    import pandas as pd
+
+    path = args.zscores
+    if ".bed" in path:
+        df = pd.read_csv(path, sep="\t", comment="#", header=None)
+        if str(df.iloc[0, 1]).lstrip("-").isdigit() is False:
+            df = df.iloc[1:].reset_index(drop=True)  # header row
+        df = df.rename(columns={
+            0: "chr", 1: "start", 2: "end", 3: "variant",
+            len(df.columns) - 1: "z",
+        })
+        df["z"] = df["z"].astype(float)
+    else:
+        df = pd.read_csv(path, sep="\t")
+        if "variant" not in df.columns:
+            df = df.rename(columns={df.columns[0]: "variant"})
+    if var_names is not None:
+        where = {str(v): i for i, v in enumerate(df["variant"])}
+        missing = [v for v in var_names if str(v) not in where]
+        if not missing:
+            df = df.iloc[[where[str(v)] for v in var_names]].reset_index(
+                drop=True)
+        elif len(missing) == len(var_names) and len(df) == len(var_names):
+            # disjoint id vocabularies but matching lengths: keep the
+            # positional contract (pre-alignment behavior), loudly
+            print(
+                f"{args.cmd}: summary-stat variant ids share nothing "
+                "with the panel's; aligning by POSITION"
+            )
+        else:
+            raise SystemExit(
+                f"{args.cmd}: {len(missing)} panel variants absent "
+                f"from the summary stats (e.g. {missing[0]})"
+            )
+    return df
 
 
 def run_fagioli(argv):
@@ -139,12 +210,38 @@ def run_fagioli(argv):
     p.add_argument("--samples", type=int, default=1000)
     p.add_argument("--burn-in", type=int, default=200)
     p.add_argument("--prior-sd", type=float, default=0.3)
-    p = sub.add_parser("sim-sumstat", help="simulate GWAS summary stats")
+    p = sub.add_parser(
+        "sim-sumstat",
+        help="multi-trait GWAS summary stats (sim_sumstat.rs "
+             "SimSumstatArgs)",
+    )
     p.add_argument("--out", required=True)
-    p.add_argument("--n", type=int, default=500)
+    p.add_argument("--plink", "--bed-prefix", dest="plink", default=None,
+                   help="simulate from a REAL genotype panel")
+    p.add_argument("--chromosome", default=None)
+    p.add_argument("--left-bound", type=int, default=None)
+    p.add_argument("--right-bound", type=int, default=None)
+    p.add_argument("--max-individuals", type=int, default=None)
+    p.add_argument("--n", type=int, default=500,
+                   help="synthetic panel size (ignored with --plink)")
     p.add_argument("--p", type=int, default=200)
-    p.add_argument("--n-causal", type=int, default=3)
-    p.add_argument("--h2", type=float, default=0.3)
+    p.add_argument("--num-traits", type=int, default=1)
+    p.add_argument("--num-shared-causal", type=int, default=1,
+                   help="shared causal SNPs per causal block")
+    p.add_argument("--num-independent-causal", type=int, default=1,
+                   help="per-trait private causal SNPs per causal block")
+    p.add_argument("--num-causal-blocks", type=int, default=3)
+    p.add_argument("--h2", "--h2-sparse", dest="h2", type=float,
+                   default=0.3)
+    p.add_argument("--h2-polygenic", type=float, default=0.0,
+                   help="dense infinitesimal heritability on all SNPs")
+    p.add_argument("--num-confounders", type=int, default=0)
+    p.add_argument("--num-hidden-factors", type=int, default=2)
+    p.add_argument("--pve-confounders", type=float, default=0.1)
+    p.add_argument("--n-causal", type=int, default=3,
+                   help="[--legacy] causal SNPs")
+    p.add_argument("--legacy", action="store_true",
+                   help="round-2 single-trait flat generator")
     p.add_argument("--seed", type=int, default=0)
     p = sub.add_parser("sim-geno", help="LD-blocked genotype panel")
     p.add_argument("--out", required=True)
@@ -264,11 +361,52 @@ def run_fagioli(argv):
                         "{out}.results.bed.gz + {out}.parameters.json")
     p.add_argument("--seed", type=int, default=0)
 
-    p = sub.add_parser("sim-mediation", help="X -> M -> Y mediation fixture")
+    p = sub.add_parser(
+        "sim-mediation",
+        help="SNP -> expression -> outcome mediation simulator "
+             "(sim_mediation.rs SimMediationArgs)",
+    )
     p.add_argument("--out", required=True)
-    p.add_argument("--n", type=int, default=800)
-    p.add_argument("--p", type=int, default=100)
-    p.add_argument("--mediators", type=int, default=5)
+    p.add_argument("--plink", "--bed-prefix", dest="plink", default=None,
+                   help="simulate from a REAL genotype panel")
+    p.add_argument("--chromosome", default=None)
+    p.add_argument("--left-bound", type=int, default=None)
+    p.add_argument("--right-bound", type=int, default=None)
+    p.add_argument("--max-individuals", type=int, default=None)
+    p.add_argument("--n", type=int, default=800,
+                   help="synthetic panel size (ignored with --plink)")
+    p.add_argument("--p", type=int, default=100,
+                   help="synthetic panel variants")
+    p.add_argument("--gff", default=None,
+                   help="gene coords for cis eQTL placement "
+                        "(overrides --num-genes)")
+    p.add_argument("--num-genes", type=int, default=20)
+    p.add_argument("--cis-window", type=int, default=1000000)
+    p.add_argument("--n-eqtl-per-gene", type=int, default=3)
+    p.add_argument("--mediators", "--num-mediator-genes",
+                   dest="mediators", type=int, default=5)
+    p.add_argument("--num-observed-mediators", type=int, default=None)
+    p.add_argument("--expression-heritability", type=float, default=0.3)
+    p.add_argument("--pve-mediated", type=float, default=0.2)
+    p.add_argument("--pve-direct", type=float, default=0.05)
+    p.add_argument("--pve-confounder-expr", type=float, default=0.1)
+    p.add_argument("--pve-confounder-y", type=float, default=0.1)
+    p.add_argument("--num-confounders", type=int, default=3)
+    p.add_argument("--num-hidden-factors", type=int, default=2)
+    p.add_argument("--num-collider-genes", type=int, default=0)
+    p.add_argument("--collider-confounder-correlation", type=float,
+                   default=0.5)
+    p.add_argument("--induce-collider-bias", action="store_true")
+    p.add_argument("--num-conditioned-colliders", type=int, default=1)
+    p.add_argument("--collider-selection-quantile", type=float,
+                   default=0.5)
+    p.add_argument("--n-eqtl-discovery", type=int, default=None,
+                   help="discovery-cohort size: enables the "
+                        "discovery/replication split with instrument "
+                        "selection at --eqtl-pvalue-threshold")
+    p.add_argument("--eqtl-pvalue-threshold", type=float, default=1e-3)
+    p.add_argument("--legacy", action="store_true",
+                   help="round-2 flat X->M->Y fixture")
     p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("fit-regression", help="SGVB regression on a table")
@@ -453,23 +591,121 @@ def run_fagioli(argv):
         print(f"wrote {args.out}.qtl.parquet ({g} genes x {p_var} variants)")
         return
     if args.cmd == "sim-mediation":
-        from ..fagioli.sim import simulate_mediation
+        if args.legacy:
+            from ..fagioli.sim import simulate_mediation
 
-        sim = simulate_mediation(
-            n=args.n, p=args.p, n_mediators=args.mediators, seed=args.seed
+            sim = simulate_mediation(
+                n=args.n, p=args.p, n_mediators=args.mediators,
+                seed=args.seed,
+            )
+            np.save(args.out + ".geno.npy", sim.genotypes)
+            m = sim.z_med.shape[1]
+            med_cols = {f"z_med{j}": sim.z_med[:, j] for j in range(m)}
+            pd.DataFrame(
+                {"variant": [f"v{i}" for i in range(args.p)],
+                 "z": sim.z_out, **med_cols}
+            ).to_csv(args.out + ".sumstat.tsv", sep="\t", index=False)
+            pd.DataFrame(
+                {"mediator": [f"m{j}" for j in range(m)],
+                 "beta_med": sim.beta_med}
+            ).to_parquet(args.out + ".truth.parquet")
+            np.save(args.out + ".alpha.npy", sim.alpha)
+            print(f"wrote {args.out}.geno.npy + .sumstat.tsv + "
+                  ".truth.parquet")
+            return
+
+        from ..fagioli.sim import simulate_genotypes, simulate_mediation_full
+
+        rng = np.random.default_rng(args.seed)
+        gene_names = [f"g{i}" for i in range(args.num_genes)]
+        gene_tss = var_pos = None
+        if args.plink:
+            from ..fagioli.plink import read_plink
+
+            pk = read_plink(args.plink)
+            geno, var_pos = pk.genotypes, pk.pos
+            vkeep = np.ones(geno.shape[1], bool)
+            if args.chromosome is not None and pk.chrom is not None:
+                vkeep &= np.asarray(
+                    [str(cc) == args.chromosome for cc in pk.chrom])
+            if args.left_bound is not None:
+                vkeep &= var_pos >= args.left_bound
+            if args.right_bound is not None:
+                vkeep &= var_pos <= args.right_bound
+            geno, var_pos = geno[:, vkeep], var_pos[vkeep]
+            var_names = [n for n, k in zip(pk.variant_ids, vkeep) if k]
+        else:
+            geno = simulate_genotypes(
+                n=args.n, p=args.p, seed=args.seed).genotypes
+            var_names = [f"v{j}" for j in range(args.p)]
+        if args.max_individuals and geno.shape[0] > args.max_individuals:
+            keep_i = np.sort(rng.choice(
+                geno.shape[0], args.max_individuals, replace=False))
+            geno = geno[keep_i]
+        if args.gff and var_pos is not None:
+            from ..faba.genes import parse_gff_genes
+
+            model_g = parse_gff_genes(args.gff)
+            gene_names = list(model_g.names)
+            gene_tss = np.where(
+                model_g.strand > 0, model_g.start, model_g.end
+            ).astype(np.int64)
+        out = simulate_mediation_full(
+            geno, var_pos,
+            n_genes=len(gene_names), gene_tss=gene_tss,
+            cis_window=args.cis_window,
+            n_eqtl_per_gene=args.n_eqtl_per_gene,
+            num_mediator_genes=args.mediators,
+            num_observed_mediators=args.num_observed_mediators,
+            expression_heritability=args.expression_heritability,
+            pve_mediated=args.pve_mediated,
+            pve_direct=args.pve_direct,
+            pve_confounder_expr=args.pve_confounder_expr,
+            pve_confounder_y=args.pve_confounder_y,
+            num_confounders=args.num_confounders,
+            num_hidden_factors=args.num_hidden_factors,
+            num_collider_genes=args.num_collider_genes,
+            collider_confounder_correlation=(
+                args.collider_confounder_correlation),
+            induce_collider_bias=args.induce_collider_bias,
+            num_conditioned_colliders=args.num_conditioned_colliders,
+            collider_selection_quantile=(
+                args.collider_selection_quantile),
+            n_eqtl_discovery=args.n_eqtl_discovery,
+            eqtl_pvalue_threshold=args.eqtl_pvalue_threshold,
+            seed=args.seed,
         )
-        np.save(args.out + ".geno.npy", sim.genotypes)
-        m = sim.z_med.shape[1]
-        med_cols = {f"z_med{j}": sim.z_med[:, j] for j in range(m)}
+        np.save(args.out + ".geno.npy", geno)
         pd.DataFrame(
-            {"variant": [f"v{i}" for i in range(args.p)], "z": sim.z_out,
-             **med_cols}
+            out["expression"], columns=gene_names,
+        ).assign(outcome=out["outcome"], kept=out["keep"]).to_parquet(
+            args.out + ".phenotypes.parquet")
+        z_cols = {f"z_{g}": out["z_med"][:, gi]
+                  for gi, g in enumerate(gene_names)}
+        pd.DataFrame(
+            {"variant": var_names, "z": out["z_out"], **z_cols}
         ).to_csv(args.out + ".sumstat.tsv", sep="\t", index=False)
-        pd.DataFrame(
-            {"mediator": [f"m{j}" for j in range(m)], "beta_med": sim.beta_med}
-        ).to_parquet(args.out + ".truth.parquet")
-        np.save(args.out + ".alpha.npy", sim.alpha)
-        print(f"wrote {args.out}.geno.npy + .sumstat.tsv + .truth.parquet")
+        truth = {
+            "gene": gene_names,
+            "beta_med": out["beta_med"],
+            "is_mediator": [gi in set(out["mediator_ids"])
+                            for gi in range(len(gene_names))],
+            "is_observed": [gi in set(out["observed_ids"])
+                            for gi in range(len(gene_names))],
+            "is_collider": [gi in set(out["collider_ids"])
+                            for gi in range(len(gene_names))],
+        }
+        pd.DataFrame(truth).to_parquet(args.out + ".truth.parquet")
+        np.save(args.out + ".alpha.npy", out["alpha"])
+        extra = ""
+        if out["instruments"] is not None:
+            np.save(args.out + ".instruments.npy", out["instruments"])
+            extra = " + .instruments.npy"
+        print(
+            f"wrote {args.out}.geno.npy + .phenotypes.parquet + "
+            f".sumstat.tsv + .truth.parquet{extra} "
+            f"(replication n = {out['n_replication']})"
+        )
         return
     if args.cmd == "fit-qtl-sgvb":
         from ..data import open_sparse_matrix
@@ -724,23 +960,86 @@ def run_fagioli(argv):
         return
 
     if args.cmd == "sim-sumstat":
-        from ..fagioli.sumstat import simulate_sumstat
+        if args.legacy:
+            from ..fagioli.sumstat import simulate_sumstat
 
-        sim = simulate_sumstat(
-            n=args.n, p=args.p, n_causal=args.n_causal, h2=args.h2, seed=args.seed
+            sim = simulate_sumstat(
+                n=args.n, p=args.p, n_causal=args.n_causal, h2=args.h2,
+                seed=args.seed,
+            )
+            np.save(args.out + ".geno.npy", sim.genotypes)
+            pd.DataFrame(
+                {"variant": [f"v{i}" for i in range(args.p)], "z": sim.z,
+                 "beta_true": sim.beta, "causal": sim.causal}
+            ).to_csv(args.out + ".sumstat.tsv", sep="\t", index=False)
+            print(f"wrote {args.out}.sumstat.tsv and {args.out}.geno.npy")
+            return
+        from ..fagioli.sim import simulate_genotypes, simulate_sumstat_full
+
+        blk = None
+        if args.plink:
+            from ..fagioli.plink import read_plink
+
+            pk = read_plink(args.plink)
+            geno, var_pos = pk.genotypes, pk.pos
+            vkeep = np.ones(geno.shape[1], bool)
+            if args.chromosome is not None and pk.chrom is not None:
+                vkeep &= np.asarray(
+                    [str(cc) == args.chromosome for cc in pk.chrom])
+            if args.left_bound is not None:
+                vkeep &= var_pos >= args.left_bound
+            if args.right_bound is not None:
+                vkeep &= var_pos <= args.right_bound
+            geno = geno[:, vkeep]
+            var_names = [n for n, k in zip(pk.variant_ids, vkeep) if k]
+            if args.max_individuals \
+                    and geno.shape[0] > args.max_individuals:
+                rng_s = np.random.default_rng(args.seed)
+                geno = geno[np.sort(rng_s.choice(
+                    geno.shape[0], args.max_individuals, replace=False))]
+        else:
+            gsim = simulate_genotypes(n=args.n, p=args.p, seed=args.seed)
+            geno, blk = gsim.genotypes, gsim.block
+            var_names = [f"v{j}" for j in range(args.p)]
+        out = simulate_sumstat_full(
+            geno, blk,
+            num_traits=args.num_traits,
+            num_shared_causal=args.num_shared_causal,
+            num_independent_causal=args.num_independent_causal,
+            h2_sparse=args.h2, h2_polygenic=args.h2_polygenic,
+            num_causal_blocks=args.num_causal_blocks,
+            num_confounders=args.num_confounders,
+            num_hidden_factors=args.num_hidden_factors,
+            pve_confounders=args.pve_confounders,
+            seed=args.seed,
         )
-        np.save(args.out + ".geno.npy", sim.genotypes)
+        np.save(args.out + ".geno.npy", geno)
+        cols = {"variant": var_names}
+        if args.num_traits == 1:
+            cols["z"] = out["z"][:, 0]
+            cols["beta_true"] = out["beta"][:, 0]
+        else:
+            for t in range(args.num_traits):
+                cols[f"z_t{t}"] = out["z"][:, t]
+            cols["z"] = out["z"][:, 0]  # first trait stays the z column
+        pd.DataFrame(cols).to_csv(
+            args.out + ".sumstat.tsv", sep="\t", index=False)
         pd.DataFrame(
-            {"variant": [f"v{i}" for i in range(args.p)], "z": sim.z,
-             "beta_true": sim.beta, "causal": sim.causal}
-        ).to_csv(args.out + ".sumstat.tsv", sep="\t", index=False)
-        print(f"wrote {args.out}.sumstat.tsv and {args.out}.geno.npy")
+            out["truth"], columns=["variant_idx", "trait", "kind"],
+        ).assign(variant=lambda d: [var_names[int(i)]
+                                    for i in d["variant_idx"]]
+                 ).to_parquet(args.out + ".truth.parquet")
+        print(
+            f"wrote {args.out}.sumstat.tsv (+ .truth.parquet, "
+            f"{args.num_traits} traits, {len(out['truth'])} causal "
+            "entries)"
+        )
     elif args.cmd == "fit-prs-susie":
         from ..fagioli.sumstat import fit_prs
         from ..models.sgvb import SgvbConfig
 
-        df = pd.read_csv(args.zscores, sep="\t")
-        geno = _load_panel(args)
+        geno, _var_pos, _var_names = _load_panel_full(args)
+        df = _read_zscores(args, _var_names)
         score = np.load(args.score_geno) if args.score_geno else None
         out = fit_prs(
             df["z"].to_numpy(), geno, L=args.L, score_genotypes=score,
@@ -759,8 +1058,8 @@ def run_fagioli(argv):
     elif args.cmd == "fit-sumstat-mcmc":
         from ..fagioli.sumstat import fit_sumstat_mcmc
 
-        df = pd.read_csv(args.zscores, sep="\t")
-        geno = _load_panel(args)
+        geno, _var_pos, _var_names = _load_panel_full(args)
+        df = _read_zscores(args, _var_names)
         out = fit_sumstat_mcmc(
             df["z"].to_numpy(), geno,
             num_samples=args.samples, burn_in=args.burn_in,
@@ -778,8 +1077,8 @@ def run_fagioli(argv):
         from ..fagioli.sumstat import fit_sumstat_sgvb
         from ..models.sgvb import SgvbConfig
 
-        df = pd.read_csv(args.zscores, sep="\t")
-        geno = _load_panel(args)
+        geno, _var_pos, _var_names = _load_panel_full(args)
+        df = _read_zscores(args, _var_names)
         out = fit_sumstat_sgvb(
             df["z"].to_numpy(), geno,
             model=args.model, prior_type=args.prior_type,
@@ -798,8 +1097,8 @@ def run_fagioli(argv):
         from ..fagioli.sumstat import map_sumstat
         from ..models.sgvb import SgvbConfig
 
-        df = pd.read_csv(args.zscores, sep="\t")
-        geno = _load_panel(args)
+        geno, _var_pos, _var_names = _load_panel_full(args)
+        df = _read_zscores(args, _var_names)
         ld_blocks = None
         if args.ld_block_file:
             bdf = pd.read_csv(args.ld_block_file, sep="\t", header=None,

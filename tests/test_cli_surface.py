@@ -328,7 +328,7 @@ def test_fagioli_sim_geno_and_fit_regression(tmp_path):
 def test_fagioli_qtl_roundtrip(tmp_path):
     out = str(tmp_path / "qtl")
     cli.run_fagioli([
-        "sim-qtl", "--out", out, "--genes", "6", "--indv", "50",
+        "sim-qtl", "--legacy", "--out", out, "--genes", "6", "--indv", "50",
         "--cells-per-indv", "15", "--variants", "20", "--frac-egenes", "1.0",
         "--effect-sd", "1.0",
     ])
@@ -352,7 +352,7 @@ def test_fagioli_qtl_roundtrip(tmp_path):
 
 def test_fagioli_mediation_and_pseudobulk(tmp_path):
     out = str(tmp_path / "med")
-    cli.run_fagioli(["sim-mediation", "--out", out, "--n", "300", "--p", "40"])
+    cli.run_fagioli(["sim-mediation", "--legacy", "--out", out, "--n", "300", "--p", "40"])
     ss = pd.read_csv(f"{out}.sumstat.tsv", sep="\t")
     assert {"variant", "z", "z_med0"} <= set(ss.columns)
     assert np.isfinite(ss["z"]).all()
@@ -360,7 +360,7 @@ def test_fagioli_mediation_and_pseudobulk(tmp_path):
     # pseudobulk command on the qtl fixture
     q = str(tmp_path / "q")
     cli.run_fagioli([
-        "sim-qtl", "--out", q, "--genes", "5", "--indv", "8",
+        "sim-qtl", "--legacy", "--out", q, "--genes", "5", "--indv", "8",
         "--cells-per-indv", "10", "--variants", "5",
     ])
     pb = str(tmp_path / "pb")
@@ -693,7 +693,7 @@ def test_fagioli_fit_sumstat_sgvb_models_and_priors(tmp_path):
 def test_fagioli_fit_qtl_sgvb_cli(tmp_path):
     out = str(tmp_path / "qtl")
     cli.run_fagioli([
-        "sim-qtl", "--out", out, "--genes", "5", "--indv", "50",
+        "sim-qtl", "--legacy", "--out", out, "--genes", "5", "--indv", "50",
         "--cells-per-indv", "16", "--variants", "16", "--frac-egenes", "1.0",
         "--effect-sd", "1.0",
     ])

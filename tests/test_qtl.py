@@ -197,3 +197,35 @@ def test_sim_qtl_full_roundtrip(tmp_path):
         hits += top == want[gene]
     n_tests = res.groupby(["gene", "celltype"]).ngroups
     assert hits >= int(0.6 * n_tests), (hits, n_tests)
+
+
+def test_sim_mediation_full_surface(tmp_path):
+    """sim-mediation (full generator): collider-bias selection and the
+    discovery/replication instrument split (SimMediationArgs)."""
+    import pandas as pd
+
+    from legume_tpu.cli import main as cli
+
+    out = str(tmp_path / "med")
+    cli.run_fagioli([
+        "sim-mediation", "--out", out, "--n", "400", "--p", "60",
+        "--num-genes", "10", "--mediators", "4",
+        "--num-collider-genes", "2", "--induce-collider-bias",
+        "--collider-selection-quantile", "0.5",
+        "--n-eqtl-discovery", "150", "--seed", "1",
+    ])
+    pheno = pd.read_parquet(f"{out}.phenotypes.parquet")
+    assert len(pheno) == 400 and pheno["kept"].sum() == 200
+    truth = pd.read_parquet(f"{out}.truth.parquet")
+    assert truth["is_mediator"].sum() == 4
+    assert truth["is_collider"].sum() == 2
+    # colliders are never mediators
+    assert not (truth["is_mediator"] & truth["is_collider"]).any()
+    ss = pd.read_csv(f"{out}.sumstat.tsv", sep="\t")
+    assert len(ss) == 60 and "z" in ss.columns
+    inst = np.load(f"{out}.instruments.npy")
+    alpha = np.load(f"{out}.alpha.npy")
+    # instrument selection is enriched at true eQTL sites
+    true_rate = inst[alpha != 0].mean()
+    bg_rate = inst[alpha == 0].mean()
+    assert true_rate > 3 * max(bg_rate, 1e-6)
