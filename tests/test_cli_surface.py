@@ -673,8 +673,11 @@ def test_fagioli_fit_sumstat_sgvb_models_and_priors(tmp_path):
         "sim-sumstat", "--out", out, "--n", "400", "--p", "60",
         "--n-causal", "2", "--h2", "0.5", "--seed", "3",
     ])
-    truth = pd.read_csv(f"{out}.sumstat.tsv", sep="\t")
-    causal = set(truth[truth["causal"]]["variant"])
+    # non-legacy sim-sumstat writes causal truth to {out}.truth.parquet
+    # (variant_idx/trait/kind/variant), not the sumstat TSV
+    truth = pd.read_parquet(f"{out}.truth.parquet")
+    causal = set(truth["variant"])
+    assert causal, "sim-sumstat wrote no causal truth entries"
     for model, prior in [("susie", "single"), ("spike-slab", "ash")]:
         fit = str(tmp_path / f"fm_{model}")
         cli.run_fagioli([
