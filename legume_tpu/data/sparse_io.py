@@ -480,31 +480,143 @@ class ZarrBackend(_CompressedFileBackend):
 
 
 class H5Backend(_CompressedFileBackend):
-    """HDF5 backend via h5py (`sparse_backend/hdf5.rs` parity)."""
+    """HDF5 backend via h5py (`sparse_backend/hdf5.rs` parity).
+
+    Conformance with the reference writer/reader:
+    - datasets are chunked ~1 MiB (min 8192 elems, capped at nelem;
+      `utilities/io_helpers.rs:104-116` chunk_elems) and compressed with
+      the standard HDF5 blosc filter (id 32001), blosclz clevel 5, byte
+      shuffle (`hdf5.rs:15,779-801`). No blosc HDF5 plugin exists in
+      this image, so chunks are compressed/decompressed through the
+      system libblosc (`data/blosc_codec.py`) and moved with
+      write_direct_chunk/read_direct_chunk; the resulting file is
+      bit-compatible with what hdf5-metno+blosc reads and writes.
+    - nrow/ncol/nnz live in ROOT FILE ATTRIBUTES (`hdf5.rs:204-214`
+      reads ONLY attrs) — the size datasets are kept as our own
+      redundant fallback.
+    """
 
     def _file(self, mode="r"):
         import h5py
 
         return h5py.File(self.path, mode)
 
+    @staticmethod
+    def _chunk_elems(nelem: int, elem_bytes: int) -> int:
+        """io_helpers.rs:111-116: ~1 MiB target, >=8192 elems, <=nelem."""
+        return min(max((1024 * 1024) // max(elem_bytes, 1), 8192), max(nelem, 1))
+
+    @staticmethod
+    def _blosc_filter_index(ds) -> int | None:
+        """Position of the blosc filter in the dataset's pipeline."""
+        from . import blosc_codec
+
+        plist = ds.id.get_create_plist()
+        for i in range(plist.get_nfilters()):
+            if plist.get_filter(i)[0] == blosc_codec.BLOSC_H5_FILTER_ID:
+                return i
+        return None
+
     def _read_array(self, key, lb=0, ub=None):
+        from . import blosc_codec
+
         with self._file("r") as f:
             ds = f[key]
-            return np.asarray(ds[...] if ub is None else ds[lb:ub])
+            fi = self._blosc_filter_index(ds)
+            if fi is None or ds.chunks is None:
+                return np.asarray(ds[...] if ub is None else ds[lb:ub])
+            # blosc-compressed (ours or reference-written): decode raw
+            # chunks ourselves — libhdf5 here has no blosc plugin
+            n = ds.shape[0]
+            lo = int(lb)
+            hi = n if ub is None else min(int(ub), n)
+            if hi <= lo:
+                return np.empty(0, dtype=ds.dtype)
+            chunk = int(ds.chunks[0])
+            out = np.empty(hi - lo, dtype=ds.dtype)
+            itemsize = ds.dtype.itemsize
+            for c0 in range((lo // chunk) * chunk, hi, chunk):
+                mask, raw = ds.id.read_direct_chunk((c0,))
+                if mask & (1 << fi):  # filter skipped for this chunk
+                    buf = np.frombuffer(raw, dtype=ds.dtype)
+                else:
+                    buf = np.frombuffer(blosc_codec.decompress(raw), dtype=ds.dtype)
+                # edge chunks decode to the FULL chunk size (HDF5 pads
+                # before filtering); slice to the valid region
+                valid = min(chunk, n - c0)
+                s0 = max(lo, c0)
+                s1 = min(hi, c0 + valid)
+                out[s0 - lo : s1 - lo] = buf[s0 - c0 : s1 - c0]
+            return out
 
     def _write_array(self, key, arr, dtype):
-        import h5py  # noqa: F401
+        import h5py
 
+        from . import blosc_codec
+
+        arr = np.asarray(arr)
         with self._file("a") as f:
             if key in f:
                 del f[key]
-            f.create_dataset(
-                key,
-                data=arr,
-                compression="gzip",
-                compression_opts=4,
-                chunks=(min(_CHUNK, max(len(arr), 1)),),
+            if not blosc_codec.available():
+                f.create_dataset(
+                    key, data=arr, compression="gzip", compression_opts=4,
+                    chunks=(min(_CHUNK, max(len(arr), 1)),),
+                )
+                return
+            grp_path, _, name = key.rpartition("/")
+            grp = f.require_group(grp_path) if grp_path else f["/"]
+            n = len(arr)
+            itemsize = arr.dtype.itemsize
+            chunk = self._chunk_elems(n, itemsize)
+            dcpl = h5py.h5p.create(h5py.h5p.DATASET_CREATE)
+            dcpl.set_chunk((chunk,))
+            cd = (
+                blosc_codec.FILTER_BLOSC_VERSION,
+                blosc_codec.BLOSC_VERSION_FORMAT,
+                itemsize,
+                chunk * itemsize,
+                blosc_codec.CLEVEL,
+                blosc_codec.SHUFFLE_BYTE,
+                blosc_codec.COMPCODE_BLOSCLZ,
             )
+            dcpl.set_filter(
+                blosc_codec.BLOSC_H5_FILTER_ID, h5py.h5z.FLAG_OPTIONAL, cd
+            )
+            space = h5py.h5s.create_simple((max(n, 0),))
+            tid = h5py.h5t.py_create(arr.dtype, logical=True)
+            did = h5py.h5d.create(
+                grp.id, name.encode(), tid, space, dcpl=dcpl
+            )
+            ds = h5py.Dataset(did)
+            for c0 in range(0, n, chunk):
+                block = arr[c0 : c0 + chunk]
+                if len(block) < chunk:  # HDF5 filters run on FULL chunks
+                    pad = np.zeros(chunk, dtype=arr.dtype)
+                    pad[: len(block)] = block
+                    block = pad
+                ds.id.write_direct_chunk(
+                    (c0,),
+                    blosc_codec.compress(
+                        np.ascontiguousarray(block).tobytes(), itemsize
+                    ),
+                    filter_mask=0,
+                )
+
+    def _write_shape_metadata(self, d, n, nnz):
+        # the reference reads shape ONLY from root attrs (hdf5.rs:204-214)
+        with self._file("a") as f:
+            for k, v in (("nrow", d), ("ncol", n), ("nnz", nnz)):
+                if k in f.attrs:
+                    del f.attrs[k]
+                f.attrs.create(k, np.uint64(v), dtype=np.uint64)
+
+    def _read_shape_metadata(self):
+        with self._file("r") as f:
+            a = f.attrs
+            if all(k in a for k in ("nrow", "ncol", "nnz")):
+                return (int(a["nrow"]), int(a["ncol"]), int(a["nnz"]))
+        return None
 
     def _read_name_list(self, key):
         with self._file("r") as f:
