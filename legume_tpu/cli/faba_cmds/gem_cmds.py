@@ -65,6 +65,10 @@ def add_parsers(sub):
                                 "concentration of the gate ladder")
             p.add_argument("--half-cauchy-scale", type=float, default=1.0,
                            help="[--posterior] slab scale")
+            p.add_argument("--data-parallel", action="store_true",
+                           help="[--posterior] dp-shard the pb anchor "
+                                "axis of the Gibbs sampler over all "
+                                "visible devices")
             p.add_argument("--sequential-velocity", action="store_true",
                            help="fit theta on the spliced track first, then "
                                 "delta with theta frozen (default: joint)")
@@ -302,6 +306,14 @@ def _cmd_gem(args):
         if args.posterior > 0:
             from ...embedding.posterior import gem_gibbs
 
+            mesh = None
+            if getattr(args, "data_parallel", False):
+                import jax as _jax
+
+                from ...parallel.mesh import make_mesh
+
+                if _jax.device_count() > 1:
+                    mesh = make_mesh()
             post = gem_gibbs(
                 s, u, res.e_feat, res.delta,
                 res.b_feat_s, res.b_feat_u, res.pb_e, res.pb_b,
@@ -310,6 +322,7 @@ def _cmd_gem(args):
                 stick_alpha=args.ibp_alpha,
                 half_cauchy_scale=args.half_cauchy_scale,
                 seed=args.seed,
+                mesh=mesh,
             )
             pd.DataFrame({
                 "gene": genes,

@@ -188,6 +188,7 @@ def _cmd_bge(args):
             res.pb_embeddings[0], _np.zeros(pb.shape[0]),
             n_sweeps=args.posterior,
             burnin=max(args.posterior // 4, 2),
+            mesh=mesh,  # --data-parallel dp-shards the anchor axis
         )
         pd.DataFrame({
             "gene": vec.row_names(),

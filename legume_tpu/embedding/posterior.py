@@ -228,11 +228,51 @@ def ibp_pi0(alpha: float, h: int) -> np.ndarray:
 # ----------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=())
-def _poisson_ll_cols(y_pd, eta_pd):
-    """Per-COLUMN Poisson ll contributions given full eta."""
+def _poisson_ll_cols(y_pd, eta_pd, mask_p):
+    """Per-COLUMN Poisson ll contributions given full eta. `mask_p`
+    zeroes anchors added as padding for mesh divisibility: under a
+    dp-sharded anchor axis this sum over P lowers to per-shard partial
+    sums + one all-reduce, and the mask keeps padded rows exact."""
     eta = jnp.clip(eta_pd, -20.0, 20.0)
-    return jnp.sum(y_pd * eta - jnp.exp(eta), axis=0)  # [D]
+    return jnp.sum(mask_p[:, None] * (y_pd * eta - jnp.exp(eta)), axis=0)
+
+
+def _pad_anchors(n_shards: int, *arrs: np.ndarray):
+    """Zero-pad the leading (anchor) axis of each array to a multiple
+    of `n_shards`; returns (mask, padded arrays). Identity (mask of
+    ones) when already divisible."""
+    p = arrs[0].shape[0]
+    pad = (-p) % n_shards
+    mask = np.concatenate([np.ones(p), np.zeros(pad)]).astype(np.float32)
+    if pad == 0:
+        return mask, arrs
+    out = []
+    for a in arrs:
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        out.append(np.pad(a, widths))
+    return mask, tuple(out)
+
+
+def _anchor_putters(mesh, mesh_axis: str):
+    """(shard_by_rows, replicate) placement fns for a dp mesh; both are
+    identity when mesh is None (single-device path, same program)."""
+    if mesh is None:
+        iden = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+        return iden, iden
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    def rows(a):
+        a = np.asarray(a, np.float32)
+        spec = P(mesh_axis, *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    def rep(a):
+        return jax.device_put(
+            np.asarray(a, np.float32), NamedSharding(mesh, P())
+        )
+
+    return rows, rep
 
 
 @dataclass
@@ -259,6 +299,8 @@ def pb_gibbs(
     stick_alpha: float | None = 2.0,
     half_cauchy_scale: float = 1.0,
     seed: int = 0,
+    mesh=None,
+    mesh_axis: str = "dp",
 ) -> PbGibbsResult:
     """Alternating two-sided Gibbs over the bilinear Poisson model
     (posterior/pb_gibbs/mod.rs):
@@ -271,19 +313,31 @@ def pb_gibbs(
 
     with per-dim slab variances under half-Cauchy hyperpriors resampled
     between blocks, warm-started from the NCE point estimate.
-    Diagnostics cover EVERY pb anchor (vectorized split-Rhat/ESS)."""
-    from ..ops.mcmc import run_ess_chains
+    Diagnostics cover EVERY pb anchor (vectorized split-Rhat/ESS).
 
+    `mesh`: a `jax.sharding.Mesh` dp-shards the ANCHOR axis — the
+    reference's own parallel structure (anchors conditionally
+    independent given the frozen side, posterior/mod.rs:5-9, rayon
+    chains). The pb block is embarrassingly parallel per shard; the
+    gene block's per-gene ll column sums all-reduce over the anchor
+    shards. Anchors pad to the mesh size with masked zero rows."""
     p, d = counts_pd.shape
     h = e_feat.shape[1]
-    rng = np.random.default_rng(seed)
-    y = jnp.asarray(counts_pd, jnp.float32)
-    yt = y.T  # [D, P]
-    ef = jnp.asarray(e_feat, jnp.float32)
-    bf = jnp.asarray(b_feat, jnp.float32)
-    gates = jnp.ones((d, h), jnp.float32)
-    ep = jnp.asarray(e_pb, jnp.float32)
-    bp = jnp.asarray(b_pb, jnp.float32)
+    n_shards = int(mesh.shape[mesh_axis]) if mesh is not None else 1
+    mask_np, (y_np, ep_np, bp_np) = _pad_anchors(
+        n_shards,
+        np.asarray(counts_pd, np.float32),
+        np.asarray(e_pb, np.float32),
+        np.asarray(b_pb, np.float32),
+    )
+    rows, rep = _anchor_putters(mesh, mesh_axis)
+    y = rows(y_np)
+    ep = rows(ep_np)
+    bp = rows(bp_np)
+    mask = rows(mask_np)
+    ef = rep(np.asarray(e_feat, np.float32))
+    bf = rep(np.asarray(b_feat, np.float32))
+    gates = rep(np.ones((d, h), np.float32))
 
     pi0 = (
         ibp_pi0(stick_alpha, h)
@@ -306,9 +360,10 @@ def pb_gibbs(
     hi_s2 = float(np.exp(2.0 * HalfCauchyVar.LOG_SD_CLAMP))
     hc_rate0 = 1.0 / float(half_cauchy_scale**2)
     log_odds_np = np.log((1 - pi0) / np.maximum(pi0, 1e-12)).astype(np.float32)
-    sigma2_j = jnp.full(h, half_cauchy_scale**2, jnp.float32)
-    aux_j = jnp.full(h, half_cauchy_scale**2, jnp.float32)
+    sigma2_j = rep(np.full(h, half_cauchy_scale**2, np.float32))
+    aux_j = rep(np.full(h, half_cauchy_scale**2, np.float32))
     total = burnin + n_sweeps
+    p_pad = y_np.shape[0]
 
     def _ess_run(key, init, scale, lnpdf):
         def step(carry, k):
@@ -324,7 +379,7 @@ def pb_gibbs(
         (out, _), _ = jax.lax.scan(step, (init, lnpdf(init)), keys)
         return out
 
-    def _run(key, y, bf, log_odds, ef, gates, ep, bp, sigma2, aux):
+    def _run(key, y, mask, bf, log_odds, ef, gates, ep, bp, sigma2, aux):
         def _sweep(carry, sweep_idx):
             ef, gates, ep, bp, sigma2, aux, key, fa, pa, ea, ba = carry
 
@@ -349,7 +404,7 @@ def pb_gibbs(
 
                 def lnpdf(state):
                     eta = eta_off + jnp.outer(contrib, state[:, 0])
-                    return _poisson_ll_cols(y, eta)
+                    return _poisson_ll_cols(y, eta, mask)
 
                 key, k_e, k_g = jax.random.split(key, 3)
                 sd_dim = jnp.sqrt(
@@ -419,23 +474,23 @@ def pb_gibbs(
         init = (
             ef, gates, ep, bp, sigma2, aux, key,
             jnp.zeros((d, h), jnp.float32), jnp.zeros((d, h), jnp.float32),
-            jnp.zeros((p, h), jnp.float32), jnp.zeros(p, jnp.float32),
+            jnp.zeros((p_pad, h), jnp.float32), jnp.zeros(p_pad, jnp.float32),
         )
         carry, (sig_tr, chain) = jax.lax.scan(_sweep, init, jnp.arange(total))
         return carry[7], carry[8], carry[9], carry[10], sig_tr, chain
 
     key = jax.random.key(seed & 0x7FFFFFFF)
     fa, pa, ea, ba, sig_tr, chain_j = jax.jit(_run)(
-        key, y, bf, jnp.asarray(log_odds_np), ef, gates, ep, bp,
+        key, y, mask, bf, rep(log_odds_np), ef, gates, ep, bp,
         sigma2_j, aux_j,
     )
     kept = n_sweeps
     feat_acc = np.asarray(fa)
     pip_acc = np.asarray(pa)
-    pb_acc = np.asarray(ea)
-    bpb_acc = np.asarray(ba)
+    pb_acc = np.asarray(ea)[:p]
+    bpb_acc = np.asarray(ba)[:p]
     sigma2_trace = list(np.asarray(sig_tr)[burnin:])
-    chain = np.asarray(chain_j)[burnin:]
+    chain = np.asarray(chain_j)[burnin:, :p]
     if len(chain) == 0:
         chain = np.zeros((1, p))
 
@@ -503,6 +558,8 @@ def gem_gibbs(
     stick_alpha: float | None = 2.0,
     half_cauchy_scale: float = 1.0,
     seed: int = 0,
+    mesh=None,
+    mesh_axis: str = "dp",
 ) -> GemGibbsResult:
     """gem's three-block sweep (splice.rs): one beta_g per gene shared
     by both tracks, a velocity deviation delta_g carried only by the
@@ -517,11 +574,25 @@ def gem_gibbs(
     counts (a u-only gene pins beta+delta but neither separately) —
     those pips are reported but flagged via `delta_identified`.
     Structurally ~3x a bge sweep on the gene side, as the reference
-    measures; everything runs in ONE jitted scan."""
+    measures; everything runs in ONE jitted scan.
+
+    `mesh` dp-shards the anchor axis exactly as in `pb_gibbs`: pb
+    chains run per-shard, the two gene-side Poisson column sums
+    all-reduce over the sharded P axis."""
     from ..ops.mcmc import elliptical_slice_step_batched
 
     p, d = s_pd.shape
     h = beta.shape[1]
+    n_shards = int(mesh.shape[mesh_axis]) if mesh is not None else 1
+    mask_np, (ys_np, yu_np, ep_np, bp_np) = _pad_anchors(
+        n_shards,
+        np.asarray(s_pd, np.float32),
+        np.asarray(u_pd, np.float32),
+        np.asarray(e_pb, np.float32),
+        np.asarray(b_pb, np.float32),
+    )
+    rows, rep = _anchor_putters(mesh, mesh_axis)
+    p_pad = ys_np.shape[0]
     lo_s2 = float(np.exp(-2.0 * HalfCauchyVar.LOG_SD_CLAMP))
     hi_s2 = float(np.exp(2.0 * HalfCauchyVar.LOG_SD_CLAMP))
     hc_rate0 = 1.0 / float(half_cauchy_scale**2)
@@ -546,8 +617,8 @@ def gem_gibbs(
         (out, _), _ = jax.lax.scan(step, (init, lnpdf(init)), keys)
         return out
 
-    def _run(key, ys, yu, bs, bu, log_odds, beta, gb, delta, gd, ep, bp,
-             sig_b, aux_b, sig_d, aux_d):
+    def _run(key, ys, yu, mask, bs, bu, log_odds, beta, gb, delta, gd,
+             ep, bp, sig_b, aux_b, sig_d, aux_d):
         def _sweep(carry, sweep_idx):
             (beta, gb, delta, gd, ep, bp, sig_b, aux_b, sig_d, aux_d, key,
              bm, bpip, dm, dpip, ea, ba) = carry
@@ -567,8 +638,8 @@ def gem_gibbs(
                 def lnpdf(state):
                     shift = jnp.outer(contrib, state[:, 0])
                     return _poisson_ll_cols(
-                        ys, eta_s_off + shift
-                    ) + _poisson_ll_cols(yu, eta_u_off + shift)
+                        ys, eta_s_off + shift, mask
+                    ) + _poisson_ll_cols(yu, eta_u_off + shift, mask)
 
                 key, k_e, k_g = jax.random.split(key, 3)
                 sd = jnp.sqrt(
@@ -609,7 +680,7 @@ def gem_gibbs(
 
                 def lnpdf(state):
                     return _poisson_ll_cols(
-                        yu, eta_u_off + jnp.outer(contrib, state[:, 0])
+                        yu, eta_u_off + jnp.outer(contrib, state[:, 0]), mask
                     )
 
                 key, k_e, k_g = jax.random.split(key, 3)
@@ -700,7 +771,7 @@ def gem_gibbs(
         init = (
             beta, gb, delta, gd, ep, bp, sig_b, aux_b, sig_d, aux_d, key,
             z_dh, z_dh, z_dh, z_dh,
-            jnp.zeros((p, h), jnp.float32), jnp.zeros(p, jnp.float32),
+            jnp.zeros((p_pad, h), jnp.float32), jnp.zeros(p_pad, jnp.float32),
         )
         carry, (sb_tr, sd_tr, chain) = jax.lax.scan(
             _sweep, init, jnp.arange(total)
@@ -708,22 +779,23 @@ def gem_gibbs(
         return carry[11:17] + (sb_tr, sd_tr, chain)
 
     key = jax.random.key(seed & 0x7FFFFFFF)
-    hc2 = jnp.full(h, half_cauchy_scale**2, jnp.float32)
+    hc2 = np.full(h, half_cauchy_scale**2, np.float32)
     out = jax.jit(_run)(
         key,
-        jnp.asarray(s_pd, jnp.float32), jnp.asarray(u_pd, jnp.float32),
-        jnp.asarray(b_s, jnp.float32), jnp.asarray(b_u, jnp.float32),
-        jnp.asarray(log_odds_np),
-        jnp.asarray(beta, jnp.float32), jnp.ones((d, h), jnp.float32),
-        jnp.asarray(delta, jnp.float32), jnp.ones((d, h), jnp.float32),
-        jnp.asarray(e_pb, jnp.float32), jnp.asarray(b_pb, jnp.float32),
-        hc2, hc2, hc2, hc2,
+        rows(ys_np), rows(yu_np), rows(mask_np),
+        rep(np.asarray(b_s, np.float32)), rep(np.asarray(b_u, np.float32)),
+        rep(log_odds_np),
+        rep(np.asarray(beta, np.float32)), rep(np.ones((d, h), np.float32)),
+        rep(np.asarray(delta, np.float32)), rep(np.ones((d, h), np.float32)),
+        rows(ep_np), rows(bp_np),
+        rep(hc2), rep(hc2), rep(hc2), rep(hc2),
     )
     bm, bpip, dm, dpip, ea, ba, sb_tr, sd_tr, chain_j = (
         np.asarray(x) for x in out
     )
+    ea, ba = ea[:p], ba[:p]
     kept = max(n_sweeps, 1)
-    chain = chain_j[burnin:]
+    chain = chain_j[burnin:, :p]
     if len(chain) == 0:
         chain = np.zeros((1, p))
 

@@ -199,3 +199,101 @@ def test_gem_gibbs_recovers_velocity_deviation():
     assert r > 0.6, r
     # nested gates: delta on implies beta on (averaged pips respect it)
     assert np.all(res.delta_pip <= res.beta_pip + 1e-6)
+
+
+def _mesh(n):
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:n]), ("dp",))
+
+
+def test_pb_gibbs_mesh_single_device_exact():
+    """The dp-sharded program on a 1-device mesh is the SAME program
+    (mask of ones, no padding) — results must match the unsharded path
+    bit-for-bit."""
+    from legume_tpu.embedding.posterior import pb_gibbs
+
+    rng = np.random.default_rng(0)
+    d, p, h = 30, 8, 2
+    z = rng.normal(0, 1.0, (d, h))
+    ep = rng.normal(0, 1.0, (p, h))
+    y = rng.poisson(np.exp(np.clip(ep @ z.T, -6, 6))).astype(np.float64)
+    kw = dict(n_sweeps=6, burnin=2, transitions_per_dim=1, seed=3)
+    a = pb_gibbs(y, z, np.zeros(d), ep, np.zeros(p), **kw)
+    b = pb_gibbs(y, z, np.zeros(d), ep, np.zeros(p), mesh=_mesh(1), **kw)
+    np.testing.assert_allclose(a.e_feat_mean, b.e_feat_mean, atol=1e-5)
+    np.testing.assert_allclose(a.e_pb_mean, b.e_pb_mean, atol=1e-5)
+    np.testing.assert_allclose(a.pip, b.pip, atol=1e-6)
+
+
+def test_pb_gibbs_dp_sharded_recovers():
+    """pb_gibbs over the full 8-device dp mesh (anchor axis sharded,
+    P NOT divisible by 8 so the masked-padding path runs): the sampler
+    still separates active loadings and tracks pb truth, and outputs
+    come back at the UNPADDED shapes."""
+    from legume_tpu.embedding.posterior import pb_gibbs
+
+    rng = np.random.default_rng(0)
+    d, p, h = 40, 12, 2  # p=12 pads to 16 on the 8-device mesh
+    z_true = np.zeros((d, h))
+    active = rng.random((d, h)) < 0.3
+    z_true[active] = rng.normal(0, 1.2, active.sum())
+    e_pb = rng.normal(0, 1.0, (p, h))
+    eta = e_pb @ z_true.T + 0.5
+    y = rng.poisson(np.exp(np.clip(eta, -8, 8))).astype(np.float64)
+
+    res = pb_gibbs(
+        y, z_true + rng.normal(0, 0.3, z_true.shape),
+        np.full(d, 0.5), e_pb + rng.normal(0, 0.3, e_pb.shape), np.zeros(p),
+        n_sweeps=12, burnin=4, transitions_per_dim=2,
+        stick_alpha=2.0, seed=1, mesh=_mesh(8),
+    )
+    assert res.e_pb_mean.shape == (p, h)
+    assert res.b_pb_mean.shape == (p,)
+    assert res.rhat.shape == (p,) and res.ess.shape == (p,)
+    auc_num, auc_den = 0, 0
+    for dim in range(h):
+        on, off = res.pip[active[:, dim], dim], res.pip[~active[:, dim], dim]
+        for a in on:
+            for b in off:
+                auc_den += 1
+                auc_num += (a > b) + 0.5 * (a == b)
+    auc = auc_num / max(auc_den, 1)
+    assert auc > 0.75, f"pip AUC {auc:.2f}"
+    s_true = (e_pb @ z_true.T).ravel()
+    s_est = (res.e_pb_mean @ res.e_feat_mean.T).ravel()
+    r = np.corrcoef(s_true, s_est)[0, 1]
+    assert r > 0.8, f"score correlation {r:.2f}"
+
+
+def test_gem_gibbs_dp_sharded_recovers():
+    """gem_gibbs on the 8-device dp mesh (P=36 pads to 40, exercising
+    the masked-padding path): velocity pips still separate moving from
+    static genes — the same regime the unsharded recovery test uses."""
+    from legume_tpu.embedding.posterior import gem_gibbs
+
+    rng = np.random.default_rng(3)
+    p, d, h = 36, 60, 4
+    beta = rng.normal(0, 0.5, (d, h)).astype(np.float32)
+    delta_true = np.zeros((d, h), np.float32)
+    moving = np.arange(10)
+    delta_true[moving] = rng.normal(0, 1.0, (len(moving), h))
+    ep = rng.normal(0, 0.5, (p, h)).astype(np.float32)
+    bs = np.full(d, -0.5, np.float32)
+    bu = np.full(d, -1.0, np.float32)
+    bp = np.zeros(p, np.float32)
+    eta_s = ep @ beta.T + bs[None] + bp[:, None]
+    eta_u = ep @ (beta + delta_true).T + bu[None] + bp[:, None]
+    s_counts = rng.poisson(np.exp(np.clip(eta_s, -8, 5)) * 20).astype(np.float32)
+    u_counts = rng.poisson(np.exp(np.clip(eta_u, -8, 5)) * 20).astype(np.float32)
+
+    res = gem_gibbs(
+        s_counts, u_counts, beta, np.zeros_like(delta_true), bs, bu,
+        ep, bp, n_sweeps=15, burnin=5, seed=4, mesh=_mesh(8),
+    )
+    assert res.e_pb_mean.shape == (p, h)
+    pip_moving = res.delta_pip[moving].mean()
+    pip_static = res.delta_pip[20:55].mean()
+    assert pip_moving > pip_static + 0.25, (pip_moving, pip_static)
+    assert np.all(res.delta_pip <= res.beta_pip + 1e-6)
