@@ -206,3 +206,262 @@ def collect_cocoa_stat(
     if gene_weights is not None:
         stat.apply_gene_weights(gene_weights)
     return stat
+
+
+# ----------------------------------------------------------------------------
+# Permutation replay: two-pass, each column read ONCE
+# ----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_samples",), donate_argnums=(0, 1))
+def _accumulate_match_weights(
+    w_acc,  # [T, N*P, K] flattened per-(matched cell, query sample) weights
+    a_acc,  # [T, N, K] per-query z-active
+    exposures_ti,  # [T, I]
+    q_indv_c,  # [C]
+    m_indv_cm,  # [C, M]
+    dist,  # [C, M]
+    valid_base,  # [C, M]
+    zq,  # [C, K]
+    zm,  # [C, M, K]
+    pair_cols,  # [C*M] global matched cell ids
+    pb_blk,  # [C] query pseudobulk samples
+    q_ids,  # [C] global query ids
+    *,
+    n_samples: int,
+):
+    """Pass A of the replay collector: for one query block, compute the
+    normalized counterfactual coefficients under EVERY exposure
+    assignment and scatter them into the per-(matched cell, query
+    sample, topic) weight plane W (y0 = Y @ W in pass B) and the
+    per-query z-active plane A (y1 terms). No count data is touched."""
+    c, m = dist.shape
+    k = zq.shape[1]
+    flat_pair = pair_cols * n_samples + jnp.repeat(pb_blk, m)  # [C*M]
+
+    def body(accs, xs):
+        t, exp_i = xs
+        w_a, a_a = accs
+        valid = valid_base & (exp_i[m_indv_cm] != exp_i[q_indv_c][:, None])
+        coeffs, z_active = _pair_coeffs(dist, valid, zq, zm)
+        w_a = w_a.at[t].add(
+            jnp.zeros_like(w_a[t]).at[flat_pair].add(coeffs.reshape(c * m, k))
+        )
+        a_a = a_a.at[t, q_ids].add(z_active)
+        return (w_a, a_a), None
+
+    t_total = exposures_ti.shape[0]
+    (w_acc, a_acc), _ = jax.lax.scan(
+        body, (w_acc, a_acc), (jnp.arange(t_total), exposures_ti)
+    )
+    return w_acc, a_acc
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "n_indv", "d"),
+    donate_argnums=(0, 1, 2),
+)
+def _apply_weights_block(
+    y0_acc,  # [T, D, P, K]
+    y1_acc,  # [T, D, P, K]
+    y1i_acc,  # [T, D, I, K]
+    w_blk,  # [T, C*P, K] weight rows of this block's columns
+    a_blk,  # [T, C, K] z-active rows of this block's columns
+    vals,  # [nnz_pad] (padding: 0)
+    rows,  # [nnz_pad] gene ids
+    cols,  # [nnz_pad] local col ids (padding marker: C)
+    pb_blk,  # [C] pseudobulk of each column-as-query
+    indv_blk,  # [C]
+    *,
+    n_samples: int,
+    n_indv: int,
+    d: int,
+):
+    """Pass B of the replay collector: one slab of columns (each read
+    ONCE for all T exposures), turned into y0/y1 sufficient stats by
+    gathering the pass-A weight rows per nonzero and segment-summing
+    by gene (x query sample / individual)."""
+    c = pb_blk.shape[0]
+    k = y0_acc.shape[3]
+    cols_c = jnp.minimum(cols, c)  # pad marker -> slot c
+    q_sample = jnp.concatenate(
+        [pb_blk, jnp.full((1,), n_samples, pb_blk.dtype)]
+    )
+    q_indv = jnp.concatenate([indv_blk, jnp.full((1,), n_indv, indv_blk.dtype)])
+    flat_p = rows * (n_samples + 1) + q_sample[cols_c]
+    flat_i = rows * (n_indv + 1) + q_indv[cols_c]
+
+    def body(accs, xs):
+        w_t, a_t = xs  # [C*P, K], [C, K]
+        y0a, y1a, y1ia = accs
+        # y0: per-nnz gather of the column's [P, K] weight rows
+        w_rows = w_t.reshape(c, n_samples, k)
+        w_pad = jnp.concatenate(
+            [w_rows, jnp.zeros((1, n_samples, k), w_t.dtype)], axis=0
+        )
+        contrib0 = vals[:, None, None] * w_pad[cols_c]  # [nnz, P, K]
+        y0_dpk = jax.ops.segment_sum(
+            contrib0.reshape(-1, n_samples * k), rows, num_segments=d
+        ).reshape(d, n_samples, k)
+        # y1 terms: per-nnz z-active of the column (as query)
+        a_pad = jnp.concatenate([a_t, jnp.zeros((1, k), a_t.dtype)], axis=0)
+        contrib1 = vals[:, None] * a_pad[cols_c]  # [nnz, K]
+        y1_dpk = jax.ops.segment_sum(
+            contrib1, flat_p, num_segments=d * (n_samples + 1)
+        ).reshape(d, n_samples + 1, k)[:, :n_samples, :]
+        y1_dik = jax.ops.segment_sum(
+            contrib1, flat_i, num_segments=d * (n_indv + 1)
+        ).reshape(d, n_indv + 1, k)[:, :n_indv, :]
+        return (y0a + y0_dpk[None], y1a + y1_dpk[None], y1ia + y1_dik[None]), None
+
+    # scan over T with per-t accumulator slices via dynamic updates
+    def body_idx(accs, xs):
+        t, w_t, a_t = xs
+        y0a, y1a, y1ia = accs
+        (d0, d1, d1i), _ = body(
+            (jnp.zeros_like(y0a[0:1]), jnp.zeros_like(y1a[0:1]),
+             jnp.zeros_like(y1ia[0:1])),
+            (w_t, a_t),
+        )
+        return (
+            y0a.at[t].add(d0[0]),
+            y1a.at[t].add(d1[0]),
+            y1ia.at[t].add(d1i[0]),
+        ), None
+
+    t_total = w_blk.shape[0]
+    (y0_acc, y1_acc, y1i_acc), _ = jax.lax.scan(
+        body_idx,
+        (y0_acc, y1_acc, y1i_acc),
+        (jnp.arange(t_total), w_blk, a_blk),
+    )
+    return y0_acc, y1_acc, y1i_acc
+
+
+def collect_cocoa_stat_multi(
+    data,
+    cell_topic_nk: np.ndarray,  # [N, K]
+    cell_indv: np.ndarray,  # [N]
+    pb_sample: np.ndarray,  # [N]
+    n_samples: int,
+    exposures_ti: np.ndarray,  # [T, I] — row 0 is usually the OBSERVED
+    cache: MatchCache,
+    *,
+    gene_weights: np.ndarray | None = None,
+    cell_block: int = 1024,
+    t_chunk: int | None = None,
+) -> list[CocoaStat]:
+    """Permutation-replay collector, TPU-shaped: two passes, each data
+    column read ONCE regardless of T.
+
+    Pass A streams NO count data: per query block it computes the
+    normalized counterfactual coefficients under every exposure row
+    (only the opposite-exposure filter changes per permutation —
+    MatchCache::replay_with_exposure, collapse_cocoa_data.rs:241-315)
+    and scatters them into a device-resident weight plane
+    W[t, matched_cell, query_sample, topic] plus the per-query z-active
+    plane A[t, cell, topic].
+
+    Pass B streams every column once and forms
+    y0[t, g, p, k] = sum_u y[g, u] * W[t, u, p, k] (and the y1/y1i
+    planes from A) as gathers + gene segment-sums — the naive replay
+    re-reads each matched column once per (query, permutation), ~K*I x
+    more I/O (the reference pays it in rayon threads; a tunneled TPU
+    cannot).
+
+    W costs T*N*(P)*K floats of HBM, so T is processed in chunks of
+    `t_chunk` (default sized to ~2 GB); each chunk re-streams the data,
+    still arbitrarily better than per-permutation re-reads. Returns one
+    CocoaStat per exposure row; row t reproduces `collect_cocoa_stat`
+    with that exposure to float tolerance."""
+    n, k = cell_topic_nk.shape
+    d = data.num_rows
+    t_total, n_indv = exposures_ti.shape
+    m = cache.idx.shape[1]
+    if t_chunk is None:
+        bytes_per_t = n * (n_samples + 1) * k * 4
+        t_chunk = max(int(2e9 // max(bytes_per_t, 1)), 1)
+    t_chunk = min(t_chunk, t_total)
+
+    z_j = jnp.asarray(cell_topic_nk.astype(np.float32))
+    stats_out: list[CocoaStat] = []
+    for t_lo in range(0, t_total, t_chunk):
+        t_hi = min(t_lo + t_chunk, t_total)
+        tc = t_hi - t_lo
+        exp_j = jnp.asarray(exposures_ti[t_lo:t_hi].astype(np.int32))
+
+        # ---- pass A: match-weight accumulation (no count reads) ----
+        w_acc = jnp.zeros((tc, n * n_samples, k))
+        a_acc = jnp.zeros((tc, n, k))
+        for lb in range(0, n, cell_block):
+            ub = min(lb + cell_block, n)
+            c = ub - lb
+            idx_blk = cache.idx[lb:ub]
+            w_acc, a_acc = _accumulate_match_weights(
+                w_acc, a_acc, exp_j,
+                jnp.asarray(cell_indv[lb:ub].astype(np.int32)),
+                jnp.asarray(cache.matched_indv[lb:ub].astype(np.int32)),
+                jnp.asarray(cache.dist[lb:ub]),
+                jnp.asarray(cache.valid[lb:ub]),
+                z_j[lb:ub],
+                z_j[jnp.asarray(idx_blk.reshape(-1).astype(np.int32))].reshape(
+                    c, m, k
+                ),
+                jnp.asarray(idx_blk.reshape(-1).astype(np.int32)),
+                jnp.asarray(pb_sample[lb:ub].astype(np.int32)),
+                jnp.arange(lb, ub, dtype=jnp.int32),
+                n_samples=n_samples,
+            )
+
+        # ---- pass B: one streaming pass over all columns -----------
+        y0_acc = jnp.zeros((tc, d, n_samples, k))
+        y1_acc = jnp.zeros((tc, d, n_samples, k))
+        y1i_acc = jnp.zeros((tc, d, n_indv, k))
+        w_mat = w_acc.reshape(tc, n, n_samples, k)
+        for lb in range(0, n, cell_block):
+            ub = min(lb + cell_block, n)
+            c = ub - lb
+            blk = csc_to_coo_block(data.read_columns_csc(np.arange(lb, ub)))
+            y0_acc, y1_acc, y1i_acc = _apply_weights_block(
+                y0_acc, y1_acc, y1i_acc,
+                w_mat[:, lb:ub].reshape(tc, c * n_samples, k),
+                a_acc[:, lb:ub],
+                jnp.asarray(blk.vals, jnp.float32),
+                jnp.asarray(blk.row_ids.astype(np.int32)),
+                jnp.asarray(blk.col_ids.astype(np.int32)),
+                jnp.asarray(pb_sample[lb:ub].astype(np.int32)),
+                jnp.asarray(cell_indv[lb:ub].astype(np.int32)),
+                n_samples=n_samples,
+                n_indv=n_indv,
+                d=d,
+            )
+
+        # ---- sizes from the z-active plane -------------------------
+        pb_j = jnp.asarray(pb_sample.astype(np.int32))
+        iv_j = jnp.asarray(cell_indv.astype(np.int32))
+        szkp = jax.vmap(
+            lambda a: jax.ops.segment_sum(a, pb_j, num_segments=n_samples)
+        )(a_acc)  # [tc, P, K]
+        szkip = jax.vmap(
+            lambda a: jax.ops.segment_sum(
+                a, iv_j * n_samples + pb_j, num_segments=n_indv * n_samples
+            ).reshape(n_indv, n_samples, k)
+        )(a_acc)
+
+        y0_np = np.asarray(y0_acc)
+        y1_np = np.asarray(y1_acc)
+        y1i_np = np.asarray(y1i_acc)
+        szkp_np = np.asarray(szkp)
+        szkip_np = np.asarray(szkip)
+        for t in range(tc):
+            stat = CocoaStat.zeros(k, d, n_indv, n_samples)
+            stat.y1_sum_kdp = y1_np[t].transpose(2, 0, 1)
+            stat.y0_sum_kdp = y0_np[t].transpose(2, 0, 1)
+            stat.y1_sum_kdi = y1i_np[t].transpose(2, 0, 1)
+            stat.size_kp = szkp_np[t].T.copy()
+            stat.size_kip = szkip_np[t].transpose(2, 0, 1).copy()
+            if gene_weights is not None:
+                stat.apply_gene_weights(gene_weights)
+            stats_out.append(stat)
+    return stats_out

@@ -172,45 +172,73 @@ def run_cocoa_diff(args: CocoaDiffArgs) -> dict:
         log.info("NB-Fisher housekeeping weights on (median %.3f)",
                  float(np.median(gene_weights)))
 
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t0 = _time.time()
     basis, proj_kn = rp.project_columns(vec, args.proj_dim, seed=args.seed)
     proj_nk = proj_kn.T.copy()
+    timings["projection_s"] = round(_time.time() - _t0, 2)
 
     pb = assign_pseudobulk(cell_indv, proj_nk, args.n_pb_samples, args.seed)
     n_samples = int(pb.max()) + 1
 
+    _t0 = _time.time()
     cache = build_match_cache(proj_nk, cell_indv, n_indv, args.knn)
-    stat = collect_cocoa_stat(
-        vec, z, cell_indv, pb, n_samples, exposure, cache,
-        gene_weights=gene_weights,
-    )
-    params = estimate_parameters(
-        stat, n_opt_iter=args.n_opt_iter, a0=args.a0, b0=args.b0
-    )
-    effect = compute_exposure_contrast(params, exposure)
+    timings["match_cache_s"] = round(_time.time() - _t0, 2)
 
     # permutation null (run_diff.rs:341-380): replay with permuted
-    # exposure assignments over individuals
+    # exposure assignments over individuals. Observed + all permuted
+    # exposures ride ONE streaming pass — the reads/gathers amortize
+    # and the per-permutation coefficient+segment work scans on device
+    # (collect_cocoa_stat_multi; the reference re-collects per
+    # permutation on rayon threads).
     pvalue = None
     if args.n_permutations > 0:
+        from .collapse import collect_cocoa_stat_multi
+
         perm_seed = (
             args.permutation_seed if args.permutation_seed is not None else args.seed
         )
         rng = np.random.default_rng(perm_seed & 0x7FFFFFFF)
+        perms = [rng.permutation(exposure) for _ in range(args.n_permutations)]
+        exposures_ti = np.stack([exposure] + perms)
+        _t0 = _time.time()
+        stats = collect_cocoa_stat_multi(
+            vec, z, cell_indv, pb, n_samples, exposures_ti, cache,
+            gene_weights=gene_weights,
+        )
+        timings["stat_collect_all_exposures_s"] = round(_time.time() - _t0, 2)
+        stat = stats[0]
+        _t0 = _time.time()
+        params = estimate_parameters(
+            stat, n_opt_iter=args.n_opt_iter, a0=args.a0, b0=args.b0
+        )
+        effect = compute_exposure_contrast(params, exposure)
         null = np.zeros((args.n_permutations, d), np.float32)
         for t in range(args.n_permutations):
-            perm = rng.permutation(exposure)
-            stat_t = collect_cocoa_stat(
-                vec, z, cell_indv, pb, n_samples, perm, cache,
-                gene_weights=gene_weights,
-            )
             params_t = estimate_parameters(
-                stat_t, n_opt_iter=args.n_opt_iter, a0=args.a0, b0=args.b0
+                stats[t + 1], n_opt_iter=args.n_opt_iter, a0=args.a0, b0=args.b0
             )
-            null[t] = compute_exposure_contrast(params_t, perm)
+            null[t] = compute_exposure_contrast(params_t, perms[t])
+        timings["gamma_fit_all_s"] = round(_time.time() - _t0, 2)
         mu0 = null.mean(0)
         sd0 = np.maximum(null.std(0), 1e-12)
         zscore = (effect - mu0) / sd0
         pvalue = z_to_pvalue(zscore)
+    else:
+        _t0 = _time.time()
+        stat = collect_cocoa_stat(
+            vec, z, cell_indv, pb, n_samples, exposure, cache,
+            gene_weights=gene_weights,
+        )
+        timings["stat_collect_s"] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
+        params = estimate_parameters(
+            stat, n_opt_iter=args.n_opt_iter, a0=args.a0, b0=args.b0
+        )
+        effect = compute_exposure_contrast(params, exposure)
+        timings["gamma_fit_s"] = round(_time.time() - _t0, 2)
 
     genes = vec.row_names()
 
@@ -300,5 +328,6 @@ def run_cocoa_diff(args: CocoaDiffArgs) -> dict:
         command="cocoa-diff",
         inputs={"data_files": list(args.data_files)},
         outputs=outputs,
+        timings=timings,
     ).save(args.out, "cocoa.json")
     return {"effect": effect, "pvalue": pvalue, "params": params, "stat": stat}

@@ -125,3 +125,29 @@ def test_collider_sim_has_collider_structure():
         cells = sim.exposure[sim.cell_indv] == xval
         comp[xval] = np.bincount(sim.cell_type[cells], minlength=3) / max(cells.sum(), 1)
     assert np.abs(comp[1] - comp[0]).max() > 0.05
+
+
+def test_multi_replay_matches_single_collect(cocoa_setup):
+    """collect_cocoa_stat_multi (one gathered pass, device scan over
+    exposure assignments) reproduces per-exposure collect_cocoa_stat
+    on every plane, including the observed row and size stats."""
+    from legume_tpu.cocoa.collapse import collect_cocoa_stat_multi
+
+    sim, be, z, pb, cache, stat = cocoa_setup
+    rng = np.random.default_rng(7)
+    perms = [rng.permutation(sim.exposure) for _ in range(2)]
+    exposures_ti = np.stack([sim.exposure] + perms)
+    stats = collect_cocoa_stat_multi(
+        be, z, sim.cell_indv, pb, 4, exposures_ti, cache, cell_block=256
+    )
+    assert len(stats) == 3
+    singles = [stat] + [
+        collect_cocoa_stat(be, z, sim.cell_indv, pb, 4, e, cache)
+        for e in perms
+    ]
+    for got, want in zip(stats, singles):
+        np.testing.assert_allclose(got.y1_sum_kdp, want.y1_sum_kdp, rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(got.y0_sum_kdp, want.y0_sum_kdp, rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(got.y1_sum_kdi, want.y1_sum_kdi, rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(got.size_kp, want.size_kp, rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(got.size_kip, want.size_kip, rtol=2e-4, atol=1e-3)
