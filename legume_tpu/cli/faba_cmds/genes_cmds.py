@@ -26,6 +26,10 @@ def add_parsers(sub):
                    action="store_true")
     p.add_argument("--cell-barcode-tag", default="CB")
     p.add_argument("--umi-tag", default="UB")
+    p.add_argument("--gene-barcode-tag", default=None,
+                   help="key genes by this aligner Z tag (CellRanger "
+                        "GX); GFF overlap remains the fallback for "
+                        "untagged reads")
     p.add_argument("--gene-type", default=None,
                    help="GFF biotype filter (empty = all biotypes)")
     p.add_argument("--row-nnz-cutoff", type=int, default=0,
@@ -67,6 +71,7 @@ def _run_genes_one(args, bam_path, out_prefix, gsfx):
         s, u, genes, barcodes = count_genes_spliced(
             bam_path, args.gff,
             min_mapq=args.min_mapq, dedup_umi=not args.no_dedup,
+            gene_barcode_tag=args.gene_barcode_tag,
         )
         create_sparse_from_csc(
             s, f"{out_prefix}.spliced{gsfx}", genes, barcodes)
@@ -81,6 +86,7 @@ def _run_genes_one(args, bam_path, out_prefix, gsfx):
         bam_path, args.gff, min_mapq=args.min_mapq,
         dedup_umi=not args.no_dedup, gene_type=args.gene_type,
         cb_tag=args.cell_barcode_tag, umi_tag=args.umi_tag,
+        gene_barcode_tag=args.gene_barcode_tag,
     )
     if args.gene_qc and not args.skip_gene_qc:
         import pandas as pd

@@ -30,6 +30,10 @@ def add_parsers(sub):
                    help="GFF biotype filter")
     p.add_argument("--cell-barcode-tag", default="CB")
     p.add_argument("--umi-tag", default="UB")
+    p.add_argument("--gene-barcode-tag", default=None,
+                   help="key the genes stage by this aligner Z tag "
+                        "(CellRanger GX); GFF overlap stays the "
+                        "untagged-read fallback")
     p.add_argument("--no-umi-dedup", action="store_true")
     p.add_argument("--backend", choices=["zarr", "hdf5"], default="zarr")
     p.add_argument("--zip", action="store_true",
@@ -85,6 +89,7 @@ def _cmd_all(args):
                      if args.control_bam else None),
         genome=args.genome, gene_type=args.gene_type,
         cell_barcode_tag=args.cell_barcode_tag,
+        gene_barcode_tag=args.gene_barcode_tag,
         umi_tag=args.umi_tag, no_umi_dedup=args.no_umi_dedup,
         backend=args.backend, zip_output=args.zip,
         min_mapq=args.min_mapq,

@@ -68,6 +68,19 @@ def _load():
               (np.int32, np.int32, np.int32, np.uint16, np.uint8, np.int64,
                np.int64, np.uint8, np.uint16, np.uint8)),
         ]
+        lib.bam_next_chunk4.restype = ctypes.c_long
+        lib.bam_next_chunk4.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            *(np.ctypeslib.ndpointer(dt, flags="C_CONTIGUOUS") for dt in
+              (np.int32, np.int32, np.int32, np.uint16, np.uint8, np.int64,
+               np.int64, np.uint8, np.uint16, np.uint8, np.int64)),
+        ]
+        lib.bam_set_gene_tag.restype = None
+        lib.bam_set_gene_tag.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.bam_num_genes.restype = ctypes.c_long
+        lib.bam_num_genes.argtypes = [ctypes.c_void_p]
+        lib.bam_gene_name.restype = ctypes.c_char_p
+        lib.bam_gene_name.argtypes = [ctypes.c_void_p, ctypes.c_long]
         lib.bam_take_mismatches.restype = ctypes.c_long
         lib.bam_take_mismatches.argtypes = [
             ctypes.c_void_p, ctypes.c_long,
@@ -102,6 +115,10 @@ class BamRecords:
     ref_names: list[str]
     barcodes: list[str]
     has_skip: np.ndarray | None = None  # uint8: CIGAR N op (spliced junction)
+    # aligner-assigned gene keying (CellRanger GX; gene_barcode_tag):
+    # interned id per record (-1 = untagged), names in gene_names
+    gene_id: np.ndarray | None = None  # int64
+    gene_names: list[str] | None = None
     # polyA-tail evidence (bam_next_chunk3): terminal soft-clip length
     # + its A/T fraction scaled by 255
     tail_len: np.ndarray | None = None  # uint16
@@ -148,23 +165,30 @@ def read_bam_contigs(path: str) -> list[tuple[str, int]]:
 
 
 def read_bam(
-    path: str, *, chunk: int = 1 << 16, cb_tag: str = "CB", umi_tag: str = "UB"
+    path: str, *, chunk: int = 1 << 16, cb_tag: str = "CB", umi_tag: str = "UB",
+    gene_tag: str | None = None,
 ) -> BamRecords:
     """Stream the whole BAM into columnar arrays. `cb_tag`/`umi_tag`
     select the barcode Z tags (DartSeqCountArgs cell_barcode_tag;
-    10x defaults)."""
+    10x defaults). `gene_tag` (e.g. "GX", DartSeqCountArgs
+    gene_barcode_tag; faba/src/m6a/run.rs:23-540) additionally interns
+    the aligner-assigned gene tag per record into `gene_id`/
+    `gene_names` — the CellRanger-conformant gene keying that GFF
+    overlap cannot reproduce on multi-overlap reads."""
     lib = _load()
     h = lib.bam_open(str(path).encode())
     if not h:
         raise IOError(f"cannot open BAM: {path}")
     if cb_tag != "CB" or umi_tag != "UB":
         lib.bam_set_tags(h, cb_tag.encode(), umi_tag.encode())
+    if gene_tag:
+        lib.bam_set_gene_tag(h, gene_tag.encode())
     try:
         refs = [lib.bam_ref_name(h, i).decode() for i in range(lib.bam_num_refs(h))]
         cols = {
             k: []
             for k in ("ref_id", "pos", "end_pos", "flag", "mapq", "cb", "umi",
-                      "skip", "tail_len", "tail_frac")
+                      "skip", "tail_len", "tail_frac", "gene")
         }
         while True:
             rid = np.empty(chunk, np.int32)
@@ -177,8 +201,10 @@ def read_bam(
             skip = np.empty(chunk, np.uint8)
             t_len = np.empty(chunk, np.uint16)
             t_frac = np.empty(chunk, np.uint8)
-            n = lib.bam_next_chunk3(
-                h, chunk, rid, pos, end, flag, mapq, cb, umi, skip, t_len, t_frac
+            gx = np.empty(chunk, np.int64)
+            n = lib.bam_next_chunk4(
+                h, chunk, rid, pos, end, flag, mapq, cb, umi, skip, t_len,
+                t_frac, gx,
             )
             if n < 0:
                 raise IOError(f"BAM parse error in {path}")
@@ -194,6 +220,7 @@ def read_bam(
             cols["skip"].append(skip[:n].copy())
             cols["tail_len"].append(t_len[:n].copy())
             cols["tail_frac"].append(t_frac[:n].copy())
+            cols["gene"].append(gx[:n].copy())
         mms = {k: [] for k in ("rid", "pos", "rb", "ab", "cb", "umi", "bq")}
         while True:
             rid = np.empty(chunk, np.int32)
@@ -214,6 +241,10 @@ def read_bam(
             mms["umi"].append(umi[:nm].copy())
             mms["bq"].append(bq[:nm].copy())
         barcodes = [lib.bam_barcode(h, i).decode() for i in range(lib.bam_num_barcodes(h))]
+        gene_names = (
+            [lib.bam_gene_name(h, i).decode() for i in range(lib.bam_num_genes(h))]
+            if gene_tag else None
+        )
     finally:
         lib.bam_close(h)
 
@@ -234,6 +265,8 @@ def read_bam(
         ref_names=refs,
         barcodes=barcodes,
         has_skip=cat("skip").astype(np.uint8),
+        gene_id=cat("gene").astype(np.int64) if gene_tag else None,
+        gene_names=gene_names,
         tail_len=cat("tail_len").astype(np.uint16),
         tail_frac=cat("tail_frac").astype(np.uint8),
         mm_ref_id=catm("rid", np.int32),
@@ -310,6 +343,8 @@ def write_bam(
             tags += umi_tag.encode()[:2] + b"Z" + r["ub"].encode() + b"\x00"
         if "md" in r:
             tags += b"MDZ" + r["md"].encode() + b"\x00"
+        if "gx" in r:  # aligner gene assignment (CellRanger GX)
+            tags += b"GXZ" + r["gx"].encode() + b"\x00"
         rec = struct.pack(
             "<iiBBHHHiiii",
             r["ref_id"],

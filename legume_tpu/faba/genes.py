@@ -161,6 +161,7 @@ def count_genes_spliced(
     *,
     min_mapq: int = 20,
     dedup_umi: bool = True,
+    gene_barcode_tag: "str | None" = None,
 ) -> tuple[sp.csc_matrix, sp.csc_matrix, list[str], list[str]]:
     """(spliced, unspliced, gene_names, barcodes) — the velocity input
     (`faba genes --splice`; gene_count/splice.rs, velocyto convention):
@@ -169,7 +170,7 @@ def count_genes_spliced(
     - else read lies fully inside the gene's exon union -> SPLICED
     - else (overlaps intronic sequence) -> UNSPLICED
     """
-    recs = read_bam(bam_path)
+    recs = read_bam(bam_path, gene_tag=gene_barcode_tag)
     model = parse_gff_genes(gff_path)
     exons = parse_gff_exons(gff_path, model)
     keep = (recs.mapq >= min_mapq) & (recs.cb_id >= 0) & ((recs.flag & 0x904) == 0)
@@ -177,6 +178,8 @@ def count_genes_spliced(
     gene = assign_reads_to_genes(
         recs.ref_id[keep], recs.pos[keep], recs.end_pos[keep], recs.ref_names, model
     )
+    if gene_barcode_tag:
+        gene = _apply_gene_tag_keying(gene, recs, keep, model)
     ok = gene >= 0
     idx, gene = idx[ok], gene[ok]
     cb = recs.cb_id[idx]
@@ -215,6 +218,39 @@ def count_genes_spliced(
     return spliced, unspliced, list(model.names), list(recs.barcodes)
 
 
+def _apply_gene_tag_keying(
+    gene: np.ndarray,  # [n_keep] GFF-overlap gene indices
+    recs,
+    keep: np.ndarray,
+    model: GeneModel,
+) -> np.ndarray:
+    """Aligner-assigned gene keying (`--gene-barcode-tag`, CellRanger
+    GX; faba/src/m6a/run.rs DartSeqCountArgs): where a read carries the
+    gene tag, the TAG decides the gene — GFF overlap keeps only the
+    untagged reads (multi-overlap reads disagree between the two
+    keyings; CellRanger-aligned BAMs must follow the aligner). Tag
+    values match the model by gene name/id; tagged reads whose value is
+    absent from the model drop (-1)."""
+    if recs.gene_id is None:
+        return gene
+    gidx = {n: i for i, n in enumerate(model.names)}
+    tag_to_model = np.asarray(
+        [gidx.get(nm, -1) for nm in (recs.gene_names or [])], np.int64
+    )
+    tagged = recs.gene_id[keep]
+    has_tag = tagged >= 0
+    g_tag = np.where(
+        has_tag, tag_to_model[np.maximum(tagged, 0)] if len(tag_to_model) else -1, -1
+    )
+    n_flip = int((has_tag & (g_tag != gene)).sum())
+    if n_flip:
+        log.info(
+            "gene-tag keying: %d/%d tagged reads re-keyed vs GFF overlap",
+            n_flip, int(has_tag.sum()),
+        )
+    return np.where(has_tag, g_tag, gene)
+
+
 def count_genes(
     bam_path: str,
     gff_path: str,
@@ -224,14 +260,19 @@ def count_genes(
     cb_tag: str = "CB",
     umi_tag: str = "UB",
     gene_type: "str | None" = None,
+    gene_barcode_tag: "str | None" = None,
 ) -> tuple[sp.csc_matrix, list[str], list[str]]:
     """(counts [genes x cells], gene_names, barcodes)."""
-    recs = read_bam(bam_path, cb_tag=cb_tag, umi_tag=umi_tag)
+    recs = read_bam(
+        bam_path, cb_tag=cb_tag, umi_tag=umi_tag, gene_tag=gene_barcode_tag
+    )
     model = parse_gff_genes(gff_path, gene_type=gene_type)
     keep = (recs.mapq >= min_mapq) & (recs.cb_id >= 0) & ((recs.flag & 0x904) == 0)
     gene = assign_reads_to_genes(
         recs.ref_id[keep], recs.pos[keep], recs.end_pos[keep], recs.ref_names, model
     )
+    if gene_barcode_tag:
+        gene = _apply_gene_tag_keying(gene, recs, keep, model)
     cb = recs.cb_id[keep]
     umi = recs.umi_id[keep]
     ok = gene >= 0

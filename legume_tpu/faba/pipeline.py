@@ -50,6 +50,7 @@ def run_all(
     gene_type: str | None = None,
     cell_barcode_tag: str = "CB",
     umi_tag: str = "UB",
+    gene_barcode_tag: str | None = None,
     no_umi_dedup: bool = False,
     backend: str = "zarr",
     zip_output: bool = False,
@@ -159,6 +160,7 @@ def run_all(
             counts, genes, barcodes = count_genes(
                 b, gff, min_mapq=min_mapq, dedup_umi=not no_umi_dedup,
                 cb_tag=cell_barcode_tag, umi_tag=umi_tag,
+                gene_barcode_tag=gene_barcode_tag,
             )
             if gene_qc:
                 from .cell_calling import gene_qc_masks

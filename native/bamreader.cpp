@@ -134,10 +134,14 @@ struct BamFile {
     std::vector<int32_t> ref_lens;
     Interner cb;   // cell barcodes
     Interner umi;  // UMIs
+    Interner gene;  // gene tags (CellRanger GX), only when gene_tag set
     // configurable Z-tag names (10x defaults; DartSeqCountArgs
     // cell_barcode_tag lets Smart-seq-style BAMs point elsewhere)
     char cb_tag[3] = {'C', 'B', 0};
     char umi_tag[3] = {'U', 'B', 0};
+    // gene-keying Z tag (DartSeqCountArgs gene_barcode_tag): OFF by
+    // default; bam_set_gene_tag enables aligner-assigned gene keying
+    char gene_tag[3] = {0, 0, 0};
     std::vector<uint8_t> rec;  // scratch record buffer
     std::vector<Mismatch> mismatches;  // drained by bam_take_mismatches
 
@@ -297,9 +301,13 @@ int bam_ref_len(void* h, int i) { return ((BamFile*)h)->ref_lens[i]; }
 // the reverse-strand complement) of those clipped bases, scaled by
 // 255. Untemplated A runs past the cleavage site land in the terminal
 // S op, so tail_len/tail_frac gate genuine polyA-site reads.
-long bam_next_chunk3(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,
+// bam_next_chunk4 additionally emits the interned gene-tag id per
+// record (CellRanger GX keying, DartSeqCountArgs gene_barcode_tag):
+// -1 when the tag is absent or bam_set_gene_tag was never called.
+long bam_next_chunk4(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,
                      uint16_t* flag, uint8_t* mapq, int64_t* cb_id, int64_t* umi_id,
-                     uint8_t* has_skip, uint16_t* tail_len, uint8_t* tail_frac) {
+                     uint8_t* has_skip, uint16_t* tail_len, uint8_t* tail_frac,
+                     int64_t* gene_id) {
     auto* b = (BamFile*)h;
     long n = 0;
     while (n < cap) {
@@ -376,10 +384,13 @@ long bam_next_chunk3(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* 
         }
         const uint8_t* tags = cigar + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
         const uint8_t* end = b->rec.data() + block_size;
-        std::string cbv, umiv, mdv;
-        int64_t cbi = -1, umii = -1;
+        std::string cbv, umiv, mdv, gxv;
+        int64_t cbi = -1, umii = -1, gxi = -1;
         if (find_z_tag(tags, end, b->cb_tag, &cbv)) cbi = b->cb.intern(cbv);
         if (find_z_tag(tags, end, b->umi_tag, &umiv)) umii = b->umi.intern(umiv);
+        if (gene_id && b->gene_tag[0] &&
+            find_z_tag(tags, end, b->gene_tag, &gxv) && !gxv.empty())
+            gxi = b->gene.intern(gxv);
         if (find_z_tag(tags, end, "MD", &mdv) && !mdv.empty())
             extract_mismatches(b, rid, rpos, cigar, n_cigar, seq4,
                                seq4 + (l_seq + 1) / 2, l_seq, mdv, cbi, umii);
@@ -392,9 +403,17 @@ long bam_next_chunk3(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* 
         umi_id[n] = umii;
         has_skip[n] = skip;
         if (tail_len) { tail_len[n] = t_len; tail_frac[n] = t_frac; }
+        if (gene_id) gene_id[n] = gxi;
         n++;
     }
     return n;
+}
+
+long bam_next_chunk3(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,
+                     uint16_t* flag, uint8_t* mapq, int64_t* cb_id, int64_t* umi_id,
+                     uint8_t* has_skip, uint16_t* tail_len, uint8_t* tail_frac) {
+    return bam_next_chunk4(h, cap, ref_id, pos, end_pos, flag, mapq, cb_id, umi_id,
+                           has_skip, tail_len, tail_frac, nullptr);
 }
 
 long bam_next_chunk2(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* end_pos,
@@ -434,6 +453,15 @@ long bam_take_mismatches(void* h, long cap, int32_t* ref_id, int32_t* pos,
 
 long bam_num_barcodes(void* h) { return (long)((BamFile*)h)->cb.names.size(); }
 const char* bam_barcode(void* h, long i) { return ((BamFile*)h)->cb.names[i].c_str(); }
+
+void bam_set_gene_tag(void* h, const char* tag) {
+    // enable GX-style gene keying; must precede the first chunk read
+    auto* b = (BamFile*)h;
+    if (tag && tag[0] && tag[1]) { b->gene_tag[0] = tag[0]; b->gene_tag[1] = tag[1]; }
+}
+
+long bam_num_genes(void* h) { return (long)((BamFile*)h)->gene.names.size(); }
+const char* bam_gene_name(void* h, long i) { return ((BamFile*)h)->gene.names[i].c_str(); }
 long bam_num_umis(void* h) { return (long)((BamFile*)h)->umi.names.size(); }
 
 void bam_close(void* h) {

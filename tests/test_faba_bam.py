@@ -122,3 +122,52 @@ def test_pileup_miami_figure(tiny_bam, tmp_path):
         "--cell-membership", str(memb),
     ])
     assert fig2.exists() and fig2.stat().st_size > fig.stat().st_size * 0.8
+
+
+def test_gene_tag_keying_overrides_gff_overlap(tmp_path):
+    """--gene-barcode-tag (CellRanger GX; DartSeqCountArgs
+    gene_barcode_tag): on a read overlapping BOTH genes, GFF-overlap
+    keying and the aligner's GX tag DISAGREE — GX must win where
+    present; untagged reads keep the GFF fallback; a tag value absent
+    from the model drops the read."""
+    path = str(tmp_path / "gx.bam")
+    refs = [("chr1", 10000)]
+    # GeneA chr1:1-1000 and GeneB chr1:151-1000 OVERLAP. A read at
+    # pos 200 (midpoint ~224) lands nearest-start GeneB by GFF overlap,
+    # but the aligner assigned it to GeneA (exonic structure only the
+    # aligner saw).
+    reads = [
+        dict(name="r0", ref_id=0, pos=200, seq="ACGT" * 12, cigar="48M",
+             cb="cell1", ub="u1", gx="GeneA"),
+        # untagged read in the same window -> GFF fallback (GeneB)
+        dict(name="r1", ref_id=0, pos=200, seq="ACGT" * 12, cigar="48M",
+             cb="cell1", ub="u2"),
+        # tagged with a gene the model does not know -> dropped
+        dict(name="r2", ref_id=0, pos=200, seq="ACGT" * 12, cigar="48M",
+             cb="cell1", ub="u3", gx="NotAGene"),
+    ]
+    write_bam(path, refs, reads)
+    gff = tmp_path / "genes.gff"
+    gff.write_text(
+        "chr1\tsrc\tgene\t1\t1000\t.\t+\t.\tID=gene:GA;Name=GeneA\n"
+        "chr1\tsrc\tgene\t151\t1000\t.\t+\t.\tID=gene:GB;Name=GeneB\n"
+    )
+
+    # reader surfaces the interned tag
+    recs = read_bam(path, gene_tag="GX")
+    assert recs.gene_names is not None and "GeneA" in recs.gene_names
+    assert (recs.gene_id >= 0).sum() == 2
+
+    # without the tag: all three reads key to GeneB by GFF overlap
+    counts_gff, genes, _ = count_genes(str(path), str(gff))
+    a, b = genes.index("GeneA"), genes.index("GeneB")
+    assert counts_gff[a].sum() == 0 and counts_gff[b].sum() == 3
+
+    # with the tag: r0 re-keys to GeneA, r1 falls back to GeneB,
+    # r2 (unknown tag value) drops
+    counts_gx, genes2, _ = count_genes(
+        str(path), str(gff), gene_barcode_tag="GX"
+    )
+    a2, b2 = genes2.index("GeneA"), genes2.index("GeneB")
+    assert counts_gx[a2].sum() == 1, counts_gx.toarray()
+    assert counts_gx[b2].sum() == 1, counts_gx.toarray()
