@@ -389,6 +389,19 @@ def tiled_call(gi, cj, new, lr, lc, vv, basis_p, *, n_ct, k_pad, interpret=False
 
 TILE_GRP = 128  # groups per output tile (MXU-aligned)
 
+# Entries per collapse chunk. The collapse kernel is GRID-STEP bound,
+# not MXU bound: at the roofline shape (8.4M nnz, 607 groups) the
+# one-hot matmuls cost ~313 GFLOP ~ 13 ms of MXU time, yet the 1024-
+# entry kernel measured 367 ms over ~9.3k sequential grid steps —
+# ~40 us/step of pipeline overhead on [C, 1] scalar-prefetch blocks.
+# A bigger chunk amortizes the step overhead linearly (VMEM for the
+# two one-hot planes: 2 * C * 128 * 4 B = 4 MB at C=4096) at the cost
+# of more padding on sparse (gene tile, group tile) buckets; 4096
+# measured best on-chip (docs/BENCH_NOTES.md round 4).
+import os as _os
+
+COLLAPSE_CHUNK = int(_os.environ.get("LEGUME_COLLAPSE_CHUNK", "4096"))
+
 
 def _collapse_kernel(gi_ref, gj_ref, new_ref, lr_ref, lg_ref, v_ref, out_ref):
     i = pl.program_id(0)
@@ -401,9 +414,10 @@ def _collapse_kernel(gi_ref, gj_ref, new_ref, lr_ref, lg_ref, v_ref, out_ref):
     lg = lg_ref[0]  # [C, 1] LOCAL group id in [0, TILE_GRP)
     v = v_ref[0]  # [C, 1] values (0 = padding)
 
-    iota_grp = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, TILE_GRP), 1)
+    c = lr.shape[0]
+    iota_grp = jax.lax.broadcasted_iota(jnp.int32, (c, TILE_GRP), 1)
     oh_grp = jnp.where(iota_grp == lg, v, 0.0)  # [C, TILE_GRP]
-    iota_g = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, TILE_G), 1)
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (c, TILE_G), 1)
     oh_g = (iota_g == lr).astype(jnp.float32)  # [C, TILE_G]
     out_ref[:, :] += jax.lax.dot_general(
         oh_g, oh_grp,
@@ -435,18 +449,18 @@ def bucket_coo_for_collapse(
 
     key = gi * (gj.max() + 1) + gj
     uniq, run_start, counts = np.unique(key, return_index=True, return_counts=True)
-    chunks_per_run = -(-counts // ENTRY_CHUNK)
+    chunks_per_run = -(-counts // COLLAPSE_CHUNK)
     chunk_off = np.zeros(len(uniq) + 1, np.int64)
     np.cumsum(chunks_per_run, out=chunk_off[1:])
     n_chunks = int(chunk_off[-1])
     run_of_entry = np.repeat(np.arange(len(uniq)), counts)
     within = np.arange(len(rows)) - run_start[run_of_entry]
-    chunk_of_entry = chunk_off[run_of_entry] + within // ENTRY_CHUNK
-    slot = within % ENTRY_CHUNK
+    chunk_of_entry = chunk_off[run_of_entry] + within // COLLAPSE_CHUNK
+    slot = within % COLLAPSE_CHUNK
 
-    lr = np.zeros((n_chunks, ENTRY_CHUNK), np.int32)
-    lg = np.zeros((n_chunks, ENTRY_CHUNK), np.int32)
-    vv = np.zeros((n_chunks, ENTRY_CHUNK), np.float32)
+    lr = np.zeros((n_chunks, COLLAPSE_CHUNK), np.int32)
+    lg = np.zeros((n_chunks, COLLAPSE_CHUNK), np.int32)
+    vv = np.zeros((n_chunks, COLLAPSE_CHUNK), np.float32)
     lr[chunk_of_entry, slot] = (rows % TILE_G).astype(np.int32)
     lg[chunk_of_entry, slot] = (grp % TILE_GRP).astype(np.int32)
     vv[chunk_of_entry, slot] = vals
@@ -469,9 +483,9 @@ def collapse_tiled_call(gi, gj, new, lr, lg, vv, *, n_gt, n_grpt, interpret=Fals
         num_scalar_prefetch=3,
         grid=(gi.shape[0],),
         in_specs=[
-            pl.BlockSpec((1, ENTRY_CHUNK, 1), lambda i, gi, gj, nw: (i, 0, 0)),
-            pl.BlockSpec((1, ENTRY_CHUNK, 1), lambda i, gi, gj, nw: (i, 0, 0)),
-            pl.BlockSpec((1, ENTRY_CHUNK, 1), lambda i, gi, gj, nw: (i, 0, 0)),
+            pl.BlockSpec((1, COLLAPSE_CHUNK, 1), lambda i, gi, gj, nw: (i, 0, 0)),
+            pl.BlockSpec((1, COLLAPSE_CHUNK, 1), lambda i, gi, gj, nw: (i, 0, 0)),
+            pl.BlockSpec((1, COLLAPSE_CHUNK, 1), lambda i, gi, gj, nw: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (TILE_G, TILE_GRP), lambda i, gi, gj, nw: (gi[i], gj[i])
@@ -522,7 +536,7 @@ def collapse_block_tiled(
     if missing:
         ma = np.asarray([m[0] for m in missing], np.int32)
         mb = np.asarray([m[1] for m in missing], np.int32)
-        z_entry = np.zeros((len(missing), ENTRY_CHUNK, 1), np.int32)
+        z_entry = np.zeros((len(missing), COLLAPSE_CHUNK, 1), np.int32)
         tiles = {
             "gi": np.concatenate([tiles["gi"], ma]),
             "gj": np.concatenate([tiles["gj"], mb]),

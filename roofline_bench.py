@@ -201,6 +201,85 @@ def tiled_dtype_bench():
     print(json.dumps(out))
 
 
+def collapse_tiled_bench():
+    """VERDICT r3 item 8: bound-or-beat the collapse kernel. A/B the
+    XLA segment path vs the group-tiled kernel at the roofline shape
+    (d=34008, n=8192, g=607, nnz=8.4M, RANDOM groups = worst-case tile
+    locality), separating host bucketing from device time. Set
+    LEGUME_COLLAPSE_CHUNK before invoking to sweep the chunk size (the
+    kernel is grid-step bound, so chunk size is the lever). One JSON
+    line."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from legume_tpu.ops.pallas_kernels import (
+        COLLAPSE_CHUNK, TILE_G, TILE_GRP, bucket_coo_for_collapse,
+        collapse_tiled_call,
+    )
+    from legume_tpu.ops.sparse import collapse_block
+    from legume_tpu.utils.jax_cache import ensure_compile_cache
+
+    ensure_compile_cache()
+    rng = np.random.default_rng(0)
+    d_genes, ncols, n_groups, nnz = 34_008, 8192, 607, 1 << 23
+    rows = rng.integers(0, d_genes, nnz).astype(np.int64)
+    cols = np.sort(rng.integers(0, ncols, nnz)).astype(np.int64)
+    vals = rng.random(nnz).astype(np.float32)
+    seg_of_col = np.append(
+        rng.integers(0, n_groups, ncols), n_groups
+    ).astype(np.int64)
+
+    out = {"nnz": nnz, "n_groups": n_groups, "collapse_chunk": COLLAPSE_CHUNK}
+
+    # XLA segment path
+    t, ref = timed(
+        lambda r, c, v: collapse_block(
+            r, c, v, jnp.asarray(seg_of_col),
+            num_genes=d_genes, num_groups=n_groups,
+        ),
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals), n=10,
+    )
+    out["xla_ms"] = round(t * 1e3, 2)
+    ref = np.asarray(ref)
+
+    # host bucketing (one-time per block; ingest-cacheable)
+    t0 = _time.time()
+    seg = seg_of_col[cols]
+    real = seg < n_groups
+    tiles = bucket_coo_for_collapse(rows[real], seg[real], vals[real])
+    out["bucket_host_s"] = round(_time.time() - t0, 2)
+    n_chunks = int(tiles["gi"].shape[0])
+    out["n_chunks"] = n_chunks
+    out["pad_frac"] = round(
+        1.0 - nnz / (n_chunks * COLLAPSE_CHUNK), 3
+    )
+    n_gt = -(-d_genes // TILE_G)
+    n_grpt = -(-n_groups // TILE_GRP)
+    args = tuple(
+        jnp.asarray(tiles[k]) for k in ("gi", "gj", "new", "lr", "lg", "vv")
+    )
+    t, got = timed(
+        lambda *a: collapse_tiled_call(*a, n_gt=n_gt, n_grpt=n_grpt), *args, n=10
+    )
+    out["tiled_ms"] = round(t * 1e3, 2)
+    out["speedup_vs_xla"] = round(out["xla_ms"] / out["tiled_ms"], 2)
+    got = np.asarray(got)[:d_genes, :n_groups]
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    out["max_rel_err"] = float(rel.max())
+    # MXU cost model: 2 * C * (TILE_G + TILE_GRP) * ... one dot per chunk
+    mxu_flop = 2 * n_chunks * COLLAPSE_CHUNK * TILE_G * TILE_GRP
+    out["onehot_GFLOP"] = round(mxu_flop / 1e9, 1)
+    out["achieved_TFLOPs"] = round(mxu_flop / (out["tiled_ms"] / 1e3) / 1e12, 2)
+    out["device"] = str(jax.devices()[0])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__" and "--collapse-tiled" in sys.argv:
+    collapse_tiled_bench()
+    sys.exit(0)
+
 if __name__ == "__main__" and "--tiled" in sys.argv:
     tiled_dtype_bench()
     sys.exit(0)

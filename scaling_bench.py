@@ -135,16 +135,37 @@ def build_sim_backend(n_cells: int, n_genes: int, *, depth=500.0, block=16_384,
 
 
 def cli_bench(n_cells: int, n_genes: int = 2_000, epochs: int = 100,
-              extra_args: list[str] | None = None):
+              extra_args: list[str] | None = None, tile_cache: bool = False):
     """VERDICT r2 item 1: the REAL `senna topic` CLI (zarr streaming
     reader, the actual product path — not device-fed COO) at scale.
     Reports cells/s, the manifest's stage breakdown, and peak host RSS
-    of the CLI process. One JSON line."""
+    of the CLI process. One JSON line.
+
+    `tile_cache=True` (VERDICT r3 weak #2): run `data-beans tile-cache`
+    at ingest first, so the projection stage streams device-ready
+    Pallas tiles (auto-dispatch engages on the real chip above
+    LEGUME_PALLAS_AUTO_MIN_CELLS — no env needed). The build time is
+    reported separately: it is a one-time ingest cost shared by every
+    downstream run of the backend."""
     import os
     import resource
     import subprocess
 
     backend = build_sim_backend(n_cells, n_genes)
+    tc_s = None
+    if tile_cache:
+        tc_path = os.path.join(backend, "tile_cache")
+        t0 = time.time()
+        if not os.path.exists(tc_path):
+            subprocess.run(
+                [sys.executable, "-m", "legume_tpu.cli.main", "data-beans",
+                 "tile-cache", backend, "--block-size", "16384"],
+                check=True,
+            )
+            tc_s = round(time.time() - t0, 1)
+        else:
+            print("[cli-bench] reusing existing tile cache", file=sys.stderr)
+            tc_s = 0.0
     out = os.path.join(".bench_cache", f"cli_fit_{n_cells}")
     argv = [
         sys.executable, "-m", "legume_tpu.cli.main", "senna", "topic",
@@ -178,13 +199,15 @@ def cli_bench(n_cells: int, n_genes: int = 2_000, epochs: int = 100,
                 "peak_rss_gib": round(ru.ru_maxrss / 2**20, 2),
                 "final_llik": float(ll.llik.iloc[-1]),
                 "latent_rows": int(len(z)),
+                "tile_cache": bool(tile_cache),
+                **({"tile_cache_build_s": tc_s} if tc_s is not None else {}),
                 "stages": manifest.get("timings", {}),
             }
         )
     )
 
 
-if __name__ == "__main__" and "--stream-1m" not in sys.argv and "--cli-1m" not in sys.argv and "--cli" not in sys.argv:
+if __name__ == "__main__" and "--stream-1m" not in sys.argv and "--cli-1m" not in sys.argv and "--cli" not in sys.argv and "--cocoa" not in sys.argv:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     main(n_cells=n)
 
@@ -194,7 +217,82 @@ if __name__ == "__main__" and ("--cli-1m" in sys.argv or "--cli" in sys.argv):
     else:
         i = sys.argv.index("--cli")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 100_000
-    cli_bench(n)
+    cli_bench(n, tile_cache="--tile-cache" in sys.argv)
+    sys.exit(0)
+
+
+def cocoa_bench(n_cells: int, n_genes: int = 2_000, n_indv: int = 10,
+                k_topics: int = 8, perms: int = 20, knn: int = 10):
+    """VERDICT r3 item 5: `cocoa diff` — the other half of the BASELINE
+    acceptance metric — at scale through the REAL CLI: counterfactual
+    matched stats + Gamma contrast + P permutation replays (observed +
+    permuted exposures share ONE streaming pass, scanned on device).
+    One JSON line with the manifest's stage breakdown."""
+    import os
+    import subprocess
+
+    backend = build_sim_backend(n_cells, n_genes)
+    cdir = ".bench_cache"
+    rng = np.random.default_rng(5)
+    indv_path = os.path.join(cdir, f"cocoa_indv_{n_cells}.txt")
+    with open(indv_path, "w") as f:
+        for i in range(n_cells):
+            f.write(f"ind{i % n_indv}\n")
+    exp_path = os.path.join(cdir, f"cocoa_exposure_{n_indv}.tsv")
+    with open(exp_path, "w") as f:
+        for t in range(n_indv):
+            f.write(f"ind{t}\t{t % 2}\n")
+    topic_path = os.path.join(cdir, f"cocoa_topic_{n_cells}.parquet")
+    if not os.path.exists(topic_path):
+        import pandas as pd
+
+        zt = rng.dirichlet(np.ones(k_topics), size=n_cells).astype(np.float32)
+        pd.DataFrame(
+            zt, columns=[f"topic{k}" for k in range(k_topics)]
+        ).reset_index(names="cell").to_parquet(topic_path)
+    out = os.path.join(cdir, f"cocoa_fit_{n_cells}")
+    argv = [
+        sys.executable, "-m", "legume_tpu.cli.main", "cocoa", "diff",
+        "--data-files", backend, "--out", out,
+        "--indv", indv_path, "--exposure", exp_path, "--topic", topic_path,
+        "--n-pb-samples", "10", "--knn", str(knn), "--proj-dim", "30",
+        "--permutations", str(perms), "--seed", "42",
+    ]
+    t0 = time.time()
+    proc = subprocess.Popen(argv)
+    _, status, ru = os.wait4(proc.pid, 0)
+    wall = time.time() - t0
+    if status != 0:
+        raise SystemExit(f"cocoa diff CLI failed: status {status}")
+
+    import pandas as pd
+
+    manifest = json.load(open(f"{out}.cocoa.json"))
+    pv = pd.read_parquet(f"{out}.pvalue.parquet")
+    print(
+        json.dumps(
+            {
+                "metric": f"cocoa-diff REAL CLI at {n_cells} cells "
+                          f"({perms} permutation replays)",
+                "cells": n_cells,
+                "genes": n_genes,
+                "individuals": n_indv,
+                "topics": k_topics,
+                "permutations": perms,
+                "total_s": round(wall, 1),
+                "cells_per_s_e2e": round(n_cells / wall, 1),
+                "peak_rss_gib": round(ru.ru_maxrss / 2**20, 2),
+                "pvalues_finite": bool(np.isfinite(pv.pvalue).all()),
+                "stages": manifest.get("timings", {}),
+            }
+        )
+    )
+
+
+if __name__ == "__main__" and "--cocoa" in sys.argv:
+    i = sys.argv.index("--cocoa")
+    n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 100_000
+    cocoa_bench(n)
     sys.exit(0)
 
 
