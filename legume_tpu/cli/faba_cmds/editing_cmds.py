@@ -59,6 +59,13 @@ def add_parsers(sub):
                             "count")
         p.add_argument("--mixture-prior-alpha", type=float, default=1.0)
         p.add_argument("--mixture-prior-beta", type=float, default=1.0)
+        p.add_argument("--gene-barcode-tag", default=None,
+                       help="read-level gene-consistency filter: keep "
+                            "reads whose aligner gene tag (CellRanger "
+                            "GX) matches the GFF gene at their locus")
+        p.add_argument("--include-missing-barcode", action="store_true",
+                       help="[--gene-barcode-tag] keep reads that lack "
+                            "the gene tag (default: drop)")
         p.add_argument("--cell-barcode-tag", default="CB",
                        help="BAM Z tag carrying the cell barcode "
                             "(DartSeqCountArgs cell_barcode_tag)")
@@ -319,6 +326,8 @@ def _cmd_editing(args):
         scan_cells = competent
     else:
         scan_cells = None
+    if args.gene_barcode_tag and not args.gff:
+        raise SystemExit(f"{args.cmd} --gene-barcode-tag needs --gff")
     res = runner(
         args.bam, args.control_bam, max_p=args.max_p, min_alt=args.min_alt,
         min_coverage=args.min_coverage, min_mapq=args.min_mapq,
@@ -326,6 +335,9 @@ def _cmd_editing(args):
         wt_cells=scan_cells,
         eps=args.error_rate, rho=args.overdispersion, snp_mask=snp_mask,
         cb_tag=args.cell_barcode_tag, umi_tag=args.umi_tag,
+        gene_barcode_tag=args.gene_barcode_tag,
+        include_missing_barcode=args.include_missing_barcode,
+        gff=args.gff,
     )
     from ...faba.bam import read_bam_ref_names
 

@@ -62,6 +62,34 @@ def add_parsers(sub):
                    help="TSV cell TAB type: one depth panel per cell type")
     p.add_argument("--membership-barcode-col", type=int, default=0)
     p.add_argument("--membership-celltype-col", type=int, default=1)
+    p.add_argument("--exact-barcode-match", action="store_true",
+                   help="require exact membership-barcode matches "
+                        "(default: membership barcodes match as "
+                        "prefixes, handling '-1' suffixes)")
+    p.add_argument("--cell-barcode-tag", default="CB",
+                   help="BAM tag holding the cell barcode "
+                        "(read-depth track)")
+    p.add_argument("--fig-width", type=float, default=8.0)
+    p.add_argument("--dpi", type=int, default=300)
+    p.add_argument("--palette", default="auto",
+                   help="matplotlib qualitative palette for cell-type "
+                        "panels (e.g. tab10); 'auto' = single hue")
+    p.add_argument("--raster-threshold", type=int, default=300,
+                   help="rasterize the per-site dot layer past this "
+                        "many sites (bounds SVG/PDF size)")
+    p.add_argument("--out", default=None,
+                   help="figure PREFIX: writes {out}.miami.{svg,pdf} "
+                        "(reference layout; --miami with an extension "
+                        "writes that single file)")
+    p.add_argument("--format", choices=["svg", "pdf", "png"], default=None,
+                   help="emit ONLY this format (prefix mode)")
+    p.add_argument("--svg", action="store_true",
+                   help="(prefix mode) also write SVG — always on "
+                        "unless --format pdf")
+    p.add_argument("--png", action="store_true",
+                   help="(prefix mode) also write a flattened PNG")
+    p.add_argument("--no-pdf", action="store_true",
+                   help="(prefix mode) skip the PDF")
 
 
 def _cmd_pileup(args):
@@ -70,18 +98,19 @@ def _cmd_pileup(args):
     if args.data:
         _run_faba_pileup_tracks(args)
         return
-    if not args.miami and not (args.bam and args.sites and args.output):
+    fig_target = args.miami or args.out
+    if not fig_target and not (args.bam and args.sites and args.output):
         raise SystemExit(
-            "pileup: give --data (matrix-track mode), --miami "
+            "pileup: give --data (matrix-track mode), --miami/--out "
             "(figure mode), or --bam/--sites/--output "
             "(base-composition mode)"
         )
-    if args.miami:
+    if fig_target:
         from ...faba.bam import read_bam
         from ...utils.plot import miami_pileup
 
         if not args.region:
-            raise SystemExit("pileup --miami needs --region chr:lb-ub")
+            raise SystemExit("pileup figure mode needs --region chr:lb-ub")
         chrom, span = args.region.rsplit(":", 1)
         lb, ub = (int(x) for x in span.replace(",", "").split("-"))
         df = pd.read_parquet(args.sites)
@@ -99,7 +128,7 @@ def _cmd_pileup(args):
             sel[stat_cols[0]].to_numpy(float)
             if stat_cols else np.ones(len(sel))
         )
-        reads = read_bam(args.bam)
+        reads = read_bam(args.bam, cb_tag=args.cell_barcode_tag)
         rmap = {n: i for i, n in enumerate(reads.ref_names)}
         rid = rmap.get(chrom, -1)
         m = (
@@ -120,8 +149,20 @@ def _cmd_pileup(args):
             facet_names = sorted(set(memb.values()))
             fidx = {t: i for i, t in enumerate(facet_names)}
             cb_facet = np.full(len(reads.barcodes), -1, np.int64)
+            # membership barcodes match BAM barcodes exactly, or as
+            # PREFIXES by default (PileupArgs exact_barcode_match: the
+            # prefix rule absorbs CellRanger's "-1" suffixes)
+            memb_keys = (
+                None if args.exact_barcode_match
+                else sorted(memb, key=len, reverse=True)
+            )
             for bi, bc in enumerate(reads.barcodes):
                 t = memb.get(bc)
+                if t is None and memb_keys is not None:
+                    for k in memb_keys:
+                        if bc.startswith(k):
+                            t = memb[k]
+                            break
                 if t is not None:
                     cb_facet[bi] = fidx[t]
             depth = np.zeros((len(facet_names), len(bins)))
@@ -160,12 +201,22 @@ def _cmd_pileup(args):
                         model.names[gi], int(model.start[gi]),
                         int(model.end[gi]), int(model.strand[gi]),
                     ))
-        miami_pileup(
+        if args.format:
+            fmts = [args.format]
+        else:
+            fmts = ["svg"]  # reference default: SVG + PDF
+            if not args.no_pdf:
+                fmts.append("pdf")
+            if args.png:
+                fmts.append("png")
+        written = miami_pileup(
             sel["pos"].to_numpy(), vals, bins, depth, gene_rows,
-            args.miami, title=args.region, facet_names=facet_names,
+            fig_target, title=args.region, facet_names=facet_names,
+            fig_width=args.fig_width, dpi=args.dpi, palette=args.palette,
+            raster_threshold=args.raster_threshold, formats=fmts,
         )
         print(
-            f"wrote {args.miami} ({len(sel)} sites, "
+            f"wrote {', '.join(written)} ({len(sel)} sites, "
             f"{int(m.sum())} reads, {len(gene_rows)} genes)"
         )
         return

@@ -67,10 +67,18 @@ def add_parsers(sub):
     p.add_argument("--mixture-weight",
                    choices=["converted", "posterior"],
                    default="converted")
+    p.add_argument("--mixture-prior-alpha", type=float, default=1.0,
+                   help="Beta prior alpha for posterior-rate weighting")
+    p.add_argument("--mixture-prior-beta", type=float, default=1.0,
+                   help="Beta prior beta for posterior-rate weighting")
     p.add_argument("--no-mixture", action="store_true")
     p.add_argument("--drop-single-component", action="store_true")
     # APA stage
     p.add_argument("--apa-min-coverage", type=int, default=5)
+    p.add_argument("--apa-max-sites", type=int, default=0,
+                   help="cap called PAS sites per gene to the top-N by "
+                        "coverage (0 = unbounded; bounds cost on long "
+                        "3'UTRs)")
     p.add_argument("--polya-min-tail-length", type=int, default=0)
     p.add_argument("--no-apa-pdui", action="store_true")
     # expression QC (opt-in, as in the standalone commands)
@@ -110,10 +118,13 @@ def _cmd_all(args):
         edit_error_rate=args.edit_error_rate,
         edit_overdispersion=args.edit_overdispersion,
         apa_min_coverage=args.apa_min_coverage,
+        apa_max_sites=args.apa_max_sites,
         polya_min_tail_length=args.polya_min_tail_length,
         no_apa_pdui=args.no_apa_pdui,
         mixture=not args.no_mixture,
         mixture_weight=args.mixture_weight,
+        mixture_prior_alpha=args.mixture_prior_alpha,
+        mixture_prior_beta=args.mixture_prior_beta,
         drop_single_component=args.drop_single_component,
         gene_qc=args.gene_qc,
         gene_min_cells=args.gene_min_cells,

@@ -64,6 +64,9 @@ def run_apa(
     # BED of 3'UTR intervals: molecules whose 3' end falls outside any
     # UTR drop before peak calling (CountApaArgs utr_bed)
     utr_bed: "str | None" = None,
+    # cap called PAS sites per gene, keeping the highest-coverage peaks
+    # (PipelineArgs apa_max_sites: bounds downstream cost on long UTRs)
+    max_sites: int = 0,
 ) -> ApaResult:
     recs = read_bam(bam_path)
     model = parse_gff_genes(gff_path)
@@ -143,6 +146,12 @@ def run_apa(
         peaks = call_pas_peaks(three_prime, peak_window=peak_window, min_reads=min_reads)
         if not peaks:
             continue
+        if max_sites > 0 and len(peaks) > max_sites:
+            # keep the highest-coverage peaks (apa_max_sites bound)
+            def _cov(p):
+                return int(((three_prime >= p[1]) & (three_prime <= p[2])).sum())
+
+            peaks = sorted(peaks, key=_cov, reverse=True)[:max_sites]
         # order proximal -> distal along the gene's strand
         peaks.sort(key=lambda p: p[0] * int(model.strand[g]))
         base = len(site_names)

@@ -88,6 +88,13 @@ def _load():
               (np.int32, np.int32, np.uint8, np.uint8, np.int64, np.int64,
                np.uint8)),
         ]
+        lib.bam_take_mismatches2.restype = ctypes.c_long
+        lib.bam_take_mismatches2.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            *(np.ctypeslib.ndpointer(dt, flags="C_CONTIGUOUS") for dt in
+              (np.int32, np.int32, np.uint8, np.uint8, np.int64, np.int64,
+               np.uint8, np.int64)),
+        ]
         lib.bam_num_barcodes.restype = ctypes.c_long
         lib.bam_num_barcodes.argtypes = [ctypes.c_void_p]
         lib.bam_barcode.restype = ctypes.c_char_p
@@ -131,6 +138,7 @@ class BamRecords:
     mm_cb_id: np.ndarray | None = None
     mm_umi_id: np.ndarray | None = None
     mm_base_qual: np.ndarray | None = None  # phred at the read base
+    mm_gene_id: np.ndarray | None = None  # gene tag of the read (-1 = none)
 
 
 def read_bam_ref_names(path: str) -> list[str]:
@@ -221,7 +229,8 @@ def read_bam(
             cols["tail_len"].append(t_len[:n].copy())
             cols["tail_frac"].append(t_frac[:n].copy())
             cols["gene"].append(gx[:n].copy())
-        mms = {k: [] for k in ("rid", "pos", "rb", "ab", "cb", "umi", "bq")}
+        mms = {k: [] for k in ("rid", "pos", "rb", "ab", "cb", "umi", "bq",
+                               "gx")}
         while True:
             rid = np.empty(chunk, np.int32)
             pos = np.empty(chunk, np.int32)
@@ -230,7 +239,10 @@ def read_bam(
             cb = np.empty(chunk, np.int64)
             umi = np.empty(chunk, np.int64)
             bq = np.empty(chunk, np.uint8)
-            nm = lib.bam_take_mismatches(h, chunk, rid, pos, rb, ab, cb, umi, bq)
+            gx = np.empty(chunk, np.int64)
+            nm = lib.bam_take_mismatches2(
+                h, chunk, rid, pos, rb, ab, cb, umi, bq, gx
+            )
             if nm == 0:
                 break
             mms["rid"].append(rid[:nm].copy())
@@ -240,6 +252,7 @@ def read_bam(
             mms["cb"].append(cb[:nm].copy())
             mms["umi"].append(umi[:nm].copy())
             mms["bq"].append(bq[:nm].copy())
+            mms["gx"].append(gx[:nm].copy())
         barcodes = [lib.bam_barcode(h, i).decode() for i in range(lib.bam_num_barcodes(h))]
         gene_names = (
             [lib.bam_gene_name(h, i).decode() for i in range(lib.bam_num_genes(h))]
@@ -276,6 +289,7 @@ def read_bam(
         mm_cb_id=catm("cb", np.int64),
         mm_umi_id=catm("umi", np.int64),
         mm_base_qual=catm("bq", np.uint8),
+        mm_gene_id=catm("gx", np.int64) if gene_tag else None,
     )
 
 

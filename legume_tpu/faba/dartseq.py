@@ -230,6 +230,61 @@ def atoi_confounder_mask(
     return keep
 
 
+def filter_gene_tag(recs, model, *, include_missing: bool = False):
+    """Read-level gene-consistency filter (`--gene-barcode-tag`;
+    bam_io.rs record_matches_gene): a read contributes only where its
+    aligner gene tag agrees with the GFF gene at its locus; untagged
+    reads (or tag values the model lacks) pass only with
+    `include_missing` (`--include-missing-barcode`). Applies to reads
+    AND their extracted mismatches, so conversions, coverage, and
+    activity tallies all see the filtered evidence."""
+    import dataclasses
+
+    from .genes import assign_reads_to_genes
+
+    if recs.gene_id is None:
+        return recs
+    gidx = {n: i for i, n in enumerate(model.names)}
+    tag_to_model = np.asarray(
+        [gidx.get(nm, -1) for nm in (recs.gene_names or [])], np.int64
+    )
+
+    def _mask(gene_tag_ids, rid, pos, end):
+        locus = assign_reads_to_genes(rid, pos, end, recs.ref_names, model)
+        tagged = gene_tag_ids >= 0
+        tag_model = np.where(
+            tagged,
+            tag_to_model[np.maximum(gene_tag_ids, 0)]
+            if len(tag_to_model) else -1,
+            -1,
+        )
+        agree = tagged & (tag_model == locus) & (locus >= 0)
+        return np.where(tagged, agree, bool(include_missing))
+
+    read_keep = _mask(recs.gene_id, recs.ref_id, recs.pos, recs.end_pos)
+    mm_keep = (
+        _mask(recs.mm_gene_id, recs.mm_ref_id, recs.mm_pos, recs.mm_pos + 1)
+        if recs.mm_gene_id is not None and len(recs.mm_gene_id)
+        else np.zeros(0 if recs.mm_cb_id is None else len(recs.mm_cb_id), bool)
+    )
+    n_drop = int((~read_keep).sum())
+    if n_drop:
+        log.info(
+            "gene-tag filter: %d/%d reads dropped (tag/locus disagreement "
+            "or untagged)", n_drop, len(read_keep),
+        )
+    fields = {}
+    for f in dataclasses.fields(recs):
+        v = getattr(recs, f.name)
+        if not isinstance(v, np.ndarray):
+            fields[f.name] = v
+        elif f.name.startswith("mm_"):
+            fields[f.name] = v[mm_keep] if len(v) == len(mm_keep) else v
+        else:
+            fields[f.name] = v[read_keep] if len(v) == len(read_keep) else v
+    return type(recs)(**fields)
+
+
 def filter_cells(recs, valid: "set[str]"):
     """Restrict a BamRecords to reads/mismatches from the given cell
     barcodes (`--valid-cells`, m6a/run.rs): everything outside the
@@ -389,6 +444,11 @@ def run_dartseq(
     modality: str = "m6a",
     cb_tag: str = "CB",  # DartSeqCountArgs cell_barcode_tag
     umi_tag: str = "UB",
+    # read-level gene-consistency filter (DartSeqCountArgs
+    # gene_barcode_tag / include_missing_barcode; needs `gff`)
+    gene_barcode_tag: "str | None" = None,
+    include_missing_barcode: bool = False,
+    gff: "str | None" = None,
 ) -> DartseqResult:
     """C->T by default (dartseq m6A); `faba atoi` calls this with
     A->G (`ref_base=A, alt_base=G, modality="atoi"`) — the editing
@@ -398,8 +458,20 @@ def run_dartseq(
     space (G->A for dartseq, T->C for atoi); both channels are scanned
     and the merged table is tested site-by-site, so minus-strand sites
     are called rather than silently discarded."""
-    wt = read_bam(wt_bam, cb_tag=cb_tag, umi_tag=umi_tag)
-    ctrl = read_bam(control_bam, cb_tag=cb_tag, umi_tag=umi_tag)
+    wt = read_bam(wt_bam, cb_tag=cb_tag, umi_tag=umi_tag,
+                  gene_tag=gene_barcode_tag)
+    ctrl = read_bam(control_bam, cb_tag=cb_tag, umi_tag=umi_tag,
+                    gene_tag=gene_barcode_tag)
+    if gene_barcode_tag:
+        if not gff:
+            raise ValueError("gene_barcode_tag filtering needs the GFF")
+        from .genes import parse_gff_genes
+
+        model = parse_gff_genes(gff)
+        wt = filter_gene_tag(wt, model, include_missing=include_missing_barcode)
+        ctrl = filter_gene_tag(
+            ctrl, model, include_missing=include_missing_barcode
+        )
     if valid_cells is not None:
         wt = filter_cells(wt, valid_cells)
         ctrl = filter_cells(ctrl, valid_cells)

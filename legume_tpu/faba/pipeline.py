@@ -79,11 +79,14 @@ def run_all(
     edit_overdispersion: float = 0.05,
     # APA knobs (apa_* / polya_*)
     apa_min_coverage: int = 5,
+    apa_max_sites: int = 0,
     polya_min_tail_length: int = 0,
     no_apa_pdui: bool = False,
     # per-gene site mixture (MixtureWeightMode + priors)
     mixture: bool = True,
     mixture_weight: str = "converted",
+    mixture_prior_alpha: float = 1.0,
+    mixture_prior_beta: float = 1.0,
     drop_single_component: bool = False,
     # gene/cell expression QC (gene_* / cell_min_genes; opt-in like the
     # standalone commands — tiny fixtures would otherwise empty)
@@ -227,6 +230,9 @@ def run_all(
                     min_coverage=atoi_min_coverage,
                     min_mapq=min_mapq, min_baseq=min_base_quality,
                     cb_tag=cell_barcode_tag, umi_tag=umi_tag,
+                    # read-level gene-consistency filter, like the
+                    # reference's ConversionParams.gene_barcode_tag
+                    gene_barcode_tag=gene_barcode_tag, gff=gff,
                 )
                 if not res.cell_counts.shape[0]:
                     continue
@@ -245,6 +251,8 @@ def run_all(
                         res.sites[:, 1], res.strand, bam_ref_names,
                         model, exons, modality=name,
                         weight_mode=mixture_weight,
+                        prior_alpha=mixture_prior_alpha,
+                        prior_beta=mixture_prior_beta,
                         params=MixtureParams(
                             drop_single_component=drop_single_component
                         ),
@@ -272,6 +280,7 @@ def run_all(
             apa = run_apa(
                 b, gff, min_mapq=min_mapq, min_reads=apa_min_coverage,
                 polya_min_tail_length=polya_min_tail_length,
+                max_sites=apa_max_sites,
             )
             if apa.counts.shape[0]:
                 path = f"{out}{tag}.apa{suffix}"

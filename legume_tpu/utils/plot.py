@@ -296,28 +296,47 @@ def miami_pileup(
     *,
     title: str = "",
     facet_names: list | None = None,  # len F (2D depth): panel titles
+    fig_width: float = 8.0,
+    dpi: int = 150,
+    palette: str = "auto",  # per-facet qualitative colors (PileupArgs)
+    raster_threshold: int = 300,  # rasterize the dot layer past this
+    formats: list | None = None,  # extra formats when `out` is a prefix
 ):
     """Faceted Miami pileup (faba pileup figure mode): epi sites up, a
     gene-model track in the middle, mirrored read depth down. A 2D
-    depth renders one panel per cell type (--cell-membership)."""
+    depth renders one panel per cell type (--cell-membership).
+
+    `out` with an extension writes that one file; without one it is a
+    PREFIX and `formats` (default ['svg', 'pdf'], PileupArgs
+    --format/--svg/--png/--no-pdf) selects `{out}.miami.{fmt}` files.
+    `raster_threshold` rasterizes the per-site dot layer once a panel
+    exceeds that many sites (bounded SVG/PDF size; axes stay vector)."""
     plt = _mpl()
     depth = np.atleast_2d(np.asarray(depth, float))
     n_facets = depth.shape[0]
     fig, axes = plt.subplots(
-        n_facets, 1, figsize=(8, 3.2 * n_facets), dpi=150,
+        n_facets, 1, figsize=(fig_width, 3.2 * n_facets), dpi=dpi,
         squeeze=False, sharex=True,
     )
+    if palette and palette != "auto":
+        cmap = plt.get_cmap(palette)
+        facet_colors = [cmap(f % cmap.N) for f in range(n_facets)]
+    else:
+        facet_colors = ["steelblue"] * n_facets
+    rasterize = len(site_pos) > max(int(raster_threshold), 0)
     dmax = max(float(depth.max()), 1.0)
     smax = max(float(np.max(site_val)) if len(site_val) else 1.0, 1e-9)
     for f in range(n_facets):
         ax = axes[f, 0]
         if len(site_pos):
-            ax.vlines(site_pos, 0, site_val, color="crimson", lw=1.2)
-            ax.scatter(site_pos, site_val, s=8, color="crimson", zorder=3)
+            ax.vlines(site_pos, 0, site_val, color="crimson", lw=1.2,
+                      rasterized=rasterize)
+            ax.scatter(site_pos, site_val, s=8, color="crimson", zorder=3,
+                       rasterized=rasterize)
         if len(depth_pos):
             ax.fill_between(
                 depth_pos, 0, -depth[f] / dmax * smax * 0.8,
-                color="steelblue", alpha=0.7, lw=0,
+                color=facet_colors[f], alpha=0.7, lw=0,
             )
         for name, start, end, strand in gene_rows:
             ax.plot([start, end], [0, 0], color="black", lw=3,
@@ -338,8 +357,19 @@ def miami_pileup(
     if facet_names and title:
         fig.suptitle(title, fontsize=10)
     fig.tight_layout()
-    fig.savefig(out)
+    import os as _os
+
+    written = []
+    if _os.path.splitext(out)[1]:  # explicit single file
+        fig.savefig(out)
+        written.append(out)
+    else:
+        for fmt in (formats or ["svg", "pdf"]):
+            path = f"{out}.miami.{fmt}"
+            fig.savefig(path)
+            written.append(path)
     plt.close(fig)
+    return written
 
 
 def trajectory_figure(

@@ -126,6 +126,7 @@ struct Mismatch {
     int64_t cb_id;
     int64_t umi_id;
     uint8_t base_qual;  // phred at the read base (0xff = missing)
+    int64_t gene_id;   // interned gene tag of the READ (-1 = untagged)
 };
 
 struct BamFile {
@@ -216,7 +217,7 @@ constexpr char SEQ_CHARS[] = "=ACMGRSVTWYHKDBN";
 void extract_mismatches(BamFile* b, int32_t rid, int32_t pos, const uint8_t* cigar,
                         int n_cigar, const uint8_t* seq4, const uint8_t* qual,
                         int32_t l_seq, const std::string& md, int64_t cb_id,
-                        int64_t umi_id) {
+                        int64_t umi_id, int64_t gene_id) {
     // read offset of each aligned (reference-consuming) base, in order
     std::vector<int32_t> aligned_read_off;
     int32_t roff = 0;
@@ -259,7 +260,7 @@ void extract_mismatches(BamFile* b, int32_t rid, int32_t pos, const uint8_t* cig
                 char read_base = SEQ_CHARS[code];
                 b->mismatches.push_back(Mismatch{
                     rid, pos + (int32_t)ai + deleted, ref_base, read_base, cb_id,
-                    umi_id, qual[ro]});
+                    umi_id, qual[ro], gene_id});
             }
             ai++;
         }
@@ -388,12 +389,13 @@ long bam_next_chunk4(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* 
         int64_t cbi = -1, umii = -1, gxi = -1;
         if (find_z_tag(tags, end, b->cb_tag, &cbv)) cbi = b->cb.intern(cbv);
         if (find_z_tag(tags, end, b->umi_tag, &umiv)) umii = b->umi.intern(umiv);
-        if (gene_id && b->gene_tag[0] &&
-            find_z_tag(tags, end, b->gene_tag, &gxv) && !gxv.empty())
+        if (b->gene_tag[0] && find_z_tag(tags, end, b->gene_tag, &gxv) &&
+            !gxv.empty())
             gxi = b->gene.intern(gxv);
         if (find_z_tag(tags, end, "MD", &mdv) && !mdv.empty())
             extract_mismatches(b, rid, rpos, cigar, n_cigar, seq4,
-                               seq4 + (l_seq + 1) / 2, l_seq, mdv, cbi, umii);
+                               seq4 + (l_seq + 1) / 2, l_seq, mdv, cbi, umii,
+                               gxi);
         ref_id[n] = rid;
         pos[n] = rpos;
         end_pos[n] = rpos + span;
@@ -432,9 +434,10 @@ long bam_next_chunk(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* e
 
 // Drain up to `cap` accumulated mismatches into parallel arrays;
 // returns the count. ref/read bases as ASCII codes.
-long bam_take_mismatches(void* h, long cap, int32_t* ref_id, int32_t* pos,
-                         uint8_t* ref_base, uint8_t* read_base,
-                         int64_t* cb_id, int64_t* umi_id, uint8_t* base_qual) {
+long bam_take_mismatches2(void* h, long cap, int32_t* ref_id, int32_t* pos,
+                          uint8_t* ref_base, uint8_t* read_base,
+                          int64_t* cb_id, int64_t* umi_id, uint8_t* base_qual,
+                          int64_t* gene_id) {
     auto* b = (BamFile*)h;
     long n = (long)std::min<size_t>(cap, b->mismatches.size());
     for (long i = 0; i < n; i++) {
@@ -446,9 +449,17 @@ long bam_take_mismatches(void* h, long cap, int32_t* ref_id, int32_t* pos,
         cb_id[i] = m.cb_id;
         umi_id[i] = m.umi_id;
         base_qual[i] = m.base_qual;
+        if (gene_id) gene_id[i] = m.gene_id;
     }
     b->mismatches.erase(b->mismatches.begin(), b->mismatches.begin() + n);
     return n;
+}
+
+long bam_take_mismatches(void* h, long cap, int32_t* ref_id, int32_t* pos,
+                         uint8_t* ref_base, uint8_t* read_base,
+                         int64_t* cb_id, int64_t* umi_id, uint8_t* base_qual) {
+    return bam_take_mismatches2(h, cap, ref_id, pos, ref_base, read_base,
+                                cb_id, umi_id, base_qual, nullptr);
 }
 
 long bam_num_barcodes(void* h) { return (long)((BamFile*)h)->cb.names.size(); }

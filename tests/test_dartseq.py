@@ -304,3 +304,63 @@ def test_dartseq_detect_atoi_confounder_mask(tmp_path):
               f"{out2}.atoi_mask.sites.parquet"])
     pre = pd.read_parquet(f"{out3}.sites.parquet")
     assert pre["pos"].tolist() == [410]
+
+
+def test_gene_tag_filter_drops_disagreeing_conversions(tmp_path):
+    """--gene-barcode-tag on the editing contrast (DartSeqCountArgs /
+    bam_io.rs record_matches_gene): conversions carried by reads whose
+    GX tag disagrees with the GFF gene at their locus are ambient and
+    must not reach the site test; untagged reads drop unless
+    --include-missing-barcode."""
+    from legume_tpu.faba.dartseq import run_dartseq
+
+    cells = ["c1", "c2"]
+    gff = tmp_path / "genes.gff"
+    gff.write_text(
+        "chr1\tsrc\tgene\t1\t1000\t.\t+\t.\tID=gene:GA;Name=GeneA\n"
+    )
+    wt, ct = [], []
+    for i in range(14):
+        conv = i < 10
+        md = "10C29" if conv else "40"
+        seq = list("A" * 40)
+        seq[10] = "T" if conv else "C"
+        # reads 0-4: GX agrees (GeneA); 5-9: GX says GeneB (ambient,
+        # not in the model at this locus); 10-13: unconverted coverage
+        gx = "GeneA" if (i < 5 or i >= 10) else "GeneB"
+        wt.append(dict(name=f"w{i}", ref_id=0, pos=100, seq="".join(seq),
+                       cigar="40M", cb=cells[i % 2], ub=f"uw{i}", md=md,
+                       gx=gx))
+    for i in range(14):
+        ct.append(dict(name=f"k{i}", ref_id=0, pos=100, seq="A" * 40,
+                       cigar="40M", cb=cells[i % 2], ub=f"uk{i}", md="40",
+                       gx="GeneA"))
+    wt_path, ct_path = str(tmp_path / "wt.bam"), str(tmp_path / "ct.bam")
+    write_bam(wt_path, [("chr1", 5000)], wt)
+    write_bam(ct_path, [("chr1", 5000)], ct)
+
+    # unfiltered: all 10 conversions count
+    res0 = run_dartseq(wt_path, ct_path, max_p=0.05, min_alt=3)
+    assert res0.cell_counts.sum() == 10
+
+    # GX filter: the 5 GeneB-tagged conversions drop
+    res1 = run_dartseq(
+        wt_path, ct_path, max_p=0.05, min_alt=3,
+        gene_barcode_tag="GX", gff=str(gff),
+    )
+    assert res1.cell_counts.sum() == 5, res1.cell_counts.sum()
+
+    # an untagged read's conversion needs --include-missing-barcode
+    wt.append(dict(name="w14", ref_id=0, pos=100, seq="A" * 10 + "T" + "A" * 29,
+                   cigar="40M", cb="c1", ub="uw14", md="10C29"))
+    write_bam(wt_path, [("chr1", 5000)], wt)
+    res2 = run_dartseq(
+        wt_path, ct_path, max_p=0.05, min_alt=3,
+        gene_barcode_tag="GX", gff=str(gff),
+    )
+    assert res2.cell_counts.sum() == 5
+    res3 = run_dartseq(
+        wt_path, ct_path, max_p=0.05, min_alt=3,
+        gene_barcode_tag="GX", gff=str(gff), include_missing_barcode=True,
+    )
+    assert res3.cell_counts.sum() == 6
