@@ -40,18 +40,27 @@ def pb_posterior_ess(
     burn_in: int = 10,
     prior_sd: float = 1.0,
     seed: int = 0,
+    mesh=None,
+    mesh_axis: str = "dp",
 ) -> dict:
     """Posterior draws of pb embeddings (+ bias) under
     y_pg ~ Poisson(exp(e_p . f_g + b_g + b_p)). Returns draws and
-    split-Rhat/ESS diagnostics per anchor."""
+    split-Rhat/ESS diagnostics per anchor. `mesh` dp-shards the anchor
+    axis — this sampler's per-anchor ll is fully local to a shard
+    (frozen feature side replicated), so there are no collectives at
+    all beyond the ESS loop's all-accepted reduction."""
     from ..ops.mcmc import ess as ess_diag
     from ..ops.mcmc import split_rhat
 
     p, d = counts_pd.shape
     h = feat_e.shape[1]
-    y = jnp.asarray(counts_pd, jnp.float32)
-    f = jnp.asarray(feat_e, jnp.float32)
-    fb = jnp.asarray(feat_b, jnp.float32)
+    n_shards = int(mesh.shape[mesh_axis]) if mesh is not None else 1
+    _, (y_np,) = _pad_anchors(n_shards, np.asarray(counts_pd, np.float32))
+    rows, rep, gather = _anchor_putters(mesh, mesh_axis)
+    p_pad = y_np.shape[0]
+    y = rows(y_np)
+    f = rep(np.asarray(feat_e, np.float32))
+    fb = rep(np.asarray(feat_b, np.float32))
 
     def lnpdf(state):  # [P, H+1] -> [P]
         e = state[:, :h]
@@ -60,7 +69,7 @@ def pb_posterior_ess(
         eta = jnp.clip(eta, -20.0, 20.0)
         return jnp.sum(y * eta - jnp.exp(eta), axis=1)
 
-    init = jnp.zeros((p, h + 1))
+    init = rows(np.zeros((p_pad, h + 1), np.float32))
     samples, lnp = run_ess_chains(
         jax.random.key(seed),
         init,
@@ -69,6 +78,8 @@ def pb_posterior_ess(
         num_samples=num_samples,
         burn_in=burn_in,
     )
+    samples = gather(samples)[:, :p]
+    lnp = gather(lnp)[:, :p]
     draws = np.asarray(samples)  # [T, P, H+1]
     rhat = np.asarray([split_rhat(draws[:, i, 0]) for i in range(min(p, 20))])
     ess_v = np.asarray([ess_diag(draws[:, i, 0]) for i in range(min(p, 20))])
@@ -254,25 +265,36 @@ def _pad_anchors(n_shards: int, *arrs: np.ndarray):
 
 
 def _anchor_putters(mesh, mesh_axis: str):
-    """(shard_by_rows, replicate) placement fns for a dp mesh; both are
-    identity when mesh is None (single-device path, same program)."""
+    """(shard_by_rows, replicate, gather) placement fns for a dp mesh;
+    the first two are identity and gather is a no-op when mesh is None
+    (single-device path, same program). `make_array_from_callback`
+    (rather than device_put) also builds the global array when the mesh
+    spans multiple PROCESSES, each host holding the full numpy input;
+    `gather` all-gathers a P-sharded output to replicated so
+    np.asarray works on every process."""
     if mesh is None:
         iden = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
-        return iden, iden
+        return iden, iden, lambda x: x
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
     def rows(a):
         a = np.asarray(a, np.float32)
         spec = P(mesh_axis, *([None] * (a.ndim - 1)))
-        return jax.device_put(a, NamedSharding(mesh, spec))
+        s = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
 
     def rep(a):
-        return jax.device_put(
-            np.asarray(a, np.float32), NamedSharding(mesh, P())
-        )
+        a = np.asarray(a, np.float32)
+        s = NamedSharding(mesh, P())
+        return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
 
-    return rows, rep
+    def gather(x):
+        return jax.jit(
+            lambda v: v, out_shardings=NamedSharding(mesh, P())
+        )(x)
+
+    return rows, rep, gather
 
 
 @dataclass
@@ -330,7 +352,7 @@ def pb_gibbs(
         np.asarray(e_pb, np.float32),
         np.asarray(b_pb, np.float32),
     )
-    rows, rep = _anchor_putters(mesh, mesh_axis)
+    rows, rep, gather = _anchor_putters(mesh, mesh_axis)
     y = rows(y_np)
     ep = rows(ep_np)
     bp = rows(bp_np)
@@ -487,10 +509,12 @@ def pb_gibbs(
     kept = n_sweeps
     feat_acc = np.asarray(fa)
     pip_acc = np.asarray(pa)
-    pb_acc = np.asarray(ea)[:p]
-    bpb_acc = np.asarray(ba)[:p]
+    # P-sharded outputs all-gather to replicated before host readback
+    # (multi-process meshes hold only local shards per host)
+    pb_acc = np.asarray(gather(ea))[:p]
+    bpb_acc = np.asarray(gather(ba))[:p]
     sigma2_trace = list(np.asarray(sig_tr)[burnin:])
-    chain = np.asarray(chain_j)[burnin:, :p]
+    chain = np.asarray(gather(chain_j))[burnin:, :p]
     if len(chain) == 0:
         chain = np.zeros((1, p))
 
@@ -591,7 +615,7 @@ def gem_gibbs(
         np.asarray(e_pb, np.float32),
         np.asarray(b_pb, np.float32),
     )
-    rows, rep = _anchor_putters(mesh, mesh_axis)
+    rows, rep, gather = _anchor_putters(mesh, mesh_axis)
     p_pad = ys_np.shape[0]
     lo_s2 = float(np.exp(-2.0 * HalfCauchyVar.LOG_SD_CLAMP))
     hi_s2 = float(np.exp(2.0 * HalfCauchyVar.LOG_SD_CLAMP))
@@ -790,12 +814,12 @@ def gem_gibbs(
         rows(ep_np), rows(bp_np),
         rep(hc2), rep(hc2), rep(hc2), rep(hc2),
     )
-    bm, bpip, dm, dpip, ea, ba, sb_tr, sd_tr, chain_j = (
-        np.asarray(x) for x in out
-    )
-    ea, ba = ea[:p], ba[:p]
+    bm, bpip, dm, dpip = (np.asarray(x) for x in out[:4])
+    ea = np.asarray(gather(out[4]))[:p]
+    ba = np.asarray(gather(out[5]))[:p]
+    sb_tr, sd_tr = np.asarray(out[6]), np.asarray(out[7])
     kept = max(n_sweeps, 1)
-    chain = chain_j[burnin:, :p]
+    chain = np.asarray(gather(out[8]))[burnin:, :p]
     if len(chain) == 0:
         chain = np.zeros((1, p))
 

@@ -297,3 +297,24 @@ def test_gem_gibbs_dp_sharded_recovers():
     pip_static = res.delta_pip[20:55].mean()
     assert pip_moving > pip_static + 0.25, (pip_moving, pip_static)
     assert np.all(res.delta_pip <= res.beta_pip + 1e-6)
+
+
+def test_pb_posterior_ess_dp_sharded():
+    """pb_posterior_ess over the 8-device mesh (P=14 pads to 16): the
+    per-anchor chains are shard-local; recovery holds and outputs come
+    back unpadded."""
+    rng = np.random.default_rng(0)
+    p, d, h = 14, 100, 2
+    feat = rng.normal(0, 0.8, size=(d, h)).astype(np.float32)
+    feat_b = np.full(d, -1.0, np.float32)
+    e_true = rng.normal(0, 0.8, size=(p, h)).astype(np.float32)
+    y = rng.poisson(np.exp(e_true @ feat.T + feat_b[None, :])).astype(np.float32)
+
+    out = pb_posterior_ess(
+        y, feat, feat_b, num_samples=150, burn_in=50, seed=1, mesh=_mesh(8)
+    )
+    assert out["e_mean"].shape == (p, h)
+    for hh in range(h):
+        corr = np.corrcoef(out["e_mean"][:, hh], e_true[:, hh])[0, 1]
+        assert corr > 0.75, (hh, corr)
+    assert np.all(np.isfinite(out["lnpdf"]))
