@@ -391,16 +391,16 @@ TILE_GRP = 128  # groups per output tile (MXU-aligned)
 
 # Entries per collapse chunk. The collapse kernel is GRID-STEP bound,
 # not MXU bound: at the roofline shape (8.4M nnz, 607 groups) the
-# one-hot matmuls cost ~313 GFLOP ~ 13 ms of MXU time, yet the 1024-
-# entry kernel measured 367 ms over ~9.3k sequential grid steps —
-# ~40 us/step of pipeline overhead on [C, 1] scalar-prefetch blocks.
-# A bigger chunk amortizes the step overhead linearly (VMEM for the
-# two one-hot planes: 2 * C * 128 * 4 B = 4 MB at C=4096) at the cost
-# of more padding on sparse (gene tile, group tile) buckets; 4096
-# measured best on-chip (docs/BENCH_NOTES.md round 4).
+# one-hot matmuls cost ~300 GFLOP ~ 13 ms of MXU time, yet the 1024-
+# entry kernel measures 57 ms over ~8.8k sequential grid steps. The
+# on-chip sweep (docs/BENCH_NOTES.md round 4): 1024 -> 57.4 ms,
+# 1536 -> 21.8 ms (6.6x the XLA segment path; 12 sublanes x 128 is
+# the Mosaic layout sweet spot), 2048 -> 74.6 ms, 4096 -> VMEM OOM
+# (the two [C, 128] f32 one-hot planes + double buffering exceed the
+# 16 MB scoped budget).
 import os as _os
 
-COLLAPSE_CHUNK = int(_os.environ.get("LEGUME_COLLAPSE_CHUNK", "4096"))
+COLLAPSE_CHUNK = int(_os.environ.get("LEGUME_COLLAPSE_CHUNK", "1536"))
 
 
 def _collapse_kernel(gi_ref, gj_ref, new_ref, lr_ref, lg_ref, v_ref, out_ref):
