@@ -14,6 +14,9 @@ def run_pinto(argv):
     p.add_argument("--coords", required=True, help="TSV: cell x y")
     p.add_argument("--out", required=True)
     p.add_argument("--n-communities", "-k", type=int, default=10)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="dp-shard the edge-label Gibbs over all "
+                        "visible devices")
     p.add_argument("--knn", type=int, default=10)
     p.add_argument("--sweeps", "--num-gibbs", dest="sweeps", type=int, default=30)
     p.add_argument("--num-greedy", type=int, default=10)
@@ -449,6 +452,7 @@ def run_pinto(argv):
             qc=args.qc,
             qc_min_total=args.qc_min_total,
             reciprocal=args.reciprocal,
+            data_parallel=args.data_parallel,
             **({"seed": args.seed} if args.seed is not None else {}),
         )
     )

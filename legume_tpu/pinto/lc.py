@@ -117,6 +117,7 @@ def _sweep(
     edge_tot: jax.Array,  # [E] per-edge profile totals
     labels: jax.Array,  # [E] current labels
     inc_scores: jax.Array,  # [E, K] frozen-incidence additive term (zeros = off)
+    mask_e: jax.Array,  # [E] 1 = real edge, 0 = mesh-divisibility padding
     *,
     k: int,
     n_edges: int,
@@ -133,7 +134,7 @@ def _sweep(
     flat = lab_of_nz.astype(jnp.int32) * n_genes + col_g
     cnt_kg = jax.ops.segment_sum(vals, flat, num_segments=k * n_genes).reshape(k, n_genes)
     size_k = jax.ops.segment_sum(edge_tot, labels, num_segments=k)
-    n_k = jax.ops.segment_sum(jnp.ones_like(edge_tot), labels, num_segments=k)
+    n_k = jax.ops.segment_sum(mask_e, labels, num_segments=k)
 
     # E[log beta_kg] under Gamma(a0 + cnt, b0 + size) with per-community
     # normalization (Poisson-Gamma incidence, model.rs)
@@ -207,6 +208,8 @@ def _fit_edge_labels(
     incidence_a: float = 1.0,
     incidence_b: float = 1.0,
     init_labels: np.ndarray | None = None,
+    mesh=None,
+    mesh_axis: str = "dp",
 ) -> tuple[np.ndarray, list]:
     """Collapsed Gibbs over edge labels on an [E, D] sparse profile
     matrix; the shared core for flat fits and the cascade.
@@ -219,18 +222,47 @@ def _fit_edge_labels(
     (gibbs.rs:25-41 IncidenceConfig + run_components_em)."""
     e = profiles.shape[0]
     coo = profiles.tocoo()
-    row_e = jnp.asarray(coo.row.astype(np.int32))
-    col_g = jnp.asarray(coo.col.astype(np.int32))
-    vals = jnp.asarray(coo.data.astype(np.float32))
-    edge_tot = jnp.asarray(np.asarray(profiles.sum(1)).ravel().astype(np.float32))
+    # dp mesh: the EDGE axis (labels/profiles/scores) and the nnz axis
+    # shard over `mesh_axis` — the reference's own parallel structure
+    # (one blocked sweep resamples every edge given the [K, G] rates,
+    # which stay replicated; the rate-refresh segment sums all-reduce).
+    # Both axes pad to the mesh size; mask_e keeps padded edges out of
+    # the community-size stats (their profiles are empty).
+    n_shards = int(mesh.shape[mesh_axis]) if mesh is not None else 1
+    e_pad = e + ((-e) % n_shards)
+    nnz = len(coo.data)
+    nnz_pad = nnz + ((-nnz) % n_shards)
+
+    def _shard(a):
+        if mesh is None:
+            return jnp.asarray(a)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(mesh_axis, *([None] * (a.ndim - 1))))
+        return jax.make_array_from_callback(a.shape, sh, lambda i: a[i])
+
+    def _pad(a, n, fill=0):
+        return np.concatenate([a, np.full(n - len(a), fill, a.dtype)])
+
+    # padded nnz rows point at edge 0 with val 0: no contribution
+    row_e = _shard(_pad(coo.row.astype(np.int32), nnz_pad))
+    col_g = _shard(_pad(coo.col.astype(np.int32), nnz_pad))
+    vals = _shard(_pad(coo.data.astype(np.float32), nnz_pad))
+    edge_tot = _shard(_pad(
+        np.asarray(profiles.sum(1)).ravel().astype(np.float32), e_pad
+    ))
+    mask_e = _shard(_pad(np.ones(e, np.float32), e_pad))
 
     key = jax.random.key(seed & 0x7FFFFFFF)
     key, k_init = jax.random.split(key)
     if init_labels is not None:
-        labels = jnp.asarray(np.asarray(init_labels, np.int32))
+        labels = _shard(_pad(np.asarray(init_labels, np.int32), e_pad))
     else:
-        labels = jax.random.randint(k_init, (e,), 0, k, dtype=jnp.int32)
-    zeros_inc = jnp.zeros((e, k), jnp.float32)
+        labels = _shard(np.asarray(
+            jax.random.randint(k_init, (e_pad,), 0, k, dtype=jnp.int32)
+        ))
+    zeros_inc = _shard(np.zeros((e_pad, k), np.float32))
 
     trace = []
 
@@ -241,31 +273,44 @@ def _fit_edge_labels(
             key, k_s = jax.random.split(key)
             labels, scores = _sweep(
                 k_s, row_e, col_g, vals, edge_tot, labels, inc,
-                k=k, n_edges=e, n_genes=n_genes, alpha=alpha, a0=1.0, b0=1.0,
+                mask_e,
+                k=k, n_edges=e_pad, n_genes=n_genes, alpha=alpha,
+                a0=1.0, b0=1.0,
                 sample=sweep < n_sample,
             )
             chosen = jnp.take_along_axis(scores, labels[:, None].astype(jnp.int32), 1)
-            trace.append((phase, float(jnp.sum(chosen))))
+            trace.append((phase, float(jnp.sum(mask_e * chosen[:, 0]))))
             if sweep >= n_sample:
-                lab_np = np.asarray(labels)
+                lab_np = np.asarray(_gather(labels))
                 if prev is not None and np.array_equal(prev, lab_np):
                     break  # greedy converged
                 prev = lab_np
         return labels
 
+    def _gather(x):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        return jax.jit(lambda v: v, out_shardings=NamedSharding(mesh, P()))(x)
+
     labels = run(labels, n_sweeps, n_greedy, zeros_inc, "gibbs")
 
     if em_sweeps > 0 and edges is not None and n_cells is not None:
-        lab_np = np.asarray(labels)
+        lab_np = np.asarray(_gather(labels))[:e]
         theta = compute_node_membership(edges, lab_np, n_cells, k)
         log_b = fit_log_incidence(
             edges, lab_np, theta, k, a=incidence_a, b=incidence_b
         )
         th_e = theta[edges[:, 0]] + theta[edges[:, 1]]  # [E, K']
-        inc = jnp.asarray((th_e @ log_b.T).astype(np.float32))  # [E, K]
-        labels = run(labels, em_sweeps, n_greedy, inc, "em")
+        inc_np = np.concatenate([
+            (th_e @ log_b.T).astype(np.float32),
+            np.zeros((e_pad - e, k), np.float32),
+        ])
+        labels = run(labels, em_sweeps, n_greedy, _shard(inc_np), "em")
 
-    return np.asarray(labels), trace
+    return np.asarray(_gather(labels))[:e], trace
 
 
 @dataclass
@@ -298,6 +343,7 @@ def fit_link_community(
     gene_trim_min_degree: int = 2,
     gene_modules_resolution: float = 1.0,
     reciprocal: bool = False,
+    mesh=None,
     seed: int = DEFAULT_PROJECTION_SEED,
 ) -> LinkCommunityResult:
     n = data.num_columns
@@ -355,7 +401,7 @@ def fit_link_community(
         n_genes=n_feat, n_sweeps=n_sweeps, n_greedy=n_greedy,
         alpha=alpha, incidence_a=incidence_a, incidence_b=incidence_b,
         seed=seed,
-        edges=edges, n_cells=n, em_sweeps=em_sweeps,
+        edges=edges, n_cells=n, em_sweeps=em_sweeps, mesh=mesh,
     )
     prop = compute_node_membership(edges, labels_np, n, k)
     p_safe = np.maximum(prop, 1e-30)
@@ -438,6 +484,8 @@ class PintoLcArgs:
     # mutual-kNN spatial edges only (SrtCellPairsArgs reciprocal)
     reciprocal: bool = False
     seed: int = DEFAULT_PROJECTION_SEED
+    data_parallel: bool = False
+
 
 
 def run_lc(args: PintoLcArgs) -> LinkCommunityResult:
@@ -482,6 +530,14 @@ def run_lc(args: PintoLcArgs) -> LinkCommunityResult:
         w = np.where(low, 0.0, w).astype(np.float32)
         log.info("min-gene-count %g: %d/%d genes dropped",
                  args.min_gene_count, int(low.sum()), vec.num_rows)
+    mesh = None
+    if args.data_parallel:
+        import jax as _jax
+
+        if _jax.device_count() > 1:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh()
     res = fit_link_community(
         vec, coords,
         n_communities=args.n_communities, knn=args.knn,
@@ -497,6 +553,7 @@ def run_lc(args: PintoLcArgs) -> LinkCommunityResult:
         gene_modules_resolution=args.gene_modules_resolution,
         reciprocal=args.reciprocal,
         seed=args.seed,
+        mesh=mesh,
     )
     cells = vec.column_names()
     pd.DataFrame(

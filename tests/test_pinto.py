@@ -258,3 +258,35 @@ def test_interface_report_flags_boundary_cells(tmp_path):
     tsv = pd.read_csv(f"{out}.interfaces.tsv", sep="\t")
     assert {"cell", "entropy", "dominant", "neighbor_communities"} <= set(tsv.columns)
     assert (tmp_path / "ifc.interfaces.pdf").exists()
+
+
+def test_lc_gibbs_dp_sharded_matches_quality():
+    """The link-community Gibbs over the 8-device dp mesh (edge + nnz
+    axes sharded, E deliberately NOT divisible so masked edge padding
+    runs): labels still recover the planted communities."""
+    import jax
+    from jax.sharding import Mesh
+
+    import scipy.sparse as sp
+
+    from legume_tpu.pinto.lc import _fit_edge_labels
+
+    rng = np.random.default_rng(0)
+    e, g, k = 301, 40, 3  # 301 pads to 304 on 8 devices
+    true = rng.integers(0, k, e)
+    rates = rng.gamma(2.0, 1.0, (k, g)) * (rng.random((k, g)) < 0.25)
+    prof = rng.poisson(rates[true] * 4.0).astype(np.float32)
+    profiles = sp.csr_matrix(prof)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    labels, trace = _fit_edge_labels(
+        profiles, k, n_genes=g, n_sweeps=15, n_greedy=10, seed=3, mesh=mesh
+    )
+    assert labels.shape == (e,)
+    # label-permutation-free agreement: majority map
+    acc = 0
+    for kk in range(k):
+        m = labels == kk
+        if m.any():
+            acc += np.bincount(true[m], minlength=k).max()
+    assert acc / e > 0.85, acc / e
