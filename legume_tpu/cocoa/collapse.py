@@ -380,8 +380,15 @@ def collect_cocoa_stat_multi(
     t_total, n_indv = exposures_ti.shape
     m = cache.idx.shape[1]
     if t_chunk is None:
+        import os
+
+        # W + A cost ~4x bytes_per_t of peak HBM through the pass-A
+        # scan (carry + donated copy + the per-t scatter plane), so the
+        # budget is deliberately conservative; 1M cells x P=10 x K=8
+        # measured a ~20 GB compile-time buffer at the old 2 GB budget.
+        budget = float(os.environ.get("LEGUME_COCOA_W_BUDGET", 5e8))
         bytes_per_t = n * (n_samples + 1) * k * 4
-        t_chunk = max(int(2e9 // max(bytes_per_t, 1)), 1)
+        t_chunk = max(int(budget // max(bytes_per_t, 1)), 1)
     t_chunk = min(t_chunk, t_total)
 
     z_j = jnp.asarray(cell_topic_nk.astype(np.float32))

@@ -40,6 +40,13 @@ def _topk_chunk(
     return jnp.maximum(q_sq - val, 0.0), idx
 
 
+#  The one-shot [C, N] score plane caps at this many bytes; beyond it
+#  the points axis TILES inside one jitted scan (running top-k merge in
+#  the carry) — a [4096, 1M] f32 plane is 16 GB and cannot exist on a
+#  16 GB-HBM v5e, which is exactly the 1M-cell cocoa match-cache shape.
+_TOPK_PLANE_BUDGET = 1 << 31  # 2 GB
+
+
 def knn_search(
     queries: np.ndarray,  # [M, K]
     points: np.ndarray,  # [N, K]
@@ -58,9 +65,24 @@ def knn_search(
     m = queries.shape[0]
     n = points.shape[0]
     k = min(k, n)
-    r = jnp.asarray(points, jnp.float32)
-    r_sq = jnp.sum(r * r, axis=-1)
-    mask_n = jnp.ones(n, bool) if mask is None else jnp.asarray(mask)
+    tiled = (
+        exclude_self_offset is None and 4 * chunk * n > _TOPK_PLANE_BUDGET
+    )
+    if tiled:
+        tile = max(_TOPK_PLANE_BUDGET // (4 * chunk), 1024)
+        tile = min(1 << int(np.ceil(np.log2(tile))), n)
+        n_pad = -(-n // tile) * tile
+        r_t = np.zeros((n_pad, points.shape[1]), np.float32)
+        r_t[:n] = points
+        r = jnp.asarray(r_t.reshape(n_pad // tile, tile, -1))
+        r_sq = jnp.sum(r * r, axis=-1)  # [T, tile]
+        mask_np = np.zeros(n_pad, bool)
+        mask_np[:n] = True if mask is None else np.asarray(mask)
+        mask_t = jnp.asarray(mask_np.reshape(n_pad // tile, tile))
+    else:
+        r = jnp.asarray(points, jnp.float32)
+        r_sq = jnp.sum(r * r, axis=-1)
+        mask_n = jnp.ones(n, bool) if mask is None else jnp.asarray(mask)
 
     dists = np.empty((m, k), np.float32)
     idxs = np.empty((m, k), np.int64)
@@ -71,11 +93,47 @@ def knn_search(
             # mask self by index, chunk-local
             self_ids = jnp.arange(lb, ub) + exclude_self_offset
             d2, idx = _topk_chunk_excl(q, r, r_sq, mask_n, self_ids, k=k)
+        elif tiled:
+            d2, idx = _topk_chunk_tiled(q, r, r_sq, mask_t, k=k)
         else:
             d2, idx = _topk_chunk(q, r, r_sq, mask_n, k=k)
         dists[lb:ub] = np.sqrt(np.asarray(d2))
         idxs[lb:ub] = np.asarray(idx)
     return dists, idxs
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _topk_chunk_tiled(q_ck, r_tnk, r_sq_tn, mask_tn, *, k: int):
+    """Points-axis-tiled exact top-k: one `lax.scan` over point tiles
+    with the running (neg-distance, global-index) top-k in the carry —
+    the [C, tile] plane is the only large transient, so N is unbounded
+    by HBM. Semantics identical to `_topk_chunk`."""
+    c = q_ck.shape[0]
+    n_tiles, tile = r_sq_tn.shape
+
+    def body(carry, xs):
+        best_v, best_i = carry  # [C, k] neg distances + global ids
+        t_idx, r_nk, r_sq, m_n = xs
+        cross = q_ck @ r_nk.T  # [C, tile]
+        neg_d = 2.0 * cross - r_sq[None, :]
+        neg_d = jnp.where(m_n[None, :], neg_d, -jnp.inf)
+        gids = t_idx * tile + jnp.arange(tile)
+        cat_v = jnp.concatenate([best_v, neg_d], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(gids[None, :], (c, tile))], axis=1
+        )
+        val, pos = jax.lax.top_k(cat_v, k)
+        return (val, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((c, k), -jnp.inf),
+        jnp.zeros((c, k), jnp.int32),
+    )
+    (val, idx), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_tiles), r_tnk, r_sq_tn, mask_tn)
+    )
+    q_sq = jnp.sum(q_ck * q_ck, axis=-1, keepdims=True)
+    return jnp.maximum(q_sq - val, 0.0), idx
 
 
 @partial(jax.jit, static_argnames=("k",))

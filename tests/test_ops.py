@@ -252,3 +252,23 @@ def test_col_ids_from_counts_matches_host_expansion():
         col_ids_from_counts(jnp.zeros(17, jnp.int32), cap=64, ncols=17)
     )
     assert (zero == 17).all()
+
+
+def test_knn_search_tiled_matches_oneshot(monkeypatch):
+    """The points-axis-tiled top-k (engaged when the [C, N] plane would
+    blow the HBM budget, e.g. 1M-cell match caches) returns the same
+    neighbors as the one-shot plane."""
+    import legume_tpu.ops.knn as knn_mod
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 1, (3000, 12)).astype(np.float32)
+    q = rng.normal(0, 1, (257, 12)).astype(np.float32)
+    mask = rng.random(3000) < 0.7
+
+    d0, i0 = knn_mod.knn_search(q, pts, 7, chunk=128, mask=mask)
+    monkeypatch.setattr(knn_mod, "_TOPK_PLANE_BUDGET", 64 * 1024)
+    d1, i1 = knn_mod.knn_search(q, pts, 7, chunk=128, mask=mask)
+    np.testing.assert_allclose(np.sort(d0, 1), np.sort(d1, 1), atol=1e-4)
+    # same neighbor sets (tie order may differ)
+    for a, b in zip(i0, i1):
+        assert set(a) == set(b)
