@@ -45,6 +45,12 @@ def run_cocoa(argv):
                    help=">0: kmeans-BIC selects the HMM state count in "
                         "3..k_max (cnv kmeans_init.rs)")
     p.add_argument("--cnv-ref-iters", type=int, default=2)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="dp over the device mesh: query-sharded match "
+                        "cache + exposure-sharded permutation replay")
+    p.add_argument("--no-match-cache", action="store_true",
+                   help="do not persist/reuse the match cache next to "
+                        "the backend")
 
     p = sub.add_parser(
         "collapse", help="per-individual pseudobulk Gamma means (cocoa collapse)"
@@ -193,6 +199,8 @@ def run_cocoa(argv):
             cnv_states=args.cnv_states,
             cnv_gmm_k_max=args.cnv_gmm_k_max,
             cnv_ref_iters=args.cnv_ref_iters,
+            data_parallel=args.data_parallel,
+            match_cache=not args.no_match_cache,
             **(
                 {"seed": args.seed} if args.seed is not None else {}
             ),

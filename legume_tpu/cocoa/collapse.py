@@ -55,8 +55,10 @@ def build_match_cache(
     knn: int,
     *,
     chunk: int = 4096,
+    mesh=None,
 ) -> MatchCache:
-    """kNN per OTHER individual for every cell (exposure-agnostic)."""
+    """kNN per OTHER individual for every cell (exposure-agnostic).
+    `mesh` shards the query axis of the exact top-k over dp."""
     from ..ops.knn import knn_search
 
     n = proj_nk.shape[0]
@@ -72,7 +74,7 @@ def build_match_cache(
         if ni == 0:
             continue
         kk = min(knn, ni)
-        d, ix = knn_search(proj_nk, proj_nk, kk, chunk=chunk, mask=in_i)
+        d, ix = knn_search(proj_nk, proj_nk, kk, chunk=chunk, mask=in_i, mesh=mesh)
         for q_i in range(n_indv):
             if q_i == i:
                 continue
@@ -84,6 +86,64 @@ def build_match_cache(
     return MatchCache(
         idx=idx, dist=dist, valid=valid, matched_indv=cell_indv[idx]
     )
+
+
+# ----------------------------------------------------------------------------
+# Match-cache persistence (run_diff.rs:341-346 `MatchCache` — the
+# reference retains it in memory so permutation replays skip
+# re-matching; persisting next to the backend extends the reuse across
+# INVOCATIONS and permutation configs, like the ingest tile cache)
+# ----------------------------------------------------------------------------
+
+
+def match_cache_key(
+    n: int, knn: int, n_indv: int, proj_dim: int, seed: int,
+    cell_indv: np.ndarray,
+) -> str:
+    """Config fingerprint: the cache depends only on the projection
+    (deterministic under seed/dim), the individual assignment, and knn
+    — NOT on exposures/topics/permutations."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.asarray([n, knn, n_indv, proj_dim, seed], np.int64).tobytes())
+    h.update(np.ascontiguousarray(cell_indv, np.int64).tobytes())
+    return h.hexdigest()[:16]
+
+
+def match_cache_file(backend_path: str, key: str) -> str:
+    import os
+
+    if os.path.isdir(backend_path):
+        return os.path.join(backend_path, "match_cache", f"{key}.npz")
+    return f"{backend_path}.match_cache.{key}.npz"
+
+
+def save_match_cache(cache: MatchCache, path: str) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    np.savez_compressed(
+        tmp, idx=cache.idx, dist=cache.dist, valid=cache.valid,
+        matched_indv=cache.matched_indv,
+    )
+    os.replace(tmp + (".npz" if not tmp.endswith(".npz") else ""), path)
+
+
+def load_match_cache(path: str) -> MatchCache | None:
+    import os
+
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path)
+        return MatchCache(
+            idx=z["idx"], dist=z["dist"], valid=z["valid"],
+            matched_indv=z["matched_indv"],
+        )
+    except Exception:
+        return None
 
 
 @jax.jit
@@ -213,8 +273,7 @@ def collect_cocoa_stat(
 # ----------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_samples",), donate_argnums=(0, 1))
-def _accumulate_match_weights(
+def _accumulate_match_weights_impl(
     w_acc,  # [T, N*P, K] flattened per-(matched cell, query sample) weights
     a_acc,  # [T, N, K] per-query z-active
     exposures_ti,  # [T, I]
@@ -257,12 +316,12 @@ def _accumulate_match_weights(
     return w_acc, a_acc
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_samples", "n_indv", "d"),
-    donate_argnums=(0, 1, 2),
-)
-def _apply_weights_block(
+_accumulate_match_weights = partial(
+    jax.jit, static_argnames=("n_samples",), donate_argnums=(0, 1)
+)(_accumulate_match_weights_impl)
+
+
+def _apply_weights_block_impl(
     y0_acc,  # [T, D, P, K]
     y1_acc,  # [T, D, P, K]
     y1i_acc,  # [T, D, I, K]
@@ -339,6 +398,66 @@ def _apply_weights_block(
     return y0_acc, y1_acc, y1i_acc
 
 
+_apply_weights_block = partial(
+    jax.jit,
+    static_argnames=("n_samples", "n_indv", "d"),
+    donate_argnums=(0, 1, 2),
+)(_apply_weights_block_impl)
+
+
+# ----------------------------------------------------------------------------
+# dp over the exposure (permutation) axis — the mesh analog of the
+# reference's rayon-parallel permutation replays (run_diff.rs:361)
+# ----------------------------------------------------------------------------
+
+_SHARDED_CACHE: dict = {}
+
+
+def _sharded_replay_fns(mesh, n_samples: int, n_indv: int, d: int):
+    """shard_map wrappers of the two replay-collector programs with the
+    EXPOSURE axis split over dp: permutations are conditionally
+    independent given the match cache, so each device owns T/n_dev
+    exposure rows, their W/A planes, and their sufficient-stat
+    accumulators — no collectives at all, and per-device HBM for the W
+    plane drops by the mesh size (the 1M-cell constraint). The wrapped
+    functions are the single-device programs applied to the local T
+    slice, so mesh and no-mesh paths share one implementation."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    key = (mesh, n_samples, n_indv, d)
+    if key in _SHARDED_CACHE:
+        return _SHARDED_CACHE[key]
+
+    t_spec = P(DATA_AXIS)
+    rep = P()
+
+    acc = jax.jit(
+        jax.shard_map(
+            partial(_accumulate_match_weights_impl, n_samples=n_samples),
+            mesh=mesh,
+            in_specs=(t_spec, t_spec, t_spec) + (rep,) * 9,
+            out_specs=(t_spec, t_spec),
+        ),
+        donate_argnums=(0, 1),
+    )
+    apply_ = jax.jit(
+        jax.shard_map(
+            partial(
+                _apply_weights_block_impl,
+                n_samples=n_samples, n_indv=n_indv, d=d,
+            ),
+            mesh=mesh,
+            in_specs=(t_spec, t_spec, t_spec, t_spec, t_spec) + (rep,) * 5,
+            out_specs=(t_spec, t_spec, t_spec),
+        ),
+        donate_argnums=(0, 1, 2),
+    )
+    _SHARDED_CACHE[key] = (acc, apply_)
+    return acc, apply_
+
+
 def collect_cocoa_stat_multi(
     data,
     cell_topic_nk: np.ndarray,  # [N, K]
@@ -351,6 +470,7 @@ def collect_cocoa_stat_multi(
     gene_weights: np.ndarray | None = None,
     cell_block: int = 1024,
     t_chunk: int | None = None,
+    mesh=None,
 ) -> list[CocoaStat]:
     """Permutation-replay collector, TPU-shaped: two passes, each data
     column read ONCE regardless of T.
@@ -374,11 +494,20 @@ def collect_cocoa_stat_multi(
     `t_chunk` (default sized to ~2 GB); each chunk re-streams the data,
     still arbitrarily better than per-permutation re-reads. Returns one
     CocoaStat per exposure row; row t reproduces `collect_cocoa_stat`
-    with that exposure to float tolerance."""
+    with that exposure to float tolerance.
+
+    `mesh`: dp-shard the EXPOSURE axis — each device owns T/n_dev
+    exposure rows end-to-end (coefficients, W/A planes, sufficient
+    stats), the mesh analog of the reference's rayon permutation loop
+    (run_diff.rs:361). Per-device W memory drops by the mesh size, so
+    the HBM T-chunk budget scales up accordingly."""
     n, k = cell_topic_nk.shape
     d = data.num_rows
     t_total, n_indv = exposures_ti.shape
     m = cache.idx.shape[1]
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     if t_chunk is None:
         import os
 
@@ -386,26 +515,54 @@ def collect_cocoa_stat_multi(
         # scan (carry + donated copy + the per-t scatter plane), so the
         # budget is deliberately conservative; 1M cells x P=10 x K=8
         # measured a ~20 GB compile-time buffer at the old 2 GB budget.
-        budget = float(os.environ.get("LEGUME_COCOA_W_BUDGET", 5e8))
+        # Sharded, the plane splits over devices: budget scales by n_dev.
+        budget = float(os.environ.get("LEGUME_COCOA_W_BUDGET", 5e8)) * n_dev
         bytes_per_t = n * (n_samples + 1) * k * 4
-        t_chunk = max(int(budget // max(bytes_per_t, 1)), 1)
+        t_chunk = max(int(budget // max(bytes_per_t, 1)), n_dev)
     t_chunk = min(t_chunk, t_total)
+    if mesh is not None:
+        # T chunks pad to the mesh size (pad rows replay exposure 0)
+        t_chunk = max(t_chunk - t_chunk % n_dev, n_dev)
+        acc_fn, apply_fn = _sharded_replay_fns(mesh, n_samples, n_indv, d)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        t_shard = lambda a: jax.device_put(a, NamedSharding(mesh, P(DATA_AXIS)))
+    else:
+        acc_fn = partial(_accumulate_match_weights, n_samples=n_samples)
+        apply_fn = partial(
+            _apply_weights_block, n_samples=n_samples, n_indv=n_indv, d=d
+        )
+        t_shard = lambda a: a
 
     z_j = jnp.asarray(cell_topic_nk.astype(np.float32))
     stats_out: list[CocoaStat] = []
     for t_lo in range(0, t_total, t_chunk):
         t_hi = min(t_lo + t_chunk, t_total)
-        tc = t_hi - t_lo
-        exp_j = jnp.asarray(exposures_ti[t_lo:t_hi].astype(np.int32))
+        tc_real = t_hi - t_lo
+        tc = tc_real if mesh is None else -(-tc_real // n_dev) * n_dev
+        exp_chunk = exposures_ti[t_lo:t_hi].astype(np.int32)
+        if tc != tc_real:
+            exp_chunk = np.concatenate(
+                [exp_chunk, np.repeat(exposures_ti[:1].astype(np.int32),
+                                      tc - tc_real, axis=0)]
+            )
+        exp_j = t_shard(jnp.asarray(exp_chunk))
+
+        from ..utils.progress import progress
 
         # ---- pass A: match-weight accumulation (no count reads) ----
-        w_acc = jnp.zeros((tc, n * n_samples, k))
-        a_acc = jnp.zeros((tc, n, k))
+        w_acc = t_shard(jnp.zeros((tc, n * n_samples, k)))
+        a_acc = t_shard(jnp.zeros((tc, n, k)))
+        prog_a = progress.stage(
+            f"cocoa-pass-a t[{t_lo}:{t_hi}]", -(-n // cell_block)
+        )
         for lb in range(0, n, cell_block):
             ub = min(lb + cell_block, n)
             c = ub - lb
             idx_blk = cache.idx[lb:ub]
-            w_acc, a_acc = _accumulate_match_weights(
+            w_acc, a_acc = acc_fn(
                 w_acc, a_acc, exp_j,
                 jnp.asarray(cell_indv[lb:ub].astype(np.int32)),
                 jnp.asarray(cache.matched_indv[lb:ub].astype(np.int32)),
@@ -418,19 +575,23 @@ def collect_cocoa_stat_multi(
                 jnp.asarray(idx_blk.reshape(-1).astype(np.int32)),
                 jnp.asarray(pb_sample[lb:ub].astype(np.int32)),
                 jnp.arange(lb, ub, dtype=jnp.int32),
-                n_samples=n_samples,
             )
+            prog_a.update()
+        prog_a.finish()
 
         # ---- pass B: one streaming pass over all columns -----------
-        y0_acc = jnp.zeros((tc, d, n_samples, k))
-        y1_acc = jnp.zeros((tc, d, n_samples, k))
-        y1i_acc = jnp.zeros((tc, d, n_indv, k))
+        y0_acc = t_shard(jnp.zeros((tc, d, n_samples, k)))
+        y1_acc = t_shard(jnp.zeros((tc, d, n_samples, k)))
+        y1i_acc = t_shard(jnp.zeros((tc, d, n_indv, k)))
         w_mat = w_acc.reshape(tc, n, n_samples, k)
+        prog_b = progress.stage(
+            f"cocoa-pass-b t[{t_lo}:{t_hi}]", -(-n // cell_block)
+        )
         for lb in range(0, n, cell_block):
             ub = min(lb + cell_block, n)
             c = ub - lb
             blk = csc_to_coo_block(data.read_columns_csc(np.arange(lb, ub)))
-            y0_acc, y1_acc, y1i_acc = _apply_weights_block(
+            y0_acc, y1_acc, y1i_acc = apply_fn(
                 y0_acc, y1_acc, y1i_acc,
                 w_mat[:, lb:ub].reshape(tc, c * n_samples, k),
                 a_acc[:, lb:ub],
@@ -439,10 +600,9 @@ def collect_cocoa_stat_multi(
                 jnp.asarray(blk.col_ids.astype(np.int32)),
                 jnp.asarray(pb_sample[lb:ub].astype(np.int32)),
                 jnp.asarray(cell_indv[lb:ub].astype(np.int32)),
-                n_samples=n_samples,
-                n_indv=n_indv,
-                d=d,
             )
+            prog_b.update()
+        prog_b.finish()
 
         # ---- sizes from the z-active plane -------------------------
         pb_j = jnp.asarray(pb_sample.astype(np.int32))
@@ -461,7 +621,7 @@ def collect_cocoa_stat_multi(
         y1i_np = np.asarray(y1i_acc)
         szkp_np = np.asarray(szkp)
         szkip_np = np.asarray(szkip)
-        for t in range(tc):
+        for t in range(tc_real):
             stat = CocoaStat.zeros(k, d, n_indv, n_samples)
             stat.y1_sum_kdp = y1_np[t].transpose(2, 0, 1)
             stat.y0_sum_kdp = y0_np[t].transpose(2, 0, 1)

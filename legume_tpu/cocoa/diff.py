@@ -71,6 +71,13 @@ class CocoaDiffArgs:
     cnv_gmm_k_max: int = 0  # >0: kmeans-BIC selects the state count
     cnv_ref_iters: int = 2
     seed: int = DEFAULT_PROJECTION_SEED
+    # dp over the device mesh: match-cache build shards the query axis,
+    # the replay collector shards the exposure/permutation axis (the
+    # mesh analog of the reference's rayon loop, run_diff.rs:361)
+    data_parallel: bool = False
+    # persist the exposure-agnostic match cache next to the backend
+    # (MatchCache, run_diff.rs:341-346, extended across invocations)
+    match_cache: bool = True
 
 
 def assign_pseudobulk(
@@ -183,8 +190,35 @@ def run_cocoa_diff(args: CocoaDiffArgs) -> dict:
     pb = assign_pseudobulk(cell_indv, proj_nk, args.n_pb_samples, args.seed)
     n_samples = int(pb.max()) + 1
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(len(jax.devices()))
+        log.info("data-parallel over %d devices", len(jax.devices()))
+
     _t0 = _time.time()
-    cache = build_match_cache(proj_nk, cell_indv, n_indv, args.knn)
+    cache = None
+    cache_path = None
+    if args.match_cache and args.data_files:
+        from .collapse import load_match_cache, match_cache_file, match_cache_key
+
+        key = match_cache_key(
+            n, args.knn, n_indv, args.proj_dim, args.seed, cell_indv
+        )
+        cache_path = match_cache_file(args.data_files[0], key)
+        cache = load_match_cache(cache_path)
+        if cache is not None:
+            log.info("match cache reused: %s", cache_path)
+            timings["match_cache_reused"] = True
+    if cache is None:
+        cache = build_match_cache(proj_nk, cell_indv, n_indv, args.knn, mesh=mesh)
+        if cache_path is not None:
+            from .collapse import save_match_cache
+
+            save_match_cache(cache, cache_path)
     timings["match_cache_s"] = round(_time.time() - _t0, 2)
 
     # permutation null (run_diff.rs:341-380): replay with permuted
@@ -206,7 +240,7 @@ def run_cocoa_diff(args: CocoaDiffArgs) -> dict:
         _t0 = _time.time()
         stats = collect_cocoa_stat_multi(
             vec, z, cell_indv, pb, n_samples, exposures_ti, cache,
-            gene_weights=gene_weights,
+            gene_weights=gene_weights, mesh=mesh,
         )
         timings["stat_collect_all_exposures_s"] = round(_time.time() - _t0, 2)
         stat = stats[0]

@@ -55,22 +55,41 @@ def knn_search(
     chunk: int = 4096,
     mask: np.ndarray | None = None,
     exclude_self_offset: int | None = None,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact kNN: returns (distances [M, k] L2, indices [M, k]).
 
     `mask` restricts candidates; `exclude_self_offset`, when queries are
     points[offset:offset+M], removes each query's self-match by
     distance-0 suppression.
+
+    Every chunk pads to exactly `chunk` query rows, so one config
+    compiles ONE program regardless of M (remote-compile hygiene).
+    `mesh`: shard the padded query chunk's rows over dp (points
+    replicated) — the score matmul and top-k are row-separable, so XLA
+    partitions them with no collectives (`cocoa diff --data-parallel`
+    match-cache build; the reference's per-cell rayon loop analog).
     """
     m = queries.shape[0]
     n = points.shape[0]
     k = min(k, n)
+    q_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        chunk = -(-chunk // n_dev) * n_dev
+        q_sharding = NamedSharding(mesh, P(DATA_AXIS))
     tiled = (
         exclude_self_offset is None and 4 * chunk * n > _TOPK_PLANE_BUDGET
     )
     if tiled:
         tile = max(_TOPK_PLANE_BUDGET // (4 * chunk), 1024)
-        tile = min(1 << int(np.ceil(np.log2(tile))), n)
+        # round DOWN to a power of two: rounding up could double the
+        # [chunk, tile] score plane past the budget it exists to bound
+        tile = min(max(1 << int(np.floor(np.log2(tile))), 1024), n)
         n_pad = -(-n // tile) * tile
         r_t = np.zeros((n_pad, points.shape[1]), np.float32)
         r_t[:n] = points
@@ -84,21 +103,37 @@ def knn_search(
         r_sq = jnp.sum(r * r, axis=-1)
         mask_n = jnp.ones(n, bool) if mask is None else jnp.asarray(mask)
 
+    from ..utils.progress import progress
+
     dists = np.empty((m, k), np.float32)
     idxs = np.empty((m, k), np.int64)
+    prog = progress.stage("knn-search", -(-m // chunk)) if m > chunk else None
     for lb in range(0, m, chunk):
         ub = min(lb + chunk, m)
-        q = jnp.asarray(queries[lb:ub], jnp.float32)
+        c = ub - lb
+        if c < chunk:  # pad the tail chunk: one program shape per config
+            q_np = np.zeros((chunk, queries.shape[1]), np.float32)
+            q_np[:c] = queries[lb:ub]
+        else:
+            q_np = queries[lb:ub]
+        q = jnp.asarray(q_np, jnp.float32)
+        if q_sharding is not None:
+            q = jax.device_put(q, q_sharding)
         if exclude_self_offset is not None:
-            # mask self by index, chunk-local
-            self_ids = jnp.arange(lb, ub) + exclude_self_offset
+            # mask self by index, chunk-local (pad rows self-mask out
+            # of nothing: their ids land beyond the point range)
+            self_ids = jnp.arange(lb, lb + chunk) + exclude_self_offset
             d2, idx = _topk_chunk_excl(q, r, r_sq, mask_n, self_ids, k=k)
         elif tiled:
             d2, idx = _topk_chunk_tiled(q, r, r_sq, mask_t, k=k)
         else:
             d2, idx = _topk_chunk(q, r, r_sq, mask_n, k=k)
-        dists[lb:ub] = np.sqrt(np.asarray(d2))
-        idxs[lb:ub] = np.asarray(idx)
+        dists[lb:ub] = np.sqrt(np.asarray(d2[:c]))
+        idxs[lb:ub] = np.asarray(idx[:c])
+        if prog is not None:
+            prog.update()
+    if prog is not None:
+        prog.finish()
     return dists, idxs
 
 
