@@ -647,17 +647,29 @@ def gem_gibbs(
             (beta, gb, delta, gd, ep, bp, sig_b, aux_b, sig_d, aux_d, key,
              bm, bpip, dm, dpip, ea, ba) = carry
 
+            # Both eta planes are CARRIED through the dim loops and
+            # rank-1-updated (the pb_gibbs eta-plane treatment, VERDICT
+            # r4 missing #5): eta_off(dim) = eta - ep[:,dim] (x) coord,
+            # one fresh [P,H]x[H,D] matmul pair per SWEEP bounds drift
+            # instead of 3 full matmuls per DIM (8x MXU padding waste at
+            # H=16 each).
+            eta_s_full = ep @ (beta * gb).T + bs[None, :] + bp[:, None]
+            eta_u_full = (
+                ep @ (beta * gb + delta * gd).T + bu[None, :] + bp[:, None]
+            )
+
             # ---- beta block: 2 terms (spliced + unspliced) ------------
             def beta_dim(dim, st):
-                beta, gb, key = st
-                gated_b = beta * gb
-                gated_d = delta * gd
-                b0 = gated_b.at[:, dim].set(0.0)
-                eta_s_off = ep @ b0.T + bs[None, :] + bp[:, None]
-                eta_u_off = ep @ (b0 + gated_d).T + bu[None, :] + bp[:, None]
+                beta, gb, eta_s, eta_u, key = st
+                cur = jax.lax.dynamic_index_in_dim(
+                    beta, dim, 1, keepdims=False
+                ) * jax.lax.dynamic_index_in_dim(gb, dim, 1, keepdims=False)
                 contrib = jax.lax.dynamic_index_in_dim(
                     ep, dim, 1, keepdims=False
                 )
+                # beta_dim enters BOTH tracks with the same coefficient
+                eta_s_off = eta_s - jnp.outer(contrib, cur)
+                eta_u_off = eta_u - jnp.outer(contrib, cur)
 
                 def lnpdf(state):
                     shift = jnp.outer(contrib, state[:, 0])
@@ -669,11 +681,7 @@ def gem_gibbs(
                 sd = jnp.sqrt(
                     jax.lax.dynamic_index_in_dim(sig_b, dim, 0, keepdims=False)
                 )
-                init = (
-                    jax.lax.dynamic_index_in_dim(beta, dim, 1, keepdims=False)
-                    * jax.lax.dynamic_index_in_dim(gb, dim, 1, keepdims=False)
-                )[:, None]
-                new_c = _ess_run(k_e, init, sd, lnpdf)[:, 0]
+                new_c = _ess_run(k_e, cur[:, None], sd, lnpdf)[:, 0]
                 ll_on = lnpdf(new_c[:, None])
                 ll_off = lnpdf(jnp.zeros_like(new_c)[:, None])
                 lop = jax.lax.dynamic_index_in_dim(
@@ -684,23 +692,28 @@ def gem_gibbs(
                 )
                 gb = gb.at[:, dim].set(on.astype(jnp.float32))
                 beta = beta.at[:, dim].set(new_c)
-                return (beta, gb, key)
+                new_coord = new_c * on.astype(jnp.float32)
+                eta_s = eta_s_off + jnp.outer(contrib, new_coord)
+                eta_u = eta_u_off + jnp.outer(contrib, new_coord)
+                return (beta, gb, eta_s, eta_u, key)
 
             key, k_b = jax.random.split(key)
-            beta, gb, _ = jax.lax.fori_loop(0, h, beta_dim, (beta, gb, k_b))
+            beta, gb, eta_s_full, eta_u_full, _ = jax.lax.fori_loop(
+                0, h, beta_dim, (beta, gb, eta_s_full, eta_u_full, k_b)
+            )
 
             # ---- delta block: 1 term (unspliced), nested gate ---------
+            # eta_u_full carries over from the beta block (updated beta,
+            # old delta) — no fresh matmul needed
             def delta_dim(dim, st):
-                delta, gd, key = st
-                gated_b = beta * gb
-                gated_d = delta * gd
-                d0 = gated_d.at[:, dim].set(0.0)
-                eta_u_off = (
-                    ep @ (gated_b + d0).T + bu[None, :] + bp[:, None]
-                )
+                delta, gd, eta_u, key = st
+                cur = jax.lax.dynamic_index_in_dim(
+                    delta, dim, 1, keepdims=False
+                ) * jax.lax.dynamic_index_in_dim(gd, dim, 1, keepdims=False)
                 contrib = jax.lax.dynamic_index_in_dim(
                     ep, dim, 1, keepdims=False
                 )
+                eta_u_off = eta_u - jnp.outer(contrib, cur)
 
                 def lnpdf(state):
                     return _poisson_ll_cols(
@@ -711,11 +724,7 @@ def gem_gibbs(
                 sd = jnp.sqrt(
                     jax.lax.dynamic_index_in_dim(sig_d, dim, 0, keepdims=False)
                 )
-                init = (
-                    jax.lax.dynamic_index_in_dim(delta, dim, 1, keepdims=False)
-                    * jax.lax.dynamic_index_in_dim(gd, dim, 1, keepdims=False)
-                )[:, None]
-                new_c = _ess_run(k_e, init, sd, lnpdf)[:, 0]
+                new_c = _ess_run(k_e, cur[:, None], sd, lnpdf)[:, 0]
                 ll_on = lnpdf(new_c[:, None])
                 ll_off = lnpdf(jnp.zeros_like(new_c)[:, None])
                 lop = jax.lax.dynamic_index_in_dim(
@@ -730,11 +739,12 @@ def gem_gibbs(
                 )
                 gd = gd.at[:, dim].set(on)
                 delta = delta.at[:, dim].set(new_c)
-                return (delta, gd, key)
+                eta_u = eta_u_off + jnp.outer(contrib, new_c * on)
+                return (delta, gd, eta_u, key)
 
             key, k_d = jax.random.split(key)
-            delta, gd, _ = jax.lax.fori_loop(
-                0, h, delta_dim, (delta, gd, k_d)
+            delta, gd, _, _ = jax.lax.fori_loop(
+                0, h, delta_dim, (delta, gd, eta_u_full, k_d)
             )
 
             # ---- hypers: separate half-Cauchy ladders per gate --------

@@ -132,17 +132,26 @@ def annotate_two_layer(
     n_comm = res.n_communities
     types = list(marker_sets)
 
-    # each fine type peaks on the community with its highest mean z;
-    # types sharing a peak community merge into one coarse group
+    # each fine type peaks on the community where it is most ENRICHED:
+    # per-community mean z, centered on the type's cross-community mean
+    # and weighted by sqrt(community size) — a tiny community's mean has
+    # standard error ~ 1/sqrt(n), so raw means let noise-inflated small
+    # communities steal the peak (type_annotation/coarsen.rs:51-73).
+    # Types sharing a peak community merge into one coarse group.
+    comm_size = np.asarray([(comm == c).sum() for c in range(n_comm)])
     peak_of_type = {}
     for t, ty in enumerate(types):
         if not np.isfinite(fine.zscores[:, t]).any():
             continue
         means = np.asarray(
-            [fine.zscores[comm == c, t].mean() if (comm == c).any() else -np.inf
+            [fine.zscores[comm == c, t].mean() if (comm == c).any() else 0.0
              for c in range(n_comm)]
         )
-        peak_of_type[ty] = int(means.argmax())
+        centered = means - means[comm_size > 0].mean()
+        score = np.where(
+            comm_size > 0, centered * np.sqrt(np.maximum(comm_size, 1)), -np.inf
+        )
+        peak_of_type[ty] = int(score.argmax())
     groups: dict[int, list] = {}
     for ty, c in peak_of_type.items():
         groups.setdefault(c, []).append(ty)

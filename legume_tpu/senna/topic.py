@@ -1059,14 +1059,27 @@ def evaluate_latent_by_encoder(
         "batch_stats": variables["batch_stats"]["encoder"],
     }
 
+    # the null plane ships to the device ONCE as [S, D] (or [B, D]);
+    # per-block we ship only [ncols] membership ids and gather on
+    # device — the old host-side `null_ds[:, membership[...]].T` built
+    # and transferred a dense [ncols, D] plane per block, ~8 GB at 1M
+    # cells vs ~7 MB once (predict.rs:444's per-block x0 lookup, moved
+    # device-side)
+    null_sd = jnp.asarray(null_ds.T, jnp.float32) if null_ds is not None else None
+    # gene ids fit uint16 for D <= 65535: halves the per-nnz row bytes
+    row_dtype = np.uint16 if d <= 0xFFFF else np.int32
+
     @partial(jax.jit, static_argnames=("ncols",))
-    def encode_blocks(rows_g, counts_g, vals_g, null_g, *, ncols):
+    def encode_blocks(rows_g, counts_g, vals_g, memb_g, null_plane, *, ncols):
         cap = rows_g.shape[-1]
 
         def body(_, inp):
-            r, cc, v, nu = inp
+            r, cc, v, mb = inp
             c = sparse_ops.col_ids_from_counts(cc, cap=cap, ncols=ncols)
-            x = sparse_ops.densify_block(r, c, v, ncols=ncols, num_genes=d)
+            x = sparse_ops.densify_block(
+                r.astype(jnp.int32), c, v, ncols=ncols, num_genes=d
+            )
+            nu = null_plane[mb]  # [ncols, D] gathered on device
             log_z, _ = enc.apply(enc_vars, x, nu, train=False)
             if refine_ld is not None:
                 log_z = refine_topic_proportions(
@@ -1075,7 +1088,7 @@ def evaluate_latent_by_encoder(
                 )
             return None, log_z
 
-        _, zs = jax.lax.scan(body, None, (rows_g, counts_g, vals_g, null_g))
+        _, zs = jax.lax.scan(body, None, (rows_g, counts_g, vals_g, memb_g))
         return zs
 
     buf: list = []
@@ -1084,7 +1097,7 @@ def evaluate_latent_by_encoder(
         """Device-stacked (rows, counts, vals) with zero-block padding
         to g_pad (host np.stack + expanded col_ids measured seconds per
         pass on this host — BENCH_NOTES teardown table)."""
-        rows_l = [jnp.asarray(b.row_ids) for b in buf]
+        rows_l = [jnp.asarray(b.row_ids.astype(row_dtype)) for b in buf]
         cnts_l = [jnp.asarray(b.col_counts) for b in buf]
         vals_l = [jnp.asarray(b.vals) for b in buf]
         pad = g_pad - len(buf)
@@ -1101,15 +1114,13 @@ def evaluate_latent_by_encoder(
         g_pad = 1 << (g - 1).bit_length()
         ncols = buf[0].ncols
         rows_g, cnts_g, vals_g = _stacked(buf, g_pad)
-        if null_ds is not None:
-            nulls = [
-                null_ds[:, membership[b.lb : b.lb + b.ncols]].T.astype(np.float32)
-                for b in buf
-            ] + [np.zeros((ncols, d), np.float32)] * (g_pad - g)
-            null_g = jnp.asarray(np.stack(nulls))
-        else:
-            null_g = jnp.zeros((g_pad, ncols, 0), jnp.float32)
-        zs = np.asarray(encode_blocks(rows_g, cnts_g, vals_g, null_g, ncols=ncols))
+        membs = [
+            membership[b.lb : b.lb + b.ncols].astype(np.int32) for b in buf
+        ] + [np.zeros(ncols, np.int32)] * (g_pad - g)
+        memb_g = jnp.asarray(np.stack(membs))
+        zs = np.asarray(
+            encode_blocks(rows_g, cnts_g, vals_g, memb_g, null_sd, ncols=ncols)
+        )
         for i, b in enumerate(buf):
             out[b.lb : b.lb + b.ncols] = zs[i]
         buf.clear()
@@ -1121,7 +1132,9 @@ def evaluate_latent_by_encoder(
         def body(_, inp):
             r, cc, v = inp
             c = sparse_ops.col_ids_from_counts(cc, cap=cap, ncols=ncols)
-            x = sparse_ops.densify_block(r, c, v, ncols=ncols, num_genes=d)
+            x = sparse_ops.densify_block(
+                r.astype(jnp.int32), c, v, ncols=ncols, num_genes=d
+            )
             log_z, _ = enc.apply(enc_vars, x, None, train=False)
             if refine_ld is not None:
                 log_z = refine_topic_proportions(

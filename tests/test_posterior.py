@@ -137,8 +137,15 @@ def test_two_layer_annotation_merges_nested_types():
         "B Naive": [f"g{i}" for i in range(30, 40)],
         "B Memory": [f"g{i}" for i in range(40, 50)],
     }
+    # resolution is the documented granularity knob (type_annotation.rs
+    # TypeAnnotationArgs: "smaller communities -> more coarse groups");
+    # at modularity 1.0 this 200-cell graph over-splits each population
+    # into similar-size siblings and the types legitimately land on
+    # different peaks. (The old default-resolution pass relied on a
+    # doubled-resolution bug in the pre-refinement local-move rule.)
     res = annotate_two_layer(
-        cells, feat, genes, markers, knn=10, n_permutations=60, min_z=1.0, seed=0,
+        cells, feat, genes, markers, knn=10, n_permutations=60, min_z=1.0,
+        seed=0, resolution=0.5,
     )
     # the two T subtypes merge, the two B subtypes merge, never across
     assert res.group_of_type["T Naive"] == res.group_of_type["T Memory"]
