@@ -28,6 +28,7 @@ PARSER_MODULES = (
 )
 
 HANDLERS = {
+    "index": genes_cmds._cmd_index,
     "genes": genes_cmds._cmd_genes,
     "dartseq": editing_cmds._cmd_editing,
     "atoi": editing_cmds._cmd_editing,

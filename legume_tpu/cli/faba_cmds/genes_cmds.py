@@ -12,6 +12,16 @@ from ._common import _add_gene_qc_args
 
 def add_parsers(sub):
     p = sub.add_parser(
+        "index",
+        help="build .bai indices for coordinate-sorted BAMs (the "
+             "samtools-index analog; the reference requires them for "
+             "ranged fetch — m6a/run.rs:660-675 check_all_bam_indices)",
+    )
+    p.add_argument("bam", nargs="+", help="BAM file(s) to index")
+    p.add_argument("--force", action="store_true",
+                   help="rebuild even when a .bai already exists")
+
+    p = sub.add_parser(
         "genes",
         help="per-cell gene counts from BAM (gene_count/run.rs "
              "GeneCountArgs)",
@@ -46,6 +56,18 @@ def add_parsers(sub):
         help="emit spliced + unspliced backends (velocity input; the "
              "reference separates by default — declared divergence)",
     )
+
+
+def _cmd_index(args):
+    from ...faba.bam import bai_path_for, build_bam_index
+
+    for bam in args.bam:
+        bai = bai_path_for(bam)
+        if os.path.exists(bai) and not args.force:
+            print(f"{bai} exists (use --force to rebuild)")
+            continue
+        build_bam_index(bam, bai)
+        print(f"wrote {bai}")
 
 
 def _cmd_genes(args):

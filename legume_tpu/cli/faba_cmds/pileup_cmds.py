@@ -128,7 +128,19 @@ def _cmd_pileup(args):
             sel[stat_cols[0]].to_numpy(float)
             if stat_cols else np.ones(len(sel))
         )
-        reads = read_bam(args.bam, cb_tag=args.cell_barcode_tag)
+        # ranged fetch via the .bai index (built on first use): only the
+        # BGZF blocks overlapping the window are decompressed, instead of
+        # a whole-file scan (rust-htslib fetch parity; the superset
+        # window keeps the inclusive-bound mask below authoritative)
+        try:
+            reads = read_bam(
+                args.bam, cb_tag=args.cell_barcode_tag,
+                region=(chrom, max(lb - 1, 0), ub + 1),
+            )
+        except (KeyError, IOError):
+            # unknown contig (keep the empty-track behavior) or an
+            # unindexable BAM (not coordinate-sorted): stream the file
+            reads = read_bam(args.bam, cb_tag=args.cell_barcode_tag)
         rmap = {n: i for i, n in enumerate(reads.ref_names)}
         rid = rmap.get(chrom, -1)
         m = (

@@ -78,6 +78,11 @@ def add_parsers(sub):
                         "(the reference's bin mode)")
     p.add_argument("--output", required=True)
     p.add_argument("--min-mapq", type=int, default=20)
+    p.add_argument("--use-index", action="store_true",
+                   help="with --bed: ranged .bai fetch of the BED "
+                        "windows (built on first use) instead of a "
+                        "whole-file stream; barcode columns then cover "
+                        "only in-region cells")
     p.add_argument("--cell-barcode-tag", default="CB")
     p.add_argument("--row-nnz-cutoff", type=int, default=0)
     p.add_argument("--column-nnz-cutoff", type=int, default=0)
@@ -145,7 +150,8 @@ def _cmd_depth(args):
         )
         if args.bed is not None:
             cov, names, barcodes = depth_per_region(
-                bam_path, read_bed(args.bed), min_mapq=args.min_mapq
+                bam_path, read_bed(args.bed), min_mapq=args.min_mapq,
+                use_index=args.use_index,
             )
         else:
             cov, names, barcodes = depth_matrix_uniform(

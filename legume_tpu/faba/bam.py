@@ -99,6 +99,16 @@ def _load():
         lib.bam_num_barcodes.argtypes = [ctypes.c_void_p]
         lib.bam_barcode.restype = ctypes.c_char_p
         lib.bam_barcode.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        lib.bam_load_index.restype = ctypes.c_int
+        lib.bam_load_index.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.bam_set_region.restype = ctypes.c_int
+        lib.bam_set_region.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+        ]
+        lib.bam_build_index.restype = ctypes.c_int
+        lib.bam_build_index.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.bam_blocks_read.restype = ctypes.c_long
+        lib.bam_blocks_read.argtypes = [ctypes.c_void_p]
         lib.bam_close.argtypes = [ctypes.c_void_p]
         lib.bam_set_tags.restype = None
         lib.bam_set_tags.argtypes = [
@@ -139,6 +149,9 @@ class BamRecords:
     mm_umi_id: np.ndarray | None = None
     mm_base_qual: np.ndarray | None = None  # phred at the read base
     mm_gene_id: np.ndarray | None = None  # gene tag of the read (-1 = none)
+    # BGZF blocks decompressed serving this read (I/O-skip diagnostic:
+    # ranged fetch should touch O(overlapping blocks), not O(file))
+    blocks_read: int = 0
 
 
 def read_bam_ref_names(path: str) -> list[str]:
@@ -172,9 +185,63 @@ def read_bam_contigs(path: str) -> list[tuple[str, int]]:
         lib.bam_close(h)
 
 
+def _drain_records(lib, h, chunk: int, cols: dict, path) -> None:
+    """Stream bam_next_chunk4 until EOF (or region exhaustion),
+    appending each chunk's columnar arrays into `cols`."""
+    while True:
+        rid = np.empty(chunk, np.int32)
+        pos = np.empty(chunk, np.int32)
+        end = np.empty(chunk, np.int32)
+        flag = np.empty(chunk, np.uint16)
+        mapq = np.empty(chunk, np.uint8)
+        cb = np.empty(chunk, np.int64)
+        umi = np.empty(chunk, np.int64)
+        skip = np.empty(chunk, np.uint8)
+        t_len = np.empty(chunk, np.uint16)
+        t_frac = np.empty(chunk, np.uint8)
+        gx = np.empty(chunk, np.int64)
+        n = lib.bam_next_chunk4(
+            h, chunk, rid, pos, end, flag, mapq, cb, umi, skip, t_len,
+            t_frac, gx,
+        )
+        if n < 0:
+            raise IOError(f"BAM parse error in {path}")
+        if n == 0:
+            break
+        cols["ref_id"].append(rid[:n].copy())
+        cols["pos"].append(pos[:n].copy())
+        cols["end_pos"].append(end[:n].copy())
+        cols["flag"].append(flag[:n].copy())
+        cols["mapq"].append(mapq[:n].copy())
+        cols["cb"].append(cb[:n].copy())
+        cols["umi"].append(umi[:n].copy())
+        cols["skip"].append(skip[:n].copy())
+        cols["tail_len"].append(t_len[:n].copy())
+        cols["tail_frac"].append(t_frac[:n].copy())
+        cols["gene"].append(gx[:n].copy())
+
+
+def bai_path_for(path: str) -> str:
+    """Companion index path: `<bam>.bai` (the htslib convention)."""
+    return str(path) + ".bai"
+
+
+def build_bam_index(path: str, bai_path: str | None = None) -> str:
+    """Build a `.bai` for a coordinate-sorted BAM (the `samtools index`
+    equivalent; the reference requires prebuilt indices —
+    faba/src/m6a/run.rs:660-675 `check_all_bam_indices`). One native
+    streaming pass; returns the index path."""
+    lib = _load()
+    out = bai_path or bai_path_for(path)
+    if lib.bam_build_index(str(path).encode(), out.encode()) != 0:
+        raise IOError(f"cannot index BAM (missing/corrupt/unsorted?): {path}")
+    return out
+
+
 def read_bam(
     path: str, *, chunk: int = 1 << 16, cb_tag: str = "CB", umi_tag: str = "UB",
     gene_tag: str | None = None,
+    region: tuple[str | int, int, int] | None = None,
 ) -> BamRecords:
     """Stream the whole BAM into columnar arrays. `cb_tag`/`umi_tag`
     select the barcode Z tags (DartSeqCountArgs cell_barcode_tag;
@@ -182,7 +249,71 @@ def read_bam(
     gene_barcode_tag; faba/src/m6a/run.rs:23-540) additionally interns
     the aligner-assigned gene tag per record into `gene_id`/
     `gene_names` — the CellRanger-conformant gene keying that GFF
-    overlap cannot reproduce on multi-overlap reads."""
+    overlap cannot reproduce on multi-overlap reads.
+
+    `region=(ref, beg, end)` (0-based half-open; ref by name or id)
+    fetches only records overlapping the window via the `.bai` index —
+    BGZF virtual-offset seeks, O(overlapping blocks) instead of
+    O(file) (the rust-htslib `fetch` path the reference's per-gene
+    loops use). Builds the index on first use if absent."""
+    lib = _load()
+    h = lib.bam_open(str(path).encode())
+    if not h:
+        raise IOError(f"cannot open BAM: {path}")
+    if cb_tag != "CB" or umi_tag != "UB":
+        lib.bam_set_tags(h, cb_tag.encode(), umi_tag.encode())
+    if gene_tag:
+        lib.bam_set_gene_tag(h, gene_tag.encode())
+    if region is not None:
+        bai = bai_path_for(path)
+        if not os.path.exists(bai):
+            build_bam_index(path, bai)
+        if lib.bam_load_index(h, bai.encode()) != 0:
+            lib.bam_close(h)
+            raise IOError(f"cannot parse BAM index: {bai}")
+        ref, beg, end = region
+        if isinstance(ref, str):
+            names = [
+                lib.bam_ref_name(h, i).decode()
+                for i in range(lib.bam_num_refs(h))
+            ]
+            if ref not in names:
+                lib.bam_close(h)
+                raise KeyError(f"unknown reference {ref!r} in {path}")
+            ref = names.index(ref)
+        if lib.bam_set_region(h, int(ref), int(beg), int(end)) != 0:
+            lib.bam_close(h)
+            raise IOError(f"cannot set region on {path}")
+    try:
+        refs = [lib.bam_ref_name(h, i).decode() for i in range(lib.bam_num_refs(h))]
+        cols = {
+            k: []
+            for k in ("ref_id", "pos", "end_pos", "flag", "mapq", "cb", "umi",
+                      "skip", "tail_len", "tail_frac", "gene")
+        }
+        _drain_records(lib, h, chunk, cols, path)
+        return _finish_records(lib, h, chunk, cols, refs, gene_tag, path)
+    finally:
+        lib.bam_close(h)
+
+
+def read_bam_regions(
+    path: str,
+    regions: "list[tuple[str | int, int, int]]",
+    *,
+    chunk: int = 1 << 16,
+    cb_tag: str = "CB",
+    umi_tag: str = "UB",
+    gene_tag: str | None = None,
+) -> BamRecords:
+    """Ranged fetch over MANY windows on one handle (the reference's
+    per-gene `fetch` loop, faba/src/m6a/run.rs:660-675): one `.bai`
+    load, one barcode/UMI interning table across all windows, one
+    virtual-offset seek per merged window. Overlapping/adjacent query
+    windows are merged per chromosome first, so each record is
+    returned once per MERGED window it overlaps (a read spanning two
+    disjoint windows appears twice — callers that need uniqueness
+    dedup on (ref, pos, cb, umi), as depth_per_region does)."""
     lib = _load()
     h = lib.bam_open(str(path).encode())
     if not h:
@@ -192,74 +323,75 @@ def read_bam(
     if gene_tag:
         lib.bam_set_gene_tag(h, gene_tag.encode())
     try:
+        bai = bai_path_for(path)
+        if not os.path.exists(bai):
+            build_bam_index(path, bai)
+        if lib.bam_load_index(h, bai.encode()) != 0:
+            raise IOError(f"cannot parse BAM index: {bai}")
         refs = [lib.bam_ref_name(h, i).decode() for i in range(lib.bam_num_refs(h))]
+        rmap = {n: i for i, n in enumerate(refs)}
+        # resolve names, drop unknown contigs, merge per-ref windows
+        by_ref: dict[int, list[list[int]]] = {}
+        for ref, beg, end in regions:
+            rid = rmap.get(ref) if isinstance(ref, str) else int(ref)
+            if rid is None or not (0 <= rid < len(refs)) or end <= beg:
+                continue
+            by_ref.setdefault(rid, []).append([int(beg), int(end)])
         cols = {
             k: []
             for k in ("ref_id", "pos", "end_pos", "flag", "mapq", "cb", "umi",
                       "skip", "tail_len", "tail_frac", "gene")
         }
-        while True:
-            rid = np.empty(chunk, np.int32)
-            pos = np.empty(chunk, np.int32)
-            end = np.empty(chunk, np.int32)
-            flag = np.empty(chunk, np.uint16)
-            mapq = np.empty(chunk, np.uint8)
-            cb = np.empty(chunk, np.int64)
-            umi = np.empty(chunk, np.int64)
-            skip = np.empty(chunk, np.uint8)
-            t_len = np.empty(chunk, np.uint16)
-            t_frac = np.empty(chunk, np.uint8)
-            gx = np.empty(chunk, np.int64)
-            n = lib.bam_next_chunk4(
-                h, chunk, rid, pos, end, flag, mapq, cb, umi, skip, t_len,
-                t_frac, gx,
-            )
-            if n < 0:
-                raise IOError(f"BAM parse error in {path}")
-            if n == 0:
-                break
-            cols["ref_id"].append(rid[:n].copy())
-            cols["pos"].append(pos[:n].copy())
-            cols["end_pos"].append(end[:n].copy())
-            cols["flag"].append(flag[:n].copy())
-            cols["mapq"].append(mapq[:n].copy())
-            cols["cb"].append(cb[:n].copy())
-            cols["umi"].append(umi[:n].copy())
-            cols["skip"].append(skip[:n].copy())
-            cols["tail_len"].append(t_len[:n].copy())
-            cols["tail_frac"].append(t_frac[:n].copy())
-            cols["gene"].append(gx[:n].copy())
-        mms = {k: [] for k in ("rid", "pos", "rb", "ab", "cb", "umi", "bq",
-                               "gx")}
-        while True:
-            rid = np.empty(chunk, np.int32)
-            pos = np.empty(chunk, np.int32)
-            rb = np.empty(chunk, np.uint8)
-            ab = np.empty(chunk, np.uint8)
-            cb = np.empty(chunk, np.int64)
-            umi = np.empty(chunk, np.int64)
-            bq = np.empty(chunk, np.uint8)
-            gx = np.empty(chunk, np.int64)
-            nm = lib.bam_take_mismatches2(
-                h, chunk, rid, pos, rb, ab, cb, umi, bq, gx
-            )
-            if nm == 0:
-                break
-            mms["rid"].append(rid[:nm].copy())
-            mms["pos"].append(pos[:nm].copy())
-            mms["rb"].append(rb[:nm].copy())
-            mms["ab"].append(ab[:nm].copy())
-            mms["cb"].append(cb[:nm].copy())
-            mms["umi"].append(umi[:nm].copy())
-            mms["bq"].append(bq[:nm].copy())
-            mms["gx"].append(gx[:nm].copy())
-        barcodes = [lib.bam_barcode(h, i).decode() for i in range(lib.bam_num_barcodes(h))]
-        gene_names = (
-            [lib.bam_gene_name(h, i).decode() for i in range(lib.bam_num_genes(h))]
-            if gene_tag else None
-        )
+        for rid in sorted(by_ref):
+            spans = sorted(by_ref[rid])
+            merged = [spans[0]]
+            for s, e in spans[1:]:
+                if s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            for s, e in merged:
+                if lib.bam_set_region(h, rid, s, e) != 0:
+                    raise IOError(f"cannot set region on {path}")
+                _drain_records(lib, h, chunk, cols, path)
+        return _finish_records(lib, h, chunk, cols, refs, gene_tag, path)
     finally:
         lib.bam_close(h)
+
+
+def _finish_records(lib, h, chunk, cols, refs, gene_tag, path) -> BamRecords:
+    """Drain accumulated mismatches + interning tables off an open
+    handle and assemble the columnar BamRecords."""
+    mms = {k: [] for k in ("rid", "pos", "rb", "ab", "cb", "umi", "bq",
+                           "gx")}
+    while True:
+        rid = np.empty(chunk, np.int32)
+        pos = np.empty(chunk, np.int32)
+        rb = np.empty(chunk, np.uint8)
+        ab = np.empty(chunk, np.uint8)
+        cb = np.empty(chunk, np.int64)
+        umi = np.empty(chunk, np.int64)
+        bq = np.empty(chunk, np.uint8)
+        gx = np.empty(chunk, np.int64)
+        nm = lib.bam_take_mismatches2(
+            h, chunk, rid, pos, rb, ab, cb, umi, bq, gx
+        )
+        if nm == 0:
+            break
+        mms["rid"].append(rid[:nm].copy())
+        mms["pos"].append(pos[:nm].copy())
+        mms["rb"].append(rb[:nm].copy())
+        mms["ab"].append(ab[:nm].copy())
+        mms["cb"].append(cb[:nm].copy())
+        mms["umi"].append(umi[:nm].copy())
+        mms["bq"].append(bq[:nm].copy())
+        mms["gx"].append(gx[:nm].copy())
+    barcodes = [lib.bam_barcode(h, i).decode() for i in range(lib.bam_num_barcodes(h))]
+    gene_names = (
+        [lib.bam_gene_name(h, i).decode() for i in range(lib.bam_num_genes(h))]
+        if gene_tag else None
+    )
+    nblocks = int(lib.bam_blocks_read(h))
 
     cat = lambda k: (
         np.concatenate(cols[k]) if cols[k] else np.zeros(0, np.int32)
@@ -290,6 +422,7 @@ def read_bam(
         mm_umi_id=catm("umi", np.int64),
         mm_base_qual=catm("bq", np.uint8),
         mm_gene_id=catm("gx", np.int64) if gene_tag else None,
+        blocks_read=nblocks,
     )
 
 

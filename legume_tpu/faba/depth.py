@@ -51,10 +51,27 @@ def depth_per_region(
     bed: BedIntervals,
     *,
     min_mapq: int = 20,
+    use_index: bool = False,
 ) -> tuple[sp.csc_matrix, list, list]:
     """(coverage [n_regions, n_cells], region names, barcodes):
-    deduped read counts overlapping each region."""
-    recs = read_bam(bam_path)
+    deduped read counts overlapping each region.
+
+    `use_index=True` fetches only the BED windows via the `.bai`
+    (built on first use) instead of streaming the whole file — the
+    reference's per-region rust-htslib fetch loop. The barcode axis
+    then covers only in-region cells (the fetch-loop semantics);
+    whole-file streaming keeps every barcode in the file as a
+    (possibly all-zero) column."""
+    if use_index:
+        from .bam import read_bam_regions
+
+        recs = read_bam_regions(
+            bam_path,
+            [(c, int(s), int(e)) for c, s, e in
+             zip(bed.chrom, bed.start, bed.end)],
+        )
+    else:
+        recs = read_bam(bam_path)
     keep = (recs.mapq >= min_mapq) & (recs.cb_id >= 0) & ((recs.flag & 0x904) == 0)
     rid = recs.ref_id[keep]
     pos = recs.pos[keep]

@@ -16,6 +16,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -30,14 +31,39 @@ struct BgzfReader {
     std::vector<uint8_t> buf;   // decompressed current block
     size_t pos = 0;             // cursor within buf
     bool eof = false;
+    uint64_t block_coffset = 0;  // file offset of the block in `buf`
+    uint64_t blocks_read = 0;    // decompressed-block counter (skip-ratio metric)
 
     bool open(const char* path) {
         f = std::fopen(path, "rb");
         return f != nullptr;
     }
 
+    // BGZF virtual offset of the cursor: (block file offset << 16) |
+    // offset within the decompressed block (SAM spec section 4.1.1).
+    // Monotone in file position, so chunk-bound comparisons hold even
+    // when the cursor sits at the end of a fully-consumed block.
+    uint64_t tell_voffset() const {
+        return (block_coffset << 16) | (uint64_t)pos;
+    }
+
+    // Jump to a virtual offset (BAI chunk start). Clears EOF state so
+    // regions can be fetched after a full-stream pass hit EOF.
+    bool seek_voffset(uint64_t v) {
+        uint64_t co = v >> 16;
+        size_t uo = (size_t)(v & 0xffff);
+        if (!f || std::fseek(f, (long)co, SEEK_SET) != 0) return false;
+        eof = false;
+        if (!next_block()) return false;
+        if (uo > buf.size()) return false;
+        pos = uo;
+        return true;
+    }
+
     // Read one BGZF block; returns false at clean EOF.
     bool next_block() {
+        block_coffset = (uint64_t)std::ftell(f);
+        blocks_read++;
         uint8_t hdr[12];
         size_t n = std::fread(hdr, 1, 12, f);
         if (n == 0) { eof = true; return false; }
@@ -117,6 +143,79 @@ struct Interner {
     }
 };
 
+// ---------------------------------------------------------------------------
+// BAI index (SAM spec section 5.2): R-tree binning over 5 levels plus a
+// 16 KiB-window linear index. The reference requires indices for per-gene
+// ranged reads (faba/src/m6a/run.rs:660-675 check_all_bam_indices;
+// rust-htslib fetch); this is the from-scratch equivalent.
+// ---------------------------------------------------------------------------
+
+struct Chunk {
+    uint64_t beg, end;  // virtual-offset half-open span
+};
+
+struct RefIndex {
+    std::unordered_map<uint32_t, std::vector<Chunk>> bins;
+    std::vector<uint64_t> linear;  // 16 KiB window -> min record voffset
+};
+
+// Bin number of the smallest bin fully containing [beg, end) (spec 5.3).
+int reg2bin(int64_t beg, int64_t end) {
+    end--;
+    if (beg >> 14 == end >> 14) return ((1 << 15) - 1) / 7 + (int)(beg >> 14);
+    if (beg >> 17 == end >> 17) return ((1 << 12) - 1) / 7 + (int)(beg >> 17);
+    if (beg >> 20 == end >> 20) return ((1 << 9) - 1) / 7 + (int)(beg >> 20);
+    if (beg >> 23 == end >> 23) return ((1 << 6) - 1) / 7 + (int)(beg >> 23);
+    if (beg >> 26 == end >> 26) return ((1 << 3) - 1) / 7 + (int)(beg >> 26);
+    return 0;
+}
+
+// All bins overlapping [beg, end) (spec 5.3).
+void reg2bins(int64_t beg, int64_t end, std::vector<uint32_t>* bins) {
+    if (beg < 0) beg = 0;
+    end--;
+    if (end < beg) end = beg;
+    bins->push_back(0);
+    for (int64_t k = 1 + (beg >> 26); k <= 1 + (end >> 26); k++) bins->push_back((uint32_t)k);
+    for (int64_t k = 9 + (beg >> 23); k <= 9 + (end >> 23); k++) bins->push_back((uint32_t)k);
+    for (int64_t k = 73 + (beg >> 20); k <= 73 + (end >> 20); k++) bins->push_back((uint32_t)k);
+    for (int64_t k = 585 + (beg >> 17); k <= 585 + (end >> 17); k++) bins->push_back((uint32_t)k);
+    for (int64_t k = 4681 + (beg >> 14); k <= 4681 + (end >> 14); k++) bins->push_back((uint32_t)k);
+}
+
+bool load_bai(const char* path, std::vector<RefIndex>* out) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    auto rd = [&](void* p, size_t n) { return std::fread(p, 1, n, f) == n; };
+    char magic[4];
+    bool ok = rd(magic, 4) && std::memcmp(magic, "BAI\1", 4) == 0;
+    int32_t n_ref = 0;
+    ok = ok && rd(&n_ref, 4) && n_ref >= 0;
+    for (int r = 0; ok && r < n_ref; r++) {
+        out->emplace_back();
+        RefIndex& ri = out->back();
+        int32_t n_bin = 0;
+        ok = rd(&n_bin, 4) && n_bin >= 0;
+        for (int bi = 0; ok && bi < n_bin; bi++) {
+            uint32_t bin;
+            int32_t n_chunk = 0;
+            ok = rd(&bin, 4) && rd(&n_chunk, 4) && n_chunk >= 0;
+            std::vector<Chunk> cs(ok ? (size_t)n_chunk : 0);
+            for (auto& c : cs) ok = ok && rd(&c.beg, 8) && rd(&c.end, 8);
+            if (ok && bin != 37450)  // 37450 = samtools metadata pseudo-bin
+                ri.bins.emplace(bin, std::move(cs));
+        }
+        int32_t n_intv = 0;
+        ok = ok && rd(&n_intv, 4) && n_intv >= 0;
+        if (ok) {
+            ri.linear.resize((size_t)n_intv);
+            for (auto& v : ri.linear) ok = ok && rd(&v, 8);
+        }
+    }
+    std::fclose(f);
+    return ok;
+}
+
 // One reference-mismatch observation (from MD tag + SEQ).
 struct Mismatch {
     int32_t ref_id;
@@ -145,6 +244,15 @@ struct BamFile {
     char gene_tag[3] = {0, 0, 0};
     std::vector<uint8_t> rec;  // scratch record buffer
     std::vector<Mismatch> mismatches;  // drained by bam_take_mismatches
+    // BAI index + active ranged fetch (bam_load_index / bam_set_region)
+    std::vector<RefIndex> index;
+    bool has_index = false;
+    bool region_active = false;
+    std::vector<Chunk> region_chunks;  // merged, voffset-sorted
+    size_t region_ci = 0;
+    bool region_seeked = false;
+    int32_t region_ref = -1;
+    int64_t region_beg = 0, region_end = 0;
 
     bool open(const char* path) {
         if (!bg.open(path)) return false;
@@ -312,6 +420,28 @@ long bam_next_chunk4(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* 
     auto* b = (BamFile*)h;
     long n = 0;
     while (n < cap) {
+        if (b->region_active) {
+            // position the cursor inside the next unexhausted chunk
+            bool exhausted = false;
+            for (;;) {
+                if (b->region_ci >= b->region_chunks.size()) {
+                    exhausted = true;
+                    break;
+                }
+                const Chunk& c = b->region_chunks[b->region_ci];
+                if (!b->region_seeked) {
+                    if (!b->bg.seek_voffset(c.beg)) return -1;
+                    b->region_seeked = true;
+                }
+                if (b->bg.tell_voffset() >= c.end) {
+                    b->region_ci++;
+                    b->region_seeked = false;
+                    continue;
+                }
+                break;
+            }
+            if (exhausted) break;  // region fully read
+        }
         int32_t block_size;
         if (!b->bg.read(&block_size, 4)) break;  // EOF
         if (block_size < 32 || block_size > (1 << 26)) return -1;  // corrupt
@@ -348,6 +478,19 @@ long bam_next_chunk4(void* h, long cap, int32_t* ref_id, int32_t* pos, int32_t* 
                 case 0: case 2: case 7: case 8: span += len; break;  // M D = X
                 default: break;
             }
+        }
+        if (b->region_active) {
+            // overlap filter BEFORE tag/MD work: skipped records must
+            // not intern barcodes or emit mismatches. Zero-span reads
+            // occupy one base for overlap purposes (htslib convention).
+            int64_t rbeg = rpos, rend = rpos + (span ? span : 1);
+            if (rid == b->region_ref && rbeg >= b->region_end) {
+                // coordinate-sorted input: every later record starts
+                // at or after this one -> nothing further can overlap
+                b->region_ci = b->region_chunks.size();
+                break;
+            }
+            if (rid != b->region_ref || rend <= b->region_beg) continue;
         }
         const uint8_t* seq4 = cigar + 4 * n_cigar;
         // terminal soft clips + their A/T content (seq4 nibbles:
@@ -474,6 +617,180 @@ void bam_set_gene_tag(void* h, const char* tag) {
 long bam_num_genes(void* h) { return (long)((BamFile*)h)->gene.names.size(); }
 const char* bam_gene_name(void* h, long i) { return ((BamFile*)h)->gene.names[i].c_str(); }
 long bam_num_umis(void* h) { return (long)((BamFile*)h)->umi.names.size(); }
+
+// Load a .bai companion index; 0 on success, -1 on parse/open failure.
+int bam_load_index(void* h, const char* bai_path) {
+    auto* b = (BamFile*)h;
+    std::vector<RefIndex> idx;
+    if (!load_bai(bai_path, &idx)) return -1;
+    b->index = std::move(idx);
+    b->has_index = true;
+    return 0;
+}
+
+// Restrict subsequent bam_next_chunk* calls to records overlapping
+// [beg, end) on ref_id, via BAI chunk gathering + virtual-offset seeks
+// (the rust-htslib `fetch` equivalent). ref_id < 0 clears the region
+// (back to whole-file streaming from the current position). Returns 0,
+// or -1 when no index is loaded / ref_id is out of range.
+int bam_set_region(void* h, int ref_id, long long beg, long long end) {
+    auto* b = (BamFile*)h;
+    if (ref_id < 0) {
+        b->region_active = false;
+        b->region_chunks.clear();
+        return 0;
+    }
+    if (!b->has_index || (size_t)ref_id >= b->index.size()) return -1;
+    const RefIndex& ri = b->index[ref_id];
+    b->region_chunks.clear();
+    b->region_ci = 0;
+    b->region_seeked = false;
+    b->region_ref = ref_id;
+    b->region_beg = beg;
+    b->region_end = end;
+    b->region_active = true;
+    if (beg >= end) return 0;  // empty window -> no chunks
+    // linear-index lower bound: chunks ending before the first possible
+    // record of the 16 KiB window cannot contain overlapping reads
+    uint64_t min_off = 0;
+    size_t w = (size_t)(beg >> 14);
+    if (!ri.linear.empty()) {
+        if (w >= ri.linear.size()) return 0;  // past the last read
+        min_off = ri.linear[w];
+    }
+    std::vector<uint32_t> bins;
+    reg2bins(beg, end, &bins);
+    for (uint32_t bin : bins) {
+        auto it = ri.bins.find(bin);
+        if (it == ri.bins.end()) continue;
+        for (const Chunk& c : it->second)
+            if (c.end > min_off) b->region_chunks.push_back(c);
+    }
+    std::sort(b->region_chunks.begin(), b->region_chunks.end(),
+              [](const Chunk& a, const Chunk& c) { return a.beg < c.beg; });
+    // coalesce overlapping/adjacent chunks so each byte is read once
+    size_t out = 0;
+    for (size_t i = 0; i < b->region_chunks.size(); i++) {
+        if (out && b->region_chunks[i].beg <= b->region_chunks[out - 1].end) {
+            if (b->region_chunks[i].end > b->region_chunks[out - 1].end)
+                b->region_chunks[out - 1].end = b->region_chunks[i].end;
+        } else {
+            b->region_chunks[out++] = b->region_chunks[i];
+        }
+    }
+    b->region_chunks.resize(out);
+    return 0;
+}
+
+// Build a .bai for a coordinate-sorted BAM (the `samtools index`
+// equivalent; the reference requires prebuilt indices, m6a/run.rs:660).
+// Streams records once, tracking each record's start virtual offset.
+// Returns 0, or -1 on open/parse failure (including out-of-order or
+// out-of-range positions, which would produce a corrupt index).
+int bam_build_index(const char* bam_path, const char* bai_path) {
+    BamFile b;
+    if (!b.open(bam_path)) return -1;
+    size_t n_ref = b.ref_names.size();
+    std::vector<RefIndex> idx(n_ref);
+    std::vector<uint64_t> max_voff(n_ref, 0);
+    int32_t last_rid = -2;
+    int64_t last_pos = -1;
+    std::vector<uint8_t> rec;
+    for (;;) {
+        uint64_t vstart = b.bg.tell_voffset();
+        int32_t block_size;
+        if (!b.bg.read(&block_size, 4)) break;  // EOF
+        if (block_size < 32 || block_size > (1 << 26)) { b.bg.close(); return -1; }
+        rec.resize(block_size);
+        if (!b.bg.read(rec.data(), block_size)) { b.bg.close(); return -1; }
+        uint64_t vend = b.bg.tell_voffset();
+        const uint8_t* p = rec.data();
+        int32_t rid, rpos;
+        std::memcpy(&rid, p, 4);
+        std::memcpy(&rpos, p + 4, 4);
+        uint8_t l_read_name = p[8];
+        uint16_t n_cigar;
+        std::memcpy(&n_cigar, p + 12, 2);
+        if (32 + (int64_t)l_read_name + 4 * (int64_t)n_cigar > (int64_t)block_size) {
+            b.bg.close();
+            return -1;
+        }
+        if (rid < 0) continue;  // unmapped tail: not indexed
+        if ((size_t)rid >= n_ref || rpos < 0) { b.bg.close(); return -1; }
+        if (rid == last_rid ? rpos < last_pos : rid < last_rid) {
+            b.bg.close();
+            return -1;  // not coordinate-sorted
+        }
+        last_rid = rid;
+        last_pos = rpos;
+        const uint8_t* cigar = p + 32 + l_read_name;
+        int64_t span = 0;
+        for (int c = 0; c < n_cigar; c++) {
+            uint32_t op;
+            std::memcpy(&op, cigar + 4 * c, 4);
+            uint32_t len = op >> 4;
+            int k = op & 0xf;
+            if (k == 0 || k == 2 || k == 3 || k == 7 || k == 8) span += len;
+        }
+        int64_t rbeg = rpos, rend = rpos + (span ? span : 1);
+        RefIndex& ri = idx[rid];
+        uint32_t bin = (uint32_t)reg2bin(rbeg, rend);
+        auto& cs = ri.bins[bin];
+        if (!cs.empty() && cs.back().end == vstart)
+            cs.back().end = vend;  // contiguous record: extend the chunk
+        else
+            cs.push_back(Chunk{vstart, vend});
+        size_t w_end = (size_t)((rend - 1) >> 14);
+        if (ri.linear.size() <= w_end) ri.linear.resize(w_end + 1, UINT64_MAX);
+        for (size_t w = (size_t)(rbeg >> 14); w <= w_end; w++)
+            if (vstart < ri.linear[w]) ri.linear[w] = vstart;
+        if (vend > max_voff[rid]) max_voff[rid] = vend;
+    }
+    b.bg.close();
+    // backfill empty linear windows with the preceding window's offset
+    // (lower bound stays valid; leading empties become 0 = no bound)
+    for (auto& ri : idx) {
+        uint64_t prev = 0;
+        for (auto& v : ri.linear) {
+            if (v == UINT64_MAX) v = prev;
+            else prev = v;
+        }
+    }
+    FILE* f = std::fopen(bai_path, "wb");
+    if (!f) return -1;
+    auto wr = [&](const void* p, size_t n) { std::fwrite(p, 1, n, f); };
+    wr("BAI\1", 4);
+    int32_t nr = (int32_t)n_ref;
+    wr(&nr, 4);
+    for (const auto& ri : idx) {
+        std::vector<uint32_t> bin_ids;
+        for (const auto& kv : ri.bins) bin_ids.push_back(kv.first);
+        std::sort(bin_ids.begin(), bin_ids.end());
+        int32_t nb = (int32_t)bin_ids.size();
+        wr(&nb, 4);
+        for (uint32_t bin : bin_ids) {
+            const auto& cs = ri.bins.at(bin);
+            int32_t nc = (int32_t)cs.size();
+            wr(&bin, 4);
+            wr(&nc, 4);
+            for (const Chunk& c : cs) {
+                wr(&c.beg, 8);
+                wr(&c.end, 8);
+            }
+        }
+        int32_t ni = (int32_t)ri.linear.size();
+        wr(&ni, 4);
+        for (uint64_t v : ri.linear) wr(&v, 8);
+    }
+    std::fclose(f);
+    return 0;
+}
+
+// BGZF blocks decompressed so far on this handle — the I/O-skip metric
+// for ranged fetch (region reads touch O(overlapping blocks), not O(file)).
+long bam_blocks_read(void* h) {
+    return (long)((BamFile*)h)->bg.blocks_read;
+}
 
 void bam_close(void* h) {
     auto* b = (BamFile*)h;
