@@ -50,6 +50,10 @@ def add_parsers(sub):
                             "top-N variable genes (every gene still "
                             "trains; hvg.rs)")
         p.add_argument("--block-size", type=int, default=2048)
+        p.add_argument("--data-parallel", action="store_true",
+                       help="dp-shard the pb row axis of training (and, "
+                            "with --posterior, the Gibbs anchor axis) "
+                            "over all visible devices")
         if _name == "gem-encoder":
             p.add_argument("--mask-fraction", type=float, default=0.2,
                            help="BERT-style masked-gene fraction")
@@ -65,10 +69,6 @@ def add_parsers(sub):
                                 "concentration of the gate ladder")
             p.add_argument("--half-cauchy-scale", type=float, default=1.0,
                            help="[--posterior] slab scale")
-            p.add_argument("--data-parallel", action="store_true",
-                           help="[--posterior] dp-shard the pb anchor "
-                                "axis of the Gibbs sampler over all "
-                                "visible devices")
             p.add_argument("--sequential-velocity", action="store_true",
                            help="fit theta on the spliced track first, then "
                                 "delta with theta frozen (default: joint)")
@@ -272,6 +272,14 @@ def _cmd_gem(args):
                 "posterior REPLACES phase-1 training, so there is no "
                 "fit for the second pass to refine (gem/args.rs)"
             )
+        mesh = None
+        if getattr(args, "data_parallel", False):
+            import jax as _jax
+
+            from ...parallel.mesh import make_mesh
+
+            if _jax.device_count() > 1:
+                mesh = make_mesh()
         res = fit_gem(
             s, u, embedding_dim=args.embedding_dim, epochs=args.epochs,
             learning_rate=args.learning_rate or 0.02,
@@ -284,6 +292,7 @@ def _cmd_gem(args):
             lineage_smooth=args.lineage_smooth,
             lineage_mst=not args.dense_dag,
             seed=args.seed,
+            mesh=mesh,
         )
         if res.dag_pseudotime is not None:
             pd.DataFrame({
@@ -306,14 +315,6 @@ def _cmd_gem(args):
         if args.posterior > 0:
             from ...embedding.posterior import gem_gibbs
 
-            mesh = None
-            if getattr(args, "data_parallel", False):
-                import jax as _jax
-
-                from ...parallel.mesh import make_mesh
-
-                if _jax.device_count() > 1:
-                    mesh = make_mesh()
             post = gem_gibbs(
                 s, u, res.e_feat, res.delta,
                 res.b_feat_s, res.b_feat_u, res.pb_e, res.pb_b,
@@ -336,12 +337,21 @@ def _cmd_gem(args):
                 f"{post.rhat.max():.2f}"
             )
     else:
+        mesh = None
+        if getattr(args, "data_parallel", False):
+            import jax as _jax
+
+            from ...parallel.mesh import make_mesh
+
+            if _jax.device_count() > 1:
+                mesh = make_mesh()
         res = fit_gem_encoder(
             s, u, latent_dim=args.embedding_dim, epochs=args.epochs,
             learning_rate=args.learning_rate or 0.01,
             mask_frac=args.mask_fraction, delta_l2=args.delta_l2,
             weight_decay=args.weight_decay,
             grad_clip=args.grad_clip, seed=args.seed,
+            mesh=mesh,
         )
         delta, emb = res.delta, res.rho
         vel = res.cell_velocity(u)

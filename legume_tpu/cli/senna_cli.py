@@ -159,6 +159,9 @@ def run_senna(argv):
                    help="restrict the spectral basis to the top-N HVGs")
     p.add_argument("--cnv", action="store_true",
                    help="CNV side-channel on the pseudobulk planes")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="dp-shard the streaming per-cell projection over "
+                        "all visible devices (basis replicates)")
     p.add_argument("--seed", type=int, default=None)
 
     p = sub.add_parser("layout", help="2D layout of a latent parquet")
@@ -341,6 +344,9 @@ def run_senna(argv):
                        help="held-out masked-llik eval after training "
                             "(0 = skip); writes {out}.eval.json")
         p.add_argument("--eval-seed", type=int, default=0)
+        p.add_argument("--data-parallel", action="store_true",
+                       help="dp-shard cell rows over all visible devices "
+                            "during masked training (params replicate)")
         p.add_argument(
             "--frozen-features", default=None,
             help="feature-embedding parquet from a prior run: matching"
@@ -501,6 +507,9 @@ def run_senna(argv):
     p.add_argument("--qc-min-genes", type=int, default=0)
     p.add_argument("--qc-max-mito-frac", type=float, default=1.0)
     p.add_argument("--hvg-genes", type=int, default=5000)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="dp-shard pseudobulk rows over all visible devices "
+                        "during training (params replicate)")
     p.add_argument("--seed", type=int, default=None)
 
     p = sub.add_parser(

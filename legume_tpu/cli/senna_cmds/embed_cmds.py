@@ -349,6 +349,7 @@ def _cmd_svd(args):
             hvg_genes=args.hvg_genes,
             cnv=args.cnv,
             seed=args.seed if args.seed is not None else DEFAULT_PROJECTION_SEED,
+            data_parallel=args.data_parallel,
         )
     )
     return

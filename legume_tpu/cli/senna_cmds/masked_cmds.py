@@ -130,6 +130,14 @@ def _cmd_masked(args):
         masked_likelihood=args.masked_likelihood,
         n_gene_modules=args.gene_modules,
     )
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        if jax.device_count() > 1:
+            from ...parallel.mesh import make_mesh
+
+            mesh = make_mesh()
     variables, trace, eval_loss = train_masked(
         model, data,
         MaskedTrainConfig(
@@ -151,6 +159,7 @@ def _cmd_masked(args):
             init_rho=init_rho,
             null_plane=null_plane,
             null_membership=null_membership,
+            mesh=mesh,
         ),
     )
     if eval_loss is not None:

@@ -43,6 +43,7 @@ def _cmd_vae(args):
             iter_opt=args.iter_opt,
             block_size=args.block_size,
             seed=args.seed if args.seed is not None else DEFAULT_PROJECTION_SEED,
+            data_parallel=args.data_parallel,
         )
     )
     print(f"wrote {args.out}.latent.parquet")

@@ -345,6 +345,13 @@ class MaskedTrainConfig:
     # window-restricted null values feed the encoder's second pool
     null_plane: "np.ndarray | None" = None
     null_membership: "np.ndarray | None" = None
+    # dp over a jax.sharding.Mesh (VERDICT r4 #9: the dp layer must not
+    # be dense-trainer-only): cell rows shard over the data axis,
+    # params/optimizer replicate, and XLA inserts the gradient psum
+    # from the placements — same recipe as MixedTrainer(mesh=). The
+    # reference equivalent trains on the one candle device
+    # (candle-util/src/vae/masked_topic.rs:647).
+    mesh: "object | None" = None
 
 
 def train_masked(
@@ -414,6 +421,24 @@ def train_masked(
     ids_j = jnp.asarray(data.ids)
     vals_j = jnp.asarray(data.vals)
 
+    if cfg.mesh is not None:
+        # dp placement: the [N, K] id/value planes shard on the cell
+        # axis, the model/optimizer replicate. The per-epoch
+        # permutation gather re-shards on device; the minibatch
+        # matmuls then partition over dp and XLA psums the grads.
+        from ..parallel.mesh import data_sharding, replicate
+
+        ds2 = data_sharding(cfg.mesh, 2)
+        ids_j = jax.device_put(ids_j, ds2)
+        vals_j = jax.device_put(vals_j, ds2)
+        repl = replicate(cfg.mesh)
+        params = jax.device_put(params, repl)
+        batch_stats = jax.device_put(batch_stats, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        log_q = jax.device_put(log_q, repl)
+        if use_null:
+            null_plane_j = jax.device_put(null_plane_j, repl)
+
     def minibatch_loss(params, batch_stats, kb, ids_b, vals_b, lq, memb_b):
         k_mask, k_rate, k_rep = jax.random.split(kb, 3)
         if cfg.mask_schedule == "uniform":
@@ -455,6 +480,10 @@ def train_masked(
     memb_full = (
         memb_j if use_null else jnp.zeros(n, jnp.int32)
     )
+    if cfg.mesh is not None:
+        from ..parallel.mesh import data_sharding
+
+        memb_full = jax.device_put(memb_full, data_sharding(cfg.mesh, 1))
 
     def one_epoch(carry, data, ek):
         params, batch_stats, opt_state = carry

@@ -195,3 +195,35 @@ def project_blocks_scan(
 
     _, out = jax.lax.scan(body, None, (rows_g, counts_g, vals_g))
     return out
+
+
+def project_blocks_sharded(
+    mesh,
+    basis_dk: jax.Array,
+    rows_g: jax.Array,  # [G, nnz_pad], G divisible by the dp size
+    counts_g: jax.Array,  # [G, ncols]
+    vals_g: jax.Array,
+    *,
+    ncols: int,
+) -> jax.Array:
+    """dp form of `project_blocks_scan` (VERDICT r4 #6: svd's streaming
+    Nystrom projection had no mesh path): the stacked-block axis
+    shard_maps over dp, each device projecting its own blocks against
+    the replicated basis — cells are disjoint, so no collectives."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    @partial(jax.jit, static_argnames=("ncols",))
+    def run(basis, r_g, c_g, v_g, *, ncols):
+        def local(b, r, cc, v):
+            return project_blocks_scan(b, r, cc, v, ncols=ncols)
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+        )(basis, r_g, c_g, v_g)
+
+    return run(basis_dk, rows_g, counts_g, vals_g, ncols=ncols)

@@ -56,6 +56,9 @@ class SvdArgs:
     cnv: bool = False
     cnv_genes_per_bin: int = 25
     seed: int = DEFAULT_PROJECTION_SEED
+    # dp-shard the streaming per-cell Nystrom projection over all
+    # visible devices (stacked-block shard_map; basis replicates)
+    data_parallel: bool = False
 
 
 def fit_svd(args: SvdArgs) -> dict:
@@ -128,7 +131,13 @@ def fit_svd(args: SvdArgs) -> dict:
     n = vec.num_columns
     factors = np.zeros((n, k), np.float32)
     u_j = jnp.asarray(u)
-    for blk in visit_columns_by_block(vec, block_size=args.block_size):
+    mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from ..parallel.mesh import DATA_AXIS, make_mesh
+
+        mesh = make_mesh()
+
+    def _project_vals(blk):
         vals = jnp.asarray(blk.vals, jnp.float32)
         if args.column_sum_norm > 0:
             from ..ops.sparse import block_col_sums
@@ -139,14 +148,57 @@ def fit_svd(args: SvdArgs) -> dict:
             vals = vals * jnp.concatenate([scale, jnp.zeros(1)])[
                 jnp.minimum(cols_dev, blk.ncols)
             ]
-        f = project_block(
-            u_j,
-            jnp.asarray(blk.row_ids),
-            block_col_ids(blk),
-            jnp.log1p(vals),
-            ncols=blk.ncols,
-        )
-        factors[blk.lb : blk.lb + blk.ncols] = np.asarray(f)
+        return vals
+
+    if mesh is None:
+        for blk in visit_columns_by_block(vec, block_size=args.block_size):
+            f = project_block(
+                u_j,
+                jnp.asarray(blk.row_ids),
+                block_col_ids(blk),
+                jnp.log1p(_project_vals(blk)),
+                ncols=blk.ncols,
+            )
+            factors[blk.lb : blk.lb + blk.ncols] = np.asarray(f)
+    else:
+        # dp: same-shape blocks stack and shard over the mesh, each
+        # device projecting its slice against the replicated basis
+        from ..ops.sparse import project_blocks_sharded
+
+        n_dev = mesh.shape[DATA_AXIS]
+        buf: list = []
+
+        def flush():
+            if not buf:
+                return
+            g_pad = ((len(buf) + n_dev - 1) // n_dev) * n_dev
+            ncols = buf[0].ncols
+            rows_l = [jnp.asarray(b.row_ids, jnp.int32) for b in buf]
+            cnts_l = [jnp.asarray(b.col_counts) for b in buf]
+            vals_l = [jnp.log1p(_project_vals(b)) for b in buf]
+            pad = g_pad - len(buf)
+            if pad:
+                rows_l += [jnp.zeros_like(rows_l[0])] * pad
+                cnts_l += [jnp.zeros_like(cnts_l[0])] * pad
+                vals_l += [jnp.zeros_like(vals_l[0])] * pad
+            fs = np.asarray(project_blocks_sharded(
+                mesh, u_j, jnp.stack(rows_l), jnp.stack(cnts_l),
+                jnp.stack(vals_l), ncols=ncols,
+            ))
+            for i, b in enumerate(buf):
+                factors[b.lb : b.lb + b.ncols] = fs[i]
+            buf.clear()
+
+        for blk in visit_columns_by_block(vec, block_size=args.block_size):
+            if buf and (
+                buf[0].ncols != blk.ncols
+                or len(buf[0].row_ids) != len(blk.row_ids)
+            ):
+                flush()
+            buf.append(blk)
+            if len(buf) >= max(n_dev, 8):
+                flush()
+        flush()
 
     if args.save_adjusted:
         _write_adjusted_backend(args, vec, finest, groups)

@@ -59,6 +59,9 @@ class VaeArgs:
     qc_max_mito_frac: float = 1.0
     hvg_genes: int = 5000
     seed: int = DEFAULT_PROJECTION_SEED
+    # dp-shard pseudobulk rows over all visible devices (MixedTrainer
+    # mesh path; params replicate, XLA inserts the grad psum)
+    data_parallel: bool = False
 
 
 def fit_vae(args: VaeArgs) -> dict:
@@ -109,6 +112,11 @@ def fit_vae(args: VaeArgs) -> dict:
 
     encoder = GaussianEncoder(n_latent=args.n_latent, layers=tuple(args.encoder_layers))
     decoders = [GaussianNbDecoder(n_features=d, n_topics=args.n_latent) for _ in level_data]
+    mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     trainer = MixedTrainer(
         encoder,
         decoders,
@@ -120,6 +128,7 @@ def fit_vae(args: VaeArgs) -> dict:
             topic_smoothing=0.0,  # Gaussian latent: no simplex smoothing
             seed=args.seed & 0x7FFFFFFF,
         ),
+        mesh=mesh,
     )
     init_params = None
     if args.init_from:

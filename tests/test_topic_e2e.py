@@ -421,3 +421,50 @@ def test_topic_adj_method_batch_and_amort_refine(tmp_path):
     assert np.isfinite(z_ref).all()
     assert multinom_llik(z_ref) >= multinom_llik(z_plain) - 1e-6
     assert not np.allclose(z_ref, z_plain)
+
+
+def test_latent_eval_mesh_parity(tmp_path):
+    """evaluate_latent_by_encoder(mesh=): the shard_mapped stacked-block
+    path on the virtual 8-device mesh must equal the single-device eval
+    bit-for-bit (cells are disjoint across devices — no collectives)."""
+    import pandas as pd  # noqa: F401
+
+    from legume_tpu.data.sim import simulate_topic
+    from legume_tpu.data.sparse_io import MemoryBackend
+    from legume_tpu.data import SparseIoVec
+    from legume_tpu.models.encoders import LogSoftmaxEncoder
+    from legume_tpu.models.decoders import MultinomTopicDecoder
+    from legume_tpu.models.train import LevelData, MixedTrainer, TrainConfig
+    from legume_tpu.ops import collapse as clp
+    from legume_tpu.ops import random_projection as rp
+    from legume_tpu.parallel.mesh import make_mesh
+    from legume_tpu.senna.topic import evaluate_latent_by_encoder
+
+    import jax
+
+    sim = simulate_topic(rows=60, cols=700, factors=3, batches=1, seed=3)
+    be = MemoryBackend(sim.counts)
+    _, proj = rp.project_columns(be, 8, block_size=256)
+    bits = (proj[:4] > 0).astype(np.int64)
+    codes = (bits * (1 << np.arange(4))[:, None]).sum(axis=0)
+    groups, s = rp.compact_group_codes(codes)
+    stat = clp.collect_basic_stats(be, groups, s, block_size=256)
+    out = clp.optimize(stat, num_iter=10)
+    mixed = np.asarray(out.mu_observed.sample(jax.random.key(0))).T.astype(
+        np.float32
+    )
+    enc = LogSoftmaxEncoder(n_topics=3, layers=(16,))
+    dec = MultinomTopicDecoder(n_features=60, n_topics=3)
+    tr = MixedTrainer(enc, [dec], TrainConfig(epochs=5, minibatch_size=32))
+    variables, _, _ = tr.train(
+        [LevelData(input=mixed, input_null=None)], jax.random.key(1)
+    )
+    vec = SparseIoVec()
+    vec.push(be)
+    z0 = evaluate_latent_by_encoder(
+        vec, tr, variables, out, groups, block_size=128
+    )
+    z1 = evaluate_latent_by_encoder(
+        vec, tr, variables, out, groups, block_size=128, mesh=make_mesh(8)
+    )
+    np.testing.assert_allclose(z0, z1, rtol=1e-5, atol=1e-6)
