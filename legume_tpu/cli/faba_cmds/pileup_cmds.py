@@ -84,8 +84,8 @@ def add_parsers(sub):
     p.add_argument("--format", choices=["svg", "pdf", "png"], default=None,
                    help="emit ONLY this format (prefix mode)")
     p.add_argument("--svg", action="store_true",
-                   help="(prefix mode) also write SVG — always on "
-                        "unless --format pdf")
+                   help="also write SVG when --format selects another "
+                        "single format (on by default otherwise)")
     p.add_argument("--png", action="store_true",
                    help="(prefix mode) also write a flattened PNG")
     p.add_argument("--no-pdf", action="store_true",
@@ -215,6 +215,8 @@ def _cmd_pileup(args):
                     ))
         if args.format:
             fmts = [args.format]
+            if args.svg and "svg" not in fmts:  # --format pdf --svg
+                fmts.append("svg")
         else:
             fmts = ["svg"]  # reference default: SVG + PDF
             if not args.no_pdf:

@@ -233,14 +233,17 @@ def atoi_confounder_mask(
 def filter_gene_tag(recs, model, *, include_missing: bool = False):
     """Read-level gene-consistency filter (`--gene-barcode-tag`;
     bam_io.rs record_matches_gene): a read contributes only where its
-    aligner gene tag agrees with the GFF gene at its locus; untagged
-    reads (or tag values the model lacks) pass only with
-    `include_missing` (`--include-missing-barcode`). Applies to reads
-    AND their extracted mismatches, so conversions, coverage, and
-    activity tallies all see the filtered evidence."""
+    aligner gene tag names a model gene whose interval covers the read
+    — the reference iterates per gene and keeps a read under the gene
+    its tag names, so at overlapping loci the tag may disagree with
+    the single GFF-overlap winner and the read still passes (ADVICE
+    r4). UNTAGGED reads pass only with `include_missing`
+    (`--include-missing-barcode`); reads tagged with a value the model
+    lacks are ambient under every model gene and always drop (the
+    reference's per-gene equality can never match them). Applies to
+    reads AND their extracted mismatches, so conversions, coverage,
+    and activity tallies all see the filtered evidence."""
     import dataclasses
-
-    from .genes import assign_reads_to_genes
 
     if recs.gene_id is None:
         return recs
@@ -248,9 +251,13 @@ def filter_gene_tag(recs, model, *, include_missing: bool = False):
     tag_to_model = np.asarray(
         [gidx.get(nm, -1) for nm in (recs.gene_names or [])], np.int64
     )
+    # read ref ids -> model chromosome ids (absent contigs -> -1)
+    cidx = {n: i for i, n in enumerate(model.chrom_names)}
+    ref_to_chrom = np.asarray(
+        [cidx.get(n, -1) for n in recs.ref_names], np.int64
+    )
 
     def _mask(gene_tag_ids, rid, pos, end):
-        locus = assign_reads_to_genes(rid, pos, end, recs.ref_names, model)
         tagged = gene_tag_ids >= 0
         tag_model = np.where(
             tagged,
@@ -258,7 +265,17 @@ def filter_gene_tag(recs, model, *, include_missing: bool = False):
             if len(tag_to_model) else -1,
             -1,
         )
-        agree = tagged & (tag_model == locus) & (locus >= 0)
+        known = tag_model >= 0
+        tm = np.maximum(tag_model, 0)
+        # the read overlaps the interval of the gene its tag names
+        agree = (
+            known
+            & (model.chrom[tm] == ref_to_chrom[rid])
+            & (pos < model.end[tm])
+            & (end > model.start[tm])
+        )
+        # tagged-but-unknown values stay dropped (agree is False there);
+        # only genuinely untagged reads ride include_missing
         return np.where(tagged, agree, bool(include_missing))
 
     read_keep = _mask(recs.gene_id, recs.ref_id, recs.pos, recs.end_pos)

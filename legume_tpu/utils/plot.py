@@ -360,7 +360,10 @@ def miami_pileup(
     import os as _os
 
     written = []
-    if _os.path.splitext(out)[1]:  # explicit single file
+    # single-file mode only for KNOWN figure extensions — a dotted
+    # prefix like "run.v2" is a prefix, not a ".v2 file" (ADVICE r4)
+    ext = _os.path.splitext(out)[1].lower()
+    if ext in (".svg", ".pdf", ".png"):  # explicit single file
         fig.savefig(out)
         written.append(out)
     else:

@@ -364,3 +364,34 @@ def test_gene_tag_filter_drops_disagreeing_conversions(tmp_path):
         gene_barcode_tag="GX", gff=str(gff), include_missing_barcode=True,
     )
     assert res3.cell_counts.sum() == 6
+
+
+def test_gene_tag_filter_keeps_nonwinner_overlap(tmp_path):
+    """ADVICE r4: at overlapping loci a read tagged with the
+    non-GFF-winner gene must pass as long as that gene's interval
+    covers the read (the reference's per-gene equality keying)."""
+    from legume_tpu.faba.bam import read_bam
+    from legume_tpu.faba.dartseq import filter_gene_tag
+    from legume_tpu.faba.genes import parse_gff_genes
+
+    gff = tmp_path / "genes.gff"
+    gff.write_text(
+        "chr1\tsrc\tgene\t1\t1000\t.\t+\t.\tID=gene:GA;Name=GeneA\n"
+        "chr1\tsrc\tgene\t501\t1500\t.\t+\t.\tID=gene:GB;Name=GeneB\n"
+    )
+    reads = [
+        # inside both genes, tagged with each in turn: both must pass
+        dict(name="a", ref_id=0, pos=600, seq="A" * 20, cigar="20M",
+             cb="c1", ub="u1", gx="GeneA"),
+        dict(name="b", ref_id=0, pos=600, seq="A" * 20, cigar="20M",
+             cb="c1", ub="u2", gx="GeneB"),
+        # outside the tagged gene's span: must drop
+        dict(name="c", ref_id=0, pos=1200, seq="A" * 20, cigar="20M",
+             cb="c1", ub="u3", gx="GeneA"),
+    ]
+    path = str(tmp_path / "t.bam")
+    write_bam(path, [("chr1", 5000)], reads)
+    recs = read_bam(path, gene_tag="GX")
+    model = parse_gff_genes(str(gff))
+    kept = filter_gene_tag(recs, model)
+    assert len(kept.pos) == 2 and set(kept.pos) == {600}
