@@ -37,6 +37,19 @@ from ..ops import sparse as sparse_ops
 from .stat import CocoaStat
 
 
+def _malloc_trim() -> None:
+    """Return freed glibc arenas to the OS (no-op off glibc). The
+    streaming replay allocates/frees ~6 MB of transfer staging per
+    block; glibc keeps those arenas resident, ratcheting RSS by GBs
+    per pass at 1M cells (r5: the 125 GB OOM kill)."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
 @dataclass
 class MatchCache:
     """Per-cell kNN matches from every other individual
@@ -577,6 +590,18 @@ def collect_cocoa_stat_multi(
                 jnp.arange(lb, ub, dtype=jnp.int32),
             )
             prog_a.update()
+            if (lb // cell_block) % 64 == 63:
+                # bound the async-dispatch queue: the host loop runs
+                # ahead of the tunneled device, and every in-flight
+                # execution pins its argument transfer buffers — at 1M
+                # cells the pending-args pile grew ~6 GB per T-chunk
+                # pass and OOM-killed the CLI (r5 attempt 1, 125 GB
+                # anon RSS). A periodic sync caps pipeline depth, and
+                # malloc_trim returns the freed staging arenas to the
+                # OS (glibc keeps them resident otherwise — the RSS
+                # ratchet is arena retention, not live objects).
+                jax.block_until_ready(w_acc)
+                _malloc_trim()
         prog_a.finish()
 
         # ---- pass B: one streaming pass over all columns -----------
@@ -602,6 +627,9 @@ def collect_cocoa_stat_multi(
                 jnp.asarray(cell_indv[lb:ub].astype(np.int32)),
             )
             prog_b.update()
+            if (lb // cell_block) % 64 == 63:
+                jax.block_until_ready(y0_acc)  # see pass-A sync note
+                _malloc_trim()
         prog_b.finish()
 
         # ---- sizes from the z-active plane -------------------------

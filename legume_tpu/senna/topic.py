@@ -1057,7 +1057,14 @@ def evaluate_latent_by_encoder(
     # zero-pad to the full batch so one program compiles
     import os
 
-    dispatch_batch = int(os.environ.get("LEGUME_DISPATCH_BATCH", "8"))
+    # default batches 8 blocks per dispatch; at >=500k cells the relay
+    # round-trip (~0.4 s/dispatch on the tunnel) dominates the stage,
+    # so the batch widens to 32 (156 -> 39 dispatches at 1M) unless
+    # the env pins it (r5 stage table: eval 189.7 s of the 548.7 s run)
+    _default_db = 32 if n >= 500_000 else 8
+    dispatch_batch = int(
+        os.environ.get("LEGUME_DISPATCH_BATCH", str(_default_db))
+    )
     enc = trainer.encoder
     enc_vars = {
         "params": variables["params"]["encoder"],
