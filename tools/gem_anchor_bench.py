@@ -38,27 +38,36 @@ def main(n_sweeps: int = 15) -> None:
     b_pb = np.zeros(p, np.float32)
 
     dev = str(jax.devices()[0])
-    t0 = time.time()
-    gem_gibbs(
+
+    def timed(fn):
+        # cold = compile + run (the relay compile lottery dominates);
+        # warm = identical second call off the jit cache — the
+        # per-sweep number the reference's bench reports
+        t0 = time.time()
+        fn()
+        cold = time.time() - t0
+        t0 = time.time()
+        fn()
+        return cold, time.time() - t0
+
+    gem_cold, gem_warm = timed(lambda: gem_gibbs(
         s_pd, u_pd, beta, delta, b_s, b_u, e_pb, b_pb,
         n_sweeps=n_sweeps, burnin=2, seed=0,
-    )
-    gem_wall = time.time() - t0
-
-    t0 = time.time()
-    pb_gibbs(
+    ))
+    pb_cold, pb_warm = timed(lambda: pb_gibbs(
         s_pd, beta, b_s, e_pb, b_pb, n_sweeps=n_sweeps, burnin=2, seed=0,
-    )
-    pb_wall = time.time() - t0
+    ))
 
     print(json.dumps({
         "metric": "gem posterior per-sweep anchor (34179 x 1460, H=16)",
         "n_sweeps": n_sweeps,
-        "gem_wall_s": round(gem_wall, 1),
-        "gem_per_sweep_s": round(gem_wall / n_sweeps, 2),
-        "pb_wall_s": round(pb_wall, 1),
-        "pb_per_sweep_s": round(pb_wall / n_sweeps, 2),
-        "gem_over_pb": round(gem_wall / pb_wall, 2),
+        "gem_wall_cold_s": round(gem_cold, 1),
+        "gem_wall_warm_s": round(gem_warm, 1),
+        "gem_per_sweep_warm_s": round(gem_warm / n_sweeps, 2),
+        "pb_wall_cold_s": round(pb_cold, 1),
+        "pb_wall_warm_s": round(pb_warm, 1),
+        "pb_per_sweep_warm_s": round(pb_warm / n_sweeps, 2),
+        "gem_over_pb_warm": round(gem_warm / pb_warm, 2),
         "reference_structural_ratio": "~3x (posterior_gem_sweep_bench.rs)",
         "device": dev,
     }))
