@@ -122,7 +122,15 @@ def _pad_level(level: LevelData, mb: int, row_multiple: int = 1):
         return jnp.concatenate([jnp.asarray(a), jnp.zeros((pad, a.shape[1]), a.dtype)], 0)
 
     w = jnp.concatenate([jnp.ones(p, jnp.float32), jnp.zeros(pad, jnp.float32)])
-    return pad_rows(level.input), pad_rows(level.input_null), pad_rows(level.target), w, num_mb
+    x = pad_rows(level.input)
+    # when the decoder target IS the encoder input (every topic/vae
+    # level without an explicit output), y rides as None and the epoch
+    # fn reuses the gathered input: a second [P, D] plane + a second
+    # per-epoch permutation gather held ~8 GB at 500k x 2k and OOM'd
+    # the 16 GB chip (r5; distinct jit parameters defeat XLA CSE even
+    # when host-side they are the same array)
+    y = None if level.output is None else pad_rows(level.target)
+    return x, pad_rows(level.input_null), y, w, num_mb
 
 
 class MixedTrainer:
@@ -267,11 +275,17 @@ class MixedTrainer:
 
             def step(carry, batch):
                 params, batch_stats, opt_state = carry
-                if null is None:
+                nb = yb = None
+                if null is None and y is None:
+                    xb, wb, kb = batch
+                elif null is None:
                     xb, yb, wb, kb = batch
-                    nb = None
+                elif y is None:
+                    xb, nb, wb, kb = batch
                 else:
                     xb, nb, yb, wb, kb = batch
+                if yb is None:
+                    yb = xb  # shared input/target: one gather, one plane
                 (loss, (new_bs, llik, kl, cnt)), grads = grad_fn(
                     params, batch_stats, kb, xb, nb, yb, wb
                 )
@@ -284,14 +298,14 @@ class MixedTrainer:
                 kperm, kscan = jax.random.split(ek)
                 perm = jax.random.permutation(kperm, p_pad)
                 xs = x[perm].reshape(num_mb, mb, -1)
-                ys = y[perm].reshape(num_mb, mb, -1)
                 ws = w[perm].reshape(num_mb, mb)
                 mb_keys = jax.random.split(kscan, num_mb)
-                if null is None:
-                    batches = (xs, ys, ws, mb_keys)
-                else:
-                    ns = null[perm].reshape(num_mb, mb, -1)
-                    batches = (xs, ns, ys, ws, mb_keys)
+                parts = [xs]
+                if null is not None:
+                    parts.append(null[perm].reshape(num_mb, mb, -1))
+                if y is not None:
+                    parts.append(y[perm].reshape(num_mb, mb, -1))
+                batches = (*parts, ws, mb_keys)
                 (params, batch_stats, opt_state), (lliks, kls, cnts) = jax.lax.scan(
                     step, (params, batch_stats, opt_state), batches
                 )
@@ -362,7 +376,7 @@ class MixedTrainer:
                 return (
                     jax.device_put(x, ds),
                     None if null is None else jax.device_put(null, ds),
-                    jax.device_put(y, ds),
+                    None if y is None else jax.device_put(y, ds),
                     jax.device_put(w, data_sharding(self.mesh, 1)),
                     num_mb,
                 )
