@@ -418,6 +418,78 @@ _apply_weights_block = partial(
 )(_apply_weights_block_impl)
 
 
+# ---- grouped-dispatch forms (r5): G blocks per device dispatch -------------
+#
+# Per-block dispatches are the root cause of the 1M OOM kill: every
+# dispatch through the tunneled backend is an allocation event in the
+# proxy client's host pool, which grows with DISPATCH COUNT and never
+# shrinks (BENCH_NOTES r5 ratchet trail) — and each costs a relay
+# round-trip. Scanning G blocks inside one program cuts both by G.
+# Group shapes are uniform (full cell_block blocks; the ragged tail
+# rides the single-block fns above).
+
+
+@partial(jax.jit, static_argnames=("n_samples",), donate_argnums=(0, 1))
+def _acc_blocks_grouped(
+    w_acc, a_acc, exposures_ti, z_full, q_indv_g, m_indv_g, dist_g,
+    valid_g, idx_g, pb_g, qid_g, *, n_samples,
+):
+    k = z_full.shape[1]
+
+    def body(accs, xs):
+        q_indv, m_indv, dist, valid, idx_flat, pb_b, q_ids = xs
+        c, m = dist.shape
+        # the query/matched topic rows gather on device from the one
+        # resident [N, K] plane (the per-block path shipped a gathered
+        # [C, M, K] from host per dispatch)
+        zq = z_full[q_ids]
+        zm = z_full[idx_flat].reshape(c, m, k)
+        out = _accumulate_match_weights_impl(
+            accs[0], accs[1], exposures_ti, q_indv, m_indv, dist, valid,
+            zq, zm, idx_flat, pb_b, q_ids, n_samples=n_samples,
+        )
+        return out, None
+
+    (w_acc, a_acc), _ = jax.lax.scan(
+        body, (w_acc, a_acc),
+        (q_indv_g, m_indv_g, dist_g, valid_g, idx_g, pb_g, qid_g),
+    )
+    return w_acc, a_acc
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "n_indv", "d", "c"),
+    donate_argnums=(0, 1, 2),
+)
+def _apply_blocks_grouped(
+    y0_acc, y1_acc, y1i_acc, w_acc, a_acc, lbs, vals_g, rows_g, cols_g,
+    pb_g, indv_g, *, n_samples, n_indv, d, c,
+):
+    tc = y0_acc.shape[0]
+    k = y0_acc.shape[3]
+    n = a_acc.shape[1]
+    w_mat4 = w_acc.reshape(tc, n, n_samples, k)
+
+    def body(accs, xs):
+        lb, vals, rows, cols, pb_b, indv_b = xs
+        w_blk = jax.lax.dynamic_slice_in_dim(w_mat4, lb, c, axis=1).reshape(
+            tc, c * n_samples, k
+        )
+        a_blk = jax.lax.dynamic_slice_in_dim(a_acc, lb, c, axis=1)
+        out = _apply_weights_block_impl(
+            accs[0], accs[1], accs[2], w_blk, a_blk, vals, rows, cols,
+            pb_b, indv_b, n_samples=n_samples, n_indv=n_indv, d=d,
+        )
+        return out, None
+
+    (y0_acc, y1_acc, y1i_acc), _ = jax.lax.scan(
+        body, (y0_acc, y1_acc, y1i_acc),
+        (lbs, vals_g, rows_g, cols_g, pb_g, indv_g),
+    )
+    return y0_acc, y1_acc, y1i_acc
+
+
 # ----------------------------------------------------------------------------
 # dp over the exposure (permutation) axis — the mesh analog of the
 # reference's rayon-parallel permutation replays (run_diff.rs:361)
@@ -566,15 +638,54 @@ def collect_cocoa_stat_multi(
         from ..utils.progress import progress
 
         # ---- pass A: match-weight accumulation (no count reads) ----
+        import os as _os
+
         w_acc = t_shard(jnp.zeros((tc, n * n_samples, k)))
         a_acc = t_shard(jnp.zeros((tc, n, k)))
+        # grouped dispatches (single-device path): G blocks per device
+        # program — the proxy client's host pool grows with DISPATCH
+        # COUNT (r5 ratchet, BENCH_NOTES), and each dispatch is a
+        # relay round-trip; G=8 cuts both 8x. LEGUME_COCOA_GROUP=1
+        # restores per-block dispatch.
+        group = (
+            max(int(_os.environ.get("LEGUME_COCOA_GROUP", "8")), 1)
+            if mesh is None else 1
+        )
         prog_a = progress.stage(
             f"cocoa-pass-a t[{t_lo}:{t_hi}]", -(-n // cell_block)
         )
+        ga: list = []
+
+        def _flush_a():
+            if not ga:
+                return None, None
+            stack = [np.stack([b[i] for b in ga]) for i in range(7)]
+            ga.clear()
+            return _acc_blocks_grouped(
+                w_acc, a_acc, exp_j, z_j, *(jnp.asarray(s) for s in stack),
+                n_samples=n_samples,
+            )
+
         for lb in range(0, n, cell_block):
             ub = min(lb + cell_block, n)
             c = ub - lb
             idx_blk = cache.idx[lb:ub]
+            if group > 1 and c == cell_block:
+                ga.append((
+                    cell_indv[lb:ub].astype(np.int32),
+                    cache.matched_indv[lb:ub].astype(np.int32),
+                    np.asarray(cache.dist[lb:ub]),
+                    np.asarray(cache.valid[lb:ub]),
+                    idx_blk.reshape(-1).astype(np.int32),
+                    pb_sample[lb:ub].astype(np.int32),
+                    np.arange(lb, ub, dtype=np.int32),
+                ))
+                if len(ga) >= group:
+                    w_acc, a_acc = _flush_a()
+                prog_a.update()
+                continue
+            if ga:  # ragged tail next: flush the pending full blocks
+                w_acc, a_acc = _flush_a()
             w_acc, a_acc = acc_fn(
                 w_acc, a_acc, exp_j,
                 jnp.asarray(cell_indv[lb:ub].astype(np.int32)),
@@ -590,18 +701,10 @@ def collect_cocoa_stat_multi(
                 jnp.arange(lb, ub, dtype=jnp.int32),
             )
             prog_a.update()
-            if (lb // cell_block) % 64 == 63:
-                # bound the async-dispatch queue: the host loop runs
-                # ahead of the tunneled device, and every in-flight
-                # execution pins its argument transfer buffers — at 1M
-                # cells the pending-args pile grew ~6 GB per T-chunk
-                # pass and OOM-killed the CLI (r5 attempt 1, 125 GB
-                # anon RSS). A periodic sync caps pipeline depth, and
-                # malloc_trim returns the freed staging arenas to the
-                # OS (glibc keeps them resident otherwise — the RSS
-                # ratchet is arena retention, not live objects).
-                jax.block_until_ready(w_acc)
-                _malloc_trim()
+        if ga:
+            w_acc, a_acc = _flush_a()
+        jax.block_until_ready(w_acc)
+        _malloc_trim()
         prog_a.finish()
 
         # ---- pass B: one streaming pass over all columns -----------
@@ -612,12 +715,59 @@ def collect_cocoa_stat_multi(
         prog_b = progress.stage(
             f"cocoa-pass-b t[{t_lo}:{t_hi}]", -(-n // cell_block)
         )
+        gb: list = []
+
+        def _flush_b(accs):
+            if not gb:
+                return accs
+            # pad every block's COO to one power-of-two nnz bucket so
+            # group size/bucket give O(1) distinct compiled programs
+            nnz_pad = 1 << (max(len(b[1]) for b in gb) - 1).bit_length()
+            lbs, vals_g, rows_g, cols_g, pb_g, iv_g = [], [], [], [], [], []
+            for lb_b, vals, rows_b, cols_b, pb_b, iv_b in gb:
+                pad = nnz_pad - len(vals)
+                lbs.append(lb_b)
+                vals_g.append(np.pad(vals, (0, pad)))
+                rows_g.append(np.pad(rows_b, (0, pad)))
+                # pad marker: local col id C -> the zero slot
+                cols_g.append(np.pad(cols_b, (0, pad),
+                                     constant_values=cell_block))
+                pb_g.append(pb_b)
+                iv_g.append(iv_b)
+            gb.clear()
+            return _apply_blocks_grouped(
+                *accs, w_acc, a_acc,
+                jnp.asarray(np.asarray(lbs, np.int32)),
+                jnp.asarray(np.stack(vals_g)),
+                jnp.asarray(np.stack(rows_g)),
+                jnp.asarray(np.stack(cols_g)),
+                jnp.asarray(np.stack(pb_g)),
+                jnp.asarray(np.stack(iv_g)),
+                n_samples=n_samples, n_indv=n_indv, d=d, c=cell_block,
+            )
+
+        accs = (y0_acc, y1_acc, y1i_acc)
         for lb in range(0, n, cell_block):
             ub = min(lb + cell_block, n)
             c = ub - lb
             blk = csc_to_coo_block(data.read_columns_csc(np.arange(lb, ub)))
-            y0_acc, y1_acc, y1i_acc = apply_fn(
-                y0_acc, y1_acc, y1i_acc,
+            if group > 1 and c == cell_block:
+                gb.append((
+                    lb,
+                    np.asarray(blk.vals, np.float32),
+                    blk.row_ids.astype(np.int32),
+                    np.asarray(blk.col_ids, np.int32),
+                    pb_sample[lb:ub].astype(np.int32),
+                    cell_indv[lb:ub].astype(np.int32),
+                ))
+                if len(gb) >= group:
+                    accs = _flush_b(accs)
+                prog_b.update()
+                continue
+            if gb:
+                accs = _flush_b(accs)
+            accs = apply_fn(
+                *accs,
                 w_mat[:, lb:ub].reshape(tc, c * n_samples, k),
                 a_acc[:, lb:ub],
                 jnp.asarray(blk.vals, jnp.float32),
@@ -627,9 +777,11 @@ def collect_cocoa_stat_multi(
                 jnp.asarray(cell_indv[lb:ub].astype(np.int32)),
             )
             prog_b.update()
-            if (lb // cell_block) % 64 == 63:
-                jax.block_until_ready(y0_acc)  # see pass-A sync note
-                _malloc_trim()
+        if gb:
+            accs = _flush_b(accs)
+        y0_acc, y1_acc, y1i_acc = accs
+        jax.block_until_ready(y0_acc)
+        _malloc_trim()
         prog_b.finish()
 
         # ---- sizes from the z-active plane -------------------------

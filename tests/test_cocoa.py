@@ -151,3 +151,31 @@ def test_multi_replay_matches_single_collect(cocoa_setup):
         np.testing.assert_allclose(got.y1_sum_kdi, want.y1_sum_kdi, rtol=2e-4, atol=1e-3)
         np.testing.assert_allclose(got.size_kp, want.size_kp, rtol=2e-4, atol=1e-3)
         np.testing.assert_allclose(got.size_kip, want.size_kip, rtol=2e-4, atol=1e-3)
+
+
+def test_multi_replay_grouped_dispatch_equality(cocoa_setup):
+    """r5 grouped-dispatch path (G blocks scanned inside one program;
+    the dispatch-count fix for the proxy host-pool ratchet): tiny
+    cell_block forces many FULL blocks through _acc/_apply_blocks
+    _grouped plus a ragged tail through the single-block fns — the
+    stats must match the one-block-per-call run exactly."""
+    from legume_tpu.cocoa.collapse import collect_cocoa_stat_multi
+
+    sim, be, z, pb, cache, stat = cocoa_setup
+    rng = np.random.default_rng(3)
+    perms = [rng.permutation(sim.exposure) for _ in range(2)]
+    exposures_ti = np.stack([sim.exposure] + perms)
+    n = z.shape[0]
+    want = collect_cocoa_stat_multi(
+        be, z, sim.cell_indv, pb, 4, exposures_ti, cache, cell_block=n
+    )
+    # 32-cell blocks: n // 32 full blocks group (default G=8) + tail
+    got = collect_cocoa_stat_multi(
+        be, z, sim.cell_indv, pb, 4, exposures_ti, cache, cell_block=32
+    )
+    assert n // 32 >= 2  # the grouped path actually engages
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g.y0_sum_kdp, w.y0_sum_kdp, rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(g.y1_sum_kdp, w.y1_sum_kdp, rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(g.y1_sum_kdi, w.y1_sum_kdi, rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(g.size_kp, w.size_kp, rtol=2e-4, atol=1e-3)
